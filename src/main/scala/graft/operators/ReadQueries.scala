@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Correctness-gate queries for S2/S3/S4 reads and F1–F5 filters over the
+  * envelope view of the driver's `events` table (SURVEY.md §2.1–2.2). */
+object ReadQueries extends QueryModule {
+
+  private val outCols = Seq("stream_id", "event_number", "event_type",
+    "log_position", "correlation_id", "value").map(col)
+
+  private def log(s: SparkSession, d: String): DataFrame = Tables.eventLog(s, d)
+
+  private def s2Fwd(s: SparkSession, d: String): DataFrame =
+    Reads.readStreamForwards(log(s, d), "purchase-7", from = 2, maxCount = 20)
+      .select(outCols :+ unix_micros(col("timestamp")).as("ts_us"): _*)
+
+  private def s2Bwd(s: SparkSession, d: String): DataFrame =
+    Reads.readStreamBackwards(log(s, d), "click-3", maxCount = 15)
+      .select(outCols: _*)
+
+  private def s3Fwd(s: SparkSession, d: String): DataFrame =
+    Reads.readAllForwards(log(s, d), fromPosition = 100, maxCount = 50,
+        filter = EventFilters.defaultAllFilter)
+      .select(outCols: _*)
+
+  private def s3Bwd(s: SparkSession, d: String): DataFrame =
+    Reads.readAllBackwards(log(s, d), maxCount = 40)
+      .select(outCols: _*)
+
+  private def s4Filtered(s: SparkSession, d: String): DataFrame =
+    Reads.readAllForwards(log(s, d), fromPosition = 0, maxCount = 100,
+        filter = EventFilters.eventTypePrefix(Seq("pur", "sig")))
+      .select(outCols: _*)
+
+  private def f1Prefix(s: SparkSession, d: String): DataFrame =
+    log(s, d).where(EventFilters.streamPrefix(Seq("error-", "view-1")))
+      .groupBy(col("stream_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .orderBy(col("stream_id"))
+
+  private def f2Regex(s: SparkSession, d: String): DataFrame =
+    log(s, d).where(EventFilters.streamRegex("^(error|view)-1[0-9]$"))
+      .groupBy(col("stream_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("stream_id"))
+
+  private def f4EtRegex(s: SparkSession, d: String): DataFrame =
+    log(s, d).where(EventFilters.eventTypeRegex("^(sign|clic)"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** F5 over a log with synthetic system streams mixed in: real events plus
+    * four literal housekeeping rows; the default filter must drop exactly
+    * the `$epoch-information` + PS-to-$all checkpoint/parked rows while
+    * keeping `$settings` (system streams are allowed by default). */
+  private def f5Default(s: SparkSession, d: String): DataFrame = {
+    val sys = Seq(
+      ("$epoch-information", -1L),
+      ("$persistentsubscription-$all::group1-checkpoint", -2L),
+      ("$persistentsubscription-$all::group1-parked", -3L),
+      ("$settings", -4L))
+    import s.implicits._
+    val sysDf = sys.toDF("stream_id", "log_position")
+    val all = log(s, d).select(col("stream_id"), col("log_position"))
+      .unionAll(sysDf)
+    all.where(EventFilters.defaultAllFilter)
+      .groupBy(col("stream_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("stream_id"))
+  }
+
+  def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s2_read_stream_forwards" -> (s2Fwd _),
+    "s2_read_stream_backwards" -> (s2Bwd _),
+    "s3_read_all_forwards" -> (s3Fwd _),
+    "s3_read_all_backwards" -> (s3Bwd _),
+    "s4_read_all_filtered" -> (s4Filtered _),
+    "f1_stream_prefix" -> (f1Prefix _),
+    "f2_stream_regex" -> (f2Regex _),
+    "f4_event_type_regex" -> (f4EtRegex _),
+    "f5_default_all_filter" -> (f5Default _)
+  )
+
+  private val L = Tables.eventLogSql
+
+  def oracles: Seq[(String, String)] = Seq(
+    "s2_read_stream_forwards" -> s"""$L
+      |SELECT stream_id, event_number, event_type, log_position, correlation_id, value,
+      |       CAST(epoch_us(timestamp) AS BIGINT) AS ts_us
+      |FROM log WHERE stream_id = 'purchase-7' AND event_number >= 2
+      |ORDER BY event_number LIMIT 20""".stripMargin,
+    "s2_read_stream_backwards" -> s"""$L
+      |SELECT stream_id, event_number, event_type, log_position, correlation_id, value
+      |FROM log WHERE stream_id = 'click-3'
+      |ORDER BY event_number DESC LIMIT 15""".stripMargin,
+    "s3_read_all_forwards" -> s"""$L
+      |SELECT stream_id, event_number, event_type, log_position, correlation_id, value
+      |FROM log WHERE log_position >= 100
+      |ORDER BY log_position LIMIT 50""".stripMargin,
+    "s3_read_all_backwards" -> s"""$L
+      |SELECT stream_id, event_number, event_type, log_position, correlation_id, value
+      |FROM log
+      |ORDER BY log_position DESC LIMIT 40""".stripMargin,
+    "s4_read_all_filtered" -> s"""$L
+      |SELECT stream_id, event_number, event_type, log_position, correlation_id, value
+      |FROM log
+      |WHERE starts_with(event_type, 'pur') OR starts_with(event_type, 'sig')
+      |ORDER BY log_position LIMIT 100""".stripMargin,
+    "f1_stream_prefix" -> s"""$L
+      |SELECT stream_id, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value
+      |FROM log
+      |WHERE starts_with(stream_id, 'error-') OR starts_with(stream_id, 'view-1')
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f2_stream_regex" -> s"""$L
+      |SELECT stream_id, CAST(count(*) AS BIGINT) AS n
+      |FROM log WHERE regexp_matches(stream_id, '^(error|view)-1[0-9]$$')
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f4_event_type_regex" -> s"""$L
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM log WHERE regexp_matches(event_type, '^(sign|clic)')
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f5_default_all_filter" -> s"""$L,
+      |united AS (
+      |  SELECT stream_id FROM log
+      |  UNION ALL
+      |  SELECT * FROM (VALUES ('$$epoch-information'),
+      |    ('$$persistentsubscription-$$all::group1-checkpoint'),
+      |    ('$$persistentsubscription-$$all::group1-parked'),
+      |    ('$$settings')) t(stream_id)
+      |)
+      |SELECT stream_id, CAST(count(*) AS BIGINT) AS n FROM united
+      |WHERE NOT (stream_id = '$$epoch-information'
+      |  OR (starts_with(stream_id, '$$persistentsubscription-$$all::')
+      |      AND ends_with(stream_id, '-checkpoint'))
+      |  OR (starts_with(stream_id, '$$persistentsubscription-$$all::')
+      |      AND ends_with(stream_id, '-parked')))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Relational capability demonstrations over the TPC-H-ish star schema
+  * (SURVEY.md §2.6 gap analysis: the reference has no relational operators;
+  * the engine provides them natively through Spark SQL).
+  *
+  * Scale notes: small dims (region, nation, supplier, part, customer) are
+  * broadcast; fact-fact joins shuffle on their keys with AQE enabled.
+  */
+object RelationalQueries extends QueryModule {
+
+  private def q1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q3(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private def q5(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  private def topk(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(25)
+
+  private def semiAnti(s: SparkSession, d: String): DataFrame = {
+    // customers with no orders (anti) vs with orders (semi) — counts
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("semi"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("anti"))
+    semi.unionAll(anti).select(col("kind"), col("n")).orderBy(col("kind"))
+  }
+
+  private def windowFn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_total"))
+      .where(col("o_custkey") < 20)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q1_agg" -> (q1 _),
+    "q3_join" -> (q3 _),
+    "q5_multijoin" -> (q5 _),
+    "topk_orders" -> (topk _),
+    "semi_anti_join" -> (semiAnti _),
+    "window_running_sum" -> (windowFn _)
+  )
+
+  def oracles: Seq[(String, String)] = Seq(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |  avg(l_discount) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT r_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "semi_anti_join" ->
+      """SELECT 'anti' AS kind, CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'semi' AS kind, CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind""".stripMargin,
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM orders
+        |WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver testdata (TESTDATA.md) plus the envelope adapter
+  * that presents `events.parquet` as the engine's event log.
+  *
+  * The driver's `events` table is a generic analytics event table
+  * (event_id, ts, user_id, event_type, value, props). We map it onto the
+  * event-store model (SURVEY.md §1.3):
+  *   - stream_id    = "<event_type>-<user_id>"  (entity streams, category =
+  *                    event_type — mirrors the reference's `{category}-{id}`
+  *                    naming convention, StreamCategoryExtractor.cs:13-60)
+  *   - event_number = 0-based row_number within the stream ordered by the
+  *                    global position (EventRecord.cs:18-30 semantics)
+  *   - log_position = event_id (already a monotone global total order,
+  *                    collapsed TFPos — TFPos.cs:41-47)
+  *   - data         = props (JSON body), correlation_id = props.$.k
+  *
+  * At ingest scale, event_number is assigned at append time (see
+  * graft.sources.EventLogStore); this derived view is the adapter for the
+  * driver's pre-generated data. The window shuffle it implies happens once,
+  * on read, and is partitioned by stream — it scales horizontally.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.parquet` stores ts as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses to read as TimestampType; read it as raw nanos (LongType) and
+    * convert explicitly (µs truncation matches DuckDB's read behavior). */
+  def rawEvents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.read.schema(StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)
+    ))).parquet(s"$d/events.parquet")
+  }
+
+  /** The event log in canonical envelope form (see object doc). */
+  def eventLog(spark: SparkSession, dir: String): DataFrame = {
+    val raw = rawEvents(spark, dir)
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("event_id"))
+    raw.select(
+      concat(col("event_type"), lit("-"), col("user_id")).as("stream_id"),
+      (row_number().over(w) - 1).cast("long").as("event_number"),
+      col("event_id").cast("string").as("event_id"),
+      col("event_type"),
+      expr("timestamp_micros(ts div 1000)").as("timestamp"),
+      col("event_id").as("log_position"),
+      get_json_object(col("props"), "$.k").as("correlation_id"),
+      lit(true).as("is_json"),
+      col("props").as("data"),
+      lit(null).cast("string").as("metadata"),
+      col("user_id"),
+      col("value"))
+  }
+
+  /** DuckDB CTE equivalent of [[eventLog]] — prefix for oracle SQL. */
+  val eventLogSql: String =
+    """WITH log AS (
+      |  SELECT event_type || '-' || CAST(user_id AS VARCHAR) AS stream_id,
+      |         CAST(row_number() OVER (PARTITION BY event_type, user_id ORDER BY event_id) - 1 AS BIGINT) AS event_number,
+      |         CAST(event_id AS VARCHAR) AS event_id,
+      |         event_type,
+      |         ts AS timestamp,
+      |         event_id AS log_position,
+      |         json_extract_string(props, '$.k') AS correlation_id,
+      |         props AS data,
+      |         user_id,
+      |         value
+      |  FROM events
+      |)""".stripMargin
+}
