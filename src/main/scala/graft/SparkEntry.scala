@@ -24,7 +24,9 @@ object SparkEntry {
 object Registry {
   private def modules: Seq[QueryModule] = Seq(
     graft.operators.RelationalQueries,
-    graft.operators.ReadQueries
+    graft.operators.ReadQueries,
+    graft.operators.RetentionQueries,
+    graft.operators.SystemProjectionQueries
   )
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap

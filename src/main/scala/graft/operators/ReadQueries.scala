@@ -39,7 +39,7 @@ object ReadQueries extends QueryModule {
   private def f1Prefix(s: SparkSession, d: String): DataFrame =
     log(s, d).where(EventFilters.streamPrefix(Seq("error-", "view-1")))
       .groupBy(col("stream_id"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("value")).as("sum_value"))
       .orderBy(col("stream_id"))
 
   private def f2Regex(s: SparkSession, d: String): DataFrame =
@@ -109,7 +109,7 @@ object ReadQueries extends QueryModule {
       |WHERE starts_with(event_type, 'pur') OR starts_with(event_type, 'sig')
       |ORDER BY log_position LIMIT 100""".stripMargin,
     "f1_stream_prefix" -> s"""$L
-      |SELECT stream_id, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value
+      |SELECT stream_id, CAST(count(*) AS BIGINT) AS n, ${QueryUtil.dsumSql("value")} AS sum_value
       |FROM log
       |WHERE starts_with(stream_id, 'error-') OR starts_with(stream_id, 'view-1')
       |GROUP BY 1 ORDER BY 1""".stripMargin,

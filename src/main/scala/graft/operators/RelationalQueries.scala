@@ -18,10 +18,10 @@ object RelationalQueries extends QueryModule {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        avg(col("l_discount")).as("avg_disc"),
+        QueryUtil.dsum(col("l_quantity")).as("sum_qty"),
+        QueryUtil.dsum(col("l_extendedprice")).as("sum_base_price"),
+        QueryUtil.revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        QueryUtil.davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -32,7 +32,7 @@ object RelationalQueries extends QueryModule {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .agg(QueryUtil.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
@@ -49,7 +49,7 @@ object RelationalQueries extends QueryModule {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        QueryUtil.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"))
   }
@@ -94,24 +94,24 @@ object RelationalQueries extends QueryModule {
 
   def oracles: Seq[(String, String)] = Seq(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_base_price,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-        |  avg(l_discount) AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${QueryUtil.dsumSql("l_quantity")} AS sum_qty,
+        |  ${QueryUtil.dsumSql("l_extendedprice")} AS sum_base_price,
+        |  ${QueryUtil.revenueSumSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+        |  ${QueryUtil.davgSql("l_discount")} AS avg_disc,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q3_join" ->
-      """SELECT l_orderkey,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      s"""SELECT l_orderkey,
+        |  ${QueryUtil.revenueSumSql("l_extendedprice", "l_discount")} AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_multijoin" ->
-      """SELECT r_name,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      s"""SELECT r_name,
+        |  ${QueryUtil.revenueSumSql("l_extendedprice", "l_discount")} AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

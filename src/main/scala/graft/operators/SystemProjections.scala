@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.EventEnvelope
+
+/** The five system projections (SURVEY.md §2.4), computed as derived
+  * tables/columns instead of materialized link streams — semantically equal
+  * modulo link resolution, which [[Links.resolve]] provides for parity.
+  *
+  * Reference implementations (all C#):
+  *   - $by_category: Standard/CategorizeEventsByStreamPath.cs:17-90
+  *   - $by_event_type: Standard/IndexEventsByEventType.cs:28-110
+  *   - $stream_by_category: Standard/CategorizeStreamByPath.cs:15-90
+  *   - $streams: Standard/IndexStreams.cs:15-87
+  *   - $by_correlation_id: Standard/ByCorrelationId.cs:22-56
+  *
+  * The category extractor splits the stream id at the FIRST or LAST
+  * occurrence of the separator (default "-"):
+  * Standard/StreamCategoryExtractor.cs:13-60.
+  */
+object SystemProjections {
+
+  /** Category of a stream id: prefix before the first separator.
+    * ("first" position extractor; events in streams without the separator
+    * get no category and are skipped by $by_category.) */
+  def categoryFirst(streamId: Column, sep: String = "-"): Column =
+    when(streamId.contains(sep), substring_index(streamId, sep, 1))
+
+  /** "last" position extractor: everything before the last separator. */
+  def categoryLast(streamId: Column, sep: String = "-"): Column =
+    when(streamId.contains(sep),
+      expr(s"substring(stream_id, 1, length(stream_id) - instr(reverse(stream_id), '$sep'))"))
+
+  /** SYS1 $by_category: every event annotated with its category — the
+    * derived-column form of the `$ce-{category}` link streams. */
+  def byCategory(log: DataFrame, sep: String = "-"): DataFrame =
+    log.withColumn("category", categoryFirst(col("stream_id"), sep))
+      .where(col("category").isNotNull)
+
+  /** Read one `$ce-{category}` stream: all events whose source stream is in
+    * the category, in global log order (link order in the reference). */
+  def categoryStream(log: DataFrame, category: String, sep: String = "-"): DataFrame =
+    byCategory(log, sep).where(col("category") === category)
+      .orderBy(col("log_position"))
+
+  /** SYS2 $by_event_type: `$et-{type}` partition. Skips link events
+    * themselves (IndexEventsByEventType.cs:55-63 skips `$>`). */
+  def byEventType(log: DataFrame): DataFrame =
+    log.where(col("event_type") =!= EventEnvelope.LinkEventType &&
+      !col("stream_id").startsWith("$"))
+
+  def eventTypeStream(log: DataFrame, eventType: String): DataFrame =
+    byEventType(log).where(col("event_type") === eventType)
+      .orderBy(col("log_position"))
+
+  /** SYS3 $stream_by_category: one row per (category, stream) — the
+    * `$category-{cat}` streams. The reference links the stream's first
+    * event; we carry its position. */
+  def streamByCategory(log: DataFrame, sep: String = "-"): DataFrame =
+    byCategory(log, sep)
+      .groupBy(col("category"), col("stream_id"))
+      .agg(min(col("log_position")).as("first_log_position"))
+
+  /** SYS4 $streams: one row per stream (link to event 0 in the reference). */
+  def streams(log: DataFrame): DataFrame =
+    log.groupBy(col("stream_id"))
+      .agg(min(col("log_position")).as("first_log_position"),
+        max(col("event_number")).as("last_event_number"))
+
+  /** SYS5 $by_correlation_id: events keyed by a correlation-id property read
+    * from metadata JSON (default `$correlationId` —
+    * ByCorrelationId.cs:22-56). Our envelope also carries a first-class
+    * correlation_id column; `property=None` uses it. */
+  def byCorrelationId(log: DataFrame, property: Option[String] = None): DataFrame = {
+    val cid = property match {
+      case Some(p) => get_json_object(col("metadata"), s"$$.$p")
+      case None => col("correlation_id")
+    }
+    log.withColumn("cid", cid).where(col("cid").isNotNull)
+  }
+}
+
+/** Link events (`$>`) and link resolution (SURVEY.md §1.1, §2.6).
+  * Reference: ResolvedEvent.cs:8-29; resolution in
+  * StorageReaderWorker.cs:676-723. A link's body is `"{eventNumber}@{streamId}"`. */
+object Links {
+
+  /** Build link rows pointing at `events`, targeting stream `toStream`. */
+  def linkTo(events: DataFrame, toStream: String): DataFrame =
+    events.select(
+      lit(toStream).as("stream_id"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy().orderBy(col("log_position"))).cast("long") .minus(1L).as("event_number"),
+      lit(EventEnvelope.LinkEventType).as("event_type"),
+      concat(col("event_number").cast("string"), lit("@"), col("stream_id")).as("data"),
+      col("log_position").as("caused_by_position"))
+
+  /** Resolve link rows against the log: parse `n@stream` and join to the
+    * target events. Columns of the target get prefix `resolved_`. */
+  def resolve(links: DataFrame, log: DataFrame): DataFrame = {
+    val parsed = links.withColumn("_target_stream",
+        expr("substring(data, instr(data, '@') + 1)"))
+      .withColumn("_target_number",
+        expr("CAST(substring(data, 1, instr(data, '@') - 1) AS BIGINT)"))
+    val target = log.select(
+      col("stream_id").as("_target_stream"),
+      col("event_number").as("_target_number"),
+      col("event_type").as("resolved_event_type"),
+      col("log_position").as("resolved_log_position"),
+      col("data").as("resolved_data"))
+    parsed.join(target, Seq("_target_stream", "_target_number"), "left")
+      .withColumnRenamed("_target_stream", "resolved_stream_id")
+      .withColumnRenamed("_target_number", "resolved_event_number")
+  }
+}
