@@ -26,7 +26,8 @@ object Registry {
     graft.operators.RelationalQueries,
     graft.operators.ReadQueries,
     graft.operators.RetentionQueries,
-    graft.operators.SystemProjectionQueries
+    graft.operators.SystemProjectionQueries,
+    graft.projections.ProjectionQueries
   )
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,212 @@
+package graft.projections
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Input event type for projection folds: the envelope plus the testdata's
+  * first-class `value` column (payload fields in general live in `data` as
+  * JSON and are parsed by handlers on demand, mirroring the reference's
+  * lazy body parse — JintProjectionStateHandler.cs:868-880). */
+final case class LogEvent(
+    stream_id: String,
+    event_number: Long,
+    event_type: String,
+    log_position: Long,
+    timestamp: java.sql.Timestamp,
+    correlation_id: String,
+    data: String,
+    value: Double)
+
+/** An event emitted from inside a handler (P13 emit / P14 linkTo).
+  * `caused_by_position` is the idempotency key component for exactly-once
+  * emission (SURVEY.md §2.3 P21: (projection, causedBy) dedup). */
+final case class Emitted(
+    stream_id: String,
+    event_type: String,
+    data: String,
+    partition: String,
+    caused_by_position: Long)
+
+/** Collector handed to emitting handlers. */
+final class Emitter private[projections] () {
+  private[projections] val buf = new ArrayBuffer[(String, String, String)]
+  /** P13: append a new event to `stream` (JintProjectionStateHandler.cs:239-267). */
+  def emit(stream: String, eventType: String, body: String): Unit =
+    buf += ((stream, eventType, body))
+  /** P14: append a link event (`$>`, body "n@stream" —
+    * JintProjectionStateHandler.cs:301-327). */
+  def linkTo(stream: String, e: LogEvent): Unit =
+    buf += ((stream, graft.model.EventEnvelope.LinkEventType,
+      s"${e.event_number}@${e.stream_id}"))
+}
+
+/** Source selectors (P1–P4): which slice of the log feeds the fold.
+  * Mirrors fromStream/fromStreams/fromCategory/fromAll
+  * (JintProjectionStateHandler.cs:518-543, 754-776). */
+object Projections {
+  def fromStream(s: String): ProjectionBuilder0 =
+    new ProjectionBuilder0(col("stream_id") === s)
+  def fromStreams(ss: String*): ProjectionBuilder0 =
+    new ProjectionBuilder0(col("stream_id").isin(ss: _*))
+  def fromCategory(c: String, sep: String = "-"): ProjectionBuilder0 =
+    new ProjectionBuilder0(
+      graft.operators.SystemProjections.categoryFirst(col("stream_id"), sep) === c)
+  def fromCategories(cs: Seq[String], sep: String = "-"): ProjectionBuilder0 =
+    new ProjectionBuilder0(
+      graft.operators.SystemProjections.categoryFirst(col("stream_id"), sep).isin(cs: _*))
+  def fromAll(): ProjectionBuilder0 = new ProjectionBuilder0(lit(true))
+
+  /** Adapt an envelope DataFrame (Tables.eventLog or EventLogStore.read) to
+    * the typed fold input. Missing `value` column defaults to 0. */
+  def toLogEvents(log: DataFrame): Dataset[LogEvent] = {
+    import log.sparkSession.implicits._
+    val withValue =
+      if (log.columns.contains("value")) log else log.withColumn("value", lit(0.0))
+    withValue.select(
+      col("stream_id"), col("event_number"), col("event_type"),
+      col("log_position"), col("timestamp"), col("correlation_id"),
+      col("data"), col("value")
+    ).as[LogEvent]
+  }
+}
+
+/** Builder stage 0: choose partitioning (P6/P7) and init state. */
+final class ProjectionBuilder0 private[projections] (sourceFilter: Column) {
+  /** P7 foreachStream(): partition = source stream id. */
+  def foreachStream(): PartitionedBuilder =
+    new PartitionedBuilder(sourceFilter, e => Option(e.stream_id))
+  /** P6 partitionBy(fn): custom key; None/null → event skipped
+    * (JintProjectionStateHandler.cs:571-582, 793-797). */
+  def partitionBy(f: LogEvent => Option[String]): PartitionedBuilder =
+    new PartitionedBuilder(sourceFilter, f)
+  /** Single-partition projection (plain fromStream().when(...)). */
+  def single(): PartitionedBuilder =
+    new PartitionedBuilder(sourceFilter, _ => Some(""))
+}
+
+final class PartitionedBuilder private[projections] (
+    sourceFilter: Column, partitionFn: LogEvent => Option[String]) {
+  /** $init: initial state per partition (P5). */
+  def init[S](f: => S): FoldBuilder[S] =
+    new FoldBuilder[S](sourceFilter, partitionFn, () => f, Map.empty, None, Map.empty, None)
+}
+
+/** The fold surface (P5 when / P9 transformBy / P10 filterBy / P13 emit).
+  *
+  * Execution is Spark-first and scale-safe: events are hash-partitioned by
+  * partition key, sorted *within* partitions by (key, log_position), and
+  * folded by a single streaming pass per Spark partition — no per-group
+  * collect, spill-friendly, identical plan shape at 100 TB
+  * (SURVEY.md §7 "ordered-fold-per-partition at scale").
+  */
+final class FoldBuilder[S] private[projections] (
+    sourceFilter: Column,
+    partitionFn: LogEvent => Option[String],
+    initFn: () => S,
+    handlers: Map[String, (S, LogEvent) => S],
+    anyHandler: Option[(S, LogEvent) => S],
+    emitHandlers: Map[String, (S, LogEvent, Emitter) => S],
+    anyEmitHandler: Option[(S, LogEvent, Emitter) => S]) {
+
+  private def copyWith(
+      h: Map[String, (S, LogEvent) => S] = handlers,
+      any: Option[(S, LogEvent) => S] = anyHandler,
+      eh: Map[String, (S, LogEvent, Emitter) => S] = emitHandlers,
+      anyE: Option[(S, LogEvent, Emitter) => S] = anyEmitHandler) =
+    new FoldBuilder[S](sourceFilter, partitionFn, initFn, h, any, eh, anyE)
+
+  /** P5: register a typed handler; unhandled types keep prior state. */
+  def when(eventType: String)(f: (S, LogEvent) => S): FoldBuilder[S] =
+    copyWith(h = handlers + (eventType -> f))
+
+  /** P5 $any: catch-all handler. */
+  def whenAny(f: (S, LogEvent) => S): FoldBuilder[S] = copyWith(any = Some(f))
+
+  /** P5 + P13: handler that can also emit events. */
+  def whenEmit(eventType: String)(f: (S, LogEvent, Emitter) => S): FoldBuilder[S] =
+    copyWith(eh = emitHandlers + (eventType -> f))
+
+  def whenAnyEmit(f: (S, LogEvent, Emitter) => S): FoldBuilder[S] =
+    copyWith(anyE = Some(f))
+
+  // ---- execution ----
+
+  /** Build the per-event step function without capturing `this` (the
+    * builder holds a Catalyst Column, which must not leak into closures). */
+  private def mkStep: (S, LogEvent, Emitter) => S = {
+    val hs = handlers; val ehs = emitHandlers
+    val anyH = anyHandler; val anyEH = anyEmitHandler
+    (state: S, e: LogEvent, em: Emitter) =>
+      hs.get(e.event_type) match {
+        case Some(h) => h(state, e)
+        case None => ehs.get(e.event_type) match {
+          case Some(h) => h(state, e, em)
+          case None => anyH.map(_(state, e))
+            .orElse(anyEH.map(_(state, e, em)))
+            .getOrElse(state)
+        }
+      }
+  }
+
+  /** Run the fold; produce one row per partition key with its final state
+    * (P19 query mode / P8 outputState). */
+  def states(log: DataFrame)(implicit enc: Encoder[(String, S)]): Dataset[(String, S)] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val events = Projections.toLogEvents(log.where(sourceFilter))
+    val pf = partitionFn
+    val initF = initFn
+    val step = mkStep
+    val stepF = (s: S, e: LogEvent) => step(s, e, new Emitter)
+    val keyed: Dataset[(String, LogEvent)] =
+      events.flatMap(e => pf(e).map(k => (k, e)))
+    keyed
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2.log_position"))
+      .mapPartitions { it =>
+        new Iterator[(String, S)] {
+          private var nextKV: Option[(String, LogEvent)] =
+            if (it.hasNext) Some(it.next()) else None
+          def hasNext: Boolean = nextKV.isDefined
+          def next(): (String, S) = {
+            val key = nextKV.get._1
+            var state = initF()
+            while (nextKV.isDefined && nextKV.get._1 == key) {
+              state = stepF(state, nextKV.get._2)
+              nextKV = if (it.hasNext) Some(it.next()) else None
+            }
+            (key, state)
+          }
+        }
+      }
+  }
+
+  /** Run the fold; produce the emitted-event rows (P13/P14). Replays are
+    * idempotent downstream via (stream_id, caused_by_position) keys (P21). */
+  def emitted(log: DataFrame)(implicit enc: Encoder[Emitted]): Dataset[Emitted] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val events = Projections.toLogEvents(log.where(sourceFilter))
+    val pf = partitionFn
+    val initF = initFn
+    val stepF = mkStep
+    val keyed: Dataset[(String, LogEvent)] =
+      events.flatMap(e => pf(e).map(k => (k, e)))
+    keyed
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2.log_position"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var state: S = null.asInstanceOf[S]
+        it.flatMap { case (k, e) =>
+          if (k != curKey) { curKey = k; state = initF() }
+          val em = new Emitter
+          state = stepF(state, e, em)
+          em.buf.iterator.map { case (stream, tpe, body) =>
+            Emitted(stream, tpe, body, k, e.log_position)
+          }
+        }
+      }
+  }
+}
