@@ -27,7 +27,8 @@ object Registry {
     graft.operators.ReadQueries,
     graft.operators.RetentionQueries,
     graft.operators.SystemProjectionQueries,
-    graft.projections.ProjectionQueries
+    graft.projections.ProjectionQueries,
+    graft.analytics.AnalyticsQueries
   )
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,258 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+import graft.functions.TextFunctions
+
+/** Correctness-gate queries for the LLM-data-pipeline operators: text
+  * analysis, dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), and
+  * embedding similarity search. The synthetic corpus has no duplicates, so
+  * dedup queries union in deterministic perturbed copies (id + 100000). */
+object AnalyticsQueries extends QueryModule {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+
+  /** Corpus with exact copies of docs 0..99. */
+  private def exactCorpus(s: SparkSession, d: String): DataFrame =
+    docs(s, d).unionAll(
+      docs(s, d).where(col("id") < 100)
+        .select((col("id") + 100000).as("id"), col("text")))
+
+  /** Corpus with near-copies (one appended token) of docs 0..99. */
+  private def nearCorpus(s: SparkSession, d: String): DataFrame =
+    docs(s, d).unionAll(
+      docs(s, d).where(col("id") < 100)
+        .select((col("id") + 100000).as("id"),
+          concat(col("text"), lit(" zzz9")).as("text")))
+
+  private def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.charCount(col("text")).as("n_chars_computed"),
+      TextFunctions.wordHits(col("text"), TextFunctions.EnglishStopwords).as("stop_hits"),
+      TextFunctions.meanWordLen(col("text")).as("mean_word_len")
+    ).orderBy(col("doc_id"))
+
+  private def textQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality")
+    ).where(col("quality") > 0.5).orderBy(col("doc_id"))
+
+  private def langId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TextFunctions.langId(col("text")).as("predicted")
+    ).groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  private def fingerprintQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp")
+    ).orderBy(col("doc_id"))
+
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(exactCorpus(s, d), "text", "id")
+      .where(col("n_copies") > 1)
+      .select(col("rep_id"), col("n_copies"))
+      .orderBy(col("rep_id"))
+
+  private def dedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(nearCorpus(s, d), 0.5, "text", "id")
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashSignatures(docs(s, d).where(col("id") < 20), 8, "text", "id")
+      .orderBy(col("id"), col("seed"))
+
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(nearCorpus(s, d), 0.5, k = 16, bands = 4, "text", "id")
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def simhashQ(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(docs(s, d).where(col("id") < 50), "text", "id")
+      .orderBy(col("id"))
+
+  private def annTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, 5)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def embNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+
+  def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprintQ _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgram _),
+    "dedup_minhash_signatures" -> (minhashSig _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhashQ _),
+    "ann_cosine_topk" -> (annTopK _),
+    "emb_near_dup" -> (embNearDup _)
+  )
+
+  // ---- DuckDB oracle SQL ----
+
+  /** Tokenization shared by all text oracles (mirrors TextFunctions.tokens). */
+  private val W = "string_split_regex(trim(text), '\\s+')"
+  private def hash60(x: String) = s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  private val exactCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100)""".stripMargin
+  private val nearCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' zzz9' FROM documents WHERE doc_id < 100)""".stripMargin
+
+  /** Shingle CTE over `corpus` (mirrors TextFunctions.shingles n=3 +
+    * Dedup.shingleIndex distinct). */
+  private val shingleSql =
+    s"""shingles AS (
+      |  SELECT DISTINCT id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |         i -> array_to_string(w[i:i+2], ' ')))
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      |  FROM (SELECT id, $W AS w FROM corpus)),
+      |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY 1)""".stripMargin
+
+  private def jaccardPairsSql(candSrc: String): String =
+    s"""common AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS c
+      |  FROM $candSrc
+      |  GROUP BY 1, 2)
+      |SELECT common.id_a, common.id_b,
+      |       CAST(common.c AS DOUBLE) / (sa.sz + sb.sz - common.c) AS jaccard
+      |FROM common JOIN sizes sa ON sa.id = common.id_a
+      |            JOIN sizes sb ON sb.id = common.id_b
+      |WHERE CAST(common.c AS DOUBLE) / (sa.sz + sb.sz - common.c) >= 0.5
+      |ORDER BY 1, 2""".stripMargin
+
+  def oracles: Seq[(String, String)] = Seq(
+    "text_stats" ->
+      s"""SELECT doc_id,
+        |  CAST(len($W) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_computed,
+        |  CAST(len(list_filter($W, t -> list_contains(
+        |    ['the','a','an','and','of','to','in','is','it','that'], t))) AS INT) AS stop_hits,
+        |  CAST(list_sum(list_transform($W, w -> length(w))) AS DOUBLE) / len($W) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id,
+        |    least(CAST(len($W) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |    + greatest(1.0 - (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 10.0, 0.0) * 0.3
+        |    + least((CAST(len(list_filter($W, t -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','it','that'], t))) AS DOUBLE) / len($W)) * 5.0, 1.0) * 0.2
+        |    + greatest(1.0 - abs(CAST(list_sum(list_transform($W, w -> length(w))) AS DOUBLE) / len($W) - 5.0) / 5.0, 0.0) * 0.2
+        |    AS quality
+        |  FROM documents)
+        |SELECT doc_id, quality FROM scored WHERE quality > 0.5 ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter($W, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS DOUBLE) / len($W) AS s_de,
+        |    CAST(len(list_filter($W, t -> list_contains(['the','a','and','of','to','is'], t))) AS DOUBLE) / len($W) AS s_en,
+        |    CAST(len(list_filter($W, t -> list_contains(['el','la','de','que','y','los'], t))) AS DOUBLE) / len($W) AS s_es,
+        |    CAST(len(list_filter($W, t -> list_contains(['le','les','et','des','un','une'], t))) AS DOUBLE) / len($W) AS s_fr,
+        |    CAST(len(list_filter($W, t -> list_contains(['的','是','了','在','和','有'], t))) AS DOUBLE) / len($W) AS s_zh
+        |  FROM documents),
+        |predicted AS (
+        |  SELECT doc_id, lang,
+        |    (SELECT l FROM (VALUES ('de', s_de), ('en', s_en), ('es', s_es),
+        |      ('fr', s_fr), ('zh', s_zh)) t(l, sc)
+        |     ORDER BY sc DESC, l LIMIT 1) AS predicted
+        |  FROM scored)
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM predicted GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+        |  md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      s"""WITH $exactCorpusSql
+        |SELECT min(id) AS rep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM corpus
+        |GROUP BY md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' '))
+        |HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $nearCorpusSql,
+        |$shingleSql,
+        |${jaccardPairsSql(
+          "shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id")}""".stripMargin,
+    "dedup_minhash_signatures" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 20),
+        |$shingleSql
+        |SELECT id, CAST(seed AS INT) AS seed,
+        |       min(${hash60("CAST(seed AS VARCHAR) || ':' || shingle")}) AS minhash
+        |FROM shingles CROSS JOIN range(8) t(seed)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $nearCorpusSql,
+        |$shingleSql,
+        |sig AS (
+        |  SELECT id, seed,
+        |         min(${hash60("CAST(seed AS VARCHAR) || ':' || shingle")}) AS minhash
+        |  FROM shingles CROSS JOIN range(16) t(seed) GROUP BY 1, 2),
+        |bandkeys AS (
+        |  SELECT id, CAST(seed // 4 AS INT) AS band,
+        |         string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || CAST(minhash AS VARCHAR),
+        |                    ',' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bandkeys a JOIN bandkeys b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+        |${jaccardPairsSql(
+          "cands c JOIN shingles a ON a.id = c.id_a JOIN shingles b ON b.id = c.id_b AND b.shingle = a.shingle")}""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(list_distinct($W)) AS tok
+        |  FROM documents WHERE doc_id < 50),
+        |hashed AS (SELECT id, ${hash60("tok")} AS h FROM toks),
+        |bitsums AS (
+        |  SELECT id, b, sum(CASE WHEN (h >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hashed CROSS JOIN range(60) t(b) GROUP BY 1, 2)
+        |SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |FROM bitsums GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "emb_near_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS sim
+        |FROM sims WHERE sim >= 0.4 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, shingling.
+  *
+  * All functions are built from codegen'd Spark SQL expressions (no UDFs),
+  * so they stay inside whole-stage codegen and push work to the scan at
+  * 100 TB. Hashing is md5-based (available in every engine) so results are
+  * portable and oracle-checkable. */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text)
+
+  /** Mean word length in characters. */
+  def meanWordLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w).cast("long"))
+      .cast("double") / size(tokens(text))
+
+  /** Count of tokens found in `words`. */
+  def wordHits(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  /** Stopword tokens / total tokens (English stopword set). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  def stopwordRatio(text: Column): Column =
+    wordHits(text, EnglishStopwords).cast("double") / tokenCount(text)
+
+  /** Heuristic document quality in [0,1]: rewards moderate length, low
+    * punctuation density, presence of stopwords (prose-likeness), and
+    * moderate mean word length. Deterministic double arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val wordLenScore = greatest(lit(1.0) - abs(meanWordLen(text) - 5.0) / 5.0, lit(0.0))
+    (lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenScore * 0.2)
+  }
+
+  /** Per-language stopword lexicons for n-gram-free language ID. */
+  val LangLexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有")
+  )
+
+  /** Language-ID scores: hits per lexicon, normalized by token count. */
+  def langScore(text: Column, lang: String): Column = {
+    val lex = LangLexicons.toMap.apply(lang)
+    wordHits(text, lex).cast("double") / tokenCount(text)
+  }
+
+  /** Predicted language: argmax of lexicon scores, ties broken by
+    * alphabetical language code (deterministic). */
+  def langId(text: Column): Column = {
+    // fold over langs: keep (bestScore, bestLang); strict > keeps first
+    // (alphabetically smallest) lang on ties.
+    LangLexicons.foldLeft((lit(-1.0), lit("und"))) {
+      case ((bestScore, bestLang), (lang, _)) =>
+        val sc = langScore(text, lang)
+        (when(sc > bestScore, sc).otherwise(bestScore),
+          when(sc > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Document fingerprint: md5 of case/whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(lower(text))))
+
+  /** Portable 60-bit hash: first 15 hex digits of md5, as a positive long.
+    * Matches DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles (default 3). Documents shorter than n
+    * words contribute their whole text as one shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+}
