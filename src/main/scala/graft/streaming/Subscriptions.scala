@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.model.EventEnvelope
+import graft.projections.{LogEvent, Projections}
+
+/** Subscriptions as Structured Streaming queries (SURVEY.md §2.5).
+  *
+  * Reference semantics:
+  *  - SUB1 catch-up → live stream subscription
+  *    (Enumerator.StreamSubscription.cs:155-223): read history then switch
+  *    to live. In Spark the micro-batch file source *is* that unification —
+  *    the first batches replay history, subsequent batches are the tail.
+  *  - SUB2 filtered $all subscription (Enumerator.AllSubscriptionFiltered.cs)
+  *    = the same stream with a server-side filter Column; streaming offsets
+  *    play the role of the periodic checkpoint messages.
+  *  - SUB3 persistent-subscription capabilities that are Spark workloads:
+  *    group cursor = the query's checkpointLocation; parking = dead-letter
+  *    sink via foreachBatch try/catch; replay-parked = batch re-union of the
+  *    parked table (competing-consumer dispatch itself is OLTP serving,
+  *    out of scope per BASELINE.json).
+  *  - P20 continuous projections: flatMapGroupsWithState carries partition
+  *    state across micro-batches; the state store + offset log replace
+  *    CheckpointTag (Processing/Checkpointing/).
+  */
+object Subscriptions {
+
+  /** SUB2: subscribe to $all with an optional server-side filter. */
+  def subscribeAll(spark: SparkSession, logDir: String,
+      filter: Column = lit(true)): DataFrame =
+    spark.readStream
+      .schema(EventEnvelope.schema.add("p_date", "date"))
+      .parquet(logDir)
+      .where(filter)
+
+  /** SUB1: subscribe to one stream from a given event number. */
+  def subscribeStream(spark: SparkSession, logDir: String, streamId: String,
+      from: Long = 0L): DataFrame =
+    subscribeAll(spark, logDir,
+      col("stream_id") === streamId && col("event_number") >= from)
+
+  /** P20: run a projection fold as a continuous streaming query. State per
+    * partition key lives in the state store and survives restarts via the
+    * checkpoint dir. Emits (partition, state) after every update
+    * (OutputMode.Update semantics — outputState after each event batch).
+    *
+    * Events inside a micro-batch are folded in log_position order; across
+    * batches the file source preserves append order. */
+  def projectionStream[S](events: DataFrame,
+      partitionFn: LogEvent => Option[String],
+      init: () => S,
+      step: (S, LogEvent) => S)(implicit encS: Encoder[S],
+      encOut: Encoder[(String, S)],
+      encKV: Encoder[(String, LogEvent)]): Dataset[(String, S)] = {
+    val ds = Projections.toLogEvents(events)
+    ds.flatMap(e => partitionFn(e).map(k => (k, e)))(encKV)
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[S, (String, S)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, LogEvent)], state: GroupState[S]) =>
+          val sorted = rows.map(_._2).toSeq.sortBy(_.log_position)
+          var s = state.getOption.getOrElse(init())
+          sorted.foreach(e => s = step(s, e))
+          state.update(s)
+          Iterator.single((key, s))
+      }
+  }
+
+  /** SUB3 parking: write each micro-batch with a dead-letter path. Rows the
+    * handler rejects are appended to the parked sink instead of failing the
+    * query (PersistentSubscription.cs NakAction.Park). Returns the running
+    * query. `handler` throws to nack a batch row-set. */
+  def withDeadLetter(events: DataFrame, checkpoint: String,
+      process: DataFrame => Unit, parkedDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        try process(batch)
+        catch {
+          case _: Throwable =>
+            batch.write.mode("append").parquet(parkedDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** SUB3 replay-parked: union the parked table back into a batch read. */
+  def replayParked(spark: SparkSession, parkedDir: String): DataFrame =
+    spark.read.parquet(parkedDir)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Dedup, Similarity}
+import graft.functions.TextFunctions
+
+/** Dedup + similarity + text analysis over planted corpora. */
+class AnalyticsSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank now"),   // near dup of 1
+      (4L, "completely different content about spark query engines and columnar execution plans"),
+      (5L, "short text only")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs).where(col("n_copies") > 1).collect()
+    assert(d.length == 1 && d(0).getAs[Long]("rep_id") == 1L && d(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngram Jaccard finds exact+near dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash-LSH recovers the same dup pairs as exact Jaccard here") {
+    val pairs = Dedup.minhashLshPairs(docs, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("simhash: identical texts equal; near dups within small hamming distance") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(2L))
+    assert(hamming(sh(1L), sh(3L)) < 12)
+    assert(hamming(sh(1L), sh(4L)) > 12)
+  }
+
+  test("brute-force top-k returns nearest by cosine with correct ranks") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 1), vecs, 2)
+      .select("rank", "neighbor_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(top == Seq((1, 2L), (2, 3L)))
+  }
+
+  test("LSH near-dup pairs are a subset of exact pairs and keep true dups") {
+    val s = spark; import s.implicits._
+    val base = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)
+      (i.toLong, v)
+    }
+    // plant a near-identical copy of vector 0
+    val vecs = (base :+ (100L, base(0)._2.map(x => x * 1.001f))).toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(vecs, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, 0.95, planes = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 100L))) // identical direction → same bucket always
+  }
+
+  test("language ID picks the lexicon with most hits") {
+    val s = spark; import s.implicits._
+    val t = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato y la casa de los amigos"),
+      (3L, "le chat et les amis des maisons")
+    ).toDF("id", "text")
+    val got = t.select(col("id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "fr"))
+  }
+
+  test("token stats and fingerprint normalization") {
+    val s = spark; import s.implicits._
+    val t = Seq((1L, "  Hello   World  "), (2L, "hello world")).toDF("id", "text")
+    val stats = t.select(col("id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.fingerprint(col("text")).as("fp")).collect()
+    assert(stats.forall(_.getInt(1) == 2))
+    // case/whitespace-insensitive fingerprint matches
+    assert(stats(0).getString(2) == stats(1).getString(2))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.projections._
+
+/** Projections engine over the FIXTURES.md chat corpus — mirrors the
+  * reference scenario test
+  * (Projections.Core.Tests/Services/Jint/Scenarios/
+  *  when_recategorizing_chat_events_by_users.cs:16-75). */
+class ProjectionSpec extends SparkTestBase {
+
+  // chat-1: 3 ChatMessages, chat-2: 2 — interleaved in log order, with an
+  // unrelated stream and an unhandled event type mixed in.
+  private lazy val chat = envelope(Seq(
+    ev("chat-1", 0, "ChatMessage", 0, data = """{"sender":"alice","message":"hi"}"""),
+    ev("chat-2", 0, "ChatMessage", 1, data = """{"sender":"bob","message":"yo"}"""),
+    ev("chat-1", 1, "ChatMessage", 2, data = """{"sender":"carol","message":"hey"}"""),
+    ev("chat-1", 2, "ChatMessage", 3, data = """{"sender":"alice","message":"bye"}"""),
+    ev("chat-2", 1, "ChatMessage", 4, data = """{"sender":"bob","message":"cya"}"""),
+    ev("chat-1", 3, "SystemNotice", 5, data = """{}"""),
+    ev("other-1", 0, "ChatMessage", 6, data = """{"sender":"mallory"}""")
+  ))
+
+  test("fromCategory + foreachStream + when: count per stream (chat-1=3, chat-2=2)") {
+    val s = spark; import s.implicits._
+    val states = Projections.fromCategory("chat")
+      .foreachStream()
+      .init(0L)
+      .when("ChatMessage")((n, _) => n + 1)
+      .states(chat)
+      .collect().toMap
+    assert(states == Map("chat-1" -> 3L, "chat-2" -> 2L))
+  }
+
+  test("unhandled event types keep prior state; typed handler beats whenAny") {
+    val s = spark; import s.implicits._
+    val states = Projections.fromCategory("chat")
+      .foreachStream()
+      .init("")
+      .when("ChatMessage")((st, _) => st + "C")
+      .whenAny((st, _) => st + "X") // only fires for non-ChatMessage
+      .states(chat)
+      .collect().toMap
+    assert(states("chat-1") == "CCCX") // SystemNotice hits whenAny
+    assert(states("chat-2") == "CC")
+  }
+
+  test("fold sees events in log_position order even from shuffled input") {
+    val s = spark; import s.implicits._
+    val shuffled = chat.orderBy(org.apache.spark.sql.functions.rand(7))
+    val states = Projections.fromCategory("chat")
+      .foreachStream()
+      .init(Vector.empty[Long])
+      .whenAny((v, e) => v :+ e.log_position)
+      .states(shuffled)
+      .collect().toMap
+    assert(states("chat-1") == Vector(0L, 2L, 3L, 5L))
+    assert(states("chat-2") == Vector(1L, 4L))
+  }
+
+  test("partitionBy custom key from JSON body; None partitions are skipped") {
+    val s = spark; import s.implicits._
+    val states = Projections.fromCategory("chat")
+      .partitionBy { e =>
+        val m = """"sender":"(\w+)"""".r.findFirstMatchIn(e.data)
+        m.map(_.group(1)).filter(_ != "carol") // drop carol events
+      }
+      .init(0L)
+      .when("ChatMessage")((n, _) => n + 1)
+      .states(chat)
+      .collect().toMap
+    assert(states == Map("alice" -> 2L, "bob" -> 2L))
+  }
+
+  test("whenEmit emits with caused_by_position; linkTo formats n@stream") {
+    val s = spark; import s.implicits._
+    val emitted = Projections.fromCategory("chat")
+      .foreachStream()
+      .init(0L)
+      .whenEmit("ChatMessage") { (n, e, em) =>
+        if (e.data.contains("alice")) {
+          em.emit("alice-feed", "Copied", e.data)
+          em.linkTo("alice-links", e)
+        }
+        n + 1
+      }
+      .emitted(chat)
+      .collect()
+    val feeds = emitted.filter(_.stream_id == "alice-feed")
+    val links = emitted.filter(_.stream_id == "alice-links")
+    assert(feeds.map(_.caused_by_position).sorted.toSeq == Seq(0L, 3L))
+    assert(links.map(_.data).toSet == Set("0@chat-1", "2@chat-1"))
+    assert(links.forall(_.event_type == "$>"))
+  }
+
+  test("single(): one global fold over fromStreams in position order") {
+    val s = spark; import s.implicits._
+    val states = Projections.fromStreams("chat-1", "chat-2")
+      .single()
+      .init(List.empty[Long])
+      .whenAny((l, e) => e.log_position :: l)
+      .states(chat)
+      .collect().toMap
+    assert(states("") == List(5L, 4L, 3L, 2L, 1L, 0L))
+  }
+}

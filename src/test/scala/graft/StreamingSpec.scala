@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.{EventLogStore, PendingEvent}
+import graft.streaming.Subscriptions
+import graft.projections.Projections
+
+/** SUB1/SUB2/P20: subscriptions as Structured Streaming; batch/stream
+  * equivalence (mirrors the reference's dual-fixture pattern, SURVEY §5.4). */
+class StreamingSpec extends SparkTestBase {
+
+  private def newStore(): (EventLogStore, String) = {
+    val dir = Files.createTempDirectory("graftstream").toString
+    (new EventLogStore(spark, dir), dir)
+  }
+
+  private def seed(store: EventLogStore): Unit =
+    store.append(Seq(
+      PendingEvent("acct-1", "e1", "Deposited", """{"amt":10}"""),
+      PendingEvent("acct-1", "e2", "Withdrawn", """{"amt":3}"""),
+      PendingEvent("acct-2", "e3", "Deposited", """{"amt":5}"""),
+      PendingEvent("sys-1", "e4", "Noise", """{}""")))
+
+  test("SUB2: filtered $all subscription sees exactly the batch-filtered events") {
+    val (store, dir) = newStore()
+    seed(store)
+    val q = Subscriptions.subscribeAll(spark, s"$dir/log",
+        graft.operators.EventFilters.eventTypePrefix(Seq("Dep", "With")))
+      .writeStream.format("memory").queryName("sub2")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT event_id FROM sub2").collect().map(_.getString(0)).toSet
+    assert(got == Set("e1", "e2", "e3"))
+  }
+
+  test("SUB1: catch-up then live — a second append is picked up by the next trigger") {
+    val (store, dir) = newStore()
+    seed(store)
+    val stream = Subscriptions.subscribeStream(spark, s"$dir/log", "acct-1")
+    val checkpoint = Files.createTempDirectory("ck").toString
+    val out = Files.createTempDirectory("sub1out").toString + "/out"
+    def runOnce(): Unit = {
+      val q = stream.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append").option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce() // catch-up
+    assert(spark.read.parquet(out).count() == 2)
+    store.append(Seq(PendingEvent("acct-1", "e9", "Deposited", """{"amt":7}""")))
+    runOnce() // live tail picks up only the new event (offsets persisted)
+    val nums = spark.read.parquet(out).select("event_number").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(nums == Seq(0L, 1L, 2L))
+  }
+
+  test("P20: streaming projection state equals batch fold state") {
+    val (store, dir) = newStore()
+    seed(store)
+    store.append(Seq(PendingEvent("acct-1", "e5", "Deposited", """{"amt":2}""")))
+    val s = spark; import s.implicits._
+
+    def amt(data: String): Long =
+      """"amt":(\d+)""".r.findFirstMatchIn(data).map(_.group(1).toLong).getOrElse(0L)
+    val stepFn = (bal: Long, e: graft.projections.LogEvent) =>
+      if (e.event_type == "Deposited") bal + amt(e.data)
+      else if (e.event_type == "Withdrawn") bal - amt(e.data) else bal
+
+    // batch fold
+    val batchStates = Projections.fromCategory("acct")
+      .foreachStream().init(0L).whenAny(stepFn)
+      .states(store.read()).collect().toMap
+
+    // streaming fold (flatMapGroupsWithState), one AvailableNow pass
+    val streamDf = Subscriptions.subscribeAll(spark, s"$dir/log")
+    val q = Subscriptions.projectionStream[Long](
+        streamDf.where(col("stream_id").startsWith("acct-")),
+        e => Option(e.stream_id), () => 0L, stepFn)
+      .toDF("partition", "state")
+      .writeStream.format("memory").queryName("proj").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamStates = spark.sql("SELECT partition, max_by(state, state) FROM proj GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // last update per partition — with one trigger there is exactly one row each
+    val lastStates = spark.sql(
+      "SELECT partition, state FROM proj").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batchStates == Map("acct-1" -> 9L, "acct-2" -> 5L))
+    assert(lastStates == batchStates)
+    assert(streamStates.keySet == batchStates.keySet)
+  }
+
+  test("SUB3: failing batches are parked (dead-letter), then replayable") {
+    val (store, dir) = newStore()
+    seed(store)
+    val parked = Files.createTempDirectory("parked").toString + "/p"
+    val ck = Files.createTempDirectory("ck3").toString
+    val q = Subscriptions.withDeadLetter(
+      Subscriptions.subscribeAll(spark, s"$dir/log"), ck,
+      _ => throw new RuntimeException("consumer down"), parked)
+    q.awaitTermination(60000)
+    val replayed = Subscriptions.replayParked(spark, parked)
+    assert(replayed.count() == 4)
+  }
+}
