@@ -72,6 +72,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(lsh.contains((0L, 100L))) // identical direction → same bucket always
   }
 
+  test("codegen'd cosine expression is bit-identical to the HOF formulation") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(64)(d => (math.sin(i * 64 + d) * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val v = vecs.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("v"))
+    val pairs = v.as("a").join(v.as("b"),
+      org.apache.spark.sql.functions.col("a.vec_id") < org.apache.spark.sql.functions.col("b.vec_id"))
+    val diffs = pairs.select(
+      (Similarity.cosine(org.apache.spark.sql.functions.col("a.v"), org.apache.spark.sql.functions.col("b.v")) -
+       Similarity.cosineHof(org.apache.spark.sql.functions.col("a.v"), org.apache.spark.sql.functions.col("b.v"))).as("d"))
+      .where(org.apache.spark.sql.functions.col("d") =!= 0.0).count()
+    assert(diffs == 0L)
+  }
+
   test("language ID picks the lexicon with most hits") {
     val s = spark; import s.implicits._
     val t = Seq(
