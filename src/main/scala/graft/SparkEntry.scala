@@ -28,7 +28,8 @@ object Registry {
     graft.operators.RetentionQueries,
     graft.operators.SystemProjectionQueries,
     graft.projections.ProjectionQueries,
-    graft.analytics.AnalyticsQueries
+    graft.analytics.AnalyticsQueries,
+    graft.analytics.MultimodalQueries
   )
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Multimodal, Similarity}
+
+/** Multimodal plumbing: schema, batch shape, determinism, feature handoff. */
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val media = {
+    val s = spark; import s.implicits._
+    Multimodal.asMedia(
+      Seq((1L, "a" * 300), (2L, "ab" * 200), (3L, "xyz")).toDF("id", "payload"),
+      "id", "payload", kind = "video")
+  }
+
+  test("media envelope has the canonical blob + typed-metadata shape") {
+    assert(media.schema("bytes").dataType.typeName == "binary")
+    val meta = media.where(col("media_id") === 1).select("meta.duration_ms", "meta.channels").head
+    assert(meta.getLong(0) == 3000L && meta.getInt(1) == 1)
+  }
+
+  test("feature extraction is deterministic and lands in array<double>") {
+    val f1 = Multimodal.extractFeatures(media, 8).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media, 8).orderBy("media_id").collect()
+    assert(f1.map(_.getSeq[Double](1)).toSeq == f2.map(_.getSeq[Double](1)).toSeq)
+    assert(f1.head.getSeq[Double](1).size == 8)
+    // 'a'*300: every byte 97; feature d = (sum over ~37-38 bytes) % 997 / 997
+    val a = f1.find(_.getLong(0) == 1L).get.getSeq[Double](1)
+    assert(a.forall(v => v >= 0.0 && v < 1.0))
+  }
+
+  test("features flow into similarity search") {
+    val feats = Multimodal.extractFeatures(media, 8)
+    val top = Similarity.bruteForceTopK(
+      feats.where(col("media_id") === 1), feats, 1, "media_id", "feature")
+    assert(top.count() == 1)
+  }
+
+  test("frame sampling yields ceil(len/frameBytes) frames per blob") {
+    val fr = Multimodal.sampleFrames(media, 256)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fr == Map(1L -> 2L, 2L -> 2L, 3L -> 1L)) // 300->2, 400->2, 3->1
+  }
+
+  test("decode/resize stub fills dims and caps blob size") {
+    val d = Multimodal.decodeAndResize(media, 64).orderBy("media_id").collect()
+    val r1 = d(0)
+    assert(r1.getInt(1) == 17 && r1.getInt(2) == 17) // sqrt(300)≈17
+    assert(d.forall(_.getAs[Array[Byte]]("resized").length <= 64))
+    assert(d(2).getAs[Array[Byte]]("resized").length == 3) // short blob kept
+  }
+}
