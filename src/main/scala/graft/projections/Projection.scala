@@ -182,6 +182,27 @@ final class FoldBuilder[S] private[projections] (
       }
   }
 
+  /** P8 outputState + P11 outputTo: materialize final states as result
+    * events using the reference's naming convention
+    * (ProjectionNamesBuilder.cs:40-75): `$projections-{name}-result` for
+    * single-partition projections, `$projections-{name}-{partition}-result`
+    * per partition; `resultStreamName`/`pattern` override it (P11).
+    * `{0}` in the pattern substitutes the partition key. */
+  def outputState(log: DataFrame, name: String, serialize: S => String,
+      resultStreamPattern: Option[String] = None)(
+      implicit enc: Encoder[(String, S)]): DataFrame = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    states(log).map { case (partition, s) =>
+      val stream = resultStreamPattern match {
+        case Some(p) => p.replace("{0}", partition)
+        case None if partition.isEmpty => s"$$projections-$name-result"
+        case None => s"$$projections-$name-$partition-result"
+      }
+      (stream, "Result", serialize(s), partition)
+    }.toDF("stream_id", "event_type", "data", "partition")
+  }
+
   /** Run the fold; produce the emitted-event rows (P13/P14). Replays are
     * idempotent downstream via (stream_id, caused_by_position) keys (P21). */
   def emitted(log: DataFrame)(implicit enc: Encoder[Emitted]): Dataset[Emitted] = {

@@ -92,6 +92,24 @@ class ProjectionSpec extends SparkTestBase {
     assert(links.forall(_.event_type == "$>"))
   }
 
+  test("P8/P11 outputState uses reference result-stream naming and patterns") {
+    val s = spark; import s.implicits._
+    val base = Projections.fromCategory("chat").foreachStream().init(0L)
+      .when("ChatMessage")((n, _) => n + 1)
+    val named = base.outputState(chat, "counts", _.toString)
+      .select("stream_id").collect().map(_.getString(0)).toSet
+    assert(named == Set("$projections-counts-chat-1-result", "$projections-counts-chat-2-result"))
+    val single = Projections.fromStream("chat-1").single().init(0L)
+      .whenAny((n, _) => n + 1)
+      .outputState(chat, "one", _.toString)
+      .select("stream_id").collect().map(_.getString(0)).toSet
+    assert(single == Set("$projections-one-result"))
+    val patterned = base.outputState(chat, "counts", _.toString,
+        resultStreamPattern = Some("out-{0}"))
+      .select("stream_id").collect().map(_.getString(0)).toSet
+    assert(patterned == Set("out-chat-1", "out-chat-2"))
+  }
+
   test("single(): one global fold over fromStreams in position order") {
     val s = spark; import s.implicits._
     val states = Projections.fromStreams("chat-1", "chat-2")
