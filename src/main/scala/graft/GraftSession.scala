@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended SparkSession setup for the graft engine.
+  *
+  * Scale defaults: AQE on (runtime re-plan, skew-join splitting, partition
+  * coalescing), UTC session time, parquet bloom filters available for
+  * stream_id point lookups on written logs. On a real cluster, pass the
+  * actual master/shuffle-partition values; `local[32]` + 32 shuffle
+  * partitions matches the driver's bench environment. */
+object GraftSession {
+  def builder(master: String = "local[32]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  /** Create the session and register graft SQL functions
+    * (`cosine_similarity`). */
+  def create(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    graft.functions.CosineSimilarity.register(spark)
+    spark
+  }
+}

@@ -43,12 +43,13 @@ object AnalyticsQueries extends QueryModule {
       TextFunctions.qualityScore(col("text")).as("quality")
     ).where(col("quality") > 0.5).orderBy(col("doc_id"))
 
-  private def langId(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"), col("lang"),
-      TextFunctions.langId(col("text")).as("predicted")
-    ).groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val docsDf = Tables.documents(s, d)
+    TextFunctions.langIdTable(docsDf, "doc_id", "text")
+      .join(docsDf.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
+  }
 
   private def fingerprintQ(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -200,7 +201,8 @@ object AnalyticsQueries extends QueryModule {
       s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 20),
         |$shingleSql
         |SELECT id, CAST(seed AS INT) AS seed,
-        |       min(${hash60("CAST(seed AS VARCHAR) || ':' || shingle")}) AS minhash
+        |       min(((2*seed+1) * (${hash60("shingle")} % 2147483647)
+        |            + seed * 2654435761) % 2147483647) AS minhash
         |FROM shingles CROSS JOIN range(8) t(seed)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" ->
@@ -208,7 +210,8 @@ object AnalyticsQueries extends QueryModule {
         |$shingleSql,
         |sig AS (
         |  SELECT id, seed,
-        |         min(${hash60("CAST(seed AS VARCHAR) || ':' || shingle")}) AS minhash
+        |         min(((2*seed+1) * (${hash60("shingle")} % 2147483647)
+        |              + seed * 2654435761) % 2147483647) AS minhash
         |  FROM shingles CROSS JOIN range(16) t(seed) GROUP BY 1, 2),
         |bandkeys AS (
         |  SELECT id, CAST(seed // 4 AS INT) AS band,

@@ -32,7 +32,11 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    // the shingle index feeds the self-join twice and the size table once;
+    // persist it instead of recomputing the split/explode/distinct subtree
+    // (at warehouse scale this is a checkpointed intermediate table)
     val idx = shingleIndex(docs, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = idx.as("a").join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -47,14 +51,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: for each of `k` seeded hash functions, the min
-    * hash60 over the document's shingles. Returns (id, seed, minhash). */
+  /** MinHash prime modulus (2^31 - 1, prime). */
+  val MinhashP = 2147483647L
+
+  /** MinHash signatures: each shingle is md5-hashed ONCE, then the k hash
+    * functions are affine transforms h_i(x) = ((2i+1)·x + i·2654435761) mod
+    * (2^31-1) — the standard construction; 1 md5 per shingle instead of k.
+    * Returns (id, seed, minhash). */
   def minhashSignatures(docs: DataFrame, k: Int,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame =
     shingleIndex(docs, textCol, idCol, n)
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("shingle"))
+      .withColumn("h", pmod(hash60(col("shingle")), lit(MinhashP)))
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("h"))
       .groupBy(col("id"), col("seed"))
-      .agg(min(hash60(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("minhash"))
+      .agg(min((
+        (col("seed") * 2 + 1) * col("h") + col("seed") * lit(2654435761L)
+      ) % MinhashP).as("minhash"))
 
   /** MinHash-LSH candidate pairs, verified by exact Jaccard.
     * `k` hashes in `bands` bands of k/bands rows; two documents are
@@ -62,7 +74,18 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val sig = minhashSignatures(docs, k, textCol, idCol, n)
+    // NOTE: persisting idx here measured slower — the cache barrier hides
+    // the plan from AQE's join planning; recomputing the narrow subtree
+    // wins at this shape. Revisit with a checkpointed shingle table at
+    // warehouse scale.
+    val idx = shingleIndex(docs, textCol, idCol, n)
+    val sig = idx
+      .withColumn("h", pmod(hash60(col("shingle")), lit(MinhashP)))
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("h"))
+      .groupBy(col("id"), col("seed"))
+      .agg(min((
+        (col("seed") * 2 + 1) * col("h") + col("seed") * lit(2654435761L)
+      ) % MinhashP).as("minhash"))
     val rows = k / bands
     val bandKeys = sig
       .withColumn("band", (col("seed") / rows).cast("int"))
@@ -76,7 +99,6 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verify candidates with exact Jaccard (cheap: only candidate pairs)
-    val idx = shingleIndex(docs, textCol, idCol, n)
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = cands
       .join(idx.select(col("id").as("id_a"), col("shingle")), "id_a")

@@ -79,6 +79,34 @@ object TextFunctions {
     }._2
   }
 
+  /** Corpus-scale language ID: explode tokens once, broadcast-join the
+    * lexicon, aggregate hit counts — set-oriented and codegen'd end to end
+    * (the Column-based [[langId]] interprets higher-order filters per
+    * lexicon, fine per-row but slower over whole corpora). Ties and the
+    * zero-hit case resolve to the alphabetically first language, matching
+    * [[langId]] exactly. Returns (idCol, predicted). */
+  def langIdTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val lexRows = LangLexicons.flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+    val lex = spark.createDataFrame(lexRows).toDF("_lang", "_word")
+    val base = df.select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
+    val sizes = base.select(col("_id"), size(col("_toks")).as("_n"))
+    val hits = base.select(col("_id"), explode(col("_toks")).as("_tok"))
+      .join(broadcast(lex), col("_tok") === col("_word"))
+      .groupBy(col("_id"), col("_lang")).agg(count(lit(1)).as("_hits"))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy((col("_hits").cast("double") / col("_n")).desc, col("_lang"))
+    val best = hits.join(sizes, "_id")
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("_id"), col("_lang").as("predicted"))
+    sizes.select(col("_id")).join(best, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("predicted"), lit(LangLexicons.head._1)).as("predicted"))
+  }
+
   /** Document fingerprint: md5 of case/whitespace-normalized text. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(lower(text))))

@@ -100,6 +100,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "fr"))
   }
 
+  test("langIdTable (corpus scale path) agrees with the Column langId") {
+    val s = spark; import s.implicits._
+    val t = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato y la casa de los amigos"),
+      (3L, "le chat et les amis des maisons"),
+      (4L, "wordsalad without lexicon hits at all")
+    ).toDF("doc_id", "text")
+    val colBased = t.select(col("doc_id"), TextFunctions.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val joinBased = TextFunctions.langIdTable(t, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(joinBased == colBased)
+    assert(joinBased(4L) == "de") // zero hits -> alphabetically first
+  }
+
   test("token stats and fingerprint normalization") {
     val s = spark; import s.implicits._
     val t = Seq((1L, "  Hello   World  "), (2L, "hello world")).toDF("id", "text")

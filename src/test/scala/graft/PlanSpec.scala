@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{EventLogStore, PendingEvent}
+import graft.operators.Retention
+
+/** Physical-plan assertions: the properties that matter at 100 TB must be
+  * visible in the plan, not assumed — filter pushdown to the parquet scan,
+  * broadcast joins for bounds/dimension tables, whole-stage codegen. */
+class PlanSpec extends SparkTestBase {
+
+  private lazy val store = {
+    val s = new EventLogStore(spark, Files.createTempDirectory("plan").toString)
+    s.append((0 until 50).map(i => PendingEvent(s"acct-${i % 5}", s"e$i", "E", "{}")))
+    s
+  }
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Full (untruncated) PushedFilters of every parquet scan in the plan. */
+  private def pushedFilters(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    root.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.metadata.get("PushedFilters")).mkString(";")
+  }
+
+  test("stream point-read pushes the stream_id predicate into the parquet scan") {
+    val pushed = pushedFilters(
+      store.read().where(col("stream_id") === "acct-1" && col("event_number") >= 2))
+    assert(pushed.contains("EqualTo(stream_id,acct-1)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(event_number,2)"), pushed)
+  }
+
+  test("column pruning: projecting two columns reads only those from parquet") {
+    val plan = executedPlan(store.read().select("stream_id", "event_number"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("stream_id") && readSchema.contains("event_number"))
+    assert(!readSchema.contains("data"), readSchema)
+  }
+
+  test("retention bounds join is a broadcast, not a shuffle of the log") {
+    val s = spark; import s.implicits._
+    val meta = Seq(("acct-1", Some(2L), Option.empty[Long], Option.empty[Long], false))
+      .toDF("stream_id", "max_count", "max_age_sec", "truncate_before", "tombstoned")
+    val plan = executedPlan(
+      Retention.applyRetention(store.read(), meta, current_timestamp()))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("aggregation query runs inside whole-stage codegen") {
+    val plan = executedPlan(
+      store.read().groupBy("stream_id").agg(count(lit(1))))
+    // "*(n)" prefixes mark whole-stage-codegen'd operators
+    assert(plan.contains("*("), plan.take(800))
+  }
+
+  test("date partition pruning: p_date predicate prunes partitions at scan") {
+    val df = store.read().where(col("p_date") === java.sql.Date.valueOf("1999-01-01"))
+    val plan = executedPlan(df)
+    // partition filters appear as PartitionFilters on the scan, and no rows survive
+    assert(plan.contains("PartitionFilters:"), plan.take(800))
+    assert(df.count() == 0)
+  }
+}
