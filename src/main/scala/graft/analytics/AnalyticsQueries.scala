@@ -91,6 +91,21 @@ object AnalyticsQueries extends QueryModule {
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
+  private def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5, nlist = 8, nprobe = 3)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed near-dup (rows-only check: the MurmurHash-derived
+    * hyperplanes aren't expressible in DuckDB; recall vs the exact pairs is
+    * property-tested in AnalyticsSpec). */
+  private def annLshNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4, planes = 4)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -102,6 +117,8 @@ object AnalyticsQueries extends QueryModule {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashQ _),
     "ann_cosine_topk" -> (annTopK _),
+    "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_lsh_neardup" -> (annLshNearDup _),
     "emb_near_dup" -> (embNearDup _)
   )
 
@@ -242,6 +259,37 @@ object AnalyticsQueries extends QueryModule {
         |    list_dot_product(q.v, c.v)
         |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, v, cid AS list_id FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, cid AS list_id FROM (
+        |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.cv)
+        |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rn
+        |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    list_dot_product(p.qv, a.v)
+        |      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.neighbor_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, sim,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank

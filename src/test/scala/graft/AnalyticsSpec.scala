@@ -72,6 +72,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(lsh.contains((0L, 100L))) // identical direction → same bucket always
   }
 
+  test("IVF top-k: probing all lists equals brute force; fewer probes stay a subset") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(queries, vecs, 3))
+    val ivfAll = rows(Similarity.ivfTopK(queries, vecs, k = 3, nlist = 6, nprobe = 6))
+    assert(ivfAll == brute)
+    // partial probing returns k results per query drawn from probed lists only
+    val ivfPart = Similarity.ivfTopK(queries, vecs, k = 3, nlist = 6, nprobe = 2)
+    val perQuery = ivfPart.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perQuery.values.forall(_ <= 3) && perQuery.nonEmpty)
+  }
+
   test("codegen'd cosine expression is bit-identical to the HOF formulation") {
     val s = spark; import s.implicits._
     val vecs = (0 until 50).map { i =>
