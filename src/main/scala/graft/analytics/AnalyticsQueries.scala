@@ -57,6 +57,18 @@ object AnalyticsQueries extends QueryModule {
       TextFunctions.fingerprint(col("text")).as("fp")
     ).orderBy(col("doc_id"))
 
+  private def bpeTokensQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe")
+    ).orderBy(col("doc_id"))
+
+  private def winnowQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("text"), 5, 4)).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(exactCorpus(s, d), "text", "id")
       .where(col("n_copies") > 1)
@@ -111,6 +123,8 @@ object AnalyticsQueries extends QueryModule {
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprintQ _),
+    "text_bpe_tokens" -> (bpeTokensQ _),
+    "text_winnow_fp" -> (winnowQ _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash_signatures" -> (minhashSig _),
@@ -203,6 +217,31 @@ object AnalyticsQueries extends QueryModule {
       s"""SELECT doc_id,
         |  md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_winnow_fp" ->
+      s"""WITH n AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') AS norm
+        |  FROM documents WHERE doc_id < 100),
+        |g AS (SELECT doc_id, norm, length(norm) - 4 AS ng FROM n),
+        |h AS (
+        |  SELECT doc_id, ng,
+        |    list_transform(range(1, ng + 1),
+        |      i -> ${hash60("substr(norm, CAST(i AS INT), 5)")}) AS hs,
+        |    norm
+        |  FROM g),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ng >= 4 THEN
+        |      list_sort(list_distinct(list_transform(range(1, ng - 2),
+        |        j -> list_min(hs[j:j+3]))))
+        |    ELSE [${hash60("norm")}] END AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM fp ORDER BY doc_id, fp""".stripMargin,
     "dedup_exact" ->
       s"""WITH $exactCorpusSql
         |SELECT min(id) AS rep_id, CAST(count(*) AS BIGINT) AS n_copies

@@ -111,6 +111,38 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(lower(text))))
 
+  /** BPE-style pre-tokenization pattern (RE2-compatible — no lookaround —
+    * so the same pattern runs in Spark and DuckDB): a word is an optional
+    * leading space + letters, or + digits, or + other non-space symbols;
+    * remaining whitespace runs are their own tokens. This mirrors the
+    * GPT-2 pre-tokenizer minus its apostrophe-contraction lookahead cases. */
+  val BpePattern = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token pieces of `text`. */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** BPE-ish token count — the unit LLM-pipeline budgets are measured in. */
+  def bpeTokenCount(text: Column): Column = size(bpePieces(text))
+
+  /** Winnowing fingerprints (rolling-hash document fingerprinting,
+    * Schleimer et al. 2003): hash every `k`-char gram of the normalized
+    * text, then keep the minimum hash of each sliding window of `w` grams;
+    * the distinct selected hashes are the document's fingerprint set.
+    * Guarantees any shared substring of length >= k+w-1 yields a shared
+    * fingerprint. Entirely per-row array expressions — no explode/shuffle.
+    * Documents shorter than `k` chars fingerprint their whole text. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    val norm = concat_ws(" ", tokens(lower(text)))
+    val nGrams = length(norm) - (k - 1)
+    val grams = transform(sequence(lit(1), nGrams), i => norm.substr(i, lit(k)))
+    val hashes = transform(grams, g => hash60(g))
+    val mins = transform(sequence(lit(1), nGrams - (w - 1)),
+      j => array_min(slice(hashes, j, lit(w))))
+    when(nGrams >= w, array_sort(array_distinct(mins)))
+      .otherwise(array(hash60(norm)))
+  }
+
   /** Portable 60-bit hash: first 15 hex digits of md5, as a positive long.
     * Matches DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. */
   def hash60(c: Column): Column =

@@ -135,6 +135,35 @@ class AnalyticsSpec extends SparkTestBase {
     assert(joinBased(4L) == "de") // zero hits -> alphabetically first
   }
 
+  test("BPE-ish token count splits words, numbers, and symbol runs") {
+    val s = spark; import s.implicits._
+    val t = Seq((1L, "hello world 42!?"), (2L, "a"), (3L, "one,two")).toDF("id", "text")
+    val got = t.select(col("id"), TextFunctions.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // "hello"," world"," 42","!?" → 4; "a" → 1; "one","," ,"two" → 3
+    assert(got == Map(1L -> 4, 2L -> 1, 3L -> 3))
+  }
+
+  test("winnowing: shared long substring implies shared fingerprint; short docs hash whole text") {
+    val s = spark; import s.implicits._
+    val shared = "a quick brown fox jumps over the lazy dog near the river bank"
+    val t = Seq(
+      (1L, s"XX $shared YY"),
+      (2L, s"totally different prefix $shared and another suffix"),
+      (3L, "unrelated content about databases and distributed systems entirely"),
+      (4L, "tiny")
+    ).toDF("id", "text")
+    val fps = t.select(col("id"),
+        TextFunctions.winnowFingerprints(col("text"), 5, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // guarantee: any shared substring of length >= k+w-1 = 8 shares a fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // doc 4 is shorter than k+w-1: single whole-text hash
+    assert(fps(4L).size == 1)
+    // overlap with the unrelated doc should be far smaller than with the near-dup
+    assert((fps(1L) & fps(2L)).size > (fps(1L) & fps(3L)).size)
+  }
+
   test("token stats and fingerprint normalization") {
     val s = spark; import s.implicits._
     val t = Seq((1L, "  Hello   World  "), (2L, "hello world")).toDF("id", "text")
