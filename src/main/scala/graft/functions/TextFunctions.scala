@@ -125,23 +125,34 @@ object TextFunctions {
   /** BPE-ish token count — the unit LLM-pipeline budgets are measured in. */
   def bpeTokenCount(text: Column): Column = size(bpePieces(text))
 
+  /** Per-row let-binding: evaluate `value` exactly once and reference it
+    * as a variable in `body`. Implemented as `aggregate` over an empty
+    * array — the zero expression is evaluated once per row, and lambda
+    * variables are plain references, immune to Catalyst's lambda inlining
+    * (a subtree inlined into a `transform` lambda re-evaluates per
+    * element, turning O(n) into O(n²) for nested array exprs). */
+  private def bindOnce(value: Column, body: Column => Column): Column =
+    aggregate(array().cast("array<int>"), value, (acc, _) => acc, body)
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting,
     * Schleimer et al. 2003): hash every `k`-char gram of the normalized
     * text, then keep the minimum hash of each sliding window of `w` grams;
     * the distinct selected hashes are the document's fingerprint set.
     * Guarantees any shared substring of length >= k+w-1 yields a shared
-    * fingerprint. Entirely per-row array expressions — no explode/shuffle.
+    * fingerprint. Entirely per-row array expressions — no explode/shuffle;
+    * the gram-hash array is computed once per row (let-bound), so cost is
+    * O(len·k) hashing + O(len·w) window mins.
     * Documents shorter than `k` chars fingerprint their whole text. */
-  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
-    val norm = concat_ws(" ", tokens(lower(text)))
-    val nGrams = length(norm) - (k - 1)
-    val grams = transform(sequence(lit(1), nGrams), i => norm.substr(i, lit(k)))
-    val hashes = transform(grams, g => hash60(g))
-    val mins = transform(sequence(lit(1), nGrams - (w - 1)),
-      j => array_min(slice(hashes, j, lit(w))))
-    when(nGrams >= w, array_sort(array_distinct(mins)))
-      .otherwise(array(hash60(norm)))
-  }
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    bindOnce(concat_ws(" ", tokens(lower(text))), { norm =>
+      val nGrams = greatest(length(norm) - (k - 1), lit(1))
+      bindOnce(transform(sequence(lit(1), nGrams), i => hash60(norm.substr(i, lit(k)))), { hs =>
+        when(size(hs) >= w,
+          array_sort(array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+            j => array_min(slice(hs, j, lit(w)))))))
+          .otherwise(array(hash60(norm)))
+      })
+    })
 
   /** Portable 60-bit hash: first 15 hex digits of md5, as a positive long.
     * Matches DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. */
