@@ -98,7 +98,11 @@ object Dedup {
 
   /** Per-document MinHash signature array: (id, sh, sig: array<long>[k]).
     * Entirely narrow — one md5 per shingle, then k affine transforms and
-    * array_min per row; no explode, no shuffle. */
+    * array_min per row; no explode, no shuffle. The hash array lives in a
+    * projected column referenced k times — multi-referenced non-cheap
+    * aliases survive CollapseProject, so it is evaluated once per row
+    * (a single lambda-bound reference would be inlined and re-evaluated;
+    * see TextFunctions.bindOnce for that case). */
   def minhashSigArrays(docs: DataFrame, k: Int,
       textCol: String, idCol: String, n: Int): DataFrame = {
     val hashed = shingleSets(docs, textCol, idCol, n)

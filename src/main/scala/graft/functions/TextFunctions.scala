@@ -131,7 +131,7 @@ object TextFunctions {
     * variables are plain references, immune to Catalyst's lambda inlining
     * (a subtree inlined into a `transform` lambda re-evaluates per
     * element, turning O(n) into O(n²) for nested array exprs). */
-  private def bindOnce(value: Column, body: Column => Column): Column =
+  def bindOnce(value: Column, body: Column => Column): Column =
     aggregate(array().cast("array<int>"), value, (acc, _) => acc, body)
 
   /** Winnowing fingerprints (rolling-hash document fingerprinting,
