@@ -67,12 +67,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
       maxDocFreq: Long = 0L): DataFrame = {
-    // the shingle index feeds the self-join twice and the size table once;
-    // persist instead of recomputing the tokenize/shingle/explode subtree
-    // (at warehouse scale this is a checkpointed intermediate table)
-    val idx0 = shingleIndex(docs, textCol, idCol, n)
+    // set sizes ride along as join/grouping keys (functionally dependent on
+    // id), so no separate size table and no post-aggregation joins; persist
+    // the exploded index feeding both sides of the self-join (at warehouse
+    // scale this is a checkpointed intermediate table)
+    val idx0 = shingleSets(docs, textCol, idCol, n)
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = idx0.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val idx =
       if (maxDocFreq <= 0) idx0
       else {
@@ -80,13 +81,11 @@ object Dedup {
           .where(col("df") > maxDocFreq).select(col("shingle"))
         idx0.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
-    val common = idx.as("a").join(idx.as("b"),
+    idx.as("a").join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .where(col("jaccard") >= threshold)

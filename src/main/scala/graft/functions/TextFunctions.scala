@@ -160,12 +160,14 @@ object TextFunctions {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Distinct word n-gram shingles (default 3). Documents shorter than n
-    * words contribute their whole text as one shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n))))))
-      .otherwise(array(concat_ws(" ", w)))
-  }
+    * words contribute their whole text as one shingle. The token array is
+    * let-bound: referencing the split subtree from the transform lambda
+    * would re-run the regex split once per shingle (see [[bindOnce]]). */
+  def shingles(text: Column, n: Int = 3): Column =
+    bindOnce(tokens(text), { w =>
+      when(size(w) >= n,
+        array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n))))))
+        .otherwise(array(concat_ws(" ", w)))
+    })
 }
