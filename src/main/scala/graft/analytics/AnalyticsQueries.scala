@@ -118,6 +118,36 @@ object AnalyticsQueries extends QueryModule {
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** End-to-end training-data pipeline — the composed 100 TB use case:
+    * quality gate → language select → exact dedup (min id per fingerprint)
+    * → near-dedup (drop the larger id of every Jaccard >= 0.8 pair) →
+    * per-document token accounting. Planted exact (+100000) and near
+    * (+200000) copies of docs 0..49 exercise both dedup stages. */
+  private def pipelineQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d)
+    val corpus = base
+      .unionAll(base.where(col("id") < 50)
+        .select((col("id") + 100000).as("id"), col("text")))
+      .unionAll(base.where(col("id") < 50)
+        .select((col("id") + 200000).as("id"),
+          concat(col("text"), lit(" zzz9")).as("text")))
+    val qual = corpus.where(TextFunctions.qualityScore(col("text")) > 0.5)
+    val en = TextFunctions.langIdTable(qual, "id", "text")
+      .where(col("predicted") === "en").select("id")
+    val candidates = qual.join(en, "id")
+    val w = Window.partitionBy(TextFunctions.fingerprint(col("text"))).orderBy(col("id"))
+    val exactDeduped = candidates.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    val drops = Dedup.ngramJaccardPairs(exactDeduped, 0.8, "text", "id")
+      .select(col("id_b").as("id")).distinct()
+    exactDeduped.join(drops, Seq("id"), "left_anti")
+      .select(col("id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+      .orderBy(col("id"))
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -125,6 +155,7 @@ object AnalyticsQueries extends QueryModule {
     "text_fingerprint" -> (fingerprintQ _),
     "text_bpe_tokens" -> (bpeTokensQ _),
     "text_winnow_fp" -> (winnowQ _),
+    "pipeline_training_data" -> (pipelineQ _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash_signatures" -> (minhashSig _),
@@ -242,6 +273,61 @@ object AnalyticsQueries extends QueryModule {
         |    ELSE [${hash60("norm")}] END AS fps
         |  FROM h)
         |SELECT doc_id, unnest(fps) AS fp FROM fp ORDER BY doc_id, fp""".stripMargin,
+    "pipeline_training_data" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' zzz9' FROM documents WHERE doc_id < 50),
+        |qual AS (
+        |  SELECT id, text FROM corpus
+        |  WHERE least(CAST(len($W) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |    + greatest(1.0 - (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 10.0, 0.0) * 0.3
+        |    + least((CAST(len(list_filter($W, t -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','it','that'], t))) AS DOUBLE) / len($W)) * 5.0, 1.0) * 0.2
+        |    + greatest(1.0 - abs(CAST(list_sum(list_transform($W, w -> length(w))) AS DOUBLE) / len($W) - 5.0) / 5.0, 0.0) * 0.2
+        |    > 0.5),
+        |scored AS (
+        |  SELECT id, text,
+        |    CAST(len(list_filter($W, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS DOUBLE) / len($W) AS s_de,
+        |    CAST(len(list_filter($W, t -> list_contains(['the','a','and','of','to','is'], t))) AS DOUBLE) / len($W) AS s_en,
+        |    CAST(len(list_filter($W, t -> list_contains(['el','la','de','que','y','los'], t))) AS DOUBLE) / len($W) AS s_es,
+        |    CAST(len(list_filter($W, t -> list_contains(['le','les','et','des','un','une'], t))) AS DOUBLE) / len($W) AS s_fr,
+        |    CAST(len(list_filter($W, t -> list_contains(['的','是','了','在','和','有'], t))) AS DOUBLE) / len($W) AS s_zh
+        |  FROM qual),
+        |en AS (
+        |  SELECT id, text FROM scored
+        |  WHERE (SELECT l FROM (VALUES ('de', s_de), ('en', s_en), ('es', s_es),
+        |           ('fr', s_fr), ('zh', s_zh)) t(l, sc)
+        |         ORDER BY sc DESC, l LIMIT 1) = 'en'),
+        |exact AS (
+        |  SELECT id, text FROM (
+        |    SELECT id, text, row_number() OVER (
+        |      PARTITION BY md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' '))
+        |      ORDER BY id) AS rn
+        |    FROM en) WHERE rn = 1),
+        |shingles AS (
+        |  SELECT DISTINCT id, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> array_to_string(w[i:i+2], ' ')))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM (SELECT id, $W AS w FROM exact)),
+        |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY 1),
+        |common AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS c
+        |  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |drops AS (
+        |  SELECT DISTINCT common.id_b AS id
+        |  FROM common JOIN sizes sa ON sa.id = common.id_a
+        |              JOIN sizes sb ON sb.id = common.id_b
+        |  WHERE CAST(common.c AS DOUBLE) / (sa.sz + sb.sz - common.c) >= 0.8)
+        |SELECT id, CAST(len($W) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INT) AS n_bpe
+        |FROM exact WHERE id NOT IN (SELECT id FROM drops)
+        |ORDER BY id""".stripMargin,
     "dedup_exact" ->
       s"""WITH $exactCorpusSql
         |SELECT min(id) AS rep_id, CAST(count(*) AS BIGINT) AS n_copies
