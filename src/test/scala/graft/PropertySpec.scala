@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Retention
+import graft.projections.Projections
+import graft.sources.{EventLogStore, PendingEvent}
+
+/** ScalaCheck-generator properties for the algebraic reference semantics
+  * (SURVEY.md §5.3): retention bounds (R1), fold determinism under input
+  * permutation (P5), idempotent append (S1), and category extraction
+  * (SYS1). Each property compares the Spark operator against a plain
+  * Scala model of the reference's documented behavior, over deterministic
+  * seeded samples (no scalatestplus bridge in the offline dep cache, so
+  * sampling is driven directly). */
+class PropertySpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i * 1013L)))
+
+  private val streamMetaGen = for {
+    nEvents <- Gen.choose(1, 12)
+    maxCount <- Gen.option(Gen.choose(1L, 15L))
+    tb <- Gen.option(Gen.choose(0L, 15L))
+    tombstoned <- Gen.oneOf(true, false, false, false)
+  } yield (nEvents, maxCount, tb, tombstoned)
+
+  test("R1: retention bound equals max(0, last-maxCount+1, tb) per stream; tombstone hides all") {
+    val s = spark; import s.implicits._
+    for (streams <- samples(Gen.mapOfN(3, Gen.zip(Gen.oneOf("a", "b", "c", "d"), streamMetaGen)), 8)
+         if streams.nonEmpty) {
+      val events = streams.toSeq.flatMap { case (sid, (n, _, _, _)) =>
+        (0 until n).map(i => ev(sid, i, "E", i * 10 + sid.hashCode.abs % 10))
+      }
+      val meta = streams.toSeq.map { case (sid, (_, mc, tb, tomb)) =>
+        (sid, mc, Option.empty[Long], tb, tomb)
+      }.toDF("stream_id", "max_count", "max_age_sec", "truncate_before", "tombstoned")
+      val got = collectSet(
+        Retention.applyRetention(envelope(events), meta, current_timestamp()),
+        "stream_id", "event_number")
+      val expected = streams.toSeq.flatMap { case (sid, (n, mc, tb, tomb)) =>
+        val last = n - 1L
+        val minNum = math.max(0L, math.max(
+          mc.map(c => last - c + 1).getOrElse(0L), tb.getOrElse(0L)))
+        if (tomb || tb.contains(Retention.DeletedStream)) Seq.empty
+        else (minNum to last).map(i => Vector[Any](sid, i))
+      }.toSet
+      assert(got == expected, s"streams=$streams")
+    }
+  }
+
+  test("P5: fold state is invariant to input row order (sorted by log_position internally)") {
+    val s = spark; import s.implicits._
+    for ((evs, round) <- samples(
+        Gen.listOfN(20, Gen.zip(Gen.oneOf("s1", "s2", "s3"), Gen.choose(1, 100))), 6).zipWithIndex
+        if evs.nonEmpty) {
+      val rows = evs.zipWithIndex.map { case ((sid, v), i) =>
+        ev(sid, 0L, "Add", i, data = v.toString)
+      }
+      val shuffled = new scala.util.Random(round).shuffle(rows)
+      val proj = Projections.fromAll().foreachStream()
+        .init("")
+        .whenAny((st, e) => st + "," + e.data)
+      val got = proj.states(envelope(shuffled)).collect().toMap
+      val expected = rows.groupBy(_.stream_id).map { case (sid, es) =>
+        sid -> es.sortBy(_.log_position).map(e => "," + e.data).mkString
+      }
+      assert(got == expected, s"evs=$evs")
+    }
+  }
+
+  test("S1: append is idempotent by event_id — replaying a batch appends nothing") {
+    for (batch <- samples(Gen.listOfN(6, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0, 3))), 5)
+         if batch.nonEmpty) {
+      val store = new EventLogStore(spark, Files.createTempDirectory("prop").toString)
+      // event ids collide within the batch on purpose (same (sid, n))
+      val pending = batch.map { case (sid, n) =>
+        PendingEvent(sid, s"eid-$sid-$n", "E", s"""{"n":$n}""")
+      }
+      val distinctIds = pending.map(_.event_id).distinct.size
+      val first = store.append(pending)
+      val second = store.append(pending)
+      assert(first == distinctIds, s"batch=$batch")
+      assert(second == 0L)
+      assert(store.read().count() == distinctIds)
+      // event numbers are a gapless 0-based sequence per stream
+      val nums = store.read().select("stream_id", "event_number").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toSeq }
+      nums.values.foreach(seq => assert(seq == (0L until seq.size)))
+    }
+  }
+
+  test("SYS1: category extraction matches first/last-separator split semantics") {
+    val s = spark; import s.implicits._
+    val idGen = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.const("-"))).map(_.mkString)
+    for (ids <- samples(Gen.listOfN(8, idGen), 8) if ids.nonEmpty) {
+      val df = ids.toDF("stream_id")
+      val got = df.select(
+        graft.operators.SystemProjections.categoryFirst(col("stream_id"), "-").as("f"),
+        graft.operators.SystemProjections.categoryLast(col("stream_id"), "-").as("l")
+      ).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      // no separator -> null category (uncategorized, StreamCategoryExtractor.cs)
+      val expected = ids.map { id =>
+        val f = if (id.contains("-")) id.substring(0, id.indexOf("-")) else null
+        val l = if (id.contains("-")) id.substring(0, id.lastIndexOf("-")) else null
+        (f, l)
+      }
+      assert(got == expected, s"ids=$ids")
+    }
+  }
+}
