@@ -83,13 +83,25 @@ object RelationalQueries extends QueryModule {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Tumbling-window aggregation over the event log — the streaming-window
+    * capability the reference lacks (SURVEY §2.6); the same groupBy(window)
+    * runs unchanged as a watermarked streaming query
+    * (Subscriptions.windowedAgg, StreamingSpec equivalence test). */
+  private def windowTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.eventLog(s, d)
+      .groupBy(window(col("timestamp"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("w_start"), col("event_type"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q1_agg" -> (q1 _),
     "q3_join" -> (q3 _),
     "q5_multijoin" -> (q5 _),
     "topk_orders" -> (topk _),
     "semi_anti_join" -> (semiAnti _),
-    "window_running_sum" -> (windowFn _)
+    "window_running_sum" -> (windowFn _),
+    "window_tumbling_agg" -> (windowTumbling _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -137,6 +149,11 @@ object RelationalQueries extends QueryModule {
         |FROM orders
         |WHERE o_custkey < 20
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, rn""".stripMargin
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "window_tumbling_agg" ->
+      s"""${Tables.eventLogSql}
+        |SELECT date_trunc('hour', timestamp) AS w_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS total
+        |FROM log GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -68,6 +68,18 @@ object Subscriptions {
       }
   }
 
+  /** Streaming windows + watermarks — a capability the reference lacks
+    * (SURVEY §2.6: ordering there is total, late data impossible; Spark
+    * adds real event-time windows). Tumbling-window count/sum per
+    * event_type with bounded state: the watermark closes windows older
+    * than `delay`, so the state store stays O(open windows), not O(log). */
+  def windowedAgg(events: DataFrame, windowDuration: String,
+      delay: String, valueCol: String = "value"): DataFrame =
+    events.withWatermark("timestamp", delay)
+      .groupBy(window(col("timestamp"), windowDuration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
   /** SUB3 parking: write each micro-batch with a dead-letter path. Rows the
     * handler rejects are appended to the parked sink instead of failing the
     * query (PersistentSubscription.cs NakAction.Park). Returns the running

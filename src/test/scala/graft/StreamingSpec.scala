@@ -95,6 +95,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamStates.keySet == batchStates.keySet)
   }
 
+  test("windowed streaming agg with watermark equals the batch window agg") {
+    val (store, dir) = newStore()
+    store.append(Seq(
+      PendingEvent("acct-1", "w1", "Deposited", "{}", timestamp = ts("2024-01-01 10:05:00")),
+      PendingEvent("acct-1", "w2", "Deposited", "{}", timestamp = ts("2024-01-01 10:40:00")),
+      PendingEvent("acct-2", "w3", "Withdrawn", "{}", timestamp = ts("2024-01-01 11:10:00")),
+      PendingEvent("acct-2", "w4", "Deposited", "{}", timestamp = ts("2024-01-01 11:59:00"))))
+    val s = spark; import s.implicits._
+    val withValue = (df: org.apache.spark.sql.DataFrame) => df.withColumn("value", lit(1.0))
+
+    val batch = withValue(store.read())
+      .groupBy(window(col("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val q = Subscriptions.windowedAgg(
+        withValue(Subscriptions.subscribeAll(spark, s"$dir/log")), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("winagg").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT w_start, event_type, n FROM winagg")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.size == 3) // 10:00 Deposited x2, 11:00 Withdrawn, 11:00 Deposited
+  }
+
   test("SUB3: failing batches are parked (dead-letter), then replayable") {
     val (store, dir) = newStore()
     seed(store)
