@@ -94,7 +94,30 @@ object RelationalQueries extends QueryModule {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Distinct-user cardinality per event type (exact, oracle-checked).
+    * The approximate HLL path (approx_count_distinct) is asserted within
+    * 5% of this in AnalyticsSpec — at 100 TB the HLL sketch replaces the
+    * exact distinct's full shuffle with a fixed-size mergeable buffer. */
+  private def cardinality(s: SparkSession, d: String): DataFrame =
+    Tables.rawEvents(s, d)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Deterministic hash-based sampling: a stable ~10% sample keyed by
+    * doc_id — reproducible across runs/engines, no RNG state, pushes down
+    * to the scan as a plain predicate. The standard way to cut eval/debug
+    * slices from a 100 TB corpus. */
+  private def sampleDeterministic(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(pmod(graft.functions.TextFunctions.hash60(col("doc_id").cast("string")), lit(100L)) < 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "cardinality_distinct" -> (cardinality _),
+    "sample_deterministic" -> (sampleDeterministic _),
     "q1_agg" -> (q1 _),
     "q3_join" -> (q3 _),
     "q5_multijoin" -> (q5 _),
@@ -150,6 +173,15 @@ object RelationalQueries extends QueryModule {
         |WHERE o_custkey < 20
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+    "cardinality_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_deterministic" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
     "window_tumbling_agg" ->
       s"""${Tables.eventLogSql}
         |SELECT date_trunc('hour', timestamp) AS w_start, event_type,

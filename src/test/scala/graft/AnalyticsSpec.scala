@@ -164,6 +164,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert((fps(1L) & fps(2L)).size > (fps(1L) & fps(3L)).size)
   }
 
+  test("approx_count_distinct lands within 5% of exact cardinality") {
+    val s = spark; import s.implicits._
+    val df = (0 until 20000).map(i => (s"t${i % 3}", (i * 7919) % 4231L)).toDF("event_type", "user_id")
+    val rows = df.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val (exact, approx) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$exact vs $approx")
+    }
+  }
+
   test("token stats and fingerprint normalization") {
     val s = spark; import s.implicits._
     val t = Seq((1L, "  Hello   World  "), (2L, "hello world")).toDF("id", "text")
