@@ -115,8 +115,22 @@ object RelationalQueries extends QueryModule {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Session-window aggregation: per-user activity sessions separated by
+    * >= 30 minutes of inactivity. Spark's session_window handles the
+    * merge-adjacent-windows logic natively (and streams with watermarks);
+    * the oracle derives the same sessions with gaps-and-islands SQL. */
+  private def sessionWindows(s: SparkSession, d: String): DataFrame =
+    Tables.eventLog(s, d)
+      .groupBy(session_window(col("timestamp"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total"))
+      .select(col("w.start").as("sess_start"), col("user_id"),
+        col("n_events"), col("total"))
+      .where(col("user_id") < 50)
+      .orderBy(col("user_id"), col("sess_start"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cardinality_distinct" -> (cardinality _),
+    "session_window_agg" -> (sessionWindows _),
     "sample_deterministic" -> (sampleDeterministic _),
     "q1_agg" -> (q1 _),
     "q3_join" -> (q3 _),
@@ -182,6 +196,23 @@ object RelationalQueries extends QueryModule {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "session_window_agg" ->
+      s"""${Tables.eventLogSql},
+        |marked AS (
+        |  SELECT user_id, timestamp, value,
+        |    CASE WHEN timestamp - lag(timestamp) OVER w >= INTERVAL 30 MINUTE
+        |         OR lag(timestamp) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM log WHERE user_id < 50
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY timestamp)),
+        |sessions AS (
+        |  SELECT user_id, timestamp, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY timestamp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked)
+        |SELECT min(timestamp) AS sess_start, user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS total
+        |FROM sessions GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
     "window_tumbling_agg" ->
       s"""${Tables.eventLogSql}
         |SELECT date_trunc('hour', timestamp) AS w_start, event_type,
