@@ -31,6 +31,9 @@ object Registry {
     graft.analytics.AnalyticsQueries,
     graft.analytics.MultimodalQueries
   )
+  /** All contributed names BEFORE map-dedup — lets tests detect silent
+    * cross-module name collisions. */
+  lazy val contributedQueryNames: Seq[String] = modules.flatMap(_.queries).map(_._1)
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap
   lazy val oracleSql: Map[String, String] =
