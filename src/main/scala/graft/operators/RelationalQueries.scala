@@ -128,9 +128,21 @@ object RelationalQueries extends QueryModule {
       .where(col("user_id") < 50)
       .orderBy(col("user_id"), col("sess_start"))
 
+  /** Sliding-window aggregation (1h windows every 30m — each event lands
+    * in 2 overlapping windows). The oracle expands the window membership
+    * explicitly: an event at t belongs to windows starting at
+    * bucket30(t) and bucket30(t) − 30m. */
+  private def slidingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.eventLog(s, d)
+      .groupBy(window(col("timestamp"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "cardinality_distinct" -> (cardinality _),
     "session_window_agg" -> (sessionWindows _),
+    "window_sliding_agg" -> (slidingWindows _),
     "sample_deterministic" -> (sampleDeterministic _),
     "q1_agg" -> (q1 _),
     "q3_join" -> (q3 _),
@@ -196,6 +208,15 @@ object RelationalQueries extends QueryModule {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "window_sliding_agg" ->
+      s"""${Tables.eventLogSql},
+        |expanded AS (
+        |  SELECT event_type,
+        |    unnest([time_bucket(INTERVAL 30 MINUTE, timestamp),
+        |            time_bucket(INTERVAL 30 MINUTE, timestamp) - INTERVAL 30 MINUTE]) AS w_start
+        |  FROM log)
+        |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "session_window_agg" ->
       s"""${Tables.eventLogSql},
         |marked AS (
