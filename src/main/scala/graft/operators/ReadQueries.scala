@@ -71,7 +71,21 @@ object ReadQueries extends QueryModule {
       .orderBy(col("stream_id"))
   }
 
+  /** Dynamic JSON body parsing (SURVEY §1.2: payloads are schemaless JSON
+    * parsed lazily, JintProjectionStateHandler.cs:868-880). The body field
+    * `k` is extracted on demand with get_json_object — no schema migration
+    * needed when bodies evolve — and aggregated per event type. */
+  private def jsonBodyAgg(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.eventLog(s, d)
+      .select(col("event_type"),
+        get_json_object(col("data"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count_distinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "json_body_agg" -> (jsonBodyAgg _),
     "s2_read_stream_forwards" -> (s2Fwd _),
     "s2_read_stream_backwards" -> (s2Bwd _),
     "s3_read_all_forwards" -> (s3Fwd _),
@@ -86,6 +100,11 @@ object ReadQueries extends QueryModule {
   private val L = Tables.eventLogSql
 
   def oracles: Seq[(String, String)] = Seq(
+    "json_body_agg" -> s"""$L
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(json_extract_string(data, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(count(DISTINCT CAST(json_extract_string(data, '$$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+      |FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
     "s2_read_stream_forwards" -> s"""$L
       |SELECT stream_id, event_number, event_type, log_position, correlation_id, value,
       |       CAST(epoch_us(timestamp) AS BIGINT) AS ts_us
