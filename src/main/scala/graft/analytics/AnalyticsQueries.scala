@@ -132,7 +132,10 @@ object AnalyticsQueries extends QueryModule {
       .unionAll(base.where(col("id") < 50)
         .select((col("id") + 200000).as("id"),
           concat(col("text"), lit(" zzz9")).as("text")))
+    // the quality-filtered corpus feeds language ID (twice), dedup, and the
+    // final projection — persist so the quality scoring runs once
     val qual = corpus.where(TextFunctions.qualityScore(col("text")) > 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val en = TextFunctions.langIdTable(qual, "id", "text")
       .where(col("predicted") === "en").select("id")
     val candidates = qual.join(en, "id")

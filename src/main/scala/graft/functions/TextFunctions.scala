@@ -42,14 +42,23 @@ object TextFunctions {
 
   /** Heuristic document quality in [0,1]: rewards moderate length, low
     * punctuation density, presence of stopwords (prose-likeness), and
-    * moderate mean word length. Deterministic double arithmetic. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val punctScore = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val wordLenScore = greatest(lit(1.0) - abs(meanWordLen(text) - 5.0) / 5.0, lit(0.0))
-    (lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenScore * 0.2)
-  }
+    * moderate mean word length. Deterministic double arithmetic (identical
+    * op order to the component functions, so oracles stay bit-exact). The
+    * token array is let-bound — the four component scores would otherwise
+    * each re-run the regex split per row. */
+  def qualityScore(text: Column): Column =
+    bindOnce(tokens(text), { w =>
+      val stopArr = array(EnglishStopwords.map(lit): _*)
+      val lenScore = least(size(w).cast("double") / 100.0, lit(1.0))
+      val punctScore = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
+      val stopScore = least(
+        size(filter(w, t => array_contains(stopArr, t))).cast("double") / size(w) * 5.0,
+        lit(1.0))
+      val mwl = aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
+        .cast("double") / size(w)
+      val wordLenScore = greatest(lit(1.0) - abs(mwl - 5.0) / 5.0, lit(0.0))
+      lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenScore * 0.2
+    })
 
   /** Per-language stopword lexicons for n-gram-free language ID. */
   val LangLexicons: Seq[(String, Seq[String])] = Seq(
