@@ -182,6 +182,61 @@ final class FoldBuilder[S] private[projections] (
       }
   }
 
+  /** P20 (batch form): resume the fold from checkpointed per-partition
+    * states, folding only events with log_position > fromPosExclusive.
+    * Equivalent to the reference persisting state JSON to
+    * `$projections-{name}-checkpoint` and continuing from the CheckpointTag
+    * (DefaultCheckpointManager): full replay == checkpoint + resume, which
+    * `ProjectionSpec` asserts for an order-dependent fold.
+    *
+    * Scale shape: prior states are injected as synthetic rows that sort
+    * BEFORE the new events of their key (log_position = Long.MinValue) and
+    * shuffle with them — state never gathers on the driver and is never
+    * broadcast, so millions of partitions work. */
+  def statesFrom(log: DataFrame, priorStates: Dataset[(String, S)],
+      fromPosExclusive: Long, serialize: S => String, deserialize: String => S)(
+      implicit enc: Encoder[(String, S)]): Dataset[(String, S)] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val events = Projections.toLogEvents(
+      log.where(sourceFilter && col("log_position") > fromPosExclusive))
+    val pf = partitionFn
+    val initF = initFn
+    val step = mkStep
+    val ser = serialize
+    val deser = deserialize
+    val stateType = StateEventType // local copy: the closure must not capture `this`
+    val keyedEvents: Dataset[(String, LogEvent)] =
+      events.flatMap(e => pf(e).map(k => (k, e)))
+    val stateRows: Dataset[(String, LogEvent)] = priorStates.map { case (k, s) =>
+      (k, LogEvent(k, -1L, stateType, Long.MinValue,
+        new java.sql.Timestamp(0L), null, ser(s), 0.0))
+    }
+    keyedEvents.unionAll(stateRows)
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2.log_position"))
+      .mapPartitions { it =>
+        new Iterator[(String, S)] {
+          private var nextKV: Option[(String, LogEvent)] =
+            if (it.hasNext) Some(it.next()) else None
+          def hasNext: Boolean = nextKV.isDefined
+          def next(): (String, S) = {
+            val key = nextKV.get._1
+            var state = initF()
+            while (nextKV.isDefined && nextKV.get._1 == key) {
+              val e = nextKV.get._2
+              state = if (e.event_type == stateType) deser(e.data)
+                else step(state, e, new Emitter)
+              nextKV = if (it.hasNext) Some(it.next()) else None
+            }
+            (key, state)
+          }
+        }
+      }
+  }
+
+  private val StateEventType = "$graft-checkpoint-state"
+
   /** P8 outputState + P11 outputTo: materialize final states as result
     * events using the reference's naming convention
     * (ProjectionNamesBuilder.cs:40-75): `$projections-{name}-result` for

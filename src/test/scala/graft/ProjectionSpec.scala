@@ -57,6 +57,22 @@ class ProjectionSpec extends SparkTestBase {
     assert(states("chat-2") == Vector(1L, 4L))
   }
 
+  test("P20 batch resume: checkpoint at a position + statesFrom == full replay (order-dependent fold)") {
+    val s = spark; import s.implicits._
+    def proj = Projections.fromCategory("chat")
+      .foreachStream()
+      .init("")
+      .whenAny((st, e) => st + e.log_position + ";") // order-dependent
+    val full = proj.states(chat).collect().toMap
+    // checkpoint after position 2, resume on the rest
+    val upTo = proj.states(chat.where(org.apache.spark.sql.functions.col("log_position") <= 2))
+    val resumed = proj.statesFrom(chat, upTo, fromPosExclusive = 2L,
+      serialize = identity, deserialize = identity).collect().toMap
+    assert(resumed == full)
+    // a key first seen AFTER the checkpoint starts from init
+    assert(full.contains("chat-1") && resumed("chat-2") == full("chat-2"))
+  }
+
   test("partitionBy custom key from JSON body; None partitions are skipped") {
     val s = spark; import s.implicits._
     val states = Projections.fromCategory("chat")
