@@ -1,0 +1,45 @@
+package graft.projections
+
+import org.apache.spark.sql.{Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.sources.EventLogStore
+
+/** P21: exactly-once emitted streams (SURVEY §2.3).
+  *
+  * The reference's EmittedStream (722 LoC) writes emitted events with
+  * expected-version tracking so projection replays don't duplicate. The
+  * Spark shape: every emitted event gets a DETERMINISTIC event_id
+  * `{projection}:{partition}:{causedByPosition}:{emitSeq}` — a pure
+  * function of its cause — and the append dedups against the target log
+  * by event_id with a distributed anti-join. Re-running the projection
+  * (full or resumed) re-derives identical ids, so replays are no-ops. */
+object EmittedSink {
+
+  /** Deterministic idempotency key for an emitted event. */
+  def eventId(projection: String): org.apache.spark.sql.Column =
+    concat_ws(":", lit(projection), col("partition"),
+      col("caused_by_position"), col("emit_seq"))
+
+  /** Append emitted events into `store`'s log idempotently. Returns the
+    * number of NEW events written (0 on a pure replay). */
+  def appendIdempotent(store: EventLogStore, projection: String,
+      emitted: Dataset[Emitted]): Long = {
+    val spark = emitted.sparkSession
+    val pending = emitted.toDF()
+      .withColumn("event_id", eventId(projection))
+      .withColumn("correlation_id", lit(null).cast("string"))
+      .withColumn("metadata",
+        concat(lit("""{"$causedBy":"""), col("caused_by_position"),
+          lit(""","$projection":""""), lit(projection), lit("\"}")))
+      .withColumn("timestamp", lit(null).cast("timestamp"))
+      .select("stream_id", "event_id", "event_type", "data", "metadata",
+        "correlation_id", "timestamp", "caused_by_position")
+    val existing = store.read().select(col("event_id").as("_eid"))
+    val fresh = pending
+      .join(existing, col("event_id") === col("_eid"), "left_anti")
+      .dropDuplicates("event_id")
+    if (fresh.isEmpty) 0L
+    // positions assigned in cause order → emitted streams replay stably
+    else store.appendBulk(fresh, orderBy = Seq("caused_by_position", "event_id"))
+  }
+}

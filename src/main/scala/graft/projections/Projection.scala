@@ -19,14 +19,17 @@ final case class LogEvent(
     value: Double)
 
 /** An event emitted from inside a handler (P13 emit / P14 linkTo).
-  * `caused_by_position` is the idempotency key component for exactly-once
-  * emission (SURVEY.md §2.3 P21: (projection, causedBy) dedup). */
+  * `(caused_by_position, emit_seq)` is the idempotency key for
+  * exactly-once emission (SURVEY.md §2.3 P21: (projection, causedBy)
+  * dedup): emit_seq disambiguates multiple emissions from one source
+  * event. See [[EmittedSink.appendIdempotent]]. */
 final case class Emitted(
     stream_id: String,
     event_type: String,
     data: String,
     partition: String,
-    caused_by_position: Long)
+    caused_by_position: Long,
+    emit_seq: Int)
 
 /** Collector handed to emitting handlers. */
 final class Emitter private[projections] () {
@@ -279,8 +282,8 @@ final class FoldBuilder[S] private[projections] (
           if (k != curKey) { curKey = k; state = initF() }
           val em = new Emitter
           state = stepF(state, e, em)
-          em.buf.iterator.map { case (stream, tpe, body) =>
-            Emitted(stream, tpe, body, k, e.log_position)
+          em.buf.iterator.zipWithIndex.map { case ((stream, tpe, body), i) =>
+            Emitted(stream, tpe, body, k, e.log_position, i)
           }
         }
       }

@@ -73,6 +73,28 @@ class ProjectionSpec extends SparkTestBase {
     assert(full.contains("chat-1") && resumed("chat-2") == full("chat-2"))
   }
 
+  test("P21: emitted-stream writes are exactly-once across projection replays") {
+    val s = spark; import s.implicits._
+    val store = new graft.sources.EventLogStore(spark,
+      java.nio.file.Files.createTempDirectory("emit").toString)
+    def emittedRun = Projections.fromCategory("chat")
+      .foreachStream()
+      .init(0L)
+      .whenEmit("ChatMessage") { (n, e, em) =>
+        em.emit("digest-" + e.stream_id, "Digested", s"""{"pos":${e.log_position}}""")
+        n + 1
+      }
+      .emitted(chat)
+    val first = EmittedSink.appendIdempotent(store, "digests", emittedRun)
+    val second = EmittedSink.appendIdempotent(store, "digests", emittedRun)
+    assert(first == 5L) // 3 from chat-1 + 2 from chat-2
+    assert(second == 0L)
+    assert(store.read().count() == 5L)
+    // emitted event ids are the deterministic (projection, cause) keys
+    val ids = store.read().select("event_id").collect().map(_.getString(0)).toSet
+    assert(ids.contains("digests:chat-1:0:0"))
+  }
+
   test("partitionBy custom key from JSON body; None partitions are skipped") {
     val s = spark; import s.implicits._
     val states = Projections.fromCategory("chat")
