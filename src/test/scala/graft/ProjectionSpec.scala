@@ -73,6 +73,26 @@ class ProjectionSpec extends SparkTestBase {
     assert(full.contains("chat-1") && resumed("chat-2") == full("chat-2"))
   }
 
+  test("P20 checkpoint round-trip: save to $projections-{name}-checkpoint, load, resume == full") {
+    val s = spark; import s.implicits._
+    val store = new graft.sources.EventLogStore(spark,
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    def proj = Projections.fromCategory("chat")
+      .foreachStream()
+      .init("")
+      .whenAny((st, e) => st + e.log_position + ";")
+    val full = proj.states(chat).collect().toMap
+    val half = proj.states(chat.where(org.apache.spark.sql.functions.col("log_position") <= 2))
+    assert(ProjectionCheckpoints.save(store, "chatlog", 2L, half, identity[String]) == 2L)
+    // saving the same checkpoint again is a no-op
+    assert(ProjectionCheckpoints.save(store, "chatlog", 2L, half, identity[String]) == 0L)
+    val Some((pos, loaded)) =
+      ProjectionCheckpoints.loadLatest[String](store, "chatlog", identity)
+    assert(pos == 2L)
+    val resumed = proj.statesFrom(chat, loaded, pos, identity, identity).collect().toMap
+    assert(resumed == full)
+  }
+
   test("P21: emitted-stream writes are exactly-once across projection replays") {
     val s = spark; import s.implicits._
     val store = new graft.sources.EventLogStore(spark,
