@@ -136,7 +136,22 @@ object ProjectionQueries extends QueryModule {
       .orderBy(col("partition"))
   }
 
+  /** P8 outputState: final states as result events with the reference's
+    * naming convention ($projections-{name}-{partition}-result,
+    * ProjectionNamesBuilder.cs:40-75); the state body is JSON. */
+  private def p8OutputState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Projections.fromCategory("click")
+      .foreachStream()
+      .init(CountSum(0, 0))
+      .when("click")((st, e) => CountSum(st.n + 1, st.cents + cents(e.value)))
+      .outputState(log(s, d), "clicks",
+        st => s"""{"n":${st.n},"cents":${st.cents}}""")
+      .orderBy(col("partition"))
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "p8_output_state" -> (p8OutputState _),
     "p5_fold_count_sum" -> (p5CountSum _),
     "p5_fold_order_dependent" -> (p5Ordered _),
     "p6_partition_by" -> (p6PartitionBy _),
@@ -149,6 +164,14 @@ object ProjectionQueries extends QueryModule {
   private val L = Tables.eventLogSql
 
   def oracles: Seq[(String, String)] = Seq(
+    "p8_output_state" -> s"""$L
+      |SELECT '$$projections-clicks-' || stream_id || '-result' AS stream_id,
+      |       'Result' AS event_type,
+      |       '{"n":' || CAST(count(*) AS VARCHAR) || ',"cents":' ||
+      |         CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS VARCHAR) || '}' AS data,
+      |       stream_id AS partition
+      |FROM log WHERE event_type = 'click' AND split_part(stream_id, '-', 1) = 'click'
+      |GROUP BY stream_id ORDER BY partition""".stripMargin,
     "p5_fold_count_sum" -> s"""$L
       |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
