@@ -64,6 +64,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("*("), plan.take(800))
   }
 
+  test("IVF candidate join is a hash equi-join on list_id, not a cartesian product") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val df = graft.analytics.Similarity.ivfTopK(
+      vecs.where(col("vec_id") < 5), vecs, k = 3, nlist = 8, nprobe = 2)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // the only nested-loop joins allowed are the two broadcast centroid fans
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("MinHash-LSH band-bucket join is an equi-join (hash or sort-merge)") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 120).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta token$i end of doc")).toDF("doc_id", "text")
+    val df = graft.analytics.Dedup.minhashLshPairs(docs, 0.5)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+  }
+
   test("date partition pruning: p_date predicate prunes partitions at scan") {
     val df = store.read().where(col("p_date") === java.sql.Date.valueOf("1999-01-01"))
     val plan = executedPlan(df)
