@@ -140,8 +140,11 @@ object AnalyticsQueries extends QueryModule {
       .where(col("predicted") === "en").select("id")
     val candidates = qual.join(en, "id")
     val w = Window.partitionBy(TextFunctions.fingerprint(col("text"))).orderBy(col("id"))
+    // feeds near-dup pair generation, the anti-join, and the final
+    // projection — persist to evaluate the window dedup once
     val exactDeduped = candidates.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val drops = Dedup.ngramJaccardPairs(exactDeduped, 0.8, "text", "id")
       .select(col("id_b").as("id")).distinct()
     exactDeduped.join(drops, Seq("id"), "left_anti")
