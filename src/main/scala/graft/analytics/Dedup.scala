@@ -81,8 +81,13 @@ object Dedup {
           .where(col("df") > maxDocFreq).select(col("shingle"))
         idx0.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
+    // size-ratio prefilter, exact: J(A,B) <= min(sz)/max(sz), so pairs
+    // outside the threshold's size ratio are pruned inside the join —
+    // before the pair aggregation shuffle — with zero recall loss
     idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          col("a.sz") >= col("b.sz") * threshold &&
+          col("b.sz") >= col("a.sz") * threshold)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("common"))
