@@ -87,6 +87,11 @@ object AnalyticsQueries extends QueryModule {
     Dedup.minhashLshPairs(nearCorpus(s, d), 0.5, k = 16, bands = 4, "text", "id")
       .orderBy(col("id_a"), col("id_b"))
 
+  private def winnowPairsQ(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowOverlapPairs(nearCorpus(s, d).where(col("id") % 5 === 0),
+        minShared = 5, k = 5, w = 4, "text", "id")
+      .orderBy(col("id_a"), col("id_b"))
+
   private def simhashQ(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d).where(col("id") < 50), "text", "id")
       .orderBy(col("id"))
@@ -166,6 +171,7 @@ object AnalyticsQueries extends QueryModule {
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash_signatures" -> (minhashSig _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_winnow_pairs" -> (winnowPairsQ _),
     "dedup_simhash" -> (simhashQ _),
     "ann_cosine_topk" -> (annTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
@@ -372,6 +378,29 @@ object AnalyticsQueries extends QueryModule {
         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
         |${jaccardPairsSql(
           "cands c JOIN shingles a ON a.id = c.id_a JOIN shingles b ON b.id = c.id_b AND b.shingle = a.shingle")}""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH $nearCorpusSql,
+        |sub AS (SELECT id, text FROM corpus WHERE id % 5 = 0),
+        |n AS (
+        |  SELECT id,
+        |    array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') AS norm
+        |  FROM sub),
+        |g AS (SELECT id, norm, length(norm) - 4 AS ng FROM n),
+        |h AS (
+        |  SELECT id, ng,
+        |    list_transform(range(1, ng + 1),
+        |      i -> ${hash60("substr(norm, CAST(i AS INT), 5)")}) AS hs,
+        |    norm
+        |  FROM g),
+        |fp AS (
+        |  SELECT id, unnest(CASE WHEN ng >= 4 THEN
+        |      list_sort(list_distinct(list_transform(range(1, ng - 2),
+        |        j -> list_min(hs[j:j+3]))))
+        |    ELSE [${hash60("norm")}] END) AS fp
+        |  FROM h)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+        |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (
         |  SELECT DISTINCT doc_id AS id, unnest(list_distinct($W)) AS tok

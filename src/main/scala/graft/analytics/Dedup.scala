@@ -148,6 +148,24 @@ object Dedup {
     verifyJaccard(cands, sig.select(col("id"), col("sh")), threshold)
   }
 
+  /** Winnowing-overlap near-dup pairs (MOSS-style): documents sharing at
+    * least `minShared` winnowing fingerprints (TextFunctions
+    * .winnowFingerprints) are reported with their shared-fingerprint count.
+    * Fingerprint sets are ~1/w the size of shingle sets, so the inverted
+    * index and its self-join are proportionally cheaper than n-gram
+    * Jaccard at the same recall target for long shared passages. */
+  def winnowOverlapPairs(docs: DataFrame, minShared: Long, k: Int = 5, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val idx = docs.select(col(idCol).as("id"),
+        explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** SimHash (60-bit): per bit position, sum +1/-1 over distinct token
     * hashes; the sign of each sum sets the bit. Folded per-row over the
     * token-hash array (no explode). Returns (id, simhash). */
