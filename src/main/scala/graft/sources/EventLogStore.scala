@@ -1,30 +1,53 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import graft.model.{EventEnvelope, ExpectedVersion}
 
 /** Append-only event-log storage (SURVEY.md §2.1 S1, §7 step 1).
   *
-  * Layout: parquet under `path`, partitioned by `p_date` (UTC date of the
-  * event timestamp) with rows sorted by (stream_id, event_number) inside
+  * Layout: parquet under `{path}/log`, partitioned by `p_date` (UTC date of
+  * the event timestamp) with rows sorted by (stream_id, event_number) inside
   * files. At 100 TB this gives: time-range partition pruning for $all /
   * maxAge reads, and parquet row-group min/max stats on stream_id for
   * single-stream reads (the moral equivalent of the reference's PTable
-  * index — SURVEY.md §4). A side table `_stats` holds per-stream last event
-  * number + the global max position so appends don't rescan the log.
+  * index — SURVEY.md §4).
+  *
+  * A side table `{path}/stats` holds per-stream (last_event_number,
+  * tombstoned) plus the global max log_position, written LSM-style: each
+  * append adds delta rows for the streams it touched, readers take the
+  * latest row per stream, and scavenge compacts to one row per stream
+  * (mirroring the reference's memtable -> PTable merge). Appends therefore
+  * read the small stats table — not the log — for version/tombstone checks
+  * and position assignment. The one remaining log touch per append is the
+  * event_id idempotency probe, bounded to the target streams (parquet
+  * row-group stats prune it); a 100 TB deployment with hot idempotent
+  * retries would hang a bloom filter on event_id (parquet bloom option) —
+  * semantics are unchanged.
+  *
+  * The stats table is also what preserves stream numbering across scavenge:
+  * a soft-deleted stream's rows are all physically removed, but its
+  * last_event_number row survives compaction, so a recreated stream
+  * continues numbering past the truncate point exactly like the reference
+  * (IndexReader reads the number from the index, not the chunk data).
   *
   * Semantics mirrored from the reference:
   *  - optimistic concurrency on append with expected version
   *    {Any, NoStream, StreamExists, exact} (ExpectedVersion.cs:6-13;
   *    Streams.Append.cs) — violations raise WrongExpectedVersionException;
-  *  - idempotency by event_id within the appended batch and against the
-  *    existing log (EventRecord.cs EventId);
+  *  - idempotency by event_id: duplicates are dropped BEFORE version
+  *    checks, so retrying an already-committed batch (same ids, same
+  *    expected version) is an idempotent success, not a version error —
+  *    the reference's idempotent-write path;
   *  - log_position: monotone global order assigned at commit
   *    (collapsed TFPos — TFPos.cs:41-47);
   *  - soft delete = `$tb` metadata, hard delete = `$streamDeleted`
-  *    tombstone event (PrepareLogRecord.cs:23, docs/streams.md:65-120).
+  *    tombstone event (PrepareLogRecord.cs:23, docs/streams.md:65-120);
+  *  - scavenge preserves tombstone events (the reference scavenger never
+  *    drops a tombstone), so hard-deleted streams stay unrecreatable.
   *
   * Single-writer discipline: one ingest job owns a log directory (the
   * reference is equally single-writer per log). Readers are unlimited.
@@ -44,6 +67,10 @@ class EventLogStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
   private def logDir = s"$path/log"
+  private def statsDir = s"$path/stats"
+  private def statsExists: Boolean = new java.io.File(statsDir).exists()
+
+  recoverInterruptedScavenge()
 
   def exists: Boolean = new java.io.File(logDir).exists()
 
@@ -56,21 +83,73 @@ class EventLogStore(spark: SparkSession, path: String) {
 
   /** The log with read-time retention applied (metastreams + tombstones
     * honored) — what a reference reader sees. */
-  def readRetained(asOf: org.apache.spark.sql.Column = current_timestamp()): DataFrame = {
+  def readRetained(asOf: Column = current_timestamp()): DataFrame = {
     val log = read()
     val meta = graft.operators.Retention.metadataFromLog(log)
     graft.operators.Retention.applyRetention(
       log.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix)), meta, asOf)
   }
 
-  private def currentStats(): (Long, Map[String, Long]) = {
-    if (!exists) return (-1L, Map.empty)
-    val rows = read().groupBy(col("stream_id"))
-      .agg(max(col("event_number")).as("last"), max(col("log_position")).as("maxpos"))
-      .collect()
-    val maxPos = if (rows.isEmpty) -1L else rows.map(_.getLong(2)).max
-    (maxPos, rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+  // ---------------------------------------------------------------- stats
+
+  private val statsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "stream_id string, last_event_number long, tombstoned boolean, max_log_position long")
+
+  /** Bootstrap the stats table from the log for directories written before
+    * the stats table existed (one full scan, once). */
+  private def ensureStats(): Unit = {
+    if (!exists || statsExists) return
+    val maxPos = read().agg(max("log_position")).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    read().groupBy(col("stream_id"))
+      .agg(
+        max(col("event_number")).as("last_event_number"),
+        max(col("event_type") === EventEnvelope.StreamDeletedEventType).as("tombstoned"))
+      .withColumn("max_log_position", lit(maxPos))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir)
   }
+
+  /** Latest stats row per stream (LSM read path: last delta wins). */
+  private def statsLatest(): DataFrame = {
+    if (!statsExists)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statsSchema)
+    spark.read.parquet(statsDir)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("stream_id"))
+          .orderBy(col("max_log_position").desc, col("last_event_number").desc)))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Global max log_position, from stats alone. */
+  private def globalMaxPos(): Long = {
+    ensureStats()
+    if (!statsExists) return -1L
+    spark.read.parquet(statsDir).agg(max("max_log_position")).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+  }
+
+  /** Driver-side snapshot for the batch append path: global max position,
+    * last event number and tombstone flag for the given streams only. */
+  private def statsSnapshot(streams: Seq[String]): (Long, Map[String, Long], Set[String]) = {
+    val maxPos = globalMaxPos()
+    if (!statsExists) return (maxPos, Map.empty, Set.empty)
+    val rows = statsLatest().where(col("stream_id").isin(streams: _*))
+      .select("stream_id", "last_event_number", "tombstoned").collect()
+    (maxPos,
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rows.filter(_.getBoolean(2)).map(_.getString(0)).toSet)
+  }
+
+  private def writeStatsRows(rows: Seq[(String, Long, Boolean)], maxPos: Long): Unit =
+    rows.map { case (s, l, t) => (s, l, t, maxPos) }
+      .toDF("stream_id", "last_event_number", "tombstoned", "max_log_position")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(statsDir)
+
+  // --------------------------------------------------------------- append
 
   /** Append a batch of events. `expected` maps stream -> expected version
     * (ExpectedVersion.Any if absent). Returns count actually appended
@@ -78,7 +157,20 @@ class EventLogStore(spark: SparkSession, path: String) {
   def append(events: Seq[PendingEvent],
       expected: Map[String, Long] = Map.empty): Long = {
     if (events.isEmpty) return 0L
-    val (maxPos, lastByStream) = currentStats()
+    val targetStreams = events.map(_.stream_id).distinct
+    val (maxPos, lastByStream, tombstoned) = statsSnapshot(targetStreams)
+
+    // Idempotency FIRST: drop events whose event_id already exists (bounded
+    // lookup: only streams being appended to), then in-batch dedup. A batch
+    // that is entirely already-committed is an idempotent success — version
+    // checks are skipped, mirroring the reference's idempotent-write path.
+    val existingIds: Set[String] = if (exists)
+      read().where(col("stream_id").isin(targetStreams: _*))
+        .select("event_id").as[String].collect().toSet
+      else Set.empty
+    val fresh = events.filterNot(e => existingIds.contains(e.event_id))
+      .distinctBy(_.event_id)
+    if (fresh.isEmpty) return 0L
 
     // Expected-version checks (IndexWriter/Streams.Append semantics)
     expected.foreach { case (sid, ev) =>
@@ -98,33 +190,20 @@ class EventLogStore(spark: SparkSession, path: String) {
     }
 
     // Tombstone check: appends to hard-deleted streams are forbidden
-    val deleted = if (exists)
-      read().where(col("event_type") === EventEnvelope.StreamDeletedEventType)
-        .select("stream_id").as[String].collect().toSet
-      else Set.empty[String]
-    events.find(e => deleted.contains(e.stream_id)).foreach { e =>
+    fresh.find(e => tombstoned.contains(e.stream_id)).foreach { e =>
       throw new WrongExpectedVersionException(s"stream ${e.stream_id} is deleted")
     }
-
-    // Idempotency: drop events whose event_id already exists (bounded
-    // lookup: only streams being appended to), then in-batch dedup.
-    val targetStreams = events.map(_.stream_id).distinct
-    val existingIds: Set[String] = if (exists)
-      read().where(col("stream_id").isin(targetStreams: _*))
-        .select("event_id").as[String].collect().toSet
-      else Set.empty
-    val fresh = events.filterNot(e => existingIds.contains(e.event_id))
-      .distinctBy(_.event_id)
-    if (fresh.isEmpty) return 0L
 
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val numbered = fresh.zipWithIndex.map { case (e, i) =>
       (e, maxPos + 1 + i)
     }
     val perStream = scala.collection.mutable.Map[String, Long]() ++ lastByStream
+    val nowTomb = scala.collection.mutable.Set[String]()
     val rows = numbered.map { case (e, pos) =>
       val next = perStream.getOrElse(e.stream_id, -1L) + 1
       perStream(e.stream_id) = next
+      if (e.event_type == EventEnvelope.StreamDeletedEventType) nowTomb += e.stream_id
       (e.stream_id, next, e.event_id, e.event_type,
         Option(e.timestamp).getOrElse(now), pos, e.correlation_id,
         true, e.data, e.metadata)
@@ -135,18 +214,24 @@ class EventLogStore(spark: SparkSession, path: String) {
     df.repartition(1)
       .sortWithinPartitions(col("stream_id"), col("event_number"))
       .write.mode(SaveMode.Append).partitionBy("p_date").parquet(logDir)
+    val touched = fresh.map(_.stream_id).distinct
+    writeStatsRows(
+      touched.map(s => (s, perStream(s), nowTomb.contains(s))),
+      maxPos + fresh.size)
     fresh.size.toLong
   }
 
   /** Distributed append for large DataFrames of pending events (ingest
     * path): assigns positions via sorted zipWithIndex — no single-partition
     * window, scales to arbitrary batch sizes. Skips per-event expected
-    * version (bulk ingest is ExpectedVersion.Any by definition). */
+    * version (bulk ingest is ExpectedVersion.Any by definition) but still
+    * refuses tombstoned streams. Returns the number of rows written,
+    * counted from the persisted output — the pending lineage (which may
+    * itself read this log, e.g. EmittedSink's anti-join) runs once. */
   def appendBulk(pending: DataFrame, orderBy: Seq[String] = Seq("timestamp", "event_id")): Long = {
-    val (maxPos, _) = currentStats()
-    val lasts = if (exists)
-      read().groupBy(col("stream_id").as("_sid")).agg(max("event_number").as("_last"))
-      else spark.emptyDataFrame.select(lit("").as("_sid"), lit(-1L).as("_last")).limit(0)
+    val maxPos = globalMaxPos()
+    val stats = statsLatest()
+    val lasts = stats.select(col("stream_id").as("_sid"), col("last_event_number").as("_last"))
     val sorted = pending.orderBy(orderBy.map(col): _*)
     val schema = sorted.schema
     val withPos = spark.createDataFrame(
@@ -164,8 +249,25 @@ class EventLogStore(spark: SparkSession, path: String) {
       .withColumn("p_date", to_date(col("timestamp")))
       .select("stream_id", "event_number", "event_id", "event_type", "timestamp",
         "log_position", "correlation_id", "is_json", "data", "metadata", "p_date")
-    out.write.mode(SaveMode.Append).partitionBy("p_date").parquet(logDir)
-    pending.count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = out.count()
+      if (n == 0L) return 0L
+      val tomb = stats.where(col("tombstoned")).select(col("stream_id").as("_tsid"))
+      val bad = out.join(broadcast(tomb), col("stream_id") === col("_tsid"), "left_semi")
+        .select("stream_id").limit(1).collect()
+      bad.headOption.foreach { r =>
+        throw new WrongExpectedVersionException(s"stream ${r.getString(0)} is deleted")
+      }
+      out.write.mode(SaveMode.Append).partitionBy("p_date").parquet(logDir)
+      val statsUpdate = out.groupBy(col("stream_id"))
+        .agg(
+          max(col("event_number")).as("last_event_number"),
+          max(col("event_type") === EventEnvelope.StreamDeletedEventType).as("tombstoned"))
+        .withColumn("max_log_position", lit(maxPos + n))
+      statsUpdate.coalesce(1).write.mode(SaveMode.Append).parquet(statsDir)
+      n
+    } finally out.unpersist()
   }
 
   /** Set stream metadata: appends a `$metadata` event to `$$<stream>`. */
@@ -183,7 +285,7 @@ class EventLogStore(spark: SparkSession, path: String) {
 
   /** Soft delete: truncate the whole stream ($tb = last + 1 — streams.md). */
   def softDelete(streamId: String): Unit = {
-    val (_, lasts) = currentStats()
+    val (_, lasts, _) = statsSnapshot(Seq(streamId))
     val last = lasts.getOrElse(streamId, -1L)
     setMetadata(streamId, truncateBefore = Some(last + 1))
   }
@@ -193,21 +295,59 @@ class EventLogStore(spark: SparkSession, path: String) {
     append(Seq(PendingEvent(streamId, java.util.UUID.randomUUID().toString,
       EventEnvelope.StreamDeletedEventType, null)))
 
+  // ------------------------------------------------------------- scavenge
+
   /** Scavenge (§2.7): physically rewrite the log keeping only rows a reader
-    * can still see (retention + tombstones applied). Restartable: writes to
-    * a temp dir, then swaps. */
-  def scavenge(asOf: org.apache.spark.sql.Column = current_timestamp()): Unit = {
+    * can still see, PLUS metastreams and tombstone events — the reference
+    * scavenger never drops a tombstone, so hard-deleted streams stay
+    * unrecreatable forever. The stats table is compacted (not rebuilt from
+    * the log) so per-stream last event numbers survive even when every data
+    * row of a stream was removed.
+    *
+    * Crash-safe swap: new dirs are fully written to `*_scavenged`, the live
+    * dirs are atomically moved aside to `*_old`, the new dirs moved into
+    * place, and only then are the old dirs deleted. Every move is
+    * `Files.move(ATOMIC_MOVE)` and throws on failure; an interrupted
+    * scavenge is repaired by recoverInterruptedScavenge() on next open
+    * (stats deltas are order-insensitive per stream, so restoring
+    * pre-scavenge stats next to a post-scavenge log is still correct). */
+  def scavenge(asOf: Column = current_timestamp()): Unit = {
+    if (!exists) return
+    ensureStats()
     val keep = readRetained(asOf)
       .unionByName(read().where(col("stream_id").startsWith(EventEnvelope.MetastreamPrefix)),
         allowMissingColumns = true)
-    val tmp = s"$path/log_scavenged"
+      .unionByName(read().where(col("event_type") === EventEnvelope.StreamDeletedEventType),
+        allowMissingColumns = true)
+    val tmpLog = s"$path/log_scavenged"
+    val tmpStats = s"$path/stats_scavenged"
     keep.drop("p_date").withColumn("p_date", to_date(col("timestamp")))
-      .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
-    val fs = new java.io.File(logDir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
-    }
-    rm(fs)
-    new java.io.File(tmp).renameTo(fs)
+      .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmpLog)
+    statsLatest().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpStats)
+    moveAtomic(statsDir, s"$path/stats_old")
+    moveAtomic(logDir, s"$path/log_old")
+    moveAtomic(tmpLog, logDir)
+    moveAtomic(tmpStats, statsDir)
+    deleteRecursively(new java.io.File(s"$path/log_old"))
+    deleteRecursively(new java.io.File(s"$path/stats_old"))
+  }
+
+  /** Repair state left by a scavenge that crashed mid-swap. Idempotent;
+    * runs at store construction. */
+  private def recoverInterruptedScavenge(): Unit = {
+    val log = Paths.get(logDir); val logOld = Paths.get(s"$path/log_old")
+    val stats = Paths.get(statsDir); val statsOld = Paths.get(s"$path/stats_old")
+    if (Files.exists(logOld) && !Files.exists(log)) moveAtomic(logOld.toString, logDir)
+    if (Files.exists(statsOld) && !Files.exists(stats)) moveAtomic(statsOld.toString, statsDir)
+    Seq(s"$path/log_old", s"$path/stats_old", s"$path/log_scavenged", s"$path/stats_scavenged")
+      .foreach(p => deleteRecursively(new java.io.File(p)))
+  }
+
+  private def moveAtomic(src: String, dst: String): Unit =
+    Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete()
   }
 }

@@ -83,6 +83,81 @@ class EventLogStoreSpec extends SparkTestBase {
     assert(store.readRetained().where(col("stream_id") === "a-1").count() == 2)
   }
 
+  test("scavenge preserves tombstones: hard-deleted streams stay unrecreatable") {
+    val store = freshStore()
+    store.append(Seq(pe("a-1", "e1")))
+    store.tombstone("a-1")
+    store.scavenge()
+    // the tombstone row physically survives the rewrite (reference parity)
+    assert(store.read().where(col("event_type") === "$streamDeleted").count() == 1)
+    intercept[WrongExpectedVersionException] { store.append(Seq(pe("a-1", "e2"))) }
+  }
+
+  test("soft-deleted stream numbering survives scavenge (stats table)") {
+    val store = freshStore()
+    store.append(Seq(pe("a-1", "e1"), pe("a-1", "e2")))
+    store.softDelete("a-1")
+    store.scavenge() // removes every a-1 data row from the log
+    assert(store.read().where(col("stream_id") === "a-1").count() == 0)
+    store.append(Seq(pe("a-1", "e3"))) // recreate: numbering must continue
+    val nums = store.readRetained().where(col("stream_id") === "a-1")
+      .select("event_number").collect().map(_.getLong(0)).toSeq
+    assert(nums == Seq(2L))
+  }
+
+  test("retrying a fully-committed batch with its exact expected version is idempotent") {
+    val store = freshStore()
+    store.append(Seq(pe("a-1", "e1")), Map("a-1" -> ExpectedVersion.NoStream))
+    // reference idempotent-write path: identical retry succeeds with 0 new events
+    assert(store.append(Seq(pe("a-1", "e1")), Map("a-1" -> ExpectedVersion.NoStream)) == 0L)
+    store.append(Seq(pe("a-1", "e2")), Map("a-1" -> 0L))
+    assert(store.append(Seq(pe("a-1", "e2")), Map("a-1" -> 0L)) == 0L)
+    assert(store.read().where(col("stream_id") === "a-1").count() == 2)
+  }
+
+  test("appendBulk counts written rows once even when pending reads this log") {
+    val store = freshStore()
+    store.append(Seq(pe("a-1", "e1"), pe("a-1", "e2")))
+    val s = spark; import s.implicits._
+    // mimic EmittedSink: pending lineage anti-joins against store.read()
+    val candidates = Seq(
+      ("a-1", "e1", "E", """{}""", null: String, null: String, ts("2024-01-01 00:00:00")),
+      ("a-1", "n1", "E", """{}""", null: String, null: String, ts("2024-01-02 00:00:00")),
+      ("b-1", "n2", "E", """{}""", null: String, null: String, ts("2024-01-03 00:00:00"))
+    ).toDF("stream_id", "event_id", "event_type", "data", "metadata",
+      "correlation_id", "timestamp")
+    val pending = candidates.join(
+      store.read().select(col("event_id").as("_eid")),
+      col("event_id") === col("_eid"), "left_anti")
+    assert(store.appendBulk(pending) == 2L)
+    assert(store.read().count() == 4)
+  }
+
+  test("appendBulk refuses tombstoned streams") {
+    val store = freshStore()
+    store.append(Seq(pe("a-1", "e1")))
+    store.tombstone("a-1")
+    val s = spark; import s.implicits._
+    val pending = Seq(
+      ("a-1", "n1", "E", """{}""", null: String, null: String, ts("2024-01-01 00:00:00"))
+    ).toDF("stream_id", "event_id", "event_type", "data", "metadata",
+      "correlation_id", "timestamp")
+    intercept[WrongExpectedVersionException] { store.appendBulk(pending) }
+  }
+
+  test("interrupted scavenge (log moved aside) is repaired on next open") {
+    val dir = Files.createTempDirectory("graftlog").toString
+    val store = new EventLogStore(spark, dir)
+    store.append(Seq(pe("a-1", "e1"), pe("b-1", "e2")))
+    // simulate a crash after `log -> log_old` but before the new log landed
+    Files.move(java.nio.file.Paths.get(s"$dir/log"),
+      java.nio.file.Paths.get(s"$dir/log_old"))
+    val reopened = new EventLogStore(spark, dir)
+    assert(reopened.read().count() == 2)
+    reopened.append(Seq(pe("a-1", "e3")))
+    assert(reopened.read().count() == 3)
+  }
+
   test("appendBulk assigns order-respecting positions and per-stream numbers") {
     val store = freshStore()
     store.append(Seq(pe("a-1", "seed")))
