@@ -115,9 +115,9 @@ object AnalyticsQueries extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed near-dup (rows-only check: the MurmurHash-derived
-    * hyperplanes aren't expressible in DuckDB; recall vs the exact pairs is
-    * property-tested in AnalyticsSpec). */
+  /** LSH-bucketed near-dup. Oracle-checked: the hyperplane coefficients are
+    * deterministic ±1 literals (Similarity.lshPlaneSigns), so the oracle SQL
+    * embeds the same planes and computes the identical bucket signatures. */
   private def annLshNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4, planes = 4)
       .withColumn("sim", round(col("sim"), 6))
@@ -456,6 +456,25 @@ object AnalyticsQueries extends QueryModule {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_neardup" -> {
+      // same ±1 hyperplanes as Similarity.lshSignature (planes=4, dims=64),
+      // same left-to-right double summation order
+      val bucketExpr = Similarity.lshPlaneSigns(planes = 4, dims = 64).map { plane =>
+        val dot = plane.zipWithIndex.map { case (sign, dd) =>
+          s"(v[${dd + 1}] * $sign)"
+        }.mkString(" + ")
+        s"(CASE WHEN ($dot) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bkt AS (SELECT id, v, $bucketExpr AS bucket FROM e),
+        |sims AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id)
+        |SELECT id_a, id_b, round(sim, 6) AS sim
+        |FROM sims WHERE sim >= 0.4 ORDER BY 1, 2""".stripMargin
+    },
     "emb_near_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sims AS (
