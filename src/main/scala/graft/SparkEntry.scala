@@ -29,6 +29,7 @@ object Registry {
     graft.operators.SystemProjectionQueries,
     graft.projections.ProjectionQueries,
     graft.analytics.AnalyticsQueries,
+    graft.analytics.CorpusQueries,
     graft.analytics.MultimodalQueries
   )
   /** All contributed names BEFORE map-dedup — lets tests detect silent

@@ -1,0 +1,76 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** Corpus-assembly operators for LLM training-data pipelines: sequence
+  * packing, RAG chunking, boilerplate cleaning, and per-source quota
+  * sampling (data mixing). All are narrow, codegen'd column expressions or
+  * bounded per-group windows — no global single-partition stage at 100 TB.
+  */
+object Corpus {
+
+  /** Sequence packing by concatenation order (GPT-style pretraining): lay
+    * documents end-to-end in id order and cut fixed `budget`-token context
+    * windows; a document's window is determined by its start offset in the
+    * concatenated token stream (documents may straddle a boundary — the
+    * window assignment is by starting position).
+    *
+    * The running offset is a window cumsum PARTITIONED BY SHARD
+    * (`shardSize` documents per shard): a global orderBy-cumsum would be a
+    * single-partition stage — sharded packing is both how real pipelines
+    * pack (per input shard) and embarrassingly parallel. Returns one row
+    * per document: (id, shard, seq, n_tokens, start). */
+  def packSequences(docs: DataFrame, budget: Int, shardSize: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    docs.select(col(idCol).as("id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"id div $shardSize"))
+      .withColumn("start",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq", expr(s"start div $budget"))
+      .select(col("id"), col("shard"), col("seq"), col("n_tokens"), col("start"))
+  }
+
+  /** RAG-style overlapping chunking: chunks of `chunkSize` characters every
+    * `stride` characters (overlap = chunkSize − stride). One narrow
+    * explode per document — chunk_id = start/stride is deterministic.
+    * Returns (id, chunk_id, start, chunk). */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .select(col("id"), col("_t"),
+        explode(sequence(lit(0), greatest(length(col("_t")) - 1, lit(0)), lit(stride)))
+          .as("start"))
+      .select(col("id"), expr(s"start div $stride").as("chunk_id"), col("start"),
+        col("_t").substr(col("start") + 1, lit(chunkSize)).as("chunk"))
+
+  /** RE2-safe boilerplate patterns (identical semantics in Java regex and
+    * DuckDB's RE2 — plain character classes, no lookaround). */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+  /** Boilerplate cleaning: strip URLs and e-mail addresses, collapse
+    * whitespace runs, trim. Pure codegen'd regexp chain. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(text, UrlPattern, " "), EmailPattern, " "),
+      "\\s+", " "))
+
+  /** Per-source quota sampling (training-data mixing): keep the top
+    * `perSourceCap` documents of every source by quality score (ties by
+    * id). A bounded per-group top-k window — shuffles one row per document
+    * once, never collects a group to one node beyond its cap. */
+  def quotaSample(docs: DataFrame, perSourceCap: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("quality").desc, col(idCol))
+    docs.withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= perSourceCap)
+      .drop("_rn")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Correctness-gate queries for the corpus-assembly operators
+  * (graft.analytics.Corpus): sequence packing, chunking, cleaning, quota
+  * sampling. */
+object CorpusQueries extends QueryModule {
+
+  /** Tokenization shared with the text oracles. */
+  private val W = "string_split_regex(trim(text), '\\s+')"
+
+  private def packQ(s: SparkSession, d: String): DataFrame =
+    Corpus.packSequences(Tables.documents(s, d), budget = 256, shardSize = 100)
+      .groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("id")).as("first_doc"))
+      .orderBy(col("shard"), col("seq"))
+
+  private def chunkQ(s: SparkSession, d: String): DataFrame =
+    Corpus.chunkDocuments(Tables.documents(s, d), chunkSize = 120, stride = 90)
+      .select(col("id"), col("chunk_id"), col("start"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("id"), col("chunk_id"))
+
+  /** Corpus with planted URL/e-mail/whitespace noise on docs 0..49. */
+  private def noisy(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+    base.unionAll(
+      base.where(col("id") < 50).select((col("id") + 100000).as("id"),
+        concat(lit("See https://ex.com/a?x=1&y=2 or mail bob.smith+spam@ex-mail.io\t "),
+          col("text"), lit("  the   end \t")).as("text")))
+  }
+
+  private def cleanQ(s: SparkSession, d: String): DataFrame =
+    noisy(s, d).select(
+        col("id"),
+        size(regexp_extract_all(col("text"), lit(Corpus.UrlPattern), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(Corpus.EmailPattern), lit(0))).as("n_emails"),
+        Corpus.cleanText(col("text")).as("cleaned"))
+      .select(col("id"), col("n_urls"), col("n_emails"),
+        length(col("cleaned")).as("clean_len"), md5(col("cleaned")).as("clean_md5"))
+      .orderBy(col("id"))
+
+  private def quotaQ(s: SparkSession, d: String): DataFrame =
+    Corpus.quotaSample(Tables.documents(s, d), perSourceCap = 20)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        min(col("quality")).as("min_quality"))
+      .orderBy(col("source"))
+
+  def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "pack_sequences" -> (packQ _),
+    "chunk_documents" -> (chunkQ _),
+    "text_clean" -> (cleanQ _),
+    "quota_sample" -> (quotaQ _)
+  )
+
+  def oracles: Seq[(String, String)] = Seq(
+    "pack_sequences" ->
+      s"""WITH d AS (
+        |  SELECT doc_id AS id, CAST(len($W) AS BIGINT) AS n_tokens,
+        |         doc_id // 100 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM d)
+        |SELECT shard, start // 256 AS seq, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(id) AS first_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "chunk_documents" ->
+      """WITH starts AS (
+        |  SELECT doc_id AS id, text,
+        |    unnest(range(0, greatest(length(text), 1), 90)) AS start
+        |  FROM documents)
+        |SELECT id, CAST(start // 90 AS BIGINT) AS chunk_id, CAST(start AS BIGINT) AS start,
+        |  CAST(length(substr(text, CAST(start AS INT) + 1, 120)) AS INT) AS chunk_len,
+        |  md5(substr(text, CAST(start AS INT) + 1, 120)) AS chunk_md5
+        |FROM starts ORDER BY id, chunk_id""".stripMargin,
+    "text_clean" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    'See https://ex.com/a?x=1&y=2 or mail bob.smith+spam@ex-mail.io' || chr(9) || ' '
+        |      || text || '  the   end ' || chr(9)
+        |  FROM documents WHERE doc_id < 50),
+        |cleaned AS (
+        |  SELECT id,
+        |    CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS cleaned
+        |  FROM corpus)
+        |SELECT id, n_urls, n_emails,
+        |  CAST(length(cleaned) AS INT) AS clean_len, md5(cleaned) AS clean_md5
+        |FROM cleaned ORDER BY id""".stripMargin,
+    "quota_sample" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, source, CAST(len($W) AS BIGINT) AS n_tokens,
+        |    least(CAST(len($W) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |    + greatest(1.0 - (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 10.0, 0.0) * 0.3
+        |    + least((CAST(len(list_filter($W, t -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','it','that'], t))) AS DOUBLE) / len($W)) * 5.0, 1.0) * 0.2
+        |    + greatest(1.0 - abs(CAST(list_sum(list_transform($W, w -> length(w))) AS DOUBLE) / len($W) - 5.0) / 5.0, 0.0) * 0.2
+        |    AS quality
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, n_tokens, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(quality) AS min_quality
+        |FROM ranked WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

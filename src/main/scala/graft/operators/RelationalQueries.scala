@@ -14,16 +14,29 @@ import graft.sources.Tables
   */
 object RelationalQueries extends QueryModule {
 
-  private def q1(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
+  /** Two-level exact money aggregation (see QueryUtil doc): map-side long
+    * cent sums per input partition — the 600k-rows-per-task hot path stays
+    * in codegen'd long arithmetic — then an exact decimal merge of the few
+    * (group × partition) partial rows. Overflow-safe at any scale. */
+  private def q1(s: SparkSession, d: String): DataFrame = {
+    import QueryUtil.cents
+    val partial = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"), spark_partition_id().as("_pid"))
       .agg(
-        QueryUtil.dsum(col("l_quantity")).as("sum_qty"),
-        QueryUtil.dsum(col("l_extendedprice")).as("sum_base_price"),
-        QueryUtil.revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-        QueryUtil.davg(col("l_discount")).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        sum(cents(col("l_quantity"))).as("_q"),
+        sum(cents(col("l_extendedprice"))).as("_p"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("_r"),
+        sum(cents(col("l_discount"))).as("_d"),
+        count(lit(1)).as("_n"))
+    partial.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(col("_q").cast("decimal(38,0)")).cast("double") / lit(100.0)).as("sum_qty"),
+        (sum(col("_p").cast("decimal(38,0)")).cast("double") / lit(100.0)).as("sum_base_price"),
+        (sum(col("_r").cast("decimal(38,0)")).cast("double") / lit(10000.0)).as("sum_disc_price"),
+        ((sum(col("_d").cast("decimal(38,0)")).cast("double") / lit(100.0)) / sum(col("_n"))).as("avg_disc"),
+        sum(col("_n")).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   private def q3(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
@@ -43,14 +56,20 @@ object RelationalQueries extends QueryModule {
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    import QueryUtil.cents
+    val partial = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"))
+      // two-level exact sum (see q1): 5 region groups are global-scale totals
+      .groupBy(col("r_name"), spark_partition_id().as("_pid"))
       .agg(
-        QueryUtil.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
-        count(lit(1)).as("n_items"))
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("_r"),
+        count(lit(1)).as("_n"))
+    partial.groupBy(col("r_name"))
+      .agg(
+        (sum(col("_r").cast("decimal(38,0)")).cast("double") / lit(10000.0)).as("revenue"),
+        sum(col("_n")).as("n_items"))
       .orderBy(col("r_name"))
   }
 

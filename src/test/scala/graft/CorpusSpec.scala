@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Corpus
+import graft.sources.Tables
+
+/** Corpus-assembly operators: packing, chunking, cleaning, quota sampling. */
+class CorpusSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("packSequences: offsets are the within-shard prefix sums; windows cut at the budget") {
+    val packed = Corpus.packSequences(Tables.documents(spark, sf), budget = 256, shardSize = 100)
+    val rows = packed.orderBy("shard", "id").collect()
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (_, docs) =>
+      var expectedStart = 0L
+      docs.sortBy(_.getAs[Long]("id")).foreach { r =>
+        assert(r.getAs[Long]("start") == expectedStart)
+        assert(r.getAs[Long]("seq") == expectedStart / 256)
+        expectedStart += r.getAs[Long]("n_tokens")
+      }
+    }
+    // every doc packed exactly once
+    assert(packed.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("chunkDocuments: strided chunks reconstruct the original text") {
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 10)
+    val chunks = Corpus.chunkDocuments(docs, chunkSize = 120, stride = 90)
+      .orderBy("id", "chunk_id").collect()
+      .groupBy(_.getAs[Long]("id"))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val cs = chunks(id).map(_.getAs[String]("chunk"))
+      val rebuilt = cs.dropRight(1).map(_.take(90)).mkString + cs.last
+      assert(rebuilt == text, s"doc $id: chunk reconstruction mismatch")
+      // overlap: consecutive chunks share chunkSize - stride chars
+      cs.sliding(2).foreach {
+        case Array(a, b) if a.length == 120 => assert(a.drop(90) == b.take(30))
+        case _ => ()
+      }
+    }
+  }
+
+  test("cleanText strips urls/emails, collapses whitespace, and is idempotent") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      "See https://ex.com/a?x=1&y=2 now",
+      "mail bob.smith+spam@ex-mail.io\t twice  bob@x.io ",
+      "  already   clean\ttext  "
+    ).toDF("text")
+    val once = df.select(Corpus.cleanText(col("text")).as("c"))
+    val twice = once.select(Corpus.cleanText(col("c")).as("c"))
+    assert(once.as[String].collect().toSeq ==
+      Seq("See now", "mail twice", "already clean text"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+    val leftovers = once.where(
+      col("c").rlike(Corpus.UrlPattern) || col("c").rlike(Corpus.EmailPattern))
+    assert(leftovers.count() == 0)
+  }
+
+  test("quotaSample keeps at most cap docs per source, preferring higher quality") {
+    val docs = Tables.documents(spark, sf)
+    val cap = 5
+    val sampled = Corpus.quotaSample(docs, cap)
+    val counts = sampled.groupBy("source").count().collect()
+    assert(counts.forall(_.getLong(1) <= cap))
+    // every kept doc's quality >= every dropped doc's quality, per source
+    val dropped = docs.join(sampled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
+    val minKept = sampled.groupBy("source").agg(min("quality").as("min_kept"))
+    val maxDropped = dropped.groupBy("source").agg(max("quality").as("max_dropped"))
+    val bad = minKept.join(maxDropped, "source")
+      .where(col("max_dropped") > col("min_kept"))
+    assert(bad.count() == 0)
+  }
+}
