@@ -330,6 +330,14 @@ class EventLogStore(spark: SparkSession, path: String) {
     moveAtomic(tmpStats, statsDir)
     deleteRecursively(new java.io.File(s"$path/log_old"))
     deleteRecursively(new java.io.File(s"$path/stats_old"))
+    refreshListings()
+  }
+
+  /** Spark caches file listings per path; directories swapped in behind a
+    * cached listing read as FILE_NOT_EXIST without this. */
+  private def refreshListings(): Unit = {
+    spark.catalog.refreshByPath(logDir)
+    spark.catalog.refreshByPath(statsDir)
   }
 
   /** Repair state left by a scavenge that crashed mid-swap. Idempotent;
@@ -341,6 +349,7 @@ class EventLogStore(spark: SparkSession, path: String) {
     if (Files.exists(statsOld) && !Files.exists(stats)) moveAtomic(statsOld.toString, statsDir)
     Seq(s"$path/log_old", s"$path/stats_old", s"$path/log_scavenged", s"$path/stats_scavenged")
       .foreach(p => deleteRecursively(new java.io.File(p)))
+    refreshListings()
   }
 
   private def moveAtomic(src: String, dst: String): Unit =
