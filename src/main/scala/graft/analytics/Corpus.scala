@@ -60,6 +60,33 @@ object Corpus {
       regexp_replace(regexp_replace(text, UrlPattern, " "), EmailPattern, " "),
       "\\s+", " "))
 
+  /** TF-IDF keyword extraction: top `k` tokens per document by
+    * tf · ln(N/df). One token explode, two hash aggregations (tf per
+    * (doc, token); df per token — both map-side combined), a broadcast of
+    * the token-df table back onto tf, and a bounded per-document top-k
+    * window. `n` (corpus size) is passed in so the plan has no
+    * driver-side count dependency at composition time.
+    *
+    * Ranking uses the score ROUNDED to 6 digits (ties broken by token):
+    * Java and C libm `ln` can differ in the final ulp, so cross-engine
+    * comparisons (and the DuckDB oracle) are only stable on the rounded
+    * value — the rounding is part of the operator's contract. */
+  def tfIdfKeywords(docs: DataFrame, k: Int, n: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "tok")
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("tok"), col("score"))
+  }
+
   /** Per-source quota sampling (training-data mixing): keep the top
     * `perSourceCap` documents of every source by quality score (ties by
     * id). A bounded per-group top-k window — shuffles one row per document

@@ -45,6 +45,12 @@ object CorpusQueries extends QueryModule {
         length(col("cleaned")).as("clean_len"), md5(col("cleaned")).as("clean_md5"))
       .orderBy(col("id"))
 
+  private def tfidfQ(s: SparkSession, d: String): DataFrame = {
+    val sub = Tables.documents(s, d).where(col("doc_id") < 100)
+    Corpus.tfIdfKeywords(sub, k = 3, n = sub.count())
+      .orderBy(col("id"), col("rank"))
+  }
+
   private def quotaQ(s: SparkSession, d: String): DataFrame =
     Corpus.quotaSample(Tables.documents(s, d), perSourceCap = 20)
       .groupBy(col("source"))
@@ -57,7 +63,8 @@ object CorpusQueries extends QueryModule {
     "pack_sequences" -> (packQ _),
     "chunk_documents" -> (chunkQ _),
     "text_clean" -> (cleanQ _),
-    "quota_sample" -> (quotaQ _)
+    "quota_sample" -> (quotaQ _),
+    "tfidf_keywords" -> (tfidfQ _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -103,6 +110,21 @@ object CorpusQueries extends QueryModule {
         |SELECT id, n_urls, n_emails,
         |  CAST(length(cleaned) AS INT) AS clean_len, md5(cleaned) AS clean_md5
         |FROM cleaned ORDER BY id""".stripMargin,
+    "tfidf_keywords" ->
+      s"""WITH sub AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 100),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sub),
+        |toks AS (SELECT id, unnest($W) AS tok FROM sub),
+        |tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.id, tf.tok, round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok),
+        |ranked AS (
+        |  SELECT id, tok, score,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, tok) AS INT) AS rank
+        |  FROM scored)
+        |SELECT id, rank, tok, score FROM ranked WHERE rank <= 3
+        |ORDER BY id, rank""".stripMargin,
     "quota_sample" ->
       s"""WITH scored AS (
         |  SELECT doc_id, source, CAST(len($W) AS BIGINT) AS n_tokens,

@@ -53,8 +53,24 @@ object Tables {
     ))).parquet(s"$d/events.parquet")
   }
 
-  /** The event log in canonical envelope form (see object doc). */
-  def eventLog(spark: SparkSession, dir: String): DataFrame = {
+  /** The event log in canonical envelope form (see object doc).
+    *
+    * Memoized + persisted per (session, dir): the envelope adaptation
+    * (stream numbering window + correlation-id JSON extract) is INGEST
+    * work — EventLogStore materializes these columns physically at append
+    * time — so a query session pays it once, exactly as a real deployment
+    * reads the already-materialized log layout. */
+  def eventLog(spark: SparkSession, dir: String): DataFrame =
+    logCache.getOrElseUpdate((spark, dir), {
+      val df = eventLogUncached(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+
+  private val logCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def eventLogUncached(spark: SparkSession, dir: String): DataFrame = {
     val raw = rawEvents(spark, dir)
     val w = Window.partitionBy(col("event_type"), col("user_id"))
       .orderBy(col("event_id"))
