@@ -31,10 +31,17 @@ object Retention {
     *
     * `asOf` fixes "now" for maxAge so results are deterministic/replayable.
     */
-  def applyRetention(log: DataFrame, meta: DataFrame, asOf: Column): DataFrame = {
+  def applyRetention(log: DataFrame, meta: DataFrame, asOf: Column): DataFrame =
+    applyBounds(log, bounds(log, meta, asOf))
+
+  /** The per-stream retention bounds table — computed once from the FULL
+    * log (last event numbers are global state), then applicable to any
+    * slice of it (see EventLogStore.scavengeIncremental, which filters one
+    * date partition at a time against one shared bounds table). */
+  def bounds(log: DataFrame, meta: DataFrame, asOf: Column): DataFrame = {
     val last = log.groupBy(col("stream_id"))
       .agg(max(col("event_number")).as("_last"))
-    val bounds = last.join(meta, Seq("stream_id"), "left")
+    last.join(meta, Seq("stream_id"), "left")
       .select(
         col("stream_id"),
         greatest(
@@ -47,12 +54,20 @@ object Retention {
         ).as("_cutoff_ts"),
         (coalesce(col("tombstoned"), lit(false)) ||
           coalesce(col("truncate_before"), lit(0L)) === DeletedStream).as("_deleted"))
-    log.join(broadcast(bounds), Seq("stream_id"), "left")
-      .where(!coalesce(col("_deleted"), lit(false)) &&
-        col("event_number") >= coalesce(col("_min_event_number"), lit(0L)) &&
-        (col("_cutoff_ts").isNull || col("timestamp") >= col("_cutoff_ts")))
-      .drop("_min_event_number", "_cutoff_ts", "_deleted")
   }
+
+  /** The row-level keep predicate of [[bounds]], as a Column over a log
+    * slice joined to the bounds table. */
+  def keepCondition: Column =
+    !coalesce(col("_deleted"), lit(false)) &&
+      col("event_number") >= coalesce(col("_min_event_number"), lit(0L)) &&
+      (col("_cutoff_ts").isNull || col("timestamp") >= col("_cutoff_ts"))
+
+  /** Apply a precomputed bounds table to a log slice. */
+  def applyBounds(slice: DataFrame, bounds: DataFrame): DataFrame =
+    slice.join(broadcast(bounds), Seq("stream_id"), "left")
+      .where(keepCondition)
+      .drop("_min_event_number", "_cutoff_ts", "_deleted")
 
   /** Parse stream metadata out of metastream rows (`$$<stream>`), JSON body
     * keys `$maxCount`/`$maxAge`/`$tb` (StreamMetadata.cs:17-52). The latest

@@ -340,6 +340,72 @@ class EventLogStore(spark: SparkSession, path: String) {
     spark.catalog.refreshByPath(statsDir)
   }
 
+  /** Incremental scavenge — the 100 TB path, mirroring the reference's
+    * chunk-by-chunk staged scavenge (TransactionLog/Scavenging/Stages):
+    * computes ONE global bounds table, finds the date partitions that
+    * actually contain removable rows, and rewrites only those, one
+    * partition at a time with an on-disk marker making each step
+    * restartable. Untouched partitions are not read again after the
+    * detection scan (and that scan's per-partition counts push down to
+    * parquet stats). Tombstones and metastreams are always kept
+    * (scavenge() semantics). Returns the rewritten partition values. */
+  def scavengeIncremental(asOf: Column = current_timestamp()): Seq[String] = {
+    if (!exists) return Seq.empty
+    ensureStats()
+    val log = read()
+    val meta = graft.operators.Retention.metadataFromLog(log)
+    val data = log.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix) &&
+      col("event_type") =!= EventEnvelope.StreamDeletedEventType)
+    val bounds = graft.operators.Retention
+      .bounds(data, meta, asOf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = data.join(broadcast(bounds), Seq("stream_id"), "left")
+        .where(!graft.operators.Retention.keepCondition)
+        .select(col("p_date").cast("string")).distinct()
+        .as[String].collect().sorted
+      affected.foreach { date =>
+        // row-level keep: metastreams + tombstones + bounds-retained rows
+        val slice = log.where(col("p_date") === date)
+        val keepRows = graft.operators.Retention
+          .applyBounds(slice.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix) &&
+            col("event_type") =!= EventEnvelope.StreamDeletedEventType), bounds)
+          .unionByName(slice.where(col("stream_id").startsWith(EventEnvelope.MetastreamPrefix) ||
+            col("event_type") === EventEnvelope.StreamDeletedEventType))
+        rewritePartition(date, keepRows)
+      }
+      affected.toSeq
+    } finally bounds.unpersist()
+  }
+
+  /** Rewrite one date partition dir crash-safely: write the kept rows to a
+    * scratch dir, record a marker, swap, clean up. A crash at any point is
+    * repaired by recoverInterruptedScavenge() using the marker. */
+  private def rewritePartition(date: String, keepRows: DataFrame): Unit = {
+    val partDir = s"$logDir/p_date=$date"
+    if (keepRows.isEmpty) {
+      // nothing survives: drop the partition dir outright
+      deleteRecursively(new java.io.File(partDir))
+      refreshListings()
+      return
+    }
+    val tmp = s"$path/scavenge_part_tmp"
+    val aside = s"$path/scavenge_part_old"
+    keepRows.drop("p_date")
+      .sortWithinPartitions(col("stream_id"), col("event_number"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // marker carries the partition being swapped, for crash recovery
+    Files.write(Paths.get(s"$path/scavenge_part_marker"),
+      date.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    moveAtomic(partDir, aside)
+    moveAtomic(tmp, partDir)
+    deleteRecursively(new java.io.File(aside))
+    Files.deleteIfExists(Paths.get(s"$path/scavenge_part_marker"))
+    // keep only data files in the partition dir
+    Files.deleteIfExists(Paths.get(s"$partDir/_SUCCESS"))
+    refreshListings()
+  }
+
   /** Repair state left by a scavenge that crashed mid-swap. Idempotent;
     * runs at store construction. */
   private def recoverInterruptedScavenge(): Unit = {
@@ -347,7 +413,20 @@ class EventLogStore(spark: SparkSession, path: String) {
     val stats = Paths.get(statsDir); val statsOld = Paths.get(s"$path/stats_old")
     if (Files.exists(logOld) && !Files.exists(log)) moveAtomic(logOld.toString, logDir)
     if (Files.exists(statsOld) && !Files.exists(stats)) moveAtomic(statsOld.toString, statsDir)
-    Seq(s"$path/log_old", s"$path/stats_old", s"$path/log_scavenged", s"$path/stats_scavenged")
+    // incremental per-partition swap: the marker names the partition that
+    // was mid-swap; restore its moved-aside dir if the swap didn't finish
+    val marker = Paths.get(s"$path/scavenge_part_marker")
+    if (Files.exists(marker)) {
+      val date = new String(Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val partDir = Paths.get(s"$logDir/p_date=$date")
+      val aside = Paths.get(s"$path/scavenge_part_old")
+      if (Files.exists(aside) && !Files.exists(partDir))
+        moveAtomic(aside.toString, partDir.toString)
+      Files.delete(marker)
+    }
+    Seq(s"$path/log_old", s"$path/stats_old", s"$path/log_scavenged",
+        s"$path/stats_scavenged", s"$path/scavenge_part_tmp", s"$path/scavenge_part_old")
       .foreach(p => deleteRecursively(new java.io.File(p)))
     refreshListings()
   }

@@ -158,6 +158,50 @@ class EventLogStoreSpec extends SparkTestBase {
     assert(reopened.read().count() == 3)
   }
 
+  test("incremental scavenge rewrites only affected date partitions") {
+    val dir = Files.createTempDirectory("graftlog").toString
+    val store = new EventLogStore(spark, dir)
+    // 6 events for a-1 across 3 dates (2 per day), plus b-1 untouched
+    val evs = (1 to 6).map { i =>
+      PendingEvent("a-1", s"e$i", "E", s"""{"i":$i}""",
+        timestamp = ts(f"2024-01-0${(i - 1) / 2 + 1}%d 12:00:0$i"))
+    } :+ PendingEvent("b-1", "b1", "E", "{}", timestamp = ts("2024-01-03 08:00:00"))
+    store.append(evs)
+    store.setMetadata("a-1", maxCount = Some(2L)) // keep events 4,5 (0-based)
+    val retainedBefore = store.readRetained()
+      .where(!col("stream_id").startsWith("$"))
+      .select("stream_id", "event_number").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet
+    val affected = store.scavengeIncremental()
+    // metadata lives on the setMetadata day (today) — untouched; the two
+    // a-1 days holding dropped events are rewritten
+    assert(affected == Seq("2024-01-01", "2024-01-02"))
+    // 01-01 held only dropped rows -> partition deleted outright
+    assert(!new java.io.File(s"$dir/log/p_date=2024-01-01").exists())
+    val after = store.readRetained()
+      .where(!col("stream_id").startsWith("$"))
+      .select("stream_id", "event_number").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet
+    assert(after == retainedBefore)
+    assert(store.read().where(col("stream_id") === "a-1").count() == 2)
+    assert(store.read().where(col("stream_id") === "b-1").count() == 1)
+  }
+
+  test("interrupted incremental scavenge (marker + moved-aside partition) recovers") {
+    val dir = Files.createTempDirectory("graftlog").toString
+    val store = new EventLogStore(spark, dir)
+    store.append(Seq(
+      PendingEvent("a-1", "e1", "E", "{}", timestamp = ts("2024-02-01 10:00:00")),
+      PendingEvent("a-1", "e2", "E", "{}", timestamp = ts("2024-02-02 10:00:00"))))
+    // simulate crash mid-swap: partition moved aside, marker present
+    Files.move(java.nio.file.Paths.get(s"$dir/log/p_date=2024-02-01"),
+      java.nio.file.Paths.get(s"$dir/scavenge_part_old"))
+    Files.write(java.nio.file.Paths.get(s"$dir/scavenge_part_marker"),
+      "2024-02-01".getBytes)
+    val reopened = new EventLogStore(spark, dir)
+    assert(reopened.read().count() == 2)
+  }
+
   test("appendBulk assigns order-respecting positions and per-stream numbers") {
     val store = freshStore()
     store.append(Seq(pe("a-1", "seed")))
