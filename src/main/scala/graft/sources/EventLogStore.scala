@@ -62,8 +62,16 @@ final case class PendingEvent(
     timestamp: java.sql.Timestamp = null)
 
 final class WrongExpectedVersionException(msg: String) extends RuntimeException(msg)
+final class MaxAppendSizeExceededException(msg: String) extends RuntimeException(msg)
 
-class EventLogStore(spark: SparkSession, path: String) {
+object EventLogStore {
+  /** Reference limits: max gRPC append payload 1 MiB
+    * (ClusterVNodeOptions.cs:156), max log record 16 MiB (TFConsts.cs:9). */
+  val DefaultMaxAppendSizeBytes: Long = 1L * 1024 * 1024
+  val MaxRecordSizeBytes: Long = 16L * 1024 * 1024
+}
+
+class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0) {
   import spark.implicits._
 
   private def logDir = s"$path/log"
@@ -72,14 +80,72 @@ class EventLogStore(spark: SparkSession, path: String) {
 
   recoverInterruptedScavenge()
 
+  /** Stream-hash bucket count (0 = unbucketed). Bucketing partitions the
+    * log by (p_date, p_bucket = hash(stream_id) mod N), so a single-stream
+    * read prunes to 1/N of the files — the partition-layout replacement
+    * for the reference's PTable stream index (SURVEY.md §4). Fixed at log
+    * creation and persisted in a layout marker; reopening ignores the
+    * constructor argument in favor of the on-disk layout. */
+  val numBuckets: Int = {
+    val layout = Paths.get(s"$path/layout.json")
+    if (Files.exists(layout)) {
+      val s = new String(Files.readAllBytes(layout),
+        java.nio.charset.StandardCharsets.UTF_8)
+      "\"num_buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(0)
+    } else requestedBuckets
+  }
+  private def bucketed: Boolean = numBuckets > 0
+  private def partitionCols: Seq[String] =
+    if (bucketed) Seq("p_date", "p_bucket") else Seq("p_date")
+
+  private def writeLayoutMarker(): Unit = {
+    val layout = Paths.get(s"$path/layout.json")
+    if (!Files.exists(layout)) {
+      Files.createDirectories(Paths.get(path))
+      Files.write(layout,
+        s"""{"num_buckets":$numBuckets}""".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** p_bucket expression for a stream-id column. */
+  private def bucketExpr(streamId: Column): Column =
+    pmod(xxhash64(streamId), lit(numBuckets.toLong)).cast("int")
+
+  private val bucketCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Bucket of one stream id (evaluated through Spark's xxhash64 so the
+    * value always matches the write path; memoized). */
+  def bucketFor(streamId: String): Int =
+    bucketCache.getOrElseUpdate(streamId,
+      Seq(streamId).toDF("s").select(bucketExpr(col("s"))).first().getInt(0))
+
+  /** Add the partition-layout columns to envelope rows. */
+  private def withPartitionCols(df: DataFrame): DataFrame = {
+    val dated = df.withColumn("p_date", to_date(col("timestamp")))
+    if (bucketed) dated.withColumn("p_bucket", bucketExpr(col("stream_id"))) else dated
+  }
+
   def exists: Boolean = new java.io.File(logDir).exists()
 
   /** The whole log in envelope form. */
   def read(): DataFrame =
-    if (!exists) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row],
-      EventEnvelope.schema.add("p_date", "date"))
-    else spark.read.parquet(logDir)
+    if (!exists) {
+      val base = EventEnvelope.schema.add("p_date", "date")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        if (bucketed) base.add("p_bucket", "int") else base)
+    } else spark.read.parquet(logDir)
+
+  /** Single-stream positional read with retention applied AND bucket
+    * partition pruning: on a bucketed log the scan touches only the
+    * stream's bucket directories (1/numBuckets of the files) — the moral
+    * equivalent of the reference's PTable point lookup. */
+  def readStreamEvents(streamId: String,
+      asOf: Column = current_timestamp()): DataFrame = {
+    val base = readRetained(asOf).where(col("stream_id") === streamId)
+    if (bucketed) base.where(col("p_bucket") === bucketFor(streamId)) else base
+  }
 
   /** The log with read-time retention applied (metastreams + tombstones
     * honored) — what a reference reader sees. */
@@ -157,6 +223,19 @@ class EventLogStore(spark: SparkSession, path: String) {
   def append(events: Seq[PendingEvent],
       expected: Map[String, Long] = Map.empty): Long = {
     if (events.isEmpty) return 0L
+    // reference size limits (Streams.Append.cs MaxAppendSize handling)
+    def sz(e: PendingEvent): Long =
+      Option(e.data).map(_.length.toLong).getOrElse(0L) +
+        Option(e.metadata).map(_.length.toLong).getOrElse(0L)
+    events.find(e => sz(e) > EventLogStore.MaxRecordSizeBytes).foreach { e =>
+      throw new MaxAppendSizeExceededException(
+        s"event ${e.event_id} exceeds the 16 MiB record limit")
+    }
+    val batchBytes = events.map(sz).sum
+    if (batchBytes > EventLogStore.DefaultMaxAppendSizeBytes)
+      throw new MaxAppendSizeExceededException(
+        s"append batch is $batchBytes bytes > 1 MiB; split it or use appendBulk " +
+          "(the bulk-ingest path, which has no RPC-payload analog)")
     val targetStreams = events.map(_.stream_id).distinct
     val (maxPos, lastByStream, tombstoned) = statsSnapshot(targetStreams)
 
@@ -208,12 +287,13 @@ class EventLogStore(spark: SparkSession, path: String) {
         Option(e.timestamp).getOrElse(now), pos, e.correlation_id,
         true, e.data, e.metadata)
     }
-    val df = rows.toDF("stream_id", "event_number", "event_id", "event_type",
-        "timestamp", "log_position", "correlation_id", "is_json", "data", "metadata")
-      .withColumn("p_date", to_date(col("timestamp")))
+    val df = withPartitionCols(
+      rows.toDF("stream_id", "event_number", "event_id", "event_type",
+        "timestamp", "log_position", "correlation_id", "is_json", "data", "metadata"))
+    writeLayoutMarker()
     df.repartition(1)
       .sortWithinPartitions(col("stream_id"), col("event_number"))
-      .write.mode(SaveMode.Append).partitionBy("p_date").parquet(logDir)
+      .write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(logDir)
     val touched = fresh.map(_.stream_id).distinct
     writeStatsRows(
       touched.map(s => (s, perStream(s), nowTomb.contains(s))),
@@ -239,16 +319,15 @@ class EventLogStore(spark: SparkSession, path: String) {
         Row.fromSeq(r.toSeq :+ (maxPos + 1 + i)) },
       schema.add("log_position", "long"))
     val wStream = Window.partitionBy(col("stream_id")).orderBy(col("log_position"))
-    val out = withPos
+    val out = withPartitionCols(withPos
       .join(lasts, col("stream_id") === col("_sid"), "left")
       .withColumn("event_number",
         coalesce(col("_last"), lit(-1L)) + row_number().over(wStream))
       .drop("_sid", "_last")
       .withColumn("timestamp", coalesce(col("timestamp"), current_timestamp()))
       .withColumn("is_json", lit(true))
-      .withColumn("p_date", to_date(col("timestamp")))
       .select("stream_id", "event_number", "event_id", "event_type", "timestamp",
-        "log_position", "correlation_id", "is_json", "data", "metadata", "p_date")
+        "log_position", "correlation_id", "is_json", "data", "metadata"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = out.count()
@@ -259,7 +338,8 @@ class EventLogStore(spark: SparkSession, path: String) {
       bad.headOption.foreach { r =>
         throw new WrongExpectedVersionException(s"stream ${r.getString(0)} is deleted")
       }
-      out.write.mode(SaveMode.Append).partitionBy("p_date").parquet(logDir)
+      writeLayoutMarker()
+      out.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(logDir)
       val statsUpdate = out.groupBy(col("stream_id"))
         .agg(
           max(col("event_number")).as("last_event_number"),
@@ -321,8 +401,8 @@ class EventLogStore(spark: SparkSession, path: String) {
         allowMissingColumns = true)
     val tmpLog = s"$path/log_scavenged"
     val tmpStats = s"$path/stats_scavenged"
-    keep.drop("p_date").withColumn("p_date", to_date(col("timestamp")))
-      .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmpLog)
+    withPartitionCols(keep.drop(partitionCols: _*))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(tmpLog)
     statsLatest().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpStats)
     moveAtomic(statsDir, s"$path/stats_old")
     moveAtomic(logDir, s"$path/log_old")
@@ -360,29 +440,40 @@ class EventLogStore(spark: SparkSession, path: String) {
       .bounds(data, meta, asOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // one partition = one (p_date[, p_bucket]) directory
       val affected = data.join(broadcast(bounds), Seq("stream_id"), "left")
         .where(!graft.operators.Retention.keepCondition)
-        .select(col("p_date").cast("string")).distinct()
-        .as[String].collect().sorted
-      affected.foreach { date =>
+        .select(concat_ws("/",
+          partitionCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*))
+        .distinct().as[String].collect().sorted
+      affected.foreach { suffix =>
         // row-level keep: metastreams + tombstones + bounds-retained rows
-        val slice = log.where(col("p_date") === date)
+        // typed predicates so partition pruning applies at the scan
+        val partPred = suffix.split("/").map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k match {
+            case "p_date" => col(k) === to_date(lit(v))
+            case "p_bucket" => col(k) === v.toInt
+            case _ => col(k).cast("string") === v
+          }
+        }.reduce(_ && _)
+        val slice = log.where(partPred)
         val keepRows = graft.operators.Retention
           .applyBounds(slice.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix) &&
             col("event_type") =!= EventEnvelope.StreamDeletedEventType), bounds)
           .unionByName(slice.where(col("stream_id").startsWith(EventEnvelope.MetastreamPrefix) ||
             col("event_type") === EventEnvelope.StreamDeletedEventType))
-        rewritePartition(date, keepRows)
+        rewritePartition(suffix, keepRows)
       }
       affected.toSeq
     } finally bounds.unpersist()
   }
 
-  /** Rewrite one date partition dir crash-safely: write the kept rows to a
+  /** Rewrite one partition dir crash-safely: write the kept rows to a
     * scratch dir, record a marker, swap, clean up. A crash at any point is
     * repaired by recoverInterruptedScavenge() using the marker. */
-  private def rewritePartition(date: String, keepRows: DataFrame): Unit = {
-    val partDir = s"$logDir/p_date=$date"
+  private def rewritePartition(suffix: String, keepRows: DataFrame): Unit = {
+    val partDir = s"$logDir/$suffix"
     if (keepRows.isEmpty) {
       // nothing survives: drop the partition dir outright
       deleteRecursively(new java.io.File(partDir))
@@ -391,12 +482,12 @@ class EventLogStore(spark: SparkSession, path: String) {
     }
     val tmp = s"$path/scavenge_part_tmp"
     val aside = s"$path/scavenge_part_old"
-    keepRows.drop("p_date")
+    keepRows.drop(partitionCols: _*)
       .sortWithinPartitions(col("stream_id"), col("event_number"))
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     // marker carries the partition being swapped, for crash recovery
     Files.write(Paths.get(s"$path/scavenge_part_marker"),
-      date.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      suffix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     moveAtomic(partDir, aside)
     moveAtomic(tmp, partDir)
     deleteRecursively(new java.io.File(aside))
@@ -417,9 +508,9 @@ class EventLogStore(spark: SparkSession, path: String) {
     // was mid-swap; restore its moved-aside dir if the swap didn't finish
     val marker = Paths.get(s"$path/scavenge_part_marker")
     if (Files.exists(marker)) {
-      val date = new String(Files.readAllBytes(marker),
+      val suffix = new String(Files.readAllBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8).trim
-      val partDir = Paths.get(s"$logDir/p_date=$date")
+      val partDir = Paths.get(s"$logDir/$suffix")
       val aside = Paths.get(s"$path/scavenge_part_old")
       if (Files.exists(aside) && !Files.exists(partDir))
         moveAtomic(aside.toString, partDir.toString)

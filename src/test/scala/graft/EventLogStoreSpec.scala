@@ -175,7 +175,7 @@ class EventLogStoreSpec extends SparkTestBase {
     val affected = store.scavengeIncremental()
     // metadata lives on the setMetadata day (today) — untouched; the two
     // a-1 days holding dropped events are rewritten
-    assert(affected == Seq("2024-01-01", "2024-01-02"))
+    assert(affected == Seq("p_date=2024-01-01", "p_date=2024-01-02"))
     // 01-01 held only dropped rows -> partition deleted outright
     assert(!new java.io.File(s"$dir/log/p_date=2024-01-01").exists())
     val after = store.readRetained()
@@ -197,9 +197,64 @@ class EventLogStoreSpec extends SparkTestBase {
     Files.move(java.nio.file.Paths.get(s"$dir/log/p_date=2024-02-01"),
       java.nio.file.Paths.get(s"$dir/scavenge_part_old"))
     Files.write(java.nio.file.Paths.get(s"$dir/scavenge_part_marker"),
-      "2024-02-01".getBytes)
+      "p_date=2024-02-01".getBytes)
     val reopened = new EventLogStore(spark, dir)
     assert(reopened.read().count() == 2)
+  }
+
+  test("append enforces the reference 1 MiB batch / 16 MiB record limits") {
+    val store = freshStore()
+    val big = "x" * (1024 * 1024 + 1)
+    intercept[graft.sources.MaxAppendSizeExceededException] {
+      store.append(Seq(PendingEvent("a-1", "e1", "E", big)))
+    }
+    // many small events exceeding 1 MiB combined also rejected
+    val evs = (1 to 20).map(i => PendingEvent("a-1", s"e$i", "E", "y" * 60000))
+    intercept[graft.sources.MaxAppendSizeExceededException] { store.append(evs) }
+    assert(store.append(evs.take(10)) == 10L) // under the cap: fine
+  }
+
+  test("bucketed layout: p_bucket dirs, pruned single-stream reads, persistent marker") {
+    val dir = Files.createTempDirectory("graftlog").toString
+    val store = new EventLogStore(spark, dir, requestedBuckets = 4)
+    store.append((1 to 12).map(i => pe(s"s-${i % 6}", s"e$i")))
+    // physical layout has bucket subdirectories
+    val dateDirs = new java.io.File(s"$dir/log").listFiles.filter(_.isDirectory)
+    assert(dateDirs.nonEmpty &&
+      dateDirs.head.listFiles.exists(_.getName.startsWith("p_bucket=")))
+    // pruned read returns exactly the stream's rows
+    val rows = store.readStreamEvents("s-1")
+      .select("event_number").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(0L, 1L))
+    // the bucket predicate reaches the scan as a partition filter
+    val plan = store.readStreamEvents("s-1").queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*p_bucket".r.findFirstIn(plan).isDefined,
+      s"no bucket partition filter in plan:\n$plan")
+    // reopening without the constructor arg picks the layout marker up
+    val reopened = new EventLogStore(spark, dir)
+    assert(reopened.numBuckets == 4)
+    assert(reopened.readStreamEvents("s-1").count() == 2)
+    // scavenge keeps the bucketed layout intact
+    reopened.setMetadata("s-1", maxCount = Some(1L))
+    reopened.scavenge()
+    assert(reopened.readStreamEvents("s-1")
+      .select("event_number").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(new java.io.File(s"$dir/log").listFiles.filter(_.isDirectory)
+      .head.listFiles.exists(_.getName.startsWith("p_bucket=")))
+  }
+
+  test("bucketed incremental scavenge rewrites only the affected bucket dirs") {
+    val dir = Files.createTempDirectory("graftlog").toString
+    val store = new EventLogStore(spark, dir, requestedBuckets = 4)
+    store.append((1 to 8).map(i =>
+      PendingEvent(s"s-${i % 4}", s"e$i", "E", "{}",
+        timestamp = ts("2024-03-01 10:00:00"))))
+    store.setMetadata("s-1", maxCount = Some(1L))
+    val affected = store.scavengeIncremental()
+    assert(affected.size == 1 &&
+      affected.head == s"p_date=2024-03-01/p_bucket=${store.bucketFor("s-1")}")
+    assert(store.readRetained().where(col("stream_id") === "s-1").count() == 1)
+    assert(store.read().where(!col("stream_id").startsWith("$")).count() == 7)
   }
 
   test("appendBulk assigns order-respecting positions and per-stream numbers") {
