@@ -110,14 +110,16 @@ final class FoldBuilder[S] private[projections] (
     handlers: Map[String, (S, LogEvent) => S],
     anyHandler: Option[(S, LogEvent) => S],
     emitHandlers: Map[String, (S, LogEvent, Emitter) => S],
-    anyEmitHandler: Option[(S, LogEvent, Emitter) => S]) {
+    anyEmitHandler: Option[(S, LogEvent, Emitter) => S],
+    createdHandler: Option[(S, LogEvent) => S] = None) {
 
   private def copyWith(
       h: Map[String, (S, LogEvent) => S] = handlers,
       any: Option[(S, LogEvent) => S] = anyHandler,
       eh: Map[String, (S, LogEvent, Emitter) => S] = emitHandlers,
-      anyE: Option[(S, LogEvent, Emitter) => S] = anyEmitHandler) =
-    new FoldBuilder[S](sourceFilter, partitionFn, initFn, h, any, eh, anyE)
+      anyE: Option[(S, LogEvent, Emitter) => S] = anyEmitHandler,
+      created: Option[(S, LogEvent) => S] = createdHandler) =
+    new FoldBuilder[S](sourceFilter, partitionFn, initFn, h, any, eh, anyE, created)
 
   /** P5: register a typed handler; unhandled types keep prior state. */
   def when(eventType: String)(f: (S, LogEvent) => S): FoldBuilder[S] =
@@ -125,6 +127,13 @@ final class FoldBuilder[S] private[projections] (
 
   /** P5 $any: catch-all handler. */
   def whenAny(f: (S, LogEvent) => S): FoldBuilder[S] = copyWith(any = Some(f))
+
+  /** P5 $created: fires once per partition, on its first event, BEFORE that
+    * event's own handler (JintProjectionStateHandler.cs:677-684 registers it
+    * alongside the typed handlers; the reference delivers it when the
+    * source stream is first seen). Resumed folds (statesFrom) do not
+    * re-fire it for checkpointed partitions. */
+  def whenCreated(f: (S, LogEvent) => S): FoldBuilder[S] = copyWith(created = Some(f))
 
   /** P5 + P13: handler that can also emit events. */
   def whenEmit(eventType: String)(f: (S, LogEvent, Emitter) => S): FoldBuilder[S] =
@@ -162,6 +171,7 @@ final class FoldBuilder[S] private[projections] (
     val initF = initFn
     val step = mkStep
     val stepF = (s: S, e: LogEvent) => step(s, e, new Emitter)
+    val createdF = createdHandler
     val keyed: Dataset[(String, LogEvent)] =
       events.flatMap(e => pf(e).map(k => (k, e)))
     keyed
@@ -175,8 +185,11 @@ final class FoldBuilder[S] private[projections] (
           def next(): (String, S) = {
             val key = nextKV.get._1
             var state = initF()
+            var first = true
             while (nextKV.isDefined && nextKV.get._1 == key) {
-              state = stepF(state, nextKV.get._2)
+              val e = nextKV.get._2
+              if (first) { createdF.foreach(f => state = f(state, e)); first = false }
+              state = stepF(state, e)
               nextKV = if (it.hasNext) Some(it.next()) else None
             }
             (key, state)
@@ -208,6 +221,7 @@ final class FoldBuilder[S] private[projections] (
     val step = mkStep
     val ser = serialize
     val deser = deserialize
+    val createdF = createdHandler
     val stateType = StateEventType // local copy: the closure must not capture `this`
     val keyedEvents: Dataset[(String, LogEvent)] =
       events.flatMap(e => pf(e).map(k => (k, e)))
@@ -226,10 +240,16 @@ final class FoldBuilder[S] private[projections] (
           def next(): (String, S) = {
             val key = nextKV.get._1
             var state = initF()
+            var first = true
             while (nextKV.isDefined && nextKV.get._1 == key) {
               val e = nextKV.get._2
-              state = if (e.event_type == stateType) deser(e.data)
-                else step(state, e, new Emitter)
+              if (e.event_type == stateType) {
+                state = deser(e.data)
+                first = false // checkpointed key: $created already fired
+              } else {
+                if (first) { createdF.foreach(f => state = f(state, e)); first = false }
+                state = step(state, e, new Emitter)
+              }
               nextKV = if (it.hasNext) Some(it.next()) else None
             }
             (key, state)
@@ -270,6 +290,7 @@ final class FoldBuilder[S] private[projections] (
     val pf = partitionFn
     val initF = initFn
     val stepF = mkStep
+    val createdF = createdHandler
     val keyed: Dataset[(String, LogEvent)] =
       events.flatMap(e => pf(e).map(k => (k, e)))
     keyed
@@ -279,7 +300,10 @@ final class FoldBuilder[S] private[projections] (
         var curKey: String = null
         var state: S = null.asInstanceOf[S]
         it.flatMap { case (k, e) =>
-          if (k != curKey) { curKey = k; state = initF() }
+          if (k != curKey) {
+            curKey = k; state = initF()
+            createdF.foreach(f => state = f(state, e))
+          }
           val em = new Emitter
           state = stepF(state, e, em)
           em.buf.iterator.zipWithIndex.map { case ((stream, tpe, body), i) =>

@@ -57,6 +57,34 @@ class ProjectionSpec extends SparkTestBase {
     assert(states("chat-2") == Vector(1L, 4L))
   }
 
+  test("$created fires once per partition on its first event, before its handler") {
+    val s = spark; import s.implicits._
+    val states = Projections.fromCategory("chat")
+      .foreachStream()
+      .init("")
+      .whenCreated((st, e) => st + s"created@${e.log_position};")
+      .whenAny((st, e) => st + e.log_position + ";")
+      .states(chat)
+      .collect().toMap
+    assert(states("chat-1") == "created@0;0;2;3;5;")
+    assert(states("chat-2") == "created@1;1;4;")
+  }
+
+  test("$created does not re-fire for checkpointed partitions on resume") {
+    val s = spark; import s.implicits._
+    def proj = Projections.fromCategory("chat")
+      .foreachStream()
+      .init("")
+      .whenCreated((st, e) => st + s"C@${e.log_position};")
+      .whenAny((st, e) => st + e.log_position + ";")
+    val full = proj.states(chat).collect().toMap
+    val upTo = proj.states(chat.where(org.apache.spark.sql.functions.col("log_position") <= 2))
+    val resumed = proj.statesFrom(chat, upTo, fromPosExclusive = 2L,
+      serialize = identity, deserialize = identity).collect().toMap
+    assert(resumed == full) // chat-1 resumed without a second C@; chat-2 same
+    assert(resumed("chat-1") == "C@0;0;2;3;5;")
+  }
+
   test("P20 batch resume: checkpoint at a position + statesFrom == full replay (order-dependent fold)") {
     val s = spark; import s.implicits._
     def proj = Projections.fromCategory("chat")
