@@ -94,4 +94,28 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters:"), plan.take(800))
     assert(df.count() == 0)
   }
+
+  test("pack_sequences cumsum shuffles by shard, never a single global sort") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(
+      graft.analytics.Corpus.packSequences(docs, budget = 256, shardSize = 100))
+    // the window partitions by shard -> hashpartitioning(shard); a global
+    // orderBy-cumsum would show a SinglePartition exchange instead
+    assert(plan.contains("hashpartitioning(shard"), plan.take(1200))
+    assert(!plan.contains("SinglePartition"), plan.take(1200))
+  }
+
+  test("quota_sample top-k windows per source, no global sort of the corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(graft.analytics.Corpus.quotaSample(docs, 5))
+    assert(plan.contains("hashpartitioning(source"), plan.take(1200))
+    assert(!plan.contains("SinglePartition"), plan.take(1200))
+  }
+
+  test("tf-idf df table joins back by broadcast, not a shuffle of tf") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(
+      graft.analytics.Corpus.tfIdfKeywords(docs, k = 3, n = 50))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
 }
