@@ -42,6 +42,9 @@ object EventEnvelope {
 
   /** Event type of a link event (reference: `$>` — ResolvedEvent.cs:8-29). */
   val LinkEventType = "$>"
+  /** Event type of a stream-reference link (reference: `$@` —
+    * JintProjectionStateHandler.cs:329-352 linkStreamTo). */
+  val StreamLinkEventType = "$@"
   /** Tombstone event type (hard delete; PrepareLogRecord.cs:23). */
   val StreamDeletedEventType = "$streamDeleted"
   /** Metastream prefix (stream metadata lives in `$$<stream>`). */

@@ -42,6 +42,12 @@ final class Emitter private[projections] () {
   def linkTo(stream: String, e: LogEvent): Unit =
     buf += ((stream, graft.model.EventEnvelope.LinkEventType,
       s"${e.event_number}@${e.stream_id}"))
+  /** P15: append a stream-reference link (`$@`, body = referenced stream —
+    * JintProjectionStateHandler.cs:329-352; copyTo is a no-op stub in the
+    * reference and is omitted). */
+  def linkStreamTo(stream: String, referencedStream: String): Unit =
+    buf += ((stream, graft.model.EventEnvelope.StreamLinkEventType,
+      referencedStream))
 }
 
 /** Source selectors (P1–P4): which slice of the log feeds the fold.

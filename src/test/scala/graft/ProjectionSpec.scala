@@ -178,6 +178,22 @@ class ProjectionSpec extends SparkTestBase {
     assert(links.forall(_.event_type == "$>"))
   }
 
+  test("P15 linkStreamTo emits a $@ stream-reference link once per stream") {
+    val s = spark; import s.implicits._
+    val emitted = Projections.fromCategory("chat")
+      .foreachStream()
+      .init(false)
+      .whenAnyEmit { (seen, e, em) =>
+        if (!seen) em.linkStreamTo("chat-index", e.stream_id)
+        true
+      }
+      .emitted(chat)
+      .collect()
+    val refs = emitted.filter(_.stream_id == "chat-index")
+    assert(refs.map(_.data).toSet == Set("chat-1", "chat-2"))
+    assert(refs.forall(_.event_type == "$@"))
+  }
+
   test("P8/P11 outputState uses reference result-stream naming and patterns") {
     val s = spark; import s.implicits._
     val base = Projections.fromCategory("chat").foreachStream().init(0L)
