@@ -96,6 +96,10 @@ object AnalyticsQueries extends QueryModule {
     Dedup.simhash(docs(s, d).where(col("id") < 50), "text", "id")
       .orderBy(col("id"))
 
+  private def simhashPairsQ(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDupPairs(nearCorpus(s, d), maxHamming = 3, bands = 4, "text", "id")
+      .orderBy(col("id_a"), col("id_b"))
+
   private def annTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, 5)
@@ -173,6 +177,7 @@ object AnalyticsQueries extends QueryModule {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_winnow_pairs" -> (winnowPairsQ _),
     "dedup_simhash" -> (simhashQ _),
+    "dedup_simhash_pairs" -> (simhashPairsQ _),
     "ann_cosine_topk" -> (annTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_lsh_neardup" -> (annLshNearDup _),
@@ -412,6 +417,28 @@ object AnalyticsQueries extends QueryModule {
         |SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
         |                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
         |FROM bitsums GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $nearCorpusSql,
+        |toks AS (
+        |  SELECT DISTINCT id, unnest(list_distinct($W)) AS tok FROM corpus),
+        |hashed AS (SELECT id, ${hash60("tok")} AS h FROM toks),
+        |bitsums AS (
+        |  SELECT id, b, sum(CASE WHEN (h >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hashed CROSS JOIN range(60) t(b) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |  FROM bitsums GROUP BY 1),
+        |bands AS (
+        |  SELECT id, simhash, CAST(b AS INT) AS band,
+        |         (simhash >> CAST(b * 15 AS INT)) & 32767 AS bkey
+        |  FROM sig CROSS JOIN range(4) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS ha, b.simhash AS hb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cands WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY 1, 2""".stripMargin,
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (

@@ -166,6 +166,40 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
+    * Hamming-LSH banding: the 60-bit signature splits into `bands` equal
+    * slices used as equi-join keys; by pigeonhole, any pair within
+    * `bands - 1` bit flips agrees on at least one whole band, so recall is
+    * EXACT for maxHamming <= bands - 1. Candidates verify with
+    * bit_count(xor) — pure integer ops, so the DuckDB oracle matches
+    * bit-for-bit. The join is an equi-join on (band, slice): linear in N
+    * plus true-collision volume, never O(N²). */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int, bands: Int = 6,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(60 % bands == 0, "bands must divide 60")
+    require(maxHamming <= bands - 1,
+      s"banding with $bands bands only guarantees recall to hamming ${bands - 1}")
+    val bandBits = 60 / bands
+    val mask = (1L << bandBits) - 1
+    val sig = simhash(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slices = array((0 until bands).map { b =>
+      call_function("shiftright", col("simhash"), lit(b * bandBits)).bitwiseAND(lit(mask))
+    }: _*)
+    val bandKeys = sig.select(col("id"), col("simhash"),
+      posexplode(slices).as(Seq("band", "bkey")))
+    bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("_ha"), col("b.simhash").as("_hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** SimHash (60-bit): per bit position, sum +1/-1 over distinct token
     * hashes; the sign of each sum sets the bit. Folded per-row over the
     * token-hash array (no explode). Returns (id, simhash). */

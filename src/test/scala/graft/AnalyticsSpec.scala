@@ -43,6 +43,20 @@ class AnalyticsSpec extends SparkTestBase {
     assert(hamming(sh(1L), sh(4L)) > 12)
   }
 
+  test("simhash banded pairs == brute-force hamming pairs (pigeonhole recall is exact)") {
+    val s = spark; import s.implicits._
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val banded = Dedup.simhashNearDupPairs(corpus, maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(banded == brute)
+  }
+
   test("brute-force top-k returns nearest by cosine with correct ranks") {
     val s = spark; import s.implicits._
     val vecs = Seq(
