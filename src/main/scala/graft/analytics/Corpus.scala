@@ -35,6 +35,37 @@ object Corpus {
       .select(col("id"), col("shard"), col("seq"), col("n_tokens"), col("start"))
   }
 
+  /** Greedy first-fit packing WITHOUT document straddling: documents fill
+    * the current window until the next would overflow, then a new window
+    * starts (a document longer than the budget gets its own window). The
+    * window assignment is inherently sequential per shard, so this runs as
+    * repartition-by-shard + sort-within-partitions + one streaming
+    * mapPartitions pass — the same scale shape as the projection fold (no
+    * per-group collect). Returns (id, shard, seq, n_tokens). */
+  def packGreedyNoSplit(docs: DataFrame, budget: Int, shardSize: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"id div $shardSize"))
+      .as[(Long, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var seq = -1L
+        var fill = 0L
+        it.map { case (id, n, shard) =>
+          if (shard != curShard) { curShard = shard; seq = 0L; fill = 0L }
+          if (fill > 0 && fill + n > budget) { seq += 1; fill = 0L }
+          fill += n
+          (id, shard, seq, n)
+        }
+      }
+      .toDF("id", "shard", "seq", "n_tokens")
+  }
+
   /** RAG-style overlapping chunking: chunks of `chunkSize` characters every
     * `stride` characters (overlap = chunkSize − stride). One narrow
     * explode per document — chunk_id = start/stride is deterministic.

@@ -25,6 +25,23 @@ class CorpusSpec extends SparkTestBase {
     assert(packed.count() == Tables.documents(spark, sf).count())
   }
 
+  test("packGreedyNoSplit: windows never exceed the budget; docs never split") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 256
+    val packed = Corpus.packGreedyNoSplit(docs, budget, shardSize = 100)
+    assert(packed.count() == docs.count()) // every doc packed exactly once
+    val bad = packed.groupBy("shard", "seq")
+      .agg(sum("n_tokens").as("total"), count(lit(1)).as("n"))
+      .where(col("total") > budget && col("n") > 1) // single long docs exempt
+    assert(bad.count() == 0)
+    // greedy fill order: within a shard, seq is nondecreasing in id
+    val rows = packed.orderBy("shard", "id").collect()
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { ds =>
+      val seqs = ds.sortBy(_.getAs[Long]("id")).map(_.getAs[Long]("seq"))
+      assert(seqs.zip(seqs.tail).forall { case (a, b) => b == a || b == a + 1 })
+    }
+  }
+
   test("chunkDocuments: strided chunks reconstruct the original text") {
     val docs = Tables.documents(spark, sf).where(col("doc_id") < 10)
     val chunks = Corpus.chunkDocuments(docs, chunkSize = 120, stride = 90)
