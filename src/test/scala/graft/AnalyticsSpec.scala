@@ -105,6 +105,32 @@ class AnalyticsSpec extends SparkTestBase {
     assert(perQuery.values.forall(_ <= 3) && perQuery.nonEmpty)
   }
 
+  test("IVF k-means training: deterministic, improves quantizer fit, probe-all stays exact") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def inertia(cent: org.apache.spark.sql.DataFrame): Double = {
+      val c = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      c.crossJoin(broadcast(cent))
+        .select(col("vec_id"), Similarity.cosine(col("cv"), col("centv")).as("s"))
+        .groupBy("vec_id").agg(max(col("s")).as("best"))
+        .agg(sum(lit(1.0) - col("best"))).collect()(0).getDouble(0)
+    }
+    val init = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 0)
+    val trained = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 3)
+    assert(inertia(trained) <= inertia(init) + 1e-9) // Lloyd never worsens fit
+    // deterministic across runs
+    val again = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 3)
+    assert(trained.orderBy("centroid_id").collect().toSeq ==
+      again.orderBy("centroid_id").collect().toSeq)
+    // probe-all with trained centroids is still exact (== brute force)
+    val q = emb.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(q, emb, 3)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    val ivf = Similarity.ivfTopK(q, emb, k = 3, nlist = 8, nprobe = 8,
+        centroids = Some(trained))
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    assert(ivf == bf)
+  }
+
   test("codegen'd cosine expression is bit-identical to the HOF formulation") {
     val s = spark; import s.implicits._
     val vecs = (0 until 50).map { i =>

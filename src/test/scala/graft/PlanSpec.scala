@@ -112,6 +112,22 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"), plan.take(1200))
   }
 
+  test("saltedJoin equals the plain join and carries the salt in the join keys") {
+    val s = spark; import s.implicits._
+    // heavy-tailed: key 0 holds 80% of the rows
+    val large = (0 until 1000).map(i => (if (i < 800) 0L else i.toLong % 50, s"v$i"))
+      .toDF("k", "payload")
+    val small = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = large.join(small, "k").select("k", "payload", "attr")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = graft.operators.Skew.saltedJoin(large, small, "k", factor = 8)
+      .select("k", "payload", "attr")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq == plain.toSeq)
+    val plan = executedPlan(graft.operators.Skew.saltedJoin(large, small, "k", 8))
+    assert(plan.contains("_salt"), plan.take(1200))
+  }
+
   test("tf-idf df table joins back by broadcast, not a shuffle of tf") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = executedPlan(
