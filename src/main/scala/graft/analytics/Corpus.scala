@@ -91,6 +91,30 @@ object Corpus {
       regexp_replace(regexp_replace(text, UrlPattern, " "), EmailPattern, " "),
       "\\s+", " "))
 
+  /** Eval-set decontamination: find training documents whose shingle sets
+    * are heavily contained in some evaluation document (the standard
+    * n-gram-overlap test-set-leakage check). Containment of corpus doc c
+    * against eval doc e = |shingles(c) ∩ shingles(e)| / |shingles(c)|; a
+    * doc is contaminated when its max containment >= threshold.
+    *
+    * Shape: inverted shingle index of BOTH sides, equi-joined on shingle
+    * (eval side is small — broadcast), counts collapsed map-side before
+    * the shuffle. Returns (id, containment) for contaminated docs; feed
+    * to a left_anti join to clean the corpus. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, threshold: Double,
+      n: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cIdx = Dedup.shingleSets(corpus, textCol, idCol, n)
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val eIdx = Dedup.shingleIndex(evalSet, textCol, idCol, n)
+      .select(col("id").as("_eid"), col("shingle"))
+    cIdx.join(broadcast(eIdx), "shingle")
+      .groupBy(col("id"), col("_eid"), col("sz"))
+      .agg(count(lit(1)).as("common"))
+      .groupBy(col("id"))
+      .agg(max(col("common").cast("double") / col("sz")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** TF-IDF keyword extraction: top `k` tokens per document by
     * tf · ln(N/df). One token explode, two hash aggregations (tf per
     * (doc, token); df per token — both map-side combined), a broadcast of

@@ -51,6 +51,20 @@ object CorpusQueries extends QueryModule {
       .orderBy(col("id"), col("rank"))
   }
 
+  /** Decontamination: training corpus = documents + near-copies of docs
+    * 0..99 (planted leakage); eval set = docs 0..19. Expect the eval docs
+    * themselves and their near-copies flagged. */
+  private def decontamQ(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+    val corpus = base.unionAll(
+      base.where(col("id") < 100).select((col("id") + 100000).as("id"),
+        concat(col("text"), lit(" zzz9")).as("text")))
+    val eval = base.where(col("id") < 20)
+    Corpus.decontaminate(corpus, eval, threshold = 0.8, idCol = "id")
+      .select(col("id"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("id"))
+  }
+
   private def quotaQ(s: SparkSession, d: String): DataFrame =
     Corpus.quotaSample(Tables.documents(s, d), perSourceCap = 20)
       .groupBy(col("source"))
@@ -64,7 +78,8 @@ object CorpusQueries extends QueryModule {
     "chunk_documents" -> (chunkQ _),
     "text_clean" -> (cleanQ _),
     "quota_sample" -> (quotaQ _),
-    "tfidf_keywords" -> (tfidfQ _)
+    "tfidf_keywords" -> (tfidfQ _),
+    "decontaminate" -> (decontamQ _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -125,6 +140,33 @@ object CorpusQueries extends QueryModule {
         |  FROM scored)
         |SELECT id, rank, tok, score FROM ranked WHERE rank <= 3
         |ORDER BY id, rank""".stripMargin,
+    "decontaminate" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zzz9' FROM documents WHERE doc_id < 100),
+        |ev AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 20),
+        |cs AS (
+        |  SELECT DISTINCT id, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> array_to_string(w[i:i+2], ' ')))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM (SELECT id, $W AS w FROM corpus)),
+        |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM cs GROUP BY 1),
+        |es AS (
+        |  SELECT DISTINCT id, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> array_to_string(w[i:i+2], ' ')))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM (SELECT id, $W AS w FROM ev)),
+        |common AS (
+        |  SELECT cs.id, es.id AS eid, CAST(count(*) AS BIGINT) AS c
+        |  FROM cs JOIN es ON cs.shingle = es.shingle GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT common.id, max(CAST(c AS DOUBLE) / sz) AS containment
+        |  FROM common JOIN sizes ON sizes.id = common.id GROUP BY 1)
+        |SELECT id, round(containment, 6) AS containment
+        |FROM cont WHERE containment >= 0.8 ORDER BY id""".stripMargin,
     "quota_sample" ->
       s"""WITH scored AS (
         |  SELECT doc_id, source, CAST(len($W) AS BIGINT) AS n_tokens,

@@ -78,6 +78,26 @@ class CorpusSpec extends SparkTestBase {
     assert(leftovers.count() == 0)
   }
 
+  test("decontaminate flags eval copies, not unrelated docs") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // superset of eval
+      (3L, "totally different words entirely here now friend")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val flagged = graft.analytics.Corpus.decontaminate(corpus, eval, 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(flagged == Set(1L, 2L)) // 2's shingles are ~87% contained in eval
+    // cleaned corpus via anti-join
+    val clean = corpus.join(
+      graft.analytics.Corpus.decontaminate(corpus, eval, 0.8)
+        .withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_anti")
+    assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("quotaSample keeps at most cap docs per source, preferring higher quality") {
     val docs = Tables.documents(spark, sf)
     val cap = 5
