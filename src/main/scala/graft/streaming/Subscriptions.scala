@@ -6,6 +6,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.model.EventEnvelope
 import graft.projections.{LogEvent, Projections}
 
+/** Reorder-buffer state for P17 (Subscriptions.reorderedStream). */
+final case class ReorderBuffer(pending: Seq[LogEvent], highWater: Long)
+
 /** Subscriptions as Structured Streaming queries (SURVEY.md §2.5).
   *
   * Reference semantics:
@@ -79,6 +82,43 @@ object Subscriptions {
       .groupBy(window(col("timestamp"), windowDuration).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** P17 reorderEvents + processingLag: a stateful reorder buffer for
+    * multi-stream sources whose events can arrive across micro-batch
+    * boundaries out of global-position order. Events are buffered in the
+    * state store and released IN log_position ORDER once the high-water
+    * mark has advanced `lagPositions` past them (the reference buffers by
+    * prepare position with a processingLag time slack —
+    * docs/projections/custom.md:46-47; MultiStream reader).
+    *
+    * Keyed by a constant: total-order reordering is inherently serial
+    * (the reference's projection core is too — one ordered pump per
+    * projection); the buffer holds only the lag window, not the log.
+    * Returns (released events as LogEvent rows) in release order. */
+  def reorderedStream(events: DataFrame, lagPositions: Long)(
+      implicit encS: Encoder[ReorderBuffer],
+      encOut: Encoder[LogEvent],
+      encKV: Encoder[(String, LogEvent)]): Dataset[LogEvent] = {
+    val ds = Projections.toLogEvents(events)
+    ds.map(e => ("", e))(encKV)
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[ReorderBuffer, LogEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, LogEvent)], state: GroupState[ReorderBuffer]) =>
+          val buf = state.getOption.getOrElse(ReorderBuffer(Seq.empty, Long.MinValue))
+          val incoming = rows.map(_._2).toSeq
+          val all = (buf.pending ++ incoming).sortBy(_.log_position)
+          val highWater = (buf.highWater +: incoming.map(_.log_position)).max
+          val (release, hold) = all.partition(_.log_position <= highWater - lagPositions)
+          state.update(ReorderBuffer(hold, highWater))
+          release.iterator
+      }
+  }
+
+  /** Flush a reorder buffer at end-of-input: returns everything still held,
+    * in order (batch-mode tail; streaming would flush via timeout). */
+  def reorderedFlush(buf: ReorderBuffer): Seq[LogEvent] =
+    buf.pending.sortBy(_.log_position)
 
   /** SUB3 parking: write each micro-batch with a dead-letter path. Rows the
     * handler rejects are appended to the parked sink instead of failing the

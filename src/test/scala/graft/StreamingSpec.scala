@@ -122,6 +122,27 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.size == 3) // 10:00 Deposited x2, 11:00 Withdrawn, 11:00 Deposited
   }
 
+  test("P17 reorderEvents: out-of-order arrival across batches is released in position order") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def le(pos: Long) = graft.projections.LogEvent(
+      "m-1", pos, "E", pos, new java.sql.Timestamp(pos * 1000), null, "{}", 0.0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.projections.LogEvent]
+    val q = Subscriptions.reorderedStream(input.toDF(), lagPositions = 2)
+      .writeStream.format("memory").queryName("reorder").outputMode("append").start()
+    // batch 1 arrives out of order: positions 3, 1 → only 1 clears the lag
+    input.addData(le(3), le(1))
+    q.processAllAvailable()
+    // batch 2: positions 2, 5 → high water 5 releases 2 then 3, holds 5
+    input.addData(le(2), le(5))
+    q.processAllAvailable()
+    q.stop()
+    val released = spark.sql("SELECT log_position FROM reorder")
+      .collect().map(_.getLong(0)).toSeq
+    assert(released == Seq(1L, 2L, 3L)) // in position order despite arrival order
+  }
+
   test("SUB3: failing batches are parked (dead-letter), then replayable") {
     val (store, dir) = newStore()
     seed(store)
