@@ -91,6 +91,29 @@ object Corpus {
       regexp_replace(regexp_replace(text, UrlPattern, " "), EmailPattern, " "),
       "\\s+", " "))
 
+  /** Within-document repetition signals (Gopher-style quality rules): for
+    * each document, over its word n-grams — total count, fraction that are
+    * duplicates (1 − distinct/total), and the share of the most frequent
+    * n-gram. High values mark boilerplate/spam/looping text; this is the
+    * intra-document axis of dedup (cross-document is Dedup.*).
+    * One explode + two map-side-combined aggregations. */
+  def repetitionStats(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("_w"))
+      .select(col("id"), explode(
+        when(size(col("_w")) >= n,
+          transform(sequence(lit(1), size(col("_w")) - (n - 1)),
+            i => concat_ws(" ", slice(col("_w"), i, lit(n)))))
+          .otherwise(array(concat_ws(" ", col("_w"))))).as("gram"))
+    grams.groupBy(col("id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("c"))).as("dup_ratio"),
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_gram_share"))
+  }
+
   /** Eval-set decontamination: find training documents whose shingle sets
     * are heavily contained in some evaluation document (the standard
     * n-gram-overlap test-set-leakage check). Containment of corpus doc c

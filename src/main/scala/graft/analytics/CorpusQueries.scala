@@ -51,6 +51,20 @@ object CorpusQueries extends QueryModule {
       .orderBy(col("id"), col("rank"))
   }
 
+  /** Repetition: corpus with planted self-repeated docs (text ' ' text)
+    * for ids 0..49 — those must show dup_ratio > 0.4. */
+  private def repetitionQ(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+    val corpus = base.unionAll(
+      base.where(col("id") < 50).select((col("id") + 100000).as("id"),
+        concat(col("text"), lit(" "), col("text")).as("text")))
+    Corpus.repetitionStats(corpus, n = 3, idCol = "id")
+      .select(col("id"), col("n_grams"),
+        round(col("dup_ratio"), 6).as("dup_ratio"),
+        round(col("top_gram_share"), 6).as("top_gram_share"))
+      .orderBy(col("id"))
+  }
+
   /** Decontamination: training corpus = documents + near-copies of docs
     * 0..99 (planted leakage); eval set = docs 0..19. Expect the eval docs
     * themselves and their near-copies flagged. */
@@ -79,7 +93,8 @@ object CorpusQueries extends QueryModule {
     "text_clean" -> (cleanQ _),
     "quota_sample" -> (quotaQ _),
     "tfidf_keywords" -> (tfidfQ _),
-    "decontaminate" -> (decontamQ _)
+    "decontaminate" -> (decontamQ _),
+    "text_repetition" -> (repetitionQ _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -140,6 +155,22 @@ object CorpusQueries extends QueryModule {
         |  FROM scored)
         |SELECT id, rank, tok, score FROM ranked WHERE rank <= 3
         |ORDER BY id, rank""".stripMargin,
+    "text_repetition" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' ' || text FROM documents WHERE doc_id < 50),
+        |grams AS (
+        |  SELECT id, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS gram
+        |  FROM (SELECT id, $W AS w FROM corpus)),
+        |counts AS (
+        |  SELECT id, gram, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2)
+        |SELECT id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS dup_ratio,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS top_gram_share
+        |FROM counts GROUP BY 1 ORDER BY 1""".stripMargin,
     "decontaminate" ->
       s"""WITH corpus AS (
         |  SELECT doc_id AS id, text FROM documents

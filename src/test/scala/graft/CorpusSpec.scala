@@ -78,6 +78,19 @@ class CorpusSpec extends SparkTestBase {
     assert(leftovers.count() == 0)
   }
 
+  test("repetitionStats: self-repeated text shows high dup ratio, unique text none") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "spam spam spam spam spam spam spam spam")
+    ).toDF("doc_id", "text")
+    val stats = Corpus.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("dup_ratio"), r.getAs[Double]("top_gram_share")))
+      .toMap
+    assert(stats(1L)._1 == 0.0) // all 3-grams unique
+    assert(stats(2L)._1 > 0.8 && stats(2L)._2 == 1.0) // one gram repeated 6x
+  }
+
   test("decontaminate flags eval copies, not unrelated docs") {
     val s = spark; import s.implicits._
     val corpus = Seq(
