@@ -120,6 +120,18 @@ object Subscriptions {
   def reorderedFlush(buf: ReorderBuffer): Seq[LogEvent] =
     buf.pending.sortBy(_.log_position)
 
+  /** Streaming exact dedup: keep the first arrival per fingerprint across
+    * micro-batches (state-store backed `dropDuplicates`). With a watermark
+    * on `tsCol`, state for fingerprints older than the delay is evicted,
+    * bounding the store — the streaming face of `Dedup.exact` for
+    * continuous corpus ingestion. */
+  def dedupStream(docs: DataFrame, fingerprintCol: Column, tsCol: String,
+      delay: String): DataFrame =
+    docs.withColumn("_fp", fingerprintCol)
+      .withWatermark(tsCol, delay)
+      .dropDuplicates("_fp")
+      .drop("_fp")
+
   /** SUB3 parking: write each micro-batch with a dead-letter path. Rows the
     * handler rejects are appended to the parked sink instead of failing the
     * query (PersistentSubscription.cs NakAction.Park). Returns the running

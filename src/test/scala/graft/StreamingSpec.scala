@@ -143,6 +143,27 @@ class StreamingSpec extends SparkTestBase {
     assert(released == Seq(1L, 2L, 3L)) // in position order despite arrival order
   }
 
+  test("streaming exact dedup: cross-batch duplicates are dropped via state") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = Subscriptions.dedupStream(docs,
+        graft.functions.TextFunctions.fingerprint(col("text")), "ts", "1 hour")
+      .writeStream.format("memory").queryName("streamdedup").outputMode("append").start()
+    val t = ts("2024-01-01 10:00:00")
+    input.addData((1L, "alpha beta", t), (2L, "gamma delta", t))
+    q.processAllAvailable()
+    // batch 2: doc 3 duplicates doc 1 (same normalized text), doc 4 is new
+    input.addData((3L, "  Alpha   Beta ", t), (4L, "epsilon zeta", t))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.sql("SELECT doc_id FROM streamdedup")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L)) // 3 deduped against state from batch 1
+  }
+
   test("SUB3: failing batches are parked (dead-letter), then replayable") {
     val (store, dir) = newStore()
     seed(store)
