@@ -23,10 +23,10 @@ import graft.model.{EventEnvelope, ExpectedVersion}
   * (mirroring the reference's memtable -> PTable merge). Appends therefore
   * read the small stats table — not the log — for version/tombstone checks
   * and position assignment. The one remaining log touch per append is the
-  * event_id idempotency probe, bounded to the target streams (parquet
-  * row-group stats prune it); a 100 TB deployment with hot idempotent
-  * retries would hang a bloom filter on event_id (parquet bloom option) —
-  * semantics are unchanged.
+  * event_id idempotency probe, bounded to the target streams; parquet
+  * row-group stats prune it and log files are written with bloom filters
+  * on (stream_id, event_id) — the analog of the reference's per-PTable
+  * blooms (PTable.cs:73-95).
   *
   * The stats table is also what preserves stream numbering across scavenge:
   * a soft-deleted stream's rows are all physically removed, but its
@@ -146,6 +146,20 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     val base = readRetained(asOf).where(col("stream_id") === streamId)
     if (bucketed) base.where(col("p_bucket") === bucketFor(streamId)) else base
   }
+
+  /** Positional time travel: the log as it stood when `position` was the
+    * head (the reference's "read up to a TFPos" — every read RPC carries
+    * one). Pure predicate — pushes to the scan. */
+  def readAt(position: Long): DataFrame =
+    read().where(col("log_position") <= position)
+
+  /** Parquet options for log data writes: bloom filters on the point-
+    * lookup columns — the analog of the reference's per-PTable blooms
+    * (PTable.cs:73-95) and the backing for the append path's event_id
+    * idempotency probe at scale. */
+  private def logWriteOptions: Map[String, String] = Map(
+    "parquet.bloom.filter.enabled#stream_id" -> "true",
+    "parquet.bloom.filter.enabled#event_id" -> "true")
 
   /** The log with read-time retention applied (metastreams + tombstones
     * honored) — what a reference reader sees. */
@@ -293,7 +307,8 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     writeLayoutMarker()
     df.repartition(1)
       .sortWithinPartitions(col("stream_id"), col("event_number"))
-      .write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(logDir)
+      .write.mode(SaveMode.Append).options(logWriteOptions)
+      .partitionBy(partitionCols: _*).parquet(logDir)
     val touched = fresh.map(_.stream_id).distinct
     writeStatsRows(
       touched.map(s => (s, perStream(s), nowTomb.contains(s))),
@@ -339,7 +354,8 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
         throw new WrongExpectedVersionException(s"stream ${r.getString(0)} is deleted")
       }
       writeLayoutMarker()
-      out.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(logDir)
+      out.write.mode(SaveMode.Append).options(logWriteOptions)
+        .partitionBy(partitionCols: _*).parquet(logDir)
       val statsUpdate = out.groupBy(col("stream_id"))
         .agg(
           max(col("event_number")).as("last_event_number"),
@@ -402,7 +418,8 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     val tmpLog = s"$path/log_scavenged"
     val tmpStats = s"$path/stats_scavenged"
     withPartitionCols(keep.drop(partitionCols: _*))
-      .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(tmpLog)
+      .write.mode(SaveMode.Overwrite).options(logWriteOptions)
+      .partitionBy(partitionCols: _*).parquet(tmpLog)
     statsLatest().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpStats)
     moveAtomic(statsDir, s"$path/stats_old")
     moveAtomic(logDir, s"$path/log_old")
@@ -484,7 +501,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     val aside = s"$path/scavenge_part_old"
     keepRows.drop(partitionCols: _*)
       .sortWithinPartitions(col("stream_id"), col("event_number"))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+      .write.mode(SaveMode.Overwrite).options(logWriteOptions).parquet(tmp)
     // marker carries the partition being swapped, for crash recovery
     Files.write(Paths.get(s"$path/scavenge_part_marker"),
       suffix.getBytes(java.nio.charset.StandardCharsets.UTF_8))

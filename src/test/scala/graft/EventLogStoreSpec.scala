@@ -202,6 +202,33 @@ class EventLogStoreSpec extends SparkTestBase {
     assert(reopened.read().count() == 2)
   }
 
+  test("readAt is positional time travel; log files carry bloom filters") {
+    val dir = Files.createTempDirectory("graftlog").toString
+    val store = new EventLogStore(spark, dir)
+    store.append(Seq(pe("a-1", "e1"), pe("a-1", "e2")))
+    store.append(Seq(pe("a-1", "e3")))
+    assert(store.readAt(1L).count() == 2) // head at position 1
+    assert(store.readAt(Long.MaxValue).count() == 3)
+    // bloom filters present in the written footers
+    import org.apache.hadoop.fs.Path
+    val part = new java.io.File(s"$dir/log").listFiles.filter(_.isDirectory).head
+      .listFiles.find(_.getName.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(part.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val cols = rg.getColumns
+      val hasBloom = (0 until cols.size()).exists { i =>
+        val c = cols.get(i)
+        (c.getPath.toDotString == "stream_id" || c.getPath.toDotString == "event_id") &&
+          c.getBloomFilterOffset > 0
+      }
+      assert(hasBloom, "no bloom filter offsets in the parquet footer")
+    } finally reader.close()
+  }
+
   test("append enforces the reference 1 MiB batch / 16 MiB record limits") {
     val store = freshStore()
     val big = "x" * (1024 * 1024 + 1)
