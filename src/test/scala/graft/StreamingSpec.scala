@@ -164,6 +164,52 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L, 4L)) // 3 deduped against state from batch 1
   }
 
+  test("streaming training pipeline: quality gate -> dedup -> token stats, batch == stream") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.TextFunctions
+
+    // the same pipeline stages, as a DataFrame transform usable both ways
+    def stages(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      docs.where(TextFunctions.qualityScore(col("text")) > 0.5)
+        .select(col("doc_id"), col("text"), col("ts"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"))
+    // plant a duplicate of doc 0 arriving later
+    val dup = base.where(col("doc_id") === 0)
+      .select((col("doc_id") + 9999).as("doc_id"), col("text"), col("ts"))
+
+    // batch expectation: quality-filtered, first-arrival dedup by fingerprint
+    val batchIds = stages(base.unionAll(dup))
+      .withColumn("_fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_fp").orderBy("doc_id")))
+      .where(col("_rn") === 1)
+      .select("doc_id").as[Long].collect().toSet
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Subscriptions.dedupStream(
+        stages(input.toDF().toDF("doc_id", "text", "ts")),
+        TextFunctions.fingerprint(col("text")), "ts", "1 hour")
+      .writeStream.format("memory").queryName("streampipe").outputMode("append").start()
+    val rows = base.collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    input.addData(rows.take(rows.length / 2).toSeq)
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2).toSeq) // rest + then the dup batch
+    q.processAllAvailable()
+    input.addData(dup.collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamIds = spark.sql("SELECT doc_id FROM streampipe")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamIds == batchIds)
+    assert(!streamIds.contains(10999L)) // the planted dup was dropped by state
+  }
+
   test("SUB3: failing batches are parked (dead-letter), then replayable") {
     val (store, dir) = newStore()
     seed(store)
