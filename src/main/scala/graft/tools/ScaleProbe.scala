@@ -31,6 +31,18 @@ object ScaleProbe {
     time("simhash")(Dedup.simhash(big, "text", "id").count())
     time("winnow")(big.select(col("id"),
       TextFunctions.winnowFingerprints(col("text"), 5, 4).as("fp")).count())
+    time("simhash_band_pairs")(
+      graft.analytics.Dedup.simhashNearDupPairs(big, maxHamming = 3, bands = 4,
+        "text", "id").count())
+    time("decontaminate")(
+      graft.analytics.Corpus.decontaminate(big,
+        base.where(col("id") < 100), 0.8, idCol = "id").count())
+    time("pack_sequences")(
+      graft.analytics.Corpus.packSequences(big, budget = 256, shardSize = 1000,
+        idCol = "id").count())
+    time("tfidf")(
+      graft.analytics.Corpus.tfIdfKeywords(big, k = 3, n = mult * 5100L,
+        idCol = "id").count())
     val emb = Tables.embeddings(spark, d)
     val bigEmb = (0 until mult).map { i =>
       emb.select((col("vec_id") + i * 1000000L).as("vec_id"), col("embedding"))
