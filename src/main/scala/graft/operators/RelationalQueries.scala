@@ -158,7 +158,35 @@ object RelationalQueries extends QueryModule {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Hierarchical totals via ROLLUP — a §2.6 capability the reference has
+    * no analog for (its only aggregation surface is projection folds). */
+  private def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    import QueryUtil.cents
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("l_quantity"))).cast("double") / lit(100.0)).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Exact interpolated percentiles per group (continuous definition —
+    * identical formula in Spark `percentile` and DuckDB `quantile_cont`);
+    * rounded to 6 digits as the cross-engine contract. At 100 TB swap in
+    * `approx_percentile` (t-digest-style sketch) — same query shape. */
+  private def percentilesQ(s: SparkSession, d: String): DataFrame =
+    Tables.rawEvents(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "rollup_agg" -> (rollupAgg _),
+    "percentiles_value" -> (percentilesQ _),
     "cardinality_distinct" -> (cardinality _),
     "session_window_agg" -> (sessionWindows _),
     "window_sliding_agg" -> (slidingWindows _),
@@ -173,6 +201,19 @@ object RelationalQueries extends QueryModule {
   )
 
   def oracles: Seq[(String, String)] = Seq(
+    "rollup_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  ${QueryUtil.dsumSql("l_quantity")} AS sum_qty,
+        |  CAST(CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END AS TINYINT) AS g_rf,
+        |  CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END AS TINYINT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "percentiles_value" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  ${QueryUtil.dsumSql("l_quantity")} AS sum_qty,
