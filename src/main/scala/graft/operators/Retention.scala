@@ -83,13 +83,18 @@ object Retention {
         expr("substring(stream_id, 3)").as("stream_id"),
         get_json_object(col("data"), "$.$maxCount").cast("long").as("max_count"),
         get_json_object(col("data"), "$.$maxAge").cast("long").as("max_age_sec"),
-        get_json_object(col("data"), "$.$tb").cast("long").as("truncate_before"))
+        get_json_object(col("data"), "$.$tb").cast("long").as("truncate_before"),
+        coalesce(get_json_object(col("data"), "$.$tmp").cast("boolean"), lit(false)).as("temp"))
     val tombstones = log
       .where(col("event_type") === graft.model.EventEnvelope.StreamDeletedEventType)
       .select(col("stream_id")).distinct()
       .withColumn("tombstoned", lit(true))
     metaRows.join(tombstones, Seq("stream_id"), "full")
       .select(col("stream_id"), col("max_count"), col("max_age_sec"),
-        col("truncate_before"), coalesce(col("tombstoned"), lit(false)).as("tombstoned"))
+        col("truncate_before"), coalesce(col("tombstoned"), lit(false)).as("tombstoned"),
+        // $tmp (StreamMetadata.TempStream): stream is readable until the
+        // next scavenge physically removes it — a scavenge-time flag, NOT
+        // a read-time one, so applyRetention/bounds ignore it
+        coalesce(col("temp"), lit(false)).as("temp"))
   }
 }

@@ -366,13 +366,17 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     } finally out.unpersist()
   }
 
-  /** Set stream metadata: appends a `$metadata` event to `$$<stream>`. */
+  /** Set stream metadata: appends a `$metadata` event to `$$<stream>`.
+    * `temp` marks the stream temporary ($tmp — StreamMetadata.TempStream):
+    * readable until the next scavenge physically removes it. */
   def setMetadata(streamId: String, maxCount: Option[Long] = None,
-      maxAgeSec: Option[Long] = None, truncateBefore: Option[Long] = None): Unit = {
+      maxAgeSec: Option[Long] = None, truncateBefore: Option[Long] = None,
+      temp: Option[Boolean] = None): Unit = {
     val body = Seq(
       maxCount.map(v => s""""$$maxCount":$v"""),
       maxAgeSec.map(v => s""""$$maxAge":$v"""),
-      truncateBefore.map(v => s""""$$tb":$v""")
+      truncateBefore.map(v => s""""$$tb":$v"""),
+      temp.map(v => s""""$$tmp":$v""")
     ).flatten.mkString("{", ",", "}")
     append(Seq(PendingEvent(
       EventEnvelope.MetastreamPrefix + streamId,
@@ -410,7 +414,12 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
   def scavenge(asOf: Column = current_timestamp()): Unit = {
     if (!exists) return
     ensureStats()
+    // $tmp streams are removed at scavenge (their metastream row is kept,
+    // so the flag and the stats row survive and numbering stays monotone)
+    val tempStreams = graft.operators.Retention.metadataFromLog(read())
+      .where(col("temp")).select(col("stream_id"))
     val keep = readRetained(asOf)
+      .join(broadcast(tempStreams), Seq("stream_id"), "left_anti")
       .unionByName(read().where(col("stream_id").startsWith(EventEnvelope.MetastreamPrefix)),
         allowMissingColumns = true)
       .unionByName(read().where(col("event_type") === EventEnvelope.StreamDeletedEventType),
@@ -451,15 +460,19 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     ensureStats()
     val log = read()
     val meta = graft.operators.Retention.metadataFromLog(log)
+    val tempStreams = meta.where(col("temp")).select(col("stream_id"))
     val data = log.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix) &&
       col("event_type") =!= EventEnvelope.StreamDeletedEventType)
     val bounds = graft.operators.Retention
       .bounds(data, meta, asOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // one partition = one (p_date[, p_bucket]) directory
+      // one partition = one (p_date[, p_bucket]) directory; $tmp-stream
+      // rows are removable like retention-expired ones
+      val isTemp = tempStreams.withColumn("_temp", lit(true))
       val affected = data.join(broadcast(bounds), Seq("stream_id"), "left")
-        .where(!graft.operators.Retention.keepCondition)
+        .join(broadcast(isTemp), Seq("stream_id"), "left")
+        .where(!graft.operators.Retention.keepCondition || coalesce(col("_temp"), lit(false)))
         .select(concat_ws("/",
           partitionCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*))
         .distinct().as[String].collect().sorted
@@ -478,6 +491,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
         val keepRows = graft.operators.Retention
           .applyBounds(slice.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix) &&
             col("event_type") =!= EventEnvelope.StreamDeletedEventType), bounds)
+          .join(broadcast(tempStreams), Seq("stream_id"), "left_anti")
           .unionByName(slice.where(col("stream_id").startsWith(EventEnvelope.MetastreamPrefix) ||
             col("event_type") === EventEnvelope.StreamDeletedEventType))
         rewritePartition(suffix, keepRows)

@@ -202,6 +202,34 @@ class EventLogStoreSpec extends SparkTestBase {
     assert(reopened.read().count() == 2)
   }
 
+  test("$tmp temp streams: readable until scavenge, then physically removed") {
+    val store = freshStore()
+    store.append(Seq(pe("tmp-1", "t1"), pe("tmp-1", "t2"), pe("keep-1", "k1")))
+    store.setMetadata("tmp-1", temp = Some(true))
+    // readable before scavenge (temp is a scavenge-time flag)
+    assert(store.readRetained().where(col("stream_id") === "tmp-1").count() == 2)
+    store.scavenge()
+    assert(store.read().where(col("stream_id") === "tmp-1").count() == 0)
+    assert(store.read().where(col("stream_id") === "keep-1").count() == 1)
+    // numbering continues if the name is reused (stats survived)
+    store.append(Seq(pe("tmp-1", "t3")))
+    val nums = store.read().where(col("stream_id") === "tmp-1")
+      .select("event_number").collect().map(_.getLong(0)).toSeq
+    assert(nums == Seq(2L))
+  }
+
+  test("$tmp temp streams are removed by incremental scavenge too") {
+    val store = freshStore()
+    store.append(Seq(
+      PendingEvent("tmp-1", "t1", "E", "{}", timestamp = ts("2024-04-01 10:00:00")),
+      PendingEvent("keep-1", "k1", "E", "{}", timestamp = ts("2024-04-01 11:00:00"))))
+    store.setMetadata("tmp-1", temp = Some(true))
+    val affected = store.scavengeIncremental()
+    assert(affected == Seq("p_date=2024-04-01"))
+    assert(store.read().where(col("stream_id") === "tmp-1").count() == 0)
+    assert(store.read().where(col("stream_id") === "keep-1").count() == 1)
+  }
+
   test("readAt is positional time travel; log files carry bloom filters") {
     val dir = Files.createTempDirectory("graftlog").toString
     val store = new EventLogStore(spark, dir)
