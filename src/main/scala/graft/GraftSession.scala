@@ -11,8 +11,9 @@ import org.apache.spark.sql.SparkSession
   * partitions matches the driver's bench environment. */
 object GraftSession {
   def builder(master: String = "local[32]",
-      shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+      shufflePartitions: Int = 32,
+      largeStreamingState: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -20,6 +21,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+    // SURVEY §7 "foreachStream over millions of streams in streaming mode":
+    // the RocksDB state store spills per-key projection state to local disk
+    // instead of holding every partition's state on the executor heap.
+    if (largeStreamingState)
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else b
+  }
 
   /** Create the session and register graft SQL functions
     * (`cosine_similarity`). */

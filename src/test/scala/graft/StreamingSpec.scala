@@ -143,6 +143,34 @@ class StreamingSpec extends SparkTestBase {
     assert(released == Seq(1L, 2L, 3L)) // in position order despite arrival order
   }
 
+  test("projection state runs on the RocksDB state store (large-state config)") {
+    // same-session override: set the provider for this query's checkpoint
+    val (store, dir) = newStore()
+    seed(store)
+    val s = spark; import s.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Subscriptions.projectionStream[Long](
+          Subscriptions.subscribeAll(spark, s"$dir/log")
+            .where(col("stream_id").startsWith("acct-")),
+          e => Some(e.stream_id), () => 0L, (n, _) => n + 1)
+        .writeStream.format("memory").queryName("rocksfold").outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("rockck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val counts = spark.sql("SELECT _1, _2 FROM rocksfold")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("acct-1" -> 2L, "acct-2" -> 1L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming exact dedup: cross-batch duplicates are dropped via state") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
