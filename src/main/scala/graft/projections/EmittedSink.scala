@@ -38,8 +38,9 @@ object EmittedSink {
     val fresh = pending
       .join(existing, col("event_id") === col("_eid"), "left_anti")
       .dropDuplicates("event_id")
-    if (fresh.isEmpty) 0L
-    // positions assigned in cause order → emitted streams replay stably
-    else store.appendBulk(fresh, orderBy = Seq("caused_by_position", "event_id"))
+    // positions assigned in cause order → emitted streams replay stably;
+    // an all-duplicate replay is a cheap no-op inside appendBulk (the
+    // lineage runs once against its persisted output)
+    store.appendBulk(fresh, orderBy = Seq("caused_by_position", "event_id"))
   }
 }

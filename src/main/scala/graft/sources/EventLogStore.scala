@@ -69,6 +69,13 @@ object EventLogStore {
     * (ClusterVNodeOptions.cs:156), max log record 16 MiB (TFConsts.cs:9). */
   val DefaultMaxAppendSizeBytes: Long = 1L * 1024 * 1024
   val MaxRecordSizeBytes: Long = 16L * 1024 * 1024
+
+  /** Read-result classification — the reference's ReadStreamResult
+    * {NoStream, StreamDeleted, Success} (IndexReader.cs:226-306). */
+  sealed trait StreamState
+  case object NoStream extends StreamState
+  case object StreamDeleted extends StreamState
+  final case class StreamOk(lastEventNumber: Long) extends StreamState
 }
 
 class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0) {
@@ -152,6 +159,18 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     * one). Pure predicate — pushes to the scan. */
   def readAt(position: Long): DataFrame =
     read().where(col("log_position") <= position)
+
+  /** Classify a stream read the way the reference does (NoStream /
+    * StreamDeleted / Success-with-last-number), answered from the stats
+    * table alone — no log scan. */
+  def streamState(streamId: String): EventLogStore.StreamState = {
+    val (_, lasts, tombstoned) = statsSnapshot(Seq(streamId))
+    if (tombstoned.contains(streamId)) EventLogStore.StreamDeleted
+    else lasts.get(streamId) match {
+      case Some(last) => EventLogStore.StreamOk(last)
+      case None => EventLogStore.NoStream
+    }
+  }
 
   /** Parquet options for log data writes: bloom filters on the point-
     * lookup columns — the analog of the reference's per-PTable blooms

@@ -202,6 +202,19 @@ class EventLogStoreSpec extends SparkTestBase {
     assert(reopened.read().count() == 2)
   }
 
+  test("streamState classifies NoStream / StreamDeleted / Ok(last) from stats") {
+    val store = freshStore()
+    assert(store.streamState("a-1") == EventLogStore.NoStream)
+    store.append(Seq(pe("a-1", "e1"), pe("a-1", "e2")))
+    assert(store.streamState("a-1") == EventLogStore.StreamOk(1L))
+    store.tombstone("a-1")
+    assert(store.streamState("a-1") == EventLogStore.StreamDeleted)
+    // soft delete is NOT StreamDeleted: recreatable, numbering continues
+    store.append(Seq(pe("b-1", "e3")))
+    store.softDelete("b-1")
+    assert(store.streamState("b-1") == EventLogStore.StreamOk(0L))
+  }
+
   test("$tmp temp streams: readable until scavenge, then physically removed") {
     val store = freshStore()
     store.append(Seq(pe("tmp-1", "t1"), pe("tmp-1", "t2"), pe("keep-1", "k1")))
