@@ -301,9 +301,17 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
       }
     }
 
-    // Tombstone check: appends to hard-deleted streams are forbidden
+    // Tombstone check: appends to hard-deleted streams are forbidden —
+    // including events that FOLLOW a tombstone inside this same batch
     fresh.find(e => tombstoned.contains(e.stream_id)).foreach { e =>
       throw new WrongExpectedVersionException(s"stream ${e.stream_id} is deleted")
+    }
+    val seenTomb = scala.collection.mutable.Set[String]()
+    fresh.foreach { e =>
+      if (seenTomb.contains(e.stream_id))
+        throw new WrongExpectedVersionException(
+          s"stream ${e.stream_id} is deleted earlier in this batch")
+      if (e.event_type == EventEnvelope.StreamDeletedEventType) seenTomb += e.stream_id
     }
 
     val now = new java.sql.Timestamp(System.currentTimeMillis())
@@ -371,6 +379,17 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
         .select("stream_id").limit(1).collect()
       bad.headOption.foreach { r =>
         throw new WrongExpectedVersionException(s"stream ${r.getString(0)} is deleted")
+      }
+      // the 16 MiB record ceiling applies to the bulk path too (cheap
+      // filter over the persisted output)
+      val oversize = out.where(
+        coalesce(length(col("data")), lit(0)).cast("long") +
+          coalesce(length(col("metadata")), lit(0)).cast("long") >
+          EventLogStore.MaxRecordSizeBytes)
+        .select("event_id").limit(1).collect()
+      oversize.headOption.foreach { r =>
+        throw new MaxAppendSizeExceededException(
+          s"event ${r.getString(0)} exceeds the 16 MiB record limit")
       }
       writeLayoutMarker()
       out.write.mode(SaveMode.Append).options(logWriteOptions)

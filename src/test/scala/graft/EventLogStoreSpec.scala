@@ -202,6 +202,21 @@ class EventLogStoreSpec extends SparkTestBase {
     assert(reopened.read().count() == 2)
   }
 
+  test("events after a tombstone in the same batch are rejected") {
+    val store = freshStore()
+    intercept[WrongExpectedVersionException] {
+      store.append(Seq(
+        pe("a-1", "e1"),
+        PendingEvent("a-1", "e2", "$streamDeleted", null),
+        pe("a-1", "e3"))) // append after in-batch tombstone
+    }
+    assert(store.read().count() == 0) // whole batch rejected, nothing committed
+    // tombstone LAST in the batch is fine (delete-after-write)
+    store.append(Seq(pe("a-1", "e1"),
+      PendingEvent("a-1", "e2", "$streamDeleted", null)))
+    assert(store.streamState("a-1") == EventLogStore.StreamDeleted)
+  }
+
   test("streamState classifies NoStream / StreamDeleted / Ok(last) from stats") {
     val store = freshStore()
     assert(store.streamState("a-1") == EventLogStore.NoStream)
