@@ -91,6 +91,39 @@ object Corpus {
       regexp_replace(regexp_replace(text, UrlPattern, " "), EmailPattern, " "),
       "\\s+", " "))
 
+  /** Select the highest-quality documents until a total token budget is
+    * reached — the "assemble an N-token corpus" step of a training
+    * pipeline. A naive implementation is one global sort by quality with a
+    * global running sum (single-partition window — dead at 100 TB). This
+    * runs in two parallel levels instead:
+    *
+    *  1. documents hash into coarse quality buckets (quality·1000 floor);
+    *     per-bucket token totals get a running sum over the ≤1001 bucket
+    *     rows (trivially small);
+    *  2. a per-BUCKET window (partitioned, parallel) orders docs by
+    *     (quality desc, id) within their bucket.
+    *
+    * keep ⇔ bucketPrefix + withinBucketCumulative <= budget — one uniform
+    * predicate: fully-selected buckets satisfy it for every doc, the
+    * cutoff bucket truncates mid-bucket, later buckets fail outright. */
+  def selectToTokenBudget(docs: DataFrame, budget: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol).as("id"),
+      TextFunctions.qualityScore(col(textCol)).as("quality"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("qb", floor(col("quality") * 1000).cast("long"))
+    val buckets = scored.groupBy(col("qb")).agg(sum(col("n_tokens")).as("_bt"))
+    val wb = Window.orderBy(col("qb").desc) // ≤1001 rows: tiny by construction
+    val prefixes = buckets.withColumn("_prefix",
+      coalesce(sum(col("_bt")).over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("qb"), col("_prefix"))
+    val wd = Window.partitionBy(col("qb")).orderBy(col("quality").desc, col("id"))
+    scored.join(broadcast(prefixes), "qb")
+      .withColumn("_cum", sum(col("n_tokens")).over(wd))
+      .where(col("_prefix") + col("_cum") <= budget)
+      .select(col("id"), col("quality"), col("n_tokens"))
+  }
+
   /** Within-document repetition signals (Gopher-style quality rules): for
     * each document, over its word n-grams — total count, fraction that are
     * duplicates (1 − distinct/total), and the share of the most frequent

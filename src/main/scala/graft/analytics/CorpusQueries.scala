@@ -79,6 +79,11 @@ object CorpusQueries extends QueryModule {
       .orderBy(col("id"))
   }
 
+  private def budgetQ(s: SparkSession, d: String): DataFrame =
+    Corpus.selectToTokenBudget(Tables.documents(s, d), budget = 8000)
+      .select(col("id"), round(col("quality"), 6).as("quality"), col("n_tokens"))
+      .orderBy(col("id"))
+
   private def quotaQ(s: SparkSession, d: String): DataFrame =
     Corpus.quotaSample(Tables.documents(s, d), perSourceCap = 20)
       .groupBy(col("source"))
@@ -94,7 +99,8 @@ object CorpusQueries extends QueryModule {
     "quota_sample" -> (quotaQ _),
     "tfidf_keywords" -> (tfidfQ _),
     "decontaminate" -> (decontamQ _),
-    "text_repetition" -> (repetitionQ _)
+    "text_repetition" -> (repetitionQ _),
+    "select_token_budget" -> (budgetQ _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -198,6 +204,30 @@ object CorpusQueries extends QueryModule {
         |  FROM common JOIN sizes ON sizes.id = common.id GROUP BY 1)
         |SELECT id, round(containment, 6) AS containment
         |FROM cont WHERE containment >= 0.8 ORDER BY id""".stripMargin,
+    "select_token_budget" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id AS id,
+        |    least(CAST(len($W) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |    + greatest(1.0 - (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 10.0, 0.0) * 0.3
+        |    + least((CAST(len(list_filter($W, t -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','it','that'], t))) AS DOUBLE) / len($W)) * 5.0, 1.0) * 0.2
+        |    + greatest(1.0 - abs(CAST(list_sum(list_transform($W, w -> length(w))) AS DOUBLE) / len($W) - 5.0) / 5.0, 0.0) * 0.2
+        |    AS quality,
+        |    CAST(len($W) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT *, CAST(floor(quality * 1000) AS BIGINT) AS qb FROM scored),
+        |buckets AS (SELECT qb, CAST(sum(n_tokens) AS BIGINT) AS bt FROM b GROUP BY 1),
+        |prefixes AS (
+        |  SELECT qb, CAST(coalesce(sum(bt) OVER (ORDER BY qb DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+        |  FROM buckets),
+        |cum AS (
+        |  SELECT b.id, b.quality, b.n_tokens, p.prefix,
+        |    CAST(sum(b.n_tokens) OVER (PARTITION BY b.qb ORDER BY b.quality DESC, b.id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM b JOIN prefixes p ON b.qb = p.qb)
+        |SELECT id, round(quality, 6) AS quality, n_tokens
+        |FROM cum WHERE prefix + c <= 8000 ORDER BY id""".stripMargin,
     "quota_sample" ->
       s"""WITH scored AS (
         |  SELECT doc_id, source, CAST(len($W) AS BIGINT) AS n_tokens,

@@ -91,6 +91,25 @@ class CorpusSpec extends SparkTestBase {
     assert(stats(2L)._1 > 0.8 && stats(2L)._2 == 1.0) // one gram repeated 6x
   }
 
+  test("selectToTokenBudget equals the naive global-sort selection") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    val budget = 3000L
+    val selected = Corpus.selectToTokenBudget(docs, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(selected.map(_._2).sum <= budget)
+    // reference: sort ALL docs by (quality desc, id), take while cum <= budget
+    val naive = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expect = naive.takeWhile { case (_, _, n) => { cum += n; cum <= budget } }
+      .map(_._1).toSet
+    assert(selected.map(_._1).toSet == expect)
+  }
+
   test("decontaminate flags eval copies, not unrelated docs") {
     val s = spark; import s.implicits._
     val corpus = Seq(
