@@ -198,6 +198,22 @@ object Corpus {
       .select(col("id"), col("rank"), col("tok"), col("score"))
   }
 
+  /** Weighted source mixing: sample each source at its configured rate,
+    * deterministically (hash-mod gate keyed by doc id — reproducible
+    * across runs and engines, no RNG state, pushes to the scan as a plain
+    * predicate). Sources absent from `rates` default to `defaultRate`.
+    * The rate-based counterpart of [[quotaSample]]'s top-k mixing. */
+  def mixSources(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 1.0, idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    docs.where(
+      pmod(TextFunctions.hash60(col(idCol).cast("string")), lit(1000000L)) <
+        (rate * 1000000.0).cast("long"))
+  }
+
   /** Per-source quota sampling (training-data mixing): keep the top
     * `perSourceCap` documents of every source by quality score (ties by
     * id). A bounded per-group top-k window — shuffles one row per document

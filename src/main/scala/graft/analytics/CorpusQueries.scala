@@ -79,6 +79,12 @@ object CorpusQueries extends QueryModule {
       .orderBy(col("id"))
   }
 
+  private def mixQ(s: SparkSession, d: String): DataFrame =
+    Corpus.mixSources(Tables.documents(s, d),
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2), defaultRate = 0.1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
   private def budgetQ(s: SparkSession, d: String): DataFrame =
     Corpus.selectToTokenBudget(Tables.documents(s, d), budget = 8000)
       .select(col("id"), round(col("quality"), 6).as("quality"), col("n_tokens"))
@@ -100,7 +106,8 @@ object CorpusQueries extends QueryModule {
     "tfidf_keywords" -> (tfidfQ _),
     "decontaminate" -> (decontamQ _),
     "text_repetition" -> (repetitionQ _),
-    "select_token_budget" -> (budgetQ _)
+    "select_token_budget" -> (budgetQ _),
+    "mix_sources" -> (mixQ _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -204,6 +211,13 @@ object CorpusQueries extends QueryModule {
         |  FROM common JOIN sizes ON sizes.id = common.id GROUP BY 1)
         |SELECT id, round(containment, 6) AS containment
         |FROM cont WHERE containment >= 0.8 ORDER BY id""".stripMargin,
+    "mix_sources" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        |  < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |          WHEN 'src2' THEN 0.2 ELSE 0.1 END) * 1000000.0 AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "select_token_budget" ->
       s"""WITH scored AS (
         |  SELECT doc_id AS id,
