@@ -91,6 +91,18 @@ class CorpusSpec extends SparkTestBase {
     assert(stats(2L)._1 > 0.8 && stats(2L)._2 == 1.0) // one gram repeated 6x
   }
 
+  test("mixSources: rate 1.0 keeps everything, 0.0 drops everything, runs are identical") {
+    val docs = Tables.documents(spark, sf)
+    val src0Count = docs.where(col("source") === "src0").count()
+    val mixed = Corpus.mixSources(docs, Map("src0" -> 1.0), defaultRate = 0.0)
+    assert(mixed.count() == src0Count)
+    assert(mixed.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("src0"))
+    // deterministic: identical selection across runs
+    val again = Corpus.mixSources(docs, Map("src0" -> 1.0), defaultRate = 0.0)
+    assert(mixed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("selectToTokenBudget equals the naive global-sort selection") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, sf)
