@@ -209,9 +209,14 @@ object Corpus {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
       when(col(sourceCol) === src, lit(r)).otherwise(acc)
     }
+    // round() the per-mille threshold on BOTH engines: Spark's double→long
+    // cast truncates toward zero while DuckDB's CAST rounds, so a rate
+    // whose double product lands just under an integer (0.3*1e6 =
+    // 299999.99999…) would otherwise gate differently per engine for docs
+    // hashing exactly onto the boundary.
     docs.where(
       pmod(TextFunctions.hash60(col(idCol).cast("string")), lit(1000000L)) <
-        (rate * 1000000.0).cast("long"))
+        round(rate * 1000000.0).cast("long"))
   }
 
   /** Per-source quota sampling (training-data mixing): keep the top

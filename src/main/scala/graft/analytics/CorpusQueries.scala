@@ -81,7 +81,7 @@ object CorpusQueries extends QueryModule {
 
   private def mixQ(s: SparkSession, d: String): DataFrame =
     Corpus.mixSources(Tables.documents(s, d),
-        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2), defaultRate = 0.1)
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.3), defaultRate = 0.1)
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
@@ -121,7 +121,7 @@ object CorpusQueries extends QueryModule {
         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
         |  FROM d)
-        |SELECT shard, start // 256 AS seq, CAST(count(*) AS BIGINT) AS n_docs,
+        |SELECT shard, CAST(start // 256 AS BIGINT) AS seq, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(id) AS first_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "chunk_documents" ->
@@ -215,8 +215,8 @@ object CorpusQueries extends QueryModule {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
-        |  < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
-        |          WHEN 'src2' THEN 0.2 ELSE 0.1 END) * 1000000.0 AS BIGINT)
+        |  < CAST(round((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |          WHEN 'src2' THEN 0.3 ELSE 0.1 END) * 1000000.0) AS BIGINT)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "select_token_budget" ->
       s"""WITH scored AS (

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import graft.model.EventEnvelope
+
+/** Stream ACLs — read-time access control (SURVEY.md §2 gap item).
+  *
+  * Reference: StreamAcl (src/EventStore.Core/Data/StreamAcl.cs:11) parsed
+  * from the `$acl` key of stream metadata (SystemMetadata keys `$r`/`$w`/
+  * `$d`/`$mr`/`$mw`), enforced before every read in StorageReaderWorker.
+  * Role values may be a single string or an array of strings; `$all` grants
+  * everyone, `$admins` bypasses all checks. Streams without an explicit
+  * ACL fall back to the system defaults: user streams readable by anyone,
+  * `$`-system streams by `$admins` only (SystemSettings defaults).
+  *
+  * Spark-first shape: ACLs are one row per stream with an explicit `$acl`
+  * (≪ streams ≪ events), broadcast-joined into the scan — enforcement
+  * costs one broadcast hash join, never a shuffle of the log.
+  */
+object Acl {
+
+  /** Parse `$acl` role lists out of metastream rows (`$$<stream>`); latest
+    * metadata event per stream wins, mirroring Retention.metadataFromLog.
+    * Output: stream_id + one array column per ACL slot (null = slot not
+    * set → default applies). */
+  def aclFromLog(log: DataFrame): DataFrame = {
+    val latest = log.where(col("stream_id").startsWith(EventEnvelope.MetastreamPrefix))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stream_id")).orderBy(col("event_number").desc)))
+      .where(col("_rn") === 1)
+    latest.select(
+      expr("substring(stream_id, 3)").as("stream_id"),
+      rolesOf(col("data"), "r").as("read_roles"),
+      rolesOf(col("data"), "w").as("write_roles"),
+      rolesOf(col("data"), "d").as("delete_roles"),
+      rolesOf(col("data"), "mr").as("meta_read_roles"),
+      rolesOf(col("data"), "mw").as("meta_write_roles"))
+  }
+
+  /** One ACL slot: accepts the reference's single-string or array JSON
+    * forms (`"$r": "ouro"` and `"$r": ["ouro","readers"]` both parse). */
+  private def rolesOf(data: Column, key: String): Column = {
+    val raw = get_json_object(data, s"$$.$$acl.$$$key")
+    when(raw.startsWith("["), from_json(raw, ArrayType(StringType)))
+      .otherwise(when(raw.isNotNull, array(raw)))
+  }
+
+  /** Filter a log read down to what `principal` (with `roles`) may see.
+    * `aclCol` picks the slot to enforce ("read_roles" for reads). Admins
+    * bypass; explicit ACLs grant by overlap with {principal, roles, $all};
+    * absent ACLs fall back to the defaults (user streams open, system
+    * streams admin-only). */
+  def applyAcl(log: DataFrame, acls: DataFrame, principal: String,
+      roles: Seq[String] = Nil, aclCol: String = "read_roles"): DataFrame = {
+    val who = (principal +: roles).distinct
+    if (who.contains("$admins")) return log
+    val whoArr = array((who :+ "$all").map(lit): _*)
+    val side = acls.select(col("stream_id"), col(aclCol).as("_acl_roles"))
+    log.join(broadcast(side), Seq("stream_id"), "left")
+      .where(
+        when(col("_acl_roles").isNotNull, arrays_overlap(col("_acl_roles"), whoArr))
+          .otherwise(!col("stream_id").startsWith(EventEnvelope.SystemPrefix)))
+      .drop("_acl_roles")
+  }
+
+  /** Read-with-ACLs in one call: parse the log's own metastreams and
+    * enforce the read slot — the shape of the reference's every-read check. */
+  def readAs(log: DataFrame, principal: String, roles: Seq[String] = Nil): DataFrame =
+    applyAcl(log.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix)),
+      aclFromLog(log), principal, roles)
+
+  /** Set an `$acl` on a stream via the store's metadata stream (helper for
+    * tests and ingest tooling; slots with None are left unset). */
+  def aclJson(read: Option[Seq[String]] = None, write: Option[Seq[String]] = None,
+      delete: Option[Seq[String]] = None, metaRead: Option[Seq[String]] = None,
+      metaWrite: Option[Seq[String]] = None): String = {
+    def slot(k: String, v: Option[Seq[String]]) =
+      v.map(rs => s""""$$$k":${rs.map(r => s""""$r"""").mkString("[", ",", "]")}""")
+    val slots = Seq(slot("r", read), slot("w", write), slot("d", delete),
+      slot("mr", metaRead), slot("mw", metaWrite)).flatten
+    s"""{"$$acl":{${slots.mkString(",")}}}"""
+  }
+}

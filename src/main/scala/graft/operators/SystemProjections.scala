@@ -86,12 +86,40 @@ object SystemProjections {
   * StorageReaderWorker.cs:676-723. A link's body is `"{eventNumber}@{streamId}"`. */
 object Links {
 
-  /** Build link rows pointing at `events`, targeting stream `toStream`. */
-  def linkTo(events: DataFrame, toStream: String): DataFrame =
-    events.select(
+  /** Build link rows pointing at `events`, targeting stream `toStream`.
+    * Event numbers are assigned by a distributed range-sort + zipWithIndex
+    * (the appendBulk pattern) — NOT a single-partition window, so building
+    * a `$ce-`-sized link stream never serializes the category through one
+    * task. */
+  def linkTo(events: DataFrame, toStream: String): DataFrame = {
+    val spark = events.sparkSession
+    val sorted = events.select(
+      col("event_number").as("_src_number"),
+      col("stream_id").as("_src_stream"),
+      col("log_position")).orderBy(col("log_position"))
+    val schema = sorted.schema
+    val withIdx = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema.add("event_number", "long"))
+    withIdx.select(
       lit(toStream).as("stream_id"),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy().orderBy(col("log_position"))).cast("long") .minus(1L).as("event_number"),
+      col("event_number"),
+      lit(EventEnvelope.LinkEventType).as("event_type"),
+      concat(col("_src_number").cast("string"), lit("@"), col("_src_stream")).as("data"),
+      col("log_position").as("caused_by_position"))
+  }
+
+  /** Multi-target variant: `targetCol` names the link stream per row (the
+    * shape of `$by_category`'s many `$ce-*` streams built in one pass).
+    * Numbering is per target stream — a window PARTITIONED by target, which
+    * shuffles once on the natural key and never funnels to one task. */
+  def linkToEach(events: DataFrame, targetCol: Column): DataFrame =
+    events.select(
+      targetCol.as("stream_id"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(targetCol).orderBy(col("log_position"))).cast("long") - 1L)
+        .as("event_number"),
       lit(EventEnvelope.LinkEventType).as("event_type"),
       concat(col("event_number").cast("string"), lit("@"), col("stream_id")).as("data"),
       col("log_position").as("caused_by_position"))

@@ -86,6 +86,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
   private def statsExists: Boolean = new java.io.File(statsDir).exists()
 
   recoverInterruptedScavenge()
+  recoverInterruptedAppend()
 
   /** Stream-hash bucket count (0 = unbucketed). Bucketing partitions the
     * log by (p_date, p_bucket = hash(stream_id) mod N), so a single-stream
@@ -162,14 +163,33 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
 
   /** Classify a stream read the way the reference does (NoStream /
     * StreamDeleted / Success-with-last-number), answered from the stats
-    * table alone — no log scan. */
+    * table plus a point lookup of the stream's metastream: a fully
+    * truncated stream ($tb > last, which is what softDelete writes) reads
+    * as NoStream until a recreation append moves `last` past the truncate
+    * point — IndexReader.cs:226-306 TruncateBefore handling. */
   def streamState(streamId: String): EventLogStore.StreamState = {
     val (_, lasts, tombstoned) = statsSnapshot(Seq(streamId))
     if (tombstoned.contains(streamId)) EventLogStore.StreamDeleted
     else lasts.get(streamId) match {
-      case Some(last) => EventLogStore.StreamOk(last)
+      case Some(last) =>
+        if (truncateBeforeOf(streamId).exists(_ > last)) EventLogStore.NoStream
+        else EventLogStore.StreamOk(last)
       case None => EventLogStore.NoStream
     }
+  }
+
+  /** Latest `$tb` of a stream's metastream, if any — a point lookup
+    * (stream + bucket pruned, bounded by the metastream's length). */
+  private def truncateBeforeOf(streamId: String): Option[Long] = {
+    if (!exists) return None
+    val metaStream = EventEnvelope.MetastreamPrefix + streamId
+    val base = read().where(col("stream_id") === metaStream)
+    val pruned =
+      if (bucketed) base.where(col("p_bucket") === bucketFor(metaStream)) else base
+    pruned.orderBy(col("event_number").desc)
+      .select(get_json_object(col("data"), "$.$tb").cast("long"))
+      .limit(1).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
   }
 
   /** Parquet options for log data writes: bloom filters on the point-
@@ -248,7 +268,69 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
       .toDF("stream_id", "last_event_number", "tombstoned", "max_log_position")
       .coalesce(1).write.mode(SaveMode.Append).parquet(statsDir)
 
+  // --------------------------------------------- append crash-consistency
+
+  private def appendMarker = Paths.get(s"$path/append_pending")
+
+  /** Arm the commit marker before the log write of an append; disarmed only
+    * after the matching stats write lands. A crash in between leaves the
+    * marker, and [[recoverInterruptedAppend]] reconciles on next open —
+    * without it, stats' max_log_position lags the log and the next append
+    * would re-issue already-used log_positions (the durability analog of
+    * the scavenge markers; the reference's log is commit-record-atomic). */
+  private def armAppendMarker(): Unit = {
+    Files.createDirectories(Paths.get(path))
+    if (!Files.exists(appendMarker)) Files.write(appendMarker, Array.emptyByteArray)
+  }
+  private def disarmAppendMarker(): Unit = Files.deleteIfExists(appendMarker)
+
+  /** Repair a crash between an append's log write and its stats write:
+    * marker present → compare stats' recorded max position against the
+    * log's actual max (one scan, paid only after a crash) and append
+    * catch-up stats deltas for the tail the stats table missed. */
+  private def recoverInterruptedAppend(): Unit = {
+    if (!Files.exists(appendMarker)) return
+    if (exists && statsExists) {
+      val statsMax = spark.read.parquet(statsDir)
+        .agg(max("max_log_position")).collect()(0) match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+      val logMax = read().agg(max("log_position")).collect()(0) match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+      if (logMax > statsMax) {
+        read().where(col("log_position") > statsMax)
+          .groupBy(col("stream_id"))
+          .agg(
+            max(col("event_number")).as("last_event_number"),
+            max(col("event_type") === EventEnvelope.StreamDeletedEventType).as("tombstoned"))
+          .withColumn("max_log_position", lit(logMax))
+          .coalesce(1).write.mode(SaveMode.Append).parquet(statsDir)
+        refreshListings()
+      }
+    }
+    disarmAppendMarker()
+  }
+
   // --------------------------------------------------------------- append
+
+  /** The append path's idempotency probe: which of `batchIds` already exist
+    * in the target streams' slice of the log. A distributed left-semi join
+    * (batch ids broadcast); the log side is stream- and bucket-pruned and
+    * bloom-filtered on event_id. At most |batchIds| rows ever leave the
+    * executors. Exposed for PlanSpec, which pins the no-driver-collect
+    * shape. */
+  private[graft] def duplicateIdProbe(batchIds: Seq[String],
+      targetStreams: Seq[String]): DataFrame = {
+    val ids = batchIds.toDF("event_id")
+    val slice0 = read().where(col("stream_id").isin(targetStreams: _*))
+    val slice = if (bucketed)
+      slice0.where(col("p_bucket").isin(targetStreams.map(bucketFor).distinct: _*))
+    else slice0
+    slice.join(broadcast(ids), Seq("event_id"), "left_semi").select("event_id")
+  }
 
   /** Append a batch of events. `expected` maps stream -> expected version
     * (ExpectedVersion.Any if absent). Returns count actually appended
@@ -272,15 +354,19 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     val targetStreams = events.map(_.stream_id).distinct
     val (maxPos, lastByStream, tombstoned) = statsSnapshot(targetStreams)
 
-    // Idempotency FIRST: drop events whose event_id already exists (bounded
-    // lookup: only streams being appended to), then in-batch dedup. A batch
-    // that is entirely already-committed is an idempotent success — version
-    // checks are skipped, mirroring the reference's idempotent-write path.
-    val existingIds: Set[String] = if (exists)
-      read().where(col("stream_id").isin(targetStreams: _*))
-        .select("event_id").as[String].collect().toSet
-      else Set.empty
-    val fresh = events.filterNot(e => existingIds.contains(e.event_id))
+    // Idempotency FIRST: drop events whose event_id already exists, then
+    // in-batch dedup. A batch that is entirely already-committed is an
+    // idempotent success — version checks are skipped, mirroring the
+    // reference's idempotent-write path. The duplicate check is a
+    // DISTRIBUTED semi-join of the log slice (stream + bucket pruned,
+    // bloom-filtered on event_id) against the broadcast batch ids; only the
+    // ids found to be duplicates come back to the driver, so driver memory
+    // is bounded by the 1 MiB batch — never by stream length.
+    val dupIds: Set[String] = if (exists)
+      duplicateIdProbe(events.map(_.event_id).distinct, targetStreams)
+        .as[String].collect().toSet
+    else Set.empty
+    val fresh = events.filterNot(e => dupIds.contains(e.event_id))
       .distinctBy(_.event_id)
     if (fresh.isEmpty) return 0L
 
@@ -332,6 +418,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
       rows.toDF("stream_id", "event_number", "event_id", "event_type",
         "timestamp", "log_position", "correlation_id", "is_json", "data", "metadata"))
     writeLayoutMarker()
+    armAppendMarker()
     df.repartition(1)
       .sortWithinPartitions(col("stream_id"), col("event_number"))
       .write.mode(SaveMode.Append).options(logWriteOptions)
@@ -340,6 +427,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     writeStatsRows(
       touched.map(s => (s, perStream(s), nowTomb.contains(s))),
       maxPos + fresh.size)
+    disarmAppendMarker()
     fresh.size.toLong
   }
 
@@ -392,6 +480,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
           s"event ${r.getString(0)} exceeds the 16 MiB record limit")
       }
       writeLayoutMarker()
+      armAppendMarker()
       out.write.mode(SaveMode.Append).options(logWriteOptions)
         .partitionBy(partitionCols: _*).parquet(logDir)
       val statsUpdate = out.groupBy(col("stream_id"))
@@ -400,6 +489,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
           max(col("event_type") === EventEnvelope.StreamDeletedEventType).as("tombstoned"))
         .withColumn("max_log_position", lit(maxPos + n))
       statsUpdate.coalesce(1).write.mode(SaveMode.Append).parquet(statsDir)
+      disarmAppendMarker()
       n
     } finally out.unpersist()
   }

@@ -115,10 +115,19 @@ class PersistentGroup(
     val cur = cursor()
     val visible = store.readRetained()
       .where(sourceFilter && !col("stream_id").startsWith("$"))
+    // Any position in the retry ledger is delivered ONLY via the ledger
+    // join (with its failed-delivery count) — the anti-join below makes a
+    // crash between the ledger swap and the checkpoint append safe: on the
+    // next pass a ledgered event beyond the stale cursor would otherwise
+    // ALSO arrive through `fresh` with retry_count 0 and be double-
+    // delivered (and double-parked under a new generation id).
+    val ledger = retryLedger()
     val fresh = toEventsWithRc(
-      visible.where(col("log_position") > cur).withColumn("retry_count", lit(0)))
+      visible.where(col("log_position") > cur)
+        .join(broadcast(ledger.select(col("log_position"))), Seq("log_position"), "left_anti")
+        .withColumn("retry_count", lit(0)))
     val retries = toEventsWithRc(
-      visible.join(broadcast(retryLedger()), Seq("log_position")))
+      visible.join(broadcast(ledger), Seq("log_position")))
     val input = fresh.union(retries)
 
     // Eagerly materialize and SEVER LINEAGE before any mutation: parking,

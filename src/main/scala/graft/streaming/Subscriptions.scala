@@ -30,13 +30,38 @@ final case class ReorderBuffer(pending: Seq[LogEvent], highWater: Long)
   */
 object Subscriptions {
 
-  /** SUB2: subscribe to $all with an optional server-side filter. */
+  /** Streaming read schema for a log dir: taken from the files already on
+    * disk when any exist (so a bucketed log's `p_bucket` partition column
+    * comes through), else from the store's layout marker, else the
+    * unbucketed default. */
+  private[graft] def logSchema(spark: SparkSession,
+      logDir: String): org.apache.spark.sql.types.StructType = {
+    val dir = new java.io.File(logDir)
+    if (dir.exists())
+      try return spark.read.parquet(logDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    val base = EventEnvelope.schema.add("p_date", "date")
+    val layout = new java.io.File(dir.getParentFile, "layout.json")
+    val bucketed = layout.exists() && {
+      val s = new String(java.nio.file.Files.readAllBytes(layout.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      "\"num_buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .exists(_.group(1).toInt > 0)
+    }
+    if (bucketed) base.add("p_bucket", "int") else base
+  }
+
+  /** SUB2: subscribe to $all with an optional server-side filter and an
+    * explicit start position — the reference's filtered $all subscription
+    * takes a start TFPos (Enumerator.AllSubscriptionFiltered.cs); events at
+    * or before `fromPosition` are excluded (new subscriber starting at P,
+    * distinct from checkpoint-restart which streaming offsets cover). */
   def subscribeAll(spark: SparkSession, logDir: String,
-      filter: Column = lit(true)): DataFrame =
+      filter: Column = lit(true), fromPosition: Long = -1L): DataFrame =
     spark.readStream
-      .schema(EventEnvelope.schema.add("p_date", "date"))
+      .schema(logSchema(spark, logDir))
       .parquet(logDir)
-      .where(filter)
+      .where(filter && col("log_position") > fromPosition)
 
   /** SUB1: subscribe to one stream from a given event number. */
   def subscribeStream(spark: SparkSession, logDir: String, streamId: String,
@@ -121,15 +146,17 @@ object Subscriptions {
     buf.pending.sortBy(_.log_position)
 
   /** Streaming exact dedup: keep the first arrival per fingerprint across
-    * micro-batches (state-store backed `dropDuplicates`). With a watermark
-    * on `tsCol`, state for fingerprints older than the delay is evicted,
-    * bounding the store — the streaming face of `Dedup.exact` for
-    * continuous corpus ingestion. */
+    * micro-batches. `dropDuplicatesWithinWatermark` ties state eviction to
+    * the watermark on `tsCol` (plain `dropDuplicates("_fp")` would never
+    * evict — the event-time column isn't in the key set — and state would
+    * grow without bound on continuous ingestion). Duplicates arriving
+    * within the watermark delay of the first sighting are dropped; bounded
+    * state is the contract — the streaming face of `Dedup.exact`. */
   def dedupStream(docs: DataFrame, fingerprintCol: Column, tsCol: String,
       delay: String): DataFrame =
     docs.withColumn("_fp", fingerprintCol)
       .withWatermark(tsCol, delay)
-      .dropDuplicates("_fp")
+      .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
   /** SUB3 parking: write each micro-batch with a dead-letter path. Rows the

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Acl
+import graft.sources.{EventLogStore, PendingEvent}
+
+/** Stream ACLs: `$acl` parse + read-time enforcement
+  * (StreamAcl.cs:11; StorageReaderWorker pre-read check). */
+class AclSpec extends SparkTestBase {
+
+  private def store(): EventLogStore = {
+    val s = new EventLogStore(spark, Files.createTempDirectory("graftacl").toString)
+    s.append(Seq(
+      PendingEvent("open-1", "e1", "E", "{}"),
+      PendingEvent("secret-1", "e2", "E", "{}"),
+      PendingEvent("secret-1", "e3", "E", "{}"),
+      PendingEvent("team-1", "e4", "E", "{}")))
+    // $acl via the metastream, both array and single-string forms
+    s.append(Seq(PendingEvent("$$secret-1", "m1", "$metadata",
+      Acl.aclJson(read = Some(Seq("auditors", "ouro"))))))
+    s.append(Seq(PendingEvent("$$team-1", "m2", "$metadata",
+      """{"$acl":{"$r":"team"}}""")))
+    s
+  }
+
+  test("aclFromLog parses array and single-string role forms; latest wins") {
+    val s = store()
+    val acls = Acl.aclFromLog(s.read()).collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[String](1)).map(_.toSet))
+      .toMap
+    assert(acls("secret-1").contains(Set("auditors", "ouro")))
+    assert(acls("team-1").contains(Set("team")))
+    // overwrite: a later metadata event replaces the ACL
+    s.append(Seq(PendingEvent("$$team-1", "m3", "$metadata",
+      """{"$acl":{"$r":["team","leads"]}}""")))
+    val acls2 = Acl.aclFromLog(s.read()).collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[String](1)).map(_.toSet))
+      .toMap
+    assert(acls2("team-1").contains(Set("team", "leads")))
+  }
+
+  test("readAs filters by the read slot: grant, deny, $all, $admins bypass") {
+    val s = store()
+    def visible(principal: String, roles: Seq[String] = Nil): Set[String] =
+      Acl.readAs(s.read(), principal, roles)
+        .select("stream_id").distinct().collect().map(_.getString(0)).toSet
+    // no ACL -> default open for user streams; explicit ACL denies outsiders
+    assert(visible("alice") == Set("open-1"))
+    // role grant and principal-name grant
+    assert(visible("bob", Seq("auditors")) == Set("open-1", "secret-1"))
+    assert(visible("ouro") == Set("open-1", "secret-1"))
+    assert(visible("carol", Seq("team")) == Set("open-1", "team-1"))
+    // admins see everything (including unprotected system streams)
+    val admin = visible("dave", Seq("$admins"))
+    assert(Set("open-1", "secret-1", "team-1").subsetOf(admin))
+  }
+
+  test("$all in a read ACL grants everyone; system streams default to admins") {
+    val s = store()
+    s.append(Seq(PendingEvent("$$secret-1", "m4", "$metadata",
+      """{"$acl":{"$r":["$all"]}}""")))
+    val vis = Acl.readAs(s.read(), "nobody")
+      .select("stream_id").distinct().collect().map(_.getString(0)).toSet
+    assert(vis.contains("secret-1"))
+    // a synthetic $-stream is hidden from non-admins by the system default
+    s.append(Seq(PendingEvent("$sys-audit", "m5", "Audit", "{}")))
+    val vis2 = Acl.readAs(s.read(), "nobody")
+      .select("stream_id").distinct().collect().map(_.getString(0)).toSet
+    assert(!vis2.contains("$sys-audit"))
+    val vis3 = Acl.readAs(s.read(), "root", Seq("$admins"))
+      .select("stream_id").distinct().collect().map(_.getString(0)).toSet
+    assert(vis3.contains("$sys-audit"))
+  }
+}

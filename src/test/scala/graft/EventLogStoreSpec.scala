@@ -224,10 +224,49 @@ class EventLogStoreSpec extends SparkTestBase {
     assert(store.streamState("a-1") == EventLogStore.StreamOk(1L))
     store.tombstone("a-1")
     assert(store.streamState("a-1") == EventLogStore.StreamDeleted)
-    // soft delete is NOT StreamDeleted: recreatable, numbering continues
+    // soft delete is NOT StreamDeleted: it reads as NoStream ($tb > last,
+    // IndexReader.cs:226-306) until a recreation append, after which the
+    // stream is Ok and numbering continued past the truncate point
     store.append(Seq(pe("b-1", "e3")))
     store.softDelete("b-1")
-    assert(store.streamState("b-1") == EventLogStore.StreamOk(0L))
+    assert(store.streamState("b-1") == EventLogStore.NoStream)
+    store.append(Seq(pe("b-1", "e4")))
+    assert(store.streamState("b-1") == EventLogStore.StreamOk(1L))
+  }
+
+  test("append crash between log and stats writes is reconciled on reopen") {
+    val dir = Files.createTempDirectory("graftcrash").toString
+    val store = new EventLogStore(spark, dir)
+    store.append(Seq(pe("a-1", "e1"), pe("a-1", "e2")))
+    // snapshot the stats table, append more, then restore the stale stats
+    // with the commit marker still armed — byte-for-byte the on-disk state
+    // of a crash between an append's log write and its stats write
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+    }
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmDir); f.delete()
+    }
+    val statsPath = java.nio.file.Paths.get(s"$dir/stats")
+    val saved = Files.createTempDirectory("statscopy")
+    copyDir(statsPath, saved)
+    store.append(Seq(pe("a-1", "e3"), pe("b-1", "e4"))) // positions 2, 3
+    rmDir(statsPath.toFile)
+    Files.createDirectories(statsPath)
+    copyDir(saved, statsPath)
+    Files.write(java.nio.file.Paths.get(s"$dir/append_pending"), Array.emptyByteArray)
+    spark.catalog.refreshByPath(s"$dir/stats")
+
+    val reopened = new EventLogStore(spark, dir) // recovery runs here
+    reopened.append(Seq(pe("c-1", "e5")))
+    val positions = reopened.read().select("log_position")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(positions == Seq(0L, 1L, 2L, 3L, 4L), s"positions=$positions")
+    assert(reopened.streamState("b-1") == EventLogStore.StreamOk(0L))
   }
 
   test("$tmp temp streams: readable until scavenge, then physically removed") {

@@ -134,4 +134,42 @@ class PlanSpec extends SparkTestBase {
       graft.analytics.Corpus.tfIdfKeywords(docs, k = 3, n = 50))
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
+
+  test("append idempotency probe is a distributed semi-join, ids broadcast") {
+    val df = store.duplicateIdProbe(Seq("e1", "e2", "zz"), Seq("acct-1", "acct-2"))
+    val plan = executedPlan(df)
+    // the probe's shape: log-side scan semi-joined against the broadcast
+    // batch ids — the driver only ever receives found duplicates, never the
+    // streams' full id sets
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(1500))
+    assert(!plan.contains("CollectLimit"), plan.take(1500))
+    assert(plan.contains("In(stream_id") || plan.contains("stream_id IN"),
+      plan.take(2000))
+  }
+
+  test("Links.linkTo numbers links without a single-partition window") {
+    val links = graft.operators.Links.linkTo(
+      store.read().where(col("stream_id") === "acct-1"), "$ce-acct")
+    val plan = executedPlan(links)
+    assert(!plan.contains("Window"), plan.take(1500))
+    // numbering must still be 0-based, dense, in log order
+    val rows = links.orderBy("event_number")
+      .select("event_number", "caused_by_position").collect()
+    assert(rows.map(_.getLong(0)).toSeq == rows.indices.map(_.toLong).toSeq)
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sorted.toSeq)
+  }
+
+  test("Links.linkToEach windows per target stream, never one global task") {
+    val links = graft.operators.Links.linkToEach(store.read(),
+      concat(lit("$ce-"), substring_index(col("stream_id"), "-", 1)))
+    val plan = executedPlan(links)
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+    val perStream = links.groupBy("stream_id")
+      .agg(min("event_number").as("mn"), max("event_number").as("mx"),
+        count(lit(1)).as("n")).collect()
+    perStream.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == r.getLong(3) - 1)
+    }
+  }
 }

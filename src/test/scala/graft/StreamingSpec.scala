@@ -35,6 +35,20 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set("e1", "e2", "e3"))
   }
 
+  test("subscribeAll(fromPosition) starts mid-log on a bucketed store") {
+    val dir = Files.createTempDirectory("graftbsub").toString
+    val store = new EventLogStore(spark, dir, requestedBuckets = 4)
+    seed(store) // positions 0..3
+    val q = Subscriptions.subscribeAll(spark, s"$dir/log", fromPosition = 1L)
+      .writeStream.format("memory").queryName("submid")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT event_id, log_position, p_bucket FROM submid").collect()
+    // schema carries the bucketed layout's p_bucket; only positions > 1 flow
+    assert(rows.map(_.getString(0)).toSet == Set("e3", "e4"))
+    assert(rows.forall(!_.isNullAt(2)))
+  }
+
   test("SUB1: catch-up then live — a second append is picked up by the next trigger") {
     val (store, dir) = newStore()
     seed(store)
