@@ -28,6 +28,7 @@ object Registry {
     graft.operators.RetentionQueries,
     graft.operators.SystemProjectionQueries,
     graft.projections.ProjectionQueries,
+    graft.projections.js.JsProjectionQueries,
     graft.analytics.AnalyticsQueries,
     graft.analytics.CorpusQueries,
     graft.analytics.MultimodalQueries

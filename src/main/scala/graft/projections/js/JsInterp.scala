@@ -1,0 +1,520 @@
+package graft.projections.js
+
+import scala.collection.mutable
+
+/** Tree-walking evaluator for the projection JS subset (see JsValue.scala
+  * for why this exists). One instance per thread per compiled source —
+  * instances hold no cross-call state beyond the global environment, and
+  * all values they produce are plain serializable data.
+  *
+  * Deliberate restrictions (all absent from reference projection code):
+  * no `this` semantics (identifier `this` resolves like a normal binding),
+  * no prototypes, no Date/RegExp/random — handlers must stay deterministic
+  * for replay, exactly as the reference demands of projections. */
+final class JsInterp {
+
+  private final class BreakEx extends RuntimeException
+  private final class ContinueEx extends RuntimeException
+  private final class ReturnEx(val value: JsVal) extends RuntimeException
+
+  val globals: Env = new Env(None)
+  installStdlib(globals)
+
+  // ------------------------------------------------------------- driving
+
+  def run(program: Seq[Stmt], env: Env = globals): JsVal = {
+    var last: JsVal = JsUndef
+    program.foreach { s => last = execStmt(s, env) }
+    last
+  }
+
+  def callFunction(f: JsVal, args: Seq[JsVal]): JsVal = f match {
+    case JsNative(_, _, fn) => fn(args)
+    case JsFunc(params, body, closure) =>
+      val env = new Env(Some(closure))
+      params.zipWithIndex.foreach { case (name, i) =>
+        env.define(name, if (i < args.length) args(i) else JsUndef)
+      }
+      env.define("arguments", JsArr(mutable.ArrayBuffer(args: _*)))
+      try { run(body, env); JsUndef }
+      catch { case r: ReturnEx => r.value }
+    case other => throw new JsError(s"${JsVal.toStr(other)} is not a function")
+  }
+
+  // ---------------------------------------------------------- statements
+
+  private def execStmt(s: Stmt, env: Env): JsVal = s match {
+    case ExprStmt(e) => eval(e, env)
+    case VarDecl(decls) =>
+      decls.foreach { case (name, init) =>
+        env.define(name, init.map(eval(_, env)).getOrElse(JsUndef))
+      }
+      JsUndef
+    case FuncDecl(name, params, body) =>
+      env.define(name, JsFunc(params, body, env)); JsUndef
+    case Return(e) => throw new ReturnEx(e.map(eval(_, env)).getOrElse(JsUndef))
+    case Throw(e) => throw new JsThrown(eval(e, env))
+    case BreakStmt => throw new BreakEx
+    case ContinueStmt => throw new ContinueEx
+    case If(cond, thenS, elseS) =>
+      if (JsVal.bool(eval(cond, env))) runBlock(thenS, env)
+      else elseS.foreach(runBlock(_, env))
+      JsUndef
+    case While(cond, body) =>
+      while (JsVal.bool(eval(cond, env))) {
+        try runBlock(body, env)
+        catch {
+          case _: ContinueEx => ()
+          case _: BreakEx => return JsUndef
+        }
+      }
+      JsUndef
+    case For(init, cond, update, body) =>
+      val scope = new Env(Some(env))
+      init.foreach(execStmt(_, scope))
+      while (cond.forall(c => JsVal.bool(eval(c, scope)))) {
+        try runBlock(body, scope)
+        catch {
+          case _: ContinueEx => ()
+          case _: BreakEx => return JsUndef
+        }
+        update.foreach(eval(_, scope))
+      }
+      JsUndef
+    case ForIn(name, objE, body) =>
+      val scope = new Env(Some(env))
+      scope.define(name, JsUndef)
+      val keys: Seq[String] = eval(objE, scope) match {
+        case JsObj(fields) => fields.keys.toSeq
+        case JsArr(items) => items.indices.map(_.toString)
+        case _ => Seq.empty
+      }
+      keys.foreach { k =>
+        scope.define(name, JsStr(k))
+        try runBlock(body, scope)
+        catch {
+          case _: ContinueEx => ()
+          case _: BreakEx => return JsUndef
+        }
+      }
+      JsUndef
+  }
+
+  private def runBlock(body: Seq[Stmt], env: Env): Unit = {
+    val scope = new Env(Some(env))
+    body.foreach(execStmt(_, scope))
+  }
+
+  // --------------------------------------------------------- expressions
+
+  def eval(e: Expr, env: Env): JsVal = e match {
+    case NumLit(d) => JsNum(d)
+    case StrLit(s) => JsStr(s)
+    case BoolLit(b) => JsBool(b)
+    case NullLit => JsNull
+    case UndefLit => JsUndef
+    case Ident(name) =>
+      env.lookup(name).getOrElse(throw new JsError(s"$name is not defined"))
+    case FuncLit(params, body) => JsFunc(params, body, env)
+    case ObjLit(fields) =>
+      val m = mutable.LinkedHashMap.empty[String, JsVal]
+      fields.foreach { case (k, v) => m(k) = eval(v, env) }
+      JsObj(m)
+    case ArrLit(items) => JsArr(mutable.ArrayBuffer(items.map(eval(_, env)): _*))
+    case Member(objE, prop) => getProp(eval(objE, env), JsStr(prop), objE)
+    case Index(objE, idxE) => getProp(eval(objE, env), eval(idxE, env), objE)
+    case Cond(c, t, f) => if (JsVal.bool(eval(c, env))) eval(t, env) else eval(f, env)
+    case Logical("&&", l, r) =>
+      val lv = eval(l, env)
+      if (JsVal.bool(lv)) eval(r, env) else lv
+    case Logical("||", l, r) =>
+      val lv = eval(l, env)
+      if (JsVal.bool(lv)) lv else eval(r, env)
+    case Logical(op, _, _) => throw new JsError(s"bad logical op $op")
+    case Unary(op, operand) => op match {
+      case "!" => JsBool(!JsVal.bool(eval(operand, env)))
+      case "-" => JsNum(-JsVal.num(eval(operand, env)))
+      case "+" => JsNum(JsVal.num(eval(operand, env)))
+      case "typeof" =>
+        val v = operand match {
+          case Ident(name) => env.lookup(name).getOrElse(JsUndef)
+          case other => eval(other, env)
+        }
+        JsStr(JsVal.typeOf(v))
+      case "delete" => operand match {
+        case Member(objE, prop) =>
+          eval(objE, env) match {
+            case JsObj(fields) => JsBool(fields.remove(prop).isDefined)
+            case _ => JsBool(true)
+          }
+        case Index(objE, idxE) =>
+          (eval(objE, env), eval(idxE, env)) match {
+            case (JsObj(fields), key) => JsBool(fields.remove(JsVal.toStr(key)).isDefined)
+            case _ => JsBool(true)
+          }
+        case _ => JsBool(true)
+      }
+      case other => throw new JsError(s"bad unary op $other")
+    }
+    case Update(op, target, prefix) =>
+      val old = JsVal.num(evalTarget(target, env))
+      val neu = if (op == "++") old + 1 else old - 1
+      assignTo(target, JsNum(neu), env)
+      JsNum(if (prefix) neu else old)
+    case Binary(op, l, r) => binary(op, eval(l, env), eval(r, env))
+    case Assign("=", target, valueE) =>
+      val v = eval(valueE, env)
+      assignTo(target, v, env)
+      v
+    case Assign(op, target, valueE) =>
+      val cur = evalTarget(target, env)
+      val rhs = eval(valueE, env)
+      val v = binary(op.substring(0, 1), cur, rhs)
+      assignTo(target, v, env)
+      v
+    case Call(callee, argEs) =>
+      val args = argEs.map(eval(_, env))
+      callee match {
+        case Member(objE, prop) =>
+          val recv = eval(objE, env)
+          callProp(recv, prop, args)
+        case Index(objE, idxE) =>
+          val recv = eval(objE, env)
+          callProp(recv, JsVal.toStr(eval(idxE, env)), args)
+        case _ => callFunction(eval(callee, env), args)
+      }
+  }
+
+  private def evalTarget(target: Expr, env: Env): JsVal = target match {
+    case Ident(name) => env.lookup(name).getOrElse(JsUndef)
+    case other => eval(other, env)
+  }
+
+  private def assignTo(target: Expr, v: JsVal, env: Env): Unit = target match {
+    case Ident(name) =>
+      if (!env.assign(name, v)) globals.define(name, v) // sloppy-mode global
+    case Member(objE, prop) => setProp(eval(objE, env), JsStr(prop), v)
+    case Index(objE, idxE) => setProp(eval(objE, env), eval(idxE, env), v)
+    case _ => throw new JsError("invalid assignment target")
+  }
+
+  private def binary(op: String, a: JsVal, b: JsVal): JsVal = op match {
+    case "+" => (a, b) match {
+      case (JsStr(_), _) | (_, JsStr(_)) | (_: JsObj, _) | (_, _: JsObj) |
+           (_: JsArr, _) | (_, _: JsArr) =>
+        JsStr(JsVal.toStr(a) + JsVal.toStr(b))
+      case _ => JsNum(JsVal.num(a) + JsVal.num(b))
+    }
+    case "-" => JsNum(JsVal.num(a) - JsVal.num(b))
+    case "*" => JsNum(JsVal.num(a) * JsVal.num(b))
+    case "/" => JsNum(JsVal.num(a) / JsVal.num(b))
+    case "%" => JsNum(JsVal.num(a) % JsVal.num(b))
+    case "==" => JsBool(JsVal.looseEq(a, b))
+    case "!=" => JsBool(!JsVal.looseEq(a, b))
+    case "===" => JsBool(JsVal.strictEq(a, b))
+    case "!==" => JsBool(!JsVal.strictEq(a, b))
+    case "<" | ">" | "<=" | ">=" =>
+      val r = (a, b) match {
+        case (JsStr(x), JsStr(y)) => x.compareTo(y).toDouble
+        case _ =>
+          val (x, y) = (JsVal.num(a), JsVal.num(b))
+          if (x.isNaN || y.isNaN) Double.NaN else (x - y)
+      }
+      if (r.isNaN) JsBool(false)
+      else JsBool(op match {
+        case "<" => r < 0; case ">" => r > 0
+        case "<=" => r <= 0; case _ => r >= 0
+      })
+    case "in" => (a, b) match {
+      case (key, JsObj(fields)) => JsBool(fields.contains(JsVal.toStr(key)))
+      case (key, JsArr(items)) =>
+        val i = JsVal.num(key)
+        JsBool(i >= 0 && i < items.length)
+      case _ => JsBool(false)
+    }
+    case other => throw new JsError(s"bad binary op $other")
+  }
+
+  // ----------------------------------------------------------- properties
+
+  private def getProp(recv: JsVal, key: JsVal, src: Expr): JsVal = recv match {
+    case JsObj(fields) => fields.getOrElse(JsVal.toStr(key), JsUndef)
+    case JsArr(items) => key match {
+      case JsStr("length") => JsNum(items.length)
+      case _ =>
+        val d = JsVal.num(key)
+        if (!d.isNaN && d == math.rint(d) && d >= 0 && d < items.length) items(d.toInt)
+        else JsUndef
+    }
+    case JsStr(s) => key match {
+      case JsStr("length") => JsNum(s.length)
+      case _ =>
+        val d = JsVal.num(key)
+        if (!d.isNaN && d == math.rint(d) && d >= 0 && d < s.length)
+          JsStr(s.charAt(d.toInt).toString)
+        else JsUndef
+    }
+    case JsUndef | JsNull =>
+      throw new JsError(
+        s"cannot read property '${JsVal.toStr(key)}' of ${JsVal.toStr(recv)} (reading ${describe(src)})")
+    case _ => JsUndef
+  }
+
+  private def describe(e: Expr): String = e match {
+    case Ident(n) => n
+    case Member(o, p) => s"${describe(o)}.$p"
+    case Index(o, _) => s"${describe(o)}[...]"
+    case _ => "expression"
+  }
+
+  private def setProp(recv: JsVal, key: JsVal, v: JsVal): Unit = recv match {
+    case JsObj(m) => m(JsVal.toStr(key)) = v
+    case JsArr(items) =>
+      key match {
+        case JsStr("length") =>
+          val n = JsVal.num(v).toInt
+          if (n < items.length) items.remove(n, items.length - n)
+          else while (items.length < n) items += JsUndef
+        case _ =>
+          val d = JsVal.num(key)
+          if (d.isNaN || d != math.rint(d) || d < 0)
+            throw new JsError(s"bad array index ${JsVal.toStr(key)}")
+          val i = d.toInt
+          while (items.length <= i) items += JsUndef
+          items(i) = v
+      }
+    case JsUndef | JsNull =>
+      throw new JsError(s"cannot set property '${JsVal.toStr(key)}' of ${JsVal.toStr(recv)}")
+    case _ => () // primitives silently ignore property writes (sloppy mode)
+  }
+
+  /** Method dispatch: built-in string/array/object methods first, then a
+    * function-valued property of the receiver. */
+  private def callProp(recv: JsVal, name: String, args: Seq[JsVal]): JsVal =
+    (recv, name) match {
+      // ---- string methods
+      case (JsStr(s), "charAt") =>
+        val i = JsVal.num(args.headOption.getOrElse(JsNum(0))).toInt
+        JsStr(if (i >= 0 && i < s.length) s.charAt(i).toString else "")
+      case (JsStr(s), "charCodeAt") =>
+        val i = JsVal.num(args.headOption.getOrElse(JsNum(0))).toInt
+        if (i >= 0 && i < s.length) JsNum(s.charAt(i).toDouble) else JsNum(Double.NaN)
+      case (JsStr(s), "indexOf") => JsNum(s.indexOf(str(args, 0)).toDouble)
+      case (JsStr(s), "lastIndexOf") => JsNum(s.lastIndexOf(str(args, 0)).toDouble)
+      case (JsStr(s), "includes") => JsBool(s.contains(str(args, 0)))
+      case (JsStr(s), "startsWith") => JsBool(s.startsWith(str(args, 0)))
+      case (JsStr(s), "endsWith") => JsBool(s.endsWith(str(args, 0)))
+      case (JsStr(s), "toLowerCase") => JsStr(s.toLowerCase)
+      case (JsStr(s), "toUpperCase") => JsStr(s.toUpperCase)
+      case (JsStr(s), "trim") => JsStr(s.trim)
+      case (JsStr(s), "substring") =>
+        val a = clamp(JsVal.num(args.headOption.getOrElse(JsNum(0))), s.length)
+        val b = clamp(args.lift(1).map(JsVal.num).getOrElse(s.length.toDouble), s.length)
+        JsStr(s.substring(math.min(a, b), math.max(a, b)))
+      case (JsStr(s), "substr") =>
+        val start0 = JsVal.num(args.headOption.getOrElse(JsNum(0))).toInt
+        val start = if (start0 < 0) math.max(0, s.length + start0) else math.min(start0, s.length)
+        val len = args.lift(1).map(JsVal.num(_).toInt).getOrElse(s.length - start)
+        JsStr(s.substring(start, math.min(s.length, start + math.max(0, len))))
+      case (JsStr(s), "slice") =>
+        val a = sliceIdx(args.headOption.map(JsVal.num).getOrElse(0.0), s.length)
+        val b = sliceIdx(args.lift(1).map(JsVal.num).getOrElse(s.length.toDouble), s.length)
+        JsStr(if (a < b) s.substring(a, b) else "")
+      case (JsStr(s), "split") =>
+        args.headOption match {
+          case None | Some(JsUndef) => JsArr(mutable.ArrayBuffer(JsStr(s)))
+          case Some(sep) =>
+            val sp = JsVal.toStr(sep)
+            val parts: Seq[String] =
+              if (sp.isEmpty) s.map(_.toString)
+              else splitLiteral(s, sp)
+            JsArr(mutable.ArrayBuffer(parts.map(JsStr(_)): _*))
+        }
+      case (JsStr(s), "replace") =>
+        val pat = str(args, 0)
+        val rep = str(args, 1)
+        val i = s.indexOf(pat)
+        JsStr(if (i < 0) s else s.substring(0, i) + rep + s.substring(i + pat.length))
+      case (JsStr(s), "concat") => JsStr(s + args.map(JsVal.toStr).mkString)
+      case (JsStr(s), "toString") => JsStr(s)
+
+      // ---- array methods
+      case (JsArr(items), "push") =>
+        items ++= args; JsNum(items.length)
+      case (JsArr(items), "pop") =>
+        if (items.isEmpty) JsUndef else items.remove(items.length - 1)
+      case (JsArr(items), "shift") =>
+        if (items.isEmpty) JsUndef else items.remove(0)
+      case (JsArr(items), "unshift") =>
+        items.insertAll(0, args); JsNum(items.length)
+      case (JsArr(items), "indexOf") =>
+        JsNum(items.indexWhere(JsVal.strictEq(_, args.headOption.getOrElse(JsUndef))).toDouble)
+      case (JsArr(items), "includes") =>
+        JsBool(items.exists(JsVal.strictEq(_, args.headOption.getOrElse(JsUndef))))
+      case (JsArr(items), "join") =>
+        val sep = args.headOption.map(JsVal.toStr).getOrElse(",")
+        JsStr(items.map {
+          case JsUndef | JsNull => ""
+          case x => JsVal.toStr(x)
+        }.mkString(sep))
+      case (JsArr(items), "slice") =>
+        val a = sliceIdx(args.headOption.map(JsVal.num).getOrElse(0.0), items.length)
+        val b = sliceIdx(args.lift(1).map(JsVal.num).getOrElse(items.length.toDouble), items.length)
+        JsArr(mutable.ArrayBuffer((if (a < b) items.slice(a, b) else Nil).toSeq: _*))
+      case (JsArr(items), "concat") =>
+        val out = mutable.ArrayBuffer(items.toSeq: _*)
+        args.foreach {
+          case JsArr(more) => out ++= more
+          case v => out += v
+        }
+        JsArr(out)
+      case (JsArr(items), "map") =>
+        val f = args.head
+        JsArr(items.zipWithIndex.map { case (v, i) =>
+          callFunction(f, Seq(v, JsNum(i))) }.to(mutable.ArrayBuffer))
+      case (JsArr(items), "filter") =>
+        val f = args.head
+        JsArr(items.zipWithIndex.collect {
+          case (v, i) if JsVal.bool(callFunction(f, Seq(v, JsNum(i)))) => v
+        }.to(mutable.ArrayBuffer))
+      case (JsArr(items), "forEach") =>
+        val f = args.head
+        items.zipWithIndex.foreach { case (v, i) => callFunction(f, Seq(v, JsNum(i))) }
+        JsUndef
+      case (JsArr(items), "reduce") =>
+        val f = args.head
+        var acc = args.lift(1).getOrElse {
+          if (items.isEmpty) throw new JsError("reduce of empty array with no initial value")
+          items.head
+        }
+        val start = if (args.length > 1) 0 else 1
+        (start until items.length).foreach { i =>
+          acc = callFunction(f, Seq(acc, items(i), JsNum(i)))
+        }
+        acc
+      case (JsArr(items), "sort") =>
+        val sorted = args.headOption match {
+          case Some(cmp) if cmp != JsUndef =>
+            items.sortWith((x, y) => JsVal.num(callFunction(cmp, Seq(x, y))) < 0)
+          case _ => items.sortBy(JsVal.toStr)
+        }
+        items.clear(); items ++= sorted
+        JsArr(items)
+      case (JsArr(items), "reverse") =>
+        val rev = items.reverse
+        items.clear(); items ++= rev
+        JsArr(items)
+      case (JsArr(items), "toString") => JsStr(JsVal.toStr(JsArr(items)))
+
+      // ---- object methods
+      case (JsObj(m), "hasOwnProperty") => JsBool(m.contains(str(args, 0)))
+      case (o: JsObj, "toString") =>
+        o.fields.get("toString") match {
+          case Some(f: JsFunc) => callFunction(f, Nil)
+          case Some(n: JsNative) => callFunction(n, Nil)
+          case _ => JsStr(JsVal.toStr(o))
+        }
+      case (JsObj(m), _) => m.get(name) match {
+        case Some(f: JsFunc) => callFunction(f, args)
+        case Some(n: JsNative) => callFunction(n, args)
+        case Some(other) => throw new JsError(s"$name is not a function (${JsVal.typeOf(other)})")
+        case None => throw new JsError(s"$name is not a function (undefined)")
+      }
+
+      case (JsNum(d), "toString") => JsStr(JsVal.numToStr(d))
+      case (JsNum(d), "toFixed") =>
+        val digits = args.headOption.map(JsVal.num(_).toInt).getOrElse(0)
+        JsStr(String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(d)))
+      case (JsBool(b), "toString") => JsStr(b.toString)
+
+      case (JsUndef | JsNull, _) =>
+        throw new JsError(s"cannot call '$name' of ${JsVal.toStr(recv)}")
+      case _ => throw new JsError(s"no method '$name' on ${JsVal.typeOf(recv)}")
+    }
+
+  private def splitLiteral(s: String, sep: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var from = 0
+    var i = s.indexOf(sep)
+    while (i >= 0) {
+      out += s.substring(from, i)
+      from = i + sep.length
+      i = s.indexOf(sep, from)
+    }
+    out += s.substring(from)
+    out.toSeq
+  }
+
+  private def str(args: Seq[JsVal], i: Int): String =
+    JsVal.toStr(args.lift(i).getOrElse(JsUndef))
+  private def clamp(d: Double, len: Int): Int =
+    if (d.isNaN || d < 0) 0 else math.min(d.toInt, len)
+  private def sliceIdx(d: Double, len: Int): Int =
+    if (d < 0) math.max(0, len + d.toInt) else math.min(len, d.toInt)
+
+  // -------------------------------------------------------------- stdlib
+
+  private def native(name: String, arity: Int)(f: Seq[JsVal] => JsVal): JsNative =
+    JsNative(name, arity, f)
+
+  private def installStdlib(g: Env): Unit = {
+    g.define("undefined", JsUndef)
+    g.define("NaN", JsNum(Double.NaN))
+    g.define("Infinity", JsNum(Double.PositiveInfinity))
+    g.define("JSON", JsObj.of(
+      "parse" -> native("parse", 1) { args =>
+        JsVal.parseJson(JsVal.toStr(args.headOption.getOrElse(JsUndef)))
+      },
+      "stringify" -> native("stringify", 1) { args =>
+        JsVal.stringify(args.headOption.getOrElse(JsUndef))
+          .map(JsStr(_)).getOrElse(JsUndef)
+      }))
+    g.define("Math", JsObj.of(
+      "floor" -> native("floor", 1)(a => JsNum(math.floor(JsVal.num(a.head)))),
+      "ceil" -> native("ceil", 1)(a => JsNum(math.ceil(JsVal.num(a.head)))),
+      "round" -> native("round", 1)(a => JsNum(math.floor(JsVal.num(a.head) + 0.5))),
+      "abs" -> native("abs", 1)(a => JsNum(math.abs(JsVal.num(a.head)))),
+      "sqrt" -> native("sqrt", 1)(a => JsNum(math.sqrt(JsVal.num(a.head)))),
+      "pow" -> native("pow", 2)(a => JsNum(math.pow(JsVal.num(a.head), JsVal.num(a(1))))),
+      "min" -> native("min", 2)(a =>
+        JsNum(if (a.isEmpty) Double.PositiveInfinity else a.map(JsVal.num).min)),
+      "max" -> native("max", 2)(a =>
+        JsNum(if (a.isEmpty) Double.NegativeInfinity else a.map(JsVal.num).max)),
+      "trunc" -> native("trunc", 1)(a => JsNum(JsVal.num(a.head).toLong.toDouble))))
+    g.define("Object", JsObj.of(
+      "keys" -> native("keys", 1) {
+        case Seq(JsObj(m), _*) =>
+          JsArr(m.keys.map(JsStr(_)).to(mutable.ArrayBuffer))
+        case Seq(JsArr(items), _*) =>
+          JsArr(items.indices.map(i => JsStr(i.toString)).to(mutable.ArrayBuffer))
+        case _ => JsArr.empty
+      },
+      "values" -> native("values", 1) {
+        case Seq(JsObj(m), _*) => JsArr(m.values.to(mutable.ArrayBuffer))
+        case Seq(JsArr(items), _*) => JsArr(items.clone())
+        case _ => JsArr.empty
+      }))
+    g.define("parseInt", native("parseInt", 1) { args =>
+      val s = JsVal.toStr(args.headOption.getOrElse(JsUndef)).trim
+      val radix = args.lift(1).map(JsVal.num(_).toInt).filter(_ != 0).getOrElse(10)
+      val neg = s.startsWith("-")
+      val body = s.dropWhile(c => c == '+' || c == '-')
+        .takeWhile(c => Character.digit(c, radix) >= 0)
+      if (body.isEmpty) JsNum(Double.NaN)
+      else JsNum((if (neg) -1 else 1) * java.lang.Long.parseLong(body, radix).toDouble)
+    })
+    g.define("parseFloat", native("parseFloat", 1) { args =>
+      val s = JsVal.toStr(args.headOption.getOrElse(JsUndef)).trim
+      val m = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r.findFirstIn(s)
+      JsNum(m.map(_.toDouble).getOrElse(Double.NaN))
+    })
+    g.define("Number", native("Number", 1)(a => JsNum(JsVal.num(a.headOption.getOrElse(JsUndef)))))
+    g.define("String", native("String", 1)(a => JsStr(JsVal.toStr(a.headOption.getOrElse(JsUndef)))))
+    g.define("Boolean", native("Boolean", 1)(a => JsBool(JsVal.bool(a.headOption.getOrElse(JsUndef)))))
+    g.define("isNaN", native("isNaN", 1)(a => JsBool(JsVal.num(a.headOption.getOrElse(JsUndef)).isNaN)))
+    g.define("isFinite", native("isFinite", 1) { a =>
+      val d = JsVal.num(a.headOption.getOrElse(JsUndef))
+      JsBool(!d.isNaN && !d.isInfinite)
+    })
+  }
+}

@@ -1,0 +1,427 @@
+package graft.projections.js
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions.col
+import graft.projections.{Emitted, Emitter, FoldBuilder, LogEvent, PartitionedBuilder, ProjectionBuilder0, Projections}
+
+/** JS projection definitions — the reference's actual query language
+  * (JintProjectionStateHandler.cs:55-75; grammar registered at :449-466:
+  * fromStream/fromAll/fromStreams/fromCategory × when/partitionBy/
+  * foreachStream/outputState/transformBy/filterBy/outputTo/options).
+  *
+  * A definition like
+  * {{{
+  * fromCategory("chat").foreachStream().when({
+  *   $init: function() { return { count: 0 } },
+  *   ChatMessage: function(state, event) { state.count += 1; return state; }
+  * })
+  * }}}
+  * compiles onto the existing Scala [[FoldBuilder]]: the chain calls are
+  * host natives that record a declarative spec (selector, partitioning,
+  * output options) while the handler bodies stay JS, interpreted per event
+  * by [[JsInterp]].
+  *
+  * Scale shape: the SOURCE STRING is the unit shipped to executors; each
+  * task thread parses + evaluates the definition once
+  * ([[CompiledJsProjection.get]] per-thread cache — interpreter instances
+  * are not shared across threads, so no locks on the hot path) and then
+  * folds its partition's events through the in-memory handler functions.
+  * State lives as [[JsVal]] trees between events — JSON (de)serialization
+  * happens only at output, not per event.
+  *
+  * Envelope properties mirror the reference's CreateEnvelope
+  * (JintProjectionStateHandler.cs:827-838): streamId, sequenceNumber,
+  * eventType, body/data (lazily parsed JSON), bodyRaw, metadataRaw,
+  * isJson, category, partition, plus engine extensions logPosition and
+  * value (the testdata's first-class numeric column).
+  *
+  * Honest gaps (each throws or is documented, never silently wrong):
+  * `$initShared` bi-state (P16 — same two-level restriction as the Scala
+  * DSL) and `fromStreamsMatching` are rejected at compile; `$deleted` maps
+  * to `$streamDeleted` tombstone events.
+  */
+final class JsProjection(val source: String) extends Serializable {
+
+  // Driver-side compile: validates the definition and yields the
+  // declarative spec the Spark plan needs. Executor threads re-compile
+  // from source via the same cache.
+  @transient private lazy val spec: JsProjectionSpec =
+    CompiledJsProjection.get(source).spec
+
+  private def builder0: ProjectionBuilder0 = spec.selector match {
+    case JsSelector.Stream(id) => Projections.fromStream(id)
+    case JsSelector.Streams(ids) => Projections.fromStreams(ids: _*)
+    case JsSelector.Category(c) => Projections.fromCategory(c)
+    case JsSelector.Categories(cs) => Projections.fromCategories(cs)
+    case JsSelector.All => Projections.fromAll()
+  }
+
+  /** The fold, compiled onto the Scala DSL. */
+  def foldBuilder: FoldBuilder[JsVal] = {
+    val src = source // ship the string, not `this`
+    val part: PartitionedBuilder =
+      if (spec.foreachStream) builder0.foreachStream()
+      else if (spec.hasPartitionBy)
+        builder0.partitionBy(e => CompiledJsProjection.get(src).partitionKey(e))
+      else builder0.single()
+    val base = part.init[JsVal](CompiledJsProjection.get(src).initState())
+      .whenAnyEmit((s, e, em) => CompiledJsProjection.get(src).step(s, e, em))
+    if (spec.hasCreated)
+      base.whenCreated((s, e) => CompiledJsProjection.get(src).created(s, e))
+    else base
+  }
+
+  private def jsValEncoder: Encoder[(String, JsVal)] =
+    Encoders.tuple(Encoders.STRING, Encoders.javaSerialization(classOf[JsVal]))
+
+  /** P19 query mode: final state per partition, as (partition, state JSON)
+    * — transformBy/filterBy applied (JintProjectionStateHandler
+    * TransformStateToResult). */
+  def states(log: DataFrame): DataFrame = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val src = source
+    foldBuilder.states(log)(jsValEncoder)
+      .mapPartitions { it =>
+        val c = CompiledJsProjection.get(src)
+        it.flatMap { case (k, s) =>
+          c.applyTransforms(s).map(v =>
+            (k, JsVal.stringify(v).getOrElse("null")))
+        }
+      }
+      .toDF("partition", "state")
+  }
+
+  /** P13/P14: events emitted by handlers (emit/linkTo/linkStreamTo). */
+  def emitted(log: DataFrame): Dataset[Emitted] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    foldBuilder.emitted(log)
+  }
+
+  /** P8/P11 outputState: result events with the reference naming
+    * (ProjectionNamesBuilder.cs:40-75), honoring outputTo/options
+    * overrides from the definition itself. */
+  def outputState(log: DataFrame, name: String): DataFrame = {
+    val resultStream = spec.resultStream.getOrElse(s"$$projections-$name-result")
+    val pattern = spec.partitionResultPattern
+    val single = !spec.foreachStream && !spec.hasPartitionBy
+    states(log).select(
+      (if (single) org.apache.spark.sql.functions.lit(resultStream)
+       else pattern match {
+         case Some(p) if p.contains("{0}") =>
+           org.apache.spark.sql.functions.expr(
+             s"replace('${p.replace("'", "''")}', '{0}', partition)")
+         case _ =>
+           org.apache.spark.sql.functions.concat(
+             org.apache.spark.sql.functions.lit(s"$$projections-$name-"),
+             col("partition"),
+             org.apache.spark.sql.functions.lit("-result"))
+       }).as("stream_id"),
+      org.apache.spark.sql.functions.lit("Result").as("event_type"),
+      col("state").as("data"),
+      col("partition"))
+  }
+}
+
+object JsProjection {
+  /** Compile a definition (throws JsParseError/JsError on invalid source —
+    * the reference's "compilation" step, JintProjectionStateHandler ctor). */
+  def compile(source: String): JsProjection = {
+    val p = new JsProjection(source)
+    CompiledJsProjection.get(source) // force driver-side validation
+    p
+  }
+}
+
+/** Source selector recorded by the definition chain (P1–P4). */
+sealed trait JsSelector extends Serializable
+object JsSelector {
+  final case class Stream(id: String) extends JsSelector
+  final case class Streams(ids: Seq[String]) extends JsSelector
+  final case class Category(c: String) extends JsSelector
+  final case class Categories(cs: Seq[String]) extends JsSelector
+  case object All extends JsSelector
+}
+
+/** Declarative facts extracted from evaluating a definition. */
+final class JsProjectionSpec extends Serializable {
+  var selector: JsSelector = JsSelector.All
+  var selectorSet = false
+  var foreachStream = false
+  var hasPartitionBy = false
+  var hasCreated = false
+  var outputStateRequested = false
+  var resultStream: Option[String] = None
+  var partitionResultPattern: Option[String] = None
+  /** Event types with a typed handler (diagnostics / filter hints). */
+  var handledTypes: Set[String] = Set.empty
+  var hasAny = false
+}
+
+/** A definition evaluated into callable handler functions, bound to one
+  * thread. Obtain via [[CompiledJsProjection.get]]. */
+final class CompiledJsProjection private (source: String) {
+  val interp = new JsInterp
+  val spec = new JsProjectionSpec
+
+  private var handlers = Map.empty[String, JsVal] // typed handlers
+  private var initFn: Option[JsVal] = None
+  private var anyFn: Option[JsVal] = None
+  private var createdFn: Option[JsVal] = None
+  private var deletedFn: Option[JsVal] = None
+  private var partitionFn: Option[JsVal] = None
+  private var transforms = List.empty[(String, JsVal)] // ("transform"|"filter", fn)
+
+  // bound per step() call, read by the emit/linkTo natives
+  private var currentEmitter: Emitter = null
+  private var currentEvent: LogEvent = null
+
+  compileDefinition()
+
+  // ------------------------------------------------------------ builders
+
+  private def compileDefinition(): Unit = {
+    val g = interp.globals
+
+    def builderObj: JsObj = {
+      lazy val self: JsObj = JsObj.of(
+        "when" -> JsNative("when", 1, { args =>
+          args.headOption match {
+            case Some(JsObj(hs)) =>
+              hs.foreach {
+                case ("$init", f) => initFn = Some(f)
+                case ("$initShared", _) =>
+                  throw new JsError("$initShared (bi-state) is not supported by the " +
+                    "JS handler; use the Scala DSL's documented two-level fold (P16)")
+                case ("$any", f) => anyFn = Some(f); spec.hasAny = true
+                case ("$created", f) => createdFn = Some(f); spec.hasCreated = true
+                case ("$deleted", f) => deletedFn = Some(f)
+                case (tpe, f) =>
+                  handlers += (tpe -> f)
+                  spec.handledTypes += tpe
+              }
+              self
+            case _ => throw new JsError("when() expects a handler object")
+          }
+        }),
+        "foreachStream" -> JsNative("foreachStream", 0, { _ =>
+          spec.foreachStream = true; self
+        }),
+        "partitionBy" -> JsNative("partitionBy", 1, { args =>
+          partitionFn = Some(args.headOption.getOrElse(
+            throw new JsError("partitionBy() expects a function")))
+          spec.hasPartitionBy = true
+          self
+        }),
+        "outputState" -> JsNative("outputState", 0, { _ =>
+          spec.outputStateRequested = true; self
+        }),
+        "transformBy" -> JsNative("transformBy", 1, { args =>
+          transforms = transforms :+ ("transform" -> args.head); self
+        }),
+        "filterBy" -> JsNative("filterBy", 1, { args =>
+          transforms = transforms :+ ("filter" -> args.head); self
+        }),
+        "outputTo" -> JsNative("outputTo", 2, { args =>
+          spec.resultStream = args.headOption.map(JsVal.toStr)
+          spec.partitionResultPattern = args.lift(1).map(JsVal.toStr)
+          self
+        }),
+        "options" -> JsNative("options", 1, { args =>
+          args.headOption match {
+            case Some(JsObj(opts)) =>
+              opts.get("resultStreamName").foreach(v => spec.resultStream = Some(JsVal.toStr(v)))
+              opts.get("partitionResultStreamNamePattern")
+                .foreach(v => spec.partitionResultPattern = Some(JsVal.toStr(v)))
+            // reorderEvents/processingLag map to Subscriptions.reorderedStream
+            case _ => ()
+          }
+          self
+        }))
+      self
+    }
+
+    def selectorNative(name: String)(f: Seq[JsVal] => JsSelector): Unit =
+      g.define(name, JsNative(name, 1, { args =>
+        spec.selector = f(args)
+        spec.selectorSet = true
+        builderObj
+      }))
+
+    selectorNative("fromStream")(a => JsSelector.Stream(JsVal.toStr(a.head)))
+    selectorNative("fromStreams") { a =>
+      val ids = a match {
+        case Seq(JsArr(items)) => items.map(JsVal.toStr).toSeq
+        case many => many.map(JsVal.toStr)
+      }
+      JsSelector.Streams(ids)
+    }
+    selectorNative("fromCategory")(a => JsSelector.Category(JsVal.toStr(a.head)))
+    selectorNative("fromCategories") { a =>
+      val cs = a match {
+        case Seq(JsArr(items)) => items.map(JsVal.toStr).toSeq
+        case many => many.map(JsVal.toStr)
+      }
+      JsSelector.Categories(cs)
+    }
+    selectorNative("fromAll")(_ => JsSelector.All)
+    g.define("fromStreamsMatching", JsNative("fromStreamsMatching", 1, { _ =>
+      throw new JsError("fromStreamsMatching is not supported (reference marks it " +
+        "experimental); use fromCategory/fromAll with a filter")
+    }))
+
+    // emit surface (JintProjectionStateHandler.cs:239-267, 301-352)
+    g.define("emit", JsNative("emit", 3, { args =>
+      requireEmitter("emit")
+      val stream = JsVal.toStr(args.headOption.getOrElse(
+        throw new JsError("emit: streamId required")))
+      val tpe = JsVal.toStr(args.lift(1).getOrElse(throw new JsError("emit: eventType required")))
+      val body = args.lift(2).getOrElse(JsObj.empty)
+      currentEmitter.emit(stream, tpe, JsVal.stringify(body).getOrElse("null"))
+      JsUndef
+    }))
+    g.define("linkTo", JsNative("linkTo", 2, { args =>
+      requireEmitter("linkTo")
+      val stream = JsVal.toStr(args.headOption.getOrElse(
+        throw new JsError("linkTo: streamId required")))
+      // the reference reads sequenceNumber/streamId off the passed event
+      // object (JintProjectionStateHandler.cs:301-327)
+      val (srcStream, srcNumber) = args.lift(1) match {
+        case Some(JsObj(f)) if f.contains("streamId") && f.contains("sequenceNumber") =>
+          (JsVal.toStr(f("streamId")), JsVal.num(f("sequenceNumber")).toLong)
+        case _ => (currentEvent.stream_id, currentEvent.event_number)
+      }
+      currentEmitter.linkTo(stream,
+        currentEvent.copy(stream_id = srcStream, event_number = srcNumber))
+      JsUndef
+    }))
+    g.define("linkStreamTo", JsNative("linkStreamTo", 2, { args =>
+      requireEmitter("linkStreamTo")
+      val stream = JsVal.toStr(args.headOption.getOrElse(
+        throw new JsError("linkStreamTo: streamId required")))
+      val referenced = JsVal.toStr(args.lift(1).getOrElse(JsStr(currentEvent.stream_id)))
+      currentEmitter.linkStreamTo(stream, referenced)
+      JsUndef
+    }))
+
+    interp.run(JsParser.program(source))
+    if (!spec.selectorSet)
+      throw new JsError("projection definition must start with fromStream/" +
+        "fromStreams/fromCategory/fromCategories/fromAll")
+  }
+
+  private def requireEmitter(fn: String): Unit =
+    if (currentEmitter == null)
+      throw new JsError(s"$fn() called outside an event handler")
+
+  // ------------------------------------------------------------ execution
+
+  /** Fresh initial state for one partition ($init, else {}). */
+  def initState(): JsVal = initFn match {
+    case Some(f) =>
+      interp.callFunction(f, Nil) match {
+        case JsUndef => JsObj.empty
+        case v => v
+      }
+    case None => JsObj.empty
+  }
+
+  /** partitionBy key for an event; None/null/undefined skips the event
+    * (JintProjectionStateHandler.cs:151-155). The envelope passed to the
+    * partition function has partition "" — the reference's GetPartition
+    * also runs before the partition exists. */
+  def partitionKey(e: LogEvent): Option[String] = partitionFn.flatMap { f =>
+    interp.callFunction(f, Seq(envelope(e, ""))) match {
+      case JsUndef | JsNull => None
+      case JsNum(d) => Some(JsVal.numToStr(d))
+      case JsStr(s) => Some(s)
+      case _ => None
+    }
+  }
+
+  private def partitionOf(e: LogEvent): String =
+    if (spec.foreachStream) e.stream_id
+    else if (spec.hasPartitionBy) partitionKey(e).getOrElse("")
+    else ""
+
+  /** One event through the handler table. Undefined return keeps the
+    * (possibly mutated-in-place) current state — Jint behavior. */
+  def step(state: JsVal, e: LogEvent, em: Emitter): JsVal = {
+    val handler =
+      if (e.event_type == graft.model.EventEnvelope.StreamDeletedEventType)
+        deletedFn.orElse(handlers.get(e.event_type)).orElse(anyFn)
+      else handlers.get(e.event_type).orElse(anyFn)
+    handler match {
+      case None => state
+      case Some(f) =>
+        currentEmitter = em
+        currentEvent = e
+        try interp.callFunction(f, Seq(state, envelope(e, partitionOf(e)))) match {
+          case JsUndef => state
+          case v => v
+        } finally {
+          currentEmitter = null
+          currentEvent = null
+        }
+    }
+  }
+
+  /** $created (fires before the first event's own handler). */
+  def created(state: JsVal, e: LogEvent): JsVal = createdFn match {
+    case None => state
+    case Some(f) =>
+      interp.callFunction(f, Seq(state, envelope(e, partitionOf(e)))) match {
+        case JsUndef => state
+        case v => v
+      }
+  }
+
+  /** transformBy/filterBy chain over a final state; None = filtered out. */
+  def applyTransforms(state: JsVal): Option[JsVal] =
+    transforms.foldLeft(Option(state)) {
+      case (None, _) => None
+      case (Some(s), ("filter", f)) =>
+        if (JsVal.bool(interp.callFunction(f, Seq(s)))) Some(s) else None
+      case (Some(s), (_, f)) =>
+        interp.callFunction(f, Seq(s)) match {
+          case JsUndef => Some(s)
+          case v => Some(v)
+        }
+    }
+
+  /** The JS event envelope (JintProjectionStateHandler.cs:827-838). */
+  private def envelope(e: LogEvent, partition: String): JsObj = {
+    val body: JsVal =
+      if (e.data == null) JsUndef
+      else try JsVal.parseJson(e.data) catch { case _: JsError => JsUndef }
+    JsObj.of(
+      "streamId" -> JsStr(e.stream_id),
+      "sequenceNumber" -> JsNum(e.event_number.toDouble),
+      "eventType" -> JsStr(e.event_type),
+      "body" -> body,
+      "data" -> body,
+      "bodyRaw" -> (if (e.data == null) JsNull else JsStr(e.data)),
+      "metadataRaw" -> JsNull,
+      "linkMetadataRaw" -> JsNull,
+      "isJson" -> JsBool(body != JsUndef),
+      "category" -> (if (e.stream_id.contains("-"))
+        JsStr(e.stream_id.substring(0, e.stream_id.indexOf("-"))) else JsNull),
+      "partition" -> JsStr(partition),
+      // engine extensions (documented in the class doc)
+      "logPosition" -> JsNum(e.log_position.toDouble),
+      "value" -> JsNum(e.value))
+  }
+}
+
+object CompiledJsProjection {
+  // One compiled instance per (thread, source): interpreter state is
+  // mutable, so instances must not cross task threads. Compilation is a
+  // sub-millisecond parse+eval of a <10 KB string — negligible per task.
+  private val tl: ThreadLocal[mutable.HashMap[String, CompiledJsProjection]] =
+    ThreadLocal.withInitial(() => mutable.HashMap.empty[String, CompiledJsProjection])
+
+  def get(source: String): CompiledJsProjection =
+    tl.get().getOrElseUpdate(source, new CompiledJsProjection(source))
+}

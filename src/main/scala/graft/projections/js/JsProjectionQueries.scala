@@ -1,0 +1,196 @@
+package graft.projections.js
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Correctness-gate queries for JS projection definitions: each runs a
+  * REAL JS source through the interpreter + FoldBuilder and must match the
+  * same DuckDB oracle as its Scala-DSL sibling — proving the JS surface
+  * computes identical results, not just that it parses.
+  *
+  * Handlers accumulate money in integer cents (all integral doubles —
+  * exact in IEEE well past corpus scale), mirroring ProjectionQueries. */
+object JsProjectionQueries extends QueryModule {
+
+  private def log(s: SparkSession, d: String): DataFrame = Tables.eventLog(s, d)
+
+  /** js sibling of p5_fold_count_sum. */
+  private val foldSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, cents: 0 } },
+        purchase: function(s, e) {
+            s.n += 1;
+            s.cents += Math.round(e.value * 100);
+            return s;
+        }
+    })"""
+
+  private def jsFold(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(foldSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.cents").cast("long").as("sum_cents"))
+      .orderBy(col("partition"))
+
+  /** js sibling of p6_partition_by (body-derived partition key). */
+  private val partitionSource = """
+fromAll()
+    .partitionBy(function(e) {
+        return e.body && e.body.k != null ? e.body.k : null;
+    })
+    .when({
+        $init: function() { return { n: 0, cents: 0 } },
+        $any: function(s, e) {
+            s.n += 1;
+            s.cents += Math.round(e.value * 100);
+            return s;
+        }
+    })"""
+
+  private def jsPartitionBy(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(partitionSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.cents").cast("long").as("sum_cents"))
+      .orderBy(col("partition"))
+
+  /** js sibling of p13_emit (conditional emit with an object body). */
+  private val emitSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        purchase: function(s, e) {
+            if (e.value > 150.0)
+                emit("receipt-" + e.streamId.split("-")[1], "ReceiptIssued",
+                     { cents: Math.round(e.value * 100) });
+        }
+    })"""
+
+  private def jsEmit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    JsProjection.compile(emitSource).emitted(log(s, d))
+      .toDF()
+      .select(col("stream_id"), col("event_type"), col("data"),
+        col("partition"), col("caused_by_position"))
+      .orderBy(col("caused_by_position"))
+  }
+
+  /** js linkTo over correlation ids — `$>` links with "n@stream" bodies.
+    * partitionBy keeps the fold parallel (one serial pump per correlation
+    * key, not one for the whole log). */
+  private val linkSource = """
+fromAll()
+    .partitionBy(function(e) {
+        return e.body && e.body.k != null ? e.body.k : null;
+    })
+    .when({
+        $any: function(s, e) {
+            linkTo("corr-" + e.body.k, e);
+        }
+    })"""
+
+  private def jsLinkTo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    JsProjection.compile(linkSource).emitted(log(s, d))
+      .toDF()
+      .select(col("stream_id"), col("event_type"), col("data"),
+        col("caused_by_position"))
+      .orderBy(col("caused_by_position"))
+  }
+
+  /** js sibling of p9_p10_transform_filter (filterBy + transformBy). */
+  private val transformSource = """
+fromCategory("error")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, cents: 0 } },
+        $any: function(s, e) {
+            s.n += 1;
+            s.cents += Math.round(e.value * 100);
+            return s;
+        }
+    })
+    .filterBy(function(s) { return s.n >= 5; })
+    .transformBy(function(s) { return { n: s.n, avg: s.cents / 100.0 / s.n }; })"""
+
+  private def jsTransformFilter(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(transformSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.avg").cast("double").as("avg_value"))
+      .orderBy(col("partition"))
+
+  /** js sibling of p8_output_state (result events, reference naming). */
+  private val outputSource = """
+fromCategory("click")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, cents: 0 } },
+        click: function(s, e) {
+            s.n += 1;
+            s.cents += Math.round(e.value * 100);
+            return s;
+        }
+    })"""
+
+  private def jsOutputState(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(outputSource).outputState(log(s, d), "jsclicks")
+      .orderBy(col("partition"))
+
+  def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "js_fold_count_sum" -> (jsFold _),
+    "js_partition_by" -> (jsPartitionBy _),
+    "js_emit" -> (jsEmit _),
+    "js_linkto" -> (jsLinkTo _),
+    "js_transform_filter" -> (jsTransformFilter _),
+    "js_output_state" -> (jsOutputState _)
+  )
+
+  private val L = Tables.eventLogSql
+
+  def oracles: Seq[(String, String)] = Seq(
+    "js_fold_count_sum" -> s"""$L
+      |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM log WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "js_partition_by" -> s"""$L
+      |SELECT correlation_id AS partition, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM log WHERE correlation_id IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "js_emit" -> s"""$L
+      |SELECT 'receipt-' || split_part(log.stream_id, '-', 2) AS stream_id,
+      |       'ReceiptIssued' AS event_type,
+      |       '{"cents":' || CAST(round(log.value * 100) AS BIGINT) || '}' AS data,
+      |       log.stream_id AS partition,
+      |       log.log_position AS caused_by_position
+      |FROM log WHERE log.event_type = 'purchase' AND log.value > 150.0
+      |ORDER BY caused_by_position""".stripMargin,
+    "js_linkto" -> s"""$L
+      |SELECT 'corr-' || correlation_id AS stream_id,
+      |       '$$>' AS event_type,
+      |       CAST(event_number AS VARCHAR) || '@' || log.stream_id AS data,
+      |       log.log_position AS caused_by_position
+      |FROM log WHERE correlation_id IS NOT NULL
+      |ORDER BY caused_by_position""".stripMargin,
+    "js_transform_filter" -> s"""$L
+      |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |         / count(*) AS avg_value
+      |FROM log WHERE split_part(stream_id, '-', 1) = 'error'
+      |GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1""".stripMargin,
+    "js_output_state" -> s"""$L
+      |SELECT '$$projections-jsclicks-' || stream_id || '-result' AS stream_id,
+      |       'Result' AS event_type,
+      |       '{"n":' || CAST(count(*) AS VARCHAR) || ',"cents":' ||
+      |         CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS VARCHAR) || '}' AS data,
+      |       stream_id AS partition
+      |FROM log WHERE event_type = 'click' AND split_part(stream_id, '-', 1) = 'click'
+      |GROUP BY stream_id ORDER BY partition""".stripMargin
+  )
+}

@@ -1,0 +1,273 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.projections.js._
+import graft.sources.{EventLogStore, PendingEvent}
+
+/** JS projection definitions end-to-end, mirroring the reference's Jint
+  * scenario tests (EventStore.Projections.Core.Tests/Services/Jint/
+  * Scenarios/when_recategorizing_chat_events_by_users.cs:16-75) plus
+  * interpreter unit coverage. */
+class JsEngineSpec extends SparkTestBase {
+
+  // ----------------------------------------------------- interpreter unit
+
+  private def evalJs(src: String): JsVal = {
+    val in = new JsInterp
+    in.run(JsParser.program(src))
+  }
+
+  test("interpreter: arithmetic, strings, ternary, compound assignment") {
+    assert(evalJs("1 + 2 * 3") == JsNum(7))
+    assert(evalJs("'a' + 1 + 2") == JsStr("a12"))
+    assert(evalJs("1 + 2 + 'a'") == JsStr("3a"))
+    assert(evalJs("var x = 5; x += 2; x *= 3; x") == JsNum(21))
+    assert(evalJs("var x = 3; x > 2 ? 'big' : 'small'") == JsStr("big"))
+    assert(evalJs("'b' < 'a'") == JsBool(false))
+    assert(evalJs("10 % 3") == JsNum(1))
+    assert(evalJs("var n = 0; n++; n++; ++n; n") == JsNum(3))
+  }
+
+  test("interpreter: equality and truthiness follow JS rules") {
+    assert(evalJs("1 == '1'") == JsBool(true))
+    assert(evalJs("1 === '1'") == JsBool(false))
+    assert(evalJs("null == undefined") == JsBool(true))
+    assert(evalJs("null === undefined") == JsBool(false))
+    assert(evalJs("!''") == JsBool(true))
+    assert(evalJs("!0") == JsBool(true))
+    assert(evalJs("!{}") == JsBool(false))
+    assert(evalJs("NaN == NaN") == JsBool(false))
+  }
+
+  test("interpreter: objects, arrays, for loops, functions, closures") {
+    assert(evalJs("var o = {a: 1, b: {c: 2}}; o.b.c + o['a']") == JsNum(3))
+    assert(evalJs("var a = [1,2,3]; a.push(4); a.length") == JsNum(4))
+    assert(evalJs("var s = 0; for (var i = 0; i < 5; i++) { s += i; } s") == JsNum(10))
+    assert(evalJs("var o = {x:1,y:2}; var ks = []; for (var k in o) ks.push(k); ks.join(',')")
+      == JsStr("x,y"))
+    assert(evalJs("function add(a,b){ return a+b; } add(2,3)") == JsNum(5))
+    assert(evalJs(
+      "function mk(){ var n = 0; return function(){ n += 1; return n; }; } " +
+        "var c = mk(); c(); c(); c()") == JsNum(3))
+    assert(evalJs("[3,1,2].sort(function(a,b){return a-b;}).join('')") == JsStr("123"))
+    assert(evalJs("[1,2,3].map(function(x){return x*2;}).join(',')") == JsStr("2,4,6"))
+    assert(evalJs("[1,2,3,4].filter(function(x){return x%2===0;}).length") == JsNum(2))
+    assert(evalJs("[1,2,3].reduce(function(a,b){return a+b;}, 10)") == JsNum(16))
+  }
+
+  test("interpreter: JSON round-trips with JS number formatting") {
+    assert(evalJs("""JSON.stringify({count: 3, name: "x", ok: true})""")
+      == JsStr("""{"count":3,"name":"x","ok":true}"""))
+    assert(evalJs("""JSON.parse('{"a":[1,2.5,null]}').a[1]""") == JsNum(2.5))
+    assert(evalJs("JSON.stringify({n: 1 + 2})") == JsStr("""{"n":3}"""))
+    // integral doubles print without '.0' (Jint behavior the oracle sees)
+    assert(evalJs("'' + 42") == JsStr("42"))
+    assert(evalJs("'' + 1.5") == JsStr("1.5"))
+    assert(evalJs("JSON.stringify({})") == JsStr("{}"))
+  }
+
+  test("interpreter: string methods used by projection code") {
+    assert(evalJs("'user-greg'.split('-')[1]") == JsStr("greg"))
+    assert(evalJs("'abcdef'.substring(2, 4)") == JsStr("cd"))
+    assert(evalJs("'abc'.indexOf('b')") == JsNum(1))
+    assert(evalJs("'Chat-1'.toLowerCase()") == JsStr("chat-1"))
+    assert(evalJs("parseInt('42x')") == JsNum(42))
+    assert(evalJs("Math.round(1.505 * 100) / 100") == JsNum(1.51))
+  }
+
+  // ------------------------------------------------- scenario: chat/users
+
+  private def chatStore(): EventLogStore = {
+    val s = new EventLogStore(spark, Files.createTempDirectory("jschat").toString)
+    def msg(stream: String, id: String, sender: String, text: String) =
+      PendingEvent(stream, id, "ChatMessage", s"""{"sender":"$sender","message":"$text"}""")
+    s.append(Seq(
+      msg("chat-1", "c1", "Greg", "Hi"),
+      msg("chat-1", "c2", "Ronan", "starbucks"),
+      msg("chat-1", "c3", "James", "herpherp"),
+      msg("chat-2", "c4", "Rob", "starbucks"),
+      msg("chat-2", "c5", "Ronan", "put the moose in the chocolate")))
+    s
+  }
+
+  /** query1 of the reference scenario: per-chat-stream message counts. */
+  test("JS fold: fromCategory.foreachStream.when counts per stream") {
+    val p = JsProjection.compile("""
+fromCategory("chat")
+    .foreachStream()
+    .when({
+        $init: function() {
+            return { count: 0 }
+        },
+        ChatMessage: function(state, event) {
+            state.count += 1;
+            return state;
+        }
+    });
+""")
+    val states = p.states(chatStore().read()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states == Map(
+      "chat-1" -> """{"count":3}""",
+      "chat-2" -> """{"count":2}"""))
+  }
+
+  /** The recategorizing projection: linkTo into per-user streams, then the
+    * user-side fold — the full scenario loop. */
+  test("JS linkTo: recategorize chat events by user, fold the user streams") {
+    val store = chatStore()
+    val linker = JsProjection.compile("""
+fromCategory("chat")
+.when({
+    ChatMessage: function(state, event) {
+        var userStream = "user-" + event.body.sender;
+        linkTo(userStream, event);
+    }
+})""")
+    val links = linker.emitted(store.read()).collect()
+    assert(links.length == 5)
+    assert(links.forall(_.event_type == "$>"))
+    val byUser = links.groupBy(_.stream_id).view.mapValues(_.length).toMap
+    assert(byUser == Map("user-Greg" -> 1, "user-Ronan" -> 2,
+      "user-James" -> 1, "user-Rob" -> 1))
+    // link bodies are "n@stream" (JintProjectionStateHandler.cs:301-327)
+    assert(links.filter(_.stream_id == "user-Greg").head.data == "0@chat-1")
+
+    // materialize the links, then run query2 over the user category —
+    // ChatMessage handlers fire on the RESOLVED type, so resolve first
+    import spark.implicits._
+    val linkRows = links.toSeq.toDF()
+      .select(col("stream_id"), lit(null).cast("string").as("event_id"),
+        lit("$>").as("event_type"), col("data"),
+        lit(null).cast("string").as("metadata"),
+        lit(null).cast("string").as("correlation_id"),
+        lit(null).cast("timestamp").as("timestamp"))
+      .withColumn("event_id", concat(col("stream_id"), lit(":"), col("data")))
+    store.appendBulk(linkRows, orderBy = Seq("data"))
+    val resolved = graft.operators.Links.resolve(
+      store.read().where(col("event_type") === "$>"), store.read())
+      .select(col("stream_id"), col("event_number"),
+        col("resolved_event_type").as("event_type"),
+        col("resolved_log_position").as("log_position"),
+        col("timestamp"), col("correlation_id"),
+        col("resolved_data").as("data"))
+    val query2 = JsProjection.compile("""
+fromCategory("user")
+    .foreachStream()
+    .when({
+        $init: function() { return { count: 0 } },
+        ChatMessage: function(state, event) {
+            state.count += 1;
+            return state;
+        }
+    });
+""")
+    val states = query2.states(resolved).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states == Map(
+      "user-Greg" -> """{"count":1}""",
+      "user-Ronan" -> """{"count":2}""",
+      "user-James" -> """{"count":1}""",
+      "user-Rob" -> """{"count":1}"""))
+  }
+
+  test("JS partitionBy: body-derived key, null skips the event") {
+    val p = JsProjection.compile("""
+fromCategory("chat")
+    .partitionBy(function(e) {
+        return e.body.sender === "Greg" ? null : e.body.sender;
+    })
+    .when({
+        $init: function() { return { n: 0 } },
+        $any: function(s, e) { s.n += 1; return s; }
+    })""")
+    val states = p.states(chatStore().read()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states == Map(
+      "Ronan" -> """{"n":2}""",
+      "James" -> """{"n":1}""",
+      "Rob" -> """{"n":1}"""))
+  }
+
+  test("JS transformBy/filterBy chain over final states") {
+    val p = JsProjection.compile("""
+fromCategory("chat")
+    .foreachStream()
+    .when({
+        $init: function() { return { count: 0 } },
+        ChatMessage: function(state, event) { state.count += 1; return state; }
+    })
+    .filterBy(function(state) { return state.count >= 3; })
+    .transformBy(function(state) { return { big: true, n: state.count }; })
+""")
+    val states = p.states(chatStore().read()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states == Map("chat-1" -> """{"big":true,"n":3}"""))
+  }
+
+  test("JS emit with object body; outputState naming; $created") {
+    val store = chatStore()
+    val p = JsProjection.compile("""
+fromCategory("chat")
+    .foreachStream()
+    .when({
+        $init: function() { return { count: 0, first: null } },
+        $created: function(s, e) { s.first = e.streamId; return s; },
+        ChatMessage: function(s, e) {
+            s.count += 1;
+            if (e.body.message.indexOf("starbucks") >= 0)
+                emit("coffee-" + e.body.sender, "CoffeeMentioned",
+                     { by: e.body.sender, at: e.sequenceNumber });
+            return s;
+        }
+    })""")
+    val emitted = p.emitted(store.read()).collect()
+    assert(emitted.map(e => (e.stream_id, e.data)).toSet == Set(
+      ("coffee-Ronan", """{"by":"Ronan","at":1}"""),
+      ("coffee-Rob", """{"by":"Rob","at":0}""")))
+    val out = p.outputState(store.read(), "chatcount").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(out == Map(
+      "$projections-chatcount-chat-1-result" -> """{"count":3,"first":"chat-1"}""",
+      "$projections-chatcount-chat-2-result" -> """{"count":2,"first":"chat-2"}"""))
+  }
+
+  test("JS definition validation: bad sources are rejected at compile") {
+    intercept[JsError] { JsProjection.compile("var x = 1;") } // no selector
+    intercept[JsError] {
+      JsProjection.compile("fromAll().when({$initShared: function(){return {}}})")
+    }
+    intercept[JsParseError] { JsProjection.compile("fromAll().when({") }
+    intercept[JsError] { JsProjection.compile("fromStreamsMatching('a.*')") }
+  }
+
+  test("JS fold equals the Scala DSL fold on the driver testdata") {
+    val log = graft.sources.Tables.eventLog(spark, "/root/testdata/sf0.001")
+    val js = JsProjection.compile("""
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, cents: 0 } },
+        purchase: function(s, e) {
+            s.n += 1;
+            s.cents += Math.round(e.value * 100);
+            return s;
+        }
+    })""")
+    val jsStates = js.states(log)
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.cents").cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val s = spark; import s.implicits._
+    val scalaStates = graft.projections.Projections.fromCategory("purchase")
+      .foreachStream()
+      .init((0L, 0L))
+      .when("purchase")((st, e) => (st._1 + 1, st._2 + math.round(e.value * 100)))
+      .states(log)
+      .collect().map { case (k, (n, c)) => (k, n, c) }.toSet
+    assert(jsStates == scalaStates)
+    assert(jsStates.nonEmpty)
+  }
+}
