@@ -64,7 +64,8 @@ object ReadQueries extends QueryModule {
       ("$settings", -4L))
     import s.implicits._
     val sysDf = sys.toDF("stream_id", "log_position")
-    val all = log(s, d).select(col("stream_id"), col("log_position"))
+    val all = Tables.eventLogScan(s, d) // narrow: 2 columns, pruned at parquet
+      .select(col("stream_id"), col("log_position"))
       .unionAll(sysDf)
     all.where(EventFilters.defaultAllFilter)
       .groupBy(col("stream_id")).agg(count(lit(1)).as("n"))

@@ -107,7 +107,7 @@ object RelationalQueries extends QueryModule {
     * runs unchanged as a watermarked streaming query
     * (Subscriptions.windowedAgg, StreamingSpec equivalence test). */
   private def windowTumbling(s: SparkSession, d: String): DataFrame =
-    Tables.eventLog(s, d)
+    Tables.eventLogScan(s, d) // narrow scan: no event_number needed
       .groupBy(window(col("timestamp"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
@@ -152,7 +152,7 @@ object RelationalQueries extends QueryModule {
     * explicitly: an event at t belongs to windows starting at
     * bucket30(t) and bucket30(t) − 30m. */
   private def slidingWindows(s: SparkSession, d: String): DataFrame =
-    Tables.eventLog(s, d)
+    Tables.eventLogScan(s, d) // narrow scan: no event_number needed
       .groupBy(window(col("timestamp"), "1 hour", "30 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))

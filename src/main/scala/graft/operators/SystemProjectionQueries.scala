@@ -47,7 +47,7 @@ object SystemProjectionQueries extends QueryModule {
 
   /** SYS3: $stream_by_category table. */
   private def sys3(s: SparkSession, d: String): DataFrame =
-    SystemProjections.streamByCategory(log(s, d))
+    SystemProjections.streamByCategory(Tables.eventLogScan(s, d)) // narrow: no event_number
       .orderBy(col("category"), col("stream_id"))
 
   /** SYS4: $streams table. */

@@ -70,6 +70,28 @@ object Tables {
   private val logCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Narrow, WINDOW-FREE event-log adapter for queries that never touch
+    * `event_number`: every column derives 1:1 from the raw scan, so
+    * Catalyst prunes/pushes straight into parquet. For such queries this
+    * beats the memoized [[eventLog]] cache ~3× (measured: 0.45 s cached
+    * InMemoryTableScan vs 0.14 s pruned parquet groupBy at sf0.1, 32
+    * cores) — the cache's win is amortizing the stream-numbering window,
+    * which these queries don't need. BASELINE.md "bench methodology"
+    * records the r1→r2 deltas this explains. */
+  def eventLogScan(spark: SparkSession, dir: String): DataFrame = {
+    val raw = rawEvents(spark, dir)
+    raw.select(
+      concat(col("event_type"), lit("-"), col("user_id")).as("stream_id"),
+      col("event_id").cast("string").as("event_id"),
+      col("event_type"),
+      expr("timestamp_micros(ts div 1000)").as("timestamp"),
+      col("event_id").as("log_position"),
+      get_json_object(col("props"), "$.k").as("correlation_id"),
+      col("props").as("data"),
+      col("user_id"),
+      col("value"))
+  }
+
   private def eventLogUncached(spark: SparkSession, dir: String): DataFrame = {
     val raw = rawEvents(spark, dir)
     val w = Window.partitionBy(col("event_type"), col("user_id"))
