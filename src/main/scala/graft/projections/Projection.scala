@@ -99,6 +99,58 @@ final class PartitionedBuilder private[projections] (
   /** $init: initial state per partition (P5). */
   def init[S](f: => S): FoldBuilder[S] =
     new FoldBuilder[S](sourceFilter, partitionFn, () => f, Map.empty, None, Map.empty, None)
+
+  /** P16 `$initShared` bi-state, EXACT semantics: one ordered pass over
+    * the selected events, each step seeing its partition's state AND the
+    * shared state as they stood after the previous event in log order —
+    * the reference's interleaving (JintProjectionStateHandler.cs:97-133,
+    * where state is the JS array [partitionState, sharedState] fed through
+    * one serial projection pump). Inherently serial, exactly like that
+    * pump: the fold runs as ONE task holding O(partitions) state — the
+    * same bound the reference's in-memory partition-state cache carries.
+    * For shared folds that are commutative+associative, prefer the
+    * two-level `ProjectionQueries.p16BiState` shape, which scales out. */
+  def initBi[S](f: => S, shared: => S)(step: (S, S, LogEvent) => (S, S)): BiStateFold[S] =
+    new BiStateFold[S](sourceFilter, partitionFn, () => f, () => shared, step)
+}
+
+/** Execution for [[PartitionedBuilder.initBi]]. */
+final class BiStateFold[S] private[projections] (
+    sourceFilter: Column,
+    partitionFn: LogEvent => Option[String],
+    initP: () => S,
+    initShared: () => S,
+    step: (S, S, LogEvent) => (S, S)) {
+
+  /** Final state per partition plus one `("$shared", state)` row. */
+  def states(log: DataFrame)(implicit enc: Encoder[(String, S)]): Dataset[(String, S)] = {
+    val events = Projections.toLogEvents(log.where(sourceFilter))
+    val pf = partitionFn
+    val ip = initP
+    val is = initShared
+    val st = step
+    events
+      .repartition(1)
+      .sortWithinPartitions(col("log_position"))
+      .mapPartitions { it =>
+        val states = scala.collection.mutable.LinkedHashMap.empty[String, S]
+        var shared = is()
+        it.foreach { e =>
+          pf(e).foreach { k =>
+            val s = states.getOrElseUpdate(k, ip())
+            val (ns, nsh) = st(s, shared, e)
+            states(k) = ns
+            shared = nsh
+          }
+        }
+        states.iterator ++ Iterator((BiStateFold.SharedKey, shared))
+      }
+  }
+}
+
+object BiStateFold {
+  /** Key under which the shared state is returned alongside partitions. */
+  val SharedKey = "$shared"
 }
 
 /** The fold surface (P5 when / P9 transformBy / P10 filterBy / P13 emit).

@@ -57,15 +57,18 @@ final class JsProjection(val source: String) extends Serializable {
     case JsSelector.All => Projections.fromAll()
   }
 
+  private def partBuilder: PartitionedBuilder = {
+    val src = source // ship the string, not `this`
+    if (spec.foreachStream) builder0.foreachStream()
+    else if (spec.hasPartitionBy)
+      builder0.partitionBy(e => CompiledJsProjection.get(src).partitionKey(e))
+    else builder0.single()
+  }
+
   /** The fold, compiled onto the Scala DSL. */
   def foldBuilder: FoldBuilder[JsVal] = {
-    val src = source // ship the string, not `this`
-    val part: PartitionedBuilder =
-      if (spec.foreachStream) builder0.foreachStream()
-      else if (spec.hasPartitionBy)
-        builder0.partitionBy(e => CompiledJsProjection.get(src).partitionKey(e))
-      else builder0.single()
-    val base = part.init[JsVal](CompiledJsProjection.get(src).initState())
+    val src = source
+    val base = partBuilder.init[JsVal](CompiledJsProjection.get(src).initState())
       .whenAnyEmit((s, e, em) => CompiledJsProjection.get(src).step(s, e, em))
     if (spec.hasCreated)
       base.whenCreated((s, e) => CompiledJsProjection.get(src).created(s, e))
@@ -82,12 +85,24 @@ final class JsProjection(val source: String) extends Serializable {
     val spark = log.sparkSession
     import spark.implicits._
     val src = source
-    foldBuilder.states(log)(jsValEncoder)
+    val folded =
+      if (spec.isBiState)
+        // exact interleaved bi-state: one ordered pass (see
+        // PartitionedBuilder.initBi); the "$shared" row passes through
+        // untransformed, like the reference's separate shared-state slot
+        partBuilder.initBi[JsVal](
+          CompiledJsProjection.get(src).initState(),
+          CompiledJsProjection.get(src).initSharedState())(
+          (s, sh, e) => CompiledJsProjection.get(src).biStep(s, sh, e))
+          .states(log)(jsValEncoder)
+      else foldBuilder.states(log)(jsValEncoder)
+    folded
       .mapPartitions { it =>
         val c = CompiledJsProjection.get(src)
         it.flatMap { case (k, s) =>
-          c.applyTransforms(s).map(v =>
-            (k, JsVal.stringify(v).getOrElse("null")))
+          val out = if (k == graft.projections.BiStateFold.SharedKey) Some(s)
+            else c.applyTransforms(s)
+          out.map(v => (k, JsVal.stringify(v).getOrElse("null")))
         }
       }
       .toDF("partition", "state")
@@ -95,6 +110,8 @@ final class JsProjection(val source: String) extends Serializable {
 
   /** P13/P14: events emitted by handlers (emit/linkTo/linkStreamTo). */
   def emitted(log: DataFrame): Dataset[Emitted] = {
+    if (spec.isBiState)
+      throw new JsError("emit/linkTo are not available in bi-state ($initShared) projections")
     val spark = log.sparkSession
     import spark.implicits._
     foldBuilder.emitted(log)
@@ -153,6 +170,8 @@ final class JsProjectionSpec extends Serializable {
   var hasPartitionBy = false
   var hasCreated = false
   var outputStateRequested = false
+  /** `$initShared` present: state is the array [partitionState, shared]. */
+  var isBiState = false
   var resultStream: Option[String] = None
   var partitionResultPattern: Option[String] = None
   /** Event types with a typed handler (diagnostics / filter hints). */
@@ -168,6 +187,7 @@ final class CompiledJsProjection private (source: String) {
 
   private var handlers = Map.empty[String, JsVal] // typed handlers
   private var initFn: Option[JsVal] = None
+  private var initSharedFn: Option[JsVal] = None
   private var anyFn: Option[JsVal] = None
   private var createdFn: Option[JsVal] = None
   private var deletedFn: Option[JsVal] = None
@@ -192,9 +212,8 @@ final class CompiledJsProjection private (source: String) {
             case Some(JsObj(hs)) =>
               hs.foreach {
                 case ("$init", f) => initFn = Some(f)
-                case ("$initShared", _) =>
-                  throw new JsError("$initShared (bi-state) is not supported by the " +
-                    "JS handler; use the Scala DSL's documented two-level fold (P16)")
+                case ("$initShared", f) =>
+                  initSharedFn = Some(f); spec.isBiState = true
                 case ("$any", f) => anyFn = Some(f); spec.hasAny = true
                 case ("$created", f) => createdFn = Some(f); spec.hasCreated = true
                 case ("$deleted", f) => deletedFn = Some(f)
@@ -365,6 +384,39 @@ final class CompiledJsProjection private (source: String) {
           currentEmitter = null
           currentEvent = null
         }
+    }
+  }
+
+  /** Fresh shared state ($initShared, else {}). */
+  def initSharedState(): JsVal = initSharedFn match {
+    case Some(f) =>
+      interp.callFunction(f, Nil) match {
+        case JsUndef => JsObj.empty
+        case v => v
+      }
+    case None => JsObj.empty
+  }
+
+  /** Bi-state step: the handler receives the reference's state array
+    * [partitionState, sharedState] (JintProjectionStateHandler.cs:97-133)
+    * and may mutate it in place or return a replacement array. emit/linkTo
+    * are not available in bi-state handlers (no Emitter on this path —
+    * calls throw, never silently drop). */
+  def biStep(s: JsVal, sh: JsVal, e: LogEvent): (JsVal, JsVal) = {
+    val handler =
+      if (e.event_type == graft.model.EventEnvelope.StreamDeletedEventType)
+        deletedFn.orElse(handlers.get(e.event_type)).orElse(anyFn)
+      else handlers.get(e.event_type).orElse(anyFn)
+    handler match {
+      case None => (s, sh)
+      case Some(f) =>
+        val arr = JsArr(scala.collection.mutable.ArrayBuffer(s, sh))
+        currentEvent = e
+        try interp.callFunction(f, Seq(arr, envelope(e, partitionOf(e)))) match {
+          case JsArr(items) if items.length >= 2 => (items(0), items(1))
+          case JsUndef => (arr.items(0), arr.items(1))
+          case v => (v, arr.items(1))
+        } finally currentEvent = null
     }
   }
 

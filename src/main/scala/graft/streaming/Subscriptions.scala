@@ -140,6 +140,34 @@ object Subscriptions {
       }
   }
 
+  /** P17 with the reference's actual lag unit: MILLISECONDS of event time
+    * (processingLag — docs/server/features/projections/custom.md:46-47
+    * buffers by prepare-position timestamp with a time slack). Events are
+    * buffered until the maximum timestamp seen has advanced `lagMillis`
+    * past them, then released in log_position order. Same serial shape as
+    * [[reorderedStream]] (the reference's pump is serial too). */
+  def reorderedStreamByTime(events: DataFrame, lagMillis: Long)(
+      implicit encS: Encoder[ReorderBuffer],
+      encOut: Encoder[LogEvent],
+      encKV: Encoder[(String, LogEvent)]): Dataset[LogEvent] = {
+    val ds = Projections.toLogEvents(events)
+    ds.map(e => ("", e))(encKV)
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[ReorderBuffer, LogEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, LogEvent)], state: GroupState[ReorderBuffer]) =>
+          val buf = state.getOption.getOrElse(ReorderBuffer(Seq.empty, Long.MinValue))
+          val incoming = rows.map(_._2).toSeq
+          val all = (buf.pending ++ incoming).sortBy(_.log_position)
+          // highWater carries the max TIMESTAMP (millis) seen so far
+          val highWater = (buf.highWater +: incoming.map(_.timestamp.getTime)).max
+          val (release, hold) =
+            all.partition(_.timestamp.getTime <= highWater - lagMillis)
+          state.update(ReorderBuffer(hold, highWater))
+          release.iterator
+      }
+  }
+
   /** Flush a reorder buffer at end-of-input: returns everything still held,
     * in order (batch-mode tail; streaming would flush via timeout). */
   def reorderedFlush(buf: ReorderBuffer): Seq[LogEvent] =

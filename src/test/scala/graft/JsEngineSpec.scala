@@ -235,11 +235,62 @@ fromCategory("chat")
 
   test("JS definition validation: bad sources are rejected at compile") {
     intercept[JsError] { JsProjection.compile("var x = 1;") } // no selector
-    intercept[JsError] {
-      JsProjection.compile("fromAll().when({$initShared: function(){return {}}})")
-    }
     intercept[JsParseError] { JsProjection.compile("fromAll().when({") }
     intercept[JsError] { JsProjection.compile("fromStreamsMatching('a.*')") }
+  }
+
+  test("JS $initShared bi-state: exact interleaving of shared and partition state") {
+    // per-partition state snapshots the SHARED counter at its last event —
+    // order-dependent across partitions, which the two-level commutative
+    // fold cannot express; the single-pass variant must get it exactly
+    val p = JsProjection.compile("""
+fromCategory("chat")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, sharedAtLast: 0 } },
+        $initShared: function() { return { total: 0 } },
+        ChatMessage: function(state, event) {
+            var s = state[0], sh = state[1];
+            sh.total += 1;
+            s.n += 1;
+            s.sharedAtLast = sh.total;
+            return state;
+        }
+    })""")
+    val states = p.states(chatStore().read()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // log order: chat-1 at global counts 1,2,3; chat-2 at 4,5
+    assert(states == Map(
+      "chat-1" -> """{"n":3,"sharedAtLast":3}""",
+      "chat-2" -> """{"n":2,"sharedAtLast":5}""",
+      "$shared" -> """{"total":5}"""))
+    intercept[JsError] { p.emitted(chatStore().read()) }
+  }
+
+  test("Scala initBi: single-pass bi-state equals a driver-side reference fold") {
+    val store = chatStore()
+    val s = spark; import s.implicits._
+    val folded = graft.projections.Projections.fromCategory("chat")
+      .foreachStream()
+      .initBi((0L, 0L), (0L, 0L)) { case ((n, atLast), (total, _), e) =>
+        val t = total + 1
+        ((n + 1, t), (t, 0L))
+      }
+      .states(store.read())
+      .collect().toMap
+    // driver-side reference fold over the same events in log order
+    val events = store.read().where(col("stream_id").startsWith("chat-"))
+      .select("stream_id", "log_position").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    var total = 0L
+    val expected = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    events.foreach { case (sid, _) =>
+      total += 1
+      val (n, _) = expected.getOrElse(sid, (0L, 0L))
+      expected(sid) = (n + 1, total)
+    }
+    expected.foreach { case (sid, st) => assert(folded(sid) == st, sid) }
+    assert(folded(graft.projections.BiStateFold.SharedKey)._1 == total)
   }
 
   test("JS fold equals the Scala DSL fold on the driver testdata") {

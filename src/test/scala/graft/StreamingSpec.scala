@@ -157,6 +157,27 @@ class StreamingSpec extends SparkTestBase {
     assert(released == Seq(1L, 2L, 3L)) // in position order despite arrival order
   }
 
+  test("P17 reorderEvents by TIME lag (reference processingLag unit, ms)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def le(pos: Long, tsMs: Long) = graft.projections.LogEvent(
+      "m-1", pos, "E", pos, new java.sql.Timestamp(tsMs), null, "{}", 0.0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.projections.LogEvent]
+    val q = Subscriptions.reorderedStreamByTime(input.toDF(), lagMillis = 500)
+      .writeStream.format("memory").queryName("reordertime").outputMode("append").start()
+    // t=3000 and t=1000 arrive together: only t=1000 clears the 500 ms lag
+    input.addData(le(3, 3000), le(1, 1000))
+    q.processAllAvailable()
+    // t=2000 (late) and t=5000: high water 5000 releases 2000 and 3000
+    input.addData(le(2, 2000), le(5, 5000))
+    q.processAllAvailable()
+    q.stop()
+    val released = spark.sql("SELECT log_position FROM reordertime")
+      .collect().map(_.getLong(0)).toSeq
+    assert(released == Seq(1L, 2L, 3L))
+  }
+
   test("projection state runs on the RocksDB state store (large-state config)") {
     // same-session override: set the provider for this query's checkpoint
     val (store, dir) = newStore()
