@@ -108,6 +108,52 @@ final class JsProjection(val source: String) extends Serializable {
       .toDF("partition", "state")
   }
 
+  /** P20 batch resume: fold only events past `fromPosExclusive` on top of
+    * checkpointed states (storage form: state JSON per partition, as
+    * `ProjectionCheckpoints` persists them). Full replay == checkpoint +
+    * resume, same as the Scala DSL. */
+  def statesFrom(log: DataFrame, priorStates: Dataset[(String, String)],
+      fromPosExclusive: Long): DataFrame = {
+    if (spec.isBiState)
+      throw new JsError("statesFrom is not available for bi-state projections")
+    val spark = log.sparkSession
+    import spark.implicits._
+    val src = source
+    val prior = priorStates.map { case (k, json) =>
+      (k, JsVal.parseJson(json)) }(jsValEncoder)
+    foldBuilder.statesFrom(log, prior, fromPosExclusive,
+      (s: JsVal) => JsVal.stringify(s).getOrElse("null"),
+      (j: String) => JsVal.parseJson(j))(jsValEncoder)
+      .mapPartitions { it =>
+        val c = CompiledJsProjection.get(src)
+        it.flatMap { case (k, s) =>
+          c.applyTransforms(s).map(v => (k, JsVal.stringify(v).getOrElse("null")))
+        }
+      }
+      .toDF("partition", "state")
+  }
+
+  /** P20 continuous mode: the fold as a Structured Streaming query — state
+    * per partition lives in the state store (JSON between micro-batches,
+    * live JS values within one), surviving restarts via the checkpoint
+    * dir. Emits (partition, state JSON) after every update, like
+    * outputState-after-each-batch. */
+  def statesStream(events: DataFrame): Dataset[(String, String)] = {
+    if (spec.isBiState)
+      throw new JsError("statesStream is not available for bi-state projections")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = source
+    val pf: LogEvent => Option[String] =
+      if (spec.foreachStream) e => Some(e.stream_id)
+      else if (spec.hasPartitionBy) e => CompiledJsProjection.get(src).partitionKey(e)
+      else _ => Some("")
+    graft.streaming.Subscriptions.projectionStream[String](
+      events, pf,
+      () => JsVal.stringify(CompiledJsProjection.get(src).initState()).getOrElse("{}"),
+      (json: String, e: LogEvent) => CompiledJsProjection.get(src).stepJson(json, e))
+  }
+
   /** P13/P14: events emitted by handlers (emit/linkTo/linkStreamTo). */
   def emitted(log: DataFrame): Dataset[Emitted] = {
     if (spec.isBiState)
@@ -418,6 +464,14 @@ final class CompiledJsProjection private (source: String) {
           case v => (v, arr.items(1))
         } finally currentEvent = null
     }
+  }
+
+  /** Storage-form step for the streaming state store: state rides as JSON
+    * between micro-batches (emitted events are not produced on this path —
+    * use `emitted` in batch or EmittedSink for exactly-once append). */
+  def stepJson(json: String, e: LogEvent): String = {
+    val s = step(JsVal.parseJson(json), e, new Emitter)
+    JsVal.stringify(s).getOrElse("null")
   }
 
   /** $created (fires before the first event's own handler). */

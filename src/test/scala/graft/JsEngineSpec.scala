@@ -293,6 +293,30 @@ fromCategory("chat")
     assert(folded(graft.projections.BiStateFold.SharedKey)._1 == total)
   }
 
+  test("JS P20: checkpoint + resume equals full replay") {
+    val store = chatStore()
+    val s = spark; import s.implicits._
+    val p = JsProjection.compile("""
+fromCategory("chat")
+    .foreachStream()
+    .when({
+        $init: function() { return { count: 0, last: -1 } },
+        ChatMessage: function(st, e) {
+            st.count += 1;
+            st.last = e.sequenceNumber;
+            return st;
+        }
+    })""")
+    val full = p.states(store.read()).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // checkpoint covering positions <= 2, resume over the tail
+    val prior = p.states(store.readAt(2L)).as[(String, String)]
+    val resumed = p.statesFrom(store.read(), prior, 2L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(resumed == full)
+    assert(full.keySet == Set("chat-1", "chat-2"))
+  }
+
   test("JS fold equals the Scala DSL fold on the driver testdata") {
     val log = graft.sources.Tables.eventLog(spark, "/root/testdata/sf0.001")
     val js = JsProjection.compile("""

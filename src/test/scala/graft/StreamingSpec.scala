@@ -109,6 +109,34 @@ class StreamingSpec extends SparkTestBase {
     assert(streamStates.keySet == batchStates.keySet)
   }
 
+  test("P20 JS: streaming JS projection state equals batch JS states") {
+    val (store, dir) = newStore()
+    seed(store)
+    store.append(Seq(PendingEvent("acct-1", "e5", "Deposited", """{"amt":2}""")))
+    val p = graft.projections.js.JsProjection.compile("""
+fromCategory("acct")
+    .foreachStream()
+    .when({
+        $init: function() { return { bal: 0 } },
+        Deposited: function(s, e) { s.bal += e.body.amt; return s; },
+        Withdrawn: function(s, e) { s.bal -= e.body.amt; return s; }
+    })""")
+    val batch = p.states(store.read()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val q = p.statesStream(
+        Subscriptions.subscribeAll(spark, s"$dir/log")
+          .where(col("stream_id").startsWith("acct-")))
+      .toDF("partition", "state")
+      .writeStream.format("memory").queryName("jsproj").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT partition, state FROM jsproj").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(batch == Map(
+      "acct-1" -> """{"bal":9}""", "acct-2" -> """{"bal":5}"""))
+    assert(streamed == batch)
+  }
+
   test("windowed streaming agg with watermark equals the batch window agg") {
     val (store, dir) = newStore()
     store.append(Seq(
