@@ -112,6 +112,11 @@ object AnalyticsQueries extends QueryModule {
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d), nlist = 16, threshold = 0.4)
+      .withColumn("max_prior_sim", round(col("max_prior_sim"), 6))
+      .orderBy(col("id"))
+
   private def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5, nlist = 8, nprobe = 3)
@@ -178,6 +183,7 @@ object AnalyticsQueries extends QueryModule {
     "dedup_winnow_pairs" -> (winnowPairsQ _),
     "dedup_simhash" -> (simhashQ _),
     "dedup_simhash_pairs" -> (simhashPairsQ _),
+    "dedup_semantic" -> (dedupSemantic _),
     "ann_cosine_topk" -> (annTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_lsh_neardup" -> (annLshNearDup _),
@@ -452,6 +458,27 @@ object AnalyticsQueries extends QueryModule {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id AS id, v, cid AS list_id FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |prior AS (
+        |  SELECT b.id AS id,
+        |    max(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) AS mps
+        |  FROM assigned a JOIN assigned b ON a.list_id = b.list_id AND a.id < b.id
+        |  GROUP BY 1)
+        |SELECT assigned.id AS id, list_id, round(coalesce(mps, -1.0), 6) AS max_prior_sim,
+        |  coalesce(mps, -1.0) < 0.4 AS kept
+        |FROM assigned LEFT JOIN prior ON prior.id = assigned.id
+        |ORDER BY assigned.id""".stripMargin,
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

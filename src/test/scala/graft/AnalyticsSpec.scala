@@ -86,6 +86,31 @@ class AnalyticsSpec extends SparkTestBase {
     assert(lsh.contains((0L, 100L))) // identical direction → same bucket always
   }
 
+  test("semanticDedup: nlist=1 equals the exact all-pairs prune; clustering only relaxes it") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      // duplicate pairs: 50+j is the same direction as j (scaled)
+      val base = if (i >= 50) i - 50 else i
+      val scale = if (i >= 50) 2.0f else 1.0f
+      (i.toLong, Array.tabulate(8)(d => (math.sin(base * 8 + d).toFloat * scale)))
+    }.toDF("vec_id", "embedding")
+    val thr = 0.999
+    // nlist=1: every vector in one cluster == exact greedy prune
+    val one = Similarity.semanticDedup(vecs, nlist = 1, thr)
+      .select("id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // exact expectation from all-pairs: drop iff some lower-id vector is >= thr
+    val dupOf = Similarity.nearDupPairs(vecs, thr)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    (0L until 60L).foreach { i => assert(one(i) == !dupOf.contains(i), s"id $i") }
+    assert((50L until 60L).forall(i => !one(i))) // scaled copies pruned
+    // with clustering, a vector can only be SAVED by cluster separation,
+    // never newly dropped (its prior-set shrinks)
+    val clustered = Similarity.semanticDedup(vecs, nlist = 8, thr)
+      .select("id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until 60L).foreach { i => if (one(i)) assert(clustered(i), s"id $i lost by clustering") }
+    (0L until 60L).foreach { i => if (!clustered(i)) assert(!one(i), s"id $i dropped only when clustered") }
+  }
+
   test("IVF top-k: probing all lists equals brute force; fewer probes stay a subset") {
     val s = spark; import s.implicits._
     val vecs = (0 until 60).map { i =>

@@ -135,6 +135,15 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("semanticDedup pair join is an equi-join on list_id, not a cartesian") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val plan = executedPlan(graft.analytics.Similarity.semanticDedup(vecs, nlist = 8, 0.9))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("append idempotency probe is a distributed semi-join, ids broadcast") {
     val df = store.duplicateIdProbe(Seq("e1", "e2", "zz"), Seq("acct-1", "acct-2"))
     val plan = executedPlan(df)
