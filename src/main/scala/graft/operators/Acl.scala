@@ -42,10 +42,38 @@ object Acl {
 
   /** One ACL slot: accepts the reference's single-string or array JSON
     * forms (`"$r": "ouro"` and `"$r": ["ouro","readers"]` both parse). */
-  private def rolesOf(data: Column, key: String): Column = {
-    val raw = get_json_object(data, s"$$.$$acl.$$$key")
+  private def rolesOf(data: Column, key: String): Column =
+    rolesAt(data, s"$$.$$acl.$$$key")
+
+  private def rolesAt(data: Column, path: String): Column = {
+    val raw = get_json_object(data, path)
     when(raw.startsWith("["), from_json(raw, ArrayType(StringType)))
       .otherwise(when(raw.isNotNull, array(raw)))
+  }
+
+  /** The `$settings` stream name (SystemNames.cs:41). */
+  val SettingsStream = "$settings"
+
+  /** Deployment-wide default ACLs from the latest `$settings` event
+    * (SystemSettings.cs:22-61): `$userStreamAcl` / `$systemStreamAcl`
+    * replace the built-in open / admin-only fallbacks for streams without
+    * an explicit `$acl`. Returns the requested slot for (user, system)
+    * streams; None = slot not configured. One bounded point read. */
+  def settingsDefaults(log: DataFrame,
+      slot: String = "r"): (Option[Seq[String]], Option[Seq[String]]) = {
+    val rows = log.where(col("stream_id") === SettingsStream)
+      .orderBy(col("event_number").desc).limit(1)
+      .select(
+        rolesAt(col("data"), s"$$.$$userStreamAcl.$$$slot").as("u"),
+        rolesAt(col("data"), s"$$.$$systemStreamAcl.$$$slot").as("s"))
+      .collect()
+    rows.headOption match {
+      case None => (None, None)
+      case Some(r) =>
+        def get(i: Int): Option[Seq[String]] =
+          if (r.isNullAt(i)) None else Some(r.getSeq[String](i).toSeq)
+        (get(0), get(1))
+    }
   }
 
   /** Filter a log read down to what `principal` (with `roles`) may see.
@@ -54,23 +82,36 @@ object Acl {
     * absent ACLs fall back to the defaults (user streams open, system
     * streams admin-only). */
   def applyAcl(log: DataFrame, acls: DataFrame, principal: String,
-      roles: Seq[String] = Nil, aclCol: String = "read_roles"): DataFrame = {
+      roles: Seq[String] = Nil, aclCol: String = "read_roles",
+      userDefault: Option[Seq[String]] = None,
+      systemDefault: Option[Seq[String]] = None): DataFrame = {
     val who = (principal +: roles).distinct
     if (who.contains("$admins")) return log
     val whoArr = array((who :+ "$all").map(lit): _*)
+    def defaultAllowed(d: Option[Seq[String]], fallback: Boolean): Column = d match {
+      case Some(rs) => arrays_overlap(array(rs.map(lit): _*), whoArr)
+      case None => lit(fallback)
+    }
     val side = acls.select(col("stream_id"), col(aclCol).as("_acl_roles"))
     log.join(broadcast(side), Seq("stream_id"), "left")
       .where(
         when(col("_acl_roles").isNotNull, arrays_overlap(col("_acl_roles"), whoArr))
-          .otherwise(!col("stream_id").startsWith(EventEnvelope.SystemPrefix)))
+          .otherwise(when(col("stream_id").startsWith(EventEnvelope.SystemPrefix),
+            defaultAllowed(systemDefault, fallback = false))
+            .otherwise(defaultAllowed(userDefault, fallback = true))))
       .drop("_acl_roles")
   }
 
-  /** Read-with-ACLs in one call: parse the log's own metastreams and
-    * enforce the read slot — the shape of the reference's every-read check. */
-  def readAs(log: DataFrame, principal: String, roles: Seq[String] = Nil): DataFrame =
-    applyAcl(log.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix)),
-      aclFromLog(log), principal, roles)
+  /** Read-with-ACLs in one call: parse the log's own metastreams AND the
+    * `$settings` defaults, then enforce the read slot — the shape of the
+    * reference's every-read check. */
+  def readAs(log: DataFrame, principal: String, roles: Seq[String] = Nil): DataFrame = {
+    val (userDef, sysDef) = settingsDefaults(log)
+    applyAcl(log.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix) &&
+        col("stream_id") =!= SettingsStream),
+      aclFromLog(log), principal, roles,
+      userDefault = userDef, systemDefault = sysDef)
+  }
 
   /** Set an `$acl` on a stream via the store's metadata stream (helper for
     * tests and ingest tooling; slots with None are left unset). */

@@ -56,6 +56,27 @@ class AclSpec extends SparkTestBase {
     assert(Set("open-1", "secret-1", "team-1").subsetOf(admin))
   }
 
+  test("$settings overrides the default ACLs for unprotected streams") {
+    val s = store()
+    // default: open-1 (no $acl) is readable by anyone
+    assert(Acl.readAs(s.read(), "alice")
+      .select("stream_id").distinct().collect().map(_.getString(0)).toSet == Set("open-1"))
+    // restrict user streams to 'staff'; grant $-streams to 'ops'
+    s.append(Seq(PendingEvent(Acl.SettingsStream, "s1", "$settings-updated",
+      """{"$userStreamAcl":{"$r":["staff"]},"$systemStreamAcl":{"$r":"ops"}}""")))
+    s.append(Seq(PendingEvent("$sys-audit", "s2", "Audit", "{}")))
+    def visible(p: String, rs: Seq[String] = Nil): Set[String] =
+      Acl.readAs(s.read(), p, rs)
+        .select("stream_id").distinct().collect().map(_.getString(0)).toSet
+    assert(visible("alice") == Set.empty) // default no longer open
+    assert(visible("bob", Seq("staff")) == Set("open-1"))
+    // explicit $acl still wins over the default
+    assert(visible("ouro") == Set("secret-1"))
+    // system default grants ops; $settings itself is never exposed
+    assert(visible("carol", Seq("ops", "staff")) == Set("open-1", "$sys-audit"))
+    assert(!visible("root", Seq("$admins")).contains(Acl.SettingsStream))
+  }
+
   test("$all in a read ACL grants everyone; system streams default to admins") {
     val s = store()
     s.append(Seq(PendingEvent("$$secret-1", "m4", "$metadata",
