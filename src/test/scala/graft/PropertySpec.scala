@@ -111,4 +111,60 @@ class PropertySpec extends SparkTestBase {
       assert(got == expected, s"ids=$ids")
     }
   }
+
+  // ---- JS value layer (projections/js): JSON round-trip + JS semantics
+
+  private val jsonValGen: Gen[graft.projections.js.JsVal] = {
+    import graft.projections.js._
+    import scala.collection.mutable
+    val leaf: Gen[JsVal] = Gen.oneOf(
+      Gen.const(JsNull),
+      Gen.oneOf(true, false).map(JsBool(_)),
+      // JSON-representable numbers: finite doubles (ints and decimals)
+      Gen.oneOf(
+        Gen.choose(-1000000L, 1000000L).map(l => JsNum(l.toDouble)),
+        Gen.choose(-1000.0, 1000.0).map(JsNum(_))),
+      Gen.alphaNumStr.map(s => JsStr(s.take(12))),
+      Gen.const(JsStr("q\"uo\\te\n\ttab")))
+    def obj(depth: Int): Gen[JsVal] =
+      if (depth == 0) leaf
+      else Gen.oneOf(leaf,
+        Gen.listOfN(3, Gen.zip(Gen.alphaNumStr.map(_.take(6)), obj(depth - 1)))
+          .map(kvs => JsObj(mutable.LinkedHashMap(kvs.distinctBy(_._1): _*))),
+        Gen.listOfN(3, obj(depth - 1)).map(vs => JsArr(mutable.ArrayBuffer(vs: _*))))
+    obj(2)
+  }
+
+  test("JS JSON: parse(stringify(v)) == v for generated value trees") {
+    import graft.projections.js.JsVal
+    samples(jsonValGen, 300).foreach { v =>
+      val json = JsVal.stringify(v).get
+      val back = JsVal.parseJson(json)
+      assert(back == v, s"round-trip failed for $json")
+      // stringify is stable through the round-trip (canonical form)
+      assert(JsVal.stringify(back).get == json)
+    }
+  }
+
+  test("JS numbers: integral doubles print without a decimal point, like JS") {
+    import graft.projections.js.JsVal
+    samples(Gen.choose(-9007199254740L, 9007199254740L), 200).foreach { l =>
+      assert(JsVal.numToStr(l.toDouble) == l.toString, s"$l")
+    }
+    assert(JsVal.numToStr(1.5) == "1.5")
+    assert(JsVal.numToStr(-0.0) == "0")
+    assert(JsVal.numToStr(Double.NaN) == "NaN")
+  }
+
+  test("JS interpreter arithmetic matches Scala double semantics on samples") {
+    import graft.projections.js._
+    val in = new JsInterp
+    def run(src: String): JsVal = in.run(JsParser.program(src))
+    samples(Gen.zip(Gen.choose(-10000, 10000), Gen.choose(1, 997)), 100)
+      .foreach { case (a, b) =>
+        assert(run(s"$a % $b") == JsNum((a.toDouble % b)), s"$a % $b")
+        assert(run(s"($a + $b) * 2 - $a") == JsNum((a.toDouble + b) * 2 - a))
+        assert(run(s"Math.floor($a / $b)") == JsNum(math.floor(a.toDouble / b)))
+      }
+  }
 }
