@@ -293,6 +293,26 @@ fromCategory("chat")
     assert(folded(graft.projections.BiStateFold.SharedKey)._1 == total)
   }
 
+  test("JS P21: emitted events land exactly-once through EmittedSink on replay") {
+    val store = chatStore()
+    val p = JsProjection.compile("""
+fromCategory("chat")
+    .foreachStream()
+    .when({
+        ChatMessage: function(s, e) {
+            emit("mentions-" + e.body.sender, "Mentioned", { at: e.sequenceNumber });
+        }
+    })""")
+    val first = graft.projections.EmittedSink.appendIdempotent(
+      store, "jsmentions", p.emitted(store.read()))
+    assert(first == 5L)
+    // replay: same JS source re-derives identical idempotency keys → no-op
+    val replay = graft.projections.EmittedSink.appendIdempotent(
+      store, "jsmentions", p.emitted(store.read()))
+    assert(replay == 0L)
+    assert(store.read().where(col("stream_id").startsWith("mentions-")).count() == 5L)
+  }
+
   test("JS P20: checkpoint + resume equals full replay") {
     val store = chatStore()
     val s = spark; import s.implicits._
