@@ -37,18 +37,21 @@ object ReadQueries extends QueryModule {
       .select(outCols: _*)
 
   private def f1Prefix(s: SparkSession, d: String): DataFrame =
-    log(s, d).where(EventFilters.streamPrefix(Seq("error-", "view-1")))
+    Tables.eventLogScan(s, d) // narrow: no event_number needed
+      .where(EventFilters.streamPrefix(Seq("error-", "view-1")))
       .groupBy(col("stream_id"))
       .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("value")).as("sum_value"))
       .orderBy(col("stream_id"))
 
   private def f2Regex(s: SparkSession, d: String): DataFrame =
-    log(s, d).where(EventFilters.streamRegex("^(error|view)-1[0-9]$"))
+    Tables.eventLogScan(s, d) // narrow scan
+      .where(EventFilters.streamRegex("^(error|view)-1[0-9]$"))
       .groupBy(col("stream_id")).agg(count(lit(1)).as("n"))
       .orderBy(col("stream_id"))
 
   private def f4EtRegex(s: SparkSession, d: String): DataFrame =
-    log(s, d).where(EventFilters.eventTypeRegex("^(sign|clic)"))
+    Tables.eventLogScan(s, d) // narrow scan
+      .where(EventFilters.eventTypeRegex("^(sign|clic)"))
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
@@ -77,7 +80,7 @@ object ReadQueries extends QueryModule {
     * `k` is extracted on demand with get_json_object — no schema migration
     * needed when bodies evolve — and aggregated per event type. */
   private def jsonBodyAgg(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    Tables.eventLog(s, d)
+    Tables.eventLogScan(s, d) // narrow: event_type + data only
       .select(col("event_type"),
         get_json_object(col("data"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))

@@ -139,7 +139,7 @@ object RelationalQueries extends QueryModule {
     * merge-adjacent-windows logic natively (and streams with watermarks);
     * the oracle derives the same sessions with gaps-and-islands SQL. */
   private def sessionWindows(s: SparkSession, d: String): DataFrame =
-    Tables.eventLog(s, d)
+    Tables.eventLogScan(s, d) // narrow: timestamp/user_id/value only
       .groupBy(session_window(col("timestamp"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total"))
       .select(col("w.start").as("sess_start"), col("user_id"),

@@ -19,7 +19,8 @@ object SystemProjectionQueries extends QueryModule {
     val extra = Seq(
       ("nosep", 1L), ("multi-part-stream", 2L), ("$sys-x", 3L))
       .toDF("stream_id", "log_position")
-    val all = log(s, d).select(col("stream_id"), col("log_position")).unionAll(extra)
+    val all = Tables.eventLogScan(s, d) // narrow scan
+      .select(col("stream_id"), col("log_position")).unionAll(extra)
     SystemProjections.byCategory(all)
       .groupBy(col("category")).agg(count(lit(1)).as("n"))
       .orderBy(col("category"))
@@ -39,7 +40,7 @@ object SystemProjectionQueries extends QueryModule {
 
   /** SYS2 aggregate view: per event type count + position range. */
   private def sys2Agg(s: SparkSession, d: String): DataFrame =
-    SystemProjections.byEventType(log(s, d))
+    SystemProjections.byEventType(Tables.eventLogScan(s, d)) // narrow scan
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("log_position")).as("min_pos"),
         max(col("log_position")).as("max_pos"))
@@ -57,7 +58,7 @@ object SystemProjectionQueries extends QueryModule {
 
   /** SYS5: $by_correlation_id — group by the correlation id. */
   private def sys5(s: SparkSession, d: String): DataFrame =
-    SystemProjections.byCorrelationId(log(s, d))
+    SystemProjections.byCorrelationId(Tables.eventLogScan(s, d)) // narrow scan
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), QueryUtil.dsum(col("value")).as("sum_value"))
       .orderBy(col("cid"))
