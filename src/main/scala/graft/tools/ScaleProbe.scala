@@ -49,6 +49,8 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
     time("ivf_topk")(Similarity.ivfTopK(
       bigEmb.where(col("vec_id") < 100), bigEmb, k = 10, nlist = 64, nprobe = 8).count())
+    time("semantic_dedup")(
+      Similarity.semanticDedup(bigEmb, nlist = 64, threshold = 0.95).count())
     spark.stop()
   }
 }
