@@ -11,11 +11,29 @@ import scala.collection.mutable
   * no `this` semantics (identifier `this` resolves like a normal binding),
   * no prototypes, no Date/RegExp/random — handlers must stay deterministic
   * for replay, exactly as the reference demands of projections. */
-final class JsInterp {
+final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
 
   private final class BreakEx extends RuntimeException
   private final class ContinueEx extends RuntimeException
   private final class ReturnEx(val value: JsVal) extends RuntimeException
+
+  // Execution budget — the analog of the reference's Jint TimeConstraint
+  // (JintProjectionStateHandler.cs:57-66 arms compilation/execution
+  // timeouts around every handler call): a runaway user handler
+  // (`while(true)`) must fail the projection, never hang an executor
+  // thread. Deterministic step counting instead of wall clock, so replays
+  // fail identically. Callers reset per handler invocation.
+  private var steps: Long = 0L
+
+  /** Rearm the budget (call before each top-level run/handler call). */
+  def resetBudget(): Unit = steps = 0L
+
+  @inline private def tick(): Unit = {
+    steps += 1
+    if (steps > stepBudget)
+      throw new JsError(
+        s"execution budget exceeded ($stepBudget steps) — infinite loop in handler?")
+  }
 
   val globals: Env = new Env(None)
   installStdlib(globals)
@@ -43,7 +61,9 @@ final class JsInterp {
 
   // ---------------------------------------------------------- statements
 
-  private def execStmt(s: Stmt, env: Env): JsVal = s match {
+  private def execStmt(s: Stmt, env: Env): JsVal = { tick(); execStmt0(s, env) }
+
+  private def execStmt0(s: Stmt, env: Env): JsVal = s match {
     case ExprStmt(e) => eval(e, env)
     case VarDecl(decls) =>
       decls.foreach { case (name, init) =>
@@ -107,7 +127,9 @@ final class JsInterp {
 
   // --------------------------------------------------------- expressions
 
-  def eval(e: Expr, env: Env): JsVal = e match {
+  def eval(e: Expr, env: Env): JsVal = { tick(); eval0(e, env) }
+
+  private def eval0(e: Expr, env: Env): JsVal = e match {
     case NumLit(d) => JsNum(d)
     case StrLit(s) => JsStr(s)
     case BoolLit(b) => JsBool(b)
@@ -516,5 +538,17 @@ final class JsInterp {
       val d = JsVal.num(a.headOption.getOrElse(JsUndef))
       JsBool(!d.isNaN && !d.isInfinite)
     })
+    // the reference's debug `log` global (JintProjectionStateHandler.cs:62)
+    g.define("log", native("log", 1) { a =>
+      System.err.println("[js-projection] " + a.map(JsVal.toStr).mkString(" "))
+      JsUndef
+    })
   }
+}
+
+object JsInterp {
+  /** Default per-invocation step budget. A typical handler runs in tens
+    * of steps; 10M steps ≈ tens of ms — far beyond any legitimate handler,
+    * far short of hanging a task. */
+  val DefaultStepBudget: Long = 10_000_000L
 }

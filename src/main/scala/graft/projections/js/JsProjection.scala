@@ -371,10 +371,18 @@ final class CompiledJsProjection private (source: String) {
       JsUndef
     }))
 
+    interp.resetBudget()
     interp.run(JsParser.program(source))
     if (!spec.selectorSet)
       throw new JsError("projection definition must start with fromStream/" +
         "fromStreams/fromCategory/fromCategories/fromAll")
+  }
+
+  /** Every handler invocation rearms the step budget (the reference
+    * resets its Jint constraints around each call the same way). */
+  private def invoke(f: JsVal, args: Seq[JsVal]): JsVal = {
+    interp.resetBudget()
+    interp.callFunction(f, args)
   }
 
   private def requireEmitter(fn: String): Unit =
@@ -386,7 +394,7 @@ final class CompiledJsProjection private (source: String) {
   /** Fresh initial state for one partition ($init, else {}). */
   def initState(): JsVal = initFn match {
     case Some(f) =>
-      interp.callFunction(f, Nil) match {
+      invoke(f, Nil) match {
         case JsUndef => JsObj.empty
         case v => v
       }
@@ -398,7 +406,7 @@ final class CompiledJsProjection private (source: String) {
     * partition function has partition "" — the reference's GetPartition
     * also runs before the partition exists. */
   def partitionKey(e: LogEvent): Option[String] = partitionFn.flatMap { f =>
-    interp.callFunction(f, Seq(envelope(e, ""))) match {
+    invoke(f, Seq(envelope(e, ""))) match {
       case JsUndef | JsNull => None
       case JsNum(d) => Some(JsVal.numToStr(d))
       case JsStr(s) => Some(s)
@@ -423,7 +431,7 @@ final class CompiledJsProjection private (source: String) {
       case Some(f) =>
         currentEmitter = em
         currentEvent = e
-        try interp.callFunction(f, Seq(state, envelope(e, partitionOf(e)))) match {
+        try invoke(f, Seq(state, envelope(e, partitionOf(e)))) match {
           case JsUndef => state
           case v => v
         } finally {
@@ -436,7 +444,7 @@ final class CompiledJsProjection private (source: String) {
   /** Fresh shared state ($initShared, else {}). */
   def initSharedState(): JsVal = initSharedFn match {
     case Some(f) =>
-      interp.callFunction(f, Nil) match {
+      invoke(f, Nil) match {
         case JsUndef => JsObj.empty
         case v => v
       }
@@ -458,7 +466,7 @@ final class CompiledJsProjection private (source: String) {
       case Some(f) =>
         val arr = JsArr(scala.collection.mutable.ArrayBuffer(s, sh))
         currentEvent = e
-        try interp.callFunction(f, Seq(arr, envelope(e, partitionOf(e)))) match {
+        try invoke(f, Seq(arr, envelope(e, partitionOf(e)))) match {
           case JsArr(items) if items.length >= 2 => (items(0), items(1))
           case JsUndef => (arr.items(0), arr.items(1))
           case v => (v, arr.items(1))
@@ -478,7 +486,7 @@ final class CompiledJsProjection private (source: String) {
   def created(state: JsVal, e: LogEvent): JsVal = createdFn match {
     case None => state
     case Some(f) =>
-      interp.callFunction(f, Seq(state, envelope(e, partitionOf(e)))) match {
+      invoke(f, Seq(state, envelope(e, partitionOf(e)))) match {
         case JsUndef => state
         case v => v
       }
@@ -489,9 +497,9 @@ final class CompiledJsProjection private (source: String) {
     transforms.foldLeft(Option(state)) {
       case (None, _) => None
       case (Some(s), ("filter", f)) =>
-        if (JsVal.bool(interp.callFunction(f, Seq(s)))) Some(s) else None
+        if (JsVal.bool(invoke(f, Seq(s)))) Some(s) else None
       case (Some(s), (_, f)) =>
-        interp.callFunction(f, Seq(s)) match {
+        invoke(f, Seq(s)) match {
           case JsUndef => Some(s)
           case v => Some(v)
         }

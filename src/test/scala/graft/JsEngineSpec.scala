@@ -233,6 +233,27 @@ fromCategory("chat")
       "$projections-chatcount-chat-2-result" -> """{"count":2,"first":"chat-2"}"""))
   }
 
+  test("runaway handler hits the execution budget instead of hanging") {
+    val p = JsProjection.compile("""
+fromCategory("chat")
+    .when({
+        ChatMessage: function(s, e) { while (true) { var x = 1; } }
+    })""")
+    val err = intercept[org.apache.spark.SparkException] {
+      p.states(chatStore().read()).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
+    assert(rootMsg(err).contains("execution budget exceeded"))
+    // the interpreter remains usable after a budget trip (budget rearms)
+    val ok = JsProjection.compile("""
+fromCategory("chat").foreachStream().when({
+  $init: function() { return { n: 0 } },
+  ChatMessage: function(s, e) { s.n += 1; return s; }
+})""")
+    assert(ok.states(chatStore().read()).count() == 2)
+  }
+
   test("JS definition validation: bad sources are rejected at compile") {
     intercept[JsError] { JsProjection.compile("var x = 1;") } // no selector
     intercept[JsParseError] { JsProjection.compile("fromAll().when({") }
