@@ -113,6 +113,22 @@ object Acl {
       userDefault = userDef, systemDefault = sysDef)
   }
 
+  /** Which of `streams` the principal may NOT write — the `$w` slot of
+    * the same ACL machinery, for ingest tooling to check before an append
+    * (the reference enforces writes in StorageWriter the same way reads
+    * are enforced in StorageReaderWorker). */
+  def deniedWrites(log: DataFrame, streams: Seq[String], principal: String,
+      roles: Seq[String] = Nil): Set[String] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val (userDef, sysDef) = settingsDefaults(log, slot = "w")
+    val allowed = applyAcl(streams.toDF("stream_id"), aclFromLog(log),
+        principal, roles, aclCol = "write_roles",
+        userDefault = userDef, systemDefault = sysDef)
+      .as[String].collect().toSet
+    streams.toSet -- allowed
+  }
+
   /** Set an `$acl` on a stream via the store's metadata stream (helper for
     * tests and ingest tooling; slots with None are left unset). */
   def aclJson(read: Option[Seq[String]] = None, write: Option[Seq[String]] = None,

@@ -77,6 +77,19 @@ class AclSpec extends SparkTestBase {
     assert(!visible("root", Seq("$admins")).contains(Acl.SettingsStream))
   }
 
+  test("deniedWrites enforces the $w slot with the same defaults") {
+    val s = store()
+    s.append(Seq(PendingEvent("$$team-1", "w1", "$metadata",
+      """{"$acl":{"$r":"team","$w":["leads"]}}""")))
+    val streams = Seq("open-1", "team-1", "$sys-x")
+    // plain user: may write unprotected user streams only
+    assert(Acl.deniedWrites(s.read(), streams, "alice") == Set("team-1", "$sys-x"))
+    // the $w role may write team-1; $r alone may not
+    assert(Acl.deniedWrites(s.read(), streams, "bob", Seq("leads")) == Set("$sys-x"))
+    assert(Acl.deniedWrites(s.read(), streams, "carol", Seq("team")) == Set("team-1", "$sys-x"))
+    assert(Acl.deniedWrites(s.read(), streams, "root", Seq("$admins")) == Set.empty)
+  }
+
   test("$all in a read ACL grants everyone; system streams default to admins") {
     val s = store()
     s.append(Seq(PendingEvent("$$secret-1", "m4", "$metadata",
