@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
-import graft.model.{EventEnvelope, ExpectedVersion}
+import graft.model.{EventEnvelope, ExpectedVersion, StreamMeta}
 
 /** Append-only event-log storage (SURVEY.md §2.1 S1, §7 step 1).
   *
@@ -509,6 +509,31 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     append(Seq(PendingEvent(
       EventEnvelope.MetastreamPrefix + streamId,
       java.util.UUID.randomUUID().toString, "$metadata", body)))
+  }
+
+  /** Read a stream's effective metadata back (reference GetStreamMetadata:
+    * latest `$metadata` event of `$$<stream>` + tombstone state). A point
+    * lookup — stream/bucket pruned, never a log scan. */
+  def getMetadata(streamId: String): StreamMeta = {
+    val metaStream = EventEnvelope.MetastreamPrefix + streamId
+    val rows = if (!exists) Array.empty[Row] else {
+      val base = read().where(col("stream_id") === metaStream)
+      val pruned =
+        if (bucketed) base.where(col("p_bucket") === bucketFor(metaStream)) else base
+      pruned.orderBy(col("event_number").desc)
+        .select(
+          get_json_object(col("data"), "$.$maxCount").cast("long"),
+          get_json_object(col("data"), "$.$maxAge").cast("long"),
+          get_json_object(col("data"), "$.$tb").cast("long"))
+        .limit(1).collect()
+    }
+    val tombstoned = streamState(streamId) == EventLogStore.StreamDeleted
+    rows.headOption match {
+      case None => StreamMeta(streamId, None, None, None, tombstoned)
+      case Some(r) =>
+        def opt(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        StreamMeta(streamId, opt(0), opt(1), opt(2), tombstoned)
+    }
   }
 
   /** Soft delete: truncate the whole stream ($tb = last + 1 — streams.md). */

@@ -234,6 +234,21 @@ class EventLogStoreSpec extends SparkTestBase {
     assert(store.streamState("b-1") == EventLogStore.StreamOk(1L))
   }
 
+  test("getMetadata reads back the latest stream metadata + tombstone state") {
+    val store = freshStore()
+    store.append(Seq(pe("a-1", "e1")))
+    assert(store.getMetadata("a-1") == graft.model.StreamMeta("a-1", None, None, None, false))
+    store.setMetadata("a-1", maxCount = Some(10L), maxAgeSec = Some(3600L))
+    store.setMetadata("a-1", maxCount = Some(5L)) // latest wins; maxAge not carried
+    assert(store.getMetadata("a-1") ==
+      graft.model.StreamMeta("a-1", Some(5L), None, None, false))
+    store.append(Seq(pe("b-1", "e2")))
+    store.softDelete("b-1")
+    assert(store.getMetadata("b-1").truncate_before == Some(1L))
+    store.tombstone("c-1")
+    assert(store.getMetadata("c-1").tombstoned)
+  }
+
   test("append crash between log and stats writes is reconciled on reopen") {
     val dir = Files.createTempDirectory("graftcrash").toString
     val store = new EventLogStore(spark, dir)
