@@ -653,6 +653,47 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     } finally bounds.unpersist()
   }
 
+  /** Compact small files (§2.7 maintenance): every `append` commits at
+    * least one parquet file, so an append-heavy log accumulates thousands
+    * of tiny files per partition — the classic small-file problem that
+    * throttles scan parallelism bookkeeping at 100 TB. Rewrites each
+    * partition holding more than `maxFilesPerPartition` data files into
+    * ~`targetFileBytes` files (ALL rows kept — compaction is IO-layout
+    * maintenance, not scavenge), using the same crash-safe marker+swap as
+    * incremental scavenge. The reference's analog is chunk merging during
+    * scavenge (TFChunk merge); here layout and data lifetime are separate
+    * concerns. Returns the rewritten partition suffixes. */
+  def compact(maxFilesPerPartition: Int = 8,
+      targetFileBytes: Long = 256L * 1024 * 1024): Seq[String] = {
+    if (!exists) return Seq.empty
+    val root = Paths.get(logDir)
+    val partitions = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+    def walk(dir: java.nio.file.Path): Unit = {
+      val children = dir.toFile.listFiles()
+      if (children == null) return
+      val subdirs = children.filter(_.isDirectory)
+      val files = children.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (files.nonEmpty)
+        partitions += ((root.relativize(dir).toString, files.length, files.map(_.length).sum))
+      subdirs.foreach(d => walk(d.toPath))
+    }
+    walk(root)
+    val affected = partitions.filter(_._2 > maxFilesPerPartition).toSeq.sortBy(_._1)
+    affected.foreach { case (suffix, _, bytes) =>
+      val partPred = suffix.split("/").map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k match {
+          case "p_date" => col(k) === to_date(lit(v))
+          case "p_bucket" => col(k) === v.toInt
+          case _ => col(k).cast("string") === v
+        }
+      }.reduce(_ && _)
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      rewritePartition(suffix, read().where(partPred).coalesce(nFiles))
+    }
+    affected.map(_._1)
+  }
+
   /** Rewrite one partition dir crash-safely: write the kept rows to a
     * scratch dir, record a marker, swap, clean up. A crash at any point is
     * repaired by recoverInterruptedScavenge() using the marker. */

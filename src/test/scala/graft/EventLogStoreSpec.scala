@@ -234,6 +234,31 @@ class EventLogStoreSpec extends SparkTestBase {
     assert(store.streamState("b-1") == EventLogStore.StreamOk(1L))
   }
 
+  test("compact merges small files, preserves every row, numbering intact") {
+    val dir = Files.createTempDirectory("graftcompact").toString
+    val store = new EventLogStore(spark, dir)
+    (0 until 12).foreach(i => store.append(Seq(pe("a-1", s"e$i"), pe("b-1", s"f$i"))))
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$dir/log"))
+    }
+    val before = store.read().orderBy("log_position").collect().map(_.toSeq).toSeq
+    assert(parquetFiles() >= 12)
+    val rewritten = store.compact(maxFilesPerPartition = 4)
+    assert(rewritten.nonEmpty)
+    assert(parquetFiles() <= 2, s"still ${parquetFiles()} files")
+    val after = store.read().orderBy("log_position").collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // appends continue normally after compaction (positions keep advancing)
+    store.append(Seq(pe("a-1", "post")))
+    assert(store.read().agg(org.apache.spark.sql.functions.max("log_position"))
+      .collect()(0).getLong(0) == 24L)
+    // below-threshold partitions are untouched on a second pass
+    assert(store.compact(maxFilesPerPartition = 4).isEmpty)
+  }
+
   test("getMetadata reads back the latest stream metadata + tombstone state") {
     val store = freshStore()
     store.append(Seq(pe("a-1", "e1")))
