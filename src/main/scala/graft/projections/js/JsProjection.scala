@@ -244,9 +244,26 @@ final class CompiledJsProjection private (source: String) {
   private var currentEmitter: Emitter = null
   private var currentEvent: LogEvent = null
 
+  /** Chain-grammar enforcement, mirroring the reference's
+    * `_availableProperties` table verbatim
+    * (JintProjectionStateHandler.cs:460-473): each stage names the only
+    * methods callable next — e.g. `fromStreams` has no `foreachStream`,
+    * `partitionBy` admits only `when`, nothing follows `outputTo`.
+    * (Declared before the compileDefinition() call below — constructor
+    * statements run in declaration order.) */
+  private var allowedNext: Set[String] = Set(
+    "fromStream", "fromAll", "fromStreams", "fromCategory", "fromCategories")
+
   compileDefinition()
 
   // ------------------------------------------------------------ builders
+
+  private def enter(stage: String): Unit = {
+    if (!allowedNext.contains(stage))
+      throw new JsError(s"'$stage' is not available at this point in the " +
+        s"definition chain (allowed here: ${allowedNext.toSeq.sorted.mkString(", ")})")
+    allowedNext = CompiledJsProjection.grammar(stage)
+  }
 
   private def compileDefinition(): Unit = {
     val g = interp.globals
@@ -254,6 +271,7 @@ final class CompiledJsProjection private (source: String) {
     def builderObj: JsObj = {
       lazy val self: JsObj = JsObj.of(
         "when" -> JsNative("when", 1, { args =>
+          enter("when")
           args.headOption match {
             case Some(JsObj(hs)) =>
               hs.foreach {
@@ -272,44 +290,56 @@ final class CompiledJsProjection private (source: String) {
           }
         }),
         "foreachStream" -> JsNative("foreachStream", 0, { _ =>
+          enter("foreachStream")
           spec.foreachStream = true; self
         }),
         "partitionBy" -> JsNative("partitionBy", 1, { args =>
+          enter("partitionBy")
           partitionFn = Some(args.headOption.getOrElse(
             throw new JsError("partitionBy() expects a function")))
           spec.hasPartitionBy = true
           self
         }),
         "outputState" -> JsNative("outputState", 0, { _ =>
+          enter("outputState")
           spec.outputStateRequested = true; self
         }),
         "transformBy" -> JsNative("transformBy", 1, { args =>
+          enter("transformBy")
           transforms = transforms :+ ("transform" -> args.head); self
         }),
         "filterBy" -> JsNative("filterBy", 1, { args =>
+          enter("filterBy")
           transforms = transforms :+ ("filter" -> args.head); self
         }),
         "outputTo" -> JsNative("outputTo", 2, { args =>
+          enter("outputTo")
           spec.resultStream = args.headOption.map(JsVal.toStr)
           spec.partitionResultPattern = args.lift(1).map(JsVal.toStr)
           self
         }),
         "options" -> JsNative("options", 1, { args =>
-          args.headOption match {
-            case Some(JsObj(opts)) =>
-              opts.get("resultStreamName").foreach(v => spec.resultStream = Some(JsVal.toStr(v)))
-              opts.get("partitionResultStreamNamePattern")
-                .foreach(v => spec.partitionResultPattern = Some(JsVal.toStr(v)))
-            // reorderEvents/processingLag map to Subscriptions.reorderedStream
-            case _ => ()
-          }
+          applyOptions(args)
           self
         }))
       self
     }
 
+    // the reference's options() is a definition-level function callable
+    // standalone before the chain (AddDefinitionFunction("options", ...),
+    // JintProjectionStateHandler.cs:494) — outside the chain grammar
+    def applyOptions(args: Seq[JsVal]): Unit = args.headOption match {
+      case Some(JsObj(opts)) =>
+        opts.get("resultStreamName").foreach(v => spec.resultStream = Some(JsVal.toStr(v)))
+        opts.get("partitionResultStreamNamePattern")
+          .foreach(v => spec.partitionResultPattern = Some(JsVal.toStr(v)))
+      // reorderEvents/processingLag map to Subscriptions.reorderedStream
+      case _ => ()
+    }
+
     def selectorNative(name: String)(f: Seq[JsVal] => JsSelector): Unit =
       g.define(name, JsNative(name, 1, { args =>
+        enter(name)
         spec.selector = f(args)
         spec.selectorSet = true
         builderObj
@@ -332,6 +362,9 @@ final class CompiledJsProjection private (source: String) {
       JsSelector.Categories(cs)
     }
     selectorNative("fromAll")(_ => JsSelector.All)
+    g.define("options", JsNative("options", 1, { args =>
+      applyOptions(args); JsUndef
+    }))
     g.define("fromStreamsMatching", JsNative("fromStreamsMatching", 1, { _ =>
       throw new JsError("fromStreamsMatching is not supported (reference marks it " +
         "experimental); use fromCategory/fromAll with a filter")
@@ -530,6 +563,24 @@ final class CompiledJsProjection private (source: String) {
 }
 
 object CompiledJsProjection {
+  /** The reference's `_availableProperties`
+    * (JintProjectionStateHandler.cs:460-473); `fromCategories` follows
+    * `fromStreams` (no foreachStream over an explicit list), `options` is
+    * a definition-level function outside the chain grammar. */
+  private[js] val grammar: Map[String, Set[String]] = Map(
+    "fromStream" -> Set("when", "partitionBy", "outputState"),
+    "fromAll" -> Set("when", "partitionBy", "outputState", "foreachStream"),
+    "fromStreams" -> Set("when", "partitionBy", "outputState"),
+    "fromCategory" -> Set("when", "partitionBy", "outputState", "foreachStream"),
+    "fromCategories" -> Set("when", "partitionBy", "outputState"),
+    "when" -> Set("transformBy", "filterBy", "outputState", "outputTo"),
+    "foreachStream" -> Set("when"),
+    "outputState" -> Set("transformBy", "filterBy", "outputTo"),
+    "partitionBy" -> Set("when"),
+    "transformBy" -> Set("transformBy", "filterBy", "outputState", "outputTo"),
+    "filterBy" -> Set("transformBy", "filterBy", "outputState", "outputTo"),
+    "outputTo" -> Set.empty)
+
   // One compiled instance per (thread, source): interpreter state is
   // mutable, so instances must not cross task threads. Compilation is a
   // sub-millisecond parse+eval of a <10 KB string — negligible per task.

@@ -260,6 +260,32 @@ fromCategory("chat").foreachStream().when({
     intercept[JsError] { JsProjection.compile("fromStreamsMatching('a.*')") }
   }
 
+  test("chain grammar matches the reference's availability table") {
+    def bad(src: String): String =
+      intercept[JsError] { JsProjection.compile(src) }.getMessage
+    // fromStreams has no foreachStream (JintProjectionStateHandler.cs:463)
+    assert(bad("fromStreams('a','b').foreachStream()").contains("foreachStream"))
+    // partitionBy admits only when
+    assert(bad("fromAll().partitionBy(function(e){return 'x';}).partitionBy(function(e){return 'y';})")
+      .contains("partitionBy"))
+    // transforms require a when first
+    assert(bad("fromAll().transformBy(function(s){return s;})").contains("transformBy"))
+    // nothing follows outputTo
+    assert(bad("fromAll().when({}).outputTo('out').filterBy(function(s){return true;})")
+      .contains("filterBy"))
+    // a second selector mid-chain is rejected
+    assert(bad("fromAll().when({}); fromStream('a')").contains("fromStream"))
+    // standalone options() before the chain, as real projections write it
+    val p = JsProjection.compile("""
+options({ resultStreamName: "my-result" });
+fromCategory("chat").when({
+  $init: function() { return { n: 0 } },
+  $any: function(s, e) { s.n += 1; return s; }
+})""")
+    val out = p.outputState(chatStore().read(), "ignored").collect()
+    assert(out.map(_.getString(0)).toSet == Set("my-result"))
+  }
+
   test("JS $initShared bi-state: exact interleaving of shared and partition state") {
     // per-partition state snapshots the SHARED counter at its last event —
     // order-dependent across partitions, which the two-level commutative
