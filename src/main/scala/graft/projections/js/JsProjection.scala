@@ -75,6 +75,10 @@ final class JsProjection(val source: String) extends Serializable {
     else base
   }
 
+  /** The definition's options({...}) that map outside the fold. */
+  def options: JsProjectionOptions =
+    JsProjectionOptions(spec.includeLinks, spec.reorderEvents, spec.processingLagMs)
+
   private def jsValEncoder: Encoder[(String, JsVal)] =
     Encoders.tuple(Encoders.STRING, Encoders.javaSerialization(classOf[JsVal]))
 
@@ -198,6 +202,11 @@ object JsProjection {
   }
 }
 
+/** Public view of a compiled definition's options for callers wiring the
+  * out-of-fold features (link resolution, reorder buffer). */
+final case class JsProjectionOptions(
+    includeLinks: Boolean, reorderEvents: Boolean, processingLagMs: Option[Long])
+
 /** Source selector recorded by the definition chain (P1–P4). */
 sealed trait JsSelector extends Serializable
 object JsSelector {
@@ -218,6 +227,12 @@ final class JsProjectionSpec extends Serializable {
   var outputStateRequested = false
   /** `$initShared` present: state is the array [partitionState, shared]. */
   var isBiState = false
+  /** options({...}) keys that map to engine features outside the fold:
+    * includeLinks → Links.resolve pre-step; reorderEvents+processingLag →
+    * Subscriptions.reorderedStreamByTime(lag ms) ahead of statesStream. */
+  var includeLinks = false
+  var reorderEvents = false
+  var processingLagMs: Option[Long] = None
   var resultStream: Option[String] = None
   var partitionResultPattern: Option[String] = None
   /** Event types with a typed handler (diagnostics / filter hints). */
@@ -333,7 +348,10 @@ final class CompiledJsProjection private (source: String) {
         opts.get("resultStreamName").foreach(v => spec.resultStream = Some(JsVal.toStr(v)))
         opts.get("partitionResultStreamNamePattern")
           .foreach(v => spec.partitionResultPattern = Some(JsVal.toStr(v)))
-      // reorderEvents/processingLag map to Subscriptions.reorderedStream
+        opts.get("$includeLinks").foreach(v => spec.includeLinks = JsVal.bool(v))
+        opts.get("reorderEvents").foreach(v => spec.reorderEvents = JsVal.bool(v))
+        opts.get("processingLag").foreach(v =>
+          spec.processingLagMs = Some(JsVal.num(v).toLong))
       case _ => ()
     }
 

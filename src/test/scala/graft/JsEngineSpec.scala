@@ -284,6 +284,11 @@ fromCategory("chat").when({
 })""")
     val out = p.outputState(chatStore().read(), "ignored").collect()
     assert(out.map(_.getString(0)).toSet == Set("my-result"))
+    // reorder/link options are parsed and surfaced for the caller to wire
+    val q = JsProjection.compile("""
+options({ reorderEvents: true, processingLag: 500, $includeLinks: false });
+fromAll().when({ $any: function(s, e) { return s; } })""")
+    assert(q.options == JsProjectionOptions(false, true, Some(500L)))
   }
 
   test("JS $initShared bi-state: exact interleaving of shared and partition state") {
