@@ -152,10 +152,23 @@ final class JsProjection(val source: String) extends Serializable {
       if (spec.foreachStream) e => Some(e.stream_id)
       else if (spec.hasPartitionBy) e => CompiledJsProjection.get(src).partitionKey(e)
       else _ => Some("")
+    // options({reorderEvents: true, processingLag: ms}): buffer arrivals
+    // through the time-lag reorder before the fold, as the reference's
+    // multi-stream reader does ahead of the projection pump
+    val ordered =
+      if (spec.reorderEvents)
+        graft.streaming.Subscriptions.reorderedStreamByTime(
+          events, spec.processingLagMs.getOrElse(500L)).toDF()
+      else events
     graft.streaming.Subscriptions.projectionStream[String](
-      events, pf,
+      ordered, pf,
       () => JsVal.stringify(CompiledJsProjection.get(src).initState()).getOrElse("{}"),
-      (json: String, e: LogEvent) => CompiledJsProjection.get(src).stepJson(json, e))
+      (json: String, e: LogEvent) => CompiledJsProjection.get(src).stepJson(json, e),
+      // chained after the reorder buffer (itself stateful, Append), Spark
+      // requires every stateful operator in the query to be Append
+      outputMode = if (spec.reorderEvents)
+        org.apache.spark.sql.streaming.OutputMode.Append
+      else org.apache.spark.sql.streaming.OutputMode.Update)
   }
 
   /** P13/P14: events emitted by handlers (emit/linkTo/linkStreamTo). */

@@ -79,14 +79,18 @@ object Subscriptions {
   def projectionStream[S](events: DataFrame,
       partitionFn: LogEvent => Option[String],
       init: () => S,
-      step: (S, LogEvent) => S)(implicit encS: Encoder[S],
+      step: (S, LogEvent) => S,
+      // Update by default; Append when chained after another stateful
+      // operator (Spark requires all-append in that case) — either way
+      // one (key, state) row is emitted per touched key per micro-batch
+      outputMode: OutputMode = OutputMode.Update)(implicit encS: Encoder[S],
       encOut: Encoder[(String, S)],
       encKV: Encoder[(String, LogEvent)]): Dataset[(String, S)] = {
     val ds = Projections.toLogEvents(events)
     ds.flatMap(e => partitionFn(e).map(k => (k, e)))(encKV)
       .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState[S, (String, S)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        outputMode, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, LogEvent)], state: GroupState[S]) =>
           val sorted = rows.map(_._2).toSeq.sortBy(_.log_position)
           var s = state.getOption.getOrElse(init())

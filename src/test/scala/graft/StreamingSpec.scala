@@ -137,6 +137,36 @@ fromCategory("acct")
     assert(streamed == batch)
   }
 
+  test("JS options(reorderEvents): out-of-order arrivals fold in position order") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def le(pos: Long) = graft.projections.LogEvent(
+      "m-1", pos, "E", pos, new java.sql.Timestamp(pos * 1000), null,
+      s"""{"p":$pos}""", 0.0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.projections.LogEvent]
+    // order-dependent fold: concatenates positions in processing order
+    val p = graft.projections.js.JsProjection.compile("""
+options({ reorderEvents: true, processingLag: 1500 });
+fromAll().foreachStream().when({
+  $init: function() { return { seq: "" } },
+  E: function(s, e) { s.seq = s.seq + e.body.p + ","; return s; }
+})""")
+    input.addData(le(3), le(1)) // arrival order 3,1
+    input.addData(le(2), le(5)) // then 2; 5 advances event time
+    val q = p.statesStream(input.toDF())
+      .toDF("partition", "state")
+      .writeStream.format("memory").queryName("jsreorder").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val state = spark.sql("SELECT state FROM jsreorder ORDER BY state DESC LIMIT 1")
+      .collect().headOption.map(_.getString(0))
+    // 1,2,3 released (≤ highwater 5000 - lag 1500) in POSITION order
+    // despite 3 arriving first; 5 still held in the buffer
+    assert(state.contains("""{"seq":"1,2,3,"}"""), state)
+  }
+
   test("windowed streaming agg with watermark equals the batch window agg") {
     val (store, dir) = newStore()
     store.append(Seq(
