@@ -89,6 +89,17 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
         }
       }
       JsUndef
+    case DoWhile(cond, body) =>
+      var continue = true
+      while (continue) {
+        try runBlock(body, env)
+        catch {
+          case _: ContinueEx => ()
+          case _: BreakEx => return JsUndef
+        }
+        continue = JsVal.bool(eval(cond, env))
+      }
+      JsUndef
     case For(init, cond, update, body) =>
       val scope = new Env(Some(env))
       init.foreach(execStmt(_, scope))

@@ -12,6 +12,7 @@ final case class VarDecl(decls: Seq[(String, Option[Expr])]) extends Stmt
 final case class ExprStmt(e: Expr) extends Stmt
 final case class If(cond: Expr, thenS: Seq[Stmt], elseS: Option[Seq[Stmt]]) extends Stmt
 final case class While(cond: Expr, body: Seq[Stmt]) extends Stmt
+final case class DoWhile(cond: Expr, body: Seq[Stmt]) extends Stmt
 final case class For(init: Option[Stmt], cond: Option[Expr], update: Option[Expr],
     body: Seq[Stmt]) extends Stmt
 final case class ForIn(varName: String, obj: Expr, body: Seq[Stmt]) extends Stmt
@@ -176,6 +177,14 @@ final class JsParser(src: String) {
       case "var" | "let" | "const" => advance(); varDecl()
       case "if" => return ifStmt()
       case "while" => return whileStmt()
+      case "do" =>
+        advance()
+        val body = stmtOrBlock()
+        expect("while"); expect("(")
+        val cond = expr()
+        expect(")")
+        eat(";")
+        return DoWhile(cond, body)
       case "for" => return forStmt()
       case "return" =>
         advance()

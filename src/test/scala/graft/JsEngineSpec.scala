@@ -54,6 +54,9 @@ class JsEngineSpec extends SparkTestBase {
     assert(evalJs("[1,2,3].map(function(x){return x*2;}).join(',')") == JsStr("2,4,6"))
     assert(evalJs("[1,2,3,4].filter(function(x){return x%2===0;}).length") == JsNum(2))
     assert(evalJs("[1,2,3].reduce(function(a,b){return a+b;}, 10)") == JsNum(16))
+    assert(evalJs("var n = 0; do { n += 1; } while (n < 4); n") == JsNum(4))
+    assert(evalJs("var n = 9; do { n += 1; } while (n < 4); n") == JsNum(10)) // body runs once
+    assert(evalJs("var n = 0; do { n += 1; if (n > 2) break; } while (true); n") == JsNum(3))
   }
 
   test("interpreter: JSON round-trips with JS number formatting") {
