@@ -141,4 +141,54 @@ object Links {
       .withColumnRenamed("_target_stream", "resolved_stream_id")
       .withColumnRenamed("_target_number", "resolved_event_number")
   }
+
+  /** Read-through-links view of a log (`resolveLinkTos` / a projection's
+    * `options({$includeLinks: true})`): `$>` rows keep their LINK identity
+    * in `stream_id`/`event_number`/`log_position` (source filters,
+    * foreachStream partitioning, and read order all follow the stream
+    * being READ) while `event_type`/`data`/`value`/`metadata` come from
+    * the TARGET event and `resolved_stream_id`/`resolved_event_number`
+    * carry its identity — the reference's ResolvedEvent original/resolved
+    * split. The link's own metadata is exposed as `link_metadata`
+    * (ResolvedEvent.PositionMetadata → the JS envelope's
+    * linkMetadataRaw). Unresolvable links (scavenged targets) drop, like
+    * the reference's missing-event handling. Non-link rows pass through
+    * with the new columns null.
+    *
+    * Scale shape: one equi-join of the (usually small) link slice against
+    * the log on (stream_id, event_number) — parquet bloom/stats prune the
+    * probe side; the pass-through side is a narrow filter, no shuffle. */
+  def resolveInline(log: DataFrame): DataFrame = {
+    val isLink = col("event_type") === EventEnvelope.LinkEventType
+    def metaOf(df: DataFrame): Column =
+      if (df.columns.contains("metadata")) col("metadata")
+      else lit(null).cast("string")
+    def valueOf(df: DataFrame): Column =
+      if (df.columns.contains("value")) col("value") else lit(0.0)
+    val plain = log.where(!isLink)
+      .withColumn("link_metadata", lit(null).cast("string"))
+      .withColumn("resolved_stream_id", lit(null).cast("string"))
+      .withColumn("resolved_event_number", lit(-1L))
+    val linkSide = log.where(isLink).select(
+      col("stream_id"), col("event_number"), col("log_position"),
+      col("timestamp"), col("correlation_id"),
+      metaOf(log).as("link_metadata"),
+      expr("substring(data, instr(data, '@') + 1)").as("_t_stream"),
+      expr("CAST(substring(data, 1, instr(data, '@') - 1) AS BIGINT)").as("_t_num"))
+    val targetSide = log.where(!isLink).select(
+      col("stream_id").as("_t_stream"),
+      col("event_number").as("_t_num"),
+      col("event_type"), col("data"), valueOf(log).as("value"),
+      metaOf(log).as("metadata"),
+      (if (log.columns.contains("event_id")) col("event_id")
+       else lit(null).cast("string")).as("event_id"))
+    val resolved = linkSide
+      .join(targetSide, Seq("_t_stream", "_t_num"))
+      .withColumn("resolved_stream_id", col("_t_stream"))
+      .withColumn("resolved_event_number", col("_t_num"))
+      .drop("_t_stream", "_t_num")
+    val common = resolved.columns.toSet.intersect(plain.columns.toSet).toSeq
+    plain.select(common.map(col): _*)
+      .unionByName(resolved.select(common.map(col): _*))
+  }
 }

@@ -25,12 +25,19 @@ object EmittedSink {
   def appendIdempotent(store: EventLogStore, projection: String,
       emitted: Dataset[Emitted]): Long = {
     val spark = emitted.sparkSession
+    // engine provenance fields + the handler's ExtraMetaData keys (the
+    // reference merges ExtraMetaData into the emitted event's metadata
+    // JSON the same way — EmittedDataEvent)
     val pending = emitted.toDF()
       .withColumn("event_id", eventId(projection))
       .withColumn("correlation_id", lit(null).cast("string"))
       .withColumn("metadata",
         concat(lit("""{"$causedBy":"""), col("caused_by_position"),
-          lit(""","$projection":""""), lit(projection), lit("\"}")))
+          lit(""","$projection":""""), lit(projection), lit("\""),
+          when(col("metadata").isNotNull && length(col("metadata")) > 2,
+            concat(lit(","), expr("substring(metadata, 2, length(metadata) - 2)")))
+            .otherwise(lit("")),
+          lit("}")))
       .withColumn("timestamp", lit(null).cast("timestamp"))
       .select("stream_id", "event_id", "event_type", "data", "metadata",
         "correlation_id", "timestamp", "caused_by_position")

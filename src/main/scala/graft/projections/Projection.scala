@@ -7,7 +7,15 @@ import scala.collection.mutable.ArrayBuffer
 /** Input event type for projection folds: the envelope plus the testdata's
   * first-class `value` column (payload fields in general live in `data` as
   * JSON and are parsed by handlers on demand, mirroring the reference's
-  * lazy body parse — JintProjectionStateHandler.cs:868-880). */
+  * lazy body parse — JintProjectionStateHandler.cs:868-880).
+  *
+  * `event_id`/`metadata`/`link_metadata` ride along only when the builder
+  * opted in via [[ProjectionBuilder0.withMetadata]] (the reference's
+  * envelope exposes eventId/metadataRaw/linkMetadataRaw —
+  * JintProjectionStateHandler.cs:827-838); otherwise they are null
+  * literals and cost no scan IO. `link_metadata` is the link event's own
+  * metadata when reading through a resolved `$>` link
+  * (ResolvedEvent.PositionMetadata). */
 final case class LogEvent(
     stream_id: String,
     event_number: Long,
@@ -16,7 +24,17 @@ final case class LogEvent(
     timestamp: java.sql.Timestamp,
     correlation_id: String,
     data: String,
-    value: Double)
+    value: Double,
+    event_id: String = null,
+    metadata: String = null,
+    link_metadata: String = null,
+    /** Resolved-link identity (`$includeLinks` reads): the TARGET event's
+      * stream/number, while `stream_id`/`event_number` stay the LINK's —
+      * filtering and foreachStream partition by the stream being READ,
+      * the envelope shows the resolved event, exactly the reference's
+      * ResolvedEvent split (original vs resolved identity). */
+    resolved_stream_id: String = null,
+    resolved_event_number: Long = -1L)
 
 /** An event emitted from inside a handler (P13 emit / P14 linkTo).
   * `(caused_by_position, emit_seq)` is the idempotency key for
@@ -29,25 +47,36 @@ final case class Emitted(
     data: String,
     partition: String,
     caused_by_position: Long,
-    emit_seq: Int)
+    emit_seq: Int,
+    metadata: String = null)
 
-/** Collector handed to emitting handlers. */
+/** Collector handed to emitting handlers. `metadata` is the reference's
+  * ExtraMetaData — a JSON object of caller-supplied keys attached to the
+  * emitted event (JintProjectionStateHandler.cs Emit/LinkTo 4th/3rd
+  * parameter); null when the handler passed none. */
 final class Emitter private[projections] () {
-  private[projections] val buf = new ArrayBuffer[(String, String, String)]
+  private[projections] val buf = new ArrayBuffer[(String, String, String, String)]
   /** P13: append a new event to `stream` (JintProjectionStateHandler.cs:239-267). */
-  def emit(stream: String, eventType: String, body: String): Unit =
-    buf += ((stream, eventType, body))
+  def emit(stream: String, eventType: String, body: String,
+      metadata: String = null): Unit =
+    buf += ((stream, eventType, body, metadata))
   /** P14: append a link event (`$>`, body "n@stream" —
-    * JintProjectionStateHandler.cs:301-327). */
-  def linkTo(stream: String, e: LogEvent): Unit =
-    buf += ((stream, graft.model.EventEnvelope.LinkEventType,
-      s"${e.event_number}@${e.stream_id}"))
+    * JintProjectionStateHandler.cs:301-327). Linking an event read
+    * through a resolved link points at the TARGET (chains collapse),
+    * like the reference's envelope-derived n@stream. */
+  def linkTo(stream: String, e: LogEvent, metadata: String = null): Unit = {
+    val (s, n) = if (e.resolved_stream_id != null)
+      (e.resolved_stream_id, e.resolved_event_number)
+    else (e.stream_id, e.event_number)
+    buf += ((stream, graft.model.EventEnvelope.LinkEventType, s"$n@$s", metadata))
+  }
   /** P15: append a stream-reference link (`$@`, body = referenced stream —
     * JintProjectionStateHandler.cs:329-352; copyTo is a no-op stub in the
     * reference and is omitted). */
-  def linkStreamTo(stream: String, referencedStream: String): Unit =
+  def linkStreamTo(stream: String, referencedStream: String,
+      metadata: String = null): Unit =
     buf += ((stream, graft.model.EventEnvelope.StreamLinkEventType,
-      referencedStream))
+      referencedStream, metadata))
 }
 
 /** Source selectors (P1–P4): which slice of the log feeds the fold.
@@ -67,38 +96,57 @@ object Projections {
   def fromAll(): ProjectionBuilder0 = new ProjectionBuilder0(lit(true))
 
   /** Adapt an envelope DataFrame (Tables.eventLog or EventLogStore.read) to
-    * the typed fold input. Missing `value` column defaults to 0. */
-  def toLogEvents(log: DataFrame): Dataset[LogEvent] = {
+    * the typed fold input. Missing `value` column defaults to 0.
+    * `withMeta=false` (the default) keeps the scan narrow: event_id/
+    * metadata/link_metadata become null literals instead of parquet
+    * columns, so folds that never look at them pay no IO for them. */
+  def toLogEvents(log: DataFrame, withMeta: Boolean = false): Dataset[LogEvent] = {
     import log.sparkSession.implicits._
     val withValue =
       if (log.columns.contains("value")) log else log.withColumn("value", lit(0.0))
+    def optCol(name: String): Column =
+      if (withMeta && withValue.columns.contains(name)) col(name)
+      else lit(null).cast("string")
     withValue.select(
       col("stream_id"), col("event_number"), col("event_type"),
       col("log_position"), col("timestamp"), col("correlation_id"),
-      col("data"), col("value")
+      col("data"), col("value"),
+      optCol("event_id").as("event_id"),
+      optCol("metadata").as("metadata"),
+      optCol("link_metadata").as("link_metadata"),
+      optCol("resolved_stream_id").as("resolved_stream_id"),
+      (if (withMeta && withValue.columns.contains("resolved_event_number"))
+        col("resolved_event_number") else lit(-1L)).as("resolved_event_number")
     ).as[LogEvent]
   }
 }
 
 /** Builder stage 0: choose partitioning (P6/P7) and init state. */
-final class ProjectionBuilder0 private[projections] (sourceFilter: Column) {
+final class ProjectionBuilder0 private[projections] (
+    sourceFilter: Column, meta: Boolean = false) {
+  /** Opt in to the rich envelope: folds built from here see event_id/
+    * metadata/link_metadata (at the cost of scanning those columns). */
+  def withMetadata(): ProjectionBuilder0 =
+    new ProjectionBuilder0(sourceFilter, meta = true)
   /** P7 foreachStream(): partition = source stream id. */
   def foreachStream(): PartitionedBuilder =
-    new PartitionedBuilder(sourceFilter, e => Option(e.stream_id))
+    new PartitionedBuilder(sourceFilter, e => Option(e.stream_id), meta)
   /** P6 partitionBy(fn): custom key; None/null → event skipped
     * (JintProjectionStateHandler.cs:571-582, 793-797). */
   def partitionBy(f: LogEvent => Option[String]): PartitionedBuilder =
-    new PartitionedBuilder(sourceFilter, f)
+    new PartitionedBuilder(sourceFilter, f, meta)
   /** Single-partition projection (plain fromStream().when(...)). */
   def single(): PartitionedBuilder =
-    new PartitionedBuilder(sourceFilter, _ => Some(""))
+    new PartitionedBuilder(sourceFilter, _ => Some(""), meta)
 }
 
 final class PartitionedBuilder private[projections] (
-    sourceFilter: Column, partitionFn: LogEvent => Option[String]) {
+    sourceFilter: Column, partitionFn: LogEvent => Option[String],
+    meta: Boolean = false) {
   /** $init: initial state per partition (P5). */
   def init[S](f: => S): FoldBuilder[S] =
-    new FoldBuilder[S](sourceFilter, partitionFn, () => f, Map.empty, None, Map.empty, None)
+    new FoldBuilder[S](sourceFilter, partitionFn, () => f, Map.empty, None, Map.empty, None,
+      withMeta = meta)
 
   /** P16 `$initShared` bi-state, EXACT semantics: one ordered pass over
     * the selected events, each step seeing its partition's state AND the
@@ -111,7 +159,7 @@ final class PartitionedBuilder private[projections] (
     * For shared folds that are commutative+associative, prefer the
     * two-level `ProjectionQueries.p16BiState` shape, which scales out. */
   def initBi[S](f: => S, shared: => S)(step: (S, S, LogEvent) => (S, S)): BiStateFold[S] =
-    new BiStateFold[S](sourceFilter, partitionFn, () => f, () => shared, step)
+    new BiStateFold[S](sourceFilter, partitionFn, () => f, () => shared, step, meta)
 }
 
 /** Execution for [[PartitionedBuilder.initBi]]. */
@@ -120,11 +168,12 @@ final class BiStateFold[S] private[projections] (
     partitionFn: LogEvent => Option[String],
     initP: () => S,
     initShared: () => S,
-    step: (S, S, LogEvent) => (S, S)) {
+    step: (S, S, LogEvent) => (S, S),
+    withMeta: Boolean = false) {
 
   /** Final state per partition plus one `("$shared", state)` row. */
   def states(log: DataFrame)(implicit enc: Encoder[(String, S)]): Dataset[(String, S)] = {
-    val events = Projections.toLogEvents(log.where(sourceFilter))
+    val events = Projections.toLogEvents(log.where(sourceFilter), withMeta)
     val pf = partitionFn
     val ip = initP
     val is = initShared
@@ -169,7 +218,8 @@ final class FoldBuilder[S] private[projections] (
     anyHandler: Option[(S, LogEvent) => S],
     emitHandlers: Map[String, (S, LogEvent, Emitter) => S],
     anyEmitHandler: Option[(S, LogEvent, Emitter) => S],
-    createdHandler: Option[(S, LogEvent) => S] = None) {
+    createdHandler: Option[(S, LogEvent) => S] = None,
+    withMeta: Boolean = false) {
 
   private def copyWith(
       h: Map[String, (S, LogEvent) => S] = handlers,
@@ -177,7 +227,8 @@ final class FoldBuilder[S] private[projections] (
       eh: Map[String, (S, LogEvent, Emitter) => S] = emitHandlers,
       anyE: Option[(S, LogEvent, Emitter) => S] = anyEmitHandler,
       created: Option[(S, LogEvent) => S] = createdHandler) =
-    new FoldBuilder[S](sourceFilter, partitionFn, initFn, h, any, eh, anyE, created)
+    new FoldBuilder[S](sourceFilter, partitionFn, initFn, h, any, eh, anyE, created,
+      withMeta)
 
   /** P5: register a typed handler; unhandled types keep prior state. */
   def when(eventType: String)(f: (S, LogEvent) => S): FoldBuilder[S] =
@@ -224,7 +275,7 @@ final class FoldBuilder[S] private[projections] (
   def states(log: DataFrame)(implicit enc: Encoder[(String, S)]): Dataset[(String, S)] = {
     val spark = log.sparkSession
     import spark.implicits._
-    val events = Projections.toLogEvents(log.where(sourceFilter))
+    val events = Projections.toLogEvents(log.where(sourceFilter), withMeta)
     val pf = partitionFn
     val initF = initFn
     val step = mkStep
@@ -273,7 +324,7 @@ final class FoldBuilder[S] private[projections] (
     val spark = log.sparkSession
     import spark.implicits._
     val events = Projections.toLogEvents(
-      log.where(sourceFilter && col("log_position") > fromPosExclusive))
+      log.where(sourceFilter && col("log_position") > fromPosExclusive), withMeta)
     val pf = partitionFn
     val initF = initFn
     val step = mkStep
@@ -344,7 +395,7 @@ final class FoldBuilder[S] private[projections] (
   def emitted(log: DataFrame)(implicit enc: Encoder[Emitted]): Dataset[Emitted] = {
     val spark = log.sparkSession
     import spark.implicits._
-    val events = Projections.toLogEvents(log.where(sourceFilter))
+    val events = Projections.toLogEvents(log.where(sourceFilter), withMeta)
     val pf = partitionFn
     val initF = initFn
     val stepF = mkStep
@@ -364,8 +415,8 @@ final class FoldBuilder[S] private[projections] (
           }
           val em = new Emitter
           state = stepF(state, e, em)
-          em.buf.iterator.zipWithIndex.map { case ((stream, tpe, body), i) =>
-            Emitted(stream, tpe, body, k, e.log_position, i)
+          em.buf.iterator.zipWithIndex.map { case ((stream, tpe, body, md), i) =>
+            Emitted(stream, tpe, body, k, e.log_position, i, md)
           }
         }
       }

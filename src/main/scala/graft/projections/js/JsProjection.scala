@@ -49,12 +49,24 @@ final class JsProjection(val source: String) extends Serializable {
   @transient private lazy val spec: JsProjectionSpec =
     CompiledJsProjection.get(source).spec
 
-  private def builder0: ProjectionBuilder0 = spec.selector match {
-    case JsSelector.Stream(id) => Projections.fromStream(id)
-    case JsSelector.Streams(ids) => Projections.fromStreams(ids: _*)
-    case JsSelector.Category(c) => Projections.fromCategory(c)
-    case JsSelector.Categories(cs) => Projections.fromCategories(cs)
-    case JsSelector.All => Projections.fromAll()
+  // Widen the scan to event_id/metadata/link_metadata only when the
+  // definition can actually observe them — a conservative source-text
+  // probe (false positives merely widen the scan; never wrong).
+  private def needsMeta: Boolean =
+    source.contains("metadata") || source.contains("Metadata") ||
+      source.contains("eventId")
+
+  private def builder0: ProjectionBuilder0 = {
+    val b = spec.selector match {
+      case JsSelector.Stream(id) => Projections.fromStream(id)
+      case JsSelector.Streams(ids) => Projections.fromStreams(ids: _*)
+      case JsSelector.Category(c) => Projections.fromCategory(c)
+      case JsSelector.Categories(cs) => Projections.fromCategories(cs)
+      case JsSelector.All => Projections.fromAll()
+    }
+    // includeLinks also widens: the envelope must see the resolved
+    // identity and the link's metadata that resolveInline attaches
+    if (needsMeta || spec.includeLinks) b.withMetadata() else b
   }
 
   private def partBuilder: PartitionedBuilder = {
@@ -64,6 +76,12 @@ final class JsProjection(val source: String) extends Serializable {
       builder0.partitionBy(e => CompiledJsProjection.get(src).partitionKey(e))
     else builder0.single()
   }
+
+  /** options({$includeLinks: true}): read through `$>` links — handlers
+    * see the TARGET events (with the link's metadata as linkMetadata) in
+    * link-stream order. Applied before every execution path. */
+  private def prepared(log: DataFrame): DataFrame =
+    if (spec.includeLinks) graft.operators.Links.resolveInline(log) else log
 
   /** The fold, compiled onto the Scala DSL. */
   def foldBuilder: FoldBuilder[JsVal] = {
@@ -98,8 +116,8 @@ final class JsProjection(val source: String) extends Serializable {
           CompiledJsProjection.get(src).initState(),
           CompiledJsProjection.get(src).initSharedState())(
           (s, sh, e) => CompiledJsProjection.get(src).biStep(s, sh, e))
-          .states(log)(jsValEncoder)
-      else foldBuilder.states(log)(jsValEncoder)
+          .states(prepared(log))(jsValEncoder)
+      else foldBuilder.states(prepared(log))(jsValEncoder)
     folded
       .mapPartitions { it =>
         val c = CompiledJsProjection.get(src)
@@ -125,7 +143,7 @@ final class JsProjection(val source: String) extends Serializable {
     val src = source
     val prior = priorStates.map { case (k, json) =>
       (k, JsVal.parseJson(json)) }(jsValEncoder)
-    foldBuilder.statesFrom(log, prior, fromPosExclusive,
+    foldBuilder.statesFrom(prepared(log), prior, fromPosExclusive,
       (s: JsVal) => JsVal.stringify(s).getOrElse("null"),
       (j: String) => JsVal.parseJson(j))(jsValEncoder)
       .mapPartitions { it =>
@@ -177,7 +195,7 @@ final class JsProjection(val source: String) extends Serializable {
       throw new JsError("emit/linkTo are not available in bi-state ($initShared) projections")
     val spark = log.sparkSession
     import spark.implicits._
-    foldBuilder.emitted(log)
+    foldBuilder.emitted(prepared(log))
   }
 
   /** P8/P11 outputState: result events with the reference naming
@@ -401,17 +419,24 @@ final class CompiledJsProjection private (source: String) {
         "experimental); use fromCategory/fromAll with a filter")
     }))
 
-    // emit surface (JintProjectionStateHandler.cs:239-267, 301-352)
-    g.define("emit", JsNative("emit", 3, { args =>
+    // emit surface (JintProjectionStateHandler.cs:239-267, 301-352).
+    // The optional trailing metadata object becomes the emitted event's
+    // ExtraMetaData: a JSON object whose values are serialized fragments.
+    // emit() JSON-serializes each property and SKIPS undefined ones
+    // (Emit, :254-259); linkTo/linkStreamTo use the raw-format string
+    // conversion where null/undefined become JSON null (AsString
+    // formatForRaw, :292-300).
+    g.define("emit", JsNative("emit", 4, { args =>
       requireEmitter("emit")
       val stream = JsVal.toStr(args.headOption.getOrElse(
         throw new JsError("emit: streamId required")))
       val tpe = JsVal.toStr(args.lift(1).getOrElse(throw new JsError("emit: eventType required")))
       val body = args.lift(2).getOrElse(JsObj.empty)
-      currentEmitter.emit(stream, tpe, JsVal.stringify(body).getOrElse("null"))
+      currentEmitter.emit(stream, tpe, JsVal.stringify(body).getOrElse("null"),
+        metaJson(args.lift(3), skipUndefined = true, "emit"))
       JsUndef
     }))
-    g.define("linkTo", JsNative("linkTo", 2, { args =>
+    g.define("linkTo", JsNative("linkTo", 3, { args =>
       requireEmitter("linkTo")
       val stream = JsVal.toStr(args.headOption.getOrElse(
         throw new JsError("linkTo: streamId required")))
@@ -423,17 +448,22 @@ final class CompiledJsProjection private (source: String) {
         case _ => (currentEvent.stream_id, currentEvent.event_number)
       }
       currentEmitter.linkTo(stream,
-        currentEvent.copy(stream_id = srcStream, event_number = srcNumber))
+        currentEvent.copy(stream_id = srcStream, event_number = srcNumber),
+        metaJson(args.lift(2), skipUndefined = false, "linkTo"))
       JsUndef
     }))
-    g.define("linkStreamTo", JsNative("linkStreamTo", 2, { args =>
+    g.define("linkStreamTo", JsNative("linkStreamTo", 3, { args =>
       requireEmitter("linkStreamTo")
       val stream = JsVal.toStr(args.headOption.getOrElse(
         throw new JsError("linkStreamTo: streamId required")))
       val referenced = JsVal.toStr(args.lift(1).getOrElse(JsStr(currentEvent.stream_id)))
-      currentEmitter.linkStreamTo(stream, referenced)
+      currentEmitter.linkStreamTo(stream, referenced,
+        metaJson(args.lift(2), skipUndefined = false, "linkStreamTo"))
       JsUndef
     }))
+    // copyTo is registered but a no-op in the reference
+    // (JintProjectionStateHandler.cs CopyTo, :355-357)
+    g.define("copyTo", JsNative("copyTo", 3, { _ => JsUndef }))
 
     interp.resetBudget()
     interp.run(JsParser.program(source))
@@ -452,6 +482,36 @@ final class CompiledJsProjection private (source: String) {
   private def requireEmitter(fn: String): Unit =
     if (currentEmitter == null)
       throw new JsError(s"$fn() called outside an event handler")
+
+  /** The optional metadata argument of emit/linkTo/linkStreamTo as a JSON
+    * object string (the reference's ExtraMetaData dictionary — each value
+    * a serialized JSON fragment). None/undefined/null → no metadata; a
+    * non-object argument is an error ("object expected"), mirroring
+    * EnsureNonNullObjectValue. `skipUndefined` selects emit's Serialize
+    * behavior (undefined properties dropped) vs linkTo's formatForRaw one
+    * (undefined/null become JSON null). */
+  private def metaJson(arg: Option[JsVal], skipUndefined: Boolean,
+      fn: String): String = arg match {
+    case None | Some(JsUndef) | Some(JsNull) => null
+    case Some(JsObj(fields)) =>
+      val sb = new StringBuilder("{")
+      var first = true
+      fields.foreach { case (k, v) =>
+        val frag: Option[String] = v match {
+          case JsUndef | _: JsFunc | _: JsNative =>
+            if (skipUndefined) None else Some("null")
+          case other => JsVal.stringify(other).orElse(Some("null"))
+        }
+        frag.foreach { f =>
+          if (!first) sb.append(',')
+          first = false
+          JsVal.stringify(JsStr(k)).foreach(sb.append)
+          sb.append(':').append(f)
+        }
+      }
+      sb.append('}').toString
+    case Some(_) => throw new JsError(s"$fn: metadata must be an object")
+  }
 
   // ------------------------------------------------------------ execution
 
@@ -569,20 +629,38 @@ final class CompiledJsProjection private (source: String) {
         }
     }
 
-  /** The JS event envelope (JintProjectionStateHandler.cs:827-838). */
+  /** The JS event envelope (JintProjectionStateHandler.cs:827-838).
+    * metadataRaw/linkMetadataRaw surface the event's own metadata and —
+    * when reading through a resolved `$>` link — the link event's metadata
+    * (ResolvedEvent.PositionMetadata); `metadata`/`linkMetadata` are their
+    * parsed forms, like the reference envelope's lazy JSON properties.
+    * Parsing only happens for events that carry metadata, so the common
+    * null-metadata path costs nothing. */
   private def envelope(e: LogEvent, partition: String): JsObj = {
     val body: JsVal =
       if (e.data == null) JsUndef
       else try JsVal.parseJson(e.data) catch { case _: JsError => JsUndef }
+    def parsed(raw: String): JsVal =
+      if (raw == null) JsUndef
+      else try JsVal.parseJson(raw) catch { case _: JsError => JsUndef }
+    // resolved-link reads: the envelope shows the TARGET event's identity
+    // (ResolvedEvent semantics) while partitioning/filtering upstream used
+    // the link's stream
+    val envStream = if (e.resolved_stream_id != null) e.resolved_stream_id else e.stream_id
+    val envNumber = if (e.resolved_stream_id != null) e.resolved_event_number else e.event_number
     JsObj.of(
-      "streamId" -> JsStr(e.stream_id),
-      "sequenceNumber" -> JsNum(e.event_number.toDouble),
+      "streamId" -> JsStr(envStream),
+      "sequenceNumber" -> JsNum(envNumber.toDouble),
       "eventType" -> JsStr(e.event_type),
+      "eventId" -> (if (e.event_id == null) JsNull else JsStr(e.event_id)),
       "body" -> body,
       "data" -> body,
       "bodyRaw" -> (if (e.data == null) JsNull else JsStr(e.data)),
-      "metadataRaw" -> JsNull,
-      "linkMetadataRaw" -> JsNull,
+      "metadataRaw" -> (if (e.metadata == null) JsNull else JsStr(e.metadata)),
+      "metadata" -> parsed(e.metadata),
+      "linkMetadataRaw" -> (if (e.link_metadata == null) JsNull
+        else JsStr(e.link_metadata)),
+      "linkMetadata" -> parsed(e.link_metadata),
       "isJson" -> JsBool(body != JsUndef),
       "category" -> (if (e.stream_id.contains("-"))
         JsStr(e.stream_id.substring(0, e.stream_id.indexOf("-"))) else JsNull),

@@ -420,4 +420,115 @@ fromCategory("purchase")
     assert(jsStates == scalaStates)
     assert(jsStates.nonEmpty)
   }
+
+  // ------------------------------------------- scenario: metadata surface
+
+  /** Mirrors when_running_a_js_projection_emitting_metadata.cs: the 4th
+    * emit argument becomes the emitted event's ExtraMetaData (each value a
+    * serialized JSON fragment; undefined properties skipped). */
+  test("JS emit: 4th argument becomes emitted metadata") {
+    val store = chatStore()
+    val p = JsProjection.compile("""
+fromCategory("chat").when({
+    ChatMessage: function(state, event) {
+        emit("output-" + event.sequenceNumber, "emitted-" + event.sequenceNumber,
+             { sender: event.body.sender }, { m1: 1, m2: "2", gone: undefined });
+        return {};
+    }
+})""")
+    val rows = p.emitted(store.read()).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.metadata == """{"m1":1,"m2":"2"}"""))
+    // and EmittedSink merges ExtraMetaData into the written log metadata
+    graft.projections.EmittedSink.appendIdempotent(store, "meta", p.emitted(store.read()))
+    val written = store.read().where(col("stream_id").startsWith("output-"))
+      .select("metadata").collect().map(_.getString(0))
+    assert(written.length == 5)
+    written.foreach { m =>
+      assert(m.contains(""""$projection":"meta""""), m)
+      assert(m.contains(""""m1":1""") && m.contains(""""m2":"2""""), m)
+      assert(!m.contains("gone"), m)
+    }
+  }
+
+  /** Mirrors when_specifying_meta_data_for_linked_event.cs: linkTo's 3rd
+    * argument rides on the `$>` link event ({'meta': 'data'} →
+    * {"meta":"data"}, the formatForRaw conversion). */
+  test("JS linkTo: 3rd argument becomes link metadata") {
+    val store = chatStore()
+    val p = JsProjection.compile("""
+fromCategory("chat").when({
+    $any: function(state, event) {
+        linkTo("output-stream", event, { meta: "data", n: 1, ok: true });
+        return {};
+    }
+})""")
+    val rows = p.emitted(store.read()).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.event_type == "$>"))
+    assert(rows.forall(_.metadata == """{"meta":"data","n":1,"ok":true}"""))
+  }
+
+  /** Mirrors with_return_link_metadata.cs + when_running_a_query_using_
+    * link_metadata.cs: reading through resolved `$>` links exposes the
+    * LINK's metadata as e.linkMetadata while body/streamId come from the
+    * target event. */
+  test("JS $includeLinks: handlers see target events with the link's metadata") {
+    val s = new EventLogStore(spark, Files.createTempDirectory("jslinkmeta").toString)
+    s.append(Seq(
+      PendingEvent("account-01", "a1", "test", """{"a":1}"""),
+      PendingEvent("account-01", "a2", "test", """{"a":2}"""),
+      PendingEvent("account-02", "a3", "test", """{"a":10}""")))
+    // link stream: body n@stream, link metadata mirrors the target body
+    // (the reference scenario's setup)
+    s.append(Seq(
+      PendingEvent("stream", "l1", "$>", "0@account-01", metadata = """{"a":1}"""),
+      PendingEvent("stream", "l2", "$>", "1@account-01", metadata = """{"a":2}"""),
+      PendingEvent("stream", "l3", "$>", "0@account-02", metadata = """{"a":10}""")))
+    val p = JsProjection.compile("""
+options({ $includeLinks: true })
+fromStream("stream").when({
+    $any: function(st, e) {
+        if (JSON.stringify(e.body) != JSON.stringify(e.linkMetadata))
+            throw "invalid link metadata " + JSON.stringify(e.linkMetadata);
+        return e.linkMetadata;
+    }
+})""")
+    val states = p.states(s.read()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // final state = last link's metadata, in link-stream order
+    assert(states == Map("" -> """{"a":10}"""))
+  }
+
+  /** The envelope's own-metadata properties (metadataRaw/metadata/eventId),
+    * only scanned when the source mentions them. */
+  test("JS envelope exposes event metadata and eventId when referenced") {
+    val s = new EventLogStore(spark, Files.createTempDirectory("jsmeta").toString)
+    s.append(Seq(
+      PendingEvent("m-1", "id-a", "T", """{"v":1}""", metadata = """{"who":"ops"}"""),
+      PendingEvent("m-1", "id-b", "T", """{"v":2}""")))
+    val p = JsProjection.compile("""
+fromStream("m-1").when({
+    $init: function() { return { who: [], ids: [] } },
+    T: function(st, e) {
+        st.who.push(e.metadata ? e.metadata.who : e.metadataRaw);
+        st.ids.push(e.eventId);
+        return st;
+    }
+})""")
+    val states = p.states(s.read()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states == Map("" -> """{"who":["ops",null],"ids":["id-a","id-b"]}"""))
+  }
+
+  /** copyTo is registered and a no-op, like the reference
+    * (JintProjectionStateHandler.cs CopyTo). */
+  test("JS copyTo compiles and emits nothing") {
+    val store = chatStore()
+    val p = JsProjection.compile("""
+fromCategory("chat").when({
+    $any: function(st, e) { copyTo("elsewhere", e); return { seen: true }; }
+})""")
+    assert(p.emitted(store.read()).collect().isEmpty)
+  }
 }
