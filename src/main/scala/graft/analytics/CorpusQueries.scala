@@ -35,6 +35,38 @@ object CorpusQueries extends QueryModule {
           col("text"), lit("  the   end \t")).as("text")))
   }
 
+  /** PII injection shared verbatim by Spark and the DuckDB oracle: the
+    * corpus has no digits or '@' at all, so PII-shaped spans are planted
+    * deterministically from doc_id (every range guarantees its digit
+    * width — no lpad needed) on even ids; odd ids stay clean. */
+  private val piiInjectSql = """CASE WHEN doc_id % 2 = 0 THEN
+    text || ' Reach user' || CAST(doc_id AS STRING) || '@example.com, ip 10.' ||
+    CAST(doc_id % 200 AS STRING) || '.' || CAST((doc_id * 7) % 250 AS STRING) || '.' ||
+    CAST((doc_id * 13) % 250 AS STRING) || ', ssn ' ||
+    CAST((doc_id * 31) % 900 + 100 AS STRING) || '-' ||
+    CAST(doc_id % 90 + 10 AS STRING) || '-' ||
+    CAST((doc_id * 17) % 9000 + 1000 AS STRING) ||
+    ', card 4111-1111-1111-' || CAST(doc_id % 9000 + 1000 AS STRING) ||
+    ', tel (' || CAST((doc_id * 3) % 800 + 200 AS STRING) || ') ' ||
+    CAST(doc_id % 800 + 100 AS STRING) || '-' ||
+    CAST((doc_id * 11) % 9000 + 1000 AS STRING)
+    ELSE text END"""
+
+  private def piiQ(s: SparkSession, d: String): DataFrame = {
+    val injected = Tables.documents(s, d)
+      .select(col("doc_id"), expr(piiInjectSql).as("text"))
+    Pii.redact(injected)
+      .select(col("doc_id"),
+        col("n_email").cast("long").as("n_email"),
+        col("n_card").cast("long").as("n_card"),
+        col("n_ssn").cast("long").as("n_ssn"),
+        col("n_phone").cast("long").as("n_phone"),
+        col("n_ip").cast("long").as("n_ip"),
+        length(col("text")).cast("long").as("red_len"),
+        md5(col("text")).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   private def cleanQ(s: SparkSession, d: String): DataFrame =
     noisy(s, d).select(
         col("id"),
@@ -102,6 +134,7 @@ object CorpusQueries extends QueryModule {
     "pack_sequences" -> (packQ _),
     "chunk_documents" -> (chunkQ _),
     "text_clean" -> (cleanQ _),
+    "pii_redact" -> (piiQ _),
     "quota_sample" -> (quotaQ _),
     "tfidf_keywords" -> (tfidfQ _),
     "decontaminate" -> (decontamQ _),
@@ -133,6 +166,27 @@ object CorpusQueries extends QueryModule {
         |  CAST(length(substr(text, CAST(start AS INT) + 1, 120)) AS INT) AS chunk_len,
         |  md5(substr(text, CAST(start AS INT) + 1, 120)) AS chunk_md5
         |FROM starts ORDER BY id, chunk_id""".stripMargin,
+    "pii_redact" ->
+      s"""WITH s0 AS (
+        |  SELECT doc_id, $piiInjectSql AS t FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '${Pii.categories(0)._3}')) AS BIGINT) AS n_email,
+        |  regexp_replace(t, '${Pii.categories(0)._3}', '<EMAIL>', 'g') AS t FROM s0),
+        |s2 AS (SELECT doc_id, n_email,
+        |  CAST(len(regexp_extract_all(t, '${Pii.categories(1)._3}')) AS BIGINT) AS n_card,
+        |  regexp_replace(t, '${Pii.categories(1)._3}', '<CARD>', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_card,
+        |  CAST(len(regexp_extract_all(t, '${Pii.categories(2)._3}')) AS BIGINT) AS n_ssn,
+        |  regexp_replace(t, '${Pii.categories(2)._3}', '<SSN>', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, n_email, n_card, n_ssn,
+        |  CAST(len(regexp_extract_all(t, '${Pii.categories(3)._3}')) AS BIGINT) AS n_phone,
+        |  regexp_replace(t, '${Pii.categories(3)._3}', '<PHONE>', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, n_email, n_card, n_ssn, n_phone,
+        |  CAST(len(regexp_extract_all(t, '${Pii.categories(4)._3}')) AS BIGINT) AS n_ip,
+        |  regexp_replace(t, '${Pii.categories(4)._3}', '<IP>', 'g') AS t FROM s4)
+        |SELECT doc_id, n_email, n_card, n_ssn, n_phone, n_ip,
+        |       CAST(len(t) AS BIGINT) AS red_len, md5(t) AS red_md5
+        |FROM s5 ORDER BY doc_id""".stripMargin,
     "text_clean" ->
       """WITH corpus AS (
         |  SELECT doc_id AS id, text FROM documents
