@@ -67,6 +67,23 @@ object CorpusQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared by Spark and the oracle: the corpus has no newlines, so turn
+    * every 12th space into one (regex groups of 12 words; RE2 and Java
+    * regex scan-after-match identically), giving line structure with a
+    * measured ~4% cross-document duplicate-line rate at sf0.01. */
+  private val lineInjectRe = """((?:\S+ ){11}\S+) """
+
+  private def lineDedupQ(s: SparkSession, d: String): DataFrame = {
+    val withLines = Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(col("text"), lineInjectRe, "$1\n").as("text"))
+    Dedup.lineDedup(withLines)
+      .select(col("id").as("doc_id"),
+        col("n_lines").cast("long").as("n_lines"),
+        col("n_kept").cast("long").as("n_kept"),
+        md5(col("text")).as("dedup_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   private def cleanQ(s: SparkSession, d: String): DataFrame =
     noisy(s, d).select(
         col("id"),
@@ -135,6 +152,7 @@ object CorpusQueries extends QueryModule {
     "chunk_documents" -> (chunkQ _),
     "text_clean" -> (cleanQ _),
     "pii_redact" -> (piiQ _),
+    "dedup_lines" -> (lineDedupQ _),
     "quota_sample" -> (quotaQ _),
     "tfidf_keywords" -> (tfidfQ _),
     "decontaminate" -> (decontamQ _),
@@ -187,6 +205,27 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, n_email, n_card, n_ssn, n_phone, n_ip,
         |       CAST(len(t) AS BIGINT) AS red_len, md5(t) AS red_md5
         |FROM s5 ORDER BY doc_id""".stripMargin,
+    "dedup_lines" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '$lineInjectRe',
+        |                        '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |         generate_subscripts(string_split(t, chr(10)), 1) AS line_no,
+        |         unnest(string_split(t, chr(10))) AS line
+        |  FROM d),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rn
+        |  FROM lines)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+        |                          chr(10) ORDER BY line_no), '')) AS dedup_md5
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_clean" ->
       """WITH corpus AS (
         |  SELECT doc_id AS id, text FROM documents

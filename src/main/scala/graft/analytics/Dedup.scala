@@ -200,6 +200,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Corpus-level exact line/paragraph dedup (the RefinedWeb / CCNet
+    * scrub): split every document on `sepRegex`, keep only the globally
+    * FIRST occurrence of each distinct line — first meaning smallest
+    * (id, line_no), so a rerun is reproducible — and reassemble each
+    * document from its surviving lines in original order.
+    *
+    * Returns (id, n_lines, n_kept, text) where `text` joins the kept
+    * lines with `joinSep` ("" when every line of a document was a
+    * duplicate of an earlier one).
+    *
+    * Scale shape: the split/explode is narrow; ONE shuffle ranks
+    * occurrences per line fingerprint (window partitioned by md5(line) —
+    * high-cardinality key, no skew concern); ONE shuffle groups the
+    * survivors back per document. Cross-document pairs are never
+    * materialized, so cost is linear in total line count. */
+  def lineDedup(docs: DataFrame, sepRegex: String = "\n", joinSep: String = "\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), sepRegex)))
+      .withColumnRenamed("pos", "line_no")
+      .withColumnRenamed("col", "line")
+      .withColumn("fp", md5(col("line")))
+    val firstWins = Window.partitionBy(col("fp")).orderBy(col("id"), col("line_no"))
+    lines
+      .withColumn("rn", row_number().over(firstWins))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls from non-survivors; struct sort
+        // orders by line_no (first field), restoring document order
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("line_no"), col("line"))))),
+            x => x("line")),
+          joinSep).as("text"))
+  }
+
   /** SimHash (60-bit): per bit position, sum +1/-1 over distinct token
     * hashes; the sign of each sum sets the bit. Folded per-row over the
     * token-hash array (no explode). Returns (id, simhash). */
