@@ -209,7 +209,7 @@ object CorpusQueries extends QueryModule {
       s"""WITH d AS (
         |  SELECT doc_id,
         |         regexp_replace(text, '$lineInjectRe',
-        |                        '\1' || chr(10), 'g') AS t
+        |                        '\\1' || chr(10), 'g') AS t
         |  FROM documents),
         |lines AS (
         |  SELECT doc_id,
