@@ -31,7 +31,7 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
   @inline private def tick(): Unit = {
     steps += 1
     if (steps > stepBudget)
-      throw new JsError(
+      throw new JsBudgetExceeded(
         s"execution budget exceeded ($stepBudget steps) — infinite loop in handler?")
   }
 
@@ -129,6 +129,48 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
         }
       }
       JsUndef
+    case TryStmt(body, catchParam, catchBody, finallyBody) =>
+      // Scala try/finally gives the right interplay with Return/Break/
+      // Continue control exceptions: finally runs, the control flow
+      // continues outward. JsBudgetExceeded is intentionally not caught.
+      try {
+        try runBlock(body, env)
+        catch {
+          case t: JsThrown if catchBody.isDefined =>
+            runCatch(catchParam, catchBody.get, t.value, env)
+          case e: JsError if catchBody.isDefined =>
+            // engine errors surface to JS catch as Error-shaped objects,
+            // as Jint does for its JavaScriptExceptions
+            runCatch(catchParam, catchBody.get,
+              JsObj.of("name" -> JsStr("Error"), "message" -> JsStr(e.getMessage)), env)
+        }
+      } finally finallyBody.foreach(runBlock(_, env))
+      JsUndef
+    case Switch(disc, cases) =>
+      val d = eval(disc, env)
+      val scope = new Env(Some(env))
+      // case tests evaluate in order until the first strict match;
+      // no match → the default clause (wherever it sits); then fall
+      // through source order until break.
+      var matched = cases.indexWhere {
+        case (Some(test), _) => JsVal.strictEq(eval(test, scope), d)
+        case _ => false
+      }
+      if (matched < 0) matched = cases.indexWhere(_._1.isEmpty)
+      if (matched >= 0) {
+        try cases.drop(matched).foreach { case (_, stmts) =>
+          stmts.foreach(execStmt(_, scope))
+        }
+        catch { case _: BreakEx => () }
+      }
+      JsUndef
+  }
+
+  private def runCatch(param: Option[String], body: Seq[Stmt], thrown: JsVal,
+      env: Env): Unit = {
+    val scope = new Env(Some(env))
+    param.foreach(scope.define(_, thrown))
+    body.foreach(execStmt(_, scope))
   }
 
   private def runBlock(body: Seq[Stmt], env: Env): Unit = {
@@ -549,6 +591,16 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
       val d = JsVal.num(a.headOption.getOrElse(JsUndef))
       JsBool(!d.isNaN && !d.isInfinite)
     })
+    // Error constructors: `new X(...)` parses as a plain call, so these
+    // natives return Error-shaped plain objects ({name, message}) —
+    // enough for throw/catch/e.message, no prototype chain needed.
+    Seq("Error", "TypeError", "RangeError", "SyntaxError").foreach { errName =>
+      g.define(errName, native(errName, 1) { a =>
+        JsObj.of(
+          "name" -> JsStr(errName),
+          "message" -> JsStr(a.headOption.map(JsVal.toStr).getOrElse("")))
+      })
+    }
     // the reference's debug `log` global (JintProjectionStateHandler.cs:62)
     g.define("log", native("log", 1) { a =>
       System.err.println("[js-projection] " + a.map(JsVal.toStr).mkString(" "))

@@ -21,6 +21,10 @@ final case class Throw(e: Expr) extends Stmt
 case object BreakStmt extends Stmt
 case object ContinueStmt extends Stmt
 final case class FuncDecl(name: String, params: Seq[String], body: Seq[Stmt]) extends Stmt
+final case class TryStmt(body: Seq[Stmt], catchParam: Option[String],
+    catchBody: Option[Seq[Stmt]], finallyBody: Option[Seq[Stmt]]) extends Stmt
+/** `cases`: in source order; `None` test = the `default:` clause. */
+final case class Switch(disc: Expr, cases: Seq[(Option[Expr], Seq[Stmt])]) extends Stmt
 
 sealed trait Expr extends Serializable
 final case class NumLit(d: Double) extends Expr
@@ -51,7 +55,8 @@ private[js] final case class Tok(kind: String, text: String, pos: Int, line: Int
 private[js] object JsLexer {
   private val keywords = Set("function", "return", "var", "let", "const", "if",
     "else", "for", "while", "do", "true", "false", "null", "undefined",
-    "typeof", "in", "new", "delete", "break", "continue", "throw", "this")
+    "typeof", "in", "new", "delete", "break", "continue", "throw", "this",
+    "try", "catch", "finally", "switch", "case", "default")
 
   private val punct3 = Seq("===", "!==")
   private val punct2 = Seq("==", "!=", "<=", ">=", "&&", "||", "+=", "-=",
@@ -186,6 +191,8 @@ final class JsParser(src: String) {
         eat(";")
         return DoWhile(cond, body)
       case "for" => return forStmt()
+      case "try" => return tryStmt()
+      case "switch" => return switchStmt()
       case "return" =>
         advance()
         if (at(";") || at("}") || at("eof")) Return(None) else Return(Some(expr()))
@@ -268,6 +275,39 @@ final class JsParser(src: String) {
     val update = if (at(")")) None else Some(expr())
     expect(")")
     For(init, cond, update, stmtOrBlock())
+  }
+
+  private def tryStmt(): Stmt = {
+    expect("try")
+    val body = block()
+    val (cParam, cBody) =
+      if (eat("catch")) {
+        // ES2019 optional catch binding: `catch {}` as well as `catch (e) {}`
+        val param = if (eat("(")) { val n = expect("ident").text; expect(")"); Some(n) }
+          else None
+        (param, Some(block()))
+      } else (None, None)
+    val fBody = if (eat("finally")) Some(block()) else None
+    if (cBody.isEmpty && fBody.isEmpty) fail("try requires catch or finally")
+    TryStmt(body, cParam, cBody, fBody)
+  }
+
+  private def switchStmt(): Stmt = {
+    expect("switch"); expect("(")
+    val disc = expr()
+    expect(")"); expect("{")
+    val cases = ArrayBuffer.empty[(Option[Expr], Seq[Stmt])]
+    while (!at("}") && !at("eof")) {
+      val test = if (eat("case")) Some(expr())
+        else { expect("default"); None }
+      expect(":")
+      val body = ArrayBuffer.empty[Stmt]
+      while (!at("case") && !at("default") && !at("}") && !at("eof"))
+        body += parseStatement()
+      cases += ((test, body.toSeq))
+    }
+    expect("}")
+    Switch(disc, cases.toSeq)
   }
 
   private def stmtOrBlock(): Seq[Stmt] =
@@ -469,7 +509,8 @@ final class JsParser(src: String) {
 object JsParser {
   private[js] val keywordKeys = Set("function", "return", "var", "let", "const",
     "if", "else", "for", "while", "do", "true", "false", "null", "undefined",
-    "typeof", "in", "new", "delete", "break", "continue", "throw", "this")
+    "typeof", "in", "new", "delete", "break", "continue", "throw", "this",
+    "try", "catch", "finally", "switch", "case", "default")
 
   def program(src: String): Seq[Stmt] = new JsParser(src).parseProgram()
 }

@@ -141,8 +141,50 @@ fromCategory("click")
     JsProjection.compile(outputSource).outputState(log(s, d), "jsclicks")
       .orderBy(col("partition"))
 
+  /** switch-on-eventType + try/catch — the two constructs real Jint-era
+    * handlers lean on (switch over event types; try/catch around JSON
+    * access). The catch path is exercised deterministically: events
+    * without a `k` body property throw "cannot read property 'length' of
+    * undefined", which the handler catches and counts. */
+  private val trySwitchSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { cents: 0, big: 0, k_len: 0, no_k: 0 }; },
+        purchase: function(s, e) {
+            switch (e.eventType) {
+                case 'refund':
+                    s.cents -= Math.round(e.value * 100);
+                    break;
+                case 'purchase':
+                    s.cents += Math.round(e.value * 100);
+                    if (e.value > 150.0) s.big += 1;
+                    break;
+                default:
+                    throw new Error('unexpected type ' + e.eventType);
+            }
+            try {
+                if (e.body.k === undefined) throw new RangeError('no k');
+                s.k_len += String(e.body.k).length;
+            } catch (err) {
+                s.no_k += 1;
+            }
+            return s;
+        }
+    })"""
+
+  private def jsTrySwitch(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(trySwitchSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.cents").cast("long").as("cents"),
+        get_json_object(col("state"), "$.big").cast("long").as("big"),
+        get_json_object(col("state"), "$.k_len").cast("long").as("k_len"),
+        get_json_object(col("state"), "$.no_k").cast("long").as("no_k"))
+      .orderBy(col("partition"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "js_fold_count_sum" -> (jsFold _),
+    "js_try_switch" -> (jsTrySwitch _),
     "js_partition_by" -> (jsPartitionBy _),
     "js_emit" -> (jsEmit _),
     "js_linkto" -> (jsLinkTo _),
@@ -156,6 +198,15 @@ fromCategory("click")
     "js_fold_count_sum" -> s"""$L
       |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM log WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "js_try_switch" -> s"""$L
+      |SELECT stream_id AS partition,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS big,
+      |       CAST(sum(CASE WHEN correlation_id IS NOT NULL
+      |                     THEN length(correlation_id) ELSE 0 END) AS BIGINT) AS k_len,
+      |       CAST(sum(CASE WHEN correlation_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_k
       |FROM log WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin,
     "js_partition_by" -> s"""$L

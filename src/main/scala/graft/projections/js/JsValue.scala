@@ -30,10 +30,27 @@ final case class JsFunc(params: Seq[String], body: Seq[Stmt], closure: Env) exte
 /** Host function exposed into JS (emit, linkTo, Math.floor, ...). */
 final case class JsNative(name: String, arity: Int, f: Seq[JsVal] => JsVal) extends JsVal
 
-/** Raised for JS-level type errors ("cannot read property of undefined"). */
+/** Raised for JS-level type errors ("cannot read property of undefined").
+  * Catchable by user `try/catch` — the reference's Jint surfaces engine
+  * errors to handler catch blocks the same way. */
 final class JsError(msg: String) extends RuntimeException(msg)
-/** JS `throw` statement payload. */
-final class JsThrown(val value: JsVal) extends RuntimeException(JsVal.toStr(value))
+/** Execution-budget exhaustion. Deliberately NOT a JsError and NOT
+  * catchable by user `try/catch`: a runaway handler wrapped in
+  * `while(true){try{...}catch(e){}}` must still fail the projection. */
+final class JsBudgetExceeded(msg: String) extends RuntimeException(msg)
+/** JS `throw` statement payload. The message renders Error-shaped objects
+  * as `name: message` so an uncaught throw fails the projection with the
+  * JS-level message, like Jint's JavaScriptException. */
+final class JsThrown(val value: JsVal) extends RuntimeException(JsThrown.render(value))
+
+object JsThrown {
+  private def render(v: JsVal): String = v match {
+    case JsObj(m) if m.contains("message") =>
+      val name = m.get("name").map(JsVal.toStr).getOrElse("Error")
+      s"$name: ${JsVal.toStr(m("message"))}"
+    case other => JsVal.toStr(other)
+  }
+}
 
 object JsObj {
   def empty: JsObj = JsObj(mutable.LinkedHashMap.empty)

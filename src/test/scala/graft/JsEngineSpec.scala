@@ -70,6 +70,76 @@ class JsEngineSpec extends SparkTestBase {
     assert(evalJs("JSON.stringify({})") == JsStr("{}"))
   }
 
+  test("interpreter: try/catch/finally") {
+    // user throw with Error object; e.message visible in catch
+    assert(evalJs("var r; try { throw new Error('boom'); } catch (e) { r = e.message; } r")
+      == JsStr("boom"))
+    // the canonical real-world shape: try/catch around JSON.parse
+    assert(evalJs(
+      "var r; try { r = JSON.parse('not json'); } catch (e) { r = 'bad'; } r")
+      == JsStr("bad"))
+    // engine errors (property of undefined) surface as Error-shaped values
+    assert(evalJs("var n; try { undefined.x; } catch (e) { n = e.name; } n")
+      == JsStr("Error"))
+    // finally runs on the normal path and after catch
+    assert(evalJs(
+      "var log = ''; try { log += 'a'; } finally { log += 'f'; } log") == JsStr("af"))
+    assert(evalJs(
+      "var log = ''; try { throw 1; } catch (e) { log += 'c'; } finally { log += 'f'; } log")
+      == JsStr("cf"))
+    // finally runs even when the function returns out of try
+    assert(evalJs(
+      "var log = ''; function f() { try { return 'r'; } finally { log = 'fin'; } } f() + log")
+      == JsStr("rfin"))
+    // ES2019 optional catch binding
+    assert(evalJs("var r = 0; try { throw 1; } catch { r = 9; } r") == JsNum(9))
+    // uncaught throw escapes with the JS-level message
+    val err = intercept[JsThrown] {
+      evalJs("try { throw new TypeError('deep') } finally { }")
+    }
+    assert(err.getMessage == "TypeError: deep")
+    // nested: inner catch rethrows, outer catches
+    assert(evalJs(
+      """var r; try { try { throw new Error('x'); } catch (e) { throw e; } }
+        |catch (e2) { r = e2.message; } r""".stripMargin) == JsStr("x"))
+  }
+
+  test("interpreter: switch with fall-through, default, strict matching") {
+    assert(evalJs(
+      """function f(x) { switch (x) {
+        |  case 1: return 'one';
+        |  case 2: case 3: return 'few';
+        |  default: return 'many';
+        |} }
+        |f(1) + '-' + f(2) + '-' + f(3) + '-' + f(9)""".stripMargin)
+      == JsStr("one-few-few-many"))
+    // fall-through accumulates until break
+    assert(evalJs(
+      "var s = ''; switch (2) { case 1: s += 'a'; case 2: s += 'b'; " +
+        "case 3: s += 'c'; break; case 4: s += 'd'; } s") == JsStr("bc"))
+    // matching is strict (no '1' == 1 coercion), so default fires
+    assert(evalJs(
+      "var s; switch ('1') { case 1: s = 'num'; break; default: s = 'def'; } s")
+      == JsStr("def"))
+    // default in the middle: falls through into following cases
+    assert(evalJs(
+      "var s = ''; switch (9) { case 1: s += 'a'; default: s += 'd'; " +
+        "case 2: s += 'b'; } s") == JsStr("db"))
+    // switch on strings (the event-type dispatch shape)
+    assert(evalJs(
+      "function g(t) { var r = ''; switch (t) { case 'add': r = '+'; break; " +
+        "case 'sub': r = '-'; break; } return r; } g('add') + g('sub') + g('mul')")
+      == JsStr("+-"))
+  }
+
+  test("interpreter: execution budget is not catchable by user try/catch") {
+    val in = new JsInterp(stepBudget = 50000)
+    intercept[JsBudgetExceeded] {
+      in.run(JsParser.program(
+        "while (true) { try { var x = 1; } catch (e) { } }"))
+    }
+  }
+
   test("interpreter: string methods used by projection code") {
     assert(evalJs("'user-greg'.split('-')[1]") == JsStr("greg"))
     assert(evalJs("'abcdef'.substring(2, 4)") == JsStr("cd"))
@@ -255,6 +325,51 @@ fromCategory("chat").foreachStream().when({
   ChatMessage: function(s, e) { s.n += 1; return s; }
 })""")
     assert(ok.states(chatStore().read()).count() == 2)
+  }
+
+  test("uncaught handler throw fails the projection with the JS message") {
+    // Jint parity: JintProjectionStateHandler surfaces the JavaScript
+    // exception message when a handler throws and nothing catches it
+    val p = JsProjection.compile("""
+fromCategory("chat")
+    .when({
+        ChatMessage: function(s, e) {
+            if (e.body.sender === 'Ronan') throw new Error('no moose talk');
+        }
+    })""")
+    val err = intercept[org.apache.spark.SparkException] {
+      p.states(chatStore().read()).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
+    assert(rootMsg(err).contains("Error: no moose talk"))
+  }
+
+  test("switch + try/catch in a real handler: per-stream type dispatch") {
+    val p = JsProjection.compile("""
+fromCategory("chat")
+    .foreachStream()
+    .when({
+        $init: function() { return { greg: 0, other: 0, short_msgs: 0 }; },
+        ChatMessage: function(s, e) {
+            switch (e.body.sender) {
+                case 'Greg':
+                    s.greg += 1;
+                    break;
+                default:
+                    s.other += 1;
+            }
+            try {
+                if (e.body.message.length < 10) s.short_msgs += 1;
+            } catch (err) { /* malformed body: skip */ }
+            return s;
+        }
+    })""")
+    val out = p.states(chatStore().read()).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out == Map(
+      "chat-1" -> """{"greg":1,"other":2,"short_msgs":3}""",
+      "chat-2" -> """{"greg":0,"other":2,"short_msgs":1}"""))
   }
 
   test("JS definition validation: bad sources are rejected at compile") {
