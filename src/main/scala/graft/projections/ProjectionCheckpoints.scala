@@ -14,19 +14,23 @@ object ProjectionCheckpoints {
   def checkpointStream(name: String): String = s"$$projections-$name-checkpoint"
 
   /** Persist states covering the log up to `position` (inclusive).
-    * Idempotent per (name, position, partition). Returns rows written. */
+    * Idempotent per (epoch, name, position, partition) — the epoch in the
+    * id + body makes post-reset checkpoints distinct from (truncated)
+    * pre-reset ones. Returns rows written. */
   def save[S](store: EventLogStore, name: String, position: Long,
       states: Dataset[(String, S)], serialize: S => String): Long = {
     val spark = states.sparkSession
     import spark.implicits._
+    val epoch = ProjectionLifecycle.epoch(store, name)
+    val tag = if (epoch == 0) name else s"$name@$epoch"
     val pending = states.map { case (k, s) => (k, serialize(s)) }
       .toDF("partition", "state")
       .select(
         lit(checkpointStream(name)).as("stream_id"),
-        concat_ws(":", lit(name), lit(position), col("partition")).as("event_id"),
+        concat_ws(":", lit(tag), lit(position), col("partition")).as("event_id"),
         lit("$ProjectionCheckpoint").as("event_type"),
         to_json(struct(col("partition"), col("state"),
-          lit(position).as("position"))).as("data"),
+          lit(position).as("position"), lit(epoch).as("epoch"))).as("data"),
         lit(null).cast("string").as("metadata"),
         lit(null).cast("string").as("correlation_id"),
         lit(null).cast("timestamp").as("timestamp"))
@@ -36,15 +40,19 @@ object ProjectionCheckpoints {
     else store.appendBulk(fresh, orderBy = Seq("event_id"))
   }
 
-  /** Load the most recent checkpoint: (covered position, per-partition
-    * states), or None if the projection has never checkpointed. */
+  /** Load the most recent checkpoint of the CURRENT epoch: (covered
+    * position, per-partition states), or None if the projection has never
+    * checkpointed since its last reset. */
   def loadLatest[S](store: EventLogStore, name: String,
       deserialize: String => S)(
       implicit enc: Encoder[(String, S)]): Option[(Long, Dataset[(String, S)])] = {
     val spark = store.read().sparkSession
     import spark.implicits._
+    val epoch = ProjectionLifecycle.epoch(store, name)
     val cps = store.read()
       .where(col("stream_id") === checkpointStream(name))
+      .where(coalesce(get_json_object(col("data"), "$.epoch").cast("int"),
+        lit(0)) === epoch)
       .select(
         get_json_object(col("data"), "$.partition").as("partition"),
         get_json_object(col("data"), "$.state").as("state"),

@@ -137,10 +137,68 @@ class ProjectionSpec extends SparkTestBase {
     val second = EmittedSink.appendIdempotent(store, "digests", emittedRun)
     assert(first == 5L) // 3 from chat-1 + 2 from chat-2
     assert(second == 0L)
-    assert(store.read().count() == 5L)
+    val emittedRows = store.read()
+      .where(!org.apache.spark.sql.functions.col("stream_id").startsWith("$projections-"))
+    assert(emittedRows.count() == 5L)
     // emitted event ids are the deterministic (projection, cause) keys
-    val ids = store.read().select("event_id").collect().map(_.getString(0)).toSet
+    val ids = emittedRows.select("event_id").collect().map(_.getString(0)).toSet
     assert(ids.contains("digests:chat-1:0:0"))
+    // the emittedstreams registry tracked both target streams, once each
+    val registry = store.read()
+      .where(org.apache.spark.sql.functions.col("stream_id") ===
+        ProjectionLifecycle.emittedStreamsStream("digests"))
+      .select("data").collect().map(_.getString(0)).toSet
+    assert(registry == Set("digest-chat-1", "digest-chat-2"))
+  }
+
+  test("reset lifecycle: truncate outputs, bump epoch, updated definition re-runs fresh") {
+    val s = spark; import s.implicits._
+    val store = new graft.sources.EventLogStore(spark,
+      java.nio.file.Files.createTempDirectory("reset").toString)
+    // version N of the projection: emits one `tag` event per ChatMessage
+    def run(tag: String) = Projections.fromCategory("chat")
+      .foreachStream()
+      .init(0L)
+      .whenEmit("ChatMessage") { (n, e, em) =>
+        em.emit("digest-" + e.stream_id, tag, s"""{"pos":${e.log_position}}""")
+        n + 1
+      }
+      .emitted(chat)
+    // v1 runs: emits 5 events, checkpoints
+    assert(EmittedSink.appendIdempotent(store, "digests", run("V1")) == 5L)
+    val half = Seq(("chat-1", "v1state")).toDS()
+    ProjectionCheckpoints.save(store, "digests", 2L, half, identity[String])
+    assert(ProjectionCheckpoints.loadLatest[String](store, "digests", identity).isDefined)
+    // the definition is updated (v2 emits a different event type) but
+    // WITHOUT a reset the replay is swallowed by exactly-once dedup —
+    // same (partition, cause, seq) keys
+    assert(EmittedSink.appendIdempotent(store, "digests", run("V2")) == 0L)
+    // reset: ManagedProjection.Reset analog
+    ProjectionLifecycle.reset(store, "digests")
+    assert(ProjectionLifecycle.epoch(store, "digests") == 1)
+    // stale emitted rows invisible; checkpoint gone
+    assert(store.readRetained()
+      .where(org.apache.spark.sql.functions.col("stream_id").startsWith("digest-"))
+      .count() == 0L)
+    assert(ProjectionCheckpoints.loadLatest[String](store, "digests", identity).isEmpty)
+    // v2 re-runs from scratch and its output IS visible == a fresh run
+    assert(EmittedSink.appendIdempotent(store, "digests", run("V2")) == 5L)
+    val visible = store.readRetained()
+      .where(org.apache.spark.sql.functions.col("stream_id").startsWith("digest-"))
+    assert(visible.count() == 5L)
+    assert(visible.select("event_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("V2"))
+    // post-reset checkpoints save and load under the new epoch
+    ProjectionCheckpoints.save(store, "digests", 4L, half, identity[String])
+    val Some((pos, _)) =
+      ProjectionCheckpoints.loadLatest[String](store, "digests", identity)
+    assert(pos == 4L)
+    // second reset clears again and bumps to epoch 2
+    ProjectionLifecycle.reset(store, "digests")
+    assert(ProjectionLifecycle.epoch(store, "digests") == 2)
+    assert(store.readRetained()
+      .where(org.apache.spark.sql.functions.col("stream_id").startsWith("digest-"))
+      .count() == 0L)
   }
 
   test("partitionBy custom key from JSON body; None partitions are skipped") {
