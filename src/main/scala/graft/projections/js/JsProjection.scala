@@ -49,12 +49,15 @@ final class JsProjection(val source: String) extends Serializable {
   @transient private lazy val spec: JsProjectionSpec =
     CompiledJsProjection.get(source).spec
 
-  // Widen the scan to event_id/metadata/link_metadata only when the
-  // definition can actually observe them — a conservative source-text
-  // probe (false positives merely widen the scan; never wrong).
+  // Widen the scan to event_id/metadata/link_metadata only when a handler
+  // can actually observe them — an AST walk scoped to each handler's
+  // envelope parameter ([[JsMetaProbe]]); errs only toward widening.
   private def needsMeta: Boolean =
-    source.contains("metadata") || source.contains("Metadata") ||
-      source.contains("eventId")
+    CompiledJsProjection.get(source).needsEnvelopeMeta
+
+  /** Whether this definition's plan reads the metadata columns (AST probe
+    * result ∨ $includeLinks) — observable for plan-shape tests. */
+  def scansMetadata: Boolean = needsMeta || spec.includeLinks
 
   private def builder0: ProjectionBuilder0 = {
     val b = spec.selector match {
@@ -613,6 +616,25 @@ final class CompiledJsProjection private (source: String) {
       invoke(f, Seq(state, envelope(e, partitionOf(e)))) match {
         case JsUndef => state
         case v => v
+      }
+  }
+
+  /** AST probe over the registered handler functions: can any of them
+    * observe the envelope's metadata surface? The envelope is parameter 1
+    * of event handlers ((state, event)) and parameter 0 of partitionBy.
+    * $init/$initShared/transformBy/filterBy never see an envelope. */
+  def needsEnvelopeMeta: Boolean = {
+    def eventHandler(v: JsVal): Boolean = v match {
+      case JsFunc(params, body, _) if params.length > 1 =>
+        JsMetaProbe.observes(params(1), body)
+      case _ => false
+    }
+    (handlers.valuesIterator ++ anyFn.iterator ++ createdFn.iterator ++
+      deletedFn.iterator).exists(eventHandler) ||
+      partitionFn.exists {
+        case JsFunc(params, body, _) if params.nonEmpty =>
+          JsMetaProbe.observes(params.head, body)
+        case _ => false
       }
   }
 

@@ -636,6 +636,52 @@ fromStream("m-1").when({
     assert(states == Map("" -> """{"who":["ops",null],"ids":["id-a","id-b"]}"""))
   }
 
+  /** The AST probe (JsMetaProbe) decides the scan width — not the source
+    * TEXT. A fold that never touches envelope metadata keeps the narrow
+    * scan even when the word "metadata" appears in a string literal or a
+    * state field; envelope meta accesses, computed keys, and whole-envelope
+    * escapes widen. */
+  test("metadata scan decided by AST walk, not source text") {
+    def scans(handlers: String): Boolean =
+      JsProjection.compile(s"""fromCategory("chat").when({$handlers})""").scansMetadata
+    // "metadata" only inside a string literal / state field → narrow
+    assert(!scans("""
+      $init: function() { return { note: 'metadata counts', metadata: 0 } },
+      ChatMessage: function(st, e) { st.metadata += e.value; return st; }"""))
+    // e.body.metadata is a DATA key, not the envelope's → narrow
+    assert(!scans(
+      "$any: function(st, e) { return { m: e.body.metadata, t: e.eventType } }"))
+    // literal envelope meta accesses → wide
+    assert(scans("$any: function(st, e) { return { m: e.metadata } }"))
+    assert(scans("$any: function(st, e) { return { i: e['eventId'] } }"))
+    assert(scans("$any: function(st, e) { return { l: e.linkMetadataRaw } }"))
+    // computed key on the envelope → unknowable → wide
+    assert(scans(
+      "$any: function(st, e) { var k = st.k; return { v: e[k] } }"))
+    // envelope escapes whole (helper call / for-in) → wide
+    assert(scans(
+      "$any: function(st, e) { return JSON.stringify(e) }"))
+    assert(scans(
+      "$any: function(st, e) { for (var k in e) { st[k] = 1; } return st; }"))
+    // partitionBy's envelope is parameter 0
+    val pb = JsProjection.compile("""
+fromCategory("chat").partitionBy(function(e) { return e.metadata ? e.metadata.who : 'x'; }).when({
+    $any: function(st, e) { return st; }
+})""")
+    assert(pb.scansMetadata)
+    // and the narrow-scan fold still computes correctly end-to-end
+    val store = chatStore()
+    val p = JsProjection.compile("""
+fromCategory("chat").foreachStream().when({
+    $init: function() { return { note: 'metadata', n: 0 } },
+    ChatMessage: function(st, e) { st.n += 1; return st; }
+})""")
+    assert(!p.scansMetadata)
+    val states = p.states(store.read()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states("chat-1").contains("\"n\":3"))
+  }
+
   /** copyTo is registered and a no-op, like the reference
     * (JintProjectionStateHandler.cs CopyTo). */
   test("JS copyTo compiles and emits nothing") {
