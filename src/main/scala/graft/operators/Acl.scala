@@ -129,6 +129,86 @@ object Acl {
     streams.toSet -- allowed
   }
 
+  /** Which of `streams` the principal may NOT delete — the `$d` slot
+    * (StreamAcl.cs:11 DeleteRoles; enforced before soft/hard deletes the
+    * way StorageWriter checks $w). Same defaults: unprotected user streams
+    * deletable, system streams admin-only. */
+  def deniedDeletes(log: DataFrame, streams: Seq[String], principal: String,
+      roles: Seq[String] = Nil): Set[String] =
+    deniedFor(log, streams, principal, roles, "d", "delete_roles")
+
+  /** Which of `streams` the principal may NOT write metadata for — the
+    * `$mw` slot (MetaWriteRoles) gating `$$<stream>` appends
+    * (setMetadata / softDelete, which IS a metadata write). */
+  def deniedMetaWrites(log: DataFrame, streams: Seq[String], principal: String,
+      roles: Seq[String] = Nil): Set[String] =
+    deniedFor(log, streams, principal, roles, "mw", "meta_write_roles")
+
+  private def deniedFor(log: DataFrame, streams: Seq[String], principal: String,
+      roles: Seq[String], slot: String, aclCol: String): Set[String] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val (userDef, sysDef) = settingsDefaults(log, slot = slot)
+    val allowed = applyAcl(streams.toDF("stream_id"), aclFromLog(log),
+        principal, roles, aclCol = aclCol,
+        userDefault = userDef, systemDefault = sysDef)
+      .as[String].collect().toSet
+    streams.toSet -- allowed
+  }
+
+  /** Metastream reads (`$$<stream>` rows) the principal may see — the
+    * `$mr` slot (MetaReadRoles) of the TARGET stream gates reading its
+    * metadata, the reference's getMetadata-via-read path
+    * (StorageReaderWorker checks the original stream's metaRead ACL for
+    * `$$`-prefixed reads). Defaults follow the target stream's class:
+    * user-stream metadata open, system-stream metadata admin-only. */
+  def readMetaAs(log: DataFrame, principal: String,
+      roles: Seq[String] = Nil): DataFrame = {
+    val (userDef, sysDef) = settingsDefaults(log, slot = "mr")
+    val metaRows = log
+      .where(col("stream_id").startsWith(EventEnvelope.MetastreamPrefix))
+      // enforce on the TARGET stream id, restore the metastream id after
+      .withColumn("_meta_id", col("stream_id"))
+      .withColumn("stream_id", expr("substring(stream_id, 3)"))
+    applyAcl(metaRows, aclFromLog(log), principal, roles,
+        aclCol = "meta_read_roles",
+        userDefault = userDef, systemDefault = sysDef)
+      .withColumn("stream_id", col("_meta_id")).drop("_meta_id")
+  }
+
+  /** Raised by the `*As` guard helpers when the principal lacks the slot. */
+  final class AclDeniedException(msg: String) extends SecurityException(msg)
+
+  private def deny(op: String, stream: String, principal: String): Nothing =
+    throw new AclDeniedException(s"$principal may not $op '$stream'")
+
+  /** softDelete guarded by `$d` (a delete is both a delete — $d — and a
+    * metastream append, but the reference gates deletes on $d alone). */
+  def softDeleteAs(store: graft.sources.EventLogStore, streamId: String,
+      principal: String, roles: Seq[String] = Nil): Unit = {
+    if (deniedDeletes(store.read(), Seq(streamId), principal, roles).nonEmpty)
+      deny("delete", streamId, principal)
+    store.softDelete(streamId)
+  }
+
+  /** tombstone (hard delete) guarded by the same `$d` slot. */
+  def tombstoneAs(store: graft.sources.EventLogStore, streamId: String,
+      principal: String, roles: Seq[String] = Nil): Unit = {
+    if (deniedDeletes(store.read(), Seq(streamId), principal, roles).nonEmpty)
+      deny("delete", streamId, principal)
+    store.tombstone(streamId)
+  }
+
+  /** setMetadata guarded by `$mw`. */
+  def setMetadataAs(store: graft.sources.EventLogStore, streamId: String,
+      principal: String, roles: Seq[String] = Nil,
+      maxCount: Option[Long] = None, maxAgeSec: Option[Long] = None,
+      truncateBefore: Option[Long] = None, temp: Option[Boolean] = None): Unit = {
+    if (deniedMetaWrites(store.read(), Seq(streamId), principal, roles).nonEmpty)
+      deny("write metadata for", streamId, principal)
+    store.setMetadata(streamId, maxCount, maxAgeSec, truncateBefore, temp)
+  }
+
   /** Set an `$acl` on a stream via the store's metadata stream (helper for
     * tests and ingest tooling; slots with None are left unset). */
   def aclJson(read: Option[Seq[String]] = None, write: Option[Seq[String]] = None,

@@ -90,6 +90,63 @@ class AclSpec extends SparkTestBase {
     assert(Acl.deniedWrites(s.read(), streams, "root", Seq("$admins")) == Set.empty)
   }
 
+  test("$d gates deletes: softDeleteAs/tombstoneAs deny without the role") {
+    val s = store()
+    s.append(Seq(PendingEvent("$$team-1", "d1", "$metadata",
+      Acl.aclJson(read = Some(Seq("$all")), delete = Some(Seq("janitors"))))))
+    // non-$d principal cannot delete (neither soft nor hard)
+    intercept[Acl.AclDeniedException] { Acl.softDeleteAs(s, "team-1", "alice") }
+    intercept[Acl.AclDeniedException] { Acl.tombstoneAs(s, "team-1", "alice") }
+    assert(s.read().where(col("stream_id") === "team-1").count() == 1)
+    // the $d role may; the stream is actually truncated
+    Acl.softDeleteAs(s, "team-1", "bob", Seq("janitors"))
+    assert(s.readRetained().where(col("stream_id") === "team-1").count() == 0)
+    // unprotected user streams are deletable by anyone (default)
+    Acl.softDeleteAs(s, "open-1", "alice")
+    assert(s.readRetained().where(col("stream_id") === "open-1").count() == 0)
+    // system streams delete-denied to non-admins, admins bypass
+    s.append(Seq(PendingEvent("$sys-audit", "d2", "Audit", "{}")))
+    intercept[Acl.AclDeniedException] { Acl.softDeleteAs(s, "$sys-audit", "alice") }
+    Acl.softDeleteAs(s, "$sys-audit", "root", Seq("$admins"))
+    assert(s.readRetained().where(col("stream_id") === "$sys-audit").count() == 0)
+  }
+
+  test("$mw gates metadata writes: setMetadataAs denies without the role") {
+    val s = store()
+    s.append(Seq(PendingEvent("$$team-1", "w1", "$metadata",
+      Acl.aclJson(read = Some(Seq("$all")), metaWrite = Some(Seq("ops"))))))
+    intercept[Acl.AclDeniedException] {
+      Acl.setMetadataAs(s, "team-1", "alice", maxCount = Some(1L))
+    }
+    assert(s.getMetadata("team-1").max_count.isEmpty)
+    Acl.setMetadataAs(s, "team-1", "eve", Seq("ops"), maxCount = Some(1L))
+    assert(s.getMetadata("team-1").max_count.contains(1L))
+    // unprotected user stream: open by default; admins bypass explicit ACLs
+    Acl.setMetadataAs(s, "open-1", "alice", maxCount = Some(5L))
+    Acl.setMetadataAs(s, "team-1", "root", Seq("$admins"), maxCount = Some(9L))
+    assert(s.getMetadata("team-1").max_count.contains(9L))
+  }
+
+  test("$mr gates metastream reads: readMetaAs filters by the target's slot") {
+    val s = store()
+    s.append(Seq(PendingEvent("$$secret-1", "r1", "$metadata",
+      Acl.aclJson(read = Some(Seq("auditors")), metaRead = Some(Seq("auditors"))))))
+    def metaVisible(p: String, rs: Seq[String] = Nil): Set[String] =
+      Acl.readMetaAs(s.read(), p, rs)
+        .select("stream_id").distinct().collect().map(_.getString(0)).toSet
+    // alice sees unprotected user metastreams but not secret-1's
+    val alice = metaVisible("alice")
+    assert(alice.contains("$$team-1") && !alice.contains("$$secret-1"))
+    // the $mr role (and admins) see it
+    assert(metaVisible("bob", Seq("auditors")).contains("$$secret-1"))
+    assert(metaVisible("root", Seq("$admins")).contains("$$secret-1"))
+    // metadata OF a system stream is admin-only by default
+    s.append(Seq(PendingEvent("$$$sys-audit", "r2", "$metadata",
+      """{"$maxCount":10}""")))
+    assert(!metaVisible("alice").contains("$$$sys-audit"))
+    assert(metaVisible("root", Seq("$admins")).contains("$$$sys-audit"))
+  }
+
   test("$all in a read ACL grants everyone; system streams default to admins") {
     val s = store()
     s.append(Seq(PendingEvent("$$secret-1", "m4", "$metadata",
