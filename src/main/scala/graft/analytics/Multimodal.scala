@@ -12,11 +12,106 @@ import org.apache.spark.sql.types._
   * object-store pointers) and decode happens batched inside partitions,
   * never on the driver. The Spark-side plumbing here (schema, batch shape,
   * partition-wise execution, feature-column handoff to Similarity) is real
-  * and tested; the actual codec calls are STUBBED with deterministic
-  * byte-level fakes because no image/audio libraries ship in this
-  * environment — swap [[StubCodecs]] for real decoders in production.
+  * and tested. Image decode is REAL — [[ImageCodecs]] uses `javax.imageio`
+  * (in the JDK: PNG/JPEG/GIF/BMP) with a deterministic nearest-neighbor
+  * resize; blobs that are not decodable images fall back to the
+  * deterministic byte-level [[StubCodecs]], which also stand in for the
+  * audio/video codec layer (no such libraries ship in this environment).
   */
 object Multimodal {
+
+  /** Real image codec layer on `javax.imageio` — decode, deterministic
+    * resize, and an order-independent pixel hash that pure SQL can
+    * reproduce for synthetic images (the oracle path).
+    *
+    * Determinism notes: PNG is lossless and gray samples round-trip
+    * exactly; nearest-neighbor source mapping is integer math
+    * (`sx = tx*srcW/dstW`), no filtering kernel, so the resized raster is
+    * bit-reproducible across JVMs — unlike Graphics2D scaling hints. */
+  object ImageCodecs {
+
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Deterministic synthetic grayscale PNG for tests/oracles:
+      * pixel(x,y) = (seed*31 + x*7 + y*13) mod 256. */
+    def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((seed * 31 + x * 7 + y * 13) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode via ImageIO; None when the bytes are not a supported image
+      * (ImageIO.read returns null rather than throwing for unknown data). */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null || bytes.length == 0) None
+      else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+    /** Nearest-neighbor resize with exact integer source mapping
+      * (`sx = tx*srcW/dstW`), output grayscale. */
+    def resizeNearest(img: BufferedImage, tw: Int, th: Int): BufferedImage = {
+      val out = new BufferedImage(tw, th, BufferedImage.TYPE_BYTE_GRAY)
+      val src = img.getRaster
+      val dst = out.getRaster
+      val gray = img.getType == BufferedImage.TYPE_BYTE_GRAY
+      var ty = 0
+      while (ty < th) {
+        val sy = ty * img.getHeight / th
+        var tx = 0
+        while (tx < tw) {
+          val sx = tx * img.getWidth / tw
+          val g =
+            if (gray) src.getSample(sx, sy, 0)
+            else { // luma of packed RGB, integer BT.601 (deterministic)
+              val rgb = img.getRGB(sx, sy)
+              ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            }
+          dst.setSample(tx, ty, 0, g)
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+
+    /** Order-independent pixel hash a SQL oracle can recompute:
+      * Σ gray(x,y) · (y·W + x + 1) — position-weighted so permutations
+      * differ, pure integer math so engines agree exactly. */
+    def pixelHash(img: BufferedImage): Long = {
+      val raster = img.getRaster
+      var h = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          h += raster.getSample(x, y, 0).toLong * (y.toLong * img.getWidth + x + 1)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
+    /** Re-encode as PNG (the resized-blob handoff format). */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
 
   /** Canonical media envelope: blob + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
