@@ -54,11 +54,15 @@ object Multimodal {
     }
 
     /** Decode via ImageIO; None when the bytes are not a supported image
-      * (ImageIO.read returns null rather than throwing for unknown data). */
+      * (ImageIO.read returns null rather than throwing for unknown data).
+      * NonFatal, not just IOException: plugin readers throw runtime
+      * exceptions (IllegalArgument, CMM, index) on malformed/truncated
+      * blobs, and a bad blob must take the stub fallback, not fail the
+      * task. */
     def decode(bytes: Array[Byte]): Option[BufferedImage] =
       if (bytes == null || bytes.length == 0) None
       else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** Nearest-neighbor resize with exact integer source mapping
       * (`sx = tx*srcW/dstW`), output grayscale. */

@@ -421,4 +421,53 @@ final class FoldBuilder[S] private[projections] (
         }
       }
   }
+
+  /** P13/P14 continuous mode: the fold as a Structured Streaming query
+    * that outputs the EMITTED events (not states). Per-partition fold
+    * state lives in the state store and survives restarts via the
+    * checkpoint dir; each micro-batch steps the new events in
+    * log_position order and appends their emissions (OutputMode.Append —
+    * emitted events are immutable facts). Emitted rows are identical to
+    * the batch [[emitted]] rows for the same events, so
+    * [[EmittedSink.appendIdempotent]]'s deterministic ids dedup replays
+    * across restarts and foreachBatch retries — the reference's
+    * continuous-projection EmittedStream semantics
+    * (Processing/Emitting/EmittedStream.cs). */
+  def emittedStream(events: DataFrame)(implicit encS: Encoder[S],
+      encOut: Encoder[Emitted],
+      encKV: Encoder[(String, LogEvent)]): Dataset[Emitted] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ds = Projections.toLogEvents(events.where(sourceFilter), withMeta)
+    val pf = partitionFn
+    val initF = initFn
+    val stepF = mkStep
+    val createdF = createdHandler
+    ds.flatMap(e => pf(e).map(k => (k, e)))(encKV)
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[S, Emitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, LogEvent)],
+            state: org.apache.spark.sql.streaming.GroupState[S]) =>
+          val sorted = rows.map(_._2).toSeq.sortBy(_.log_position)
+          val out = ArrayBuffer.empty[Emitted]
+          // $created fires only on the key's very first event ever — a
+          // checkpointed key (state exists) already had it
+          var first = !state.exists
+          var s = state.getOption.getOrElse(null.asInstanceOf[S])
+          sorted.foreach { e =>
+            if (first) {
+              s = initF()
+              createdF.foreach(f => s = f(s, e))
+              first = false
+            }
+            val em = new Emitter
+            s = stepF(s, e, em)
+            em.buf.iterator.zipWithIndex.foreach { case ((stream, tpe, body, md), i) =>
+              out += Emitted(stream, tpe, body, key, e.log_position, i, md)
+            }
+          }
+          if (sorted.nonEmpty) state.update(s)
+          out.iterator
+      }
+  }
 }

@@ -21,7 +21,11 @@ object ProjectionCheckpoints {
       states: Dataset[(String, S)], serialize: S => String): Long = {
     val spark = states.sparkSession
     import spark.implicits._
-    val epoch = ProjectionLifecycle.epoch(store, name)
+    val (epoch, resetPending) = ProjectionLifecycle.status(store, name)
+    if (resetPending)
+      throw new IllegalStateException(
+        s"projection $name has a half-applied reset; re-run " +
+          "ProjectionLifecycle.reset before checkpointing")
     val tag = if (epoch == 0) name else s"$name@$epoch"
     val pending = states.map { case (k, s) => (k, serialize(s)) }
       .toDF("partition", "state")
@@ -34,7 +38,11 @@ object ProjectionCheckpoints {
         lit(null).cast("string").as("metadata"),
         lit(null).cast("string").as("correlation_id"),
         lit(null).cast("timestamp").as("timestamp"))
-    val existing = store.read().select(col("event_id").as("_eid"))
+    // checkpoint ids only ever live in the checkpoint stream — the dedup
+    // anti-join is a point lookup there, not a full-log event_id scan
+    val existing = store.read()
+      .where(col("stream_id") === checkpointStream(name))
+      .select(col("event_id").as("_eid"))
     val fresh = pending.join(existing, col("event_id") === col("_eid"), "left_anti")
     if (fresh.isEmpty) 0L
     else store.appendBulk(fresh, orderBy = Seq("event_id"))

@@ -39,11 +39,30 @@ object ProjectionLifecycle {
 
   /** Current epoch of a projection: 0 until the first reset. A point
     * lookup on the control stream (stream + bucket pruned). */
-  def epoch(store: EventLogStore, name: String): Int = {
-    if (!store.exists) return 0
-    store.readStreamEvents(controlStream(name))
-      .where(col("event_type") === "$ProjectionReset")
-      .agg(count(lit(1))).collect()(0).getLong(0).toInt
+  def epoch(store: EventLogStore, name: String): Int = status(store, name)._1
+
+  /** True when a reset started (its `$ProjectionResetStarted` marker is in
+    * the control stream) but never completed — a crash landed between the
+    * truncation commit and the `$ProjectionReset` control append. In that
+    * state outputs are (partially) truncated while the epoch is unbumped,
+    * so emit/checkpoint ids would dedup against truncated raw-log rows and
+    * silently write nothing; [[EmittedSink]]/[[ProjectionCheckpoints]]
+    * refuse to run until [[reset]] is re-invoked (it is safely
+    * re-runnable: truncation math recomputes from current visibility). */
+  def resetPending(store: EventLogStore, name: String): Boolean =
+    status(store, name)._2
+
+  /** (epoch, resetPending) in ONE control-stream point lookup. */
+  private[projections] def status(store: EventLogStore, name: String): (Int, Boolean) = {
+    if (!store.exists) return (0, false)
+    val row = store.readStreamEvents(controlStream(name))
+      .agg(
+        sum(when(col("event_type") === "$ProjectionReset", 1L).otherwise(0L)),
+        sum(when(col("event_type") === "$ProjectionResetStarted", 1L).otherwise(0L)))
+      .collect()(0)
+    val completed = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val started = if (row.isNullAt(1)) 0L else row.getLong(1)
+    (completed.toInt, started > completed)
   }
 
   /** Reset a projection: truncate its result/checkpoint/registry streams
@@ -51,6 +70,15 @@ object ProjectionLifecycle {
     * run re-checkpoints and re-emits from scratch. Safe to call on a
     * projection that never ran (no-op + epoch bump). */
   def reset(store: EventLogStore, name: String): Unit = {
+    val next = status(store, name)._1 + 1
+    // start marker BEFORE the truncation commit: a crash mid-reset leaves
+    // started > completed, which resetPending surfaces and the writers
+    // refuse, instead of silently deduping against truncated ids. The
+    // marker append is idempotent per epoch (deterministic event_id), so
+    // re-running a crashed reset does not double-count.
+    store.append(Seq(PendingEvent(
+      controlStream(name), s"$name:reset-started:$next", "$ProjectionResetStarted",
+      s"""{"epoch":$next}""")))
     if (store.exists) {
       val log = store.readRetained()
       val prefix = s"$$projections-$name-"
@@ -83,7 +111,6 @@ object ProjectionLifecycle {
         lit(null).cast("timestamp").as("timestamp"))
       store.appendBulk(metaEvents, orderBy = Seq("stream_id"))
     }
-    val next = epoch(store, name) + 1
     store.append(Seq(PendingEvent(
       controlStream(name), s"$name:reset:$next", "$ProjectionReset",
       s"""{"epoch":$next}""")))

@@ -201,6 +201,42 @@ final class JsProjection(val source: String) extends Serializable {
     foldBuilder.emitted(prepared(log))
   }
 
+  /** P13/P14/P21 continuous mode: emitted events as a Structured Streaming
+    * Dataset — the reference's most common production shape, a continuous
+    * projection feeding derived streams
+    * (Processing/Emitting/EmittedStream.cs; scenario
+    * when_recategorizing_chat_events_by_users.cs). Fold state rides the
+    * state store as JSON; emitted rows are bit-identical to the batch
+    * [[emitted]] rows, so running them through
+    * [[graft.projections.EmittedSink.streamTo]] gives exactly-once append
+    * across restarts and retries. `options($includeLinks)` is rejected
+    * here: link resolution is a log self-join, a batch shape. */
+  def emittedStream(events: DataFrame): Dataset[Emitted] = {
+    if (spec.isBiState)
+      throw new JsError("emit/linkTo are not available in bi-state ($initShared) projections")
+    if (spec.includeLinks)
+      throw new JsError(
+        "options($includeLinks) is not supported for streaming emit " +
+          "(link resolution is a batch self-join); resolve links batch-side")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = source
+    val base = partBuilder
+      .init[String](JsVal.stringify(
+        CompiledJsProjection.get(src).initState()).getOrElse("{}"))
+      .whenAnyEmit((json, e, em) =>
+        CompiledJsProjection.get(src).stepJsonEmit(json, e, em))
+    val fold = if (spec.hasCreated)
+      base.whenCreated((json, e) => CompiledJsProjection.get(src).createdJson(json, e))
+    else base
+    val ordered =
+      if (spec.reorderEvents)
+        graft.streaming.Subscriptions.reorderedStreamByTime(
+          events, spec.processingLagMs.getOrElse(500L)).toDF()
+      else events
+    fold.emittedStream(ordered)
+  }
+
   /** P8/P11 outputState: result events with the reference naming
     * (ProjectionNamesBuilder.cs:40-75), honoring outputTo/options
     * overrides from the definition itself. */
@@ -603,11 +639,22 @@ final class CompiledJsProjection private (source: String) {
 
   /** Storage-form step for the streaming state store: state rides as JSON
     * between micro-batches (emitted events are not produced on this path —
-    * use `emitted` in batch or EmittedSink for exactly-once append). */
+    * use [[JsProjection.emittedStream]] for continuous emission). */
   def stepJson(json: String, e: LogEvent): String = {
     val s = step(JsVal.parseJson(json), e, new Emitter)
     JsVal.stringify(s).getOrElse("null")
   }
+
+  /** Storage-form step that ALSO collects emissions into `em` — the
+    * streaming-emit path ([[JsProjection.emittedStream]]). */
+  def stepJsonEmit(json: String, e: LogEvent, em: Emitter): String = {
+    val s = step(JsVal.parseJson(json), e, em)
+    JsVal.stringify(s).getOrElse("null")
+  }
+
+  /** Storage-form $created. */
+  def createdJson(json: String, e: LogEvent): String =
+    JsVal.stringify(created(JsVal.parseJson(json), e)).getOrElse("null")
 
   /** $created (fires before the first event's own handler). */
   def created(state: JsVal, e: LogEvent): JsVal = createdFn match {

@@ -201,6 +201,42 @@ class ProjectionSpec extends SparkTestBase {
       .count() == 0L)
   }
 
+  test("half-applied reset is detected and refused, then recoverable by re-running reset") {
+    val s = spark; import s.implicits._
+    val store = new graft.sources.EventLogStore(spark,
+      java.nio.file.Files.createTempDirectory("resetcrash").toString)
+    def run() = Projections.fromCategory("chat")
+      .foreachStream().init(0L)
+      .whenEmit("ChatMessage") { (n, e, em) =>
+        em.emit("digest-" + e.stream_id, "D", s"""{"pos":${e.log_position}}""")
+        n + 1
+      }
+      .emitted(chat)
+    assert(EmittedSink.appendIdempotent(store, "digests", run()) == 5L)
+    // simulate a crash mid-reset: the start marker landed but neither the
+    // truncation nor the completion did (worst case — any later partial
+    // state is also covered since detection only needs the marker)
+    store.append(Seq(graft.sources.PendingEvent(
+      ProjectionLifecycle.controlStream("digests"),
+      "digests:reset-started:1", "$ProjectionResetStarted", """{"epoch":1}""")))
+    assert(ProjectionLifecycle.resetPending(store, "digests"))
+    assert(ProjectionLifecycle.epoch(store, "digests") == 0) // NOT bumped
+    // writers refuse instead of silently deduping against stale ids
+    intercept[IllegalStateException] {
+      EmittedSink.appendIdempotent(store, "digests", run())
+    }
+    intercept[IllegalStateException] {
+      ProjectionCheckpoints.save(store, "digests", 2L,
+        Seq(("chat-1", "x")).toDS(), identity[String])
+    }
+    // recovery: re-run reset (its start marker append is idempotent per
+    // epoch, so this completes the crashed attempt rather than stacking)
+    ProjectionLifecycle.reset(store, "digests")
+    assert(!ProjectionLifecycle.resetPending(store, "digests"))
+    assert(ProjectionLifecycle.epoch(store, "digests") == 1)
+    assert(EmittedSink.appendIdempotent(store, "digests", run()) == 5L)
+  }
+
   test("partitionBy custom key from JSON body; None partitions are skipped") {
     val s = spark; import s.implicits._
     val states = Projections.fromCategory("chat")

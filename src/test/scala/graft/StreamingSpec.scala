@@ -331,6 +331,76 @@ fromAll().foreachStream().when({
     assert(!streamIds.contains(10999L)) // the planted dup was dropped by state
   }
 
+  test("P13/P21 streaming emit == batch emit, exactly-once across a restart") {
+    val (srcStore, srcDir) = newStore()
+    seed(srcStore)
+    val outStream = new EventLogStore(spark,
+      Files.createTempDirectory("emitS").toString)
+    val outBatch = new EventLogStore(spark,
+      Files.createTempDirectory("emitB").toString)
+    val p = graft.projections.js.JsProjection.compile("""
+fromCategory("acct")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0 } },
+        Deposited: function(s, e) {
+            s.n += 1;
+            emit("dep-" + e.streamId, "DepositSeen", { seq: s.n, amt: e.body.amt });
+            return s;
+        }
+    })""")
+    val ck = Files.createTempDirectory("emitck").toString
+    def runOnce(): Unit = {
+      val q = graft.projections.EmittedSink.streamTo(outStream, "deps",
+        p.emittedStream(Subscriptions.subscribeAll(spark, s"$srcDir/log")
+          .where(col("stream_id").startsWith("acct-"))), ck)
+      q.awaitTermination(60000)
+    }
+    runOnce() // catch-up over the seed
+    srcStore.append(Seq(
+      PendingEvent("acct-1", "e5", "Deposited", """{"amt":2}"""),
+      PendingEvent("acct-2", "e6", "Withdrawn", """{"amt":1}""")))
+    runOnce() // RESTART on the same checkpoint: state resumes, tail folds
+    // batch reference: the same projection over the full final log
+    graft.projections.EmittedSink.appendIdempotent(
+      outBatch, "deps", p.emitted(srcStore.read()))
+    def dump(st: EventLogStore) = st.read()
+      .select("stream_id", "event_number", "event_type", "data", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    val streamed = dump(outStream)
+    assert(streamed == dump(outBatch))
+    assert(streamed.exists(_._4 == """{"seq":2,"amt":2}""")) // resumed state, not re-inited
+    // exactly-once: a FULL batch replay into the streaming target is a
+    // no-op — streaming ids are bit-identical to batch ids
+    assert(graft.projections.EmittedSink.appendIdempotent(
+      outStream, "deps", p.emitted(srcStore.read())) == 0L)
+  }
+
+  test("P13 Scala DSL emittedStream: linkTo + $created parity with batch emitted") {
+    val (store, dir) = newStore()
+    seed(store)
+    val s = spark; import s.implicits._
+    def builder = Projections.fromCategory("acct")
+      .foreachStream()
+      .init(0L)
+      .whenCreated((n, _) => n + 100) // $created fires once per stream
+      .whenAnyEmit { (n, e, em) =>
+        em.linkTo("all-acct", e)
+        if (n >= 100) em.emit("first-seen", "First", s"""{"s":"${e.stream_id}"}""")
+        n % 100 + 1
+      }
+    val batch = builder.emitted(store.read()).collect().toSet
+    val q = builder.emittedStream(Subscriptions.subscribeAll(spark, s"$dir/log")).toDF()
+      .writeStream.format("memory").queryName("dslemit").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT * FROM dslemit").as[graft.projections.Emitted]
+      .collect().toSet
+    assert(streamed == batch)
+    assert(batch.exists(_.stream_id == "first-seen")) // $created path exercised
+  }
+
   test("SUB3: failing batches are parked (dead-letter), then replayable") {
     val (store, dir) = newStore()
     seed(store)
