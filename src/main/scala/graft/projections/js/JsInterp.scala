@@ -9,8 +9,11 @@ import scala.collection.mutable
   *
   * Deliberate restrictions (all absent from reference projection code):
   * no `this` semantics (identifier `this` resolves like a normal binding),
-  * no prototypes, no Date/RegExp/random — handlers must stay deterministic
-  * for replay, exactly as the reference demands of projections. */
+  * no prototypes, no Date/random — handlers must stay deterministic for
+  * replay, exactly as the reference demands of projections. Regexes ARE
+  * supported (literals and RegExp): they are deterministic, and real
+  * Jint-era handlers use match/replace/split/test routinely (see
+  * JsRegexOps for the java.util.regex mapping). */
 final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
 
   private final class BreakEx extends RuntimeException
@@ -185,6 +188,8 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
   private def eval0(e: Expr, env: Env): JsVal = e match {
     case NumLit(d) => JsNum(d)
     case StrLit(s) => JsStr(s)
+    // fresh object per evaluation (ES semantics; Pattern cached globally)
+    case RegexLit(p, f) => new JsRegex(p, f)
     case BoolLit(b) => JsBool(b)
     case NullLit => JsNull
     case UndefLit => JsUndef
@@ -329,6 +334,15 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
           JsStr(s.charAt(d.toInt).toString)
         else JsUndef
     }
+    case r: JsRegex => JsVal.toStr(key) match {
+      case "source" => JsStr(r.pattern)
+      case "flags" => JsStr(r.flags)
+      case "global" => JsBool(r.global)
+      case "ignoreCase" => JsBool(r.flags.indexOf('i') >= 0)
+      case "multiline" => JsBool(r.flags.indexOf('m') >= 0)
+      case "lastIndex" => JsNum(r.lastIndex.toDouble)
+      case _ => JsUndef
+    }
     case JsUndef | JsNull =>
       throw new JsError(
         s"cannot read property '${JsVal.toStr(key)}' of ${JsVal.toStr(recv)} (reading ${describe(src)})")
@@ -358,6 +372,8 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
           while (items.length <= i) items += JsUndef
           items(i) = v
       }
+    case r: JsRegex =>
+      if (JsVal.toStr(key) == "lastIndex") r.lastIndex = JsVal.num(v).toInt
     case JsUndef | JsNull =>
       throw new JsError(s"cannot set property '${JsVal.toStr(key)}' of ${JsVal.toStr(recv)}")
     case _ => () // primitives silently ignore property writes (sloppy mode)
@@ -396,22 +412,64 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
         val b = sliceIdx(args.lift(1).map(JsVal.num).getOrElse(s.length.toDouble), s.length)
         JsStr(if (a < b) s.substring(a, b) else "")
       case (JsStr(s), "split") =>
+        val limit: Option[Double] =
+          args.lift(1).filter(_ != JsUndef).map(JsVal.num)
         args.headOption match {
-          case None | Some(JsUndef) => JsArr(mutable.ArrayBuffer(JsStr(s)))
+          case None | Some(JsUndef) =>
+            if (limit.contains(0.0)) JsArr.empty
+            else JsArr(mutable.ArrayBuffer(JsStr(s)))
+          case Some(re: JsRegex) => JsArr(JsRegexOps.split(s, re, limit))
           case Some(sep) =>
             val sp = JsVal.toStr(sep)
             val parts: Seq[String] =
               if (sp.isEmpty) s.map(_.toString)
               else splitLiteral(s, sp)
-            JsArr(mutable.ArrayBuffer(parts.map(JsStr(_)): _*))
+            val limited = limit match {
+              case Some(d) if d.isNaN || d.isInfinite => Seq.empty
+              case Some(d) => parts.take((d.toLong & 0xFFFFFFFFL).min(Int.MaxValue).toInt)
+              case None => parts
+            }
+            JsArr(mutable.ArrayBuffer(limited.map(JsStr(_)): _*))
         }
       case (JsStr(s), "replace") =>
-        val pat = str(args, 0)
-        val rep = str(args, 1)
-        val i = s.indexOf(pat)
-        JsStr(if (i < 0) s else s.substring(0, i) + rep + s.substring(i + pat.length))
+        val repl = args.lift(1).getOrElse(JsUndef)
+        def callRepl(cbArgs: Seq[JsVal]): JsVal = callFunction(repl, cbArgs)
+        (args.headOption.getOrElse(JsUndef), repl) match {
+          case (re: JsRegex, _: JsFunc | _: JsNative) =>
+            JsStr(JsRegexOps.replaceFn(s, re, callRepl))
+          case (re: JsRegex, r) =>
+            JsStr(JsRegexOps.replaceStr(s, re, JsVal.toStr(r)))
+          case (p, _: JsFunc | _: JsNative) =>
+            // string pattern + function: first occurrence only (ES)
+            val pat = JsVal.toStr(p)
+            val i = s.indexOf(pat)
+            JsStr(
+              if (i < 0) s
+              else s.substring(0, i) +
+                JsVal.toStr(callRepl(Seq(JsStr(pat), JsNum(i), JsStr(s)))) +
+                s.substring(i + pat.length))
+          case (p, r) =>
+            // string pattern + string replacement: first occurrence, with
+            // GetSubstitution ($$ and $& — no groups for string patterns)
+            val pat = JsVal.toStr(p)
+            val i = s.indexOf(pat)
+            JsStr(
+              if (i < 0) s
+              else s.substring(0, i) +
+                JsRegexOps.substitution(JsVal.toStr(r), pat, i, s, IndexedSeq.empty) +
+                s.substring(i + pat.length))
+        }
+      case (JsStr(s), "match") =>
+        JsRegexOps.matchStr(s, toRegexArg(args.headOption.getOrElse(JsUndef)))
+      case (JsStr(s), "search") =>
+        JsNum(JsRegexOps.search(s, toRegexArg(args.headOption.getOrElse(JsUndef))))
       case (JsStr(s), "concat") => JsStr(s + args.map(JsVal.toStr).mkString)
       case (JsStr(s), "toString") => JsStr(s)
+
+      // ---- regex methods
+      case (r: JsRegex, "test") => JsBool(JsRegexOps.test(r, str(args, 0)))
+      case (r: JsRegex, "exec") => JsRegexOps.exec(r, str(args, 0))
+      case (r: JsRegex, "toString") => JsStr(JsVal.toStr(r))
 
       // ---- array methods
       case (JsArr(items), "push") =>
@@ -522,6 +580,14 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
 
   private def str(args: Seq[JsVal], i: Int): String =
     JsVal.toStr(args.lift(i).getOrElse(JsUndef))
+  /** String.prototype.match/search coerce a non-regex argument to a regex
+    * (ES: RegExp(arg)); `match()` with no argument matches the empty
+    * regex. */
+  private def toRegexArg(v: JsVal): JsRegex = v match {
+    case r: JsRegex => r
+    case JsUndef => JsRegexOps.make("", "")
+    case other => JsRegexOps.make(JsVal.toStr(other), "")
+  }
   private def clamp(d: Double, len: Int): Int =
     if (d.isNaN || d < 0) 0 else math.min(d.toInt, len)
   private def sliceIdx(d: Double, len: Int): Int =
@@ -582,6 +648,20 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
       val s = JsVal.toStr(args.headOption.getOrElse(JsUndef)).trim
       val m = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r.findFirstIn(s)
       JsNum(m.map(_.toDouble).getOrElse(Double.NaN))
+    })
+    // RegExp constructor (`new X(...)` parses as a plain call). Eagerly
+    // validated: a bad dynamic pattern throws a catchable SyntaxError-
+    // shaped JsError at construction, like ES.
+    g.define("RegExp", native("RegExp", 2) { a =>
+      a.headOption.getOrElse(JsUndef) match {
+        case re: JsRegex =>
+          val flags = a.lift(1).filter(_ != JsUndef).map(JsVal.toStr).getOrElse(re.flags)
+          JsRegexOps.make(re.pattern, flags)
+        case JsUndef => JsRegexOps.make("", "")
+        case v =>
+          val flags = a.lift(1).filter(_ != JsUndef).map(JsVal.toStr).getOrElse("")
+          JsRegexOps.make(JsVal.toStr(v), flags)
+      }
     })
     g.define("Number", native("Number", 1)(a => JsNum(JsVal.num(a.headOption.getOrElse(JsUndef)))))
     g.define("String", native("String", 1)(a => JsStr(JsVal.toStr(a.headOption.getOrElse(JsUndef)))))

@@ -29,6 +29,9 @@ final case class Switch(disc: Expr, cases: Seq[(Option[Expr], Seq[Stmt])]) exten
 sealed trait Expr extends Serializable
 final case class NumLit(d: Double) extends Expr
 final case class StrLit(s: String) extends Expr
+/** `/pattern/flags` — validated at parse time (ES throws regex literal
+  * syntax errors early); evaluates to a fresh JsRegex per evaluation. */
+final case class RegexLit(pattern: String, flags: String) extends Expr
 final case class BoolLit(b: Boolean) extends Expr
 case object NullLit extends Expr
 case object UndefLit extends Expr
@@ -63,8 +66,18 @@ private[js] object JsLexer {
     "*=", "/=", "%=", "++", "--", "=>")
   private val punct1 = "(){}[];,.<>+-*/%!=?:&|"
 
+  /** Token kinds after which a `/` must be division, not a regex literal —
+    * the standard lexer heuristic (a value just ended). After anything
+    * else (operators, `(`, `,`, keywords like `return`/`case`) a regex can
+    * start. `}` counts as regex-allowed: statement-block ends dominate
+    * handler code, and `({…}/2)` never appears in projection definitions. */
+  private val noRegexAfter = Set("num", "str", "regex", "ident", ")", "]",
+    "++", "--", "true", "false", "null", "undefined", "this")
+
   def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
+    var prevKind: String = ""
+    def push(t: Tok): Unit = { out += t; prevKind = t.kind }
     var i = 0
     var line = 1
     def fail(msg: String) = throw new JsParseError(s"line $line: $msg")
@@ -82,13 +95,40 @@ private[js] object JsLexer {
         }
         if (i + 1 >= src.length) fail("unterminated block comment")
         i += 2
+      } else if (c == '/' && !noRegexAfter(prevKind)) {
+        // regex literal: body up to the unescaped closing '/' ('/' inside
+        // a [...] class is literal), then flag letters
+        val start = i
+        i += 1
+        val body = new StringBuilder
+        var inClass = false
+        var closed = false
+        while (i < src.length && !closed) {
+          val ch = src.charAt(i)
+          if (ch == '\n') fail("unterminated regex literal")
+          else if (ch == '\\') {
+            if (i + 1 >= src.length) fail("unterminated regex literal")
+            body.append(ch).append(src.charAt(i + 1))
+            i += 2
+          } else if (ch == '/' && !inClass) { closed = true; i += 1 }
+          else {
+            if (ch == '[') inClass = true
+            else if (ch == ']') inClass = false
+            body.append(ch)
+            i += 1
+          }
+        }
+        if (!closed) fail("unterminated regex literal")
+        val flagStart = i
+        while (i < src.length && src.charAt(i).isLetter) i += 1
+        push(Tok("regex", body.toString + "\u0000" + src.substring(flagStart, i), start, line))
       } else if (c.isDigit || (c == '.' && i + 1 < src.length && src.charAt(i + 1).isDigit)) {
         val start = i
         while (i < src.length && (src.charAt(i).isDigit || src.charAt(i) == '.' ||
           src.charAt(i) == 'e' || src.charAt(i) == 'E' ||
           ((src.charAt(i) == '+' || src.charAt(i) == '-') && i > start &&
             (src.charAt(i - 1) == 'e' || src.charAt(i - 1) == 'E')))) i += 1
-        out += Tok("num", src.substring(start, i), start, line)
+        push(Tok("num", src.substring(start, i), start, line))
       } else if (c == '"' || c == '\'') {
         val quote = c
         val sb = new StringBuilder
@@ -117,21 +157,21 @@ private[js] object JsLexer {
         }
         if (i >= src.length) fail("unterminated string")
         i += 1
-        out += Tok("str", sb.toString, start, line)
+        push(Tok("str", sb.toString, start, line))
       } else if (c.isLetter || c == '_' || c == '$') {
         val start = i
         while (i < src.length && (src.charAt(i).isLetterOrDigit ||
           src.charAt(i) == '_' || src.charAt(i) == '$')) i += 1
         val word = src.substring(start, i)
-        out += Tok(if (keywords(word)) word else "ident", word, start, line)
+        push(Tok(if (keywords(word)) word else "ident", word, start, line))
       } else {
         val rest = src.substring(i, math.min(i + 3, src.length))
         punct3.find(rest.startsWith) match {
-          case Some(p) => out += Tok(p, p, i, line); i += p.length
+          case Some(p) => push(Tok(p, p, i, line)); i += p.length
           case None => punct2.find(rest.startsWith) match {
-            case Some(p) => out += Tok(p, p, i, line); i += p.length
+            case Some(p) => push(Tok(p, p, i, line)); i += p.length
             case None =>
-              if (punct1.indexOf(c) >= 0) { out += Tok(c.toString, c.toString, i, line); i += 1 }
+              if (punct1.indexOf(c) >= 0) { push(Tok(c.toString, c.toString, i, line)); i += 1 }
               else fail(s"unexpected character '$c'")
           }
         }
@@ -147,10 +187,12 @@ private[js] object JsLexer {
 /** Recursive-descent / Pratt parser for the JS subset projection
   * definitions use: expressions (incl. object/array/function literals,
   * member chains, calls), var/let/const, if/else, for, for-in, while,
-  * return/throw/break/continue, function declarations. Semicolons are
-  * optional (pragmatic ASI: a statement ends where the next one must
-  * begin). Not supported, by design: classes, regex literals, template
-  * strings, async, destructuring — none appear in projection definitions. */
+  * return/throw/break/continue, function declarations, regex literals
+  * (division-vs-regex disambiguated by the previous token — see
+  * JsLexer.noRegexAfter). Semicolons are optional (pragmatic ASI: a
+  * statement ends where the next one must begin). Not supported, by
+  * design: classes, template strings, async, destructuring — none appear
+  * in projection definitions. */
 final class JsParser(src: String) {
   private val toks = JsLexer.tokenize(src)
   private var p = 0
@@ -459,6 +501,15 @@ final class JsParser(src: String) {
   private def primary(): Expr = peek.kind match {
     case "num" => NumLit(advance().text.toDouble)
     case "str" => StrLit(advance().text)
+    case "regex" =>
+      val t = advance()
+      val sep = t.text.indexOf('\u0000')
+      val (pat, flags) = (t.text.substring(0, sep), t.text.substring(sep + 1))
+      // parse-time validation (and warms the Pattern cache) — a bad
+      // literal is a syntax error, as in ES
+      try JsRegexOps.compile(pat, flags)
+      catch { case e: JsError => throw new JsParseError(s"line ${t.line}: ${e.getMessage}") }
+      RegexLit(pat, flags)
     case "true" => advance(); BoolLit(true)
     case "false" => advance(); BoolLit(false)
     case "null" => advance(); NullLit

@@ -182,9 +182,39 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.no_k").cast("long").as("no_k"))
       .orderBy(col("partition"))
 
+  /** Regex in handlers — match (capture extraction), test, regex replace
+    * with `g`, and regex split, each mirrored by a DuckDB regexp_*
+    * function in the oracle. The forms Jint-era handlers actually use
+    * (JintProjectionStateHandler.cs handlers run arbitrary ES; regexes
+    * are deterministic so the Date/random replay ban does not apply). */
+  private val regexSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { parts: 0, id_sum: 0, two_digit: 0, masked: '' }; },
+        purchase: function(s, e) {
+            var m = e.streamId.match(/(\d+)/);
+            if (m !== null) s.id_sum += Number(m[0]);
+            if (/\d\d/.test(e.streamId)) s.two_digit += 1;
+            s.masked = e.streamId.replace(/\d/g, '#');
+            s.parts += e.streamId.split(/-/).length;
+            return s;
+        }
+    })"""
+
+  private def jsRegexExtract(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(regexSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.parts").cast("long").as("parts"),
+        get_json_object(col("state"), "$.id_sum").cast("long").as("id_sum"),
+        get_json_object(col("state"), "$.two_digit").cast("long").as("two_digit"),
+        get_json_object(col("state"), "$.masked").as("masked"))
+      .orderBy(col("partition"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "js_fold_count_sum" -> (jsFold _),
     "js_try_switch" -> (jsTrySwitch _),
+    "js_regex_extract" -> (jsRegexExtract _),
     "js_partition_by" -> (jsPartitionBy _),
     "js_emit" -> (jsEmit _),
     "js_linkto" -> (jsLinkTo _),
@@ -209,6 +239,18 @@ fromCategory("purchase")
       |       CAST(sum(CASE WHEN correlation_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_k
       |FROM log WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "js_regex_extract" -> s"""$L
+      |SELECT stream_id AS partition,
+      |       CAST(count(*) * (length(stream_id) - length(replace(stream_id, '-', '')) + 1)
+      |            AS BIGINT) AS parts,
+      |       CAST(count(*) * (CASE WHEN regexp_extract(stream_id, '\\d+') <> ''
+      |                             THEN CAST(regexp_extract(stream_id, '\\d+') AS BIGINT)
+      |                             ELSE 0 END) AS BIGINT) AS id_sum,
+      |       CAST(sum(CASE WHEN regexp_matches(stream_id, '\\d\\d') THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS two_digit,
+      |       regexp_replace(stream_id, '\\d', '#', 'g') AS masked
+      |FROM log WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY stream_id ORDER BY 1""".stripMargin,
     "js_partition_by" -> s"""$L
       |SELECT correlation_id AS partition, CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -30,6 +30,23 @@ final case class JsFunc(params: Seq[String], body: Seq[Stmt], closure: Env) exte
 /** Host function exposed into JS (emit, linkTo, Math.floor, ...). */
 final case class JsNative(name: String, arity: Int, f: Seq[JsVal] => JsVal) extends JsVal
 
+/** Regex value (`/ab+c/gi` literal or `new RegExp(p, f)`). A plain class,
+  * not a case class: JS regex objects compare by identity, and `lastIndex`
+  * is the mutable cursor `g`-flagged exec/test advance. The compiled
+  * `java.util.regex.Pattern` is non-serializable, so it is resolved lazily
+  * through JsRegexOps' cache (ASTs and values may ride in task closures).
+  * Regexes never appear in projection STATE — JSON.stringify renders them
+  * as `{}` exactly like ES does. */
+final class JsRegex(val pattern: String, val flags: String) extends JsVal {
+  var lastIndex: Int = 0
+  val global: Boolean = flags.indexOf('g') >= 0
+  @transient private var cachedPattern: java.util.regex.Pattern = _
+  def compiled: java.util.regex.Pattern = {
+    if (cachedPattern == null) cachedPattern = JsRegexOps.compile(pattern, flags)
+    cachedPattern
+  }
+}
+
 /** Raised for JS-level type errors ("cannot read property of undefined").
   * Catchable by user `try/catch` — the reference's Jint surfaces engine
   * errors to handler catch blocks the same way. */
@@ -107,6 +124,7 @@ object JsVal {
       case x => toStr(x)
     }.mkString(",")
     case _: JsObj => "[object Object]"
+    case r: JsRegex => s"/${r.pattern}/${r.flags}"
     case f: JsFunc => s"function(${f.params.mkString(", ")}) { ... }"
     case n: JsNative => s"function ${n.name}() { [native] }"
   }
@@ -130,6 +148,7 @@ object JsVal {
     case (x: JsObj, y: JsObj) => x eq y
     case (x: JsArr, y: JsArr) => x eq y
     case (x: JsFunc, y: JsFunc) => x eq y
+    case (x: JsRegex, y: JsRegex) => x eq y
     case _ => false
   }
 
@@ -190,6 +209,7 @@ object JsVal {
         }
       }
       sb.append('}')
+    case _: JsRegex => sb.append("{}") // ES: a regex is an object with no enumerable props
     case _: JsFunc | _: JsNative => sb.append("null")
   }
 

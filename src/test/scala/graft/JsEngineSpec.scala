@@ -692,4 +692,74 @@ fromCategory("chat").when({
 })""")
     assert(p.emitted(store.read()).collect().isEmpty)
   }
+
+  // ------------------------------------------------------------- regex
+  // Regexes are deterministic, so the Date/random replay ban does not
+  // apply; Jint ships full ES regex and real handlers use these forms.
+
+  test("regex: literals, test/exec, lastIndex with g flag") {
+    assert(evalJs("/ab+c/.test('xabbc')") == JsBool(true))
+    assert(evalJs("/ab+c/.test('xac')") == JsBool(false))
+    assert(evalJs("/a(b)(c)?/.exec('xab')[1]") == JsStr("b"))
+    assert(evalJs("/a(b)(c)?/.exec('xab')[2]") == JsUndef)
+    assert(evalJs("/zz/.exec('abc')") == JsNull)
+    // g: exec starts at lastIndex, advances it, resets to 0 when done
+    assert(evalJs(
+      "var r = /\\d+/g; var a = []; var m;" +
+        "while ((m = r.exec('a1b22c')) !== null) a.push(m[0]);" +
+        "a.join(',') + ':' + r.lastIndex") == JsStr("1,22:0"))
+    assert(evalJs("var r = /a/g; r.exec('aa'); r.lastIndex") == JsNum(1))
+    // division still lexes as division
+    assert(evalJs("var a = 10; var b = 2; a / b / 1") == JsNum(5))
+    assert(evalJs("(4+2) / 3") == JsNum(2))
+  }
+
+  test("regex: string match with and without g; non-matching gives null") {
+    assert(evalJs("'a1b22'.match(/\\d+/)[0]") == JsStr("1"))
+    assert(evalJs("'a1b22'.match(/\\d+/g).join(',')") == JsStr("1,22"))
+    assert(evalJs("'abc'.match(/\\d/)") == JsNull)
+    assert(evalJs("'abc'.match(/\\d/g)") == JsNull)
+    assert(evalJs("'A-b'.match(/[a-z]/i)[0]") == JsStr("A"))
+    assert(evalJs("'x\\ny'.match(/^y/m)[0]") == JsStr("y"))
+    assert(evalJs("'a1'.search(/\\d/)") == JsNum(1))
+    assert(evalJs("'ab'.search(/\\d/)") == JsNum(-1))
+  }
+
+  test("regex: replace with strings, groups, $-substitution and functions") {
+    assert(evalJs("'a1b2'.replace(/\\d/, 'X')") == JsStr("aXb2"))
+    assert(evalJs("'a1b2'.replace(/\\d/g, 'X')") == JsStr("aXbX"))
+    assert(evalJs("'john smith'.replace(/(\\w+) (\\w+)/, '$2, $1')")
+      == JsStr("smith, john"))
+    assert(evalJs("'ab'.replace(/b/, '[$&]')") == JsStr("a[b]"))
+    assert(evalJs("'price: 5'.replace(/\\d+/, function(m) { return m * 2; })")
+      == JsStr("price: 10"))
+    assert(evalJs("'a1b22'.replace(/\\d+/g, function(m, off) { return '<' + m + '>'; })")
+      == JsStr("a<1>b<22>"))
+    // string-pattern replace keeps first-occurrence semantics, with $&
+    assert(evalJs("'aba'.replace('a', '($&)')") == JsStr("(a)ba"))
+    assert(evalJs("'100$'.replace(/\\$/, ' dollars')") == JsStr("100 dollars"))
+  }
+
+  test("regex: split with captures, limits, RegExp constructor, flags") {
+    assert(evalJs("'a1b22c'.split(/\\d+/).join('|')") == JsStr("a|b|c"))
+    // ES splices capture groups into the output — Java's split drops them
+    assert(evalJs("'a1b'.split(/(\\d)/).join('|')") == JsStr("a|1|b"))
+    assert(evalJs("'a,b,c'.split(',', 2).join('|')") == JsStr("a|b"))
+    assert(evalJs("'1a2'.split(/[a-z]/).join('|')") == JsStr("1|2"))
+    assert(evalJs("new RegExp('a.c').test('abc')") == JsBool(true))
+    assert(evalJs("new RegExp('ABC', 'i').test('abc')") == JsBool(true))
+    assert(evalJs("var r = new RegExp('x', 'g'); r.global && r.source === 'x'")
+      == JsBool(true))
+    assert(evalJs("/a/.source + ':' + /a/gi.flags") == JsStr("a:gi"))
+    // a regex serializes as {} in state JSON, exactly like ES
+    assert(evalJs("JSON.stringify({r: /a/g})") == JsStr("{\"r\":{}}"))
+    // bad dynamic pattern: catchable SyntaxError-shaped error
+    assert(evalJs(
+      "var msg = ''; try { new RegExp('('); } catch (e) { msg = e.message; }" +
+        "msg.indexOf('SyntaxError') === 0") == JsBool(true))
+    // unsupported sticky flag rejected with a clear error
+    assert(evalJs(
+      "var ok = false; try { new RegExp('a', 'y'); } catch (e) { ok = true; } ok")
+      == JsBool(true))
+  }
 }
