@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * partition-wise execution, feature-column handoff to Similarity) is real
   * and tested. Image decode is REAL — [[ImageCodecs]] uses `javax.imageio`
   * (in the JDK: PNG/JPEG/GIF/BMP) with a deterministic nearest-neighbor
-  * resize; blobs that are not decodable images fall back to the
-  * deterministic byte-level [[StubCodecs]], which also stand in for the
-  * audio/video codec layer (no such libraries ship in this environment).
+  * resize. Audio decode is REAL — [[AudioCodecs]] uses
+  * `javax.sound.sampled` (in the JDK: WAV/AIFF, PCM). Blobs that are not
+  * decodable fall back to the deterministic byte-level [[StubCodecs]],
+  * which also stand in for the video codec layer (no video library ships
+  * in this environment — that one stays a loudly-labeled stub).
   */
 object Multimodal {
 
@@ -117,6 +119,89 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec layer on `javax.sound.sampled` (in the JDK: WAV/AIFF
+    * containers, PCM encodings) — the same no-new-dependency pattern as
+    * [[ImageCodecs]]. Decode converts any PCM stream to 16-bit signed
+    * mono-interleaved samples; PCM is lossless so synthetic WAV bytes
+    * round-trip exactly, making the sample hash SQL-reproducible. */
+  object AudioCodecs {
+
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    final case class Decoded(sampleRate: Int, channels: Int, samples: Array[Int])
+
+    /** Deterministic synthetic 16-bit PCM mono WAV for tests/oracles:
+      * sample(i) = ((seed*31 + i*7) mod 2001) - 1000. */
+    def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = (((seed * 31 + i.toLong * 7) % 2001) - 1000).toInt
+        pcm(2 * i) = (s & 0xff).toByte          // little-endian
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a WAV/AIFF blob to 16-bit signed samples (channel-interleaved
+      * when stereo). None for non-audio or malformed bytes — undecodable
+      * blobs take the stub fallback, never fail the task. */
+    def decode(bytes: Array[Byte]): Option[Decoded] =
+      if (bytes == null || bytes.length == 0) None
+      else try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val src = in.getFormat
+        val target = new AudioFormat(
+          src.getSampleRate, 16, src.getChannels, true, false)
+        val pcmIn =
+          if (src.matches(target)) in
+          else AudioSystem.getAudioInputStream(target, in)
+        val raw = pcmIn.readAllBytes()
+        val n = raw.length / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff))
+          i += 1
+        }
+        Some(Decoded(src.getSampleRate.toInt, src.getChannels, samples))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Position-weighted sample hash a SQL oracle can recompute:
+      * Σ sample(i) · (i + 1) — integer math, exact under PCM. */
+    def sampleHash(samples: Array[Int]): Long = {
+      var h = 0L
+      var i = 0
+      while (i < samples.length) {
+        h += samples(i).toLong * (i + 1)
+        i += 1
+      }
+      h
+    }
+
+    /** Feature extraction for the Similarity handoff: mean absolute
+      * amplitude per of `dim` equal time buckets, scaled to [0, 1). */
+    def features(samples: Array[Int], dim: Int): Array[Double] = {
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < samples.length) {
+        val d = if (samples.length < dim) i % dim else i * dim / samples.length
+        sums(d) += math.abs(samples(i))
+        counts(d) += 1
+        i += 1
+      }
+      Array.tabulate(dim)(d =>
+        if (counts(d) == 0) 0.0 else sums(d).toDouble / counts(d) / 32768.0)
+    }
+  }
+
   /** Canonical media envelope: blob + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -211,6 +296,114 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]]("bytes")
         val (w, h) = StubCodecs.decodeDims(bytes)
         Row(r.getAs[Long]("media_id"), w, h, StubCodecs.resize(bytes, targetLen))
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic image corpus: one grayscale PNG per id, dims
+    * derived from the id — REAL encoded bytes generated inside partitions
+    * (executors encode; the driver never touches a blob). At 100 TB the
+    * blobs arrive in the table instead; everything downstream is the
+    * same. */
+  def syntheticImages(ids: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        Row(id, ImageCodecs.syntheticPng(id, w, h))
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic WAV corpus (16-bit PCM mono, real containers):
+    * n_samples = 50 + id mod 50. */
+  def syntheticAudio(ids: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, AudioCodecs.syntheticWav(id, 50 + (id % 50).toInt))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode + resize: javax.imageio decode, deterministic
+    * nearest-neighbor resize to tw×th, position-weighted pixel hash.
+    * Blobs that are not decodable images fall back to the stub dims with
+    * `decoded = false` (the documented contract: bad blobs never fail the
+    * task). Partition-wise; the driver never sees a blob. */
+  def decodeImagesReal(media: DataFrame, tw: Int = 16, th: Int = 16): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("decoded", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("resized_hash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        ImageCodecs.decode(bytes) match {
+          case Some(img) =>
+            val resized = ImageCodecs.resizeNearest(img, tw, th)
+            Row(id, true, img.getWidth, img.getHeight, ImageCodecs.pixelHash(resized))
+          case None =>
+            val (w, h) = StubCodecs.decodeDims(if (bytes == null) Array.emptyByteArray else bytes)
+            Row(id, false, w, h, 0L)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode: javax.sound.sampled WAV/PCM decode → sample count,
+    * rate, channels, and the SQL-reproducible sample hash; undecodable
+    * blobs fall back to the stub with `decoded = false`. */
+  def decodeAudioReal(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("decoded", BooleanType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sample_hash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        AudioCodecs.decode(bytes) match {
+          case Some(d) =>
+            Row(id, true, d.sampleRate, d.channels,
+              (d.samples.length / d.channels).toLong, AudioCodecs.sampleHash(d.samples))
+          case None =>
+            Row(id, false, 0, 0, 0L, 0L)
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio feature handoff: decoded bucket-amplitude features as
+    * array<double> for Similarity (brute-force / IVF / LSH all accept it). */
+  def extractAudioFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("feature", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        AudioCodecs.decode(bytes).map { d =>
+          Row(r.getLong(0), AudioCodecs.features(d.samples, dim).toSeq)
+        }
       }
     }(enc)
   }

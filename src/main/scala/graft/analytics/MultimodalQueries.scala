@@ -35,10 +35,33 @@ object MultimodalQueries extends QueryModule {
         length(col("resized")).as("resized_len"))
       .orderBy(col("media_id"))
 
+  /** REAL image path: executor-side synthetic PNG encode (javax.imageio),
+    * real decode, deterministic nearest-neighbor resize to 16×16, and the
+    * position-weighted pixel hash the oracle recomputes from the synthetic
+    * pixel formula — proving decode→resize→hash is bit-exact, not stubbed. */
+  private def imageReal(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeImagesReal(
+        Multimodal.syntheticImages(
+          Tables.documents(s, d).where(col("doc_id") < 20), "doc_id"), 16, 16)
+      .select(col("media_id"), col("width"), col("height"), col("resized_hash"))
+      .orderBy(col("media_id"))
+
+  /** REAL audio path: executor-side synthetic WAV encode
+    * (javax.sound.sampled), real PCM decode, SQL-reproducible sample hash. */
+  private def audioDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudioReal(
+        Multimodal.syntheticAudio(
+          Tables.documents(s, d).where(col("doc_id") < 30), "doc_id"))
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("sample_hash"))
+      .orderBy(col("media_id"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "multimodal_feature_knn" -> (knn _),
     "multimodal_frames" -> (frames _),
-    "multimodal_decode_resize" -> (decodeResize _)
+    "multimodal_decode_resize" -> (decodeResize _),
+    "multimodal_image_real" -> (imageReal _),
+    "multimodal_audio_decode" -> (audioDecode _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -81,6 +104,34 @@ object MultimodalQueries extends QueryModule {
         |SELECT media_id, w AS width,
         |  CAST(greatest(1, len // w) AS INT) AS height,
         |  CAST(least(len, 64) AS INT) AS resized_len
-        |FROM dims ORDER BY 1""".stripMargin
+        |FROM dims ORDER BY 1""".stripMargin,
+    // the synthetic pixel formula pixel(x,y) = (seed*31 + x*7 + y*13) % 256
+    // with nearest-neighbor mapping sx = tx*w//16 recomputed in pure SQL —
+    // matches only if PNG encode→ImageIO decode→resize is bit-exact
+    "multimodal_image_real" ->
+      s"""WITH ids AS (
+        |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id < 20),
+        |px AS (
+        |  SELECT media_id, w, h, t2.ty, t1.tx,
+        |    (media_id * 31 + ((t1.tx * w) // 16) * 7 + ((t2.ty * h) // 16) * 13) % 256 AS g
+        |  FROM ids, range(16) AS t1(tx), range(16) AS t2(ty))
+        |SELECT media_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |  CAST(sum(g * (ty * 16 + tx + 1)) AS BIGINT) AS resized_hash
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // sample(i) = ((seed*31 + i*7) % 2001) - 1000, hash = Σ s_i·(i+1):
+    // exact under 16-bit PCM, so WAV encode→javax.sound decode must
+    // round-trip bit-exactly for the hash to match
+    "multimodal_audio_decode" ->
+      s"""WITH ids AS (
+        |  SELECT doc_id AS media_id, 50 + doc_id % 50 AS n
+        |  FROM documents WHERE doc_id < 30),
+        |smp AS (
+        |  SELECT media_id, t.i, (media_id * 31 + t.i * 7) % 2001 - 1000 AS s
+        |  FROM ids, range(100) AS t(i) WHERE t.i < ids.n)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(s * (i + 1)) AS BIGINT) AS sample_hash
+        |FROM smp GROUP BY media_id ORDER BY media_id""".stripMargin
   )
 }

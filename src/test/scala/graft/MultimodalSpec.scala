@@ -50,4 +50,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(d.forall(_.getAs[Array[Byte]]("resized").length <= 64))
     assert(d(2).getAs[Array[Byte]]("resized").length == 3) // short blob kept
   }
+
+  // ------------------------------------------------------- real codecs
+
+  test("image: PNG encode → ImageIO decode → resize → hash is bit-exact") {
+    import Multimodal.ImageCodecs
+    val (seed, w, h) = (5L, 10, 9)
+    val img = ImageCodecs.decode(ImageCodecs.syntheticPng(seed, w, h)).get
+    assert(img.getWidth == w && img.getHeight == h)
+    val resized = ImageCodecs.resizeNearest(img, 16, 16)
+    // expected hash straight from the synthetic pixel formula + NN mapping
+    var expected = 0L
+    for (ty <- 0 until 16; tx <- 0 until 16) {
+      val (sx, sy) = (tx * w / 16, ty * h / 16)
+      val g = ((seed * 31 + sx * 7 + sy * 13) % 256).toInt
+      expected += g.toLong * (ty * 16 + tx + 1)
+    }
+    assert(ImageCodecs.pixelHash(resized) == expected)
+    assert(ImageCodecs.decode("not an image".getBytes).isEmpty)
+  }
+
+  test("audio: WAV encode → javax.sound decode round-trips PCM exactly") {
+    import Multimodal.AudioCodecs
+    val wav = AudioCodecs.syntheticWav(7L, 100)
+    val d = AudioCodecs.decode(wav).get
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.samples.length == 100)
+    val expected = Array.tabulate(100)(i => (((7L * 31 + i * 7) % 2001) - 1000).toInt)
+    assert(d.samples.toSeq == expected.toSeq)
+    assert(AudioCodecs.sampleHash(d.samples) ==
+      expected.zipWithIndex.map { case (s, i) => s.toLong * (i + 1) }.sum)
+    assert(AudioCodecs.decode("not audio at all".getBytes).isEmpty)
+  }
+
+  test("decodeAudioReal: real rows decode, garbage rows take the stub fallback") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, Multimodal.AudioCodecs.syntheticWav(1L, 60)),
+      (2L, "garbage-bytes".getBytes)).toDF("media_id", "bytes")
+    val out = Multimodal.decodeAudioReal(rows).orderBy("media_id").collect()
+    assert(out(0).getBoolean(1) && out(0).getLong(4) == 60L)
+    assert(!out(1).getBoolean(1) && out(1).getLong(4) == 0L)
+  }
+
+  test("audio features flow into similarity search") {
+    val s = spark; import s.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val audio = Multimodal.syntheticAudio(ids, "id")
+    val feats = Multimodal.extractAudioFeatures(audio, 8)
+    assert(feats.count() == 4)
+    assert(feats.head.getSeq[Double](1).size == 8)
+    val top = Similarity.bruteForceTopK(
+      feats.where(col("media_id") === 1), feats, 2, "media_id", "feature")
+    assert(top.count() == 2)
+  }
 }
