@@ -195,6 +195,16 @@ final class BiStateFold[S] private[projections] (
         states.iterator ++ Iterator((BiStateFold.SharedKey, shared))
       }
   }
+
+  /** Continuous form of [[states]]: the same exact interleaved semantics
+    * as a streaming query (one serial group in the state store — see
+    * [[graft.streaming.Subscriptions.biProjectionStream]] for the
+    * serial-by-design rationale). Stream == batch on the same log. */
+  def statesStream(events: DataFrame)(implicit
+      encOut: Encoder[(String, S)],
+      encKV: Encoder[(String, LogEvent)]): Dataset[(String, S)] =
+    graft.streaming.Subscriptions.biProjectionStream[S](
+      events.where(sourceFilter), partitionFn, initP, initShared, step, withMeta)
 }
 
 object BiStateFold {

@@ -162,10 +162,15 @@ final class JsProjection(val source: String) extends Serializable {
     * per partition lives in the state store (JSON between micro-batches,
     * live JS values within one), surviving restarts via the checkpoint
     * dir. Emits (partition, state JSON) after every update, like
-    * outputState-after-each-batch. */
+    * outputState-after-each-batch.
+    *
+    * Bi-state ($initShared) definitions run through the serial
+    * [[graft.streaming.Subscriptions.biProjectionStream]] — exact
+    * interleaved semantics, one group in the state store, the streaming
+    * twin of the batch exact mode. $deleted handlers fire on
+    * `$streamDeleted` events on both paths (routing lives in
+    * [[CompiledJsProjection.step]]/[[CompiledJsProjection.biStep]]). */
   def statesStream(events: DataFrame): Dataset[(String, String)] = {
-    if (spec.isBiState)
-      throw new JsError("statesStream is not available for bi-state projections")
     val spark = events.sparkSession
     import spark.implicits._
     val src = source
@@ -181,15 +186,37 @@ final class JsProjection(val source: String) extends Serializable {
         graft.streaming.Subscriptions.reorderedStreamByTime(
           events, spec.processingLagMs.getOrElse(500L)).toDF()
       else events
-    graft.streaming.Subscriptions.projectionStream[String](
-      ordered, pf,
-      () => JsVal.stringify(CompiledJsProjection.get(src).initState()).getOrElse("{}"),
-      (json: String, e: LogEvent) => CompiledJsProjection.get(src).stepJson(json, e),
-      // chained after the reorder buffer (itself stateful, Append), Spark
-      // requires every stateful operator in the query to be Append
-      outputMode = if (spec.reorderEvents)
-        org.apache.spark.sql.streaming.OutputMode.Append
-      else org.apache.spark.sql.streaming.OutputMode.Update)
+    if (spec.isBiState) {
+      if (spec.reorderEvents)
+        throw new JsError(
+          "options(reorderEvents) with $initShared is not supported in " +
+            "streaming: Spark requires chained stateful operators to all be " +
+            "Append, and the bi-state fold emits in Update mode")
+      val folded = graft.streaming.Subscriptions.biProjectionStream[JsVal](
+        ordered, pf,
+        () => CompiledJsProjection.get(src).initState(),
+        () => CompiledJsProjection.get(src).initSharedState(),
+        (s, sh, e) => CompiledJsProjection.get(src).biStep(s, sh, e))(
+        jsValEncoder, implicitly)
+      folded.mapPartitions { it =>
+        val c = CompiledJsProjection.get(src)
+        it.flatMap { case (k, v) =>
+          // shared passes through untransformed, like the batch states()
+          val out = if (k == graft.projections.BiStateFold.SharedKey) Some(v)
+            else c.applyTransforms(v)
+          out.map(x => (k, JsVal.stringify(x).getOrElse("null")))
+        }
+      }
+    } else
+      graft.streaming.Subscriptions.projectionStream[String](
+        ordered, pf,
+        () => JsVal.stringify(CompiledJsProjection.get(src).initState()).getOrElse("{}"),
+        (json: String, e: LogEvent) => CompiledJsProjection.get(src).stepJson(json, e),
+        // chained after the reorder buffer (itself stateful, Append), Spark
+        // requires every stateful operator in the query to be Append
+        outputMode = if (spec.reorderEvents)
+          org.apache.spark.sql.streaming.OutputMode.Append
+        else org.apache.spark.sql.streaming.OutputMode.Update)
   }
 
   /** P13/P14: events emitted by handlers (emit/linkTo/linkStreamTo). */

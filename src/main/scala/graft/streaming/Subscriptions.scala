@@ -9,6 +9,11 @@ import graft.projections.{LogEvent, Projections}
 /** Reorder-buffer state for P17 (Subscriptions.reorderedStream). */
 final case class ReorderBuffer(pending: Seq[LogEvent], highWater: Long)
 
+/** State-store record for P16 continuous bi-state folds: the shared state
+  * plus every partition's state, in one entry (the fold is one serial
+  * group — see Subscriptions.biProjectionStream). */
+final case class BiStreamState[S](shared: S, parts: Map[String, S])
+
 /** Subscriptions as Structured Streaming queries (SURVEY.md §2.5).
   *
   * Reference semantics:
@@ -97,6 +102,57 @@ object Subscriptions {
           sorted.foreach(e => s = step(s, e))
           state.update(s)
           Iterator.single((key, s))
+      }
+  }
+
+  /** P16 continuous mode: the EXACT interleaved bi-state fold as a
+    * streaming query. Each step sees its partition's state AND the shared
+    * state as they stood after the previous event in log order — the
+    * reference's `[partitionState, sharedState]` interleaving fed through
+    * one serial projection pump (JintProjectionStateHandler.cs:97-133).
+    *
+    * Serial BY DESIGN, exactly like the batch exact mode
+    * ([[graft.projections.BiStateFold.states]]' repartition(1)) and like
+    * the reference's pump: ONE group key, so the state store holds one
+    * entry of O(partitions) size and every micro-batch folds in one task.
+    * For shared folds that are commutative+associative, prefer the
+    * two-level scale-out shape (ProjectionQueries.p16BiState) batch-side.
+    * Emits (partition, state) for every partition TOUCHED in the batch,
+    * plus the ("$shared", state) row, per micro-batch (Update mode). */
+  def biProjectionStream[S](events: DataFrame,
+      partitionFn: LogEvent => Option[String],
+      initP: () => S,
+      initShared: () => S,
+      step: (S, S, LogEvent) => (S, S),
+      withMeta: Boolean = false)(implicit
+      encOut: Encoder[(String, S)],
+      encKV: Encoder[(String, LogEvent)]): Dataset[(String, S)] = {
+    implicit val encState: Encoder[BiStreamState[S]] =
+      org.apache.spark.sql.Encoders.javaSerialization(classOf[BiStreamState[S]])
+    val ds = Projections.toLogEvents(events, withMeta)
+    ds.map(e => ("", e))(encKV)
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[BiStreamState[S], (String, S)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, LogEvent)],
+            state: GroupState[BiStreamState[S]]) =>
+          val st = state.getOption.getOrElse(
+            BiStreamState(initShared(), Map.empty[String, S]))
+          var shared = st.shared
+          var parts = st.parts
+          val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+          rows.map(_._2).toSeq.sortBy(_.log_position).foreach { e =>
+            partitionFn(e).foreach { k =>
+              val s = parts.getOrElse(k, initP())
+              val (ns, nsh) = step(s, shared, e)
+              parts = parts.updated(k, ns)
+              shared = nsh
+              touched += k
+            }
+          }
+          state.update(BiStreamState(shared, parts))
+          touched.iterator.map(k => (k, parts(k))) ++
+            Iterator((graft.projections.BiStateFold.SharedKey, shared))
       }
   }
 

@@ -413,4 +413,92 @@ fromCategory("acct")
     val replayed = Subscriptions.replayParked(spark, parked)
     assert(replayed.count() == 4)
   }
+
+  test("P16 JS bi-state: streaming states equal batch states (exact interleaving)") {
+    val (store, dir) = newStore()
+    seed(store)
+    store.append(Seq(PendingEvent("acct-1", "e5", "Deposited", """{"amt":2}""")))
+    // running share: each partition records the shared total AS OF its
+    // last event — order-dependent across partitions, so any deviation
+    // from the exact interleaving changes the result
+    val p = graft.projections.js.JsProjection.compile("""
+fromCategory("acct")
+    .foreachStream()
+    .when({
+        $init: function() { return { bal: 0, totalAt: 0 } },
+        $initShared: function() { return { total: 0 } },
+        $any: function(states, e) {
+            var s = states[0], sh = states[1];
+            sh.total += e.body.amt;
+            s.bal += e.body.amt;
+            s.totalAt = sh.total;
+            return [s, sh];
+        }
+    })""")
+    val batch = p.states(store.read()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val q = p.statesStream(
+        Subscriptions.subscribeAll(spark, s"$dir/log")
+          .where(col("stream_id").startsWith("acct-")))
+      .toDF("partition", "state")
+      .writeStream.format("memory").queryName("jsbistate").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT partition, state FROM jsbistate").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(batch.contains(graft.projections.BiStateFold.SharedKey))
+    assert(streamed == batch)
+  }
+
+  test("P18 JS $deleted: tombstones fire the handler in streaming, stream == batch") {
+    val (store, dir) = newStore()
+    seed(store)
+    store.tombstone("acct-2")
+    val p = graft.projections.js.JsProjection.compile("""
+fromCategory("acct")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, deleted: false } },
+        $any: function(s, e) { s.n += 1; return s; },
+        $deleted: function(s, e) { s.deleted = true; return s; }
+    })""")
+    val batch = p.states(store.read()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(batch("acct-2").contains("\"deleted\":true"))
+    val q = p.statesStream(
+        Subscriptions.subscribeAll(spark, s"$dir/log")
+          .where(col("stream_id").startsWith("acct-")))
+      .toDF("partition", "state")
+      .writeStream.format("memory").queryName("jsdeleted").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT partition, state FROM jsdeleted").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("P16 Scala DSL bi-state statesStream equals batch states") {
+    val s0 = spark; import s0.implicits._
+    val (store, dir) = newStore()
+    seed(store)
+    def amt(data: String): Long =
+      if (data == null) 0L
+      else """"amt":(\d+)""".r.findFirstMatchIn(data).map(_.group(1).toLong).getOrElse(0L)
+    def builder = Projections.fromCategory("acct").foreachStream()
+      .initBi[(Long, Long)]((0L, 0L), (0L, 0L)) { case ((bal, _), (tot, _), e) =>
+        val a = amt(e.data)
+        ((bal + a, tot + a), (tot + a, 0L))
+      }
+    val batch = builder.states(store.read()).collect().toMap
+    val q = builder.statesStream(
+        Subscriptions.subscribeAll(spark, s"$dir/log")
+          .where(col("stream_id").startsWith("acct-")))
+      .toDF("partition", "state")
+      .writeStream.format("memory").queryName("scalabistate").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT partition, state FROM scalabistate").collect()
+      .map(r => r.getString(0) -> (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    assert(streamed == batch)
+  }
 }
