@@ -167,4 +167,72 @@ class PropertySpec extends SparkTestBase {
         assert(run(s"Math.floor($a / $b)") == JsNum(math.floor(a.toDouble / b)))
       }
   }
+
+  // ---- JSON serializer fidelity (the reference's custom serializer,
+  // JintProjectionStateHandler.cs:1007-1196: integer-valued doubles print
+  // as `1` not `1.0`, key order is insertion order, NaN/Infinity → null).
+  // Projection state round-trips through this JSON at every checkpoint, so
+  // divergence would compound silently; these properties pin it against
+  // generated state shapes.
+
+  private def jsonValGen(depth: Int): Gen[graft.projections.js.JsVal] = {
+    import graft.projections.js._
+    import scala.collection.mutable
+    val keyGen = Gen.oneOf(
+      Gen.identifier.map(_.take(8)),
+      Gen.oneOf("a key", "with\"quote", "tab\there", "π-key", "$init"))
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("", "line\nbreak", "back\\slash", "quo\"te", "ctrlchar",
+        "tab\t", "null", "ünïcødé"))
+    val scalar: Gen[JsVal] = Gen.frequency(
+      3 -> Gen.choose(-1000000L, 1000000L).map(l => JsNum(l.toDouble)),
+      2 -> Gen.choose(-1000000.0, 1000000.0).map(JsNum(_)),
+      2 -> strGen.map(JsStr(_)),
+      1 -> Gen.oneOf(JsBool(true), JsBool(false), JsNull))
+    if (depth == 0) scalar
+    else Gen.frequency(
+      2 -> scalar,
+      1 -> Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, jsonValGen(depth - 1)))
+        .map(items => JsArr(mutable.ArrayBuffer(items: _*))),
+      2 -> Gen.choose(0, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(keyGen, jsonValGen(depth - 1))))
+        .map(kvs => JsObj(mutable.LinkedHashMap(kvs: _*))))
+  }
+
+  test("JSON: stringify∘parse is identity on serialized form (values, key ORDER, escapes)") {
+    import graft.projections.js._
+    samples(jsonValGen(3), 300).foreach { v =>
+      val once = JsVal.stringify(v).get
+      val twice = JsVal.stringify(JsVal.parseJson(once)).get
+      // LinkedHashMap equality ignores order, so the ORDER pin is the
+      // serialized-form comparison itself
+      assert(twice == once, s"value=$v")
+    }
+  }
+
+  test("JSON: integral doubles serialize without a decimal point, like the oracle SQL") {
+    import graft.projections.js._
+    import scala.collection.mutable
+    samples(Gen.zip(Gen.choose(0L, 5000L), Gen.choose(-100000L, 100000L)), 100)
+      .foreach { case (n, cents) =>
+        // exactly the string DuckDB's '||' concatenation builds in the
+        // js_output_state oracle: '{"n":3,"cents":42}'
+        val state = JsObj(mutable.LinkedHashMap(
+          "n" -> JsNum(n.toDouble), "cents" -> JsNum(cents.toDouble)))
+        assert(JsVal.stringify(state).get == s"""{"n":$n,"cents":$cents}""")
+      }
+  }
+
+  test("JSON: NaN/Infinity serialize as null; undefined drops from objects, nulls in arrays") {
+    import graft.projections.js._
+    import scala.collection.mutable
+    val v = JsObj(mutable.LinkedHashMap(
+      "nan" -> JsNum(Double.NaN),
+      "inf" -> JsNum(Double.PositiveInfinity),
+      "gone" -> JsUndef,
+      "arr" -> JsArr(mutable.ArrayBuffer(JsUndef, JsNum(Double.NegativeInfinity), JsNum(1.0)))))
+    assert(JsVal.stringify(v).get == """{"nan":null,"inf":null,"arr":[null,null,1]}""")
+    assert(JsVal.stringify(JsUndef).isEmpty) // top-level undefined: no output
+  }
 }
