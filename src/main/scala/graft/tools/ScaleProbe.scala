@@ -51,6 +51,16 @@ object ScaleProbe {
       bigEmb.where(col("vec_id") < 100), bigEmb, k = 10, nlist = 64, nprobe = 8).count())
     time("semantic_dedup")(
       Similarity.semanticDedup(bigEmb, nlist = 64, threshold = 0.95).count())
+    // real codecs (javax.imageio / javax.sound.sampled): encode+decode+
+    // resize/hash per row, all inside partitions — cost must stay linear
+    // in row count
+    val ids = big.select(col("id"))
+    time("image_decode_resize")(
+      graft.analytics.Multimodal.decodeImagesReal(
+        graft.analytics.Multimodal.syntheticImages(ids, "id"), 16, 16).count())
+    time("audio_decode")(
+      graft.analytics.Multimodal.decodeAudioReal(
+        graft.analytics.Multimodal.syntheticAudio(ids, "id")).count())
     spark.stop()
   }
 }

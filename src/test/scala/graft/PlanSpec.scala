@@ -157,6 +157,37 @@ class PlanSpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("real-codec decode pushes the id filter into the documents scan") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("doc_id") < 20)
+    // the filter must reach the parquet scan BELOW the synthetic-encode +
+    // decode mapPartitions chain — at 100 TB this is the difference
+    // between decoding 20 blobs and decoding the corpus
+    val pushed = pushedFilters(
+      graft.analytics.Multimodal.decodeImagesReal(
+        graft.analytics.Multimodal.syntheticImages(docs, "doc_id"), 16, 16))
+    assert(pushed.contains("LessThan(doc_id,20)"), pushed)
+    val pushedA = pushedFilters(
+      graft.analytics.Multimodal.decodeAudioReal(
+        graft.analytics.Multimodal.syntheticAudio(docs, "doc_id")))
+    assert(pushedA.contains("LessThan(doc_id,20)"), pushedA)
+  }
+
+  test("projection reset truncation math is one distributed plan, no per-stream loop") {
+    // reset()'s $tb truncation points for all $projections-{name}-* streams
+    // and registered emitted streams commit as ONE bulk append: the plan
+    // aggregates max(event_number) grouped by stream — a distributed
+    // aggregate — never a driver-side loop of point lookups
+    val s = new EventLogStore(spark, Files.createTempDirectory("planreset").toString)
+    s.append((0 until 20).map(i =>
+      PendingEvent(s"$$projections-p-acct-${i % 3}-result", s"r$i", "Result", "{}")))
+    val inventory = s.read()
+      .where(col("stream_id").startsWith("$projections-p-"))
+      .groupBy(col("stream_id")).agg(max(col("event_number")).as("last"))
+    val plan = executedPlan(inventory)
+    assert(plan.contains("HashAggregate"), plan.take(1200))
+  }
+
   test("Links.linkTo numbers links without a single-partition window") {
     val links = graft.operators.Links.linkTo(
       store.read().where(col("stream_id") === "acct-1"), "$ce-acct")
