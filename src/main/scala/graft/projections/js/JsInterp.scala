@@ -56,10 +56,67 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
       params.zipWithIndex.foreach { case (name, i) =>
         env.define(name, if (i < args.length) args(i) else JsUndef)
       }
-      env.define("arguments", JsArr(mutable.ArrayBuffer(args: _*)))
+      // `arguments` is materialized only for bodies that mention it
+      // (cached per body AST) — handlers virtually never do, and the
+      // per-call array allocation shows up at millions of events
+      if (usesArguments(body))
+        env.define("arguments", JsArr(mutable.ArrayBuffer(args: _*)))
       try { run(body, env); JsUndef }
       catch { case r: ReturnEx => r.value }
     case other => throw new JsError(s"${JsVal.toStr(other)} is not a function")
+  }
+
+  // body-AST → "mentions the identifier `arguments` anywhere" (conservative:
+  // any mention in any nested scope counts, shadowing ignored)
+  private val argsUseCache = new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]
+  private def usesArguments(body: Seq[Stmt]): Boolean = {
+    val cached = argsUseCache.get(body)
+    if (cached != null) cached.booleanValue()
+    else {
+      val r = body.exists(mentionsIdent(_, "arguments"))
+      argsUseCache.put(body, java.lang.Boolean.valueOf(r))
+      r
+    }
+  }
+
+  private def mentionsIdent(s: Stmt, name: String): Boolean = s match {
+    case ExprStmt(e) => mentionsIdentE(e, name)
+    case VarDecl(ds) => ds.exists(_._2.exists(mentionsIdentE(_, name)))
+    case If(c, t, el) => mentionsIdentE(c, name) ||
+      t.exists(mentionsIdent(_, name)) || el.exists(_.exists(mentionsIdent(_, name)))
+    case While(c, b) => mentionsIdentE(c, name) || b.exists(mentionsIdent(_, name))
+    case DoWhile(c, b) => mentionsIdentE(c, name) || b.exists(mentionsIdent(_, name))
+    case For(i, c, u, b) => i.exists(mentionsIdent(_, name)) ||
+      c.exists(mentionsIdentE(_, name)) || u.exists(mentionsIdentE(_, name)) ||
+      b.exists(mentionsIdent(_, name))
+    case ForIn(_, o, b) => mentionsIdentE(o, name) || b.exists(mentionsIdent(_, name))
+    case Return(e) => e.exists(mentionsIdentE(_, name))
+    case Throw(e) => mentionsIdentE(e, name)
+    case FuncDecl(_, _, b) => b.exists(mentionsIdent(_, name))
+    case TryStmt(b, _, cb, fb) => b.exists(mentionsIdent(_, name)) ||
+      cb.exists(_.exists(mentionsIdent(_, name))) ||
+      fb.exists(_.exists(mentionsIdent(_, name)))
+    case Switch(d, cs) => mentionsIdentE(d, name) || cs.exists { case (t, b) =>
+      t.exists(mentionsIdentE(_, name)) || b.exists(mentionsIdent(_, name)) }
+    case BreakStmt | ContinueStmt => false
+  }
+
+  private def mentionsIdentE(e: Expr, name: String): Boolean = e match {
+    case Ident(n) => n == name
+    case Member(o, _) => mentionsIdentE(o, name)
+    case Index(o, i) => mentionsIdentE(o, name) || mentionsIdentE(i, name)
+    case Call(c, as) => mentionsIdentE(c, name) || as.exists(mentionsIdentE(_, name))
+    case Unary(_, x) => mentionsIdentE(x, name)
+    case Update(_, t, _) => mentionsIdentE(t, name)
+    case Binary(_, l, r) => mentionsIdentE(l, name) || mentionsIdentE(r, name)
+    case Logical(_, l, r) => mentionsIdentE(l, name) || mentionsIdentE(r, name)
+    case Cond(c, t, f) => mentionsIdentE(c, name) ||
+      mentionsIdentE(t, name) || mentionsIdentE(f, name)
+    case Assign(_, t, v) => mentionsIdentE(t, name) || mentionsIdentE(v, name)
+    case ObjLit(fs) => fs.exists { case (_, v) => mentionsIdentE(v, name) }
+    case ArrLit(is) => is.exists(mentionsIdentE(_, name))
+    case FuncLit(_, b) => b.exists(mentionsIdent(_, name))
+    case _ => false
   }
 
   // ---------------------------------------------------------- statements
@@ -177,7 +234,13 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
   }
 
   private def runBlock(body: Seq[Stmt], env: Env): Unit = {
-    val scope = new Env(Some(env))
+    // a block introduces bindings only via var/function declarations;
+    // declaration-free blocks (most loop/if bodies) run in the enclosing
+    // scope, skipping an Env+HashMap allocation per entry
+    val scope =
+      if (body.exists(s => s.isInstanceOf[VarDecl] || s.isInstanceOf[FuncDecl]))
+        new Env(Some(env))
+      else env
     body.foreach(execStmt(_, scope))
   }
 

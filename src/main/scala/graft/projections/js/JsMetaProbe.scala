@@ -27,56 +27,71 @@ private[js] object JsMetaProbe {
   private val metaProps =
     Set("metadata", "metadataRaw", "linkMetadata", "linkMetadataRaw", "eventId")
 
+  /** The parsed-body surface: the properties whose presence forces the
+    * per-event JSON parse of `data`. When no handler can observe any of
+    * them, `envelope()` skips the parse entirely — the batch analog of the
+    * reference's lazy body parse (JintProjectionStateHandler.cs:868-880). */
+  private[js] val bodyProps = Set("body", "data", "isJson")
+
   /** True iff `body` can observe a metadata-surface property of the
     * envelope bound to parameter name `env`. */
-  def observes(env: String, body: Seq[Stmt]): Boolean = body.exists(stmt(env, _))
+  def observes(env: String, body: Seq[Stmt]): Boolean =
+    observesAny(env, body, metaProps)
 
-  private def stmt(env: String, s: Stmt): Boolean = s match {
-    case VarDecl(decls) => decls.exists(_._2.exists(expr(env, _)))
-    case ExprStmt(e) => expr(env, e)
+  /** True iff `body` can observe any of `props` on the envelope bound to
+    * `env` — same widening rules (computed keys, whole-envelope escapes,
+    * for-in all widen; shadowing drops tracking). */
+  def observesAny(env: String, body: Seq[Stmt], props: Set[String]): Boolean =
+    body.exists(stmt(env, _, props))
+
+  private def stmt(env: String, s: Stmt, props: Set[String]): Boolean = s match {
+    case VarDecl(decls) => decls.exists(_._2.exists(expr(env, _, props)))
+    case ExprStmt(e) => expr(env, e, props)
     case If(c, t, el) =>
-      expr(env, c) || t.exists(stmt(env, _)) || el.exists(_.exists(stmt(env, _)))
-    case While(c, b) => expr(env, c) || b.exists(stmt(env, _))
-    case DoWhile(c, b) => expr(env, c) || b.exists(stmt(env, _))
+      expr(env, c, props) || t.exists(stmt(env, _, props)) ||
+        el.exists(_.exists(stmt(env, _, props)))
+    case While(c, b) => expr(env, c, props) || b.exists(stmt(env, _, props))
+    case DoWhile(c, b) => expr(env, c, props) || b.exists(stmt(env, _, props))
     case For(i, c, u, b) =>
-      i.exists(stmt(env, _)) || c.exists(expr(env, _)) ||
-        u.exists(expr(env, _)) || b.exists(stmt(env, _))
+      i.exists(stmt(env, _, props)) || c.exists(expr(env, _, props)) ||
+        u.exists(expr(env, _, props)) || b.exists(stmt(env, _, props))
     // `for (k in e)` hands the envelope to enumeration — treat as escape
-    case ForIn(_, o, b) => expr(env, o) || b.exists(stmt(env, _))
-    case Return(e) => e.exists(expr(env, _))
-    case Throw(e) => expr(env, e)
+    case ForIn(_, o, b) => expr(env, o, props) || b.exists(stmt(env, _, props))
+    case Return(e) => e.exists(expr(env, _, props))
+    case Throw(e) => expr(env, e, props)
     case FuncDecl(_, params, b) =>
-      if (params.contains(env)) false else b.exists(stmt(env, _))
+      if (params.contains(env)) false else b.exists(stmt(env, _, props))
     case TryStmt(b, catchParam, cb, fb) =>
-      b.exists(stmt(env, _)) ||
-        (!catchParam.contains(env) && cb.exists(_.exists(stmt(env, _)))) ||
-        fb.exists(_.exists(stmt(env, _)))
+      b.exists(stmt(env, _, props)) ||
+        (!catchParam.contains(env) && cb.exists(_.exists(stmt(env, _, props)))) ||
+        fb.exists(_.exists(stmt(env, _, props)))
     case Switch(d, cases) =>
-      expr(env, d) || cases.exists { case (t, b) =>
-        t.exists(expr(env, _)) || b.exists(stmt(env, _))
+      expr(env, d, props) || cases.exists { case (t, b) =>
+        t.exists(expr(env, _, props)) || b.exists(stmt(env, _, props))
       }
     case BreakStmt | ContinueStmt => false
   }
 
-  private def expr(env: String, e: Expr): Boolean = e match {
-    case Member(Ident(`env`), p) => metaProps(p)
-    case Index(Ident(`env`), StrLit(p)) => metaProps(p)
+  private def expr(env: String, e: Expr, props: Set[String]): Boolean = e match {
+    case Member(Ident(`env`), p) => props(p)
+    case Index(Ident(`env`), StrLit(p)) => props(p)
     case Index(Ident(`env`), NumLit(_)) => false
     case Index(Ident(`env`), _) => true // computed key — unknowable
     case Ident(`env`) => true // envelope escapes whole
-    case Member(o, _) => expr(env, o)
-    case Index(o, i) => expr(env, o) || expr(env, i)
-    case Call(c, args) => expr(env, c) || args.exists(expr(env, _))
-    case Unary(_, x) => expr(env, x)
-    case Update(_, t, _) => expr(env, t)
-    case Binary(_, l, r) => expr(env, l) || expr(env, r)
-    case Logical(_, l, r) => expr(env, l) || expr(env, r)
-    case Cond(c, t, f) => expr(env, c) || expr(env, t) || expr(env, f)
-    case Assign(_, t, v) => expr(env, t) || expr(env, v)
-    case ObjLit(fields) => fields.exists { case (_, v) => expr(env, v) }
-    case ArrLit(items) => items.exists(expr(env, _))
+    case Member(o, _) => expr(env, o, props)
+    case Index(o, i) => expr(env, o, props) || expr(env, i, props)
+    case Call(c, args) => expr(env, c, props) || args.exists(expr(env, _, props))
+    case Unary(_, x) => expr(env, x, props)
+    case Update(_, t, _) => expr(env, t, props)
+    case Binary(_, l, r) => expr(env, l, props) || expr(env, r, props)
+    case Logical(_, l, r) => expr(env, l, props) || expr(env, r, props)
+    case Cond(c, t, f) =>
+      expr(env, c, props) || expr(env, t, props) || expr(env, f, props)
+    case Assign(_, t, v) => expr(env, t, props) || expr(env, v, props)
+    case ObjLit(fields) => fields.exists { case (_, v) => expr(env, v, props) }
+    case ArrLit(items) => items.exists(expr(env, _, props))
     case FuncLit(params, b) =>
-      if (params.contains(env)) false else b.exists(stmt(env, _))
+      if (params.contains(env)) false else b.exists(stmt(env, _, props))
     case _ => false
   }
 }

@@ -621,7 +621,8 @@ final class CompiledJsProjection private (source: String) {
       case Some(f) =>
         currentEmitter = em
         currentEvent = e
-        try invoke(f, Seq(state, envelope(e, partitionOf(e)))) match {
+        val part = if (needsPartitionField) partitionOf(e) else ""
+        try invoke(f, Seq(state, envelope(e, part))) match {
           case JsUndef => state
           case v => v
         } finally {
@@ -656,7 +657,8 @@ final class CompiledJsProjection private (source: String) {
       case Some(f) =>
         val arr = JsArr(scala.collection.mutable.ArrayBuffer(s, sh))
         currentEvent = e
-        try invoke(f, Seq(arr, envelope(e, partitionOf(e)))) match {
+        val part = if (needsPartitionField) partitionOf(e) else ""
+        try invoke(f, Seq(arr, envelope(e, part))) match {
           case JsArr(items) if items.length >= 2 => (items(0), items(1))
           case JsUndef => (arr.items(0), arr.items(1))
           case v => (v, arr.items(1))
@@ -687,7 +689,8 @@ final class CompiledJsProjection private (source: String) {
   def created(state: JsVal, e: LogEvent): JsVal = createdFn match {
     case None => state
     case Some(f) =>
-      invoke(f, Seq(state, envelope(e, partitionOf(e)))) match {
+      val part = if (needsPartitionField) partitionOf(e) else ""
+      invoke(f, Seq(state, envelope(e, part))) match {
         case JsUndef => state
         case v => v
       }
@@ -697,20 +700,42 @@ final class CompiledJsProjection private (source: String) {
     * observe the envelope's metadata surface? The envelope is parameter 1
     * of event handlers ((state, event)) and parameter 0 of partitionBy.
     * $init/$initShared/transformBy/filterBy never see an envelope. */
-  def needsEnvelopeMeta: Boolean = {
+  def needsEnvelopeMeta: Boolean = probeEnvelope(JsMetaProbe.observes)
+
+  private def probeEnvelope(p: (String, Seq[Stmt]) => Boolean): Boolean = {
     def eventHandler(v: JsVal): Boolean = v match {
-      case JsFunc(params, body, _) if params.length > 1 =>
-        JsMetaProbe.observes(params(1), body)
+      case JsFunc(params, body, _) if params.length > 1 => p(params(1), body)
       case _ => false
     }
     (handlers.valuesIterator ++ anyFn.iterator ++ createdFn.iterator ++
       deletedFn.iterator).exists(eventHandler) ||
       partitionFn.exists {
-        case JsFunc(params, body, _) if params.nonEmpty =>
-          JsMetaProbe.observes(params.head, body)
+        case JsFunc(params, body, _) if params.nonEmpty => p(params.head, body)
         case _ => false
       }
   }
+
+  /** Compile-time envelope shaping (per projection, decided once; the
+    * probes err only in the widening direction): the set of envelope
+    * fields some handler can observe, or None when the envelope escapes
+    * whole (passed/returned/for-in/computed key) — then every field is
+    * built. Typical folds touch 2–4 of the 16 fields; building only those
+    * cuts the per-event map-construction cost, and when none of
+    * body/data/isJson is observed the per-event JSON parse of `data` is
+    * skipped entirely — the batch analog of the reference's LAZY body
+    * parse (JintProjectionStateHandler.cs:868-880). `needsPartitionField`
+    * additionally gates step()'s re-derivation of the partition key (a
+    * second envelope + JS call for partitionBy projections). */
+  private lazy val envelopeFields: Option[Set[String]] =
+    if (probeEnvelope(JsMetaProbe.observesAny(_, _, Set.empty))) None
+    else Some(CompiledJsProjection.envelopeFieldNames.filter(p =>
+      probeEnvelope(JsMetaProbe.observesAny(_, _, Set(p)))).toSet)
+  private lazy val needsBody: Boolean = envelopeFields match {
+    case None => true
+    case Some(fs) => fs.exists(JsMetaProbe.bodyProps)
+  }
+  private lazy val needsPartitionField: Boolean =
+    envelopeFields.forall(_.contains("partition"))
 
   /** transformBy/filterBy chain over a final state; None = filtered out. */
   def applyTransforms(state: JsVal): Option[JsVal] =
@@ -733,8 +758,15 @@ final class CompiledJsProjection private (source: String) {
     * Parsing only happens for events that carry metadata, so the common
     * null-metadata path costs nothing. */
   private def envelope(e: LogEvent, partition: String): JsObj = {
+    // per-projection compile-time shaping: only fields some handler can
+    // observe are built (None = envelope escapes → all, canonical order)
+    val want = envelopeFields
+    @inline def has(f: String): Boolean = want match {
+      case None => true
+      case Some(fs) => fs.contains(f)
+    }
     val body: JsVal =
-      if (e.data == null) JsUndef
+      if (!needsBody || e.data == null) JsUndef
       else try JsVal.parseJson(e.data) catch { case _: JsError => JsUndef }
     def parsed(raw: String): JsVal =
       if (raw == null) JsUndef
@@ -742,32 +774,45 @@ final class CompiledJsProjection private (source: String) {
     // resolved-link reads: the envelope shows the TARGET event's identity
     // (ResolvedEvent semantics) while partitioning/filtering upstream used
     // the link's stream
-    val envStream = if (e.resolved_stream_id != null) e.resolved_stream_id else e.stream_id
-    val envNumber = if (e.resolved_stream_id != null) e.resolved_event_number else e.event_number
-    JsObj.of(
-      "streamId" -> JsStr(envStream),
-      "sequenceNumber" -> JsNum(envNumber.toDouble),
-      "eventType" -> JsStr(e.event_type),
-      "eventId" -> (if (e.event_id == null) JsNull else JsStr(e.event_id)),
-      "body" -> body,
-      "data" -> body,
-      "bodyRaw" -> (if (e.data == null) JsNull else JsStr(e.data)),
-      "metadataRaw" -> (if (e.metadata == null) JsNull else JsStr(e.metadata)),
-      "metadata" -> parsed(e.metadata),
-      "linkMetadataRaw" -> (if (e.link_metadata == null) JsNull
-        else JsStr(e.link_metadata)),
-      "linkMetadata" -> parsed(e.link_metadata),
-      "isJson" -> JsBool(body != JsUndef),
-      "category" -> (if (e.stream_id.contains("-"))
-        JsStr(e.stream_id.substring(0, e.stream_id.indexOf("-"))) else JsNull),
-      "partition" -> JsStr(partition),
-      // engine extensions (documented in the class doc)
-      "logPosition" -> JsNum(e.log_position.toDouble),
-      "value" -> JsNum(e.value))
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, JsVal]
+    if (has("streamId")) m("streamId") = JsStr(
+      if (e.resolved_stream_id != null) e.resolved_stream_id else e.stream_id)
+    if (has("sequenceNumber")) m("sequenceNumber") = JsNum(
+      (if (e.resolved_stream_id != null) e.resolved_event_number
+       else e.event_number).toDouble)
+    if (has("eventType")) m("eventType") = JsStr(e.event_type)
+    if (has("eventId")) m("eventId") =
+      (if (e.event_id == null) JsNull else JsStr(e.event_id))
+    if (has("body")) m("body") = body
+    if (has("data")) m("data") = body
+    if (has("bodyRaw")) m("bodyRaw") =
+      (if (e.data == null) JsNull else JsStr(e.data))
+    if (has("metadataRaw")) m("metadataRaw") =
+      (if (e.metadata == null) JsNull else JsStr(e.metadata))
+    if (has("metadata")) m("metadata") = parsed(e.metadata)
+    if (has("linkMetadataRaw")) m("linkMetadataRaw") =
+      (if (e.link_metadata == null) JsNull else JsStr(e.link_metadata))
+    if (has("linkMetadata")) m("linkMetadata") = parsed(e.link_metadata)
+    if (has("isJson")) m("isJson") = JsBool(body != JsUndef)
+    if (has("category")) m("category") =
+      (if (e.stream_id.contains("-"))
+        JsStr(e.stream_id.substring(0, e.stream_id.indexOf("-"))) else JsNull)
+    if (has("partition")) m("partition") = JsStr(partition)
+    // engine extensions (documented in the class doc)
+    if (has("logPosition")) m("logPosition") = JsNum(e.log_position.toDouble)
+    if (has("value")) m("value") = JsNum(e.value)
+    JsObj(m)
   }
 }
 
 object CompiledJsProjection {
+  /** Every field `envelope()` can expose, in canonical order (used by the
+    * per-projection observed-fields probe). */
+  private[js] val envelopeFieldNames: Seq[String] = Seq(
+    "streamId", "sequenceNumber", "eventType", "eventId", "body", "data",
+    "bodyRaw", "metadataRaw", "metadata", "linkMetadataRaw", "linkMetadata",
+    "isJson", "category", "partition", "logPosition", "value")
+
   /** The reference's `_availableProperties`
     * (JintProjectionStateHandler.cs:460-473); `fromCategories` follows
     * `fromStreams` (no foreachStream over an explicit list), `options` is
