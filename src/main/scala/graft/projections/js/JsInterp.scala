@@ -527,7 +527,15 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
       case (JsStr(s), "search") =>
         JsNum(JsRegexOps.search(s, toRegexArg(args.headOption.getOrElse(JsUndef))))
       case (JsStr(s), "concat") => JsStr(s + args.map(JsVal.toStr).mkString)
+      case (JsStr(s), "repeat") =>
+        val n = JsVal.num(args.headOption.getOrElse(JsNum(0))).toInt
+        if (n < 0) throw new JsError("repeat count must be non-negative")
+        JsStr(s * n)
       case (JsStr(s), "toString") => JsStr(s)
+      // String.fromCharCode — the String GLOBAL is a native function
+      // (callable as String(x)), so its static method dispatches here
+      case (JsNative("String", _, _), "fromCharCode") =>
+        JsStr(args.map(a => JsVal.num(a).toInt.toChar).mkString)
 
       // ---- regex methods
       case (r: JsRegex, "test") => JsBool(JsRegexOps.test(r, str(args, 0)))
@@ -577,6 +585,27 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
         val f = args.head
         items.zipWithIndex.foreach { case (v, i) => callFunction(f, Seq(v, JsNum(i))) }
         JsUndef
+      case (JsArr(items), "some") =>
+        val f = args.head
+        JsBool(items.zipWithIndex.exists { case (v, i) =>
+          JsVal.bool(callFunction(f, Seq(v, JsNum(i)))) })
+      case (JsArr(items), "every") =>
+        val f = args.head
+        JsBool(items.zipWithIndex.forall { case (v, i) =>
+          JsVal.bool(callFunction(f, Seq(v, JsNum(i)))) })
+      case (JsArr(items), "find") =>
+        val f = args.head
+        items.zipWithIndex.collectFirst {
+          case (v, i) if JsVal.bool(callFunction(f, Seq(v, JsNum(i)))) => v
+        }.getOrElse(JsUndef)
+      case (JsArr(items), "findIndex") =>
+        val f = args.head
+        JsNum(items.zipWithIndex.collectFirst {
+          case (v, i) if JsVal.bool(callFunction(f, Seq(v, JsNum(i)))) => i.toDouble
+        }.getOrElse(-1.0))
+      case (JsArr(items), "lastIndexOf") =>
+        JsNum(items.lastIndexWhere(
+          JsVal.strictEq(_, args.headOption.getOrElse(JsUndef))).toDouble)
       case (JsArr(items), "reduce") =>
         val f = args.head
         var acc = args.lift(1).getOrElse {
@@ -684,7 +713,29 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
         JsNum(if (a.isEmpty) Double.PositiveInfinity else a.map(JsVal.num).min)),
       "max" -> native("max", 2)(a =>
         JsNum(if (a.isEmpty) Double.NegativeInfinity else a.map(JsVal.num).max)),
-      "trunc" -> native("trunc", 1)(a => JsNum(JsVal.num(a.head).toLong.toDouble))))
+      "trunc" -> native("trunc", 1)(a => JsNum(JsVal.num(a.head).toLong.toDouble)),
+      // transcendentals on StrictMath: bit-identical across JVMs/CPUs,
+      // so replays stay deterministic (java.lang.Math may use platform
+      // intrinsics that differ)
+      "log" -> native("log", 1)(a => JsNum(StrictMath.log(JsVal.num(a.head)))),
+      "log10" -> native("log10", 1)(a => JsNum(StrictMath.log10(JsVal.num(a.head)))),
+      "exp" -> native("exp", 1)(a => JsNum(StrictMath.exp(JsVal.num(a.head)))),
+      "sin" -> native("sin", 1)(a => JsNum(StrictMath.sin(JsVal.num(a.head)))),
+      "cos" -> native("cos", 1)(a => JsNum(StrictMath.cos(JsVal.num(a.head)))),
+      "tan" -> native("tan", 1)(a => JsNum(StrictMath.tan(JsVal.num(a.head)))),
+      "asin" -> native("asin", 1)(a => JsNum(StrictMath.asin(JsVal.num(a.head)))),
+      "acos" -> native("acos", 1)(a => JsNum(StrictMath.acos(JsVal.num(a.head)))),
+      "atan" -> native("atan", 1)(a => JsNum(StrictMath.atan(JsVal.num(a.head)))),
+      "atan2" -> native("atan2", 2)(a =>
+        JsNum(StrictMath.atan2(JsVal.num(a.head), JsVal.num(a(1))))),
+      "sign" -> native("sign", 1)(a => JsNum(math.signum(JsVal.num(a.head)))),
+      "E" -> JsNum(StrictMath.E),
+      "PI" -> JsNum(StrictMath.PI),
+      "LN2" -> JsNum(0.6931471805599453),
+      "LN10" -> JsNum(2.302585092994046)))
+    g.define("Array", JsObj.of(
+      "isArray" -> native("isArray", 1)(a =>
+        JsBool(a.headOption.exists(_.isInstanceOf[JsArr])))))
     g.define("Object", JsObj.of(
       "keys" -> native("keys", 1) {
         case Seq(JsObj(m), _*) =>
@@ -697,6 +748,17 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
         case Seq(JsObj(m), _*) => JsArr(m.values.to(mutable.ArrayBuffer))
         case Seq(JsArr(items), _*) => JsArr(items.clone())
         case _ => JsArr.empty
+      },
+      "assign" -> native("assign", 2) { args =>
+        args.headOption.getOrElse(JsUndef) match {
+          case target: JsObj =>
+            args.drop(1).foreach {
+              case JsObj(src) => src.foreach { case (k, v) => target.fields(k) = v }
+              case _ => ()
+            }
+            target
+          case other => other
+        }
       }))
     g.define("parseInt", native("parseInt", 1) { args =>
       val s = JsVal.toStr(args.headOption.getOrElse(JsUndef)).trim

@@ -100,17 +100,47 @@ object JsVal {
     case _ => Double.NaN
   }
 
-  /** JS Number::toString — integral doubles print without a decimal point
-    * ("1", not "1.0"), matching what Jint's JSON.stringify and string
-    * concatenation produce. */
+  /** JS Number::toString (ECMA-262 6.1.6.1.20) — integral doubles print
+    * without a decimal point ("1", not "1.0"), plain decimal up to 1e21
+    * ("10000000000000000", never Java's "1.0E16"), exponential beyond
+    * ("1e+21" / "1e-7"), matching what Jint's JSON.stringify and string
+    * concatenation produce. Built from Java's shortest-round-trip digits
+    * reformatted under the ECMA placement rules. */
   def numToStr(d: Double): String =
     if (d.isNaN) "NaN"
     else if (d.isPosInfinity) "Infinity"
     else if (d.isNegInfinity) "-Infinity"
-    else if (d == math.rint(d) && math.abs(d) < 9.007199254740992e15) {
-      val l = d.toLong
-      if (l == 0L && 1.0 / d < 0) "0" else l.toString
-    } else d.toString
+    else if (d == 0.0) "0"
+    else if (d == math.rint(d) && math.abs(d) < 9.007199254740992e15)
+      d.toLong.toString
+    else {
+      val sign = if (d < 0) "-" else ""
+      // Java's repr carries the shortest digit string that round-trips;
+      // extract (digits, n) with value = 0.digits × 10^n
+      val repr = math.abs(d).toString
+      val (mantissa, exp10) = repr.indexOf('E') match {
+        case -1 => (repr, 0)
+        case i => (repr.substring(0, i), repr.substring(i + 1).toInt)
+      }
+      val dot = mantissa.indexOf('.')
+      val rawDigits = (mantissa.substring(0, dot) + mantissa.substring(dot + 1))
+      val intLen = dot
+      val digits0 = rawDigits.dropWhile(_ == '0')
+      val leadingZeros = rawDigits.length - digits0.length
+      val digits = digits0.reverse.dropWhile(_ == '0').reverse
+      val n = intLen + exp10 - leadingZeros // value = 0.digits × 10^n
+      val k = digits.length
+      sign + (
+        if (k <= n && n <= 21) digits + "0" * (n - k)
+        else if (0 < n && n <= 21) digits.substring(0, n) + "." + digits.substring(n)
+        else if (-6 < n && n <= 0) "0." + "0" * (-n) + digits
+        else { // exponential, JS style: d.dddde±x
+          val head = digits.substring(0, 1)
+          val tail = if (k > 1) "." + digits.substring(1) else ""
+          val e = n - 1
+          head + tail + "e" + (if (e >= 0) "+" else "") + e
+        })
+    }
 
   /** JS ToString. */
   def toStr(v: JsVal): String = v match {

@@ -693,6 +693,29 @@ fromCategory("chat").when({
     assert(p.emitted(store.read()).collect().isEmpty)
   }
 
+  test("stdlib: Array.isArray/some/every/find, Object.assign, Math transcendentals, String statics") {
+    assert(evalJs("Array.isArray([1,2])") == JsBool(true))
+    assert(evalJs("Array.isArray({})") == JsBool(false))
+    assert(evalJs("[1,2,3].some(function(x){ return x > 2; })") == JsBool(true))
+    assert(evalJs("[1,2,3].every(function(x){ return x > 0; })") == JsBool(true))
+    assert(evalJs("[1,2,3].find(function(x){ return x > 1; })") == JsNum(2))
+    assert(evalJs("[1,2,3].findIndex(function(x){ return x > 2; })") == JsNum(2))
+    assert(evalJs("[1,2,1].lastIndexOf(1)") == JsNum(2))
+    assert(evalJs("var t = {a:1}; Object.assign(t, {b:2}, {a:3}); JSON.stringify(t)")
+      == JsStr("""{"a":3,"b":2}"""))
+    assert(evalJs("Math.round(Math.exp(Math.log(42)))") == JsNum(42))
+    assert(evalJs("Math.sign(-5)") == JsNum(-1))
+    assert(evalJs("Math.atan2(0, 1)") == JsNum(0))
+    assert(evalJs("Math.cos(0) + Math.sin(0)") == JsNum(1))
+    assert(evalJs("String.fromCharCode(104, 105)") == JsStr("hi"))
+    assert(evalJs("'ab'.repeat(3)") == JsStr("ababab"))
+    // ECMA number formatting where Java E-notation would diverge
+    assert(evalJs("'' + 1e16") == JsStr("10000000000000000"))
+    assert(evalJs("'' + 1e21") == JsStr("1e+21"))
+    assert(evalJs("'' + 0.0000001") == JsStr("1e-7"))
+    assert(evalJs("JSON.stringify({x: 12345678.9})") == JsStr("""{"x":12345678.9}"""))
+  }
+
   // ------------------------------------------------------------- regex
   // Regexes are deterministic, so the Date/random replay ban does not
   // apply; Jint ships full ES regex and real handlers use these forms.

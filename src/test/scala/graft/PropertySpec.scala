@@ -154,6 +154,17 @@ class PropertySpec extends SparkTestBase {
     assert(JsVal.numToStr(1.5) == "1.5")
     assert(JsVal.numToStr(-0.0) == "0")
     assert(JsVal.numToStr(Double.NaN) == "NaN")
+    // ECMA Number::toString placement rules — where Java's Double.toString
+    // would print E-notation, JS stays decimal up to 1e21
+    assert(JsVal.numToStr(1e16) == "10000000000000000")
+    assert(JsVal.numToStr(12345678.9) == "12345678.9")
+    assert(JsVal.numToStr(1e21) == "1e+21")
+    assert(JsVal.numToStr(1.5e22) == "1.5e+22")
+    assert(JsVal.numToStr(1e-6) == "0.000001")
+    assert(JsVal.numToStr(1e-7) == "1e-7")
+    assert(JsVal.numToStr(-2.5e-8) == "-2.5e-8")
+    assert(JsVal.numToStr(0.1 + 0.2) == "0.30000000000000004")
+    assert(JsVal.numToStr(123.456) == "123.456")
   }
 
   test("JS interpreter arithmetic matches Scala double semantics on samples") {
