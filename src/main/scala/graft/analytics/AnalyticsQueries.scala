@@ -87,6 +87,15 @@ object AnalyticsQueries extends QueryModule {
     Dedup.minhashLshPairs(nearCorpus(s, d), 0.5, k = 16, bands = 4, "text", "id")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Component resolution over the MinHash-LSH pair graph — the step that
+    * turns near-dup PAIRS into dedup DECISIONS (one representative per
+    * component). */
+  private def dedupComponents(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashLshPairs(nearCorpus(s, d), 0.5, k = 16, bands = 4, "text", "id"))
+      .select(col("id"), col("component"))
+      .orderBy(col("id"))
+
   private def winnowPairsQ(s: SparkSession, d: String): DataFrame =
     Dedup.winnowOverlapPairs(nearCorpus(s, d).where(col("id") % 5 === 0),
         minShared = 5, k = 5, w = 4, "text", "id")
@@ -180,6 +189,7 @@ object AnalyticsQueries extends QueryModule {
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash_signatures" -> (minhashSig _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_components" -> (dedupComponents _),
     "dedup_winnow_pairs" -> (winnowPairsQ _),
     "dedup_simhash" -> (simhashQ _),
     "dedup_simhash_pairs" -> (simhashPairsQ _),
@@ -389,6 +399,44 @@ object AnalyticsQueries extends QueryModule {
         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
         |${jaccardPairsSql(
           "cands c JOIN shingles a ON a.id = c.id_a JOIN shingles b ON b.id = c.id_b AND b.shingle = a.shingle")}""".stripMargin,
+    // components = transitive closure (recursive CTE; the graph is small
+    // at oracle SF) over the SAME verified LSH pair set
+    "dedup_components" ->
+      s"""WITH RECURSIVE $nearCorpusSql,
+        |$shingleSql,
+        |sig AS (
+        |  SELECT id, seed,
+        |         min(((2*seed+1) * (${hash60("shingle")} % 2147483647)
+        |              + seed * 2654435761) % 2147483647) AS minhash
+        |  FROM shingles CROSS JOIN range(16) t(seed) GROUP BY 1, 2),
+        |bandkeys AS (
+        |  SELECT id, CAST(seed // 4 AS INT) AS band,
+        |         string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || CAST(minhash AS VARCHAR),
+        |                    ',' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bandkeys a JOIN bandkeys b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+        |common AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS c
+        |  FROM cands c JOIN shingles a ON a.id = c.id_a
+        |               JOIN shingles b ON b.id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT common.id_a, common.id_b
+        |  FROM common JOIN sizes sa ON sa.id = common.id_a
+        |              JOIN sizes sb ON sb.id = common.id_b
+        |  WHERE CAST(common.c AS DOUBLE) / (sa.sz + sb.sz - common.c) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM verified
+        |  UNION SELECT id_b, id_a FROM verified),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS component
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""WITH $nearCorpusSql,
         |sub AS (SELECT id, text FROM corpus WHERE id % 5 = 0),

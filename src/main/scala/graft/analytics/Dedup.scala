@@ -257,4 +257,71 @@ object Dedup {
       lit(0L), (acc, v) => acc + v)
     docs.select(col(idCol).as("id"), sig.as("simhash"))
   }
+
+  /** Connected components over a near-dup pair graph (numeric ids) — the
+    * cluster-resolution step production dedup pipelines run after pair
+    * generation, before keeping ONE representative per component.
+    *
+    * Distributed min-label propagation with pointer jumping: each round
+    * every node takes the minimum label over itself, its neighbors'
+    * labels, AND its label's label (shortcutting) — so convergence is
+    * O(log diameter) rounds, not O(diameter); a 40-node chain closes in
+    * ~6 rounds. Labels only decrease, so the exact decimal sum of labels
+    * is a one-scalar convergence witness per round. Lineage is truncated
+    * every round (localCheckpoint), keeping the plan flat regardless of
+    * round count; each round is a constant number of shuffles on
+    * (node, label) rows — never materializing anything larger than the
+    * edge list. Returns (id, component) with component = min reachable
+    * id. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = labelSum(labels)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val neighMin = edges
+        .join(labels.select(col("id").as("src"), col("component").as("lbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nmin"))
+      val stepped = labels.join(neighMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      // pointer jumping: also adopt the label of my label
+      val next = stepped
+        .join(stepped.select(col("id").as("component"), col("component").as("jmp")),
+          Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("jmp"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      done = s.compareTo(prev) == 0
+      prev = s
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep one representative (the min id) per near-dup component: every
+    * doc whose component label differs from its own id is dropped; docs
+    * that never appear in a pair pass through untouched. The standard
+    * post-pair-generation step for MinHash-LSH / SimHash dedup at corpus
+    * scale. */
+  def resolveNearDups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("_drop_id"))
+    docs.join(drop, docs(idCol).cast("long") === col("_drop_id"), "left_anti")
+  }
 }

@@ -252,4 +252,45 @@ class AnalyticsSpec extends SparkTestBase {
     // case/whitespace-insensitive fingerprint matches
     assert(stats(0).getString(2) == stats(1).getString(2))
   }
+
+  test("connected components equal a driver-side union-find on a random graph") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val pairs = (0 until 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find (attach larger root under smaller → root = min id)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x.toInt).toLong).toMap
+    assert(got == expected)
+  }
+
+  test("connected components: pointer jumping closes a 40-node chain in few rounds") {
+    val s = spark; import s.implicits._
+    val chain = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq
+    // maxIter 8 would NOT suffice for plain one-hop propagation (diameter
+    // 39); pointer jumping must close it
+    val comp = Dedup.connectedComponents(chain.toDF("id_a", "id_b"), maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 40 && comp.values.forall(_ == 0L))
+  }
+
+  test("resolveNearDups keeps the min id per component; singletons pass through") {
+    val s = spark; import s.implicits._
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.resolveNearDups(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // components {1,3,5} -> keep 1; {7,8} -> keep 7; others untouched
+    assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
+  }
 }
