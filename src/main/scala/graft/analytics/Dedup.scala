@@ -283,8 +283,11 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // sum() over zero rows is SQL NULL: an empty pair set (no near-dups —
+    // a legal, common corpus) must converge immediately, not NPE.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prev = labelSum(labels)
     var i = 0
     var done = false

@@ -528,9 +528,16 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
         JsNum(JsRegexOps.search(s, toRegexArg(args.headOption.getOrElse(JsUndef))))
       case (JsStr(s), "concat") => JsStr(s + args.map(JsVal.toStr).mkString)
       case (JsStr(s), "repeat") =>
-        val n = JsVal.num(args.headOption.getOrElse(JsNum(0))).toInt
-        if (n < 0) throw new JsError("repeat count must be non-negative")
-        JsStr(s * n)
+        val d = JsVal.num(args.headOption.getOrElse(JsNum(0)))
+        if (d < 0 || d.isNaN)
+          throw new JsError("RangeError: Invalid count value: " + JsVal.numToStr(d))
+        // ES throws a catchable RangeError when the result would exceed the
+        // max string size; without this, Infinity/huge counts become an
+        // uncatchable ~2GB allocation OOM that the step budget can't bound.
+        val maxLen = 1 << 24 // 16M chars — far above any sane handler string
+        if (d.isInfinity || (s.nonEmpty && d * s.length > maxLen))
+          throw new JsError("RangeError: Invalid string length")
+        JsStr(s * d.toInt)
       case (JsStr(s), "toString") => JsStr(s)
       // String.fromCharCode — the String GLOBAL is a native function
       // (callable as String(x)), so its static method dispatches here

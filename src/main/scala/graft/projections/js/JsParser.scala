@@ -70,13 +70,22 @@ private[js] object JsLexer {
     * the standard lexer heuristic (a value just ended). After anything
     * else (operators, `(`, `,`, keywords like `return`/`case`) a regex can
     * start. `}` counts as regex-allowed: statement-block ends dominate
-    * handler code, and `({…}/2)` never appears in projection definitions. */
+    * handler code, and `({…}/2)` never appears in projection definitions.
+    * `)` is usually value-position, EXCEPT when it closes an
+    * `if`/`while`/`for`/`switch`/`catch` header — `if (cond) /\d/.test(s)`
+    * is legal ES — so the tokenizer tracks paren nesting and marks those
+    * closers regex-allowed. */
   private val noRegexAfter = Set("num", "str", "regex", "ident", ")", "]",
     "++", "--", "true", "false", "null", "undefined", "this")
+
+  private val stmtHeadKeywords = Set("if", "while", "for", "switch", "catch")
 
   def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var prevKind: String = ""
+    // true = the open-paren is an if/while/for/switch/catch header, whose
+    // closer is statement position (a regex may follow it)
+    var parens = List.empty[Boolean]
     def push(t: Tok): Unit = { out += t; prevKind = t.kind }
     var i = 0
     var line = 1
@@ -171,7 +180,17 @@ private[js] object JsLexer {
           case None => punct2.find(rest.startsWith) match {
             case Some(p) => push(Tok(p, p, i, line)); i += p.length
             case None =>
-              if (punct1.indexOf(c) >= 0) { push(Tok(c.toString, c.toString, i, line)); i += 1 }
+              if (punct1.indexOf(c) >= 0) {
+                if (c == '(') parens = stmtHeadKeywords(prevKind) :: parens
+                val stmtClose = c == ')' && parens.headOption.contains(true)
+                if (c == ')' && parens.nonEmpty) parens = parens.tail
+                push(Tok(c.toString, c.toString, i, line))
+                // token kind stays ")" for the parser; only the lexer's
+                // regex-vs-division state treats a header close as
+                // statement position
+                if (stmtClose) prevKind = "stmt-close"
+                i += 1
+              }
               else fail(s"unexpected character '$c'")
           }
         }

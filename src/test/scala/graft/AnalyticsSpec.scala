@@ -284,6 +284,15 @@ class AnalyticsSpec extends SparkTestBase {
     assert(comp.size == 40 && comp.values.forall(_ == 0L))
   }
 
+  test("connected components and resolveNearDups tolerate an empty pair set") {
+    val s = spark; import s.implicits._
+    val docs = (0L to 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // sum() over zero rows is SQL NULL — must converge, not NPE
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    assert(Dedup.resolveNearDups(docs, empty).count() == 5)
+  }
+
   test("resolveNearDups keeps the min id per component; singletons pass through") {
     val s = spark; import s.implicits._
     val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -709,6 +709,13 @@ fromCategory("chat").when({
     assert(evalJs("Math.cos(0) + Math.sin(0)") == JsNum(1))
     assert(evalJs("String.fromCharCode(104, 105)") == JsStr("hi"))
     assert(evalJs("'ab'.repeat(3)") == JsStr("ababab"))
+    // ES RangeError contract: Infinity/huge counts are a CATCHABLE error,
+    // not a ~2GB allocation OOM that kills the executor
+    assert(evalJs("var r; try { 'x'.repeat(Infinity); } catch (e) { r = 'caught'; } r")
+      == JsStr("caught"))
+    intercept[JsError] { evalJs("'ab'.repeat(1e9)") }
+    intercept[JsError] { evalJs("'x'.repeat(-1)") }
+    assert(evalJs("''.repeat(7)") == JsStr(""))
     // ECMA number formatting where Java E-notation would diverge
     assert(evalJs("'' + 1e16") == JsStr("10000000000000000"))
     assert(evalJs("'' + 1e21") == JsStr("1e+21"))
@@ -735,6 +742,14 @@ fromCategory("chat").when({
     // division still lexes as division
     assert(evalJs("var a = 10; var b = 2; a / b / 1") == JsNum(5))
     assert(evalJs("(4+2) / 3") == JsNum(2))
+    // a regex directly after an if/while/for header close-paren is a
+    // regex literal, not division (statement-position `)`)
+    assert(evalJs("var r = 'no'; if (1 < 2) /\\d/.test('a1') ? r = 'yes' : 0; r")
+      == JsStr("yes"))
+    assert(evalJs("var n = 0; while (n < 3) /a/.test('a') ? n += 1 : n += 9; n")
+      == JsNum(3))
+    // expression-position `)` still means division
+    assert(evalJs("var x = (4) / 2; x") == JsNum(2))
   }
 
   test("regex: string match with and without g; non-matching gives null") {
