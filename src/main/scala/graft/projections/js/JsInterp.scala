@@ -9,11 +9,15 @@ import scala.collection.mutable
   *
   * Deliberate restrictions (all absent from reference projection code):
   * no `this` semantics (identifier `this` resolves like a normal binding),
-  * no prototypes, no Date/random — handlers must stay deterministic for
-  * replay, exactly as the reference demands of projections. Regexes ARE
-  * supported (literals and RegExp): they are deterministic, and real
-  * Jint-era handlers use match/replace/split/test routinely (see
-  * JsRegexOps for the java.util.regex mapping). */
+  * no prototypes, no wall clock, no random — handlers must stay
+  * deterministic for replay, exactly as the reference demands of
+  * projections. Regexes ARE supported (literals and RegExp): they are
+  * deterministic, and real Jint-era handlers use match/replace/split/test
+  * routinely (see JsRegexOps for the java.util.regex mapping). Date is
+  * supported in its ARGUMENT-constructed forms only (`new Date(ms)`,
+  * `new Date(iso)`, UTC getters, toISOString — pure functions; see
+  * JsDateOps); `Date.now()` and no-arg `new Date()` raise the
+  * determinism error. */
 final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
 
   private final class BreakEx extends RuntimeException
@@ -544,6 +548,45 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
       case (JsNative("String", _, _), "fromCharCode") =>
         JsStr(args.map(a => JsVal.num(a).toInt.toChar).mkString)
 
+      // ---- Date statics and instance methods (deterministic subset;
+      // JsDateOps doc). The engine is UTC-pinned, so local getters alias
+      // UTC and getTimezoneOffset is 0.
+      case (JsNative("Date", _, _), "now") =>
+        throw new JsError(
+          "Date.now() reads the wall clock and is banned in projections " +
+            "(nondeterministic under replay); use event timestamps instead")
+      case (JsNative("Date", _, _), "parse") =>
+        JsNum(JsDateOps.parse(str(args, 0)))
+      case (JsNative("Date", _, _), "UTC") =>
+        def arg(i: Int, dflt: Double): Double =
+          args.lift(i).map(JsVal.num).getOrElse(dflt)
+        JsNum(JsDateOps.partsToMs(
+          JsDateOps.legacyYear(arg(0, Double.NaN)), arg(1, 0.0), arg(2, 1.0),
+          arg(3, 0.0), arg(4, 0.0), arg(5, 0.0), arg(6, 0.0)))
+      case (d: JsDate, "getTime" | "valueOf") => JsNum(d.ms)
+      case (d: JsDate, "toISOString") => JsStr(JsDateOps.toIso(d.ms))
+      case (d: JsDate, "toJSON") =>
+        if (d.ms.isNaN) JsNull else JsStr(JsDateOps.toIso(d.ms))
+      case (d: JsDate, "toString") => JsStr(JsVal.toStr(d))
+      case (d: JsDate, "getTimezoneOffset") =>
+        JsNum(if (d.ms.isNaN) Double.NaN else 0.0)
+      case (d: JsDate, "getUTCFullYear" | "getFullYear") =>
+        JsNum(JsDateOps.field(d.ms, "year"))
+      case (d: JsDate, "getUTCMonth" | "getMonth") =>
+        JsNum(JsDateOps.field(d.ms, "month"))
+      case (d: JsDate, "getUTCDate" | "getDate") =>
+        JsNum(JsDateOps.field(d.ms, "date"))
+      case (d: JsDate, "getUTCDay" | "getDay") =>
+        JsNum(JsDateOps.field(d.ms, "day"))
+      case (d: JsDate, "getUTCHours" | "getHours") =>
+        JsNum(JsDateOps.field(d.ms, "hours"))
+      case (d: JsDate, "getUTCMinutes" | "getMinutes") =>
+        JsNum(JsDateOps.field(d.ms, "minutes"))
+      case (d: JsDate, "getUTCSeconds" | "getSeconds") =>
+        JsNum(JsDateOps.field(d.ms, "seconds"))
+      case (d: JsDate, "getUTCMilliseconds" | "getMilliseconds") =>
+        JsNum(JsDateOps.field(d.ms, "milliseconds"))
+
       // ---- regex methods
       case (r: JsRegex, "test") => JsBool(JsRegexOps.test(r, str(args, 0)))
       case (r: JsRegex, "exec") => JsRegexOps.exec(r, str(args, 0))
@@ -793,6 +836,26 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
         case v =>
           val flags = a.lift(1).filter(_ != JsUndef).map(JsVal.toStr).getOrElse("")
           JsRegexOps.make(JsVal.toStr(v), flags)
+      }
+    })
+    // Date constructor — ARGUMENT-constructed only (deterministic; see
+    // JsDateOps doc). `new X(...)` parses as a plain call, like RegExp.
+    g.define("Date", native("Date", 7) { a =>
+      if (a.isEmpty)
+        throw new JsError(
+          "Date() without arguments reads the wall clock and is banned in " +
+            "projections (nondeterministic under replay); construct from " +
+            "event data instead, e.g. new Date(e.timestamp)")
+      else if (a.length == 1) a.head match {
+        case d: JsDate => new JsDate(d.ms)
+        case JsStr(s) => new JsDate(JsDateOps.parse(s))
+        case v => new JsDate(JsDateOps.timeClip(JsVal.num(v)))
+      } else {
+        def arg(i: Int, dflt: Double): Double =
+          a.lift(i).map(JsVal.num).getOrElse(dflt)
+        new JsDate(JsDateOps.partsToMs(
+          JsDateOps.legacyYear(arg(0, Double.NaN)), arg(1, 0.0), arg(2, 1.0),
+          arg(3, 0.0), arg(4, 0.0), arg(5, 0.0), arg(6, 0.0)))
       }
     })
     g.define("Number", native("Number", 1)(a => JsNum(JsVal.num(a.headOption.getOrElse(JsUndef)))))

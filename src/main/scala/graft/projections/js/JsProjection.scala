@@ -801,6 +801,10 @@ final class CompiledJsProjection private (source: String) {
     // engine extensions (documented in the class doc)
     if (has("logPosition")) m("logPosition") = JsNum(e.log_position.toDouble)
     if (has("value")) m("value") = JsNum(e.value)
+    // epoch milliseconds, the natural `new Date(e.timestamp)` feed for
+    // time-bucketing handlers (JsDateOps)
+    if (has("timestamp")) m("timestamp") =
+      (if (e.timestamp == null) JsNull else JsNum(e.timestamp.getTime.toDouble))
     JsObj(m)
   }
 }
@@ -811,7 +815,7 @@ object CompiledJsProjection {
   private[js] val envelopeFieldNames: Seq[String] = Seq(
     "streamId", "sequenceNumber", "eventType", "eventId", "body", "data",
     "bodyRaw", "metadataRaw", "metadata", "linkMetadataRaw", "linkMetadata",
-    "isJson", "category", "partition", "logPosition", "value")
+    "isJson", "category", "partition", "logPosition", "value", "timestamp")
 
   /** The reference's `_availableProperties`
     * (JintProjectionStateHandler.cs:460-473); `fromCategories` follows

@@ -211,7 +211,38 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.masked").as("masked"))
       .orderBy(col("partition"))
 
+  /** Time bucketing with argument-constructed Date — the classic
+    * Jint-era handler shape (`new Date(e.timestamp).getUTCHours()` style),
+    * deterministic because every Date is a pure function of event data
+    * (JsDateOps). Exercises the constructor, Date.parse, toISOString,
+    * getUTCDay and getTime against DuckDB's calendar functions. */
+  private val dateSource = """
+var epoch = Date.parse('2020-01-01T00:00:00Z');
+fromAll()
+    .partitionBy(function(e) {
+        return new Date(e.timestamp).toISOString().slice(0, 13);
+    })
+    .when({
+        $init: function() { return { n: 0, dow: 0, days: 0 }; },
+        $any: function(s, e) {
+            var d = new Date(e.timestamp);
+            s.n += 1;
+            s.dow += d.getUTCDay();
+            s.days += Math.floor((d.getTime() - epoch) / 86400000);
+            return s;
+        }
+    })"""
+
+  private def jsDateBucket(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(dateSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.dow").cast("long").as("dow_sum"),
+        get_json_object(col("state"), "$.days").cast("long").as("day_sum"))
+      .orderBy(col("partition"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "js_date_bucket" -> (jsDateBucket _),
     "js_fold_count_sum" -> (jsFold _),
     "js_try_switch" -> (jsTrySwitch _),
     "js_regex_extract" -> (jsRegexExtract _),
@@ -225,6 +256,17 @@ fromCategory("purchase")
   private val L = Tables.eventLogSql
 
   def oracles: Seq[(String, String)] = Seq(
+    // DuckDB reads the parquet TIMESTAMP(NANOS) as TIMESTAMP (µs), so the
+    // CTE's `timestamp` is a timestamp value; epoch_us//1000 = the same
+    // ms truncation JS getTime() sees. DuckDB dow is Sunday=0 like ES.
+    "js_date_bucket" -> s"""$L
+      |SELECT strftime(timestamp, '%Y-%m-%dT%H') AS partition,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(date_part('dow', timestamp) AS BIGINT))
+      |            AS BIGINT) AS dow_sum,
+      |       CAST(sum(CAST(floor((epoch_us(timestamp) // 1000 - 1577836800000)
+      |                           / 86400000.0) AS BIGINT)) AS BIGINT) AS day_sum
+      |FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
     "js_fold_count_sum" -> s"""$L
       |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -47,6 +47,17 @@ final class JsRegex(val pattern: String, val flags: String) extends JsVal {
   }
 }
 
+/** Date value — ARGUMENT-constructed only (`new Date(ms)`,
+  * `new Date(isoString)`, `new Date(y, m, ...)`): pure functions of their
+  * inputs, so replays stay deterministic. The wall-clock forms
+  * (`Date.now()`, no-arg `new Date()`) stay banned — JsInterp raises the
+  * determinism error. A plain class like [[JsRegex]]: ES Date objects
+  * compare by identity. `ms` is the ES time value (epoch milliseconds,
+  * NaN = Invalid Date); all calendar math lives in [[JsDateOps]],
+  * UTC-pinned. JSON.stringify renders the ISO string (ES Date.toJSON);
+  * Invalid Date renders null. */
+final class JsDate(val ms: Double) extends JsVal
+
 /** Raised for JS-level type errors ("cannot read property of undefined").
   * Catchable by user `try/catch` — the reference's Jint surfaces engine
   * errors to handler catch blocks the same way. */
@@ -97,6 +108,7 @@ object JsVal {
       else try t.toDouble catch { case _: NumberFormatException => Double.NaN }
     case JsArr(items) if items.isEmpty => 0.0
     case JsArr(items) if items.size == 1 => num(items.head)
+    case d: JsDate => d.ms // ES valueOf: the time value
     case _ => Double.NaN
   }
 
@@ -155,6 +167,10 @@ object JsVal {
     }.mkString(",")
     case _: JsObj => "[object Object]"
     case r: JsRegex => s"/${r.pattern}/${r.flags}"
+    // ES toString is the host-zone locale form; the deterministic engine
+    // renders ISO (JsDateOps doc)
+    case d: JsDate =>
+      if (d.ms.isNaN) "Invalid Date" else JsDateOps.toIso(d.ms)
     case f: JsFunc => s"function(${f.params.mkString(", ")}) { ... }"
     case n: JsNative => s"function ${n.name}() { [native] }"
   }
@@ -179,6 +195,7 @@ object JsVal {
     case (x: JsArr, y: JsArr) => x eq y
     case (x: JsFunc, y: JsFunc) => x eq y
     case (x: JsRegex, y: JsRegex) => x eq y
+    case (x: JsDate, y: JsDate) => x eq y
     case _ => false
   }
 
@@ -240,6 +257,8 @@ object JsVal {
       }
       sb.append('}')
     case _: JsRegex => sb.append("{}") // ES: a regex is an object with no enumerable props
+    case d: JsDate => // ES Date.prototype.toJSON: ISO string, null if invalid
+      if (d.ms.isNaN) sb.append("null") else writeJsonString(JsDateOps.toIso(d.ms), sb)
     case _: JsFunc | _: JsNative => sb.append("null")
   }
 

@@ -723,6 +723,62 @@ fromCategory("chat").when({
     assert(evalJs("JSON.stringify({x: 12345678.9})") == JsStr("""{"x":12345678.9}"""))
   }
 
+  // -------------------------------------------------------------- Date
+  // Argument-constructed Date is a pure function of its inputs, so the
+  // replay-determinism ban does not apply; only wall-clock forms stay
+  // banned (JsDateOps doc).
+
+  test("Date: argument-constructed forms, UTC getters, ISO round-trip") {
+    assert(evalJs("new Date(0).toISOString()") == JsStr("1970-01-01T00:00:00.000Z"))
+    assert(evalJs("new Date('2020-03-01T04:03:45.678Z').getTime()")
+      == JsNum(1583035425678.0))
+    assert(evalJs("new Date(1583035425678).toISOString()")
+      == JsStr("2020-03-01T04:03:45.678Z"))
+    assert(evalJs("new Date(1583035425678).getUTCHours()") == JsNum(4))
+    assert(evalJs("new Date(1583035425678).getUTCDay()") == JsNum(0)) // Sunday
+    assert(evalJs("new Date(1583035425678).getUTCFullYear()") == JsNum(2020))
+    assert(evalJs("new Date(1583035425678).getUTCMonth()") == JsNum(2)) // 0-based
+    assert(evalJs("new Date(1583035425678).getUTCDate()") == JsNum(1))
+    assert(evalJs("new Date(1583035425678).getUTCMinutes()") == JsNum(3))
+    assert(evalJs("new Date(1583035425678).getUTCSeconds()") == JsNum(45))
+    assert(evalJs("new Date(1583035425678).getUTCMilliseconds()") == JsNum(678))
+    // UTC-pinned engine: local getters alias UTC, offset is 0
+    assert(evalJs("new Date(1583035425678).getHours()") == JsNum(4))
+    assert(evalJs("new Date(1583035425678).getTimezoneOffset()") == JsNum(0))
+    // date-only ISO is UTC midnight; explicit offsets are honored
+    assert(evalJs("new Date('2020-03-01').getTime()") == JsNum(1583020800000.0))
+    assert(evalJs("new Date('2020-03-01T05:03:45+01:00').getTime()")
+      == JsNum(1583035425000.0))
+    assert(evalJs("Date.parse('2020-03-01T04:03:45.678Z')") == JsNum(1583035425678.0))
+    assert(evalJs("Date.UTC(2020, 2, 1, 4, 3, 45, 678)") == JsNum(1583035425678.0))
+    // ES month rollover and the legacy 0-99 constructor-year mapping —
+    // which must NOT apply to ISO parsing
+    assert(evalJs("new Date(2019, 14, 1).toISOString()")
+      == JsStr("2020-03-01T00:00:00.000Z"))
+    assert(evalJs("new Date(99, 0, 1).getUTCFullYear()") == JsNum(1999))
+    assert(evalJs("new Date('0050-01-01').getUTCFullYear()") == JsNum(50))
+    // date arithmetic via valueOf
+    assert(evalJs("new Date(2000) - new Date(500)") == JsNum(1500))
+    assert(evalJs("typeof new Date(0)") == JsStr("object"))
+    // toJSON contract in state JSON
+    assert(evalJs("JSON.stringify({d: new Date(0)})")
+      == JsStr("""{"d":"1970-01-01T00:00:00.000Z"}"""))
+  }
+
+  test("Date: invalid dates are NaN-valued; wall-clock forms stay banned") {
+    assert(evalJs("isNaN(new Date('not a date').getTime())") == JsBool(true))
+    assert(evalJs("isNaN(new Date('2020-13-01').getTime())") == JsBool(true))
+    assert(evalJs("JSON.stringify({d: new Date('nope')})") == JsStr("""{"d":null}"""))
+    // Invalid Date toISOString: catchable ES RangeError
+    assert(evalJs(
+      "var r; try { new Date(NaN).toISOString(); } catch (e) { r = e.message; }" +
+        "r.indexOf('RangeError') === 0") == JsBool(true))
+    val e1 = intercept[JsError] { evalJs("new Date()") }
+    assert(e1.getMessage.contains("banned"))
+    val e2 = intercept[JsError] { evalJs("Date.now()") }
+    assert(e2.getMessage.contains("banned"))
+  }
+
   // ------------------------------------------------------------- regex
   // Regexes are deterministic, so the Date/random replay ban does not
   // apply; Jint ships full ES regex and real handlers use these forms.
