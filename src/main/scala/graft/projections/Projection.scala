@@ -317,6 +317,98 @@ final class FoldBuilder[S] private[projections] (
       }
   }
 
+  /** Opt-in two-level fold for SKEWED partitions. The serial [[states]]
+    * pass folds each partition key in one task — the same bound as the
+    * reference's single projection pump, and the right default for
+    * arbitrary order-dependent handlers. But one pathological key
+    * (a stream with billions of events) then serializes a whole task.
+    * When the fold is a monoid homomorphism — folding any contiguous
+    * sub-sequence from `init` and merging the partials with an
+    * ASSOCIATIVE `combine` (in event order) equals the serial fold —
+    * Spark can do better: chunk each key into contiguous log-order
+    * blocks, fold the blocks in parallel, then merge per key in block
+    * order. `combine` need NOT be commutative: blocks are contiguous
+    * log_position ranges and are merged sorted by block, so ordered
+    * monoids (first/last trackers, concatenations) stay exact.
+    *
+    * Scale shape: level 1 shuffles on (key, block) — the hot key's
+    * events spread over ~logSpan/blockSize blocks across the cluster;
+    * level 2 shuffles only the per-block partials (one row per
+    * non-empty block). Worst case (a key touching every block) costs
+    * one extra shuffle of partials vs [[states]]; the skewed case turns
+    * a single serial task into cluster-wide parallelism.
+    *
+    * Not supported here (use [[states]]): `$created` (fires on the
+    * partition's first event, which no block-local fold can know it
+    * holds) and emitting handlers (emission order would interleave
+    * across blocks). Both `require`d away loudly. */
+  def statesMonoid(log: DataFrame, combine: (S, S) => S,
+      blockSize: Long = 1L << 16)(implicit encS: Encoder[S],
+      enc: Encoder[(String, S)]): Dataset[(String, S)] = {
+    require(createdHandler.isEmpty,
+      "statesMonoid: whenCreated is order-global; use states()")
+    require(emitHandlers.isEmpty && anyEmitHandler.isEmpty,
+      "statesMonoid: emitting handlers are order-global; use states()/emitted()")
+    require(blockSize > 0, s"statesMonoid: blockSize must be positive, got $blockSize")
+    val spark = log.sparkSession
+    import spark.implicits._
+    val events = Projections.toLogEvents(log.where(sourceFilter), withMeta)
+    val pf = partitionFn
+    val initF = initFn
+    val step = mkStep
+    val stepF = (s: S, e: LogEvent) => step(s, e, new Emitter)
+    val comb = combine
+    val bs = blockSize
+    implicit val encKBE: Encoder[(String, Long, LogEvent)] =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, implicitly[Encoder[LogEvent]])
+    implicit val encKBS: Encoder[(String, Long, S)] =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, encS)
+    // level 1: fold each contiguous (key, log-range block) from init
+    val partials: Dataset[(String, Long, S)] = events
+      .flatMap(e => pf(e).map(k => (k, e.log_position / bs, e)))
+      .repartition(col("_1"), col("_2"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3.log_position"))
+      .mapPartitions { it =>
+        new Iterator[(String, Long, S)] {
+          private var nextKV: Option[(String, Long, LogEvent)] =
+            if (it.hasNext) Some(it.next()) else None
+          def hasNext: Boolean = nextKV.isDefined
+          def next(): (String, Long, S) = {
+            val (key, block, _) = nextKV.get
+            var state = initF()
+            while (nextKV.isDefined && nextKV.get._1 == key && nextKV.get._2 == block) {
+              state = stepF(state, nextKV.get._3)
+              nextKV = if (it.hasNext) Some(it.next()) else None
+            }
+            (key, block, state)
+          }
+        }
+      }
+    // level 2: merge each key's partials in block (= log) order
+    partials
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .mapPartitions { it =>
+        new Iterator[(String, S)] {
+          private var nextKV: Option[(String, Long, S)] =
+            if (it.hasNext) Some(it.next()) else None
+          def hasNext: Boolean = nextKV.isDefined
+          def next(): (String, S) = {
+            val key = nextKV.get._1
+            var state = nextKV.get._3
+            nextKV = if (it.hasNext) Some(it.next()) else None
+            while (nextKV.isDefined && nextKV.get._1 == key) {
+              state = comb(state, nextKV.get._3)
+              nextKV = if (it.hasNext) Some(it.next()) else None
+            }
+            (key, state)
+          }
+        }
+      }
+  }
+
   /** P20 (batch form): resume the fold from checkpointed per-partition
     * states, folding only events with log_position > fromPosExclusive.
     * Equivalent to the reference persisting state JSON to

@@ -15,6 +15,10 @@ import graft.sources.Tables
 object ProjectionQueries extends QueryModule {
 
   final case class CountSum(n: Long, cents: Long)
+  /** Ordered-monoid state for the statesMonoid path: (count, sum, last).
+    * `last` makes the combine non-commutative — the oracle catches any
+    * block-order mistake in the two-level merge. */
+  final case class MonoidAgg(n: Long, cents: Long, lastCents: Long)
   final case class UpDown(prev: Double, ups: Long, last: Double, n: Long)
   final case class TypeCounts(purchase: Long, click: Long, view: Long, lastPos: Long)
 
@@ -50,6 +54,28 @@ object ProjectionQueries extends QueryModule {
       .toDF("partition", "state")
       .select(col("partition"), col("state.ups").as("ups"),
         col("state.last").as("last_value"), col("state.n").as("n"))
+      .orderBy(col("partition"))
+  }
+
+  /** P7 at scale: the same per-stream fold via the two-level monoid path
+    * (blockSize 512 forces many blocks per stream at every SF, so the
+    * block fold + ordered merge are genuinely exercised, not degenerate).
+    * `lastCents` is order-dependent: a block-order bug in the merge flips
+    * it and the oracle catches it. */
+  private def p7FoldMonoid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Projections.fromCategory("purchase")
+      .foreachStream()
+      .init(MonoidAgg(0, 0, Long.MinValue))
+      .when("purchase")((st, e) =>
+        MonoidAgg(st.n + 1, st.cents + cents(e.value), cents(e.value)))
+      .statesMonoid(log(s, d),
+        (a, b) => if (b.n == 0) a
+          else MonoidAgg(a.n + b.n, a.cents + b.cents, b.lastCents),
+        blockSize = 512)
+      .toDF("partition", "state")
+      .select(col("partition"), col("state.n").as("n"),
+        col("state.cents").as("sum_cents"), col("state.lastCents").as("last_cents"))
       .orderBy(col("partition"))
   }
 
@@ -154,6 +180,7 @@ object ProjectionQueries extends QueryModule {
     "p8_output_state" -> (p8OutputState _),
     "p5_fold_count_sum" -> (p5CountSum _),
     "p5_fold_order_dependent" -> (p5Ordered _),
+    "p7_fold_monoid" -> (p7FoldMonoid _),
     "p6_partition_by" -> (p6PartitionBy _),
     "p9_p10_transform_filter" -> (p9p10 _),
     "p2_from_streams" -> (p2FromStreams _),
@@ -188,6 +215,15 @@ object ProjectionQueries extends QueryModule {
       |       max(CASE WHEN rn_desc = 1 THEN value END) AS last_value,
       |       CAST(count(*) AS BIGINT) AS n
       |FROM lagged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p7_fold_monoid" -> s"""$L,
+      |ranked AS (
+      |  SELECT stream_id, value,
+      |         row_number() OVER (PARTITION BY stream_id ORDER BY log_position DESC) AS rn_desc
+      |  FROM log WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase')
+      |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(max(CASE WHEN rn_desc = 1 THEN round(value * 100) END) AS BIGINT) AS last_cents
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     "p6_partition_by" -> s"""$L
       |SELECT correlation_id AS partition, CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

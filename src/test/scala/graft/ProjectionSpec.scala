@@ -316,4 +316,51 @@ class ProjectionSpec extends SparkTestBase {
       .collect().toMap
     assert(states("") == List(5L, 4L, 3L, 2L, 1L, 0L))
   }
+
+  // One hot stream (2000 events) among tiny ones — the shape statesMonoid
+  // exists for. The state is an ordered segment aggregate
+  // (first, last, rises, n) over (log_position % 7): non-commutative
+  // combine, so a block-order mistake or a lost block boundary flips it.
+  private lazy val skewed = envelope {
+    val hot = (0 until 2000).map(i => ev("hot-1", i, "E", i * 3L))
+    val cold = Seq(ev("hot-2", 0, "E", 1L), ev("hot-3", 0, "E", 2L),
+      ev("hot-3", 1, "E", 5L))
+    hot ++ cold
+  }
+
+  test("statesMonoid == serial states for an order-dependent monoid on a skewed log") {
+    val s = spark; import s.implicits._
+    def builder = Projections.fromCategory("hot")
+      .foreachStream()
+      .init((-1L, -1L, 0L, 0L)) // (firstMod, lastMod, rises, n)
+      .whenAny { (st, e) =>
+        val m = e.log_position % 7
+        val (f, l, r, n) = st
+        if (n == 0L) (m, m, 0L, 1L)
+        else (f, m, r + (if (m > l) 1L else 0L), n + 1L)
+      }
+    val serial = builder.states(chat.unionAll(skewed)).collect().toMap
+    val monoid = builder.statesMonoid(chat.unionAll(skewed),
+      (a, b) =>
+        if (b._4 == 0L) a
+        else if (a._4 == 0L) b
+        else (a._1, b._2, a._3 + b._3 + (if (b._1 > a._2) 1L else 0L), a._4 + b._4),
+      blockSize = 64).collect().toMap
+    assert(monoid == serial)
+    assert(serial("hot-1")._4 == 2000L)
+  }
+
+  test("statesMonoid refuses order-global features ($created, emit)") {
+    val s = spark; import s.implicits._
+    val withCreated = Projections.fromCategory("chat").foreachStream()
+      .init(0L).whenCreated((n, _) => n).when("ChatMessage")((n, _) => n + 1)
+    intercept[IllegalArgumentException] {
+      withCreated.statesMonoid(chat, _ + _)
+    }
+    val withEmit = Projections.fromCategory("chat").foreachStream()
+      .init(0L).whenEmit("ChatMessage")((n, _, _) => n + 1)
+    intercept[IllegalArgumentException] {
+      withEmit.statesMonoid(chat, _ + _)
+    }
+  }
 }
