@@ -69,15 +69,34 @@ object Corpus {
   /** RAG-style overlapping chunking: chunks of `chunkSize` characters every
     * `stride` characters (overlap = chunkSize − stride). One narrow
     * explode per document — chunk_id = start/stride is deterministic.
-    * Returns (id, chunk_id, start, chunk). */
+    * Returns (id, chunk_id, start, chunk).
+    *
+    * The text is pre-split ONCE per document into stride-sized cells
+    * (one linear regex pass); chunk i is the join of the few cells
+    * covering [i·stride, i·stride + chunkSize), trimmed to length. The
+    * naive `substr(start, chunkSize)` per chunk is O(len²/stride) —
+    * UTF8String.substring seeks from the string start per call (r6 fuzz
+    * finding, same pathology as winnowFingerprints) — while the cell
+    * form is linear and carries only ~len/stride small strings per
+    * document row. `(?s)` keeps newlines inside cells; `.{1,n}` counts
+    * code points, matching substr's character semantics. */
   def chunkDocuments(docs: DataFrame, chunkSize: Int, stride: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0 && chunkSize > 0, "chunkSize and stride must be positive")
+    // cells covering a chunk: first = start/stride, count = enough whole
+    // strides to span chunkSize from any in-cell offset
+    val cellsPerChunk = chunkSize / stride + (if (chunkSize % stride == 0) 0 else 1)
     docs.select(col(idCol).as("id"), col(textCol).as("_t"))
-      .select(col("id"), col("_t"),
+      .select(col("id"),
+        regexp_extract_all(col("_t"), lit(s"(?s).{1,$stride}"), lit(0)).as("_cells"),
         explode(sequence(lit(0), greatest(length(col("_t")) - 1, lit(0)), lit(stride)))
           .as("start"))
       .select(col("id"), expr(s"start div $stride").as("chunk_id"), col("start"),
-        col("_t").substr(col("start") + 1, lit(chunkSize)).as("chunk"))
+        substring(
+          array_join(slice(col("_cells"), expr(s"start div $stride") + 1,
+            lit(cellsPerChunk)), ""),
+          1, chunkSize).as("chunk"))
+  }
 
   /** RE2-safe boilerplate patterns (identical semantics in Java regex and
     * DuckDB's RE2 — plain character classes, no lookaround). */

@@ -19,9 +19,13 @@ object TextFunctions {
 
   def charCount(text: Column): Column = length(text)
 
-  /** Punctuation chars / total chars. */
+  /** Punctuation chars / total chars; NULL for the empty string (nullif
+    * keeps the zero-length divisor from throwing under ANSI mode — an
+    * empty document must score NULL, not kill the stage; r6 fuzz
+    * finding). */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text)
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      nullif(length(text), lit(0))
 
   /** Mean word length in characters. */
   def meanWordLen(text: Column): Column =
@@ -151,15 +155,27 @@ object TextFunctions {
     * fingerprint. Entirely per-row array expressions — no explode/shuffle;
     * the gram-hash array is computed once per row (let-bound), so cost is
     * O(len·k) hashing + O(len·w) window mins.
-    * Documents shorter than `k` chars fingerprint their whole text. */
+    * Documents shorter than `k` chars fingerprint their whole text.
+    *
+    * Grams are sliced from a let-bound code-point array, NOT via
+    * `substr(i, k)`: UTF8String.substring seeks from the START of the
+    * string to find character i (variable-width encoding), so per-position
+    * substr is O(len²) in document length — the r6 fuzz pass caught a
+    * 2 MB single-line document taking tens of MINUTES on that path; the
+    * char-array form is linear (~seconds), at a transient per-row cost of
+    * one small string per code point, bounded by the 16 MiB record
+    * limit. */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     bindOnce(concat_ws(" ", tokens(lower(text))), { norm =>
-      val nGrams = greatest(length(norm) - (k - 1), lit(1))
-      bindOnce(transform(sequence(lit(1), nGrams), i => hash60(norm.substr(i, lit(k)))), { hs =>
-        when(size(hs) >= w,
-          array_sort(array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
-            j => array_min(slice(hs, j, lit(w)))))))
-          .otherwise(array(hash60(norm)))
+      bindOnce(split(norm, ""), { chars =>
+        val nGrams = greatest(size(chars) - (k - 1), lit(1))
+        bindOnce(transform(sequence(lit(1), nGrams),
+          i => hash60(array_join(slice(chars, i, lit(k)), ""))), { hs =>
+          when(size(hs) >= w,
+            array_sort(array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+              j => array_min(slice(hs, j, lit(w)))))))
+            .otherwise(array(hash60(norm)))
+        })
       })
     })
 

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.analytics.{Corpus, Dedup, Pii}
+import graft.functions.TextFunctions
+
+/** Adversarial-input hardening for the text/dedup family. The oracle
+  * corpus is well-formed prose; a 100 TB crawl is not. These properties
+  * feed the operators the inputs a real corpus contains — nulls, empty
+  * and whitespace-only strings, astral-plane characters, UNPAIRED
+  * surrogates, combining marks, RTL and CJK runs, control bytes, regex
+  * metacharacters, and multi-megabyte single documents with no
+  * whitespace — and assert the domain invariants that must survive them:
+  * no exception, values in range, chunking lossless and never splitting
+  * a code point, redaction idempotent.
+  *
+  * Note on unpaired surrogates: Spark stores UTF8String; a lone
+  * surrogate in a JVM String has no UTF-8 encoding and round-trips
+  * through the engine as the standard replacement. Invariants therefore
+  * compare Spark output against Spark-round-tripped input, never against
+  * the raw JVM string. */
+class FuzzSpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(97L + i * 7919L)))
+
+  // Hostile building blocks.
+  private val fragments: Seq[String] = Seq(
+    "", " ", "   \t\n  ", "plain english words here",
+    "😀𝔘🍕",       // astral: emoji + math 𝔘
+    "\uD800", "\uDFFF", "a\uD800b", "\uDC00tail", // unpaired surrogates
+    "é combining ä",                  // combining diacritics
+    "مرحبا بالعالم",                              // RTL Arabic
+    "的是了在和有汉字无空格",                        // CJK, no whitespace
+    "x" * 500,                                    // unbroken ASCII run
+    "((([[[{{{", "\\d+\\", "$^.*?|",              // regex metacharacters
+    "\u0000\u0007\u001b[0m",                      // NUL, BEL, ANSI escape
+    "a@b.co 4111-1111-1111-1111 999-99-9999",     // PII shapes
+    "word " * 40, ".,;:!?.,;:!?")
+
+  private val hostileGen: Gen[String] =
+    Gen.chooseNum(0, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(fragments)).map(_.mkString))
+
+  /** Hostile corpus incl. explicit null text rows: (doc_id, text). */
+  private def hostileDocs(n: Int) = {
+    val s = spark; import s.implicits._
+    val rows = samples(hostileGen, n).zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((9000L, null: String), (9001L, ""), (9002L, " "))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("text stats family: never throws; every score stays in its domain") {
+    val docs = hostileDocs(60)
+    val out = docs.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("toks"),
+      TextFunctions.bpeTokenCount(col("text")).as("bpe"),
+      TextFunctions.punctRatio(col("text")).as("punct"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp")
+    ).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      if (!r.isNullAt(1)) assert(r.getInt(1) >= 0, s"toks: $r")
+      if (!r.isNullAt(2)) assert(r.getInt(2) >= 0, s"bpe: $r")
+      if (!r.isNullAt(3)) {
+        val p = r.getDouble(3); assert(p >= 0.0 && p <= 1.0, s"punct: $r")
+      }
+      if (!r.isNullAt(4)) {
+        val q = r.getDouble(4); assert(q >= 0.0 && q <= 1.0, s"quality: $r")
+      }
+      if (!r.isNullAt(5)) // "und" = undetermined (null text scores no lexicon)
+        assert(("und" +: TextFunctions.LangLexicons.map(_._1)).contains(r.getString(5)))
+      if (!r.isNullAt(6)) assert(r.getString(6).matches("[0-9a-f]{32}"), s"fp: $r")
+    }
+  }
+
+  test("shingles + winnowing: non-null in, non-empty structurally-sane out") {
+    val docs = hostileDocs(60).where(col("text").isNotNull)
+    val out = docs.select(
+      TextFunctions.shingles(col("text"), 3).as("sh"),
+      TextFunctions.winnowFingerprints(col("text"), 5, 4).as("wf")
+    ).collect()
+    out.foreach { r =>
+      val sh = r.getSeq[String](0)
+      assert(sh.nonEmpty, "a document always has at least its whole-text shingle")
+      val wf = r.getSeq[Long](1)
+      assert(wf.nonEmpty && wf == wf.sorted && wf.distinct == wf, s"winnow: $wf")
+      wf.foreach(h => assert(h >= 0L, "hash60 is a positive 60-bit value"))
+    }
+    // the explode path used by the pair-gen inverted index
+    val idx = Dedup.shingleIndex(docs, "text", "doc_id", 3)
+    assert(idx.where(col("shingle").isNull).count() == 0)
+  }
+
+  test("chunkDocuments: stride==chunkSize reassembles exactly; chunks never exceed size or split code points") {
+    val s = spark; import s.implicits._
+    val docs = hostileDocs(40).where(col("text").isNotNull)
+    // what Spark itself holds for each doc (surrogate-normalized)
+    val full = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = Corpus.chunkDocuments(docs, chunkSize = 7, stride = 7)
+    // no chunk longer than chunkSize, measured in Spark code points
+    assert(chunks.where(length(col("chunk")) > 7).count() == 0)
+    val rebuilt = chunks.select(col("id"), col("chunk_id"), col("chunk")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(r => Option(r.getString(2)).getOrElse("")).mkString
+      }
+    full.foreach { case (id, text) =>
+      assert(rebuilt(id) == text, s"doc $id reassembly")
+    }
+    // astral-only doc: 2-codepoint chunks must contain whole characters
+    val astral = Seq((1L, "😀🍕𝔘😀")).toDF("doc_id", "text")
+    Corpus.chunkDocuments(astral, 2, 2).select(col("chunk")).collect().foreach { r =>
+      val c = r.getString(0)
+      assert(c.codePointCount(0, c.length) <= 2)
+      assert(!c.exists(ch => Character.isHighSurrogate(ch) && c.indexOf(ch) == c.length - 1),
+        s"chunk ends on a dangling high surrogate: ${c.toList}")
+    }
+  }
+
+  test("PII redaction: counts non-negative, idempotent, never throws on hostile text") {
+    val docs = hostileDocs(60)
+    val once = Pii.redact(docs, "text")
+    val rows = once.collect()
+    rows.foreach { r =>
+      Pii.categories.foreach { case (nameCat, _, _) =>
+        val v = r.getAs[Any](s"n_$nameCat")
+        if (v != null) assert(v.asInstanceOf[Int] >= 0)
+      }
+    }
+    // a second pass finds nothing: placeholders contain no redactable spans
+    val twice = Pii.redact(once.select(col("doc_id"), col("text")), "text")
+    val residual = twice.where(
+      Pii.categories.map { case (c, _, _) => col(s"n_$c") > 0 }.reduce(_ || _))
+    assert(residual.count() == 0, "redaction must be idempotent")
+  }
+
+  test("multi-MB single document with no whitespace survives the per-row array ops") {
+    val s = spark; import s.implicits._
+    val big = ("lorem1pIcksUm" * 160000) // ~2.1 MB, zero whitespace
+    val docs = Seq((1L, big)).toDF("doc_id", "text")
+    val r = docs.select(
+      TextFunctions.bpeTokenCount(col("text")).as("bpe"),
+      TextFunctions.tokenCount(col("text")).as("toks"),
+      size(TextFunctions.shingles(col("text"), 3)).as("nsh"),
+      size(TextFunctions.winnowFingerprints(col("text"), 8, 16)).as("nwf")
+    ).head()
+    assert(r.getInt(0) >= 1)
+    assert(r.getInt(1) == 1, "no whitespace => one token")
+    assert(r.getInt(2) == 1, "one token => whole-text shingle")
+    assert(r.getInt(3) >= 1)
+    // chunking a 2 MB doc: ~2100 chunks, lossless length
+    val chunked = Corpus.chunkDocuments(docs, 1024, 1024)
+    assert(chunked.agg(sum(length(col("chunk")))).head.getLong(0) == big.length)
+  }
+
+  test("langIdTable: one non-null prediction per doc, nulls included") {
+    val docs = hostileDocs(40)
+    val out = TextFunctions.langIdTable(docs, "doc_id", "text")
+    assert(out.count() == docs.count())
+    assert(out.where(col("predicted").isNull).count() == 0)
+  }
+}
