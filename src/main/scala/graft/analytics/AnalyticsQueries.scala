@@ -98,7 +98,7 @@ object AnalyticsQueries extends QueryModule {
 
   private def winnowPairsQ(s: SparkSession, d: String): DataFrame =
     Dedup.winnowOverlapPairs(nearCorpus(s, d).where(col("id") % 5 === 0),
-        minShared = 5, k = 5, w = 4, "text", "id")
+        minShared = 5, k = 5, w = 4, "text", "id", maxDocFreq = 64)
       .orderBy(col("id_a"), col("id_b"))
 
   private def simhashQ(s: SparkSession, d: String): DataFrame =
@@ -106,7 +106,8 @@ object AnalyticsQueries extends QueryModule {
       .orderBy(col("id"))
 
   private def simhashPairsQ(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDupPairs(nearCorpus(s, d), maxHamming = 3, bands = 4, "text", "id")
+    Dedup.simhashNearDupPairs(nearCorpus(s, d), maxHamming = 3, bands = 4, "text", "id",
+        maxBucket = 64)
       .orderBy(col("id_a"), col("id_b"))
 
   private def annTopK(s: SparkSession, d: String): DataFrame = {
@@ -456,9 +457,12 @@ object AnalyticsQueries extends QueryModule {
         |      list_sort(list_distinct(list_transform(range(1, ng - 2),
         |        j -> list_min(hs[j:j+3]))))
         |    ELSE [${hash60("norm")}] END) AS fp
-        |  FROM h)
+        |  FROM h),
+        |kept AS (
+        |  SELECT * FROM fp
+        |  WHERE fp NOT IN (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 64))
         |SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (
@@ -487,9 +491,13 @@ object AnalyticsQueries extends QueryModule {
         |  SELECT id, simhash, CAST(b AS INT) AS band,
         |         (simhash >> CAST(b * 15 AS INT)) & 32767 AS bkey
         |  FROM sig CROSS JOIN range(4) t(b)),
+        |hot AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) > 64),
+        |bands_kept AS (
+        |  SELECT bands.* FROM bands LEFT JOIN hot USING (band, bkey)
+        |  WHERE hot.band IS NULL),
         |cands AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS ha, b.simhash AS hb
-        |  FROM bands a JOIN bands b
+        |  FROM bands_kept a JOIN bands_kept b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cands WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY 1, 2""".stripMargin,

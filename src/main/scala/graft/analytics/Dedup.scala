@@ -148,17 +148,66 @@ object Dedup {
     verifyJaccard(cands, sig.select(col("id"), col("sh")), threshold)
   }
 
+  /** MinHash-LSH candidate pairs BETWEEN a new-document slice and the
+    * full corpus (`allDocs` must contain `newDocs`) — the incremental
+    * face of [[minhashLshPairs]]: over any partition of a corpus into
+    * arrival batches, the union of per-batch `between(new, allSoFar)`
+    * pairs equals the one-shot self-join pair set, because every pair is
+    * discovered exactly when its LATER document arrives (same-batch
+    * pairs collapse via least/greatest + distinct). The join touches
+    * only the new docs' band keys, so per-batch cost is proportional to
+    * the batch, not the corpus. */
+  def minhashLshPairsBetween(newDocs: DataFrame, allDocs: DataFrame,
+      threshold: Double, k: Int = 16, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    def bandKeysOf(sig: DataFrame) = {
+      val bandKeyArr = array((0 until bands).map { b =>
+        concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r)): _*)
+      }: _*)
+      sig.select(col("id"), posexplode(bandKeyArr).as(Seq("band", "band_key")))
+    }
+    val sigAll = minhashSigArrays(allDocs, k, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigNew = minhashSigArrays(newDocs, k, textCol, idCol, n)
+    val cands = bandKeysOf(sigNew).as("a").join(bandKeysOf(sigAll).as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sigAll.select(col("id"), col("sh")), threshold)
+  }
+
   /** Winnowing-overlap near-dup pairs (MOSS-style): documents sharing at
     * least `minShared` winnowing fingerprints (TextFunctions
     * .winnowFingerprints) are reported with their shared-fingerprint count.
     * Fingerprint sets are ~1/w the size of shingle sets, so the inverted
     * index and its self-join are proportionally cheaper than n-gram
-    * Jaccard at the same recall target for long shared passages. */
+    * Jaccard at the same recall target for long shared passages.
+    *
+    * `maxDocFreq` (0 = exact) drops fingerprints shared by more than that
+    * many documents before the self-join — the boilerplate cap. Without
+    * it a fingerprint appearing in f docs emits f²/2 join rows; corpus
+    * boilerplate (headers, license text, common k-grams) makes f grow
+    * WITH the corpus and the join quadratic — the r6 scale soak measured
+    * exponent 1.3 at 30× uncapped, ~1 capped. Same trade and shape as
+    * [[ngramJaccardPairs]]'s cap; MOSS drops over-common fingerprints for
+    * the same reason (Schleimer et al. 2003 §5 "too common" culling). */
   def winnowOverlapPairs(docs: DataFrame, minShared: Long, k: Int = 5, w: Int = 4,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val idx = docs.select(col(idCol).as("id"),
+      textCol: String = "text", idCol: String = "doc_id",
+      maxDocFreq: Long = 0L): DataFrame = {
+    val idx0 = docs.select(col(idCol).as("id"),
         explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx =
+      if (maxDocFreq <= 0) idx0
+      else {
+        val hot = idx0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq).select(col("fp"))
+        idx0.join(broadcast(hot), Seq("fp"), "left_anti")
+      }
     idx.as("a").join(idx.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -173,9 +222,20 @@ object Dedup {
     * EXACT for maxHamming <= bands - 1. Candidates verify with
     * bit_count(xor) — pure integer ops, so the DuckDB oracle matches
     * bit-for-bit. The join is an equi-join on (band, slice): linear in N
-    * plus true-collision volume, never O(N²). */
+    * plus true-collision volume, never O(N²).
+    *
+    * `maxBucket` (0 = exact) drops (band, slice) buckets holding more
+    * than that many documents — near-identical boilerplate documents
+    * all land the same band values, and an f-doc bucket emits f²/2
+    * candidates (r6 scale soak: superlinear at 30× uncapped). With the
+    * cap, the pigeonhole recall guarantee becomes conditional: a
+    * qualifying pair is missed only if EVERY band the two documents
+    * agree on is hot — i.e. both docs sit inside a >maxBucket
+    * boilerplate cluster, exactly the rows a dedup pipeline resolves by
+    * exact-hash grouping instead. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int, bands: Int = 6,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Long = 0L): DataFrame = {
     require(60 % bands == 0, "bands must divide 60")
     require(maxHamming <= bands - 1,
       s"banding with $bands bands only guarantees recall to hamming ${bands - 1}")
@@ -186,8 +246,16 @@ object Dedup {
     val slices = array((0 until bands).map { b =>
       call_function("shiftright", col("simhash"), lit(b * bandBits)).bitwiseAND(lit(mask))
     }: _*)
-    val bandKeys = sig.select(col("id"), col("simhash"),
+    val bandKeys0 = sig.select(col("id"), col("simhash"),
       posexplode(slices).as(Seq("band", "bkey")))
+    val bandKeys =
+      if (maxBucket <= 0) bandKeys0
+      else {
+        val hot = bandKeys0.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") > maxBucket).select(col("band"), col("bkey"))
+        bandKeys0.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      }
     bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
