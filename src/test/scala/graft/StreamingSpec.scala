@@ -501,4 +501,50 @@ fromCategory("acct")
       .map(r => r.getString(0) -> (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
     assert(streamed == batch)
   }
+
+  test("streaming near-dup resolution == batch resolveNearDups, restart-safe across chunks") {
+    val s = spark; import s.implicits._
+    import graft.analytics.{Dedup, DedupStream}
+    val srcDir = Files.createTempDirectory("nddocs").toString
+    val stateDir = Files.createTempDirectory("ndstate").toString
+    val ck = Files.createTempDirectory("ndck").toString
+
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    val chunk1 = Seq(
+      (1L, base + " alpha"), (2L, base + " beta"),
+      (3L, "completely different text about spark catalyst optimizer internals and codegen"),
+      (4L, "yet another unrelated document talking about parquet bloom filters and stats"))
+    // 5 near-dups doc 1 ACROSS the restart; 7 near-dups 6 within its own chunk
+    val chunk2 = Seq(
+      (5L, base + " gamma"),
+      (6L, "streaming state stores keep per key state across micro batch boundaries safely"),
+      (7L, "streaming state stores keep per key state across micro batch boundaries today"))
+
+    val pg = (nw: org.apache.spark.sql.DataFrame, all: org.apache.spark.sql.DataFrame) =>
+      Dedup.minhashLshPairsBetween(nw, all, threshold = 0.5, k = 16, bands = 8,
+        textCol = "text", idCol = "doc_id", n = 3)
+
+    def runOnce(): Unit = {
+      val q = DedupStream.resolveNearDupsStream(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"))
+          .parquet(srcDir),
+        stateDir, ck, pg)
+      q.awaitTermination(120000)
+    }
+    chunk1.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+    chunk2.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce() // RESTART on the same checkpoint: only the new files process
+
+    val streamed = spark.read.parquet(s"$stateDir/resolved")
+      .select("doc_id").as[Long].collect().toSet
+    val all = (chunk1 ++ chunk2).toDF("doc_id", "text")
+    val batchResolved = Dedup.resolveNearDups(all,
+        Dedup.minhashLshPairs(all, 0.5, 16, 8, "text", "doc_id", 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batchResolved)
+    assert(streamed.contains(1L) && !streamed.contains(5L), "cross-restart near-dup dropped")
+    assert(streamed.contains(6L) && !streamed.contains(7L), "same-chunk near-dup dropped")
+  }
 }
