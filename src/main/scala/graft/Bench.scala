@@ -63,7 +63,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    val outs = Seq("/tmp/bench.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    // BENCH_LOCAL.json (cwd = project root under sbt) keeps the COMPLETE
+    // per-query map in-repo: the driver's stdout capture truncates to the
+    // last ~60 queries, which silently drops the early-alphabet families
+    // from round-over-round comparison.
+    val outs = Seq("/tmp/bench.json", "BENCH_LOCAL.json") ++
+      sys.env.get("SPARK_GRAFT_BENCH_OUT")
     outs.foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

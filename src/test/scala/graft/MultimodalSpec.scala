@@ -92,6 +92,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(!out(1).getBoolean(1) && out(1).getLong(4) == 0L)
   }
 
+  test("realistic blob sizes decode partition-locally; >16 MiB blobs refused at the log layer") {
+    val s = spark; import s.implicits._
+    // a 4-megapixel image (what a real photo decodes to) and a >1 MiB WAV:
+    // decode + resize + hash run inside the partition and stay memory-bounded
+    // (one decoded blob at a time per task, never collected to the driver)
+    val bigPng = Multimodal.ImageCodecs.syntheticPng(11L, 2048, 2048)
+    val bigWav = Multimodal.AudioCodecs.syntheticWav(11L, 600000)
+    assert(bigWav.length > 1024 * 1024)
+    val img = Multimodal.decodeImagesReal(
+      Seq((1L, bigPng)).toDF("media_id", "bytes")).head()
+    assert(img.getBoolean(1) && img.getInt(2) == 2048 && img.getInt(3) == 2048)
+    val aud = Multimodal.decodeAudioReal(
+      Seq((2L, bigWav)).toDF("media_id", "bytes")).head()
+    assert(aud.getBoolean(1) && aud.getLong(4) == 600000L)
+    // the log layer's record ceiling (reference TFConsts 16 MiB) is the
+    // pinned max blob size for event-carried media; larger blobs belong in
+    // media tables as parquet binary, which has no such ceiling
+    val store = new graft.sources.EventLogStore(spark,
+      java.nio.file.Files.createTempDirectory("blob").toString)
+    val err = intercept[graft.sources.MaxAppendSizeExceededException] {
+      store.append(Seq(graft.sources.PendingEvent(
+        "media-1", "e-blob", "BlobAttached", "x" * (16 * 1024 * 1024 + 1))))
+    }
+    assert(err.getMessage.contains("16 MiB"))
+  }
+
   test("audio features flow into similarity search") {
     val s = spark; import s.implicits._
     val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
