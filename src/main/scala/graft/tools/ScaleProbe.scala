@@ -40,7 +40,8 @@ object ScaleProbe {
     "emb_near_dup", "ann_ivf_topk", "text_winnow_fp", "text_repetition",
     "text_bpe_tokens", "pii_redact", "pack_sequences", "select_token_budget",
     "tfidf_keywords", "decontaminate", "pipeline_training_data",
-    "p5_fold_count_sum", "js_fold_count_sum", "session_window_agg",
+    "p5_fold_count_sum", "p7_fold_monoid", "chunk_documents",
+    "js_fold_count_sum", "session_window_agg",
     "window_sliding_agg", "sys3_stream_by_category",
     "multimodal_image_real", "multimodal_audio_decode")
 
