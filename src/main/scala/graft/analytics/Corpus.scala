@@ -98,6 +98,30 @@ object Corpus {
           1, chunkSize).as("chunk"))
   }
 
+  /** Token-boundary RAG chunking: windows of `chunkTokens` BPE-ish pieces
+    * every `strideTokens` pieces — the unit LLM context budgets are
+    * actually measured in (char chunks split words and blow token
+    * budgets; token chunks are what a retrieval pipeline indexes). The
+    * BPE pre-tokenization ([[graft.functions.TextFunctions.BpePattern]])
+    * covers every character class, so concatenating the pieces losslessly
+    * reconstructs the text: each chunk IS a contiguous text slice that
+    * starts and ends on token boundaries. One linear regex pass per
+    * document (let-bound piece array shared by the explode), narrow
+    * explode, zero shuffles. Returns (id, chunk_id, n_tokens, chunk). */
+  def chunkByTokens(docs: DataFrame, chunkTokens: Int, strideTokens: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0, "chunkTokens and strideTokens must be positive")
+    docs.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.bpePieces(col(textCol)).as("_p"))
+      .select(col("id"), col("_p"),
+        explode(sequence(lit(0),
+          greatest(size(col("_p")) - 1, lit(0)), lit(strideTokens))).as("_start"))
+      .select(col("id"),
+        expr(s"_start div $strideTokens").as("chunk_id"),
+        least(size(col("_p")) - col("_start"), lit(chunkTokens)).as("n_tokens"),
+        array_join(slice(col("_p"), col("_start") + 1, lit(chunkTokens)), "").as("chunk"))
+  }
+
   /** RE2-safe boilerplate patterns (identical semantics in Java regex and
     * DuckDB's RE2 — plain character classes, no lookaround). */
   val UrlPattern = "https?://[^\\s]+"

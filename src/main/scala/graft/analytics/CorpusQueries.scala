@@ -26,6 +26,15 @@ object CorpusQueries extends QueryModule {
         length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("id"), col("chunk_id"))
 
+  /** Token-boundary chunking: 60-token windows every 40 tokens (20-token
+    * overlap), hashed rather than carried as text. */
+  private def chunkTokQ(s: SparkSession, d: String): DataFrame =
+    Corpus.chunkByTokens(Tables.documents(s, d), chunkTokens = 60, strideTokens = 40)
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("id"), col("chunk_id"))
+
   /** Corpus with planted URL/e-mail/whitespace noise on docs 0..49. */
   private def noisy(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
@@ -150,6 +159,7 @@ object CorpusQueries extends QueryModule {
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "pack_sequences" -> (packQ _),
     "chunk_documents" -> (chunkQ _),
+    "chunk_by_tokens" -> (chunkTokQ _),
     "text_clean" -> (cleanQ _),
     "pii_redact" -> (piiQ _),
     "dedup_lines" -> (lineDedupQ _),
@@ -184,6 +194,20 @@ object CorpusQueries extends QueryModule {
         |  CAST(length(substr(text, CAST(start AS INT) + 1, 120)) AS INT) AS chunk_len,
         |  md5(substr(text, CAST(start AS INT) + 1, 120)) AS chunk_md5
         |FROM starts ORDER BY id, chunk_id""".stripMargin,
+    "chunk_by_tokens" ->
+      s"""WITH p AS (
+        |  SELECT doc_id AS id,
+        |    regexp_extract_all(text, '${graft.functions.TextFunctions.BpePattern}') AS pieces
+        |  FROM documents),
+        |s AS (
+        |  SELECT id, pieces,
+        |    unnest(range(0, greatest(len(pieces) - 1, 0) + 1, 40)) AS start
+        |  FROM p)
+        |SELECT id, CAST(start // 40 AS BIGINT) AS chunk_id,
+        |  CAST(least(len(pieces) - start, 60) AS INT) AS n_tokens,
+        |  CAST(length(array_to_string(pieces[CAST(start + 1 AS INT):CAST(start + 60 AS INT)], '')) AS INT) AS chunk_len,
+        |  md5(array_to_string(pieces[CAST(start + 1 AS INT):CAST(start + 60 AS INT)], '')) AS chunk_md5
+        |FROM s ORDER BY id, chunk_id""".stripMargin,
     "pii_redact" ->
       s"""WITH s0 AS (
         |  SELECT doc_id, $piiInjectSql AS t FROM documents),

@@ -184,7 +184,29 @@ object RelationalQueries extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** As-of join attribution: each click joined to the same user's latest
+    * purchase at-or-before it (the classic "which purchase does this
+    * click follow" event-analytics question). Purchases pre-aggregate to
+    * one row per (user, µs) so the as-of match is deterministic; both
+    * engines compare µs integers (ns would diverge on DuckDB's µs
+    * truncation). Exercises [[Temporal.asofJoin]]'s union + single-shuffle
+    * running-window plan — no range join. */
+  private def asofAttrib(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.rawEvents(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("purchase_ts_us"),
+        QueryUtil.cents(col("value")).as("_c"))
+      .groupBy(col("user_id"), col("purchase_ts_us"))
+      .agg(max(col("_c")).as("purchase_cents"))
+    Temporal.asofJoin(clicks, purchases, Seq("user_id"), "ts_us", "purchase_ts_us",
+        Seq("purchase_ts_us", "purchase_cents"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "asof_join_attrib" -> (asofAttrib _),
     "rollup_agg" -> (rollupAgg _),
     "percentiles_value" -> (percentilesQ _),
     "cardinality_distinct" -> (cardinality _),
@@ -201,6 +223,18 @@ object RelationalQueries extends QueryModule {
   )
 
   def oracles: Seq[(String, String)] = Seq(
+    "asof_join_attrib" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |pur AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us,
+        |         max(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts_us, p.purchase_ts_us, p.purchase_cents
+        |FROM clicks c ASOF LEFT JOIN pur p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.purchase_ts_us
+        |ORDER BY c.event_id""".stripMargin,
     "rollup_agg" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  ${QueryUtil.dsumSql("l_quantity")} AS sum_qty,

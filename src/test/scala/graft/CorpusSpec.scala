@@ -61,6 +61,33 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("chunkByTokens: windows land on token boundaries and reassemble losslessly") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((90001L, ""), (90002L, "one-token")).toDF("doc_id", "text"))
+    // stride == chunk: concatenation reconstructs the document exactly
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val whole = Corpus.chunkByTokens(docs, 16, 16)
+      .orderBy("id", "chunk_id").collect().groupBy(_.getAs[Long]("id"))
+    texts.foreach { case (id, text) =>
+      assert(whole(id).map(_.getAs[String]("chunk")).mkString == text, s"doc $id")
+    }
+    // overlapping windows: every chunk is a contiguous substring, and
+    // n_tokens re-tokenizes to itself (boundaries never split a token)
+    val firstId = texts.keys.min
+    val over = Corpus.chunkByTokens(docs.where(col("doc_id") === firstId), 8, 5)
+      .orderBy("chunk_id").collect()
+    assert(over.length > 2)
+    over.foreach { r =>
+      val chunk = r.getAs[String]("chunk")
+      assert(texts(firstId).contains(chunk))
+      val n = spark.range(1).select(
+        graft.functions.TextFunctions.bpeTokenCount(lit(chunk))).head.getInt(0)
+      assert(n == r.getAs[Int]("n_tokens"), s"chunk re-tokenizes to $n tokens")
+    }
+  }
+
   test("cleanText strips urls/emails, collapses whitespace, and is idempotent") {
     val s = spark; import s.implicits._
     val df = Seq(
