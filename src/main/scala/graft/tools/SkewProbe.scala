@@ -24,7 +24,7 @@ object SkewProbe {
       (col("id") * 2).as("log_position"))
     val cold = spark.range(1000L * 100).select(
       concat(lit("cold-"), (col("id") % 1000)).as("stream_id"),
-      (col("id") / 1000).as("event_number"),
+      expr("id div 1000").as("event_number"),
       lit("E").as("event_type"),
       (col("id") * 2 + 1).as("log_position"))
     hot.unionAll(cold).select(
