@@ -68,22 +68,70 @@ private[js] object JsRegexOps {
     new JsRegex(pattern, flags)
   }
 
+  // ------------------------------------------------- backtracking guard
+
+  /** The interpreter's step budget counts a whole regex call as ONE step,
+    * but `java.util.regex` backtracks exponentially inside that one call:
+    * `/(a+)+b/` against 40 a's is ~2^40 internal operations — an
+    * untrusted handler regex plus adversarial corpus data would pin an
+    * executor core for hours (the engine-level analog of the reference
+    * running Jint under a TimeConstraint). Every matcher therefore reads
+    * the subject through a counting CharSequence: the match engine touches
+    * `charAt` on every step it takes, so bounding reads bounds
+    * backtracking. The budget is generous — max(1M, 2000·len) reads; a
+    * linear pass reads each char a handful of times, so real handler
+    * regexes sit orders of magnitude below it — and tripping it throws a
+    * CATCHABLE JsError, never a silent wrong answer or a hung task. */
+  private final class GuardedSeq(s: String, budget: Long) extends CharSequence {
+    private var reads = 0L
+    def length: Int = s.length
+    def charAt(i: Int): Char = {
+      reads += 1
+      if (reads > budget)
+        throw new JsError(
+          "Error: regex execution budget exceeded (catastrophic backtracking?)")
+      s.charAt(i)
+    }
+    def subSequence(a: Int, b: Int): CharSequence = s.subSequence(a, b)
+    override def toString: String = s
+  }
+
+  private def guardedMatcher(r: JsRegex, s: String): Matcher =
+    r.compiled.matcher(new GuardedSeq(s, math.max(1000000L, s.length.toLong * 2000L)))
+
+  /** java.util.regex matches by RECURSION for non-deterministic loops, so
+    * a pattern like `(ab?)+c$` against a few thousand chars throws
+    * StackOverflowError — an Error, which would kill the executor thread
+    * uncatchably where the read budget never fires. The regex engine
+    * unwinds cleanly (pure computation, no shared state mid-match), so
+    * converting it to the same catchable JsError is safe and keeps the
+    * contract: hostile pattern+data can fail a HANDLER, never a task. */
+  private def guardSOE[A](f: => A): A =
+    try f
+    catch {
+      case _: StackOverflowError =>
+        throw new JsError(
+          "Error: regex execution budget exceeded (pattern recursion too deep)")
+    }
+
   // ------------------------------------------------------------- exec/test
 
   /** RegExp.prototype.exec: `g` starts at lastIndex and advances it
     * (0 on failure); non-global always searches from 0 and leaves
     * lastIndex alone. Returns [full, group1, …] (JsUndef for unmatched
     * groups) or null. */
-  def exec(r: JsRegex, s: String): JsVal = {
+  def exec(r: JsRegex, s: String): JsVal = guardSOE {
     val start = if (r.global) r.lastIndex else 0
-    if (start < 0 || start > s.length) { r.lastIndex = 0; return JsNull }
-    val m = r.compiled.matcher(s)
-    if (!m.find(start)) {
-      if (r.global) r.lastIndex = 0
-      JsNull
-    } else {
-      if (r.global) r.lastIndex = m.end
-      groupsArr(m)
+    if (start < 0 || start > s.length) { r.lastIndex = 0; JsNull }
+    else {
+      val m = guardedMatcher(r, s)
+      if (!m.find(start)) {
+        if (r.global) r.lastIndex = 0
+        JsNull
+      } else {
+        if (r.global) r.lastIndex = m.end
+        groupsArr(m)
+      }
     }
   }
 
@@ -107,8 +155,8 @@ private[js] object JsRegexOps {
     * resets lastIndex. Null when nothing matches. */
   def matchStr(s: String, r: JsRegex): JsVal =
     if (!r.global) exec(r, s)
-    else {
-      val m = r.compiled.matcher(s)
+    else guardSOE {
+      val m = guardedMatcher(r, s)
       val buf = mutable.ArrayBuffer.empty[JsVal]
       var from = 0
       while (from <= s.length && m.find(from)) {
@@ -121,8 +169,8 @@ private[js] object JsRegexOps {
 
   /** String.prototype.search: first match index or -1; ignores `g` and
     * never touches lastIndex. */
-  def search(s: String, r: JsRegex): Double = {
-    val m = r.compiled.matcher(s)
+  def search(s: String, r: JsRegex): Double = guardSOE {
+    val m = guardedMatcher(r, s)
     if (m.find(0)) m.start.toDouble else -1.0
   }
 
@@ -133,7 +181,7 @@ private[js] object JsRegexOps {
     * SPLICED INTO THE OUTPUT ("a1b".split(/(\d)/) → ["a","1","b"]), and a
     * separator match at position 0 yields a leading "". `limit` is
     * ToUint32 (undefined → 2^32-1). */
-  def split(s: String, r: JsRegex, limitOpt: Option[Double]): mutable.ArrayBuffer[JsVal] = {
+  def split(s: String, r: JsRegex, limitOpt: Option[Double]): mutable.ArrayBuffer[JsVal] = guardSOE {
     val out = mutable.ArrayBuffer.empty[JsVal]
     val lim: Long = limitOpt match {
       case None => 0xFFFFFFFFL
@@ -141,7 +189,7 @@ private[js] object JsRegexOps {
       case Some(d) => d.toLong & 0xFFFFFFFFL
     }
     if (lim == 0L) return out
-    val m = r.compiled.matcher(s)
+    val m = guardedMatcher(r, s)
     // attempt-at-position-q semantics (ES SplitMatch), not search-forward:
     m.useTransparentBounds(true)
     m.useAnchoringBounds(false)
@@ -232,8 +280,8 @@ private[js] object JsRegexOps {
     })
 
   private def replaceWith(s: String, r: JsRegex,
-      piece: (Matcher, Int) => String): String = {
-    val m = r.compiled.matcher(s)
+      piece: (Matcher, Int) => String): String = guardSOE {
+    val m = guardedMatcher(r, s)
     val sb = new StringBuilder
     var from = 0
     var last = 0

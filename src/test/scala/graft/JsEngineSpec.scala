@@ -856,4 +856,37 @@ fromCategory("chat").when({
       "var ok = false; try { new RegExp('a', 'y'); } catch (e) { ok = true; } ok")
       == JsBool(true))
   }
+
+  test("regex: pathological backtracking trips the read budget, catchably and fast") {
+    // JDK 17 memoizes the classic (a+)+ ReDoS shape, but .*.*.*…x$ still
+    // backtracks polynomially — unguarded, ~3k chars costs billions of
+    // internal steps inside ONE interpreter step. The guarded matcher
+    // must throw a catchable error within the bounded read count.
+    val t0 = System.nanoTime()
+    assert(evalJs(
+      """var msg = '';
+        |var s = '';
+        |for (var i = 0; i < 3000; i++) s += 'a';
+        |try { /.*.*.*.*.*x$/.test(s); } catch (e) { msg = e.message; }
+        |msg.indexOf('regex execution budget') >= 0""".stripMargin) == JsBool(true))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 20.0, s"guard must trip quickly, took $sec s")
+    // ...while legitimate heavy-but-linear regex work stays under budget
+    assert(evalJs(
+      """var s = '';
+        |for (var i = 0; i < 2000; i++) s += 'word' + i + ' ';
+        |s.match(/\w+/g).length""".stripMargin) == JsNum(2000.0))
+  }
+
+  test("regex: deep-recursion patterns convert StackOverflowError to a catchable error") {
+    // (ab?)+c$ recurses once per char in java.util.regex — a few thousand
+    // chars overflow the JVM stack; an Error would kill the executor
+    // thread. The guard converts it to the same catchable budget error.
+    assert(evalJs(
+      """var msg = '';
+        |var s = '';
+        |for (var i = 0; i < 4000; i++) s += 'ab';
+        |try { /(ab?)+c$/.test(s); } catch (e) { msg = e.message; }
+        |msg.indexOf('regex execution budget') >= 0""".stripMargin) == JsBool(true))
+  }
 }
