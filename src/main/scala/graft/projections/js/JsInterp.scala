@@ -53,9 +53,23 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
     last
   }
 
+  // Call depth cap: the interpreter evaluates JS calls with JVM recursion,
+  // and the step budget cannot fire before a runaway-recursive handler
+  // (`function f(){return f()}`) overflows the JVM stack — a
+  // StackOverflowError Error that would kill the executor thread. ES
+  // specifies the catchable answer: "RangeError: Maximum call stack size
+  // exceeded". Each JS frame costs ~25 JVM frames in this tree-walker, so
+  // the cap must fit the smallest stack the engine may run on: 256 JS
+  // frames ≈ 6–7k JVM frames, safe on a default 512 KiB thread stack and
+  // still an order of magnitude past any real projection handler.
+  private var callDepth = 0
+  private val MaxCallDepth = 256
+
   def callFunction(f: JsVal, args: Seq[JsVal]): JsVal = f match {
     case JsNative(_, _, fn) => fn(args)
     case JsFunc(params, body, closure) =>
+      if (callDepth >= MaxCallDepth)
+        throw new JsError("RangeError: Maximum call stack size exceeded")
       val env = new Env(Some(closure))
       params.zipWithIndex.foreach { case (name, i) =>
         env.define(name, if (i < args.length) args(i) else JsUndef)
@@ -65,8 +79,10 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
       // per-call array allocation shows up at millions of events
       if (usesArguments(body))
         env.define("arguments", JsArr(mutable.ArrayBuffer(args: _*)))
+      callDepth += 1
       try { run(body, env); JsUndef }
       catch { case r: ReturnEx => r.value }
+      finally callDepth -= 1
     case other => throw new JsError(s"${JsVal.toStr(other)} is not a function")
   }
 

@@ -401,7 +401,21 @@ final class JsParser(src: String) {
     e
   }
 
+  // Recursive-descent depth cap: a hostile definition like ((((…(1)…))))
+  // with tens of thousands of parens would overflow the JVM stack during
+  // COMPILE (an Error, not a parse failure). 200 nesting levels is far
+  // beyond any legitimate projection; past it, fail with the same loud
+  // JsParseError as any other malformed source.
+  private var exprDepth = 0
   private def assignExpr(): Expr = {
+    exprDepth += 1
+    if (exprDepth > 200)
+      throw new JsParseError(
+        s"line ${peek.line}: expression nesting too deep (>200 levels)")
+    try assignExprInner() finally exprDepth -= 1
+  }
+
+  private def assignExprInner(): Expr = {
     val left = condExpr()
     peek.kind match {
       case "=" | "+=" | "-=" | "*=" | "/=" | "%=" =>

@@ -878,6 +878,25 @@ fromCategory("chat").when({
         |s.match(/\w+/g).length""".stripMargin) == JsNum(2000.0))
   }
 
+  test("runaway recursion: catchable RangeError at the ES call-depth cap, not a JVM stack death") {
+    assert(evalJs(
+      """var msg = '';
+        |function f() { return f(); }
+        |try { f(); } catch (e) { msg = e.message; }
+        |msg.indexOf('Maximum call stack') >= 0""".stripMargin) == JsBool(true))
+    // legitimate deep-but-bounded recursion still works
+    assert(evalJs("function g(n){ return n <= 0 ? 0 : 1 + g(n - 1); } g(200)")
+      == JsNum(200.0))
+  }
+
+  test("hostile nesting fails the parse loudly instead of overflowing the compile stack") {
+    val deep = "(" * 2000 + "1" + ")" * 2000
+    val err = intercept[graft.projections.js.JsParseError] {
+      graft.projections.js.JsParser.program(deep)
+    }
+    assert(err.getMessage.contains("nesting too deep"))
+  }
+
   test("regex: deep-recursion patterns convert StackOverflowError to a catchable error") {
     // (ab?)+c$ recurses once per char in java.util.regex — a few thousand
     // chars overflow the JVM stack; an Error would kill the executor
