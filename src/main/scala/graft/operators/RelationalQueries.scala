@@ -205,8 +205,29 @@ object RelationalQueries extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Interval (range) join: each purchase opens a 1-hour attribution
+    * window; count the same user's clicks inside it. Exercises
+    * [[Temporal.intervalJoin]]'s block-bucketed equi-join plan (blockSize
+    * = the window span, so each interval explodes into <= 2 blocks). */
+  private def rangeJoinWindow(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables.rawEvents(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts div 1000").as("win_start"),
+        (expr("ts div 1000") + hourUs).as("win_end"))
+    Temporal.intervalJoin(clicks, purchases, Seq("user_id"),
+        "ts_us", "win_start", "win_end", Seq("purchase_id"), blockSize = hourUs)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("purchase_id"))
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "asof_join_attrib" -> (asofAttrib _),
+    "range_join_window" -> (rangeJoinWindow _),
     "rollup_agg" -> (rollupAgg _),
     "percentiles_value" -> (percentilesQ _),
     "cardinality_distinct" -> (cardinality _),
@@ -235,6 +256,17 @@ object RelationalQueries extends QueryModule {
         |FROM clicks c ASOF LEFT JOIN pur p
         |  ON c.user_id = p.user_id AND c.ts_us >= p.purchase_ts_us
         |ORDER BY c.event_id""".stripMargin,
+    "range_join_window" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |pur AS (
+        |  SELECT event_id AS purchase_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS s
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
+        |FROM pur p JOIN clicks c
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.s AND c.ts_us < p.s + 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rollup_agg" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  ${QueryUtil.dsumSql("l_quantity")} AS sum_qty,

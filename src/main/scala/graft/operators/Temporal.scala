@@ -32,6 +32,46 @@ import org.apache.spark.sql.functions._
   * pre-aggregate the right side if a key dominates. */
 object Temporal {
 
+  /** Interval (range) join: every (point, interval) pair with the same
+    * key and `start <= ts < end` — sessionization, attribution windows,
+    * validity-period lookups. A naive theta-join degenerates to
+    * per-key cross products (Spark plans key-equi + range FILTER, which
+    * is fine only while single keys stay small); this instead buckets
+    * time into fixed blocks: each interval EXPLODES into the blocks it
+    * covers, each point computes its one block, and the join is a pure
+    * equi-join on (key…, block) + the exact range predicate. A point's
+    * block is unique, so a matching interval meets it in exactly one
+    * block — no distinct step. Block count per interval =
+    * span/blockSize + 1: pick blockSize near the typical interval span
+    * so fan-out stays O(1) per interval while each block's population
+    * stays bounded — shuffle volume is then linear in points +
+    * intervals, independent of per-key density, and the plan shape
+    * survives 100 TB. Returns left.* + `payload` columns from the
+    * matched interval (inner join: unmatched points drop). */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      tsCol: String, startCol: String, endCol: String, payload: Seq[String],
+      blockSize: Long): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
+    // exact integer block id for a NON-NEGATIVE time domain: long modulo
+    // stays exact where double floor(x/b) loses precision past 2^53
+    // (nanosecond epochs are ~2^60)
+    def blk(c: Column): Column =
+      ((c - (c % blockSize)).cast("decimal(38,0)") / blockSize).cast("long")
+    val p = points.withColumn("_blk", blk(col(tsCol)))
+    val i = intervals
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(endCol) > col(startCol))
+      .select(keys.map(col) ++
+        Seq(col(startCol).as("_s"), col(endCol).as("_e"),
+          struct(payload.map(col): _*).as("_p")): _*)
+      // end is exclusive: the last covered block is the one holding end-1
+      .withColumn("_blk", explode(sequence(blk(col("_s")), blk(col("_e") - 1))))
+    p.join(i, keys :+ "_blk")
+      .where(col(tsCol) >= col("_s") && col(tsCol) < col("_e"))
+      .select(points.columns.map(col) ++
+        payload.map(f => col("_p").getField(f).as(f)): _*)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")

@@ -37,6 +37,26 @@ class TemporalSpec extends SparkTestBase {
     assert(out(1).getString(3) == "y")
   }
 
+  test("intervalJoin equals the naive theta-join for every block size") {
+    val s = spark; import s.implicits._
+    // intervals of varying span (some spanning many blocks, some empty,
+    // one inverted — dropped), points on and off boundaries
+    val points = (0 to 300).map(i => (i.toLong, s"k${i % 5}", i.toLong * 7)).toDF("pid", "k", "t")
+    val intervals = Seq(
+      (1L, "k0", 0L, 100L), (2L, "k0", 100L, 101L), (3L, "k1", 50L, 1050L),
+      (4L, "k2", 2000L, 2100L), (5L, "k3", 10L, 10L), (6L, "k4", 90L, 80L),
+      (7L, "k0", 95L, 2101L)).toDF("iid", "k", "s", "e")
+    val naive = points.as("p").join(intervals.as("i"),
+        col("p.k") === col("i.k") && col("p.t") >= col("s") && col("p.t") < col("e"))
+      .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bs <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      val got = Temporal.intervalJoin(points, intervals, Seq("k"), "t", "s", "e",
+          Seq("iid"), blockSize = bs)
+        .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"blockSize=$bs")
+    }
+  }
+
   test("asofJoin survives a shuffled, multi-partition input identically") {
     val s = spark; import s.implicits._
     val left = (1 to 200).map(i => (i.toLong, s"u${i % 7}", i.toLong * 10)).toDF("id", "k", "t")
