@@ -41,6 +41,7 @@ object ScaleProbe {
     "text_bpe_tokens", "pii_redact", "pack_sequences", "select_token_budget",
     "tfidf_keywords", "decontaminate", "pipeline_training_data",
     "p5_fold_count_sum", "p7_fold_monoid", "chunk_documents",
+    "asof_join_attrib", "range_join_window", "chunk_by_tokens",
     "js_fold_count_sum", "session_window_agg",
     "window_sliding_agg", "sys3_stream_by_category",
     "multimodal_image_real", "multimodal_audio_decode")
