@@ -122,6 +122,19 @@ object AnalyticsQueries extends QueryModule {
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** PQ-compressed ANN: deterministic codebook (iters=0 → the 16
+    * lowest-id vectors' slices), 4×16-dim subspaces, ADC top-5 for the
+    * first 10 queries. The oracle recomputes quantizer + codes + ADC in
+    * SQL, so the whole compressed-search path is value-checked. */
+  private def annPqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = Similarity.pqCodebook(emb, m = 4, kcent = 16, iters = 0)
+    val enc = Similarity.pqEncode(emb, cb, m = 4)
+    Similarity.pqTopK(emb.where(col("vec_id") < 10), enc, cb, m = 4, kcent = 16, k = 5)
+      .withColumn("adist", round(col("adist"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def dedupSemantic(s: SparkSession, d: String): DataFrame =
     Similarity.semanticDedup(Tables.embeddings(s, d), nlist = 16, threshold = 0.4)
       .withColumn("max_prior_sim", round(col("max_prior_sim"), 6))
@@ -197,6 +210,7 @@ object AnalyticsQueries extends QueryModule {
     "dedup_semantic" -> (dedupSemantic _),
     "ann_cosine_topk" -> (annTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_pq_topk" -> (annPqTopK _),
     "ann_lsh_neardup" -> (annLshNearDup _),
     "emb_near_dup" -> (embNearDup _)
   )
@@ -566,6 +580,37 @@ object AnalyticsQueries extends QueryModule {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sl AS (
+        |  SELECT vec_id, CAST(s.sub AS INT) AS sub,
+        |         v[CAST(s.sub * 16 + 1 AS INT):CAST(s.sub * 16 + 16 AS INT)] AS sv
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS sub) s),
+        |cb AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv FROM sl WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT a.vec_id, a.sub, b.cid,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (a.sv[CAST(i AS INT)] - b.cv[CAST(i AS INT)])
+        |         * (a.sv[CAST(i AS INT)] - b.cv[CAST(i AS INT)]))) AS d
+        |  FROM sl a JOIN cb b USING (sub)),
+        |enc AS (
+        |  SELECT vec_id AS neighbor_id, list(cid ORDER BY sub) AS codes FROM (
+        |    SELECT vec_id, sub, cid,
+        |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+        |    FROM dist) WHERE rn = 1 GROUP BY vec_id),
+        |qtab AS (
+        |  SELECT vec_id AS query_id, list(d ORDER BY sub, cid) AS tab
+        |  FROM dist WHERE vec_id < 10 GROUP BY vec_id),
+        |scored AS (
+        |  SELECT q.query_id, n.neighbor_id,
+        |    list_sum(list_transform(range(4),
+        |      s -> q.tab[CAST(s * 16 + n.codes[CAST(s + 1 AS INT)] + 1 AS INT)])) AS adist
+        |  FROM enc n CROSS JOIN qtab q
+        |  WHERE q.query_id <> n.neighbor_id)
+        |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, round(adist, 6) AS adist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adist, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_lsh_neardup" -> {
       // same ±1 hyperplanes as Similarity.lshSignature (planes=4, dims=64),
       // same left-to-right double summation order

@@ -156,6 +156,55 @@ class AnalyticsSpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("PQ: degenerate quantizer is exact; encoding deterministic; Lloyd cuts distortion") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    // m=1, kcent >= N, iters=0: every vector is its own centroid, so codes
+    // are identities and ADC == true squared L2 — PQ top-k must equal the
+    // exact L2 ranking
+    val cb = Similarity.pqCodebook(vecs, m = 1, kcent = 40, iters = 0)
+    val enc = Similarity.pqEncode(vecs, cb, m = 1)
+    enc.collect().foreach { r =>
+      assert(r.getSeq[Int](1) == Seq(r.getLong(0).toInt), s"self-code: $r")
+    }
+    val got = Similarity.pqTopK(vecs.where(col("vec_id") < 5), enc, cb,
+        m = 1, kcent = 40, k = 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val raw = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = (for {
+      q <- 0L until 5L
+      (n, rank) <- raw.keys.filter(_ != q).toSeq
+        .sortBy(n => (sq(raw(q), raw(n)), n)).take(3).zipWithIndex
+    } yield (q, rank + 1, n)).toSet
+    assert(got == expected)
+    // real compression (m=4): encoding is deterministic across runs, and
+    // Lloyd iterations never increase total quantization distortion
+    def sqDistC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)), lit(0.0), (x, v) => x + v)
+    def distortion(iters: Int): Double = {
+      val cb4 = Similarity.pqCodebook(vecs, m = 4, kcent = 8, iters = iters)
+      vecs.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("id"), posexplode(
+          array((0 until 4).map(s0 => slice(col("v"), s0 * 2 + 1, 2)): _*))
+          .as(Seq("sub", "sv")))
+        .join(broadcast(cb4), "sub")
+        .select(col("id"), col("sub"), sqDistC(col("sv"), col("cv")).as("d"))
+        .groupBy(col("id"), col("sub")).agg(min(col("d")).as("best"))
+        .agg(sum(col("best"))).head.getDouble(0)
+    }
+    assert(distortion(2) <= distortion(0) + 1e-9)
+    val cb4 = Similarity.pqCodebook(vecs, m = 4, kcent = 8, iters = 2)
+    val e1 = Similarity.pqEncode(vecs, cb4, m = 4).orderBy("id").collect().toSeq
+    val e2 = Similarity.pqEncode(vecs, cb4, m = 4).orderBy("id").collect().toSeq
+    assert(e1.map(_.toString) == e2.map(_.toString))
+  }
+
   test("codegen'd cosine expression is bit-identical to the HOF formulation") {
     val s = spark; import s.implicits._
     val vecs = (0 until 50).map { i =>
