@@ -45,20 +45,27 @@ object DedupStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        batch.withColumn("_batch", lit(batchId))
+        // reads use EXPLICIT schemas: a batch can legally write zero rows
+        // (no documents, or — far more often — no new near-dup pairs),
+        // and schema inference over a parquet dir with no data files
+        // throws UNABLE_TO_INFER_SCHEMA
+        def readAs(path: String, schema: org.apache.spark.sql.types.StructType) =
+          spark.read.schema(schema).parquet(path)
+        val withBatch = (df: DataFrame) => df.withColumn("_batch", lit(batchId))
+        withBatch(batch)
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("_batch")
           .parquet(s"$stateDir/docs")
-        val allDocs = spark.read.parquet(s"$stateDir/docs")
+        val allDocs = readAs(s"$stateDir/docs", withBatch(batch).schema)
         val newDocs = allDocs.where(col("_batch") === batchId).drop("_batch")
         val pairs = pairGen(newDocs, allDocs.drop("_batch"))
-        pairs.withColumn("_batch", lit(batchId))
+        withBatch(pairs)
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("_batch")
           .parquet(s"$stateDir/edges")
-        val edges = spark.read.parquet(s"$stateDir/edges")
+        val edges = readAs(s"$stateDir/edges", withBatch(pairs).schema)
         Dedup.resolveNearDups(allDocs.drop("_batch"), edges, idCol)
           .write.mode("overwrite").parquet(s"$stateDir/resolved")
       }

@@ -547,4 +547,29 @@ fromCategory("acct")
     assert(streamed.contains(1L) && !streamed.contains(5L), "cross-restart near-dup dropped")
     assert(streamed.contains(6L) && !streamed.contains(7L), "same-chunk near-dup dropped")
   }
+
+  test("streaming near-dup resolution survives batches with zero pairs (empty edge partitions)") {
+    val s = spark; import s.implicits._
+    import graft.analytics.{Dedup, DedupStream}
+    val srcDir = Files.createTempDirectory("nddocs0").toString
+    val stateDir = Files.createTempDirectory("ndstate0").toString
+    val ck = Files.createTempDirectory("ndck0").toString
+    val uniques = Seq(
+      (1L, "entirely unique first document about catalyst optimizer rules"),
+      (2L, "second document all about parquet row group statistics pruning"),
+      (3L, "third text concerning shuffle partition coalescing under aqe"))
+    uniques.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val q = DedupStream.resolveNearDupsStream(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"))
+        .parquet(srcDir),
+      stateDir, ck,
+      (nw, all) => Dedup.minhashLshPairsBetween(nw, all, threshold = 0.5, k = 16,
+        bands = 8, textCol = "text", idCol = "doc_id", n = 3))
+    q.awaitTermination(120000)
+    // zero pairs => empty edge partitions; the corpus passes through intact
+    val resolved = spark.read.parquet(s"$stateDir/resolved")
+      .select("doc_id").as[Long].collect().toSet
+    assert(resolved == Set(1L, 2L, 3L))
+  }
 }
