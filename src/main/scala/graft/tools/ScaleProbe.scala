@@ -37,7 +37,7 @@ object ScaleProbe {
   private val probeQueries = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs",
     "dedup_winnow_pairs", "dedup_components", "dedup_semantic", "dedup_lines",
-    "emb_near_dup", "ann_ivf_topk", "text_winnow_fp", "text_repetition",
+    "emb_near_dup", "ann_ivf_topk", "ann_pq_topk", "text_winnow_fp", "text_repetition",
     "text_bpe_tokens", "pii_redact", "pack_sequences", "select_token_budget",
     "tfidf_keywords", "decontaminate", "pipeline_training_data",
     "p5_fold_count_sum", "p7_fold_monoid", "chunk_documents",
