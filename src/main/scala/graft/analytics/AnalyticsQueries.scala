@@ -135,6 +135,17 @@ object AnalyticsQueries extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF + PQ composed: 8 coarse lists probed 3-deep, then ADC over the
+    * 4×16 PQ codes — both quantizers deterministic (iters=0) so the whole
+    * compressed, pruned search is SQL-checkable. */
+  private def annIvfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb.where(col("vec_id") < 10), emb,
+        k = 5, nlist = 8, nprobe = 3, m = 4, kcent = 16)
+      .withColumn("adist", round(col("adist"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def dedupSemantic(s: SparkSession, d: String): DataFrame =
     Similarity.semanticDedup(Tables.embeddings(s, d), nlist = 16, threshold = 0.4)
       .withColumn("max_prior_sim", round(col("max_prior_sim"), 6))
@@ -211,6 +222,7 @@ object AnalyticsQueries extends QueryModule {
     "ann_cosine_topk" -> (annTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_pq_topk" -> (annPqTopK _),
+    "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_lsh_neardup" -> (annLshNearDup _),
     "emb_near_dup" -> (embNearDup _)
   )
@@ -606,6 +618,57 @@ object AnalyticsQueries extends QueryModule {
         |    list_sum(list_transform(range(4),
         |      s -> q.tab[CAST(s * 16 + n.codes[CAST(s + 1 AS INT)] + 1 AS INT)])) AS adist
         |  FROM enc n CROSS JOIN qtab q
+        |  WHERE q.query_id <> n.neighbor_id)
+        |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, round(adist, 6) AS adist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adist, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS ccid, v AS centv FROM e WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id AS id, ccid AS list_id FROM (
+        |    SELECT e.vec_id, c.ccid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.centv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv)))
+        |        DESC, c.ccid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, ccid AS list_id FROM (
+        |    SELECT q.vec_id AS query_id, c.ccid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.centv)
+        |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.centv, c.centv)))
+        |        DESC, c.ccid) AS rn
+        |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 3),
+        |sl AS (
+        |  SELECT vec_id, CAST(s.sub AS INT) AS sub,
+        |         v[CAST(s.sub * 16 + 1 AS INT):CAST(s.sub * 16 + 16 AS INT)] AS sv
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS sub) s),
+        |cb AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv FROM sl WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT a.vec_id, a.sub, b.cid,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (a.sv[CAST(i AS INT)] - b.cv[CAST(i AS INT)])
+        |         * (a.sv[CAST(i AS INT)] - b.cv[CAST(i AS INT)]))) AS d
+        |  FROM sl a JOIN cb b USING (sub)),
+        |enc AS (
+        |  SELECT vec_id AS neighbor_id, list(cid ORDER BY sub) AS codes FROM (
+        |    SELECT vec_id, sub, cid,
+        |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+        |    FROM dist) WHERE rn = 1 GROUP BY vec_id),
+        |qtab AS (
+        |  SELECT vec_id AS query_id, list(d ORDER BY sub, cid) AS tab
+        |  FROM dist WHERE vec_id < 10 GROUP BY vec_id),
+        |scored AS (
+        |  SELECT q.query_id, n.neighbor_id,
+        |    list_sum(list_transform(range(4),
+        |      s -> q.tab[CAST(s * 16 + n.codes[CAST(s + 1 AS INT)] + 1 AS INT)])) AS adist
+        |  FROM enc n
+        |  JOIN assigned a ON a.id = n.neighbor_id
+        |  JOIN probes p ON p.list_id = a.list_id
+        |  JOIN qtab q ON q.query_id = p.query_id
         |  WHERE q.query_id <> n.neighbor_id)
         |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, round(adist, 6) AS adist
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id

@@ -205,6 +205,27 @@ class AnalyticsSpec extends SparkTestBase {
     assert(e1.map(_.toString) == e2.map(_.toString))
   }
 
+  test("IVF-PQ: probing all lists equals plain PQ; fewer probes return <= k from probed lists") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val cb = Similarity.pqCodebook(vecs, m = 4, kcent = 8, iters = 0)
+    val enc = Similarity.pqEncode(vecs, cb, m = 4)
+    val pq = rows(Similarity.pqTopK(q, enc, cb, m = 4, kcent = 8, k = 3))
+    val all = rows(Similarity.ivfPqTopK(q, vecs, k = 3, nlist = 6, nprobe = 6,
+      m = 4, kcent = 8))
+    assert(all == pq, "probe-all IVF-PQ must equal plain PQ ADC")
+    val part = Similarity.ivfPqTopK(q, vecs, k = 3, nlist = 6, nprobe = 2,
+        m = 4, kcent = 8)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(part.nonEmpty && part.forall(_ <= 3))
+  }
+
   test("codegen'd cosine expression is bit-identical to the HOF formulation") {
     val s = spark; import s.implicits._
     val vecs = (0 until 50).map { i =>
