@@ -160,6 +160,36 @@ class FuzzSpec extends SparkTestBase {
     assert(chunked.agg(sum(length(col("chunk")))).head.getLong(0) == big.length)
   }
 
+  test("degenerate embeddings (zero vectors) never pollute similarity results") {
+    val s = spark; import s.implicits._
+    import graft.analytics.Similarity
+    // real corpora contain zero vectors (failed encoder outputs): cosine is
+    // NaN, and Spark orders NaN LARGEST — unguarded they'd top every list
+    val vecs = ((0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    } :+ (99L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 3)
+    val top = Similarity.bruteForceTopK(q, vecs, 5).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getLong(2) != 99L, "zero vector must never rank")
+      assert(!r.getDouble(3).isNaN)
+    }
+    val ivf = Similarity.ivfTopK(q, vecs, k = 5, nlist = 4, nprobe = 4).collect()
+    assert(ivf.nonEmpty && ivf.forall(r => r.getLong(2) != 99L))
+    val pairs = Similarity.nearDupPairs(vecs, 0.0).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) != 99L && r.getLong(1) != 99L),
+      "NaN >= threshold must not near-dup the zero vector against everything")
+    // the zero vector is never *dropped as a duplicate* by semantic dedup
+    val sem = Similarity.semanticDedup(vecs, nlist = 4, threshold = 0.99)
+      .where(col("id") === 99L).head()
+    assert(sem.getBoolean(3), "a degenerate vector is kept, not silently deduped")
+    // a zero QUERY yields no results rather than NaN rankings
+    val zq = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 99L), vecs, 5)
+    assert(zq.count() == 0)
+  }
+
   test("langIdTable: one non-null prediction per doc, nulls included") {
     val docs = hostileDocs(40)
     val out = TextFunctions.langIdTable(docs, "doc_id", "text")
