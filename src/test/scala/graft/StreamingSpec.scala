@@ -548,6 +548,52 @@ fromCategory("acct")
     assert(streamed.contains(6L) && !streamed.contains(7L), "same-chunk near-dup dropped")
   }
 
+  test("stream-stream interval join (native, watermarked) == batch intervalJoin") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the streaming face of range_join_window: Structured Streaming's
+    // native stream-stream inner join with an event-time range condition
+    // and watermarks IS the interval join — state eviction bounded by the
+    // watermark, exactly what a continuous attribution pipeline runs
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cDf = clicks.toDF().toDF("click_id", "c_user", "cts")
+      .withWatermark("cts", "10 minutes")
+    val pDf = purchases.toDF().toDF("purchase_id", "p_user", "pts")
+      .withWatermark("pts", "10 minutes")
+    val joined = cDf.join(pDf,
+      col("c_user") === col("p_user") &&
+        col("cts") >= col("pts") &&
+        col("cts") < col("pts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("streamrange").outputMode("append").start()
+    // purchases at :00 (u1) and :05 (u2); clicks inside and outside windows,
+    // arriving across separate micro-batches and out of order
+    purchases.addData((100L, 1L, t(0)), (200L, 2L, t(5)))
+    clicks.addData((1L, 1L, t(10)), (2L, 2L, t(4)))  // 2L precedes u2's purchase
+    q.processAllAvailable()
+    clicks.addData((3L, 1L, t(29)), (4L, 1L, t(31)), (5L, 2L, t(20))) // 4L past window
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT click_id, purchase_id FROM streamrange")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference: the same windows through Temporal.intervalJoin on µs
+    val allClicks = Seq((1L, 1L, t(10)), (2L, 2L, t(4)), (3L, 1L, t(29)),
+      (4L, 1L, t(31)), (5L, 2L, t(20))).toDF("click_id", "user_id", "cts")
+      .select(col("click_id"), col("user_id"), unix_micros(col("cts")).as("ts_us"))
+    val allPurch = Seq((100L, 1L, t(0)), (200L, 2L, t(5))).toDF("purchase_id", "user_id", "pts")
+      .select(col("purchase_id"), col("user_id"), unix_micros(col("pts")).as("s"),
+        (unix_micros(col("pts")) + 30L * 60 * 1000000).as("e"))
+    val batch = graft.operators.Temporal.intervalJoin(allClicks, allPurch,
+        Seq("user_id"), "ts_us", "s", "e", Seq("purchase_id"), blockSize = 1800000000L)
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 100L), (3L, 100L), (5L, 200L)))
+  }
+
   test("streaming near-dup resolution survives batches with zero pairs (empty edge partitions)") {
     val s = spark; import s.implicits._
     import graft.analytics.{Dedup, DedupStream}
