@@ -63,11 +63,17 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // BENCH_LOCAL.json (cwd = project root under sbt) keeps the COMPLETE
-    // per-query map in-repo: the driver's stdout capture truncates to the
-    // last ~60 queries, which silently drops the early-alphabet families
-    // from round-over-round comparison.
-    val outs = Seq("/tmp/bench.json", "BENCH_LOCAL.json") ++
+    // BENCH_LOCAL.json keeps the COMPLETE per-query map in-repo: the
+    // driver's stdout capture truncates to the last ~60 queries, which
+    // silently drops the early-alphabet families from round-over-round
+    // comparison. Written only when cwd actually IS the project root
+    // (build.sbt present) — run from anywhere else this must not scatter
+    // stray files.
+    val inRepoOut =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
+        Seq("BENCH_LOCAL.json")
+      else Seq.empty
+    val outs = Seq("/tmp/bench.json") ++ inRepoOut ++
       sys.env.get("SPARK_GRAFT_BENCH_OUT")
     outs.foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),

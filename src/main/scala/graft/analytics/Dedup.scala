@@ -156,7 +156,15 @@ object Dedup {
     * discovered exactly when its LATER document arrives (same-batch
     * pairs collapse via least/greatest + distinct). The join touches
     * only the new docs' band keys, so per-batch cost is proportional to
-    * the batch, not the corpus. */
+    * the batch, not the corpus.
+    *
+    * EAGER: the corpus signature table is cached for the duration of the
+    * call (it feeds both the band join and the Jaccard verify) and
+    * unpersisted before returning — callers like [[DedupStream]] invoke
+    * this once per micro-batch, and a lazily-leaked cache of the
+    * ever-growing corpus would accumulate for the stream's lifetime. The
+    * returned pairs are locally checkpointed (they are tiny — pairs, not
+    * documents), so they stay valid after the cache is dropped. */
   def minhashLshPairsBetween(newDocs: DataFrame, allDocs: DataFrame,
       threshold: Double, k: Int = 16, bands: Int = 4,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
@@ -177,7 +185,10 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
-    verifyJaccard(cands, sigAll.select(col("id"), col("sh")), threshold)
+    val verified = verifyJaccard(cands, sigAll.select(col("id"), col("sh")), threshold)
+      .localCheckpoint(true)
+    sigAll.unpersist()
+    verified
   }
 
   /** Winnowing-overlap near-dup pairs (MOSS-style): documents sharing at

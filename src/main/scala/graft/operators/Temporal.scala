@@ -90,8 +90,11 @@ object Temporal {
         if (keys.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("_t"), lit(0).as("_side"), col("_p")): _*)
+    // _p as the final sort key makes the duplicate-(key, ts) case
+    // deterministic: equal-timestamp right rows resolve by payload-struct
+    // order, not partition arrival order
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionAll(rTagged)
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))

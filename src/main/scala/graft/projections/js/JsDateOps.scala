@@ -102,7 +102,8 @@ object JsDateOps {
       // the constructor would roll over
       if (base.isNaN ||
         (mo != null && (mo.toInt < 1 || mo.toInt > 12)) ||
-        (d != null && (d.toInt < 1 || d.toInt > 31)) ||
+        (d != null && (d.toInt < 1 ||
+          d.toInt > java.time.YearMonth.of(y.toInt, mo.toInt).lengthOfMonth())) ||
         (h != null && (h.toInt > 24 ||
           (h.toInt == 24 && (mi.toInt != 0 ||
             (s != null && s.toInt != 0) || ms != 0.0)))) ||

@@ -768,6 +768,14 @@ fromCategory("chat").when({
   test("Date: invalid dates are NaN-valued; wall-clock forms stay banned") {
     assert(evalJs("isNaN(new Date('not a date').getTime())") == JsBool(true))
     assert(evalJs("isNaN(new Date('2020-13-01').getTime())") == JsBool(true))
+    // calendar-invalid day-of-month must be Invalid Date, not roll over
+    // (ES 21.4.3.2: out-of-bounds ISO fields do not wrap in Date.parse)
+    assert(evalJs("isNaN(Date.parse('2019-02-30'))") == JsBool(true))
+    assert(evalJs("isNaN(Date.parse('2020-04-31T00:00:00Z'))") == JsBool(true))
+    assert(evalJs("isNaN(new Date('2021-02-29').getTime())") == JsBool(true))
+    // ...while genuinely-valid leap/zonal edges still parse
+    assert(evalJs("isNaN(Date.parse('2020-02-29'))") == JsBool(false))
+    assert(evalJs("new Date('2019-02-28T23:59:59Z').getUTCDate()") == JsNum(28))
     assert(evalJs("JSON.stringify({d: new Date('nope')})") == JsStr("""{"d":null}"""))
     // Invalid Date toISOString: catchable ES RangeError
     assert(evalJs(

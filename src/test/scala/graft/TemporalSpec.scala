@@ -57,6 +57,22 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("asofJoin ties at equal (key, ts) resolve by payload-struct order") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "u1", 100L)).toDF("id", "k", "t")
+    // three right rows at the identical (key, ts): the LAST in
+    // payload-struct order must win, independent of partition layout
+    val dup = Seq(("u1", 100L, "a"), ("u1", 100L, "z"), ("u1", 100L, "m"))
+    for (seed <- 1 to 4) {
+      val right = s.createDataFrame(
+        s.sparkContext.parallelize(scala.util.Random.shuffle(dup), 3))
+        .toDF("k", "rt", "v").repartition(3).orderBy(rand(seed))
+      val out = Temporal.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rt", "v"))
+        .collect()
+      assert(out.length == 1 && out(0).getString(4) == "z", s"seed=$seed")
+    }
+  }
+
   test("asofJoin survives a shuffled, multi-partition input identically") {
     val s = spark; import s.implicits._
     val left = (1 to 200).map(i => (i.toLong, s"u${i % 7}", i.toLong * 10)).toDF("id", "k", "t")
