@@ -1,0 +1,1128 @@
+package graft.projections.js
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+import graft.functions.JsNumberString
+
+/** Compiles the EXPRESSIBLE subset of JS projection definitions straight
+  * to Catalyst Columns — `states()` becomes a plain
+  * `filter → withColumn(key) → groupBy(key).agg(sum…) → concat(json)`
+  * plan with NO interpreter anywhere: whole-stage codegen'd, map-side
+  * partial aggregation, shuffle on the partition key only. The
+  * interpreter path folds events one at a time per partition key through
+  * a tree-walking evaluator; for handlers that are sums of pure
+  * per-event expressions that serial pump is pure overhead (measured
+  * 3–6× vs the equivalent Scala fold at sf0.1).
+  *
+  * Compilable shape (anything outside returns None → the interpreter
+  * path runs, so results NEVER silently change):
+  *  - selector: any (fromStream/fromStreams/fromCategory/fromCategories/
+  *    fromAll), with foreachStream/partitionBy/single partitioning;
+  *  - `$init` returning an object literal of constants (evaluated once
+  *    through the real interpreter — any deterministic expression works);
+  *  - handlers whose bodies are a prefix of `var` locals followed by
+  *    `s.field += expr` / `s.field -= expr` statements, optionally inside
+  *    (nested) `if`/`else`, ending in `return s` (or no return — state is
+  *    mutated in place either way); every assigned field must exist in
+  *    `$init` with an integral number value (a `+=` onto a missing field
+  *    is NaN in JS — not a sum);
+  *  - every delta expression must be PROVABLY integer-valued (counts,
+  *    `Math.round/floor`, date fields, integral constants): integral
+  *    doubles sum exactly and associatively as longs, so a distributed
+  *    partial aggregate is bit-equal to the interpreter's ordered fold.
+  *    Non-integral deltas (e.g. `s.x += e.value`) stay on the
+  *    interpreter, whose in-order IEEE accumulation is order-sensitive
+  *    and cannot be reproduced by a commutative aggregate;
+  *  - partitionBy functions returning any expressible string/number/
+  *    null-producing expression (JS null/undefined skip the event).
+  *
+  * Exactness contract, enforced type-by-type below: every compiled
+  * Column matches `JsInterp` on EVERY input value, not just the test
+  * corpus — dynamic JSON values ride Spark VARIANT with per-row type
+  * dispatch (string vs number vs bool vs null vs undefined), number
+  * formatting goes through [[JsNumberString]] (the exact
+  * `JsVal.numToStr` ES algorithm), NaN comparison semantics are guarded
+  * (Spark orders NaN, JS comparisons are false), JS `x/0 → ±Infinity`
+  * is rebuilt under ANSI mode, and `Date` period getters are integer
+  * arithmetic on epoch ms (timezone-free, exact at any magnitude).
+  * Documented divergences, all loud or astronomically out of range:
+  * a final state field reaching |2^53| raises instead of losing
+  * precision (the interpreter's double would drift silently); a
+  * NaN/Infinity delta raises (ANSI long cast) where the interpreter
+  * poisons the sum to NaN; dividing by NEGATIVE zero yields +sign
+  * Infinity (Catalyst cannot see the zero's sign); string positions
+  * (`slice`/`indexOf`) compile only for provably-ASCII receivers
+  * (JS counts UTF-16 units, SQL counts codepoints).
+  *
+  * Scale shape: one hash shuffle on the partition key (same keying as
+  * the interpreter path, minus its sort), partial aggregation map-side,
+  * `try_parse_json` only when a handler actually reads `e.body`. At
+  * 100 TB this is the plan a hand-written Scala aggregation would get.
+  *
+  * Reference: the subset mirrors what Jint-era handler corpora actually
+  * do (JintProjectionStateHandler.cs:55-75 — count/sum folds over
+  * envelope fields and body properties, time bucketing, key routing). */
+private[js] object JsColumnCompiler {
+
+  /** Working name of the partition-key column inside the compiled plan. */
+  private val KeyCol = "__graft_js_k"
+  /** 2^53 — beyond it integral doubles lose exactness; the compiled
+    * render raises rather than silently diverging from ES. */
+  private val MaxExact = 9007199254740992L
+  /** ES TimeClip bound: |time value| <= 8.64e15 ms. */
+  private val MaxTime = 8.64e15
+  /** Epoch-ms range rendering as 4-digit years 1..9999 (what
+    * date_format/timestamp_millis can format identically to
+    * JsDateOps.toIso — outside it toIso switches to ±expanded years). */
+  private val FmtMinMs = -62135596800000L
+  private val FmtMaxMs = 253402300799999L
+
+  /** A compiled states() plan. `requiredCols` must exist on the input
+    * (the optional meta/resolved columns are defaulted by `build`, like
+    * Projections.toLogEvents does); `usesTimestamp` additionally demands
+    * a TimestampType `timestamp` column. */
+  final case class Plan(
+      requiredCols: Set[String],
+      usesTimestamp: Boolean,
+      build: DataFrame => DataFrame)
+
+  // ------------------------------------------------- typed column model
+
+  private sealed trait NullAs
+  private case object NoNull extends NullAs
+  private case object NullIsJsNull extends NullAs
+  private case object NullIsUndef extends NullAs
+
+  private sealed trait JTy
+  /** Double column. `integral`: provably integer-valued wherever finite
+    * (so the long cast at the aggregate is exact — NaN/Inf trip ANSI,
+    * loudly). `boundedMs`: provably inside the formattable year range
+    * when read as epoch ms (true for the envelope timestamp, whose
+    * parquet source is nanos-in-long ⊂ years 1677–2262). */
+  private final case class TNum(integral: Boolean, boundedMs: Boolean = false) extends JTy
+  /** String column. `ascii`: provably ASCII-only (ISO timestamps,
+    * number strings, ASCII literals) — required for positional ops. */
+  private final case class TStr(ascii: Boolean) extends JTy
+  private case object TBool extends JTy
+  private case object TNull extends JTy
+  private case object TUndef extends JTy
+  /** Long epoch-ms column; SQL NULL = Invalid Date (NaN time value). */
+  private final case class TDate(bounded: Boolean) extends JTy
+  /** Variant column; SQL NULL = undefined, variant-null = JS null. */
+  private case object TDyn extends JTy
+
+  private final case class TC(col: Column, ty: JTy, nullAs: NullAs)
+
+  private def nullStr: Column = lit(null).cast(StringType)
+  private def tNull: TC = TC(nullStr, TNull, NullIsJsNull)
+  private def tUndef: TC = TC(nullStr, TUndef, NullIsUndef)
+  private def numLitTC(d: Double): TC = TC(lit(d), TNum(
+    integral = !d.isNaN && !d.isInfinite && d == math.rint(d),
+    boundedMs = !d.isNaN && !d.isInfinite && d == math.rint(d) &&
+      d >= FmtMinMs && d <= FmtMaxMs), NoNull)
+  private def strLitTC(s: String): TC = TC(lit(s), TStr(s.forall(_ < 128)), NoNull)
+
+  /** Compilation context: the compiled definition (for `$init`/globals),
+    * the envelope column the `partition` field resolves to in this
+    * position, and the accumulating set of input columns referenced. */
+  private final class Ctx(
+      val cp: CompiledJsProjection,
+      val partitionCol: Column,
+      val refs: mutable.Set[String],
+      val envParam: Option[String],
+      val stateParam: Option[String])
+
+  private def in(c: Ctx, name: String): Column = { c.refs += name; col(name) }
+
+  // --------------------------------------------------------- conversions
+
+  /** JS ToNumber as a non-null double column (NaN encodes itself). */
+  private def numOf(tc: TC): Option[Column] = tc.ty match {
+    case TNum(_, _) => Some(tc.nullAs match {
+      case NoNull => tc.col
+      case NullIsJsNull => when(tc.col.isNull, lit(0.0)).otherwise(tc.col)
+      case NullIsUndef => when(tc.col.isNull, lit(Double.NaN)).otherwise(tc.col)
+    })
+    case TBool =>
+      val b = when(tc.col, lit(1.0)).otherwise(lit(0.0))
+      Some(tc.nullAs match {
+        case NoNull => b
+        case NullIsJsNull => when(tc.col.isNull, lit(0.0)).otherwise(b)
+        case NullIsUndef => when(tc.col.isNull, lit(Double.NaN)).otherwise(b)
+      })
+    case TNull => Some(lit(0.0))
+    case TUndef => Some(lit(Double.NaN))
+    case TDate(_) =>
+      Some(when(tc.col.isNull, lit(Double.NaN)).otherwise(tc.col.cast(DoubleType)))
+    case _: TStr | TDyn => None // string-parse subtleties stay interpreted
+  }
+
+  /** Whether `numOf` of this value is provably integer-valued. */
+  private def integralClaim(tc: TC): Boolean = tc.ty match {
+    case TNum(i, _) => i
+    case TBool | TNull | TUndef => true // 0/1/0/NaN (NaN trips the cast, loudly)
+    case TDate(_) => true
+    case _ => false
+  }
+
+  private def boundedMsClaim(tc: TC): Boolean = tc.ty match {
+    case TNum(_, b) => b
+    case TNull => true // ToNumber(null) = 0, comfortably in range
+    case _ => false
+  }
+
+  /** JS ToBoolean as a non-null boolean column. */
+  private def truthyOf(tc: TC): Option[Column] = tc.ty match {
+    case TNum(_, _) =>
+      val t = !isnan(tc.col) && tc.col =!= lit(0.0)
+      Some(if (tc.nullAs == NoNull) t else when(tc.col.isNull, lit(false)).otherwise(t))
+    case TStr(_) =>
+      val t = length(tc.col) > 0
+      Some(if (tc.nullAs == NoNull) t else when(tc.col.isNull, lit(false)).otherwise(t))
+    case TBool =>
+      Some(if (tc.nullAs == NoNull) tc.col
+      else when(tc.col.isNull, lit(false)).otherwise(tc.col))
+    case TNull | TUndef => Some(lit(false))
+    case TDate(_) => Some(lit(true)) // Date objects are truthy, even invalid ones
+    case TDyn =>
+      val v = tc.col
+      val t = schema_of_variant(v)
+      Some(when(v.isNull || is_variant_null(v), lit(false))
+        .when(t === "STRING", length(try_variant_get(v, "$", "string")) > 0)
+        .when(t === "BOOLEAN", try_variant_get(v, "$", "boolean"))
+        .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
+          try_variant_get(v, "$", "double") =!= lit(0.0))
+        .otherwise(lit(true))) // objects and arrays
+  }
+
+  /** JS ToString for concatenation (exact for every supported type). */
+  private def strOf(tc: TC): Option[(Column, Boolean)] = tc.ty match {
+    case TStr(a) => Some(tc.nullAs match {
+      case NoNull => (tc.col, a)
+      case NullIsJsNull => (when(tc.col.isNull, lit("null")).otherwise(tc.col), a)
+      case NullIsUndef => (when(tc.col.isNull, lit("undefined")).otherwise(tc.col), a)
+    })
+    case TNum(_, _) =>
+      val s = JsNumberString(tc.col) // numToStr output is always ASCII
+      Some(tc.nullAs match {
+        case NoNull => (s, true)
+        case NullIsJsNull => (when(tc.col.isNull, lit("null")).otherwise(s), true)
+        case NullIsUndef => (when(tc.col.isNull, lit("undefined")).otherwise(s), true)
+      })
+    case TBool =>
+      val s = when(tc.col, lit("true")).otherwise(lit("false"))
+      Some(tc.nullAs match {
+        case NoNull => (s, true)
+        case NullIsJsNull => (when(tc.col.isNull, lit("null")).otherwise(s), true)
+        case NullIsUndef => (when(tc.col.isNull, lit("undefined")).otherwise(s), true)
+      })
+    case TNull => Some((lit("null"), true))
+    case TUndef => Some((lit("undefined"), true))
+    case TDate(true) =>
+      Some((when(tc.col.isNull, lit("Invalid Date")).otherwise(isoOf(tc.col)), true))
+    case _ => None
+  }
+
+  /** The partition-key conversion (JintProjectionStateHandler.cs:151-155
+    * via CompiledJsProjection.partitionKey): numbers → numToStr, strings
+    * verbatim, everything else (null/undefined/bool/object/date) → SQL
+    * NULL = event skipped. */
+  private def keyOf(tc: TC): Option[Column] = tc.ty match {
+    case TStr(_) => Some(tc.col) // both null meanings skip — plain NULL is right
+    case TNum(_, _) =>
+      val s = JsNumberString(tc.col) // NaN → "NaN", a real key, like numToStr
+      Some(if (tc.nullAs == NoNull) s else when(tc.col.isNull, nullStr).otherwise(s))
+    case TBool | TNull | TUndef | TDate(_) => Some(nullStr)
+    case TDyn =>
+      val v = tc.col
+      val t = schema_of_variant(v)
+      Some(when(v.isNull || is_variant_null(v), nullStr)
+        .when(t === "STRING", try_variant_get(v, "$", "string"))
+        .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
+          JsNumberString(try_variant_get(v, "$", "double")))
+        .otherwise(nullStr))
+  }
+
+  private def isNullOrUndef(tc: TC): Column = tc.ty match {
+    case TNull | TUndef => lit(true)
+    case TDyn => tc.col.isNull || is_variant_null(tc.col)
+    case TDate(_) => lit(false)
+    case _ => if (tc.nullAs == NoNull) lit(false) else tc.col.isNull
+  }
+
+  private def isJsNull(tc: TC): Column = tc.ty match {
+    case TNull => lit(true)
+    case TDyn => is_variant_null(tc.col)
+    case _ => if (tc.nullAs == NullIsJsNull) tc.col.isNull else lit(false)
+  }
+
+  private def isUndef(tc: TC): Column = tc.ty match {
+    case TUndef => lit(true)
+    case TDyn => tc.col.isNull
+    case _ => if (tc.nullAs == NullIsUndef) tc.col.isNull else lit(false)
+  }
+
+  // ------------------------------------------------------------ date ops
+
+  private def isoOf(ms: Column): Column =
+    concat(date_format(timestamp_millis(ms), "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z"))
+
+  /** Exact floor division of a long column by a positive constant. The
+    * numerator after subtracting pmod is exactly divisible and, at ES
+    * time-value magnitudes (≤8.64e15 over divisors ≥1000), the double
+    * quotient is < 2^53 — exact. */
+  private def floorDiv(a: Column, d: Long): Column =
+    ((a - pmod(a, lit(d))) / lit(d)).cast(LongType)
+
+  /** Period-based UTC getter: pure integer arithmetic on epoch ms —
+    * timezone-free and exact at any clipped time value (JsDateOps.field
+    * computes the same values through LocalDateTime). */
+  private def periodField(ms: Column, div: Long, mod: Long): Column =
+    pmod(floorDiv(ms, div) + (if (div == 86400000L) lit(4L) else lit(0L)),
+      lit(mod))
+
+  // -------------------------------------------------------- expressions
+
+  private def compileExpr(e: Expr, ctx: Ctx, locals: Map[String, TC]): Option[TC] = e match {
+    case NumLit(d) => Some(numLitTC(d))
+    case StrLit(s) => Some(strLitTC(s))
+    case BoolLit(b) => Some(TC(lit(b), TBool, NoNull))
+    case NullLit => Some(tNull)
+    case UndefLit => Some(tUndef)
+
+    case Ident(n) =>
+      locals.get(n).orElse {
+        if (ctx.envParam.contains(n) || ctx.stateParam.contains(n)) None
+        else ctx.cp.interp.globals.lookup(n).flatMap(constTC)
+      }
+
+    case Member(o, p) => o match {
+      case Ident(n) if ctx.envParam.contains(n) && !locals.contains(n) =>
+        envField(p, ctx)
+      case _ => compileExpr(o, ctx, locals).flatMap { tc =>
+        (tc.ty, p) match {
+          case (TDyn, prop) if prop.nonEmpty &&
+              prop.forall(ch => ch.isLetterOrDigit || ch == '_' || ch == '$') &&
+              !prop.head.isDigit =>
+            Some(TC(try_variant_get(tc.col, "$." + prop, "variant"), TDyn, NoNull))
+          case (TStr(true), "length") if tc.nullAs == NoNull =>
+            // ASCII receiver: codepoints == UTF-16 units, length is exact
+            Some(TC(length(tc.col).cast(DoubleType), TNum(integral = true), NoNull))
+          case _ => None
+        }
+      }
+    }
+
+    case Index(o, StrLit(p)) => compileExpr(Member(o, p), ctx, locals)
+
+    case Cond(c, t, f) =>
+      for {
+        cc <- truthyExpr(c, ctx, locals)
+        tt <- compileExpr(t, ctx, locals)
+        ff <- compileExpr(f, ctx, locals)
+        m <- mergeTC(cc, tt, ff)
+      } yield m
+
+    case Logical(op, l, r) =>
+      for {
+        lt <- compileExpr(l, ctx, locals)
+        rt <- compileExpr(r, ctx, locals)
+        c <- truthyOf(lt)
+        m <- if (op == "&&") mergeTC(c, rt, lt) else mergeTC(c, lt, rt)
+      } yield m
+
+    case Binary(op, l, r) => binary(op, l, r, ctx, locals)
+    case Unary(op, x) => unary(op, x, ctx, locals)
+    case Call(callee, args) => call(callee, args, ctx, locals)
+    case _ => None
+  }
+
+  /** Program-level constant (a top-level `var` the definition evaluated
+    * at compile, like `var epoch = Date.parse(...)`). */
+  private def constTC(v: JsVal): Option[TC] = v match {
+    case JsNum(d) => Some(numLitTC(d))
+    case JsStr(s) => Some(strLitTC(s))
+    case JsBool(b) => Some(TC(lit(b), TBool, NoNull))
+    case JsNull => Some(tNull)
+    case JsUndef => Some(tUndef)
+    case d: JsDate =>
+      Some(TC(
+        if (d.ms.isNaN) lit(null).cast(LongType) else lit(d.ms.toLong),
+        TDate(bounded = !d.ms.isNaN && d.ms >= FmtMinMs && d.ms <= FmtMaxMs),
+        NoNull))
+    case _ => None // functions / objects / stdlib natives
+  }
+
+  /** Envelope fields as typed columns — one-to-one with
+    * CompiledJsProjection.envelope(), same null conventions. */
+  private def envField(p: String, ctx: Ctx): Option[TC] = p match {
+    case "streamId" =>
+      Some(TC(coalesce(in(ctx, "resolved_stream_id"), in(ctx, "stream_id")),
+        TStr(ascii = false), NoNull))
+    case "sequenceNumber" =>
+      Some(TC(when(in(ctx, "resolved_stream_id").isNotNull,
+        in(ctx, "resolved_event_number")).otherwise(in(ctx, "event_number"))
+        .cast(DoubleType), TNum(integral = true), NoNull))
+    case "eventType" => Some(TC(in(ctx, "event_type"), TStr(ascii = false), NoNull))
+    case "eventId" => Some(TC(in(ctx, "event_id"), TStr(ascii = false), NullIsJsNull))
+    case "body" | "data" => Some(TC(try_parse_json(in(ctx, "data")), TDyn, NoNull))
+    case "bodyRaw" => Some(TC(in(ctx, "data"), TStr(ascii = false), NullIsJsNull))
+    case "metadataRaw" => Some(TC(in(ctx, "metadata"), TStr(ascii = false), NullIsJsNull))
+    case "metadata" => Some(TC(try_parse_json(in(ctx, "metadata")), TDyn, NoNull))
+    case "linkMetadataRaw" =>
+      Some(TC(in(ctx, "link_metadata"), TStr(ascii = false), NullIsJsNull))
+    case "linkMetadata" =>
+      Some(TC(try_parse_json(in(ctx, "link_metadata")), TDyn, NoNull))
+    case "isJson" => Some(TC(try_parse_json(in(ctx, "data")).isNotNull, TBool, NoNull))
+    case "category" =>
+      val sid = in(ctx, "stream_id")
+      Some(TC(when(instr(sid, "-") > 0, sid.substr(lit(1), instr(sid, "-") - 1))
+        .otherwise(nullStr), TStr(ascii = false), NullIsJsNull))
+    case "partition" => Some(TC(ctx.partitionCol, TStr(ascii = false), NoNull))
+    case "logPosition" =>
+      Some(TC(in(ctx, "log_position").cast(DoubleType), TNum(integral = true), NoNull))
+    case "value" => Some(TC(in(ctx, "value").cast(DoubleType), TNum(integral = false), NoNull))
+    case "timestamp" =>
+      // epoch ms; parquet nanos-in-long bounds the range to years
+      // 1677–2262, safely inside the formattable window
+      Some(TC(unix_millis(in(ctx, "timestamp")).cast(DoubleType),
+        TNum(integral = true, boundedMs = true), NullIsJsNull))
+    case _ => None
+  }
+
+  /** Merge two typed values behind a boolean column (ternary/logical
+    * value positions). Null-constant branches promote into the other
+    * side's type with the matching null encoding. */
+  private def mergeTC(cond: Column, a: TC, b: TC): Option[TC] = {
+    def promote(x: TC, like: TC): Option[TC] = (x.ty, like.ty) match {
+      case (TNull, TNum(_, _) | TStr(_) | TBool) =>
+        Some(TC(lit(null).cast(colType(like.ty)), like.ty, NullIsJsNull))
+      case (TUndef, TNum(_, _) | TStr(_) | TBool) =>
+        Some(TC(lit(null).cast(colType(like.ty)), like.ty, NullIsUndef))
+      case _ => None
+    }
+    def colType(t: JTy) = t match {
+      case TNum(_, _) => DoubleType
+      case _: TStr => StringType
+      case _ => org.apache.spark.sql.types.BooleanType
+    }
+    val (a2, b2) =
+      (promote(a, b).getOrElse(a), promote(b, a).getOrElse(b))
+    val nullAs: Option[NullAs] = (a2.nullAs, b2.nullAs) match {
+      case (x, y) if x == y => Some(x)
+      case (NoNull, y) => Some(y)
+      case (x, NoNull) => Some(x)
+      case _ => None // one branch's NULL means null, the other undefined
+    }
+    val ty: Option[JTy] = (a2.ty, b2.ty) match {
+      case (TNum(i1, b1), TNum(i2, bm2)) => Some(TNum(i1 && i2, b1 && bm2))
+      case (TStr(x), TStr(y)) => Some(TStr(x && y))
+      case (TBool, TBool) => Some(TBool)
+      case (TDyn, TDyn) => Some(TDyn)
+      case (TNull, TNull) => Some(TNull)
+      case (TUndef, TUndef) => Some(TUndef)
+      case (TDate(x), TDate(y)) => Some(TDate(x && y))
+      case _ => None
+    }
+    for (t <- ty; n <- nullAs) yield TC(when(cond, a2.col).otherwise(b2.col), t, n)
+  }
+
+  /** Truthiness of an expression, with short-circuit structure compiled
+    * structurally (no value materialization for `a && b` conditions). */
+  private def truthyExpr(e: Expr, ctx: Ctx, locals: Map[String, TC]): Option[Column] =
+    e match {
+      case Logical("&&", l, r) =>
+        for (a <- truthyExpr(l, ctx, locals); b <- truthyExpr(r, ctx, locals))
+          yield a && b
+      case Logical("||", l, r) =>
+        for (a <- truthyExpr(l, ctx, locals); b <- truthyExpr(r, ctx, locals))
+          yield a || b
+      case Unary("!", x) => truthyExpr(x, ctx, locals).map(!_)
+      case Cond(c, t, f) =>
+        for {
+          cc <- truthyExpr(c, ctx, locals)
+          tt <- truthyExpr(t, ctx, locals)
+          ff <- truthyExpr(f, ctx, locals)
+        } yield when(cc, tt).otherwise(ff)
+      case _ => compileExpr(e, ctx, locals).flatMap(truthyOf)
+    }
+
+  /** ToNumber of an expression (delta right-hand sides), with ternary /
+    * logical value selection compiled at the numeric level. */
+  private def numExpr(e: Expr, ctx: Ctx, locals: Map[String, TC]): Option[TC] =
+    e match {
+      case Cond(c, t, f) =>
+        for {
+          cc <- truthyExpr(c, ctx, locals)
+          tt <- numExpr(t, ctx, locals)
+          ff <- numExpr(f, ctx, locals)
+        } yield TC(when(cc, tt.col).otherwise(ff.col),
+          TNum(integralClaim(tt) && integralClaim(ff),
+            boundedMsClaim(tt) && boundedMsClaim(ff)), NoNull)
+      case Logical(op, l, r) =>
+        // JS value semantics: `a && b` yields b when a is truthy, else a
+        // — then the numeric context applies ToNumber to whichever won
+        for {
+          lt <- compileExpr(l, ctx, locals)
+          c <- truthyOf(lt)
+          ln <- numOf(lt)
+          rn <- numExpr(r, ctx, locals)
+        } yield TC(
+          if (op == "&&") when(c, rn.col).otherwise(ln)
+          else when(c, ln).otherwise(rn.col),
+          TNum(integralClaim(lt) && integralClaim(rn)), NoNull)
+      case _ =>
+        compileExpr(e, ctx, locals).flatMap { tc =>
+          numOf(tc).map(c => TC(c, TNum(integralClaim(tc), boundedMsClaim(tc)), NoNull))
+        }
+    }
+
+  /** Partition-key value of an expression (string-or-skip), compiled at
+    * the key level so mixed-type ternaries/logicals stay expressible. */
+  private def keyExpr(e: Expr, ctx: Ctx, locals: Map[String, TC]): Option[Column] =
+    e match {
+      case Cond(c, t, f) =>
+        for {
+          cc <- truthyExpr(c, ctx, locals)
+          tt <- keyExpr(t, ctx, locals)
+          ff <- keyExpr(f, ctx, locals)
+        } yield when(cc, tt).otherwise(ff)
+      case Logical(op, l, r) =>
+        for {
+          lt <- truthyExpr(l, ctx, locals)
+          lk <- keyExpr(l, ctx, locals)
+          rk <- keyExpr(r, ctx, locals)
+        } yield if (op == "&&") when(lt, rk).otherwise(lk)
+        else when(lt, lk).otherwise(rk)
+      case _ => compileExpr(e, ctx, locals).flatMap(keyOf)
+    }
+
+  // ------------------------------------------------------ operators
+
+  private def binary(op: String, l: Expr, r: Expr, ctx: Ctx,
+      locals: Map[String, TC]): Option[TC] = {
+    def num2(f: (Column, Column) => Column, integral: (Boolean, Boolean) => Boolean) =
+      for {
+        lt <- compileExpr(l, ctx, locals)
+        rt <- compileExpr(r, ctx, locals)
+        ln <- numOf(lt)
+        rn <- numOf(rt)
+      } yield TC(f(ln, rn),
+        TNum(integral(integralClaim(lt), integralClaim(rt))), NoNull)
+
+    op match {
+      case "+" =>
+        for {
+          lt <- compileExpr(l, ctx, locals)
+          rt <- compileExpr(r, ctx, locals)
+          out <- (lt.ty, rt.ty) match {
+            case (_: TStr, _) | (_, _: TStr) =>
+              for ((ls, la) <- strOf(lt); (rs, ra) <- strOf(rt))
+                yield TC(concat(ls, rs), TStr(la && ra), NoNull)
+            case (TDyn, _) | (_, TDyn) | (TDate(_), _) | (_, TDate(_)) =>
+              // Date/object ToPrimitive in `+` can go stringward — out of
+              // the compiled subset (use getTime()/toISOString explicitly)
+              None
+            case _ =>
+              for (ln <- numOf(lt); rn <- numOf(rt))
+                yield TC(ln + rn, TNum(integralClaim(lt) && integralClaim(rt)), NoNull)
+          }
+        } yield out
+      case "-" => num2(_ - _, _ && _)
+      case "*" => num2(_ * _, _ && _)
+      case "/" =>
+        // JS x/0 → ±Infinity, 0/0 and NaN anywhere → NaN; ANSI Spark would
+        // raise, so route the zero-divisor rows around the division. (A
+        // NEGATIVE-zero divisor flips the sign in ES; Catalyst cannot
+        // observe the zero's sign — documented divergence.)
+        num2((ln, rn) =>
+          when(isnan(ln) || isnan(rn), lit(Double.NaN))
+            .when(rn === lit(0.0),
+              when(ln === lit(0.0), lit(Double.NaN))
+                .when(ln > lit(0.0), lit(Double.PositiveInfinity))
+                .otherwise(lit(Double.NegativeInfinity)))
+            .otherwise(ln / rn),
+          (_, _) => false)
+      case "%" =>
+        // JS % is IEEE remainder-with-dividend-sign (Java %); x % 0 → NaN
+        num2((ln, rn) =>
+          when(isnan(ln) || isnan(rn) || rn === lit(0.0), lit(Double.NaN))
+            .otherwise(ln % rn),
+          _ && _)
+      case "<" | ">" | "<=" | ">=" =>
+        // numeric relational only (JS string<string is code-unit order,
+        // which SQL binary order does not match beyond the BMP)
+        for {
+          lt <- compileExpr(l, ctx, locals)
+          rt <- compileExpr(r, ctx, locals)
+          if !lt.ty.isInstanceOf[TStr] && lt.ty != TDyn &&
+            !rt.ty.isInstanceOf[TStr] && rt.ty != TDyn
+          ln <- numOf(lt)
+          rn <- numOf(rt)
+        } yield {
+          val cmp = op match {
+            case "<" => ln < rn
+            case ">" => ln > rn
+            case "<=" => ln <= rn
+            case ">=" => ln >= rn
+          }
+          // Spark orders NaN; every JS comparison with NaN is false
+          TC(when(isnan(ln) || isnan(rn), lit(false)).otherwise(cmp), TBool, NoNull)
+        }
+      case "==" | "!=" | "===" | "!==" => equality(op, l, r, ctx, locals)
+      case _ => None
+    }
+  }
+
+  private def equality(op: String, l: Expr, r: Expr, ctx: Ctx,
+      locals: Map[String, TC]): Option[TC] = {
+    val strict = op == "===" || op == "!=="
+    val negate = op.startsWith("!")
+    for {
+      lt <- compileExpr(l, ctx, locals)
+      rt <- compileExpr(r, ctx, locals)
+      base <- (lt.ty, rt.ty) match {
+        // null / undefined comparisons — the dominant guard idiom
+        case (TNull, _) =>
+          Some(if (strict) isJsNull(rt) else isNullOrUndef(rt))
+        case (_, TNull) =>
+          Some(if (strict) isJsNull(lt) else isNullOrUndef(lt))
+        case (TUndef, _) =>
+          Some(if (strict) isUndef(rt) else isNullOrUndef(rt))
+        case (_, TUndef) =>
+          Some(if (strict) isUndef(lt) else isNullOrUndef(lt))
+        case (TNum(_, _), TNum(_, _)) =>
+          val (ln, rn) = (lt.col, rt.col)
+          val nullCase: Column =
+            if (strict)
+              if (lt.nullAs == rt.nullAs) ln.isNull && rn.isNull else lit(false)
+            else ln.isNull && rn.isNull
+          val anyNull =
+            (if (lt.nullAs == NoNull) lit(false) else ln.isNull) ||
+              (if (rt.nullAs == NoNull) lit(false) else rn.isNull)
+          Some(when(anyNull, nullCase)
+            .otherwise(when(isnan(ln) || isnan(rn), lit(false)).otherwise(ln === rn)))
+        case (TStr(_), TStr(_)) =>
+          val nullCase: Column =
+            if (strict)
+              if (lt.nullAs == rt.nullAs) lt.col.isNull && rt.col.isNull else lit(false)
+            else lt.col.isNull && rt.col.isNull
+          val anyNull =
+            (if (lt.nullAs == NoNull) lit(false) else lt.col.isNull) ||
+              (if (rt.nullAs == NoNull) lit(false) else rt.col.isNull)
+          Some(when(anyNull, nullCase).otherwise(lt.col === rt.col))
+        case (TBool, TBool) =>
+          Some(when(isNullOrUndef(lt) || isNullOrUndef(rt),
+            if (strict && lt.nullAs != rt.nullAs) lit(false)
+            else isNullOrUndef(lt) && isNullOrUndef(rt) &&
+              (if (strict) lit(lt.nullAs == rt.nullAs) else lit(true)))
+            .otherwise(lt.col === rt.col))
+        case (TNum(_, _), TStr(_)) | (TStr(_), TNum(_, _)) if strict => Some(lit(false))
+        case (TBool, TNum(_, _)) | (TNum(_, _), TBool) if strict => Some(lit(false))
+        case _ => None
+      }
+    } yield TC(if (negate) !base else base, TBool, NoNull)
+  }
+
+  private def unary(op: String, x: Expr, ctx: Ctx,
+      locals: Map[String, TC]): Option[TC] = op match {
+    case "!" => truthyExpr(x, ctx, locals).map(c => TC(!c, TBool, NoNull))
+    case "-" =>
+      numExpr(x, ctx, locals).map(tc =>
+        TC(-tc.col, TNum(integralClaim(tc)), NoNull))
+    case "+" => numExpr(x, ctx, locals)
+    case "typeof" =>
+      compileExpr(x, ctx, locals).map { tc =>
+        val s = tc.ty match {
+          case TNum(_, _) => withNull(tc, lit("number"))
+          case TStr(_) => withNull(tc, lit("string"))
+          case TBool => withNull(tc, lit("boolean"))
+          case TNull => lit("object")
+          case TUndef => lit("undefined")
+          case TDate(_) => lit("object")
+          case TDyn =>
+            val v = tc.col
+            val t = schema_of_variant(v)
+            when(v.isNull, lit("undefined"))
+              .when(is_variant_null(v), lit("object"))
+              .when(t === "STRING", lit("string"))
+              .when(t === "BOOLEAN", lit("boolean"))
+              .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
+                lit("number"))
+              .otherwise(lit("object"))
+        }
+        TC(s, TStr(ascii = true), NoNull)
+      }
+    case _ => None
+  }
+
+  /** typeof helper: SQL NULL in a nullable column is a JS null or
+    * undefined VALUE, so typeof must answer for it. */
+  private def withNull(tc: TC, base: Column): Column = tc.nullAs match {
+    case NoNull => base
+    case NullIsJsNull => when(tc.col.isNull, lit("object")).otherwise(base)
+    case NullIsUndef => when(tc.col.isNull, lit("undefined")).otherwise(base)
+  }
+
+  // ----------------------------------------------------------- calls
+
+  private def call(callee: Expr, args: Seq[Expr], ctx: Ctx,
+      locals: Map[String, TC]): Option[TC] = callee match {
+    case Ident("Date") if unshadowedNative(ctx, locals, "Date") => dateCtor(args, ctx, locals)
+    case Member(Ident("Date"), "parse") if unshadowedNative(ctx, locals, "Date") =>
+      args match {
+        case Seq(StrLit(s)) => Some(numLitTC(JsDateOps.parse(s)))
+        case _ => None
+      }
+    case Member(Ident("Math"), m) if unshadowedMath(ctx, locals) =>
+      mathCall(m, args, ctx, locals)
+    case Ident("Number") if unshadowedNative(ctx, locals, "Number") =>
+      args match { case Seq(a) => numExpr(a, ctx, locals); case _ => None }
+    case Ident("String") if unshadowedNative(ctx, locals, "String") =>
+      args match {
+        case Seq(a) => compileExpr(a, ctx, locals).flatMap(strOf)
+          .map { case (c, ascii) => TC(c, TStr(ascii), NoNull) }
+        case _ => None
+      }
+    case Ident("Boolean") if unshadowedNative(ctx, locals, "Boolean") =>
+      args match {
+        case Seq(a) => truthyExpr(a, ctx, locals).map(TC(_, TBool, NoNull))
+        case _ => None
+      }
+    case Ident("isNaN") if unshadowedNative(ctx, locals, "isNaN") =>
+      args match {
+        case Seq(a) => numExpr(a, ctx, locals).map(tc => TC(isnan(tc.col), TBool, NoNull))
+        case _ => None
+      }
+    case Ident("isFinite") if unshadowedNative(ctx, locals, "isFinite") =>
+      args match {
+        case Seq(a) => numExpr(a, ctx, locals).map(tc =>
+          TC(!isnan(tc.col) && abs(tc.col) =!= lit(Double.PositiveInfinity),
+            TBool, NoNull))
+        case _ => None
+      }
+    case Member(obj, m) =>
+      compileExpr(obj, ctx, locals).flatMap { tc =>
+        tc.ty match {
+          case TDate(_) => dateMethod(tc, m, args)
+          case TStr(_) => strMethod(tc, m, args, ctx, locals)
+          case _ => None
+        }
+      }
+    case _ => None
+  }
+
+  /** The global still resolves to the stdlib native (the program did not
+    * shadow it with its own binding). */
+  private def unshadowedNative(ctx: Ctx, locals: Map[String, TC], n: String): Boolean =
+    !locals.contains(n) && !ctx.envParam.contains(n) && !ctx.stateParam.contains(n) &&
+      (ctx.cp.interp.globals.lookup(n) match {
+        case Some(JsNative(`n`, _, _)) => true
+        case _ => false
+      })
+
+  private def unshadowedMath(ctx: Ctx, locals: Map[String, TC]): Boolean =
+    !locals.contains("Math") && !ctx.envParam.contains("Math") &&
+      (ctx.cp.interp.globals.lookup("Math") match {
+        case Some(_: JsObj) => true
+        case _ => false
+      })
+
+  private def mathCall(m: String, args: Seq[Expr], ctx: Ctx,
+      locals: Map[String, TC]): Option[TC] = {
+    def one(f: Column => Column, integral: Boolean => Boolean) = args match {
+      case Seq(a) => numExpr(a, ctx, locals).map(tc =>
+        TC(f(tc.col), TNum(integral(integralClaim(tc))), NoNull))
+      case _ => None
+    }
+    // floor/ceil return BIGINT in Spark and silently zero NaN — guard the
+    // non-finite cases to the JS identity (NaN→NaN, ±Inf→±Inf)
+    def guarded(f: Column => Column)(c: Column): Column =
+      when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+        .otherwise(f(c).cast(DoubleType))
+    m match {
+      case "floor" => one(guarded(floor), _ => true)
+      case "ceil" => one(guarded(ceil), _ => true)
+      // ES Math.round is floor(x + 0.5) — half-up toward +Infinity, unlike
+      // SQL round's half-away-from-zero (differs on negative halves)
+      case "round" => one(guarded(c => floor(c + lit(0.5))), _ => true)
+      case "trunc" =>
+        // mirrors the interpreter's Double.toLong semantics: NaN→0,
+        // ±Inf→±Long.Max/Min (JsInterp.scala "trunc")
+        one(c => when(isnan(c), lit(0.0))
+          .when(c === lit(Double.PositiveInfinity), lit(Long.MaxValue.toDouble))
+          .when(c === lit(Double.NegativeInfinity), lit(Long.MinValue.toDouble))
+          .when(abs(c) >= lit(9.223372036854776e18),
+            when(c > 0, lit(Long.MaxValue.toDouble)).otherwise(lit(Long.MinValue.toDouble)))
+          .otherwise(c.cast(LongType).cast(DoubleType)), _ => true)
+      case "abs" => one(abs, i => i)
+      case "min" | "max" => args match {
+        case Seq(a, b) =>
+          for (at <- numExpr(a, ctx, locals); bt <- numExpr(b, ctx, locals)) yield {
+            val f = if (m == "min") least(at.col, bt.col) else greatest(at.col, bt.col)
+            // Spark least/greatest order NaN as largest; JS propagates NaN
+            TC(when(isnan(at.col) || isnan(bt.col), lit(Double.NaN)).otherwise(f),
+              TNum(integralClaim(at) && integralClaim(bt)), NoNull)
+          }
+        case _ => None
+      }
+      case "sqrt" => one(sqrt, _ => false)
+      case "pow" => None // ES pow edge table is long; stay interpreted
+      case _ => None
+    }
+  }
+
+  private def dateCtor(args: Seq[Expr], ctx: Ctx,
+      locals: Map[String, TC]): Option[TC] = args match {
+    case Seq(a) =>
+      compileExpr(a, ctx, locals).flatMap { tc =>
+        tc.ty match {
+          case TDate(b) => Some(TC(tc.col, TDate(b), NoNull)) // copy ctor
+          case _: TStr => a match {
+            case StrLit(s) =>
+              val ms = JsDateOps.parse(s)
+              Some(TC(if (ms.isNaN) lit(null).cast(LongType) else lit(ms.toLong),
+                TDate(bounded = !ms.isNaN && ms >= FmtMinMs && ms <= FmtMaxMs), NoNull))
+            case _ => None // dynamic ISO parsing stays interpreted
+          }
+          case _ => numOf(tc).map { n =>
+            // ES TimeClip: NaN / |t|>8.64e15 → Invalid Date; else truncate
+            // toward zero (exactly what the in-range ANSI long cast does)
+            val ms = when(isnan(n) || abs(n) > lit(MaxTime), lit(null).cast(LongType))
+              .otherwise(n.cast(LongType))
+            TC(ms, TDate(bounded = boundedMsClaim(tc)), NoNull)
+          }
+        }
+      }
+    case _ => None // multi-arg calendar ctor: stay interpreted
+  }
+
+  private def dateMethod(tc: TC, m: String, args: Seq[Expr]): Option[TC] = {
+    if (args.nonEmpty) return None
+    val ms = tc.col
+    val bounded = tc.ty match { case TDate(b) => b; case _ => false }
+    def num(c: Column, boundedOut: Boolean = false): Option[TC] =
+      Some(TC(when(ms.isNull, lit(Double.NaN)).otherwise(c.cast(DoubleType)),
+        TNum(integral = true, boundedMs = boundedOut), NoNull))
+    m match {
+      case "getTime" | "valueOf" => num(ms, boundedOut = bounded)
+      case "getTimezoneOffset" => num(lit(0L))
+      case "getUTCDay" | "getDay" => num(periodField(ms, 86400000L, 7L))
+      case "getUTCHours" | "getHours" => num(periodField(ms, 3600000L, 24L))
+      case "getUTCMinutes" | "getMinutes" => num(periodField(ms, 60000L, 60L))
+      case "getUTCSeconds" | "getSeconds" => num(periodField(ms, 1000L, 60L))
+      case "getUTCMilliseconds" | "getMilliseconds" => num(pmod(ms, lit(1000L)))
+      case "getUTCFullYear" | "getFullYear" if bounded =>
+        num(year(timestamp_millis(ms)))
+      case "getUTCMonth" | "getMonth" if bounded =>
+        num(month(timestamp_millis(ms)) - lit(1))
+      case "getUTCDate" | "getDate" if bounded =>
+        num(dayofmonth(timestamp_millis(ms)))
+      case "toISOString" if bounded =>
+        // invalid date throws the ES RangeError in the interpreter — the
+        // compiled plan raises the same message, loudly
+        Some(TC(when(ms.isNull,
+          raise_error(lit("RangeError: Invalid time value")).cast(StringType))
+          .otherwise(isoOf(ms)), TStr(ascii = true), NoNull))
+      case "toJSON" if bounded =>
+        Some(TC(when(ms.isNull, nullStr).otherwise(isoOf(ms)),
+          TStr(ascii = true), NullIsJsNull))
+      case _ => None
+    }
+  }
+
+  private def strMethod(tc: TC, m: String, args: Seq[Expr], ctx: Ctx,
+      locals: Map[String, TC]): Option[TC] = {
+    // method call on a JS null/undefined throws in the interpreter; only
+    // non-null receivers compile
+    if (tc.nullAs != NoNull) return None
+    val ascii = tc.ty match { case TStr(a) => a; case _ => false }
+    def intLit(e: Expr): Option[Int] = e match {
+      case NumLit(d) if d == math.rint(d) && d >= 0 && d <= Int.MaxValue =>
+        Some(d.toInt)
+      case _ => None
+    }
+    m match {
+      // positional ops count UTF-16 units in JS but codepoints in SQL —
+      // exact only for provably-ASCII receivers (ISO strings, number
+      // strings, ASCII literals)
+      case "slice" if ascii => args match {
+        case Seq(a) => intLit(a).map(s =>
+          TC(tc.col.substr(lit(s + 1), lit(Int.MaxValue)), TStr(true), NoNull))
+        case Seq(a, b) =>
+          for (s <- intLit(a); e <- intLit(b); if e >= s)
+            yield TC(tc.col.substr(lit(s + 1), lit(e - s)), TStr(true), NoNull)
+        case _ => None
+      }
+      case "charAt" if ascii => args match {
+        case Seq(a) => intLit(a).map(i =>
+          TC(tc.col.substr(lit(i + 1), lit(1)), TStr(true), NoNull))
+        case _ => None
+      }
+      case "indexOf" if ascii => args match {
+        case Seq(StrLit(s)) if s.forall(_ < 128) =>
+          Some(TC((instr(tc.col, s) - lit(1)).cast(DoubleType),
+            TNum(integral = true), NoNull))
+        case _ => None
+      }
+      case "toLowerCase" => Some(TC(lower(tc.col), TStr(ascii), NoNull))
+      case "toUpperCase" => Some(TC(upper(tc.col), TStr(ascii), NoNull))
+      case "trim" => Some(TC(trim(tc.col), TStr(ascii), NoNull))
+      case "concat" =>
+        args.foldLeft(Option((tc.col, ascii))) { (acc, a) =>
+          for {
+            (c, ca) <- acc
+            at <- compileExpr(a, ctx, locals)
+            (ac, aa) <- strOf(at)
+          } yield (concat(c, ac), ca && aa)
+        }.map { case (c, a) => TC(c, TStr(a), NoNull) }
+      case _ => None
+    }
+  }
+
+  // ------------------------------------------------------ handler folds
+
+  /** Guarded per-event contribution terms per state field. */
+  private type FieldTerms = List[(String, Column)]
+
+  private def compileHandler(fn: JsVal, cp: CompiledJsProjection,
+      partitionCol: Column, refs: mutable.Set[String]): Option[FieldTerms] =
+    fn match {
+      case JsFunc(params, body, _) =>
+        val ctx = new Ctx(cp, partitionCol, refs,
+          envParam = params.lift(1), stateParam = params.headOption)
+        walkStmts(body, None, Map.empty, topLevel = true, ctx).map(_._2)
+      case _ => None
+    }
+
+  /** Walk a handler body: a prefix of `var` locals, then guarded
+    * `s.f += / -= expr` statements and nested `if`s, then an optional
+    * final `return s`. Anything else → None. */
+  private def walkStmts(stmts: Seq[Stmt], guard: Option[Column],
+      locals0: Map[String, TC], topLevel: Boolean,
+      ctx: Ctx): Option[(Map[String, TC], FieldTerms)] = {
+    var locals = locals0
+    var varsAllowed = topLevel
+    val acc = List.newBuilder[(String, Column)]
+    val last = stmts.length - 1
+    for ((st, i) <- stmts.zipWithIndex) st match {
+      case VarDecl(decls) if varsAllowed =>
+        for ((n, init) <- decls) {
+          val tc = init match {
+            case Some(e) => compileExpr(e, ctx, locals) match {
+              case Some(v) => v
+              case None => return None
+            }
+            case None => tUndef
+          }
+          locals += (n -> tc)
+        }
+      case ExprStmt(Assign(op @ ("+=" | "-="), Member(Ident(s), f), rhs))
+          if ctx.stateParam.contains(s) && !locals.contains(s) =>
+        varsAllowed = false
+        val tc = numExpr(rhs, ctx, locals) match {
+          case Some(v) if integralClaim(v) => v
+          case _ => return None // non-integral sums are order-sensitive
+        }
+        val delta = if (op == "-=") -tc.col else tc.col
+        acc += f -> guard.map(g => when(g, delta).otherwise(lit(0.0))).getOrElse(delta)
+      case If(c, t, e) =>
+        varsAllowed = false
+        val cc = truthyExpr(c, ctx, locals) match {
+          case Some(v) => v
+          case None => return None
+        }
+        walkStmts(t, Some(guard.map(_ && cc).getOrElse(cc)), locals,
+          topLevel = false, ctx) match {
+          case Some((_, ts)) => acc ++= ts
+          case None => return None
+        }
+        e.foreach { es =>
+          walkStmts(es, Some(guard.map(_ && !cc).getOrElse(!cc)), locals,
+            topLevel = false, ctx) match {
+            case Some((_, ts)) => acc ++= ts
+            case None => return None
+          }
+        }
+      case Return(None) if topLevel && i == last => ()
+      case Return(Some(Ident(s))) if topLevel && i == last &&
+          ctx.stateParam.contains(s) && !locals.contains(s) => ()
+      case _ => return None
+    }
+    Some((locals, acc.result()))
+  }
+
+  // --------------------------------------------------------- top level
+
+  /** Try to compile the whole definition to a Column plan. None = use
+    * the interpreter (never an error — unsupported is a fallback). */
+  def compile(cp: CompiledJsProjection): Option[Plan] = {
+    val spec = cp.spec
+    if (spec.isBiState || spec.hasCreated || cp.transformsList.nonEmpty ||
+      cp.deletedFnOpt.isDefined) return None
+
+    val init: mutable.LinkedHashMap[String, JsVal] =
+      (try cp.initState() catch { case _: JsError => return None }) match {
+        case JsObj(fields) => fields
+        case _ => return None
+      }
+
+    val refs = mutable.Set.empty[String]
+    refs ++= Seq("stream_id", "event_type")
+
+    // partition key
+    val (keyCol, keyNullable): (Column, Boolean) =
+      if (spec.foreachStream) (col("stream_id"), false)
+      else if (spec.hasPartitionBy) cp.partitionFnOpt match {
+        case Some(JsFunc(params, body, _)) =>
+          val ctx = new Ctx(cp, lit(""), refs, envParam = params.headOption,
+            stateParam = None)
+          // body: optional var prefix + a single return expression
+          var locals = Map.empty[String, TC]
+          var key: Option[Column] = None
+          for ((st, i) <- body.zipWithIndex) st match {
+            case VarDecl(decls) if key.isEmpty =>
+              for ((n, ie) <- decls) {
+                val tc = ie match {
+                  case Some(e) => compileExpr(e, ctx, locals) match {
+                    case Some(v) => v
+                    case None => return None
+                  }
+                  case None => tUndef
+                }
+                locals += (n -> tc)
+              }
+            case Return(Some(e)) if i == body.length - 1 =>
+              key = keyExpr(e, ctx, locals) match {
+                case s @ Some(_) => s
+                case None => return None
+              }
+            case _ => return None
+          }
+          (key.getOrElse(nullStr), true) // no return → undefined → skip all
+        case _ => return None
+      }
+      else (lit(""), false)
+
+    // handlers → per-field contribution terms
+    val handlerCtx = col(KeyCol)
+    def foldOf(fn: JsVal): Option[FieldTerms] =
+      compileHandler(fn, cp, handlerCtx, refs)
+    val typedFolds: Seq[(String, FieldTerms)] =
+      cp.handlersMap.toSeq.map { case (t, fn) =>
+        foldOf(fn) match {
+          case Some(terms) => t -> terms
+          case None => return None
+        }
+      }
+    val anyFold: Option[FieldTerms] = cp.anyFnOpt match {
+      case Some(fn) => foldOf(fn) match {
+        case Some(terms) => Some(terms)
+        case None => return None
+      }
+      case None => None
+    }
+
+    // assigned fields must exist in $init as exactly-representable
+    // integral numbers (JS += onto a missing field is NaN, not a sum)
+    val assigned: Seq[String] = {
+      val all = (typedFolds.flatMap(_._2.map(_._1)) ++
+        anyFold.toSeq.flatMap(_.map(_._1))).toSet
+      init.keys.filter(all).toSeq // in $init order
+    }
+    val assignedSet = assigned.toSet
+    if ((typedFolds.flatMap(_._2.map(_._1)) ++ anyFold.toSeq.flatMap(_.map(_._1)))
+      .exists(f => !init.contains(f))) return None
+    val initLong: Map[String, Long] = assigned.map { f =>
+      init(f) match {
+        case JsNum(d) if d == math.rint(d) && !d.isInfinite && math.abs(d) < MaxExact =>
+          f -> d.toLong
+        case _ => return None
+      }
+    }.toMap
+
+    // per-field per-event delta (long): CASE over event_type across the
+    // typed handlers, $any as the default — same routing as step()
+    def contribOf(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, c) => c } match {
+        case Nil => lit(0.0)
+        case one :: Nil => one
+        case many => many.reduce(_ + _)
+      }
+    val deltas: Seq[(String, Column)] = assigned.map { f =>
+      val dflt = anyFold.map(contribOf(_, f)).getOrElse(lit(0.0))
+      val cased =
+        if (typedFolds.isEmpty) dflt
+        else typedFolds.foldLeft(Option.empty[Column]) { case (acc, (t, terms)) =>
+          val c = contribOf(terms, f)
+          Some(acc match {
+            case None => when(col("event_type") === t, c)
+            case Some(w) => w.when(col("event_type") === t, c)
+          })
+        }.get.otherwise(dflt)
+      f -> cased.cast(LongType)
+    }
+
+    // final state JSON, in $init field order; unassigned fields are
+    // compile-time fragments (undefined-valued ones are skipped, like
+    // JSON.stringify)
+    val jsonParts: Seq[Column] = {
+      val parts = init.toSeq.flatMap { case (k, v) =>
+        def keyJson = JsVal.stringify(JsStr(k)).get + ":"
+        if (assignedSet(k)) {
+          val tot = lit(initLong(k)) + col(s"__graft_sum_$k")
+          val rendered = when(abs(tot) >= lit(MaxExact),
+            raise_error(lit(s"js column fold: |$k| reached 2^53 — IEEE doubles " +
+              "lose integer exactness here; run with " +
+              "spark.graft.js.columnCompile=false")).cast(StringType))
+            .otherwise(tot.cast(StringType))
+          Some(concat(lit(keyJson), rendered))
+        } else JsVal.stringify(v).map(frag => lit(keyJson + frag))
+      }
+      if (parts.isEmpty) Seq(lit("{}"))
+      else lit("{") +: parts.zipWithIndex.flatMap { case (p, i) =>
+        if (i == 0) Seq(p) else Seq(lit(","), p)
+      } :+ lit("}")
+    }
+
+    val selector: Column = spec.selector match {
+      // same expressions as graft.projections.Projections.from* builders
+      case JsSelector.Stream(id) => col("stream_id") === id
+      case JsSelector.Streams(ids) => col("stream_id").isin(ids: _*)
+      case JsSelector.Category(c) =>
+        graft.operators.SystemProjections.categoryFirst(col("stream_id"), "-") === c
+      case JsSelector.Categories(cs) =>
+        graft.operators.SystemProjections.categoryFirst(col("stream_id"), "-").isin(cs: _*)
+      case JsSelector.All => lit(true)
+    }
+
+    val required = refs.toSet
+    val usesTs = required.contains("timestamp")
+
+    Some(Plan(required, usesTs, (log: DataFrame) => {
+      // default the optional meta/resolved columns exactly like
+      // Projections.toLogEvents does for withMeta=false inputs
+      var df = log
+      if (!df.columns.contains("value") && required.contains("value"))
+        df = df.withColumn("value", lit(0.0))
+      for (c <- Seq("event_id", "metadata", "link_metadata", "resolved_stream_id"))
+        if (required.contains(c) && !df.columns.contains(c))
+          df = df.withColumn(c, nullStr)
+      if (required.contains("resolved_event_number") &&
+        !df.columns.contains("resolved_event_number"))
+        df = df.withColumn("resolved_event_number", lit(-1L))
+
+      val withKey = df.where(selector).withColumn(KeyCol, keyCol)
+      val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
+      val grouped =
+        if (deltas.nonEmpty) {
+          val aggs = deltas.map { case (f, d) => sum(d).as(s"__graft_sum_$f") }
+          keyed.groupBy(col(KeyCol)).agg(aggs.head, aggs.tail: _*)
+        } else keyed.groupBy(col(KeyCol)).agg(count(lit(1)).as("__graft_cnt"))
+      grouped.select(col(KeyCol).as("partition"),
+        concat(jsonParts: _*).as("state"))
+    }))
+  }
+}

@@ -105,8 +105,42 @@ final class JsProjection(val source: String) extends Serializable {
 
   /** P19 query mode: final state per partition, as (partition, state JSON)
     * — transformBy/filterBy applied (JintProjectionStateHandler
-    * TransformStateToResult). */
-  def states(log: DataFrame): DataFrame = {
+    * TransformStateToResult). When the definition's handler subset is
+    * expressible as Catalyst Columns ([[JsColumnCompiler]]), the fold runs
+    * as a codegen'd groupBy-aggregate with NO interpreter in the plan —
+    * same results (the compiler refuses anything it cannot match exactly),
+    * measured multiples faster. `spark.graft.js.columnCompile=false`
+    * forces the interpreter path. */
+  def states(log: DataFrame): DataFrame =
+    fastStates(log).getOrElse(statesInterpreted(log))
+
+  /** Whether this definition compiled to the Column fast path. */
+  def compilesToColumns: Boolean =
+    CompiledJsProjection.get(source).fastPlan.isDefined
+
+  /** The Column-compiled states() plan, when the definition is
+    * expressible, the session allows it, and the input log carries the
+    * referenced columns (TimestampType `timestamp` when Date math is
+    * used). Public for plan-shape tests. */
+  def fastStates(log: DataFrame): Option[DataFrame] = {
+    val enabled = log.sparkSession.conf
+      .getOption("spark.graft.js.columnCompile").forall(_.toBoolean)
+    if (!enabled) None
+    else CompiledJsProjection.get(source).fastPlan.flatMap { p =>
+      val optional = Set("event_id", "metadata", "link_metadata",
+        "resolved_stream_id", "resolved_event_number", "value")
+      val have = log.columns.toSet
+      val ok = p.requiredCols.forall(c => have(c) || optional(c)) &&
+        (!p.usesTimestamp || (have("timestamp") &&
+          log.schema("timestamp").dataType ==
+            org.apache.spark.sql.types.TimestampType))
+      if (ok) Some(p.build(prepared(log))) else None
+    }
+  }
+
+  /** The interpreter execution of states() — the reference semantics the
+    * fast path must match (equivalence suite in JsEngineSpec). */
+  def statesInterpreted(log: DataFrame): DataFrame = {
     val spark = log.sparkSession
     import spark.implicits._
     val src = source
@@ -351,6 +385,18 @@ final class CompiledJsProjection private (source: String) {
   private var deletedFn: Option[JsVal] = None
   private var partitionFn: Option[JsVal] = None
   private var transforms = List.empty[(String, JsVal)] // ("transform"|"filter", fn)
+
+  // read-only views for the column compiler (JsColumnCompiler)
+  private[js] def handlersMap: Map[String, JsVal] = handlers
+  private[js] def anyFnOpt: Option[JsVal] = anyFn
+  private[js] def partitionFnOpt: Option[JsVal] = partitionFn
+  private[js] def deletedFnOpt: Option[JsVal] = deletedFn
+  private[js] def transformsList: List[(String, JsVal)] = transforms
+
+  /** The whole-definition Column compilation, when the handler subset is
+    * expressible (JsColumnCompiler doc); computed once per instance. */
+  private[js] lazy val fastPlan: Option[JsColumnCompiler.Plan] =
+    JsColumnCompiler.compile(this)
 
   // bound per step() call, read by the emit/linkTo natives
   private var currentEmitter: Emitter = null

@@ -241,6 +241,20 @@ fromAll()
         get_json_object(col("state"), "$.days").cast("long").as("day_sum"))
       .orderBy(col("partition"))
 
+  /** Every JS definition this module runs, by name — the handler corpus
+    * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
+    * == interpreter on each, including the ones that must fall back). */
+  private[graft] def handlerCorpus: Seq[(String, String)] = Seq(
+    "js_date_bucket" -> dateSource,
+    "js_fold_count_sum" -> foldSource,
+    "js_try_switch" -> trySwitchSource,
+    "js_regex_extract" -> regexSource,
+    "js_partition_by" -> partitionSource,
+    "js_emit" -> emitSource,
+    "js_linkto" -> linkSource,
+    "js_transform_filter" -> transformSource,
+    "js_output_state" -> outputSource)
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "js_date_bucket" -> (jsDateBucket _),
     "js_fold_count_sum" -> (jsFold _),

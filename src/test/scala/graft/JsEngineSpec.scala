@@ -916,4 +916,173 @@ fromCategory("chat").when({
         |try { /(ab?)+c$/.test(s); } catch (e) { msg = e.message; }
         |msg.indexOf('regex execution budget') >= 0""".stripMargin) == JsBool(true))
   }
+
+  // -------------------------------------------- column-compiled fast path
+
+  /** Hostile envelope rows exercising every dynamic-typing edge the
+    * column compiler must match: body.k as string/int/decimal/bool/json-
+    * null/object/array/empty-string/-0.0, missing keys, malformed JSON,
+    * null data, null/epoch/negative/far-future timestamps, dash-less
+    * stream ids. */
+  private def hostileLog = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("purchase-1", 0L, "purchase", 1L, Some(1583035425678L), """{"k":"alpha"}""", 10.5),
+      ("purchase-1", 1L, "purchase", 2L, Some(0L), """{"k":12}""", 151.2),
+      ("purchase-2", 0L, "purchase", 3L, Some(-86400001L), """{"k":1.50}""", 7.77),
+      ("purchase-2", 1L, "refund", 4L, Some(4102444800000L), """{"k":true}""", 3.2),
+      ("click-9", 0L, "click", 5L, None, """{"k":null}""", 0.0),
+      ("click-9", 1L, "click", 6L, Some(999L), """{"k":{"x":1}}""", -5.5),
+      ("noDashStream", 0L, "purchase", 7L, Some(1L), """{"k":[1,2]}""", 2.25),
+      ("error-3", 0L, "error", 8L, Some(123456789L), """{}""", 1e9),
+      ("error-3", 1L, "error", 9L, Some(123L), "not json", 0.015),
+      ("error-3", 2L, "error", 10L, Some(456L), null, 99.99),
+      ("purchase-3", 0L, "purchase", 11L, Some(1700000000123L), """{"k":""}""", 42.0),
+      ("purchase-3", 1L, "purchase", 12L, Some(1700000001123L), """{"k":-0.0}""", 0.49),
+      ("purchase-3", 2L, "purchase", 13L, Some(1700000002123L), """{"k":1e21}""", 1.01))
+      .toDF("stream_id", "event_number", "event_type", "log_position",
+        "ts_ms", "data", "value")
+      .withColumn("timestamp", expr("timestamp_millis(ts_ms)")).drop("ts_ms")
+      .withColumn("correlation_id", lit(null).cast("string"))
+  }
+
+  /** Both execution paths of states() on the same log must agree row for
+    * row; returns whether the definition took the fast path. */
+  private def fastEqualsInterp(src: String, log: org.apache.spark.sql.DataFrame): Boolean = {
+    val p = JsProjection.compile(src)
+    if (!p.compilesToColumns) return false
+    assert(p.fastStates(log).isDefined, "fast path must engage on this log")
+    val fast = p.states(log).orderBy("partition", "state").collect().toSeq
+    spark.conf.set("spark.graft.js.columnCompile", "false")
+    try {
+      assert(p.fastStates(log).isEmpty, "conf must force the interpreter")
+      val interp = p.states(log).orderBy("partition", "state").collect().toSeq
+      assert(fast == interp, s"fast != interpreter for:\n$src")
+    } finally spark.conf.set("spark.graft.js.columnCompile", "true")
+    true
+  }
+
+  test("column fast path: full handler corpus, fast == interpreter, " +
+    "with the expected compile/fallback split") {
+    val log = graft.sources.Tables.eventLog(spark, "/root/testdata/sf0.001")
+    val compiled = JsProjectionQueries.handlerCorpus.map { case (name, src) =>
+      name -> fastEqualsInterp(src, log)
+    }.toMap
+    // sums of pure per-event expressions compile; emit/linkTo (side
+    // effects), try/switch/regex (control flow + string subtleties) and
+    // transformBy/filterBy chains stay on the interpreter
+    assert(compiled == Map(
+      "js_date_bucket" -> true,
+      "js_fold_count_sum" -> true,
+      "js_try_switch" -> false,
+      "js_regex_extract" -> false,
+      "js_partition_by" -> true,
+      "js_emit" -> false,
+      "js_linkto" -> false,
+      "js_transform_filter" -> false,
+      "js_output_state" -> true))
+  }
+
+  test("column fast path: hostile dynamic-typed data, fast == interpreter") {
+    val log = hostileLog
+    for ((_, src) <- JsProjectionQueries.handlerCorpus
+        if JsProjection.compile(src).compilesToColumns)
+      fastEqualsInterp(src, log)
+    // body-prop partition keys across every JSON type: strings verbatim,
+    // numbers in ES formatting ("1.5" not "1.50", "1e+21"), bool/object/
+    // array/null/missing skipped
+    val keys = JsProjection.compile("""
+fromAll()
+    .partitionBy(function(e) {
+        return e.body && e.body.k != null ? e.body.k : null;
+    })
+    .when({ $init: function() { return { n: 0 }; },
+            $any: function(s, e) { s.n += 1; return s; } })""")
+      .states(log).collect().map(_.getString(0)).toSet
+    assert(keys == Set("alpha", "12", "1.5", "", "0", "1e+21"))
+  }
+
+  test("column fast path: plan is pure Catalyst — no interpreter node, " +
+    "hash aggregation, partial aggregation present") {
+    val log = graft.sources.Tables.eventLog(spark, "/root/testdata/sf0.001")
+    for ((name, src) <- JsProjectionQueries.handlerCorpus
+        if Set("js_date_bucket", "js_partition_by", "js_fold_count_sum")(name)) {
+      val plan = JsProjection.compile(src).fastStates(log).get
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("MapPartitions"), s"$name plan has an interpreter node")
+      assert(!plan.contains("DeserializeToObject"), s"$name plan leaves codegen")
+      assert(plan.contains("HashAggregate"), s"$name plan is not a hash aggregate")
+    }
+  }
+
+  test("column fast path: fallback boundary — unsupported constructs " +
+    "compile to None, never to a wrong plan") {
+    def compiles(src: String): Boolean = JsProjection.compile(src).compilesToColumns
+    // non-integral delta: IEEE accumulation is order-sensitive
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0 }; },
+      $any: function(s, e) { s.x += e.value; return s; } })"""))
+    // plain assignment is last-write, not a sum
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0 }; },
+      $any: function(s, e) { s.x = 1; return s; } })"""))
+    // assigned field missing from $init: JS would produce NaN
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return {}; },
+      $any: function(s, e) { s.x += 1; return s; } })"""))
+    // loops / state reads / early returns stay interpreted
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0 }; },
+      $any: function(s, e) { while (s.x < 3) s.x += 1; return s; } })"""))
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0, y: 0 }; },
+      $any: function(s, e) { s.x += 1; if (s.x > 2) return s; s.y += 1; return s; } })"""))
+    // $created, $deleted, bi-state, transforms: out of the subset
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0 }; },
+      $created: function(s, e) { return s; },
+      $any: function(s, e) { s.x += 1; return s; } })"""))
+    // but the matching supported twins DO compile
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0 }; },
+      $any: function(s, e) { s.x += Math.round(e.value); return s; } })"""))
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0, y: 0 }; },
+      $any: function(s, e) { if (e.value > 2) s.x += 1; else s.y -= 2; return s; } })"""))
+  }
+
+  test("column fast path: typed handlers route by event type like step(), " +
+    "$any catches the rest, unhandled types still create partitions") {
+    val log = hostileLog
+    fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { p: 0, r: 0, other: 0 }; },
+        purchase: function(s, e) { s.p += 1; return s; },
+        refund: function(s, e) { s.r += 1; return s; },
+        $any: function(s, e) { s.other += 1; return s; }
+    })""", log)
+    // without $any: streams whose events are ALL unhandled still appear
+    // with the bare $init state (the fold creates the group either way)
+    val p = JsProjection.compile("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { p: 0 }; },
+        purchase: function(s, e) { s.p += 1; return s; }
+    })""")
+    assert(p.compilesToColumns)
+    val states = p.states(log).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states("error-3") == """{"p":0}""")
+    assert(states("purchase-1") == """{"p":2}""")
+    fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { p: 0 }; },
+        purchase: function(s, e) { s.p += 1; return s; }
+    })""", log)
+  }
 }
