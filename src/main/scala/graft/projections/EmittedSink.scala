@@ -39,12 +39,17 @@ object EmittedSink {
     * this batch's targets, never the whole log's event_ids. */
   def appendIdempotent(store: EventLogStore, projection: String,
       emitted: Dataset[Emitted]): Long = {
-    val (epoch, resetPending) = ProjectionLifecycle.status(store, projection)
+    val (epoch, resetPending, runState) =
+      ProjectionLifecycle.statusFull(store, projection)
     if (resetPending)
       throw new IllegalStateException(
         s"projection $projection has a half-applied reset (crash between " +
           "truncation and the control append); re-run ProjectionLifecycle.reset " +
           "before emitting — emits now would dedup against truncated ids")
+    // durable disable/fault gate — covers streamTo too (it lands here
+    // every micro-batch), so flipping the flag stops a running stream at
+    // its next batch boundary
+    ProjectionLifecycle.requireEnabled(projection, runState)
     val tag = if (epoch == 0) projection else s"$projection@$epoch"
     val registry = ProjectionLifecycle.emittedStreamsStream(projection)
     // engine provenance fields + the handler's ExtraMetaData keys (the

@@ -21,11 +21,12 @@ object ProjectionCheckpoints {
       states: Dataset[(String, S)], serialize: S => String): Long = {
     val spark = states.sparkSession
     import spark.implicits._
-    val (epoch, resetPending) = ProjectionLifecycle.status(store, name)
+    val (epoch, resetPending, runState) = ProjectionLifecycle.statusFull(store, name)
     if (resetPending)
       throw new IllegalStateException(
         s"projection $name has a half-applied reset; re-run " +
           "ProjectionLifecycle.reset before checkpointing")
+    ProjectionLifecycle.requireEnabled(name, runState)
     val tag = if (epoch == 0) name else s"$name@$epoch"
     val pending = states.map { case (k, s) => (k, serialize(s)) }
       .toDF("partition", "state")

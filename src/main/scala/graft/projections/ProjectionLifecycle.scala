@@ -37,6 +37,26 @@ object ProjectionLifecycle {
   def emittedStreamsStream(name: String): String =
     s"$$projections-$name-emittedstreams"
 
+  /** Durable run state — the enable/disable/fault half of the reference's
+    * ManagedProjection state machine (the ManagedProjectionStates
+    * directory: Stopped/Running carry an Enabled flag persisted in the
+    * projection record; Faulted carries the fault reason). In a library+job-runner
+    * design "stop the job" covers the transient states; what must survive
+    * the job is the DURABLE flag a continuous deployment checks, so a
+    * disabled or faulted projection cannot write no matter which worker
+    * picks it up. The LAST run-state marker in the control stream wins;
+    * a projection with no markers is enabled. */
+  sealed trait RunState extends Serializable
+  object RunState {
+    case object Enabled extends RunState
+    case object Disabled extends RunState
+    final case class Faulted(reason: String) extends RunState
+  }
+
+  val EnabledEventType = "$ProjectionEnabled"
+  val DisabledEventType = "$ProjectionDisabled"
+  val FaultedEventType = "$ProjectionFaulted"
+
   /** Current epoch of a projection: 0 until the first reset. A point
     * lookup on the control stream (stream + bucket pruned). */
   def epoch(store: EventLogStore, name: String): Int = status(store, name)._1
@@ -54,16 +74,103 @@ object ProjectionLifecycle {
 
   /** (epoch, resetPending) in ONE control-stream point lookup. */
   private[projections] def status(store: EventLogStore, name: String): (Int, Boolean) = {
-    if (!store.exists) return (0, false)
-    val row = store.readStreamEvents(controlStream(name))
+    val s = statusFull(store, name)
+    (s._1, s._2)
+  }
+
+  /** (epoch, resetPending, runState) in ONE control-stream point lookup
+    * (plus one more only when the projection is actually faulted, to
+    * fetch the recorded reason). */
+  private[projections] def statusFull(
+      store: EventLogStore, name: String): (Int, Boolean, RunState) = {
+    if (!store.exists) return (0, false, RunState.Enabled)
+    val ctrl = store.readStreamEvents(controlStream(name))
+    val row = ctrl
       .agg(
         sum(when(col("event_type") === "$ProjectionReset", 1L).otherwise(0L)),
-        sum(when(col("event_type") === "$ProjectionResetStarted", 1L).otherwise(0L)))
+        sum(when(col("event_type") === "$ProjectionResetStarted", 1L).otherwise(0L)),
+        max(when(col("event_type") === EnabledEventType, col("event_number"))),
+        max(when(col("event_type") === DisabledEventType, col("event_number"))),
+        max(when(col("event_type") === FaultedEventType, col("event_number"))))
       .collect()(0)
-    val completed = if (row.isNullAt(0)) 0L else row.getLong(0)
-    val started = if (row.isNullAt(1)) 0L else row.getLong(1)
-    (completed.toInt, started > completed)
+    def long(i: Int, dflt: Long): Long = if (row.isNullAt(i)) dflt else row.getLong(i)
+    val completed = long(0, 0L)
+    val started = long(1, 0L)
+    val (en, dis, fau) = (long(2, -1L), long(3, -1L), long(4, -1L))
+    val runState =
+      if (dis > en && dis > fau) RunState.Disabled
+      else if (fau > en && fau > dis) {
+        val reason = ctrl
+          .where(col("event_type") === FaultedEventType &&
+            col("event_number") === fau)
+          .select(get_json_object(col("data"), "$.reason"))
+          .collect().headOption.flatMap(r => Option(r.getString(0))).getOrElse("")
+        RunState.Faulted(reason)
+      } else RunState.Enabled
+    (completed.toInt, started > completed, runState)
   }
+
+  /** The projection's durable run state. */
+  def runState(store: EventLogStore, name: String): RunState =
+    statusFull(store, name)._3
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def appendRunState(store: EventLogStore, name: String,
+      eventType: String, data: String): Unit = {
+    // sequence the marker id off the current marker count so repeated
+    // transitions append distinct events (appends dedup by event_id)
+    val k =
+      if (!store.exists) 0L
+      else store.readStreamEvents(controlStream(name))
+        .where(col("event_type").isin(EnabledEventType, DisabledEventType,
+          FaultedEventType))
+        .count()
+    store.append(Seq(PendingEvent(
+      controlStream(name), s"$name:runstate:$k", eventType, data)))
+  }
+
+  /** Durably disable the projection: [[EmittedSink]] and
+    * [[ProjectionCheckpoints]] refuse every write (batch and per
+    * micro-batch via EmittedSink.streamTo) until [[enable]]. Reads and
+    * state inspection stay available, like the reference's stopped
+    * projections. */
+  def disable(store: EventLogStore, name: String): Unit =
+    appendRunState(store, name, DisabledEventType, """{"enabled":false}""")
+
+  /** Re-enable a disabled or faulted projection. The epoch is untouched,
+    * so the next run resumes from its checkpoint and emit dedup continues
+    * where it stopped — enable/disable is a pause, reset is the do-over. */
+  def enable(store: EventLogStore, name: String): Unit =
+    appendRunState(store, name, EnabledEventType, """{"enabled":true}""")
+
+  /** Durably mark the projection faulted (the reference's Faulted state
+    * with its persisted fault reason): writers refuse with the reason
+    * until [[enable]] (after the operator fixes the cause) or [[reset]]
+    * plus enable for a clean re-run. */
+  def fault(store: EventLogStore, name: String, reason: String): Unit =
+    appendRunState(store, name, FaultedEventType,
+      s"""{"reason":${jsonStr(reason)}}""")
+
+  /** Writer-side gate: throws unless the run state is Enabled.
+    * [[EmittedSink.appendIdempotent]] and [[ProjectionCheckpoints.save]]
+    * call this with the statusFull result they already fetched. */
+  private[projections] def requireEnabled(name: String, state: RunState): Unit =
+    state match {
+      case RunState.Enabled => ()
+      case RunState.Disabled => throw new IllegalStateException(
+        s"projection $name is disabled ($DisabledEventType in its control " +
+          "stream); ProjectionLifecycle.enable to resume")
+      case RunState.Faulted(reason) => throw new IllegalStateException(
+        s"projection $name is faulted: $reason — fix the cause and " +
+          "ProjectionLifecycle.enable (or reset) to run again")
+    }
 
   /** Reset a projection: truncate its result/checkpoint/registry streams
     * and every stream it emitted into, then bump the epoch so the next

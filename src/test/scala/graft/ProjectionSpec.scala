@@ -363,4 +363,98 @@ class ProjectionSpec extends SparkTestBase {
       withEmit.statesMonoid(chat, _ + _)
     }
   }
+
+  // ----------------------------- durable run state (disable/fault/enable)
+
+  private def emittedRun(store: graft.sources.EventLogStore) = {
+    val s = spark; import s.implicits._
+    Projections.fromCategory("chat")
+      .foreachStream()
+      .init(0L)
+      .whenEmit("ChatMessage") { (n, e, em) =>
+        em.emit("digest-" + e.stream_id, "Digested", s"""{"pos":${e.log_position}}""")
+        n + 1
+      }
+      .emitted(chat)
+  }
+
+  test("disabled projection writes nothing anywhere; enable resumes and emits") {
+    val s = spark; import s.implicits._
+    val store = new graft.sources.EventLogStore(spark,
+      java.nio.file.Files.createTempDirectory("disable").toString)
+    assert(ProjectionLifecycle.runState(store, "digests") ==
+      ProjectionLifecycle.RunState.Enabled)
+    ProjectionLifecycle.disable(store, "digests")
+    assert(ProjectionLifecycle.runState(store, "digests") ==
+      ProjectionLifecycle.RunState.Disabled)
+    // emit refuses
+    val e1 = intercept[IllegalStateException] {
+      EmittedSink.appendIdempotent(store, "digests", emittedRun(store))
+    }
+    assert(e1.getMessage.contains("disabled"))
+    // checkpoint refuses
+    val half = Projections.fromCategory("chat").foreachStream().init("")
+      .whenAny((st, e) => st + e.log_position + ";")
+      .states(chat.where(org.apache.spark.sql.functions.col("log_position") <= 2))
+    val e2 = intercept[IllegalStateException] {
+      ProjectionCheckpoints.save(store, "digests", 2L, half, identity[String])
+    }
+    assert(e2.getMessage.contains("disabled"))
+    // nothing was written while disabled (only the control stream exists)
+    assert(store.read()
+      .where(!org.apache.spark.sql.functions.col("stream_id")
+        .startsWith("$projections-digests-control")).count() == 0L)
+    // enable resumes: same run now writes, exactly-once dedup intact
+    ProjectionLifecycle.enable(store, "digests")
+    assert(ProjectionLifecycle.runState(store, "digests") ==
+      ProjectionLifecycle.RunState.Enabled)
+    assert(EmittedSink.appendIdempotent(store, "digests", emittedRun(store)) == 5L)
+    assert(EmittedSink.appendIdempotent(store, "digests", emittedRun(store)) == 0L)
+    assert(ProjectionCheckpoints.save(store, "digests", 2L, half, identity[String]) == 2L)
+  }
+
+  test("re-enable resumes from the checkpoint (epoch untouched, dedup continues)") {
+    val s = spark; import s.implicits._
+    val store = new graft.sources.EventLogStore(spark,
+      java.nio.file.Files.createTempDirectory("reenable").toString)
+    def proj = Projections.fromCategory("chat").foreachStream().init("")
+      .whenAny((st, e) => st + e.log_position + ";")
+    val full = proj.states(chat).collect().toMap
+    val half = proj.states(
+      chat.where(org.apache.spark.sql.functions.col("log_position") <= 2))
+    ProjectionCheckpoints.save(store, "chatlog", 2L, half, identity[String])
+    ProjectionLifecycle.disable(store, "chatlog")
+    ProjectionLifecycle.enable(store, "chatlog")
+    // pause/resume, not a do-over: the pre-disable checkpoint is still the
+    // latest of the SAME epoch and resuming from it equals a full replay
+    assert(ProjectionLifecycle.epoch(store, "chatlog") == 0)
+    val Some((pos, loaded)) =
+      ProjectionCheckpoints.loadLatest[String](store, "chatlog", identity)
+    assert(pos == 2L)
+    val resumed = proj.statesFrom(chat, loaded, pos, identity, identity).collect().toMap
+    assert(resumed == full)
+  }
+
+  test("faulted projection surfaces the recorded reason; enable clears it") {
+    val s = spark; import s.implicits._
+    val store = new graft.sources.EventLogStore(spark,
+      java.nio.file.Files.createTempDirectory("fault").toString)
+    ProjectionLifecycle.fault(store, "digests", """handler threw: cannot read "k"""")
+    ProjectionLifecycle.runState(store, "digests") match {
+      case ProjectionLifecycle.RunState.Faulted(reason) =>
+        assert(reason == """handler threw: cannot read "k"""")
+      case other => fail(s"expected Faulted, got $other")
+    }
+    val e = intercept[IllegalStateException] {
+      EmittedSink.appendIdempotent(store, "digests", emittedRun(store))
+    }
+    assert(e.getMessage.contains("faulted") &&
+      e.getMessage.contains("""cannot read "k""""))
+    // last marker wins: fault → disable → enable lands enabled
+    ProjectionLifecycle.disable(store, "digests")
+    ProjectionLifecycle.enable(store, "digests")
+    assert(ProjectionLifecycle.runState(store, "digests") ==
+      ProjectionLifecycle.RunState.Enabled)
+    assert(EmittedSink.appendIdempotent(store, "digests", emittedRun(store)) == 5L)
+  }
 }
