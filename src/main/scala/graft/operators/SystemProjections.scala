@@ -125,12 +125,18 @@ object Links {
       col("log_position").as("caused_by_position"))
 
   /** Resolve link rows against the log: parse `n@stream` and join to the
-    * target events. Columns of the target get prefix `resolved_`. */
+    * target events. Columns of the target get prefix `resolved_`. LEFT
+    * join on purpose: a link whose target is gone (scavenged, `$tb`-
+    * truncated, tombstoned — or a malformed payload) SURVIVES with null
+    * `resolved_*` fields, the reference's failed-resolution contract
+    * (StorageReaderWorker.cs:676-723 ResolveLinkToEvent returns
+    * ResolvedEvent.ForFailedResolvedLink / ForUnresolvedEvent — the read
+    * never silently drops the link record). */
   def resolve(links: DataFrame, log: DataFrame): DataFrame = {
     val parsed = links.withColumn("_target_stream",
         expr("substring(data, instr(data, '@') + 1)"))
       .withColumn("_target_number",
-        expr("CAST(substring(data, 1, instr(data, '@') - 1) AS BIGINT)"))
+        expr("TRY_CAST(substring(data, 1, instr(data, '@') - 1) AS BIGINT)"))
     val target = log.select(
       col("stream_id").as("_target_stream"),
       col("event_number").as("_target_number"),
@@ -151,9 +157,19 @@ object Links {
     * carry its identity — the reference's ResolvedEvent original/resolved
     * split. The link's own metadata is exposed as `link_metadata`
     * (ResolvedEvent.PositionMetadata → the JS envelope's
-    * linkMetadataRaw). Unresolvable links (scavenged targets) drop, like
-    * the reference's missing-event handling. Non-link rows pass through
-    * with the new columns null.
+    * linkMetadataRaw). Non-link rows pass through with the new columns
+    * null.
+    *
+    * Unresolvable links — target scavenged, `$tb`-truncated away,
+    * stream tombstoned, or a malformed `n@stream` payload — SURVIVE as
+    * themselves: the row keeps the link's own identity, `$>` type, raw
+    * payload and metadata, with null resolved fields. That is the
+    * reference's failed-resolution contract (StorageReaderWorker.cs:
+    * 676-723: ReadEventResult.Success → ForResolvedLink, anything else →
+    * ForFailedResolvedLink / ForUnresolvedEvent — the LINK record is
+    * always delivered, never dropped), so readers observe the dangling
+    * link exactly like a reference subscriber whose ResolvedEvent.Event
+    * is null.
     *
     * Scale shape: one equi-join of the (usually small) link slice against
     * the log on (stream_id, event_number) — parquet bloom/stats prune the
@@ -165,6 +181,9 @@ object Links {
       else lit(null).cast("string")
     def valueOf(df: DataFrame): Column =
       if (df.columns.contains("value")) col("value") else lit(0.0)
+    def idOf(df: DataFrame): Column =
+      if (df.columns.contains("event_id")) col("event_id")
+      else lit(null).cast("string")
     val plain = log.where(!isLink)
       .withColumn("link_metadata", lit(null).cast("string"))
       .withColumn("resolved_stream_id", lit(null).cast("string"))
@@ -172,21 +191,37 @@ object Links {
     val linkSide = log.where(isLink).select(
       col("stream_id"), col("event_number"), col("log_position"),
       col("timestamp"), col("correlation_id"),
-      metaOf(log).as("link_metadata"),
+      col("data").as("_link_data"),
+      metaOf(log).as("_link_meta"),
+      idOf(log).as("_link_id"),
+      valueOf(log).as("_link_value"),
       expr("substring(data, instr(data, '@') + 1)").as("_t_stream"),
-      expr("CAST(substring(data, 1, instr(data, '@') - 1) AS BIGINT)").as("_t_num"))
+      expr("TRY_CAST(substring(data, 1, instr(data, '@') - 1) AS BIGINT)").as("_t_num"))
     val targetSide = log.where(!isLink).select(
       col("stream_id").as("_t_stream"),
       col("event_number").as("_t_num"),
-      col("event_type"), col("data"), valueOf(log).as("value"),
-      metaOf(log).as("metadata"),
-      (if (log.columns.contains("event_id")) col("event_id")
-       else lit(null).cast("string")).as("event_id"))
+      lit(true).as("_hit"),
+      col("event_type").as("_t_type"), col("data").as("_t_data"),
+      valueOf(log).as("_t_value"),
+      metaOf(log).as("_t_meta"),
+      idOf(log).as("_t_id"))
+    val hit = coalesce(col("_hit"), lit(false))
     val resolved = linkSide
-      .join(targetSide, Seq("_t_stream", "_t_num"))
-      .withColumn("resolved_stream_id", col("_t_stream"))
-      .withColumn("resolved_event_number", col("_t_num"))
-      .drop("_t_stream", "_t_num")
+      .join(targetSide, Seq("_t_stream", "_t_num"), "left")
+      // failed resolution: the link event IS the delivered event — own
+      // type/payload/metadata, no resolved identity, no link_metadata
+      // (this is not a through-link read of anything)
+      .withColumn("event_type", when(hit, col("_t_type"))
+        .otherwise(lit(EventEnvelope.LinkEventType)))
+      .withColumn("data", when(hit, col("_t_data")).otherwise(col("_link_data")))
+      .withColumn("value", when(hit, col("_t_value")).otherwise(col("_link_value")))
+      .withColumn("metadata", when(hit, col("_t_meta")).otherwise(col("_link_meta")))
+      .withColumn("event_id", when(hit, col("_t_id")).otherwise(col("_link_id")))
+      .withColumn("link_metadata", when(hit, col("_link_meta")).otherwise(lit(null).cast("string")))
+      .withColumn("resolved_stream_id", when(hit, col("_t_stream")).otherwise(lit(null).cast("string")))
+      .withColumn("resolved_event_number", when(hit, col("_t_num")).otherwise(lit(-1L)))
+      .drop("_t_stream", "_t_num", "_hit", "_t_type", "_t_data", "_t_value",
+        "_t_meta", "_t_id", "_link_data", "_link_meta", "_link_id", "_link_value")
     val common = resolved.columns.toSet.intersect(plain.columns.toSet).toSeq
     plain.select(common.map(col): _*)
       .unionByName(resolved.select(common.map(col): _*))

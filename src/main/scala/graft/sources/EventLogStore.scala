@@ -76,6 +76,25 @@ object EventLogStore {
   case object NoStream extends StreamState
   case object StreamDeleted extends StreamState
   final case class StreamOk(lastEventNumber: Long) extends StreamState
+
+  /** Canonical per-directory append mutex. The ingest contract is a
+    * single WRITER JOB (SURVEY S1) — but "fails loudly" must not depend
+    * on everyone honoring it: two interleaved appends in one JVM (two
+    * threads, or two store instances over the same directory) serialize
+    * here, so the loser re-reads the winner's stats and its stale
+    * expected version throws WrongExpectedVersionException — one winner,
+    * one clean refusal, never interleaved log_positions. This mirrors the
+    * reference's storage-writer queue, which serializes all prepares
+    * through one writer and turns stale expected versions into
+    * WrongExpectedVersion at commit time. Cross-PROCESS exclusion remains
+    * the deployment's single-ingest-job contract; a crash mid-append is
+    * what the commit marker + recoverInterruptedAppend handle. */
+  private val appendLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def appendLockFor(dir: String): Object =
+    appendLocks.computeIfAbsent(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => new Object)
 }
 
 class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0) {
@@ -352,6 +371,9 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
         s"append batch is $batchBytes bytes > 1 MiB; split it or use appendBulk " +
           "(the bulk-ingest path, which has no RPC-payload analog)")
     val targetStreams = events.map(_.stream_id).distinct
+    // critical section: stats snapshot → version checks → log write →
+    // stats write must not interleave with another writer (object doc)
+    EventLogStore.appendLockFor(path).synchronized {
     val (maxPos, lastByStream, tombstoned) = statsSnapshot(targetStreams)
 
     // Idempotency FIRST: drop events whose event_id already exists, then
@@ -429,6 +451,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
       maxPos + fresh.size)
     disarmAppendMarker()
     fresh.size.toLong
+    }
   }
 
   /** Distributed append for large DataFrames of pending events (ingest
@@ -439,6 +462,8 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     * counted from the persisted output — the pending lineage (which may
     * itself read this log, e.g. EmittedSink's anti-join) runs once. */
   def appendBulk(pending: DataFrame, orderBy: Seq[String] = Seq("timestamp", "event_id")): Long = {
+    // same writer serialization as append() (EventLogStore object doc)
+    EventLogStore.appendLockFor(path).synchronized {
     val maxPos = globalMaxPos()
     val stats = statsLatest()
     val lasts = stats.select(col("stream_id").as("_sid"), col("last_event_number").as("_last"))
@@ -492,6 +517,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
       disarmAppendMarker()
       n
     } finally out.unpersist()
+    }
   }
 
   /** Set stream metadata: appends a `$metadata` event to `$$<stream>`.

@@ -438,4 +438,61 @@ class EventLogStoreSpec extends SparkTestBase {
     val a1 = rows.filter(_.getString(0) == "a-1")
     assert(a1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
   }
+
+  test("concurrent appends with the same stale expected version: one winner, " +
+    "one WrongExpectedVersion, never interleaved positions") {
+    val dir = Files.createTempDirectory("contend").toString
+    val storeA = new EventLogStore(spark, dir)
+    val storeB = new EventLogStore(spark, dir) // second writer, same log
+    storeA.append(Seq(pe("acct-1", "seed")))
+
+    // both writers observed version 0 and race to append "the next" event
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Long]]()
+    def racer(name: String, store: EventLogStore, id: String): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        results.put(name,
+          try Right(store.append(Seq(pe("acct-1", id)),
+            expected = Map("acct-1" -> 0L)))
+          catch { case e: Throwable => Left(e) })
+      })
+      t.start(); t
+    }
+    val ts = Seq(racer("a", storeA, "c-a"), racer("b", storeB, "c-b"))
+    start.countDown()
+    ts.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val (wins, losses) = results.values().asScala.toSeq.partition(_.isRight)
+    assert(wins == Seq(Right(1L)), s"exactly one append must win, got $results")
+    assert(losses.size == 1)
+    losses.head.left.toOption.get match {
+      case e: WrongExpectedVersionException =>
+        assert(e.getMessage.contains("expected version 0"))
+      case other => fail(s"loser must fail with WrongExpectedVersion, got $other")
+    }
+    // the log holds seed + exactly one contender: contiguous numbers,
+    // distinct monotone positions, no duplicated event_number
+    val rows = storeA.read().orderBy("log_position")
+      .select("event_number", "log_position").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(rows.map(_.getLong(1)).distinct.length == 2)
+
+    // ExpectedVersion.Any contenders all land, serialized: distinct
+    // contiguous positions and stream numbers, nothing lost or doubled
+    val more = (1 to 6).map { i =>
+      val t = new Thread(() => {
+        (if (i % 2 == 0) storeA else storeB)
+          .append(Seq(pe("acct-1", s"any-$i"))): Unit
+      })
+      t.start(); t
+    }
+    more.foreach(_.join(120000))
+    val all = storeA.read().orderBy("log_position")
+      .select("event_number", "log_position", "event_id").collect()
+    assert(all.length == 8)
+    assert(all.map(_.getLong(0)).toSeq == (0L to 7L))
+    assert(all.map(_.getLong(1)).toSeq == (0L to 7L))
+    assert(all.map(_.getString(2)).distinct.length == 8)
+  }
 }

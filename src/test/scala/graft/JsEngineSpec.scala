@@ -917,6 +917,32 @@ fromCategory("chat").when({
         |msg.indexOf('regex execution budget') >= 0""".stripMargin) == JsBool(true))
   }
 
+  test("$includeLinks: a dangling link (scavenged/deleted target) reaches " +
+    "the handler AS the link event, not silently dropped") {
+    val store = new EventLogStore(spark,
+      Files.createTempDirectory("jslinkgone").toString)
+    store.append(Seq(
+      PendingEvent("src-1", "s0", "Ev", """{"v":0}"""),
+      PendingEvent("idx-1", "l0", "$>", "0@src-1"),
+      PendingEvent("idx-1", "l1", "$>", "0@gone-1")))
+    val p = JsProjection.compile("""
+options({ $includeLinks: true });
+fromCategory("idx")
+    .foreachStream()
+    .when({
+        $init: function() { return { resolved: 0, dangling: 0 }; },
+        $any: function(s, e) {
+            if (e.eventType === '$>') s.dangling += 1; else s.resolved += 1;
+            return s;
+        }
+    })""")
+    val states = p.states(store.readRetained()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // l0 resolves (handler sees "Ev"); l1's target never existed — the
+    // handler sees the unresolved link itself, reference ForFailedResolvedLink
+    assert(states == Map("idx-1" -> """{"resolved":1,"dangling":1}"""))
+  }
+
   // -------------------------------------------- column-compiled fast path
 
   /** Hostile envelope rows exercising every dynamic-typing edge the

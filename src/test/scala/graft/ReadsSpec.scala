@@ -67,4 +67,65 @@ class ReadsSpec extends SparkTestBase {
     assert(!kept.contains("$persistentsubscription-$all::g-checkpoint"))
     assert(!kept.contains("$persistentsubscription-$all::g-parked"))
   }
+
+  test("link resolution parity: tombstoned/truncated/missing targets leave " +
+    "the link unresolved and delivered, never dropped (StorageReaderWorker " +
+    "ForFailedResolvedLink)") {
+    import graft.sources.{EventLogStore, PendingEvent}
+    import org.apache.spark.sql.functions.col
+    val store = new EventLogStore(spark,
+      java.nio.file.Files.createTempDirectory("linkparity").toString)
+    store.append(Seq(
+      PendingEvent("src-1", "s0", "Ev", """{"v":0}"""),
+      PendingEvent("src-1", "s1", "Ev", """{"v":1}"""),
+      PendingEvent("gone-1", "g0", "Ev", """{"v":9}"""),
+      PendingEvent("trunc-1", "t0", "Ev", """{"v":8}"""),
+      PendingEvent("trunc-1", "t1", "Ev", """{"v":7}"""),
+      PendingEvent("links-1", "l0", "$>", "1@src-1"),
+      PendingEvent("links-1", "l1", "$>", "0@gone-1"),
+      PendingEvent("links-1", "l2", "$>", "0@trunc-1"),
+      PendingEvent("links-1", "l3", "$>", "9@src-1"),
+      PendingEvent("links-1", "l4", "$>", "garbage-no-separator")))
+    store.tombstone("gone-1") // hard delete
+    store.setMetadata("trunc-1", truncateBefore = Some(1L)) // $tb clips t0
+    // readRetained is the reader-visible log (tombstones and $tb applied)
+    val log = store.readRetained()
+
+    // resolveInline ($includeLinks read path): all five links delivered
+    val inline = graft.operators.Links.resolveInline(log)
+      .where(col("stream_id") === "links-1")
+      .collect().map(r => r.getAs[Long]("event_number") -> r).toMap
+    assert(inline.size == 5, "every link row must survive resolution")
+    val ok = inline(0L)
+    assert(ok.getAs[String]("event_type") == "Ev" &&
+      ok.getAs[String]("data") == """{"v":1}""" &&
+      ok.getAs[String]("resolved_stream_id") == "src-1" &&
+      ok.getAs[Long]("resolved_event_number") == 1L)
+    for (n <- 1L to 4L) {
+      val r = inline(n)
+      assert(r.getAs[String]("event_type") == "$>", s"link $n must stay a link")
+      assert(r.getAs[String]("resolved_stream_id") == null, s"link $n resolved null")
+      assert(r.getAs[Long]("resolved_event_number") == -1L)
+    }
+    // the failed links deliver their own raw payload, like a reference
+    // subscriber seeing ResolvedEvent.Link with a null .Event
+    assert(inline(1L).getAs[String]("data") == "0@gone-1")
+    assert(inline(4L).getAs[String]("data") == "garbage-no-separator")
+
+    // batch resolve(): same survival contract, resolved_* columns null
+    val links = log.where(col("event_type") === "$>")
+    val joined = graft.operators.Links.resolve(links, log)
+      .collect().map(r => r.getAs[Long]("event_number") ->
+        r.getAs[String]("resolved_event_type")).toMap
+    assert(joined == Map(0L -> "Ev", 1L -> null, 2L -> null, 3L -> null, 4L -> null))
+
+    // scavenge physically removes the dead rows; the contract must hold
+    // against the rewritten log too
+    store.scavenge()
+    val after = graft.operators.Links.resolveInline(store.readRetained())
+      .where(col("stream_id") === "links-1")
+      .collect().map(r => r.getAs[Long]("event_number") ->
+        r.getAs[String]("resolved_stream_id")).toMap
+    assert(after == Map(0L -> "src-1", 1L -> null, 2L -> null, 3L -> null, 4L -> null))
+  }
 }
