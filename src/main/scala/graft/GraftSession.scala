@@ -24,9 +24,22 @@ object GraftSession {
     // SURVEY §7 "foreachStream over millions of streams in streaming mode":
     // the RocksDB state store spills per-key projection state to local disk
     // instead of holding every partition's state on the executor heap.
+    // Measured by graft.tools.StateStoreProbe (BASELINE.md "million-stream
+    // state store"): 1M+ distinct streams build, checkpoint, and recover
+    // with bounded executor memory.
     if (largeStreamingState)
       b.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // changelog checkpointing uploads per-batch deltas instead of
+        // re-snapshotting every SST file — at millions of keys the full
+        // snapshot upload dominates batch latency without it
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+        // cap RocksDB native memory across all state partitions on an
+        // executor (block cache + memtables + filters), so a million-key
+        // store degrades to disk instead of OOMing the executor
+        .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2048")
     else b
   }
 

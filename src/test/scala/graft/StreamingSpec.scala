@@ -264,6 +264,84 @@ fromAll().foreachStream().when({
     }
   }
 
+  test("RocksDB checkpoint recovery at many-stream count: restart resumes " +
+    "every stream's state, tail folds on top (StateStoreProbe contract)") {
+    // reduced-but-representative form of the million-stream soak
+    // (graft.tools.StateStoreProbe / BASELINE.md "million-stream state
+    // store"): 20k distinct streams build into the RocksDB store, the
+    // query stops, a tail touching a subset arrives, and the RESTARTED
+    // query must recover every key from the checkpoint — counts equal the
+    // batch fold over the full log, never a re-init of untouched streams.
+    val s = spark; import s.implicits._
+    val n = 20000L
+    val root = Files.createTempDirectory("rockrecover").toString
+    val logDir = s"$root/log"
+    val ck = s"$root/ck"
+    def writeChunk(streams: Long, posBase: Long): Unit =
+      spark.range(streams).select(
+        concat(lit("s-"), col("id")).as("stream_id"),
+        lit(0L).as("event_number"),
+        concat(lit("e"), col("id") + posBase).as("event_id"),
+        lit("E").as("event_type"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"),
+        (col("id") + posBase).as("log_position"),
+        lit(null).cast("string").as("correlation_id"),
+        lit(true).as("is_json"),
+        lit("{}").as("data"),
+        lit(null).cast("string").as("metadata"),
+        lit(1.0).as("value"))
+        .repartition(2).write.mode("append").parquet(logDir)
+    writeChunk(n, 0L)
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runPass(): Unit = {
+        val q = Subscriptions.projectionStream[Long](
+            spark.readStream.schema(Subscriptions.logSchema(spark, logDir))
+              .parquet(logDir),
+            e => Some(e.stream_id), () => 0L, (c, _) => c + 1L)
+          .writeStream.format("noop")
+          .option("checkpointLocation", ck)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+      }
+      runPass() // build 20k states, stop
+      writeChunk(500, n) // tail: second event for streams s-0..s-499
+      runPass() // RESTART: must recover all 20k keys, fold the tail on top
+
+      // third pass emits nothing new; read back the final states by
+      // re-running with a memory sink over a fresh tail of zero rows is
+      // moot — instead verify via the state the NEXT tail observes: a
+      // touched stream's count keeps its recovered value + 1
+      writeChunk(3, n + 500)
+      // memory sink cannot resume a checkpoint; foreachBatch can
+      val captured = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val q = Subscriptions.projectionStream[Long](
+          spark.readStream.schema(Subscriptions.logSchema(spark, logDir))
+            .parquet(logDir),
+          e => Some(e.stream_id), () => 0L, (c, _) => c + 1L)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+          batch.collect().foreach { case (k, v) => captured.put(k, v) }: Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      import scala.jdk.CollectionConverters._
+      val updated = captured.asScala.toMap
+      // s-0..s-2 were seen in chunk1 (1) + tail (1) + this batch (1) = 3:
+      // only correct if BOTH prior passes' state survived the restarts
+      assert(updated == Map("s-0" -> 3L, "s-1" -> 3L, "s-2" -> 3L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming exact dedup: cross-batch duplicates are dropped via state") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
