@@ -126,13 +126,16 @@ private[js] object JsColumnCompiler {
 
   /** Compilation context: the compiled definition (for `$init`/globals),
     * the envelope column the `partition` field resolves to in this
-    * position, and the accumulating set of input columns referenced. */
+    * position, the accumulating set of input columns referenced, and —
+    * for transformBy/filterBy compilation — the post-aggregation state
+    * field environment the state parameter's member reads resolve to. */
   private final class Ctx(
       val cp: CompiledJsProjection,
       val partitionCol: Column,
       val refs: mutable.Set[String],
       val envParam: Option[String],
-      val stateParam: Option[String])
+      val stateParam: Option[String],
+      val stateEnv: Map[String, TC] = null)
 
   private def in(c: Ctx, name: String): Column = { c.refs += name; col(name) }
 
@@ -301,6 +304,10 @@ private[js] object JsColumnCompiler {
     case Member(o, p) => o match {
       case Ident(n) if ctx.envParam.contains(n) && !locals.contains(n) =>
         envField(p, ctx)
+      case Ident(n) if ctx.stateParam.contains(n) && !locals.contains(n) &&
+          ctx.stateEnv != null =>
+        // transformBy/filterBy state reads; a missing field is undefined
+        Some(ctx.stateEnv.getOrElse(p, tUndef))
       case _ => compileExpr(o, ctx, locals).flatMap { tc =>
         (tc.ty, p) match {
           case (TDyn, prop) if prop.nonEmpty &&
@@ -954,14 +961,100 @@ private[js] object JsColumnCompiler {
     Some((locals, acc.result()))
   }
 
+  // ------------------------------------------- transformBy / filterBy
+
+  /** Compile the transformBy/filterBy chain over the aggregated state
+    * field environment. Each fn must be `function(s) { return <expr>; }`
+    * — filters yield a where-condition against their stage's env,
+    * transforms an object literal rebuilding the env. All conditions are
+    * conjunctive (transforms are row-wise pure, so evaluation order
+    * collapses), exactly applyTransforms' short-circuit semantics. */
+  private def compileTransformChain(cp: CompiledJsProjection,
+      refs: mutable.Set[String], env0: Seq[(String, TC)],
+      transforms: List[(String, JsVal)]): Option[(Seq[Column], Seq[(String, TC)])] = {
+    var env = env0
+    val conds = Vector.newBuilder[Column]
+    for ((kind, fn) <- transforms) fn match {
+      case JsFunc(params, body, _) if params.nonEmpty =>
+        val ctx = new Ctx(cp, lit(""), refs, envParam = None,
+          stateParam = Some(params.head), stateEnv = env.toMap)
+        body match {
+          case Seq(Return(Some(e))) =>
+            if (kind == "filter") truthyExpr(e, ctx, Map.empty) match {
+              case Some(c) => conds += c
+              case None => return None
+            } else e match {
+              case ObjLit(fields) =>
+                // ES object literal: duplicate keys keep the first
+                // position, last value
+                val out = mutable.LinkedHashMap.empty[String, TC]
+                for ((k, fe) <- fields) compileExpr(fe, ctx, Map.empty) match {
+                  case Some(tc) => out(k) = tc
+                  case None => return None
+                }
+                env = out.toSeq
+              case _ => return None // non-object-literal transform result
+            }
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some((conds.result(), env))
+  }
+
+  /** Render a dynamic state env as its JSON.stringify form — numbers via
+    * [[JsNumberString]] (NaN/Infinity → null like writeJson), strings via
+    * [[graft.functions.JsJsonString]], undefined-typed fields skipped.
+    * None = a field the static renderer cannot express (runtime-undefined
+    * nullability, dates, dynamics) → whole definition falls back. */
+  private def renderStateJson(env: Seq[(String, TC)]): Option[Column] = {
+    val parts = Vector.newBuilder[Column]
+    for ((k, tc) <- env if tc.ty != TUndef) {
+      val keyJson = JsVal.stringify(JsStr(k)).get + ":"
+      val v: Column = tc.ty match {
+        case TNum(_, _) =>
+          val body = when(isnan(tc.col) ||
+            abs(tc.col) === lit(Double.PositiveInfinity), lit("null"))
+            .otherwise(JsNumberString(tc.col))
+          tc.nullAs match {
+            case NoNull => body
+            case NullIsJsNull => when(tc.col.isNull, lit("null")).otherwise(body)
+            case NullIsUndef => return None // would need per-row field skip
+          }
+        case TStr(_) =>
+          val body = graft.functions.JsJsonString(tc.col)
+          tc.nullAs match {
+            case NoNull => body
+            case NullIsJsNull => when(tc.col.isNull, lit("null")).otherwise(body)
+            case NullIsUndef => return None
+          }
+        case TBool =>
+          val body = when(tc.col, lit("true")).otherwise(lit("false"))
+          tc.nullAs match {
+            case NoNull => body
+            case NullIsJsNull => when(tc.col.isNull, lit("null")).otherwise(body)
+            case NullIsUndef => return None
+          }
+        case TNull => lit("null")
+        case _ => return None // TDate/TDyn state fields stay interpreted
+      }
+      parts += concat(lit(keyJson), v)
+    }
+    val ps = parts.result()
+    Some(
+      if (ps.isEmpty) lit("{}")
+      else concat(lit("{") +: ps.zipWithIndex.flatMap { case (p, i) =>
+        if (i == 0) Seq(p) else Seq(lit(","), p)
+      } :+ lit("}"): _*))
+  }
+
   // --------------------------------------------------------- top level
 
   /** Try to compile the whole definition to a Column plan. None = use
     * the interpreter (never an error — unsupported is a fallback). */
   def compile(cp: CompiledJsProjection): Option[Plan] = {
     val spec = cp.spec
-    if (spec.isBiState || spec.hasCreated || cp.transformsList.nonEmpty ||
-      cp.deletedFnOpt.isDefined) return None
+    if (spec.isBiState || spec.hasCreated || cp.deletedFnOpt.isDefined) return None
 
     val init: mutable.LinkedHashMap[String, JsVal] =
       (try cp.initState() catch { case _: JsError => return None }) match {
@@ -1065,6 +1158,10 @@ private[js] object JsColumnCompiler {
       f -> cased.cast(LongType)
     }
 
+    def overflowMsg(k: String) =
+      s"js column fold: |$k| reached 2^53 — IEEE doubles lose integer " +
+        "exactness here; run with spark.graft.js.columnCompile=false"
+
     // final state JSON, in $init field order; unassigned fields are
     // compile-time fragments (undefined-valued ones are skipped, like
     // JSON.stringify)
@@ -1074,9 +1171,7 @@ private[js] object JsColumnCompiler {
         if (assignedSet(k)) {
           val tot = lit(initLong(k)) + col(s"__graft_sum_$k")
           val rendered = when(abs(tot) >= lit(MaxExact),
-            raise_error(lit(s"js column fold: |$k| reached 2^53 — IEEE doubles " +
-              "lose integer exactness here; run with " +
-              "spark.graft.js.columnCompile=false")).cast(StringType))
+            raise_error(lit(overflowMsg(k))).cast(StringType))
             .otherwise(tot.cast(StringType))
           Some(concat(lit(keyJson), rendered))
         } else JsVal.stringify(v).map(frag => lit(keyJson + frag))
@@ -1086,6 +1181,38 @@ private[js] object JsColumnCompiler {
         if (i == 0) Seq(p) else Seq(lit(","), p)
       } :+ lit("}")
     }
+
+    // transformBy/filterBy chains compile over the AGGREGATED state
+    // columns: filters become where-conditions, transforms rebuild the
+    // field environment, and the final JSON renders from whatever the
+    // chain produced. Runs on #partitions rows, but compiling it keeps
+    // the whole plan interpreter-free.
+    val transformed: Option[(Seq[Column], Seq[(String, TC)])] =
+      if (cp.transformsList.isEmpty) Some((Nil, Nil))
+      else {
+        val base: Option[Seq[(String, TC)]] =
+          init.toSeq.foldLeft(Option(Vector.empty[(String, TC)])) {
+            case (None, _) => None
+            case (Some(acc), (k, v)) =>
+              if (assignedSet(k)) {
+                val tot = lit(initLong(k)) + col(s"__graft_sum_$k")
+                val guarded = when(abs(tot) >= lit(MaxExact),
+                  raise_error(lit(overflowMsg(k))).cast(DoubleType))
+                  .otherwise(tot.cast(DoubleType))
+                Some(acc :+ (k -> TC(guarded, TNum(integral = true), NoNull)))
+              } else constTC(v).map(tc => acc :+ (k -> tc))
+          }
+        base.flatMap(env0 =>
+          compileTransformChain(cp, refs, env0, cp.transformsList))
+      }
+    if (transformed.isEmpty) return None
+    val (filterConds, finalEnv) = transformed.get
+    val stateJsonCol: Column =
+      if (cp.transformsList.isEmpty) concat(jsonParts: _*)
+      else renderStateJson(finalEnv) match {
+        case Some(c) => c
+        case None => return None
+      }
 
     val selector: Column = spec.selector match {
       // same expressions as graft.projections.Projections.from* builders
@@ -1121,8 +1248,10 @@ private[js] object JsColumnCompiler {
           val aggs = deltas.map { case (f, d) => sum(d).as(s"__graft_sum_$f") }
           keyed.groupBy(col(KeyCol)).agg(aggs.head, aggs.tail: _*)
         } else keyed.groupBy(col(KeyCol)).agg(count(lit(1)).as("__graft_cnt"))
-      grouped.select(col(KeyCol).as("partition"),
-        concat(jsonParts: _*).as("state"))
+      val filtered =
+        if (filterConds.isEmpty) grouped
+        else grouped.where(filterConds.reduce(_ && _))
+      filtered.select(col(KeyCol).as("partition"), stateJsonCol.as("state"))
     }))
   }
 }

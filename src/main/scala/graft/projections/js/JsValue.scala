@@ -262,6 +262,15 @@ object JsVal {
     case _: JsFunc | _: JsNative => sb.append("null")
   }
 
+  /** A string as a JSON string literal (quotes + escapes) — exposed for
+    * the column compiler's runtime state rendering
+    * (graft.functions.JsJsonString). */
+  def jsonQuote(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    writeJsonString(s, sb)
+    sb.toString
+  }
+
   private def writeJsonString(s: String, sb: StringBuilder): Unit = {
     sb.append('"')
     s.foreach {

@@ -27,8 +27,11 @@ import graft.sources.Tables
   *    only) — an orthogonal transform, so intra-replica cosines are exactly
   *    preserved while cross-replica cosines collapse to ~0.
   *
-  * Usage: ScaleProbe [mult ...] (default 1 3 10 30). Prints a table plus
-  * one JSON line, also written to /tmp/scaling.json.
+  * Usage: ScaleProbe [mult ...] [queryName ...] (default 1 3 10 30, all
+  * probe queries). Numeric args are multipliers, non-numeric args select
+  * a query subset — e.g. `ScaleProbe 1 30 100 dedup_ngram_jaccard
+  * dedup_components` runs just the heavy dedup family at the x100 point.
+  * Prints a table plus one JSON line, also written to /tmp/scaling.json.
   */
 object ScaleProbe {
 
@@ -59,15 +62,25 @@ object ScaleProbe {
     def replicate(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(i => f(base, i)).reduce(_ unionAll _)
 
-    // documents: bijective per-replica char rotation — intra-replica
-    // similarity structure preserved exactly, cross-replica shingles disjoint
-    val alpha = "etaoinshrd"
+    // documents: bijective per-replica char substitution — intra-replica
+    // similarity structure preserved exactly (any bijection is), while
+    // cross-replica token shingles differ. TWO independent half-alphabet
+    // rotations give 13 × 13 = 169 DISTINCT substitutions: the r6 scheme
+    // cycled a single 10-letter alphabet, so replicas i and i+10 were
+    // byte-identical — at x100 each doc had 10 literal copies and the
+    // duplicate-PAIR output grew quadratically in the copy count, which
+    // the r7 x100 soak measured as a fake quadratic tail (458 s
+    // ngram_jaccard) that was really the instrument, not the engine.
+    val lo = "abcdefghijklm"
+    val hi = "nopqrstuvwxyz"
     val docs = Tables.documents(spark, srcDir)
     replicate(docs) { (b, i) =>
-      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      def rot(a: String, k: Int) = a.drop(k % a.length) + a.take(k % a.length)
+      val from = lo + hi
+      val to = rot(lo, i % 13) + rot(hi, (i / 13) % 13)
       b.select(
         (col("doc_id") + i * 10000000L).as("doc_id"),
-        translate(col("text"), alpha, rot).as("text"),
+        translate(col("text"), from, to).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
@@ -121,7 +134,9 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val mults = (if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 3, 10, 30)).sorted
+    val (multArgs, queryArgs) = args.toSeq.partition(_.forall(_.isDigit))
+    val mults = (if (multArgs.nonEmpty) multArgs.map(_.toInt) else Seq(1, 3, 10, 30)).sorted
+    val queries = if (queryArgs.nonEmpty) queryArgs else probeQueries
     val spark = graft.GraftSession.create(master = "local[32]", shufflePartitions = 64)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -135,7 +150,7 @@ object ScaleProbe {
     // whole-stage-codegen + JIT once (plan shapes are scale-invariant),
     // so timed passes measure the volume-dependent part.
     val warmDir = s"$scaleRoot/x${mults.head}"
-    probeQueries.foreach(runOnce(spark, _, warmDir))
+    queries.foreach(runOnce(spark, _, warmDir))
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Int, Double)]]
     mults.foreach { m =>
@@ -145,7 +160,7 @@ object ScaleProbe {
       // queries don't absorb the one-time envelope window (same contract
       // as Bench's warmup pass)
       Tables.eventLog(spark, dir).write.mode("overwrite").format("noop").save()
-      probeQueries.foreach { q =>
+      queries.foreach { q =>
         val t = runOnce(spark, q, dir)
         times(q) = times.getOrElse(q, Vector.empty) :+ (m -> t)
         println(f"x$m%-3d $q%-28s $t%7.2f s")

@@ -995,9 +995,10 @@ fromCategory("idx")
     val compiled = JsProjectionQueries.handlerCorpus.map { case (name, src) =>
       name -> fastEqualsInterp(src, log)
     }.toMap
-    // sums of pure per-event expressions compile; emit/linkTo (side
-    // effects), try/switch/regex (control flow + string subtleties) and
-    // transformBy/filterBy chains stay on the interpreter
+    // sums of pure per-event expressions compile — including the
+    // transformBy/filterBy chain (compiled post-aggregation as
+    // where/select); emit/linkTo (side effects) and try/switch/regex
+    // (control flow + string subtleties) stay on the interpreter
     assert(compiled == Map(
       "js_date_bucket" -> true,
       "js_fold_count_sum" -> true,
@@ -1006,7 +1007,7 @@ fromCategory("idx")
       "js_partition_by" -> true,
       "js_emit" -> false,
       "js_linkto" -> false,
-      "js_transform_filter" -> false,
+      "js_transform_filter" -> true,
       "js_output_state" -> true))
   }
 
@@ -1076,6 +1077,58 @@ fromAll()
     assert(compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0, y: 0 }; },
       $any: function(s, e) { if (e.value > 2) s.x += 1; else s.y -= 2; return s; } })"""))
+  }
+
+  test("column fast path: transformBy/filterBy compile post-aggregation — " +
+    "filters drop rows, transforms reshape state, rendering stays exact") {
+    val log = hostileLog
+    // filter + transform with a computed double (numToStr rendering),
+    // a renamed field, a constant, and a dropped field
+    fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, cents: 0 }; },
+        $any: function(s, e) {
+            s.n += 1;
+            s.cents += Math.round(e.value * 100);
+            return s;
+        }
+    })
+    .filterBy(function(s) { return s.n >= 2; })
+    .transformBy(function(s) {
+        return { kept: s.n, avg: s.cents / 100.0 / s.n, tag: 'x' };
+    })""", log)
+    // chain order matters: a filter AFTER a transform reads the new shape
+    fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0 }; },
+        $any: function(s, e) { s.n += 1; return s; }
+    })
+    .transformBy(function(s) { return { doubled: s.n * 2 }; })
+    .filterBy(function(s) { return s.doubled > 2; })""", log)
+    // a transform whose result shape the renderer cannot express falls
+    // back (reading a field that never existed renders undefined → skip
+    // is static, so THIS one compiles; a Date-valued field would not)
+    val p = JsProjection.compile("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0 }; },
+        $any: function(s, e) { s.n += 1; return s; }
+    })
+    .transformBy(function(s) { return { n: s.n, ghost: s.nope }; })""")
+    assert(p.compilesToColumns)
+    fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0 }; },
+        $any: function(s, e) { s.n += 1; return s; }
+    })
+    .transformBy(function(s) { return { n: s.n, ghost: s.nope }; })""", log)
   }
 
   test("column fast path: typed handlers route by event type like step(), " +
