@@ -891,8 +891,18 @@ private[js] object JsColumnCompiler {
 
   // ------------------------------------------------------ handler folds
 
+  /** One state-field update a handler performs per event. `Sum` carries
+    * the guarded integral delta (0 when unguarded rows pass); `MaxOf` /
+    * `MinOf` carry the guarded candidate value (NULL when the guard
+    * fails — max/min aggregates skip nulls). A field must use ONE kind
+    * across every handler and branch, or the definition falls back. */
+  private sealed trait FieldOp { def col: Column }
+  private final case class SumTerm(col: Column) extends FieldOp
+  private final case class MaxTerm(col: Column) extends FieldOp
+  private final case class MinTerm(col: Column) extends FieldOp
+
   /** Guarded per-event contribution terms per state field. */
-  private type FieldTerms = List[(String, Column)]
+  private type FieldTerms = List[(String, FieldOp)]
 
   private def compileHandler(fn: JsVal, cp: CompiledJsProjection,
       partitionCol: Column, refs: mutable.Set[String]): Option[FieldTerms] =
@@ -905,15 +915,44 @@ private[js] object JsColumnCompiler {
     }
 
   /** Walk a handler body: a prefix of `var` locals, then guarded
-    * `s.f += / -= expr` statements and nested `if`s, then an optional
-    * final `return s`. Anything else → None. */
+    * `s.f += / -= expr` statements (also their spelled-out
+    * `s.f = s.f + expr` forms), self-referential `s.f = Math.max/min(s.f,
+    * expr)` running extrema, and nested `if`s, then an optional final
+    * `return s`. Anything else → None. */
   private def walkStmts(stmts: Seq[Stmt], guard: Option[Column],
       locals0: Map[String, TC], topLevel: Boolean,
       ctx: Ctx): Option[(Map[String, TC], FieldTerms)] = {
     var locals = locals0
     var varsAllowed = topLevel
-    val acc = List.newBuilder[(String, Column)]
+    val acc = List.newBuilder[(String, FieldOp)]
     val last = stmts.length - 1
+
+    def addSum(f: String, rhs: Expr, negate: Boolean): Boolean = {
+      val tc = numExpr(rhs, ctx, locals) match {
+        case Some(v) if integralClaim(v) => v
+        case _ => return false // non-integral sums are order-sensitive
+      }
+      val delta = if (negate) -tc.col else tc.col
+      acc += f -> SumTerm(
+        guard.map(g => when(g, delta).otherwise(lit(0.0))).getOrElse(delta))
+      true
+    }
+    // running extrema are selection ops: no integrality needed (the fold
+    // keeps exact input doubles), and max/min are commutative+associative
+    def addExtremum(f: String, rhs: Expr, isMax: Boolean): Boolean = {
+      val tc = numExpr(rhs, ctx, locals) match {
+        case Some(v) => v
+        case None => return false
+      }
+      val c = guard.map(g => when(g, tc.col)).getOrElse(tc.col)
+      acc += f -> (if (isMax) MaxTerm(c) else MinTerm(c))
+      true
+    }
+    def isSelfField(e: Expr, s: String, f: String): Boolean = e match {
+      case Member(Ident(n), p) => n == s && p == f && !locals.contains(n)
+      case _ => false
+    }
+
     for ((st, i) <- stmts.zipWithIndex) st match {
       case VarDecl(decls) if varsAllowed =>
         for ((n, init) <- decls) {
@@ -929,12 +968,23 @@ private[js] object JsColumnCompiler {
       case ExprStmt(Assign(op @ ("+=" | "-="), Member(Ident(s), f), rhs))
           if ctx.stateParam.contains(s) && !locals.contains(s) =>
         varsAllowed = false
-        val tc = numExpr(rhs, ctx, locals) match {
-          case Some(v) if integralClaim(v) => v
-          case _ => return None // non-integral sums are order-sensitive
+        if (!addSum(f, rhs, negate = op == "-=")) return None
+      case ExprStmt(Assign("=", Member(Ident(s), f), rhs))
+          if ctx.stateParam.contains(s) && !locals.contains(s) =>
+        varsAllowed = false
+        val ok = rhs match {
+          // `s.f = s.f + e` / `s.f = e + s.f` / `s.f = s.f - e` are the
+          // spelled-out sum forms (pure e, so evaluation order collapses)
+          case Binary("+", l, r) if isSelfField(l, s, f) => addSum(f, r, negate = false)
+          case Binary("+", l, r) if isSelfField(r, s, f) => addSum(f, l, negate = false)
+          case Binary("-", l, r) if isSelfField(l, s, f) => addSum(f, r, negate = true)
+          case Call(Member(Ident("Math"), m @ ("max" | "min")), Seq(a, b))
+              if unshadowedMath(ctx, locals) &&
+                (isSelfField(a, s, f) ^ isSelfField(b, s, f)) =>
+            addExtremum(f, if (isSelfField(a, s, f)) b else a, isMax = m == "max")
+          case _ => false
         }
-        val delta = if (op == "-=") -tc.col else tc.col
-        acc += f -> guard.map(g => when(g, delta).otherwise(lit(0.0))).getOrElse(delta)
+        if (!ok) return None
       case If(c, t, e) =>
         varsAllowed = false
         val cc = truthyExpr(c, ctx, locals) match {
@@ -1118,49 +1168,120 @@ private[js] object JsColumnCompiler {
       case None => None
     }
 
-    // assigned fields must exist in $init as exactly-representable
-    // integral numbers (JS += onto a missing field is NaN, not a sum)
+    // assigned fields must exist in $init (JS += onto a missing field is
+    // NaN, not a sum; extrema of a missing field likewise) and use ONE
+    // update kind across all handlers
+    val allOps: Seq[(String, FieldOp)] =
+      typedFolds.flatMap(_._2) ++ anyFold.toList.flatten
     val assigned: Seq[String] = {
-      val all = (typedFolds.flatMap(_._2.map(_._1)) ++
-        anyFold.toSeq.flatMap(_.map(_._1))).toSet
+      val all = allOps.map(_._1).toSet
       init.keys.filter(all).toSeq // in $init order
     }
     val assignedSet = assigned.toSet
-    if ((typedFolds.flatMap(_._2.map(_._1)) ++ anyFold.toSeq.flatMap(_.map(_._1)))
-      .exists(f => !init.contains(f))) return None
-    val initLong: Map[String, Long] = assigned.map { f =>
+    if (allOps.exists(o => !init.contains(o._1))) return None
+    val SumK = 0; val MaxK = 1; val MinK = 2
+    def kindOf(op: FieldOp): Int = op match {
+      case _: SumTerm => SumK
+      case _: MaxTerm => MaxK
+      case _: MinTerm => MinK
+    }
+    val fieldKind: Map[String, Int] = assigned.map { f =>
+      allOps.collect { case (`f`, op) => kindOf(op) }.distinct match {
+        case Seq(k) => f -> k
+        case _ => return None // mixed sum/max/min updates on one field
+      }
+    }.toMap
+    // init values: sums need exactly-representable integrals (the long
+    // accumulator), extrema any number (selection keeps exact doubles)
+    val initNum: Map[String, Double] = assigned.map { f =>
       init(f) match {
-        case JsNum(d) if d == math.rint(d) && !d.isInfinite && math.abs(d) < MaxExact =>
-          f -> d.toLong
+        case JsNum(d) =>
+          if (fieldKind(f) == SumK &&
+            !(d == math.rint(d) && !d.isInfinite && !d.isNaN &&
+              math.abs(d) < MaxExact)) return None
+          f -> d
         case _ => return None
       }
     }.toMap
 
-    // per-field per-event delta (long): CASE over event_type across the
-    // typed handlers, $any as the default — same routing as step()
-    def contribOf(terms: FieldTerms, f: String): Column =
-      terms.collect { case (`f`, c) => c } match {
+    val nullD = lit(null).cast(DoubleType)
+
+    // per-field per-event contribution, routed CASE-over-event_type
+    // across the typed handlers with $any as the default — the same
+    // handler routing as step()
+    def sumContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, SumTerm(c)) => c } match {
         case Nil => lit(0.0)
         case one :: Nil => one
         case many => many.reduce(_ + _)
       }
-    val deltas: Seq[(String, Column)] = assigned.map { f =>
-      val dflt = anyFold.map(contribOf(_, f)).getOrElse(lit(0.0))
-      val cased =
-        if (typedFolds.isEmpty) dflt
-        else typedFolds.foldLeft(Option.empty[Column]) { case (acc, (t, terms)) =>
-          val c = contribOf(terms, f)
-          Some(acc match {
-            case None => when(col("event_type") === t, c)
-            case Some(w) => w.when(col("event_type") === t, c)
-          })
-        }.get.otherwise(dflt)
-      f -> cased.cast(LongType)
+    def maxContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, MaxTerm(c)) => c } match {
+        case Nil => nullD
+        case one :: Nil => one
+        case many => greatest(many: _*)
+      }
+    // min candidates strip NaN (Spark orders NaN largest, so a NaN would
+    // silently lose; JS Math.min poisons to NaN — tracked by the flag)
+    def minContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, MinTerm(c)) => c }
+        .map(c => when(coalesce(isnan(c), lit(false)), nullD).otherwise(c)) match {
+        case Nil => nullD
+        case one :: Nil => one
+        case many => least(many: _*)
+      }
+    def nanContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, MinTerm(c)) => coalesce(isnan(c), lit(false)) } match {
+        case Nil => lit(false)
+        case some => some.reduce(_ || _)
+      }
+    def routed(f: String, mk: (FieldTerms, String) => Column, dflt: Column): Column = {
+      val fallback = anyFold.map(mk(_, f)).getOrElse(dflt)
+      if (typedFolds.isEmpty) fallback
+      else typedFolds.foldLeft(Option.empty[Column]) { case (acc, (t, terms)) =>
+        val c = mk(terms, f)
+        Some(acc match {
+          case None => when(col("event_type") === t, c)
+          case Some(w) => w.when(col("event_type") === t, c)
+        })
+      }.get.otherwise(fallback)
+    }
+
+    val aggExprs: Seq[Column] = assigned.flatMap { f =>
+      fieldKind(f) match {
+        case SumK => Seq(
+          sum(routed(f, sumContrib, lit(0.0)).cast(LongType)).as(s"__graft_sum_$f"))
+        case MaxK => Seq(
+          max(routed(f, maxContrib, nullD)).as(s"__graft_max_$f"))
+        case MinK => Seq(
+          min(routed(f, minContrib, nullD)).as(s"__graft_min_$f"),
+          max(routed(f, nanContrib, lit(false))).as(s"__graft_nan_$f"))
+      }
     }
 
     def overflowMsg(k: String) =
       s"js column fold: |$k| reached 2^53 — IEEE doubles lose integer " +
         "exactness here; run with spark.graft.js.columnCompile=false"
+
+    /** Final numeric value of an assigned field, as the double the JS
+      * state holds. Sum fields guard the 2^53 exactness boundary; max
+      * keeps Spark's NaN-largest ordering (== JS Math.max poisoning);
+      * min re-injects the tracked NaN poisoning. */
+    def finalDouble(f: String): Column = fieldKind(f) match {
+      case SumK =>
+        val tot = lit(initNum(f).toLong) + col(s"__graft_sum_$f")
+        when(abs(tot) >= lit(MaxExact),
+          raise_error(lit(overflowMsg(f))).cast(DoubleType))
+          .otherwise(tot.cast(DoubleType))
+      case MaxK => greatest(lit(initNum(f)), col(s"__graft_max_$f"))
+      case MinK =>
+        if (initNum(f).isNaN) lit(Double.NaN)
+        else when(col(s"__graft_nan_$f"), lit(Double.NaN))
+          .otherwise(least(lit(initNum(f)), col(s"__graft_min_$f")))
+    }
+    def doubleJson(c: Column): Column =
+      when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), lit("null"))
+        .otherwise(JsNumberString(c))
 
     // final state JSON, in $init field order; unassigned fields are
     // compile-time fragments (undefined-valued ones are skipped, like
@@ -1169,10 +1290,14 @@ private[js] object JsColumnCompiler {
       val parts = init.toSeq.flatMap { case (k, v) =>
         def keyJson = JsVal.stringify(JsStr(k)).get + ":"
         if (assignedSet(k)) {
-          val tot = lit(initLong(k)) + col(s"__graft_sum_$k")
-          val rendered = when(abs(tot) >= lit(MaxExact),
-            raise_error(lit(overflowMsg(k))).cast(StringType))
-            .otherwise(tot.cast(StringType))
+          val rendered =
+            if (fieldKind(k) == SumK) {
+              // exact long rendering (numToStr == decimal digits here)
+              val tot = lit(initNum(k).toLong) + col(s"__graft_sum_$k")
+              when(abs(tot) >= lit(MaxExact),
+                raise_error(lit(overflowMsg(k))).cast(StringType))
+                .otherwise(tot.cast(StringType))
+            } else doubleJson(finalDouble(k))
           Some(concat(lit(keyJson), rendered))
         } else JsVal.stringify(v).map(frag => lit(keyJson + frag))
       }
@@ -1194,13 +1319,10 @@ private[js] object JsColumnCompiler {
           init.toSeq.foldLeft(Option(Vector.empty[(String, TC)])) {
             case (None, _) => None
             case (Some(acc), (k, v)) =>
-              if (assignedSet(k)) {
-                val tot = lit(initLong(k)) + col(s"__graft_sum_$k")
-                val guarded = when(abs(tot) >= lit(MaxExact),
-                  raise_error(lit(overflowMsg(k))).cast(DoubleType))
-                  .otherwise(tot.cast(DoubleType))
-                Some(acc :+ (k -> TC(guarded, TNum(integral = true), NoNull)))
-              } else constTC(v).map(tc => acc :+ (k -> tc))
+              if (assignedSet(k))
+                Some(acc :+ (k -> TC(finalDouble(k),
+                  TNum(integral = fieldKind(k) == SumK), NoNull)))
+              else constTC(v).map(tc => acc :+ (k -> tc))
           }
         base.flatMap(env0 =>
           compileTransformChain(cp, refs, env0, cp.transformsList))
@@ -1244,10 +1366,9 @@ private[js] object JsColumnCompiler {
       val withKey = df.where(selector).withColumn(KeyCol, keyCol)
       val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
       val grouped =
-        if (deltas.nonEmpty) {
-          val aggs = deltas.map { case (f, d) => sum(d).as(s"__graft_sum_$f") }
-          keyed.groupBy(col(KeyCol)).agg(aggs.head, aggs.tail: _*)
-        } else keyed.groupBy(col(KeyCol)).agg(count(lit(1)).as("__graft_cnt"))
+        if (aggExprs.nonEmpty)
+          keyed.groupBy(col(KeyCol)).agg(aggExprs.head, aggExprs.tail: _*)
+        else keyed.groupBy(col(KeyCol)).agg(count(lit(1)).as("__graft_cnt"))
       val filtered =
         if (filterConds.isEmpty) grouped
         else grouped.where(filterConds.reduce(_ && _))

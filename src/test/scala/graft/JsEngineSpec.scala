@@ -1079,6 +1079,50 @@ fromAll()
       $any: function(s, e) { if (e.value > 2) s.x += 1; else s.y -= 2; return s; } })"""))
   }
 
+  test("column fast path: running extrema and spelled-out sums compile — " +
+    "s.f = Math.max(s.f, e), s.f = s.f + e") {
+    val log = hostileLog
+    // max/min need no integrality (selection keeps exact doubles); the
+    // spelled-out sum form is the += twin; mixing in guards and both
+    // argument orders
+    fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, hi: -1e308, lo: 1e308, hiCents: 0 }; },
+        $any: function(s, e) {
+            s.n = s.n + 1;
+            s.hi = Math.max(s.hi, e.value);
+            s.lo = Math.min(e.value, s.lo);
+            if (e.eventType === 'purchase')
+                s.hiCents = Math.max(s.hiCents, Math.round(e.value * 100));
+            return s;
+        }
+    })""", log)
+    // extrema feed transforms like any other field
+    fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { hi: 0 }; },
+        $any: function(s, e) { s.hi = Math.max(s.hi, e.value); return s; }
+    })
+    .transformBy(function(s) { return { peak: s.hi * 2.0 }; })""", log)
+    // a field mixing sum and max updates cannot be one aggregate
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+      $init: function() { return { x: 0 }; },
+      purchase: function(s, e) { s.x += 1; return s; },
+      $any: function(s, e) { s.x = Math.max(s.x, e.value); return s; } })""")
+      .compilesToColumns)
+    // self-reference of a DIFFERENT field is not a running extremum
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+      $init: function() { return { x: 0, y: 0 }; },
+      $any: function(s, e) { s.x = Math.max(s.y, e.value); return s; } })""")
+      .compilesToColumns)
+  }
+
   test("column fast path: transformBy/filterBy compile post-aggregation — " +
     "filters drop rows, transforms reshape state, rendering stays exact") {
     val log = hostileLog
