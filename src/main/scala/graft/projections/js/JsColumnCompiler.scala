@@ -225,6 +225,23 @@ private[js] object JsColumnCompiler {
     case TUndef => Some((lit("undefined"), true))
     case TDate(true) =>
       Some((when(tc.col.isNull, lit("Invalid Date")).otherwise(isoOf(tc.col)), true))
+    case TDyn =>
+      // exact for every scalar and for objects ("[object Object]"); a
+      // JSON ARRAY's ES ToString is the recursive join — not expressible
+      // here, so those rows raise loudly instead of diverging silently
+      val v = tc.col
+      val t = schema_of_variant(v)
+      Some((when(v.isNull, lit("undefined"))
+        .when(is_variant_null(v), lit("null"))
+        .when(t === "STRING", try_variant_get(v, "$", "string"))
+        .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
+          JsNumberString(try_variant_get(v, "$", "double")))
+        .when(t === "BOOLEAN",
+          when(try_variant_get(v, "$", "boolean"), lit("true")).otherwise(lit("false")))
+        .when(t.startsWith("OBJECT"), lit("[object Object]"))
+        .otherwise(raise_error(lit("js column compile: ToString of a JSON " +
+          "array value — disable spark.graft.js.columnCompile for this " +
+          "definition")).cast(StringType)), false))
     case _ => None
   }
 
@@ -323,6 +340,24 @@ private[js] object JsColumnCompiler {
     }
 
     case Index(o, StrLit(p)) => compileExpr(Member(o, p), ctx, locals)
+
+    // `str.split(sep)[i]` with a literal separator and constant index —
+    // the id-parsing idiom handlers lean on. Spark's split takes a regex,
+    // so the separator is Pattern-quoted (JS splits on the LITERAL);
+    // limit -1 keeps trailing empty fields like ES; an out-of-range index
+    // is SQL NULL = JS undefined.
+    case Index(Call(Member(o, "split"), Seq(StrLit(sep))), NumLit(d))
+        if sep.nonEmpty && d == math.rint(d) && d >= 0 && d <= 1e6 =>
+      compileExpr(o, ctx, locals).flatMap { base =>
+        base.ty match {
+          case TStr(ascii) if base.nullAs == NoNull =>
+            Some(TC(
+              split(base.col, java.util.regex.Pattern.quote(sep), -1)
+                .getItem(d.toInt),
+              TStr(ascii && sep.forall(_ < 128)), NullIsUndef))
+          case _ => None
+        }
+      }
 
     case Cond(c, t, f) =>
       for {
@@ -904,27 +939,40 @@ private[js] object JsColumnCompiler {
   /** Guarded per-event contribution terms per state field. */
   private type FieldTerms = List[(String, FieldOp)]
 
+  /** One emit/linkTo/linkStreamTo call site: the guard under which it
+    * executes plus the four STRING columns of the emitted row. All are
+    * state-free by construction (state reads don't compile in handler
+    * position), so emissions depend only on the event — which is what
+    * makes the whole emitted() path a pure select. */
+  private final case class EmitSite(guard: Option[Column], stream: Column,
+      tpe: Column, data: Column, meta: Column)
+
+  private final case class HandlerFold(fields: FieldTerms, emits: List[EmitSite])
+
   private def compileHandler(fn: JsVal, cp: CompiledJsProjection,
-      partitionCol: Column, refs: mutable.Set[String]): Option[FieldTerms] =
+      partitionCol: Column, refs: mutable.Set[String]): Option[HandlerFold] =
     fn match {
       case JsFunc(params, body, _) =>
         val ctx = new Ctx(cp, partitionCol, refs,
           envParam = params.lift(1), stateParam = params.headOption)
-        walkStmts(body, None, Map.empty, topLevel = true, ctx).map(_._2)
+        walkStmts(body, None, Map.empty, topLevel = true, ctx)
+          .map { case (_, fields, emits) => HandlerFold(fields, emits) }
       case _ => None
     }
 
   /** Walk a handler body: a prefix of `var` locals, then guarded
     * `s.f += / -= expr` statements (also their spelled-out
     * `s.f = s.f + expr` forms), self-referential `s.f = Math.max/min(s.f,
-    * expr)` running extrema, and nested `if`s, then an optional final
+    * expr)` running extrema, emit/linkTo/linkStreamTo calls with
+    * state-free arguments, and nested `if`s, then an optional final
     * `return s`. Anything else → None. */
   private def walkStmts(stmts: Seq[Stmt], guard: Option[Column],
       locals0: Map[String, TC], topLevel: Boolean,
-      ctx: Ctx): Option[(Map[String, TC], FieldTerms)] = {
+      ctx: Ctx): Option[(Map[String, TC], FieldTerms, List[EmitSite])] = {
     var locals = locals0
     var varsAllowed = topLevel
     val acc = List.newBuilder[(String, FieldOp)]
+    val emitAcc = List.newBuilder[EmitSite]
     val last = stmts.length - 1
 
     def addSum(f: String, rhs: Expr, negate: Boolean): Boolean = {
@@ -985,6 +1033,13 @@ private[js] object JsColumnCompiler {
           case _ => false
         }
         if (!ok) return None
+      case ExprStmt(Call(Ident(fn @ ("emit" | "linkTo" | "linkStreamTo")), args))
+          if unshadowedNative(ctx, locals, fn) =>
+        varsAllowed = false
+        compileEmitCall(fn, args, guard, ctx, locals) match {
+          case Some(site) => emitAcc += site
+          case None => return None
+        }
       case If(c, t, e) =>
         varsAllowed = false
         val cc = truthyExpr(c, ctx, locals) match {
@@ -993,13 +1048,13 @@ private[js] object JsColumnCompiler {
         }
         walkStmts(t, Some(guard.map(_ && cc).getOrElse(cc)), locals,
           topLevel = false, ctx) match {
-          case Some((_, ts)) => acc ++= ts
+          case Some((_, ts, es2)) => acc ++= ts; emitAcc ++= es2
           case None => return None
         }
         e.foreach { es =>
           walkStmts(es, Some(guard.map(_ && !cc).getOrElse(!cc)), locals,
             topLevel = false, ctx) match {
-            case Some((_, ts)) => acc ++= ts
+            case Some((_, ts, es2)) => acc ++= ts; emitAcc ++= es2
             case None => return None
           }
         }
@@ -1008,7 +1063,76 @@ private[js] object JsColumnCompiler {
           ctx.stateParam.contains(s) && !locals.contains(s) => ()
       case _ => return None
     }
-    Some((locals, acc.result()))
+    Some((locals, acc.result(), emitAcc.result()))
+  }
+
+  /** One emit/linkTo/linkStreamTo call with state-free arguments →
+    * the four string columns of the emitted row, mirroring the natives in
+    * CompiledJsProjection (emit JSON-serializes the body, undefined →
+    * "null"; linkTo reads the RESOLVED identity off the envelope,
+    * formatting `n@stream`; linkStreamTo references a stream by name).
+    * Extra-metadata arguments stay interpreted (None). */
+  private def compileEmitCall(fn: String, args: Seq[Expr], guard: Option[Column],
+      ctx: Ctx, locals: Map[String, TC]): Option[EmitSite] = {
+    def str(e: Expr): Option[Column] =
+      compileExpr(e, ctx, locals).flatMap(strOf).map(_._1)
+    def stringifyArg(e: Expr): Option[Column] = e match {
+      case ObjLit(fields) =>
+        val env = mutable.LinkedHashMap.empty[String, TC]
+        for ((k, fe) <- fields) compileExpr(fe, ctx, locals) match {
+          case Some(tc) => env(k) = tc
+          case None => return None
+        }
+        renderStateJson(env.toSeq)
+      case other => compileExpr(other, ctx, locals).flatMap { tc =>
+        tc.ty match {
+          case TNum(_, _) =>
+            Some(when(isnan(tc.col) ||
+              abs(tc.col) === lit(Double.PositiveInfinity), lit("null"))
+              .otherwise(JsNumberString(tc.col)))
+          case TStr(_) => Some(graft.functions.JsJsonString(tc.col))
+          case TBool => Some(when(tc.col, lit("true")).otherwise(lit("false")))
+          case TNull => Some(lit("null"))
+          case TUndef => Some(lit("null")) // stringify(undefined).getOrElse("null")
+          case _ => None
+        }
+      }
+    }
+    fn match {
+      case "emit" if args.length >= 2 && args.length <= 3 =>
+        for {
+          stream <- str(args(0))
+          tpe <- str(args(1))
+          data <- args.lift(2) match {
+            case Some(b) => stringifyArg(b)
+            case None => Some(lit("{}")) // default body JsObj.empty
+          }
+        } yield EmitSite(guard, stream, tpe, data, nullStr)
+      case "linkTo" if args.length == 1 ||
+          (args.length == 2 && (args(1) match {
+            case Ident(n) => ctx.envParam.contains(n) && !locals.contains(n)
+            case _ => false
+          })) =>
+        // the envelope's streamId/sequenceNumber are the RESOLVED identity
+        for {
+          stream <- str(args(0))
+          sid <- envField("streamId", ctx)
+          num <- envField("sequenceNumber", ctx)
+        } yield EmitSite(guard, stream,
+          lit(graft.model.EventEnvelope.LinkEventType),
+          concat(num.col.cast(LongType).cast(StringType), lit("@"), sid.col),
+          nullStr)
+      case "linkStreamTo" if args.length <= 2 =>
+        for {
+          stream <- str(args(0))
+          referenced <- args.lift(1) match {
+            case Some(e) => str(e)
+            case None => Some(in(ctx, "stream_id")) // the LINK-side stream
+          }
+        } yield EmitSite(guard, stream,
+          lit(graft.model.EventEnvelope.StreamLinkEventType), referenced, nullStr)
+      case _ => None
+    }
   }
 
   // ------------------------------------------- transformBy / filterBy
@@ -1102,6 +1226,71 @@ private[js] object JsColumnCompiler {
 
   /** Try to compile the whole definition to a Column plan. None = use
     * the interpreter (never an error — unsupported is a fallback). */
+  /** Partition-key column (+ whether null keys must be filtered) for the
+    * definition: foreachStream = the stream id, partitionBy = the
+    * compiled key fn, single = "". */
+  private def compileKey(cp: CompiledJsProjection,
+      refs: mutable.Set[String]): Option[(Column, Boolean)] = {
+    val spec = cp.spec
+    if (spec.foreachStream) Some((col("stream_id"), false))
+    else if (spec.hasPartitionBy) cp.partitionFnOpt match {
+      case Some(JsFunc(params, body, _)) =>
+        val ctx = new Ctx(cp, lit(""), refs, envParam = params.headOption,
+          stateParam = None)
+        // body: optional var prefix + a single return expression
+        var locals = Map.empty[String, TC]
+        var key: Option[Column] = None
+        for ((st, i) <- body.zipWithIndex) st match {
+          case VarDecl(decls) if key.isEmpty =>
+            for ((n, ie) <- decls) {
+              val tc = ie match {
+                case Some(e) => compileExpr(e, ctx, locals) match {
+                  case Some(v) => v
+                  case None => return None
+                }
+                case None => tUndef
+              }
+              locals += (n -> tc)
+            }
+          case Return(Some(e)) if i == body.length - 1 =>
+            key = keyExpr(e, ctx, locals) match {
+              case s @ Some(_) => s
+              case None => return None
+            }
+          case _ => return None
+        }
+        Some((key.getOrElse(nullStr), true)) // no return → undefined → skip all
+      case _ => None
+    }
+    else Some((lit(""), false))
+  }
+
+  private def selectorCol(spec: JsProjectionSpec): Column = spec.selector match {
+    // same expressions as graft.projections.Projections.from* builders
+    case JsSelector.Stream(id) => col("stream_id") === id
+    case JsSelector.Streams(ids) => col("stream_id").isin(ids: _*)
+    case JsSelector.Category(c) =>
+      graft.operators.SystemProjections.categoryFirst(col("stream_id"), "-") === c
+    case JsSelector.Categories(cs) =>
+      graft.operators.SystemProjections.categoryFirst(col("stream_id"), "-").isin(cs: _*)
+    case JsSelector.All => lit(true)
+  }
+
+  /** Default the optional meta/resolved columns exactly like
+    * Projections.toLogEvents does for withMeta=false inputs. */
+  private def withDefaults(log: DataFrame, required: Set[String]): DataFrame = {
+    var df = log
+    if (!df.columns.contains("value") && required.contains("value"))
+      df = df.withColumn("value", lit(0.0))
+    for (c <- Seq("event_id", "metadata", "link_metadata", "resolved_stream_id"))
+      if (required.contains(c) && !df.columns.contains(c))
+        df = df.withColumn(c, nullStr)
+    if (required.contains("resolved_event_number") &&
+      !df.columns.contains("resolved_event_number"))
+      df = df.withColumn("resolved_event_number", lit(-1L))
+    df
+  }
+
   def compile(cp: CompiledJsProjection): Option[Plan] = {
     val spec = cp.spec
     if (spec.isBiState || spec.hasCreated || cp.deletedFnOpt.isDefined) return None
@@ -1115,58 +1304,31 @@ private[js] object JsColumnCompiler {
     val refs = mutable.Set.empty[String]
     refs ++= Seq("stream_id", "event_type")
 
-    // partition key
-    val (keyCol, keyNullable): (Column, Boolean) =
-      if (spec.foreachStream) (col("stream_id"), false)
-      else if (spec.hasPartitionBy) cp.partitionFnOpt match {
-        case Some(JsFunc(params, body, _)) =>
-          val ctx = new Ctx(cp, lit(""), refs, envParam = params.headOption,
-            stateParam = None)
-          // body: optional var prefix + a single return expression
-          var locals = Map.empty[String, TC]
-          var key: Option[Column] = None
-          for ((st, i) <- body.zipWithIndex) st match {
-            case VarDecl(decls) if key.isEmpty =>
-              for ((n, ie) <- decls) {
-                val tc = ie match {
-                  case Some(e) => compileExpr(e, ctx, locals) match {
-                    case Some(v) => v
-                    case None => return None
-                  }
-                  case None => tUndef
-                }
-                locals += (n -> tc)
-              }
-            case Return(Some(e)) if i == body.length - 1 =>
-              key = keyExpr(e, ctx, locals) match {
-                case s @ Some(_) => s
-                case None => return None
-              }
-            case _ => return None
-          }
-          (key.getOrElse(nullStr), true) // no return → undefined → skip all
-        case _ => return None
-      }
-      else (lit(""), false)
+    val (keyCol, keyNullable) = compileKey(cp, refs) match {
+      case Some(kv) => kv
+      case None => return None
+    }
 
-    // handlers → per-field contribution terms
+    // handlers → per-field contribution terms (emit sites are collected
+    // too but do not affect state — compileEmitted consumes those)
     val handlerCtx = col(KeyCol)
-    def foldOf(fn: JsVal): Option[FieldTerms] =
-      compileHandler(fn, cp, handlerCtx, refs)
-    val typedFolds: Seq[(String, FieldTerms)] =
+    val typedHandlers: Seq[(String, HandlerFold)] =
       cp.handlersMap.toSeq.map { case (t, fn) =>
-        foldOf(fn) match {
-          case Some(terms) => t -> terms
+        compileHandler(fn, cp, handlerCtx, refs) match {
+          case Some(h) => t -> h
           case None => return None
         }
       }
-    val anyFold: Option[FieldTerms] = cp.anyFnOpt match {
-      case Some(fn) => foldOf(fn) match {
-        case Some(terms) => Some(terms)
+    val anyHandler: Option[HandlerFold] = cp.anyFnOpt match {
+      case Some(fn) => compileHandler(fn, cp, handlerCtx, refs) match {
+        case Some(h) => Some(h)
         case None => return None
       }
       case None => None
     }
+    val typedFolds: Seq[(String, FieldTerms)] =
+      typedHandlers.map { case (t, h) => t -> h.fields }
+    val anyFold: Option[FieldTerms] = anyHandler.map(_.fields)
 
     // assigned fields must exist in $init (JS += onto a missing field is
     // NaN, not a sum; extrema of a missing field likewise) and use ONE
@@ -1336,33 +1498,12 @@ private[js] object JsColumnCompiler {
         case None => return None
       }
 
-    val selector: Column = spec.selector match {
-      // same expressions as graft.projections.Projections.from* builders
-      case JsSelector.Stream(id) => col("stream_id") === id
-      case JsSelector.Streams(ids) => col("stream_id").isin(ids: _*)
-      case JsSelector.Category(c) =>
-        graft.operators.SystemProjections.categoryFirst(col("stream_id"), "-") === c
-      case JsSelector.Categories(cs) =>
-        graft.operators.SystemProjections.categoryFirst(col("stream_id"), "-").isin(cs: _*)
-      case JsSelector.All => lit(true)
-    }
-
+    val selector = selectorCol(spec)
     val required = refs.toSet
     val usesTs = required.contains("timestamp")
 
     Some(Plan(required, usesTs, (log: DataFrame) => {
-      // default the optional meta/resolved columns exactly like
-      // Projections.toLogEvents does for withMeta=false inputs
-      var df = log
-      if (!df.columns.contains("value") && required.contains("value"))
-        df = df.withColumn("value", lit(0.0))
-      for (c <- Seq("event_id", "metadata", "link_metadata", "resolved_stream_id"))
-        if (required.contains(c) && !df.columns.contains(c))
-          df = df.withColumn(c, nullStr)
-      if (required.contains("resolved_event_number") &&
-        !df.columns.contains("resolved_event_number"))
-        df = df.withColumn("resolved_event_number", lit(-1L))
-
+      val df = withDefaults(log, required)
       val withKey = df.where(selector).withColumn(KeyCol, keyCol)
       val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
       val grouped =
@@ -1373,6 +1514,94 @@ private[js] object JsColumnCompiler {
         if (filterConds.isEmpty) grouped
         else grouped.where(filterConds.reduce(_ && _))
       filtered.select(col(KeyCol).as("partition"), stateJsonCol.as("state"))
+    }))
+  }
+
+  /** Compile the emitted() path: every emit/linkTo call site becomes a
+    * struct in a per-event array (CASE-routed by event type, exactly
+    * step()'s handler routing), guarded sites collapse to NULL and are
+    * filtered out, and `posexplode` yields one row per actual emission
+    * with its within-event `emit_seq` — the interpreter's per-event
+    * buffer index. One scan, one narrow select, no shuffle at all:
+    * emissions depend only on the event (state-free by construction), so
+    * the serial fold adds nothing but cost. */
+  def compileEmitted(cp: CompiledJsProjection): Option[Plan] = {
+    val spec = cp.spec
+    if (spec.isBiState || spec.hasCreated || cp.deletedFnOpt.isDefined) return None
+    // $init must still evaluate (it runs in the interp path); its shape
+    // is irrelevant here but a throwing $init must not hit the fast path
+    try cp.initState() catch { case _: JsError => return None }
+
+    val refs = mutable.Set.empty[String]
+    refs ++= Seq("stream_id", "event_type", "log_position")
+
+    val (keyCol, keyNullable) = compileKey(cp, refs) match {
+      case Some(kv) => kv
+      case None => return None
+    }
+
+    val handlerCtx = col(KeyCol)
+    val typedHandlers: Seq[(String, HandlerFold)] =
+      cp.handlersMap.toSeq.map { case (t, fn) =>
+        compileHandler(fn, cp, handlerCtx, refs) match {
+          case Some(h) => t -> h
+          case None => return None
+        }
+      }
+    val anyHandler: Option[HandlerFold] = cp.anyFnOpt match {
+      case Some(fn) => compileHandler(fn, cp, handlerCtx, refs) match {
+        case Some(h) => Some(h)
+        case None => return None
+      }
+      case None => None
+    }
+    if (typedHandlers.forall(_._2.emits.isEmpty) &&
+      anyHandler.forall(_.emits.isEmpty)) return None // nothing ever emits
+
+    def siteStruct(s: EmitSite): Column = {
+      val st = struct(s.stream.as("s"), s.tpe.as("t"), s.data.as("d"),
+        s.meta.as("m"))
+      s.guard match {
+        case Some(g) => when(g, st)
+        case None => st
+      }
+    }
+    val emptyArr =
+      array().cast("array<struct<s:string,t:string,d:string,m:string>>")
+    def handlerArr(h: HandlerFold): Column =
+      if (h.emits.isEmpty) emptyArr
+      else filter(array(h.emits.map(siteStruct): _*), x => x.isNotNull)
+    val dflt = anyHandler.map(handlerArr).getOrElse(emptyArr)
+    val arrCol =
+      if (typedHandlers.isEmpty) dflt
+      else typedHandlers.foldLeft(Option.empty[Column]) { case (acc, (t, h)) =>
+        val c = handlerArr(h)
+        Some(acc match {
+          case None => when(col("event_type") === t, c)
+          case Some(w) => w.when(col("event_type") === t, c)
+        })
+      }.get.otherwise(dflt)
+
+    val selector = selectorCol(spec)
+    val required = refs.toSet
+    val usesTs = required.contains("timestamp")
+
+    Some(Plan(required, usesTs, (log: DataFrame) => {
+      val df = withDefaults(log, required)
+      val withKey = df.where(selector).withColumn(KeyCol, keyCol)
+      val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
+      keyed
+        .select(col(KeyCol).as("partition"),
+          col("log_position").as("caused_by_position"),
+          posexplode(arrCol).as(Seq("emit_seq", "__e")))
+        .select(
+          col("__e.s").as("stream_id"),
+          col("__e.t").as("event_type"),
+          col("__e.d").as("data"),
+          col("partition"),
+          col("caused_by_position"),
+          col("emit_seq").cast("int").as("emit_seq"),
+          col("__e.m").as("metadata"))
     }))
   }
 }

@@ -253,13 +253,40 @@ final class JsProjection(val source: String) extends Serializable {
         else org.apache.spark.sql.streaming.OutputMode.Update)
   }
 
-  /** P13/P14: events emitted by handlers (emit/linkTo/linkStreamTo). */
+  /** P13/P14: events emitted by handlers (emit/linkTo/linkStreamTo).
+    * Emissions with state-free arguments compile to a pure select
+    * ([[JsColumnCompiler.compileEmitted]]) — same rows, no serial fold,
+    * no interpreter; anything else runs the interpreter fold. */
   def emitted(log: DataFrame): Dataset[Emitted] = {
     if (spec.isBiState)
       throw new JsError("emit/linkTo are not available in bi-state ($initShared) projections")
     val spark = log.sparkSession
     import spark.implicits._
-    foldBuilder.emitted(prepared(log))
+    fastEmitted(log).getOrElse(foldBuilder.emitted(prepared(log)))
+  }
+
+  /** Whether the emitted() path compiled to Columns. */
+  def emitsToColumns: Boolean =
+    CompiledJsProjection.get(source).fastEmitPlan.isDefined
+
+  /** The Column-compiled emitted() plan, when expressible and enabled —
+    * public for plan-shape tests. */
+  def fastEmitted(log: DataFrame): Option[Dataset[Emitted]] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val enabled = spark.conf
+      .getOption("spark.graft.js.columnCompile").forall(_.toBoolean)
+    if (!enabled) None
+    else CompiledJsProjection.get(source).fastEmitPlan.flatMap { p =>
+      val optional = Set("event_id", "metadata", "link_metadata",
+        "resolved_stream_id", "resolved_event_number", "value")
+      val have = log.columns.toSet
+      val ok = p.requiredCols.forall(c => have(c) || optional(c)) &&
+        (!p.usesTimestamp || (have("timestamp") &&
+          log.schema("timestamp").dataType ==
+            org.apache.spark.sql.types.TimestampType))
+      if (ok) Some(p.build(prepared(log)).as[Emitted]) else None
+    }
   }
 
   /** P13/P14/P21 continuous mode: emitted events as a Structured Streaming
@@ -397,6 +424,11 @@ final class CompiledJsProjection private (source: String) {
     * expressible (JsColumnCompiler doc); computed once per instance. */
   private[js] lazy val fastPlan: Option[JsColumnCompiler.Plan] =
     JsColumnCompiler.compile(this)
+
+  /** Column compilation of the emitted() path (state-free emissions as a
+    * select + posexplode — JsColumnCompiler.compileEmitted). */
+  private[js] lazy val fastEmitPlan: Option[JsColumnCompiler.Plan] =
+    JsColumnCompiler.compileEmitted(this)
 
   // bound per step() call, read by the emit/linkTo natives
   private var currentEmitter: Emitter = null

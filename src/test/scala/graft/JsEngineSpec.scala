@@ -996,17 +996,18 @@ fromCategory("idx")
       name -> fastEqualsInterp(src, log)
     }.toMap
     // sums of pure per-event expressions compile — including the
-    // transformBy/filterBy chain (compiled post-aggregation as
-    // where/select); emit/linkTo (side effects) and try/switch/regex
-    // (control flow + string subtleties) stay on the interpreter
+    // transformBy/filterBy chain (post-aggregation where/select) and the
+    // emit/linkTo definitions (state-free emissions don't touch state, so
+    // their states() is the bare-init fold); try/switch/regex stay on the
+    // interpreter (control flow + string subtleties)
     assert(compiled == Map(
       "js_date_bucket" -> true,
       "js_fold_count_sum" -> true,
       "js_try_switch" -> false,
       "js_regex_extract" -> false,
       "js_partition_by" -> true,
-      "js_emit" -> false,
-      "js_linkto" -> false,
+      "js_emit" -> true,
+      "js_linkto" -> true,
       "js_transform_filter" -> true,
       "js_output_state" -> true))
   }
@@ -1077,6 +1078,67 @@ fromAll()
     assert(compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0, y: 0 }; },
       $any: function(s, e) { if (e.value > 2) s.x += 1; else s.y -= 2; return s; } })"""))
+  }
+
+  private def emittedEqualsInterp(src: String,
+      log: org.apache.spark.sql.DataFrame): Unit = {
+    val p = JsProjection.compile(src)
+    assert(p.emitsToColumns, s"emitted() must compile for:\n$src")
+    def sorted(rows: Seq[graft.projections.Emitted]) =
+      rows.sortBy(e => (e.caused_by_position, e.emit_seq, e.stream_id))
+    val fast = sorted(p.emitted(log).collect().toSeq)
+    spark.conf.set("spark.graft.js.columnCompile", "false")
+    try {
+      val interp = sorted(p.emitted(log).collect().toSeq)
+      assert(fast == interp, s"fast emitted != interpreter for:\n$src")
+    } finally spark.conf.set("spark.graft.js.columnCompile", "true")
+  }
+
+  test("column fast path: emitted() compiles to a pure select — emit, " +
+    "linkTo, guards, multi-emit seq numbers, JSON bodies") {
+    val log = graft.sources.Tables.eventLog(spark, "/root/testdata/sf0.001")
+    // the registry corpus emit + linkTo definitions
+    for ((name, src) <- JsProjectionQueries.handlerCorpus
+        if name == "js_emit" || name == "js_linkto")
+      emittedEqualsInterp(src, log)
+    // multi-emit with interleaved guards: emit_seq must number EXECUTED
+    // calls per event, exactly the interpreter's buffer index
+    emittedEqualsInterp("""
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        purchase: function(s, e) {
+            if (e.value > 100) emit("big-" + e.streamId, "Big", { v: e.value });
+            emit("all-" + e.streamId, "Seen", { n: Math.round(e.value * 100), at: e.timestamp });
+            if (e.value <= 100) linkTo("small-stream", e);
+        }
+    })""", hostileLog)
+    // the emitted plan has no interpreter node and no shuffle
+    val p = JsProjection.compile("""
+fromAll().when({ $any: function(s, e) { emit("out", "E", { v: 1 }); } })""")
+    assert(p.emitsToColumns)
+    // plan check against a local log (the eventLog adapter's numbering
+    // window owns an Exchange of its own): pure project + explode
+    val plan = p.fastEmitted(hostileLog).get.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("Exchange"),
+      "emitted fast path must be a shuffle-free select")
+    // state-DEPENDENT emission arguments cannot compile
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) { s.n += 1; emit("out", "E", { n: s.n }); } })""")
+      .emitsToColumns)
+    // ...but state sums ALONGSIDE state-free emissions compile both ways
+    val both = JsProjection.compile("""
+fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) { s.n += 1; emit("out-" + e.streamId, "E", { v: e.value }); } })""")
+    assert(both.compilesToColumns && both.emitsToColumns)
+    emittedEqualsInterp("""
+fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) { s.n += 1; emit("out-" + e.streamId, "E", { v: e.value }); } })""",
+      hostileLog)
   }
 
   test("column fast path: running extrema and spelled-out sums compile — " +
