@@ -330,7 +330,19 @@ private[js] object JsColumnCompiler {
           case (TDyn, prop) if prop.nonEmpty &&
               prop.forall(ch => ch.isLetterOrDigit || ch == '_' || ch == '$') &&
               !prop.head.isDigit =>
-            Some(TC(try_variant_get(tc.col, "$." + prop, "variant"), TDyn, NoNull))
+            // JS throws reading a property of null/undefined — the
+            // interpreter raises the handler-level TypeError, so the
+            // compiled access must raise too, not yield undefined.
+            // (Scalars/arrays/objects-without-the-key give undefined in
+            // both.) parse_json carries the NullType raise into VARIANT.
+            val base = tc.col
+            val bad = base.isNull || is_variant_null(base)
+            val msg = concat(lit(s"cannot read property '$prop' of "),
+              when(base.isNull, lit("undefined")).otherwise(lit("null")))
+            Some(TC(
+              when(bad, parse_json(raise_error(msg).cast(StringType)))
+                .otherwise(try_variant_get(base, "$." + prop, "variant")),
+              TDyn, NoNull))
           case (TStr(true), "length") if tc.nullAs == NoNull =>
             // ASCII receiver: codepoints == UTF-16 units, length is exact
             Some(TC(length(tc.col).cast(DoubleType), TNum(integral = true), NoNull))
@@ -472,15 +484,19 @@ private[js] object JsColumnCompiler {
   }
 
   /** Truthiness of an expression, with short-circuit structure compiled
-    * structurally (no value materialization for `a && b` conditions). */
+    * structurally. `&&`/`||` compile to CaseWhen — NOT Spark's And/Or:
+    * CaseWhen branches evaluate lazily and never reorder, which carries
+    * JS's short-circuit guarantee (`e.body && e.body.k` must not touch
+    * `.k`, which THROWS for a null/undefined body, when the left side
+    * already failed; Catalyst is free to reorder And conjuncts). */
   private def truthyExpr(e: Expr, ctx: Ctx, locals: Map[String, TC]): Option[Column] =
     e match {
       case Logical("&&", l, r) =>
         for (a <- truthyExpr(l, ctx, locals); b <- truthyExpr(r, ctx, locals))
-          yield a && b
+          yield when(a, b).otherwise(lit(false))
       case Logical("||", l, r) =>
         for (a <- truthyExpr(l, ctx, locals); b <- truthyExpr(r, ctx, locals))
-          yield a || b
+          yield when(a, lit(true)).otherwise(b)
       case Unary("!", x) => truthyExpr(x, ctx, locals).map(!_)
       case Cond(c, t, f) =>
         for {
@@ -1046,14 +1062,17 @@ private[js] object JsColumnCompiler {
           case Some(v) => v
           case None => return None
         }
-        walkStmts(t, Some(guard.map(_ && cc).getOrElse(cc)), locals,
-          topLevel = false, ctx) match {
+        // lazy guard nesting (CaseWhen): the inner condition must not
+        // evaluate when the outer guard already failed — it may contain a
+        // throwing member access the outer `if` protects in JS
+        def nest(c: Column): Column =
+          guard.map(g => when(g, c).otherwise(lit(false))).getOrElse(c)
+        walkStmts(t, Some(nest(cc)), locals, topLevel = false, ctx) match {
           case Some((_, ts, es2)) => acc ++= ts; emitAcc ++= es2
           case None => return None
         }
         e.foreach { es =>
-          walkStmts(es, Some(guard.map(_ && !cc).getOrElse(!cc)), locals,
-            topLevel = false, ctx) match {
+          walkStmts(es, Some(nest(!cc)), locals, topLevel = false, ctx) match {
             case Some((_, ts, es2)) => acc ++= ts; emitAcc ++= es2
             case None => return None
           }

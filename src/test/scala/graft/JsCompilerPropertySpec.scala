@@ -1,0 +1,204 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.projections.js._
+
+/** Property harness for the JS column compiler: GENERATED projection
+  * definitions drawn from the compilable grammar (sums/extrema over
+  * integral expression trees, nested guards, typed + $any handlers,
+  * body-prop/date partition keys, filter/transform chains) run against a
+  * generated hostile log on BOTH executors — the Catalyst fast path and
+  * the interpreter — and must agree byte-for-byte. This is the
+  * exactness contract ("compile only what matches the interpreter on
+  * every input") probed mechanically instead of example-by-example. */
+class JsCompilerPropertySpec extends SparkTestBase {
+
+  // ---------------------------------------------------------- generators
+
+  private def genCond(r: Random, depth: Int): String = {
+    val base = r.nextInt(6) match {
+      case 0 => s"e.value > ${r.nextInt(200) - 100}"
+      case 1 => s"e.value <= ${(r.nextInt(4000) - 2000) / 10.0}"
+      case 2 => s"e.eventType === 't${1 + r.nextInt(3)}'"
+      case 3 => "e.body && e.body.k != null"
+      case 4 => s"e.sequenceNumber >= ${r.nextInt(3)}"
+      // NB an UNGUARDED e.body.k throws for null/invalid data in real JS
+      // (and now in the compiled path too — found by this very suite);
+      // conditions must guard like real handlers do
+      case 5 => "(e.body ? e.body.k === undefined : e.isJson)"
+    }
+    if (depth > 0 && r.nextInt(3) == 0) {
+      val rhs = genCond(r, depth - 1)
+      r.nextInt(3) match {
+        case 0 => s"($base && $rhs)"
+        case 1 => s"($base || $rhs)"
+        case 2 => s"!($base)"
+      }
+    } else base
+  }
+
+  /** Integral-valued expression (safe for the long sum accumulator). */
+  private def genIntExpr(r: Random, depth: Int): String = r.nextInt(8) match {
+    case 0 => (1 + r.nextInt(9)).toString
+    case 1 => s"Math.round(e.value * ${1 + r.nextInt(100)})"
+    case 2 => "d.getUTCDay()"
+    case 3 => "d.getUTCHours()"
+    case 4 => "e.sequenceNumber"
+    case 5 if depth > 0 =>
+      s"(${genCond(r, 1)} ? ${genIntExpr(r, depth - 1)} : ${genIntExpr(r, depth - 1)})"
+    case 6 if depth > 0 =>
+      s"(${genIntExpr(r, depth - 1)} + ${genIntExpr(r, depth - 1)})"
+    case _ => s"Math.floor(e.value)"
+  }
+
+  /** Any-number expression (extrema need no integrality). */
+  private def genNumExpr(r: Random): String = r.nextInt(4) match {
+    case 0 => "e.value"
+    case 1 => s"(e.value * ${(r.nextInt(21) - 10) / 4.0})"
+    case 2 => "d.getTime()"
+    case _ => genIntExpr(r, 1)
+  }
+
+  private def genStmts(r: Random, kinds: Seq[(String, Char)], depth: Int): String = {
+    val n = 1 + r.nextInt(3)
+    (0 until n).map { _ =>
+      val (f, k) = kinds(r.nextInt(kinds.length))
+      val upd = k match {
+        case 'S' => if (r.nextBoolean()) s"s.$f += ${genIntExpr(r, depth)};"
+          else s"s.$f = s.$f + ${genIntExpr(r, depth)};"
+        case 'M' => s"s.$f = Math.max(s.$f, ${genNumExpr(r)});"
+        case 'm' => s"s.$f = Math.min(s.$f, ${genNumExpr(r)});"
+      }
+      if (depth > 0 && r.nextInt(3) == 0) {
+        val inner = genStmts(r, kinds, depth - 1)
+        if (r.nextBoolean()) s"if (${genCond(r, 1)}) { $inner }"
+        else s"if (${genCond(r, 1)}) { $inner } else { $upd }"
+      } else upd
+    }.mkString("\n            ")
+  }
+
+  private def genDefinition(r: Random): String = {
+    val fields = Seq("a", "b", "c").take(1 + r.nextInt(3))
+    val kinds = fields.map(f => f -> "SMm".charAt(r.nextInt(3)))
+    val init = kinds.map { case (f, k) =>
+      val v = k match {
+        case 'S' => r.nextInt(10).toString
+        case 'M' => if (r.nextBoolean()) "-1e308" else "0"
+        case 'm' => if (r.nextBoolean()) "1e308" else "100"
+      }
+      s"$f: $v"
+    }.mkString(", ")
+    val selector = r.nextInt(3) match {
+      case 0 => "fromAll()"
+      case 1 => s"fromCategory('t${1 + r.nextInt(3)}')"
+      case _ => "fromAll()"
+    }
+    val partition = r.nextInt(4) match {
+      case 0 => ".foreachStream()"
+      case 1 =>
+        """
+          |    .partitionBy(function(e) {
+          |        return e.body && e.body.k != null ? e.body.k : null;
+          |    })""".stripMargin
+      case 2 =>
+        """
+          |    .partitionBy(function(e) {
+          |        return new Date(e.timestamp).toISOString().slice(0, 10);
+          |    })""".stripMargin
+      case _ => ".foreachStream()"
+    }
+    val typed =
+      if (r.nextBoolean())
+        s"""
+           |        t${1 + r.nextInt(3)}: function(s, e) {
+           |            var d = new Date(e.timestamp);
+           |            ${genStmts(r, kinds, 2)}
+           |            return s;
+           |        },""".stripMargin
+      else ""
+    val chain = r.nextInt(4) match {
+      case 0 =>
+        val (f, k) = kinds(r.nextInt(kinds.length))
+        s"""
+           |    .filterBy(function(s) { return s.$f ${if (k == 'S') ">= 1" else "< 1e307"}; })""".stripMargin
+      case 1 =>
+        val shown = kinds.map { case (f, _) => s"$f: s.$f" }.mkString(", ")
+        s"""
+           |    .transformBy(function(s) { return { $shown, extra: s.${kinds.head._1} * 2 }; })""".stripMargin
+      case _ => ""
+    }
+    s"""
+       |$selector$partition
+       |    .when({
+       |        ${"$"}init: function() { return { $init }; },$typed
+       |        ${"$"}any: function(s, e) {
+       |            var d = new Date(e.timestamp);
+       |            ${genStmts(r, kinds, 2)}
+       |            return s;
+       |        }
+       |    })$chain""".stripMargin
+  }
+
+  // ------------------------------------------------------------- the log
+
+  private def genLog(r: Random) = {
+    val s = spark; import s.implicits._
+    val rows = (0 until 300).map { i =>
+      val cat = s"t${1 + r.nextInt(3)}"
+      val stream = s"$cat-${r.nextInt(12)}"
+      val data = r.nextInt(8) match {
+        case 0 => s"""{"k":"u${r.nextInt(5)}"}"""
+        case 1 => s"""{"k":${r.nextInt(1000)}}"""
+        case 2 => s"""{"k":${r.nextInt(100)}.${r.nextInt(10)}${r.nextInt(10)}}"""
+        case 3 => """{"k":null}"""
+        case 4 => """{"k":true}"""
+        case 5 => "{}"
+        case 6 => "not json"
+        case _ => null
+      }
+      val value = r.nextInt(6) match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case 2 => (r.nextInt(40000) - 20000) / 100.0
+        case 3 => r.nextInt(1000).toDouble
+        case _ => r.nextDouble() * 300 - 150
+      }
+      val ts: Option[Long] =
+        if (r.nextInt(20) == 0) None
+        else Some(1500000000000L + (r.nextLong() % 200000000000L).abs)
+      (stream, (i / 7).toLong, s"$cat", i.toLong, ts, data, value)
+    }
+    rows.toDF("stream_id", "event_number", "event_type", "log_position",
+      "ts_ms", "data", "value")
+      .withColumn("event_type",
+        concat(lit("t"), (pmod(col("log_position"), lit(3)) + 1).cast("string")))
+      .withColumn("timestamp", expr("timestamp_millis(ts_ms)")).drop("ts_ms")
+      .withColumn("correlation_id", lit(null).cast("string"))
+  }
+
+  // ------------------------------------------------------------ the test
+
+  test("generated compilable definitions: fast path == interpreter on a " +
+    "generated hostile log (40 seeds)") {
+    val log = genLog(new Random(7)).cache()
+    log.count()
+    var compiledCount = 0
+    for (seed <- 1 to 40) {
+      val r = new Random(seed)
+      val src = genDefinition(r)
+      val p = JsProjection.compile(src)
+      // by construction every generated definition is inside the subset
+      assert(p.compilesToColumns, s"seed $seed must compile:\n$src")
+      compiledCount += 1
+      val fast = p.states(log).orderBy("partition", "state").collect().toSeq
+      spark.conf.set("spark.graft.js.columnCompile", "false")
+      try {
+        val interp = p.states(log).orderBy("partition", "state").collect().toSeq
+        assert(fast == interp, s"seed $seed diverged:\n$src\n" +
+          s"fast=${fast.take(5)}\ninterp=${interp.take(5)}")
+      } finally spark.conf.set("spark.graft.js.columnCompile", "true")
+    }
+    assert(compiledCount == 40)
+  }
+}
