@@ -241,10 +241,37 @@ fromAll()
         get_json_object(col("state"), "$.days").cast("long").as("day_sum"))
       .orderBy(col("partition"))
 
+  /** Running extrema — the `s.f = Math.max(s.f, …)` shape the column
+    * compiler turns into max/min aggregates (selection ops, exact on
+    * doubles, no integrality needed). Oracle-proven against DuckDB
+    * max/min so the compiled aggregation is covered by the official
+    * gate, not just the in-repo equivalence suite. */
+  private val minmaxSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, hi: -1e308, lo: 1e308 }; },
+        purchase: function(s, e) {
+            s.n += 1;
+            s.hi = Math.max(s.hi, Math.round(e.value * 100));
+            s.lo = Math.min(Math.round(e.value * 100), s.lo);
+            return s;
+        }
+    })"""
+
+  private def jsMinMax(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(minmaxSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.hi").cast("long").as("hi_cents"),
+        get_json_object(col("state"), "$.lo").cast("long").as("lo_cents"))
+      .orderBy(col("partition"))
+
   /** Every JS definition this module runs, by name — the handler corpus
     * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
     * == interpreter on each, including the ones that must fall back). */
   private[graft] def handlerCorpus: Seq[(String, String)] = Seq(
+    "js_minmax" -> minmaxSource,
     "js_date_bucket" -> dateSource,
     "js_fold_count_sum" -> foldSource,
     "js_try_switch" -> trySwitchSource,
@@ -256,6 +283,7 @@ fromAll()
     "js_output_state" -> outputSource)
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "js_minmax" -> (jsMinMax _),
     "js_date_bucket" -> (jsDateBucket _),
     "js_fold_count_sum" -> (jsFold _),
     "js_try_switch" -> (jsTrySwitch _),
@@ -270,6 +298,12 @@ fromAll()
   private val L = Tables.eventLogSql
 
   def oracles: Seq[(String, String)] = Seq(
+    "js_minmax" -> s"""$L
+      |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hi_cents,
+      |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS lo_cents
+      |FROM log WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB reads the parquet TIMESTAMP(NANOS) as TIMESTAMP (µs), so the
     // CTE's `timestamp` is a timestamp value; epoch_us//1000 = the same
     // ms truncation JS getTime() sees. DuckDB dow is Sunday=0 like ES.

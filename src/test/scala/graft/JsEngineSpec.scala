@@ -1001,6 +1001,7 @@ fromCategory("idx")
     // their states() is the bare-init fold); try/switch/regex stay on the
     // interpreter (control flow + string subtleties)
     assert(compiled == Map(
+      "js_minmax" -> true,
       "js_date_bucket" -> true,
       "js_fold_count_sum" -> true,
       "js_try_switch" -> false,
