@@ -135,9 +135,31 @@ private[js] object JsColumnCompiler {
       val refs: mutable.Set[String],
       val envParam: Option[String],
       val stateParam: Option[String],
-      val stateEnv: Map[String, TC] = null)
+      val stateEnv: Map[String, TC] = null,
+      val lets: mutable.LinkedHashMap[String, Column] =
+        mutable.LinkedHashMap.empty)
 
   private def in(c: Ctx, name: String): Column = { c.refs += name; col(name) }
+
+  /** Let-bind an expensive NON-THROWING row expression (the JSON parse
+    * roots) as a named intermediate column the plan computes once per
+    * row. The compiled key/delta expressions reference a JSON document
+    * many times (type dispatch + value extraction + null guards), and
+    * Catalyst's subexpression elimination does not reach inside CaseWhen
+    * branches — without this, `try_parse_json` ran per REFERENCE
+    * (measured 3.6× on js_partition_by). CollapseProject keeps the
+    * two-project split because the bound column is non-cheap and
+    * multiply-referenced. Throwing expressions must NOT be bound here
+    * (hoisting would defeat the lazy-guard semantics). */
+  private def memo(ctx: Ctx, c: Column): Column = {
+    val key = c.toString
+    if (!ctx.lets.contains(key)) ctx.lets(key) = c
+    col(s"__graft_let_${ctx.lets.keysIterator.indexOf(key)}")
+  }
+
+  /** The bound lets, in definition order, as (name, expr). */
+  private def letBindings(lets: mutable.LinkedHashMap[String, Column]): Seq[(String, Column)] =
+    lets.values.toSeq.zipWithIndex.map { case (c, i) => s"__graft_let_$i" -> c }
 
   // --------------------------------------------------------- conversions
 
@@ -421,15 +443,18 @@ private[js] object JsColumnCompiler {
         .cast(DoubleType), TNum(integral = true), NoNull))
     case "eventType" => Some(TC(in(ctx, "event_type"), TStr(ascii = false), NoNull))
     case "eventId" => Some(TC(in(ctx, "event_id"), TStr(ascii = false), NullIsJsNull))
-    case "body" | "data" => Some(TC(try_parse_json(in(ctx, "data")), TDyn, NoNull))
+    case "body" | "data" =>
+      Some(TC(memo(ctx, try_parse_json(in(ctx, "data"))), TDyn, NoNull))
     case "bodyRaw" => Some(TC(in(ctx, "data"), TStr(ascii = false), NullIsJsNull))
     case "metadataRaw" => Some(TC(in(ctx, "metadata"), TStr(ascii = false), NullIsJsNull))
-    case "metadata" => Some(TC(try_parse_json(in(ctx, "metadata")), TDyn, NoNull))
+    case "metadata" =>
+      Some(TC(memo(ctx, try_parse_json(in(ctx, "metadata"))), TDyn, NoNull))
     case "linkMetadataRaw" =>
       Some(TC(in(ctx, "link_metadata"), TStr(ascii = false), NullIsJsNull))
     case "linkMetadata" =>
-      Some(TC(try_parse_json(in(ctx, "link_metadata")), TDyn, NoNull))
-    case "isJson" => Some(TC(try_parse_json(in(ctx, "data")).isNotNull, TBool, NoNull))
+      Some(TC(memo(ctx, try_parse_json(in(ctx, "link_metadata"))), TDyn, NoNull))
+    case "isJson" =>
+      Some(TC(memo(ctx, try_parse_json(in(ctx, "data"))).isNotNull, TBool, NoNull))
     case "category" =>
       val sid = in(ctx, "stream_id")
       Some(TC(when(instr(sid, "-") > 0, sid.substr(lit(1), instr(sid, "-") - 1))
@@ -966,11 +991,13 @@ private[js] object JsColumnCompiler {
   private final case class HandlerFold(fields: FieldTerms, emits: List[EmitSite])
 
   private def compileHandler(fn: JsVal, cp: CompiledJsProjection,
-      partitionCol: Column, refs: mutable.Set[String]): Option[HandlerFold] =
+      partitionCol: Column, refs: mutable.Set[String],
+      lets: mutable.LinkedHashMap[String, Column]): Option[HandlerFold] =
     fn match {
       case JsFunc(params, body, _) =>
         val ctx = new Ctx(cp, partitionCol, refs,
-          envParam = params.lift(1), stateParam = params.headOption)
+          envParam = params.lift(1), stateParam = params.headOption,
+          lets = lets)
         walkStmts(body, None, Map.empty, topLevel = true, ctx)
           .map { case (_, fields, emits) => HandlerFold(fields, emits) }
       case _ => None
@@ -1164,13 +1191,14 @@ private[js] object JsColumnCompiler {
     * collapses), exactly applyTransforms' short-circuit semantics. */
   private def compileTransformChain(cp: CompiledJsProjection,
       refs: mutable.Set[String], env0: Seq[(String, TC)],
-      transforms: List[(String, JsVal)]): Option[(Seq[Column], Seq[(String, TC)])] = {
+      transforms: List[(String, JsVal)],
+      lets: mutable.LinkedHashMap[String, Column]): Option[(Seq[Column], Seq[(String, TC)])] = {
     var env = env0
     val conds = Vector.newBuilder[Column]
     for ((kind, fn) <- transforms) fn match {
       case JsFunc(params, body, _) if params.nonEmpty =>
         val ctx = new Ctx(cp, lit(""), refs, envParam = None,
-          stateParam = Some(params.head), stateEnv = env.toMap)
+          stateParam = Some(params.head), stateEnv = env.toMap, lets = lets)
         body match {
           case Seq(Return(Some(e))) =>
             if (kind == "filter") truthyExpr(e, ctx, Map.empty) match {
@@ -1249,13 +1277,14 @@ private[js] object JsColumnCompiler {
     * definition: foreachStream = the stream id, partitionBy = the
     * compiled key fn, single = "". */
   private def compileKey(cp: CompiledJsProjection,
-      refs: mutable.Set[String]): Option[(Column, Boolean)] = {
+      refs: mutable.Set[String],
+      lets: mutable.LinkedHashMap[String, Column]): Option[(Column, Boolean)] = {
     val spec = cp.spec
     if (spec.foreachStream) Some((col("stream_id"), false))
     else if (spec.hasPartitionBy) cp.partitionFnOpt match {
       case Some(JsFunc(params, body, _)) =>
         val ctx = new Ctx(cp, lit(""), refs, envParam = params.headOption,
-          stateParam = None)
+          stateParam = None, lets = lets)
         // body: optional var prefix + a single return expression
         var locals = Map.empty[String, TC]
         var key: Option[Column] = None
@@ -1322,8 +1351,9 @@ private[js] object JsColumnCompiler {
 
     val refs = mutable.Set.empty[String]
     refs ++= Seq("stream_id", "event_type")
+    val lets = mutable.LinkedHashMap.empty[String, Column]
 
-    val (keyCol, keyNullable) = compileKey(cp, refs) match {
+    val (keyCol, keyNullable) = compileKey(cp, refs, lets) match {
       case Some(kv) => kv
       case None => return None
     }
@@ -1333,13 +1363,13 @@ private[js] object JsColumnCompiler {
     val handlerCtx = col(KeyCol)
     val typedHandlers: Seq[(String, HandlerFold)] =
       cp.handlersMap.toSeq.map { case (t, fn) =>
-        compileHandler(fn, cp, handlerCtx, refs) match {
+        compileHandler(fn, cp, handlerCtx, refs, lets) match {
           case Some(h) => t -> h
           case None => return None
         }
       }
     val anyHandler: Option[HandlerFold] = cp.anyFnOpt match {
-      case Some(fn) => compileHandler(fn, cp, handlerCtx, refs) match {
+      case Some(fn) => compileHandler(fn, cp, handlerCtx, refs, lets) match {
         case Some(h) => Some(h)
         case None => return None
       }
@@ -1506,7 +1536,7 @@ private[js] object JsColumnCompiler {
               else constTC(v).map(tc => acc :+ (k -> tc))
           }
         base.flatMap(env0 =>
-          compileTransformChain(cp, refs, env0, cp.transformsList))
+          compileTransformChain(cp, refs, env0, cp.transformsList, lets))
       }
     if (transformed.isEmpty) return None
     val (filterConds, finalEnv) = transformed.get
@@ -1521,8 +1551,11 @@ private[js] object JsColumnCompiler {
     val required = refs.toSet
     val usesTs = required.contains("timestamp")
 
+    val letSeq = letBindings(lets)
     Some(Plan(required, usesTs, (log: DataFrame) => {
-      val df = withDefaults(log, required)
+      val df = letSeq.foldLeft(withDefaults(log, required)) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }
       val withKey = df.where(selector).withColumn(KeyCol, keyCol)
       val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
       val grouped =
@@ -1553,8 +1586,9 @@ private[js] object JsColumnCompiler {
 
     val refs = mutable.Set.empty[String]
     refs ++= Seq("stream_id", "event_type", "log_position")
+    val lets = mutable.LinkedHashMap.empty[String, Column]
 
-    val (keyCol, keyNullable) = compileKey(cp, refs) match {
+    val (keyCol, keyNullable) = compileKey(cp, refs, lets) match {
       case Some(kv) => kv
       case None => return None
     }
@@ -1562,13 +1596,13 @@ private[js] object JsColumnCompiler {
     val handlerCtx = col(KeyCol)
     val typedHandlers: Seq[(String, HandlerFold)] =
       cp.handlersMap.toSeq.map { case (t, fn) =>
-        compileHandler(fn, cp, handlerCtx, refs) match {
+        compileHandler(fn, cp, handlerCtx, refs, lets) match {
           case Some(h) => t -> h
           case None => return None
         }
       }
     val anyHandler: Option[HandlerFold] = cp.anyFnOpt match {
-      case Some(fn) => compileHandler(fn, cp, handlerCtx, refs) match {
+      case Some(fn) => compileHandler(fn, cp, handlerCtx, refs, lets) match {
         case Some(h) => Some(h)
         case None => return None
       }
@@ -1605,8 +1639,11 @@ private[js] object JsColumnCompiler {
     val required = refs.toSet
     val usesTs = required.contains("timestamp")
 
+    val letSeq = letBindings(lets)
     Some(Plan(required, usesTs, (log: DataFrame) => {
-      val df = withDefaults(log, required)
+      val df = letSeq.foldLeft(withDefaults(log, required)) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }
       val withKey = df.where(selector).withColumn(KeyCol, keyCol)
       val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
       keyed
