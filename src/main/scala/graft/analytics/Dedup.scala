@@ -352,10 +352,54 @@ object Dedup {
     * (node, label) rows — never materializing anything larger than the
     * edge list. Returns (id, component) with component = min reachable
     * id. */
+  /** Below this many distinct (undirected) pairs the component graph is
+    * resolved by a driver-side union-find instead of iterative label
+    * propagation. Pair graphs are edges-not-documents small (a corpus
+    * with a 1% near-dup rate has ~N/100 pairs), so even very large
+    * corpora usually land under it; 2M pairs ≈ 32 MB on the driver,
+    * while EVERY propagation round costs two shuffles plus a
+    * materialization — a small graph pays seconds of fixed cost for
+    * work a local pass does in milliseconds. The same size-gated
+    * short-circuit GraphX/GraphFrames connected components apply. */
+  val LocalComponentsMaxPairs: Long = 2000000L
+
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 50,
+      localMaxPairs: Long = LocalComponentsMaxPairs): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = fwd.count()
+    if (nPairs <= localMaxPairs) {
+      // small graph: collect the PAIRS (never the documents), union-find
+      // locally, return the (id, min-reachable-id) table. Identical
+      // output to the distributed propagation; the distributed path
+      // remains the >2M-pair scale route.
+      val rows = fwd.collect()
+      fwd.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      rows.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        union(a, b)
+      }
+      val out = parent.keys.toArray.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("id", "component")
+    }
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -391,6 +435,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    fwd.unpersist()
     labels
   }
 

@@ -329,7 +329,13 @@ class AnalyticsSpec extends SparkTestBase {
     val n = 60
     val pairs = (0 until 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       .filter(p => p._1 != p._2).distinct
+    // both execution paths: the small-graph local union-find (default
+    // threshold) and the distributed label propagation (forced) must
+    // agree with the reference exactly
     val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotDist = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"),
+        localMaxPairs = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // reference union-find (attach larger root under smaller → root = min id)
     val parent = Array.tabulate(n)(identity)
@@ -342,6 +348,7 @@ class AnalyticsSpec extends SparkTestBase {
     val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
       .map(x => x -> find(x.toInt).toLong).toMap
     assert(got == expected)
+    assert(gotDist == expected)
   }
 
   test("connected components: pointer jumping closes a 40-node chain in few rounds") {
@@ -349,7 +356,8 @@ class AnalyticsSpec extends SparkTestBase {
     val chain = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq
     // maxIter 8 would NOT suffice for plain one-hop propagation (diameter
     // 39); pointer jumping must close it
-    val comp = Dedup.connectedComponents(chain.toDF("id_a", "id_b"), maxIter = 8)
+    val comp = Dedup.connectedComponents(chain.toDF("id_a", "id_b"), maxIter = 8,
+        localMaxPairs = 0L) // force the distributed path the pin is about
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size == 40 && comp.values.forall(_ == 0L))
   }
