@@ -179,6 +179,47 @@ class JsCompilerPropertySpec extends SparkTestBase {
 
   // ------------------------------------------------------------ the test
 
+  private def genEmitDefinition(r: Random): String = {
+    def emitCall: String = r.nextInt(3) match {
+      case 0 =>
+        s"""emit("out${r.nextInt(3)}-" + e.streamId, "T${r.nextInt(2)}",
+           |                { v: Math.round(e.value * ${1 + r.nextInt(50)}),
+           |                  tag: "k${r.nextInt(4)}", at: e.timestamp });""".stripMargin
+      case 1 => """linkTo("idx-" + e.eventType, e);"""
+      case 2 => s"""emit("const-stream", "E", { n: ${r.nextInt(100)} });"""
+    }
+    val stmts = (0 until 1 + r.nextInt(3)).map { _ =>
+      if (r.nextBoolean()) s"if (${genCond(r, 1)}) { $emitCall }" else emitCall
+    }.mkString("\n            ")
+    s"""
+       |fromAll()
+       |    .foreachStream()
+       |    .when({
+       |        ${"$"}any: function(s, e) {
+       |            ${stmts}
+       |        }
+       |    })""".stripMargin
+  }
+
+  test("generated emit definitions: fast emitted() == interpreter (20 seeds)") {
+    val log = genLog(new Random(11)).cache()
+    log.count()
+    for (seed <- 100 to 119) {
+      val r = new Random(seed)
+      val src = genEmitDefinition(r)
+      val p = JsProjection.compile(src)
+      assert(p.emitsToColumns, s"seed $seed must compile:\n$src")
+      def sorted(rows: Seq[graft.projections.Emitted]) =
+        rows.sortBy(e => (e.caused_by_position, e.emit_seq, e.stream_id))
+      val fast = sorted(p.emitted(log).collect().toSeq)
+      spark.conf.set("spark.graft.js.columnCompile", "false")
+      try {
+        val interp = sorted(p.emitted(log).collect().toSeq)
+        assert(fast == interp, s"seed $seed emitted diverged:\n$src")
+      } finally spark.conf.set("spark.graft.js.columnCompile", "true")
+    }
+  }
+
   test("generated compilable definitions: fast path == interpreter on a " +
     "generated hostile log (40 seeds)") {
     val log = genLog(new Random(7)).cache()
