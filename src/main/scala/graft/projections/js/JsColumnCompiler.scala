@@ -86,6 +86,12 @@ private[js] object JsColumnCompiler {
   final case class Plan(
       requiredCols: Set[String],
       usesTimestamp: Boolean,
+      /** The definition's source-selector predicate. NOT applied by
+        * `build`: the batch states()/emitted() paths filter with it
+        * (mirroring the Scala DSL's sourceFilter), while statesStream
+        * mirrors the interpreter streaming path, which folds the caller's
+        * stream as given (the subscription supplies the slice). */
+      selector: Column,
       build: DataFrame => DataFrame)
 
   // ------------------------------------------------- typed column model
@@ -1552,11 +1558,11 @@ private[js] object JsColumnCompiler {
     val usesTs = required.contains("timestamp")
 
     val letSeq = letBindings(lets)
-    Some(Plan(required, usesTs, (log: DataFrame) => {
+    Some(Plan(required, usesTs, selector, (log: DataFrame) => {
       val df = letSeq.foldLeft(withDefaults(log, required)) {
         case (d, (n, c)) => d.withColumn(n, c)
       }
-      val withKey = df.where(selector).withColumn(KeyCol, keyCol)
+      val withKey = df.withColumn(KeyCol, keyCol)
       val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
       val grouped =
         if (aggExprs.nonEmpty)
@@ -1640,11 +1646,11 @@ private[js] object JsColumnCompiler {
     val usesTs = required.contains("timestamp")
 
     val letSeq = letBindings(lets)
-    Some(Plan(required, usesTs, (log: DataFrame) => {
+    Some(Plan(required, usesTs, selector, (log: DataFrame) => {
       val df = letSeq.foldLeft(withDefaults(log, required)) {
         case (d, (n, c)) => d.withColumn(n, c)
       }
-      val withKey = df.where(selector).withColumn(KeyCol, keyCol)
+      val withKey = df.withColumn(KeyCol, keyCol)
       val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
       keyed
         .select(col(KeyCol).as("partition"),

@@ -134,7 +134,7 @@ final class JsProjection(val source: String) extends Serializable {
         (!p.usesTimestamp || (have("timestamp") &&
           log.schema("timestamp").dataType ==
             org.apache.spark.sql.types.TimestampType))
-      if (ok) Some(p.build(prepared(log))) else None
+      if (ok) Some(p.build(prepared(log).where(p.selector))) else None
     }
   }
 
@@ -241,7 +241,7 @@ final class JsProjection(val source: String) extends Serializable {
           out.map(x => (k, JsVal.stringify(x).getOrElse("null")))
         }
       }
-    } else
+    } else fastStatesStream(ordered).getOrElse(
       graft.streaming.Subscriptions.projectionStream[String](
         ordered, pf,
         () => JsVal.stringify(CompiledJsProjection.get(src).initState()).getOrElse("{}"),
@@ -250,7 +250,43 @@ final class JsProjection(val source: String) extends Serializable {
         // requires every stateful operator in the query to be Append
         outputMode = if (spec.reorderEvents)
           org.apache.spark.sql.streaming.OutputMode.Append
-        else org.apache.spark.sql.streaming.OutputMode.Update)
+        else org.apache.spark.sql.streaming.OutputMode.Update))
+  }
+
+  /** Column-compiled continuous mode: the same Plan that powers the batch
+    * fast path runs as a NATIVE streaming aggregation — partial sums and
+    * extrema live in the state store as typed longs/doubles instead of
+    * per-key JSON blobs folded by the interpreter, codegen'd end to end.
+    * Emits one (partition, state JSON) row per touched key per
+    * micro-batch (Update), exactly the flatMapGroupsWithState contract.
+    * Mirrors the interpreter streaming path in NOT applying the
+    * definition's selector — the caller's subscription supplies the
+    * slice. reorderEvents definitions stay interpreted (the reorder
+    * buffer forces all-Append chains; an aggregation after it cannot
+    * run in Update mode). */
+  def fastStatesStream(events: DataFrame): Option[Dataset[(String, String)]] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val enabled = spark.conf
+      .getOption("spark.graft.js.columnCompile").forall(_.toBoolean)
+    // transform chains are a batch states() feature — the interpreter
+    // streaming path emits raw fold state, so the fast path must too
+    if (!enabled || spec.reorderEvents || spec.includeLinks ||
+      CompiledJsProjection.get(source).transformsList.nonEmpty) None
+    else CompiledJsProjection.get(source).fastPlan.flatMap { p =>
+      val optional = Set("event_id", "metadata", "link_metadata",
+        "resolved_stream_id", "resolved_event_number", "value")
+      val have = events.columns.toSet
+      val ok = p.requiredCols.forall(c => have(c) || optional(c)) &&
+        (!p.usesTimestamp || (have("timestamp") &&
+          events.schema("timestamp").dataType ==
+            org.apache.spark.sql.types.TimestampType))
+      if (ok)
+        Some(p.build(events)
+          .select(col("partition").as("_1"), col("state").as("_2"))
+          .as[(String, String)])
+      else None
+    }
   }
 
   /** P13/P14: events emitted by handlers (emit/linkTo/linkStreamTo).
@@ -285,7 +321,7 @@ final class JsProjection(val source: String) extends Serializable {
         (!p.usesTimestamp || (have("timestamp") &&
           log.schema("timestamp").dataType ==
             org.apache.spark.sql.types.TimestampType))
-      if (ok) Some(p.build(prepared(log)).as[Emitted]) else None
+      if (ok) Some(p.build(prepared(log).where(p.selector)).as[Emitted]) else None
     }
   }
 

@@ -137,6 +137,69 @@ fromCategory("acct")
     assert(streamed == batch)
   }
 
+  test("P20 JS compiled: statesStream runs as a native streaming " +
+    "aggregation, equals batch states across a restart") {
+    val (store, dir) = newStore()
+    seed(store)
+    // sums + a running extremum: the compilable subset → the streaming
+    // query must be a real streaming AGG (StateStoreSave, no
+    // FlatMapGroupsWithState), with typed partial state, and still equal
+    // the batch fold exactly — including across a checkpoint restart
+    val p = graft.projections.js.JsProjection.compile("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, last: -1 }; },
+        $any: function(s, e) {
+            s.n += 1;
+            s.last = Math.max(s.last, e.sequenceNumber);
+            return s;
+        }
+    })""")
+    assert(p.compilesToColumns)
+    val src = Subscriptions.subscribeAll(spark, s"$dir/log")
+      .where(col("stream_id").startsWith("acct-"))
+    val fastDs = p.fastStatesStream(src)
+    assert(fastDs.isDefined, "compiled definition must take the agg path")
+    val planStr = fastDs.get.queryExecution.analyzed.toString
+    assert(!planStr.contains("FlatMapGroupsWithState"),
+      "fast streaming path must not use the object fold")
+
+    val ck = Files.createTempDirectory("jsaggck").toString
+    def runPass(): Map[String, String] = {
+      val captured = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      val q = p.statesStream(
+          Subscriptions.subscribeAll(spark, s"$dir/log")
+            .where(col("stream_id").startsWith("acct-")))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, String)], _: Long) =>
+          b.collect().foreach { case (k, v) => captured.put(k, v) }: Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      captured.asScala.toMap
+    }
+    val first = runPass()
+    val batch1 = p.states(store.read().where(col("stream_id").startsWith("acct-")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(first == batch1)
+    // restart on the same checkpoint with a tail: typed agg state must
+    // resume (counts continue, max keeps its high-water mark)
+    store.append(Seq(
+      PendingEvent("acct-1", "e9", "Deposited", """{"amt":1}"""),
+      PendingEvent("acct-3", "e10", "Opened", """{}""")))
+    val second = runPass()
+    val batch2 = p.states(store.read().where(col("stream_id").startsWith("acct-")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // second pass emits only touched keys; each must carry the FULL
+    // accumulated state
+    assert(second.keySet == Set("acct-1", "acct-3"))
+    assert(second("acct-1") == batch2("acct-1"))
+    assert(second("acct-3") == batch2("acct-3"))
+  }
+
   test("JS options(reorderEvents): out-of-order arrivals fold in position order") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
