@@ -118,6 +118,10 @@ private[js] object JsColumnCompiler {
   private final case class TDate(bounded: Boolean) extends JTy
   /** Variant column; SQL NULL = undefined, variant-null = JS null. */
   private case object TDyn extends JTy
+  /** A pre-rendered JSON.stringify fragment (overwrite fields crossing
+    * into a transform-chain env); SQL NULL = absent key. Reading one in
+    * an expression does not compile — only the state render consumes it. */
+  private case object TFrag extends JTy
 
   private final case class TC(col: Column, ty: JTy, nullAs: NullAs)
 
@@ -273,6 +277,35 @@ private[js] object JsColumnCompiler {
     case _ => None
   }
 
+  /** JSON.stringify fragment of a value, as a string column where SQL
+    * NULL means JS undefined (the enclosing stringify skips the key).
+    * Numbers render via [[JsNumberString]] (NaN/±Infinity → null, like
+    * writeJson); strings escape via [[graft.functions.JsJsonString]];
+    * dates via toJSON (ISO string; Invalid Date → null). Dynamics stay
+    * interpreted: an exact recursive render of nested JSON isn't
+    * expressible without another codegen expression. */
+  private def fragOf(tc: TC): Option[Column] = {
+    def withNull(body: Column): Column = tc.nullAs match {
+      case NoNull => body
+      case NullIsJsNull => when(tc.col.isNull, lit("null")).otherwise(body)
+      case NullIsUndef => when(tc.col.isNull, nullStr).otherwise(body)
+    }
+    tc.ty match {
+      case TNum(_, _) => Some(withNull(
+        when(isnan(tc.col) || abs(tc.col) === lit(Double.PositiveInfinity),
+          lit("null")).otherwise(JsNumberString(tc.col))))
+      case TStr(_) => Some(withNull(graft.functions.JsJsonString(tc.col)))
+      case TBool => Some(withNull(
+        when(tc.col, lit("true")).otherwise(lit("false"))))
+      case TNull => Some(lit("null"))
+      case TUndef => Some(nullStr)
+      case TDate(true) => // SQL NULL = Invalid Date; toJSON → JSON null
+        Some(when(tc.col.isNull, lit("null"))
+          .otherwise(concat(lit("\""), isoOf(tc.col), lit("\""))))
+      case TDate(false) | TDyn => None
+    }
+  }
+
   /** The partition-key conversion (JintProjectionStateHandler.cs:151-155
     * via CompiledJsProjection.partitionKey): numbers → numToStr, strings
     * verbatim, everything else (null/undefined/bool/object/date) → SQL
@@ -351,8 +384,14 @@ private[js] object JsColumnCompiler {
         envField(p, ctx)
       case Ident(n) if ctx.stateParam.contains(n) && !locals.contains(n) &&
           ctx.stateEnv != null =>
-        // transformBy/filterBy state reads; a missing field is undefined
-        Some(ctx.stateEnv.getOrElse(p, tUndef))
+        // transformBy/filterBy state reads; a missing field is undefined;
+        // fragment-typed fields (overwrites) are render-only — a chain
+        // that actually reads one stays interpreted
+        ctx.stateEnv.get(p) match {
+          case Some(tc) if tc.ty == TFrag => None
+          case Some(tc) => Some(tc)
+          case None => Some(tUndef)
+        }
       case _ => compileExpr(o, ctx, locals).flatMap { tc =>
         (tc.ty, p) match {
           case (TDyn, prop) if prop.nonEmpty &&
@@ -978,10 +1017,16 @@ private[js] object JsColumnCompiler {
     * `MinOf` carry the guarded candidate value (NULL when the guard
     * fails — max/min aggregates skip nulls). A field must use ONE kind
     * across every handler and branch, or the definition falls back. */
-  private sealed trait FieldOp { def col: Column }
+  private sealed trait FieldOp
   private final case class SumTerm(col: Column) extends FieldOp
   private final case class MaxTerm(col: Column) extends FieldOp
   private final case class MinTerm(col: Column) extends FieldOp
+  /** Plain overwrite `s.f = <state-free expr>`: last assignment wins, so
+    * the fold is max-by-log-position over executed sites — commutative,
+    * hence batch/streaming safe. `exec` is the site's guard (whether the
+    * statement ran for this event); `frag` the value's JSON.stringify
+    * fragment, SQL NULL = JS undefined (stringify skips the key). */
+  private final case class LastTerm(exec: Column, frag: Column) extends FieldOp
 
   /** Guarded per-event contribution terms per state field. */
   private type FieldTerms = List[(String, FieldOp)]
@@ -1011,15 +1056,15 @@ private[js] object JsColumnCompiler {
 
   /** Walk a handler body: a prefix of `var` locals, then guarded
     * `s.f += / -= expr` statements (also their spelled-out
-    * `s.f = s.f + expr` forms), self-referential `s.f = Math.max/min(s.f,
-    * expr)` running extrema, emit/linkTo/linkStreamTo calls with
-    * state-free arguments, and nested `if`s, then an optional final
-    * `return s`. Anything else → None. */
+    * `s.f = s.f + expr` forms and `s.f++`/`s.f--`), self-referential
+    * `s.f = Math.max/min(s.f, expr)` running extrema, plain state-free
+    * overwrites `s.f = expr` (last-assignment-wins), emit/linkTo/
+    * linkStreamTo calls with state-free arguments, and nested `if`s,
+    * then an optional final `return s`. Anything else → None. */
   private def walkStmts(stmts: Seq[Stmt], guard: Option[Column],
       locals0: Map[String, TC], topLevel: Boolean,
       ctx: Ctx): Option[(Map[String, TC], FieldTerms, List[EmitSite])] = {
     var locals = locals0
-    var varsAllowed = topLevel
     val acc = List.newBuilder[(String, FieldOp)]
     val emitAcc = List.newBuilder[EmitSite]
     val last = stmts.length - 1
@@ -1049,9 +1094,23 @@ private[js] object JsColumnCompiler {
       case Member(Ident(n), p) => n == s && p == f && !locals.contains(n)
       case _ => false
     }
+    // `s.f = expr` with a state-free rhs: JSON-render the value per event;
+    // the aggregate keeps the latest executed site (max by log position)
+    def addLast(f: String, rhs: Expr): Boolean = {
+      val frag = compileExpr(rhs, ctx, locals).flatMap(fragOf) match {
+        case Some(c) => c
+        case None => return false
+      }
+      acc += f -> LastTerm(guard.getOrElse(lit(true)), frag)
+      true
+    }
 
     for ((st, i) <- stmts.zipWithIndex) st match {
-      case VarDecl(decls) if varsAllowed =>
+      // top-level var decls bind at their statement position (later
+      // statements see the value; earlier references fall back on the
+      // unknown-ident path). Branch-local vars stay interpreted: their
+      // binding would be conditional.
+      case VarDecl(decls) if topLevel =>
         for ((n, init) <- decls) {
           val tc = init match {
             case Some(e) => compileExpr(e, ctx, locals) match {
@@ -1064,11 +1123,9 @@ private[js] object JsColumnCompiler {
         }
       case ExprStmt(Assign(op @ ("+=" | "-="), Member(Ident(s), f), rhs))
           if ctx.stateParam.contains(s) && !locals.contains(s) =>
-        varsAllowed = false
         if (!addSum(f, rhs, negate = op == "-=")) return None
       case ExprStmt(Assign("=", Member(Ident(s), f), rhs))
           if ctx.stateParam.contains(s) && !locals.contains(s) =>
-        varsAllowed = false
         val ok = rhs match {
           // `s.f = s.f + e` / `s.f = e + s.f` / `s.f = s.f - e` are the
           // spelled-out sum forms (pure e, so evaluation order collapses)
@@ -1079,18 +1136,21 @@ private[js] object JsColumnCompiler {
               if unshadowedMath(ctx, locals) &&
                 (isSelfField(a, s, f) ^ isSelfField(b, s, f)) =>
             addExtremum(f, if (isSelfField(a, s, f)) b else a, isMax = m == "max")
-          case _ => false
+          case _ => addLast(f, rhs)
         }
         if (!ok) return None
+      case ExprStmt(Update(op, Member(Ident(s), f), _))
+          if ctx.stateParam.contains(s) && !locals.contains(s) =>
+        // statement-position s.f++ / ++s.f: the result value is unused,
+        // so both fixities are the same ±1 sum contribution
+        if (!addSum(f, NumLit(1), negate = op == "--")) return None
       case ExprStmt(Call(Ident(fn @ ("emit" | "linkTo" | "linkStreamTo")), args))
           if unshadowedNative(ctx, locals, fn) =>
-        varsAllowed = false
         compileEmitCall(fn, args, guard, ctx, locals) match {
           case Some(site) => emitAcc += site
           case None => return None
         }
       case If(c, t, e) =>
-        varsAllowed = false
         val cc = truthyExpr(c, ctx, locals) match {
           case Some(v) => v
           case None => return None
@@ -1263,16 +1323,15 @@ private[js] object JsColumnCompiler {
             case NullIsUndef => return None
           }
         case TNull => lit("null")
+        case TFrag => tc.col // pre-rendered; NULL = key absent this row
         case _ => return None // TDate/TDyn state fields stay interpreted
       }
-      parts += concat(lit(keyJson), v)
+      parts += concat(lit(keyJson), v) // a NULL fragment nulls the part
     }
     val ps = parts.result()
     Some(
       if (ps.isEmpty) lit("{}")
-      else concat(lit("{") +: ps.zipWithIndex.flatMap { case (p, i) =>
-        if (i == 0) Seq(p) else Seq(lit(","), p)
-      } :+ lit("}"): _*))
+      else concat(lit("{"), concat_ws(",", ps: _*), lit("}")))
   }
 
   // --------------------------------------------------------- top level
@@ -1396,30 +1455,45 @@ private[js] object JsColumnCompiler {
     }
     val assignedSet = assigned.toSet
     if (allOps.exists(o => !init.contains(o._1))) return None
-    val SumK = 0; val MaxK = 1; val MinK = 2
+    val SumK = 0; val MaxK = 1; val MinK = 2; val LastK = 3
     def kindOf(op: FieldOp): Int = op match {
       case _: SumTerm => SumK
       case _: MaxTerm => MaxK
       case _: MinTerm => MinK
+      case _: LastTerm => LastK
     }
     val fieldKind: Map[String, Int] = assigned.map { f =>
       allOps.collect { case (`f`, op) => kindOf(op) }.distinct match {
         case Seq(k) => f -> k
-        case _ => return None // mixed sum/max/min updates on one field
+        case _ => return None // mixed sum/max/min/overwrite updates on one field
       }
     }.toMap
     // init values: sums need exactly-representable integrals (the long
-    // accumulator), extrema any number (selection keeps exact doubles)
-    val initNum: Map[String, Double] = assigned.map { f =>
-      init(f) match {
+    // accumulator), extrema any number (selection keeps exact doubles);
+    // overwrites keep the init's static stringify fragment (any value)
+    val initNum: Map[String, Double] = assigned.flatMap { f =>
+      if (fieldKind(f) == LastK) None
+      else init(f) match {
         case JsNum(d) =>
           if (fieldKind(f) == SumK &&
             !(d == math.rint(d) && !d.isInfinite && !d.isNaN &&
               math.abs(d) < MaxExact)) return None
-          f -> d
+          Some(f -> d)
         case _ => return None
       }
     }.toMap
+    // undefined init (stringify None) → key absent until first assignment
+    val initFrag: Map[String, Option[String]] = assigned.collect {
+      case f if fieldKind(f) == LastK => f -> JsVal.stringify(init(f))
+    }.toMap
+    if (fieldKind.valuesIterator.contains(LastK)) refs += "log_position"
+    // final fragment of an overwrite field: the latest executed site's
+    // rendered value, else the $init fragment (NULL = key absent)
+    def lastFinalFrag(f: String): Column = {
+      val last = col(s"__graft_last_$f")
+      when(last.isNotNull, last.getField("v"))
+        .otherwise(initFrag(f).map(lit(_): Column).getOrElse(nullStr))
+    }
 
     val nullD = lit(null).cast(DoubleType)
 
@@ -1452,6 +1526,20 @@ private[js] object JsColumnCompiler {
         case Nil => lit(false)
         case some => some.reduce(_ || _)
       }
+    // per-event overwrite outcome: the LAST executed site wins, so probe
+    // sites in reverse program order; the struct wrapper distinguishes
+    // "site ran, assigned undefined" (struct with null v) from "no site
+    // ran" (null struct). coalesce is sequential and when() lazy, so a
+    // site's frag only evaluates under its own guard (throwing accesses
+    // stay protected).
+    val nullSite = lit(null).cast("struct<v:string>")
+    def lastContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, l: LastTerm) => l } match {
+        case Nil => nullSite
+        case one :: Nil => when(one.exec, struct(one.frag.as("v"))).otherwise(nullSite)
+        case many => coalesce(many.reverse.map(s =>
+          when(s.exec, struct(s.frag.as("v")))): _*)
+      }
     def routed(f: String, mk: (FieldTerms, String) => Column, dflt: Column): Column = {
       val fallback = anyFold.map(mk(_, f)).getOrElse(dflt)
       if (typedFolds.isEmpty) fallback
@@ -1473,6 +1561,11 @@ private[js] object JsColumnCompiler {
         case MinK => Seq(
           min(routed(f, minContrib, nullD)).as(s"__graft_min_$f"),
           max(routed(f, nanContrib, lit(false))).as(s"__graft_nan_$f"))
+        case LastK =>
+          val site = routed(f, lastContrib, nullSite)
+          Seq(max(when(site.isNotNull,
+            struct(col("log_position").as("p"), site.getField("v").as("v"))))
+            .as(s"__graft_last_$f"))
       }
     }
 
@@ -1502,9 +1595,11 @@ private[js] object JsColumnCompiler {
 
     // final state JSON, in $init field order; unassigned fields are
     // compile-time fragments (undefined-valued ones are skipped, like
-    // JSON.stringify)
-    val jsonParts: Seq[Column] = {
-      val parts = init.toSeq.flatMap { case (k, v) =>
+    // JSON.stringify). Parts are nullable "key":value fragments — a SQL
+    // NULL part means the key is absent for THIS row (an overwrite field
+    // currently holding undefined), which concat_ws skips per row.
+    val plainStateJson: Column = {
+      val parts: Seq[Column] = init.toSeq.flatMap { case (k, v) =>
         def keyJson = JsVal.stringify(JsStr(k)).get + ":"
         if (assignedSet(k)) {
           val rendered =
@@ -1514,14 +1609,13 @@ private[js] object JsColumnCompiler {
               when(abs(tot) >= lit(MaxExact),
                 raise_error(lit(overflowMsg(k))).cast(StringType))
                 .otherwise(tot.cast(StringType))
-            } else doubleJson(finalDouble(k))
-          Some(concat(lit(keyJson), rendered))
+            } else if (fieldKind(k) == LastK) lastFinalFrag(k)
+            else doubleJson(finalDouble(k))
+          Some(concat(lit(keyJson), rendered)) // null rendered → null part
         } else JsVal.stringify(v).map(frag => lit(keyJson + frag))
       }
-      if (parts.isEmpty) Seq(lit("{}"))
-      else lit("{") +: parts.zipWithIndex.flatMap { case (p, i) =>
-        if (i == 0) Seq(p) else Seq(lit(","), p)
-      } :+ lit("}")
+      if (parts.isEmpty) lit("{}")
+      else concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
     }
 
     // transformBy/filterBy chains compile over the AGGREGATED state
@@ -1537,7 +1631,11 @@ private[js] object JsColumnCompiler {
             case (None, _) => None
             case (Some(acc), (k, v)) =>
               if (assignedSet(k))
-                Some(acc :+ (k -> TC(finalDouble(k),
+                // overwrite fields cross as render-only fragments: chains
+                // may pass over them, but reading one falls back
+                if (fieldKind(k) == LastK)
+                  Some(acc :+ (k -> TC(lastFinalFrag(k), TFrag, NoNull)))
+                else Some(acc :+ (k -> TC(finalDouble(k),
                   TNum(integral = fieldKind(k) == SumK), NoNull)))
               else constTC(v).map(tc => acc :+ (k -> tc))
           }
@@ -1547,7 +1645,7 @@ private[js] object JsColumnCompiler {
     if (transformed.isEmpty) return None
     val (filterConds, finalEnv) = transformed.get
     val stateJsonCol: Column =
-      if (cp.transformsList.isEmpty) concat(jsonParts: _*)
+      if (cp.transformsList.isEmpty) plainStateJson
       else renderStateJson(finalEnv) match {
         case Some(c) => c
         case None => return None

@@ -267,11 +267,40 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.lo").cast("long").as("lo_cents"))
       .orderBy(col("partition"))
 
+  /** Last-write overwrites (`s.f = expr`): the compiled plan keeps the
+    * latest executed assignment per field via max-by-log-position, with
+    * guarded sites, a typed string field, a Date field, and `s.n++`. */
+  private val lastValueSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, status: "new",
+                                     lastCents: null, lastAt: undefined }; },
+        purchase: function(s, e) {
+            s.n++;
+            s.lastCents = Math.round(e.value * 100);
+            if (e.value > 150) { s.status = "big"; } else { s.status = "small"; }
+            var d = new Date(e.timestamp);
+            s.lastAt = d;
+            return s;
+        }
+    })"""
+
+  private def jsLastValue(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(lastValueSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.status").as("status"),
+        get_json_object(col("state"), "$.lastCents").cast("long").as("last_cents"),
+        get_json_object(col("state"), "$.lastAt").as("last_at"))
+      .orderBy(col("partition"))
+
   /** Every JS definition this module runs, by name — the handler corpus
     * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
     * == interpreter on each, including the ones that must fall back). */
   private[graft] def handlerCorpus: Seq[(String, String)] = Seq(
     "js_minmax" -> minmaxSource,
+    "js_last_value" -> lastValueSource,
     "js_date_bucket" -> dateSource,
     "js_fold_count_sum" -> foldSource,
     "js_try_switch" -> trySwitchSource,
@@ -284,6 +313,7 @@ fromCategory("purchase")
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "js_minmax" -> (jsMinMax _),
+    "js_last_value" -> (jsLastValue _),
     "js_date_bucket" -> (jsDateBucket _),
     "js_fold_count_sum" -> (jsFold _),
     "js_try_switch" -> (jsTrySwitch _),
@@ -303,6 +333,25 @@ fromCategory("purchase")
       |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hi_cents,
       |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS lo_cents
       |FROM log WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the last purchase per stream: arg_max mirrors max-by-log-position;
+    // streams of the category with zero purchase-typed events keep their
+    // $init state (status "new", lastCents null, lastAt key absent →
+    // get_json_object NULL on the Spark side, SQL NULL here)
+    "js_last_value" -> s"""$L
+      |SELECT stream_id AS partition,
+      |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n,
+      |       CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') = 0 THEN 'new'
+      |            WHEN arg_max(value, log_position)
+      |                   FILTER (WHERE event_type = 'purchase') > 150.0 THEN 'big'
+      |            ELSE 'small' END AS status,
+      |       CAST(round(arg_max(value, log_position)
+      |                    FILTER (WHERE event_type = 'purchase') * 100)
+      |            AS BIGINT) AS last_cents,
+      |       strftime(arg_max(timestamp, log_position)
+      |                  FILTER (WHERE event_type = 'purchase'),
+      |                '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS last_at
+      |FROM log WHERE split_part(stream_id, '-', 1) = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB reads the parquet TIMESTAMP(NANOS) as TIMESTAMP (µs), so the
     // CTE's `timestamp` is a timestamp value; epoch_us//1000 = the same

@@ -60,15 +60,31 @@ class JsCompilerPropertySpec extends SparkTestBase {
     case _ => genIntExpr(r, 1)
   }
 
+  /** Overwrite rhs: any supported value type — strings (envelope props,
+    * literals, concatenations), numbers, bools, null, the Date local. */
+  private def genValExpr(r: Random): String = r.nextInt(8) match {
+    case 0 => "e.streamId"
+    case 1 => "e.eventType"
+    case 2 => s""""lbl${r.nextInt(4)}""""
+    case 3 => "(e.eventType + ':' + e.sequenceNumber)"
+    case 4 => "d"
+    case 5 => if (r.nextBoolean()) "true" else "null"
+    case _ => genNumExpr(r)
+  }
+
   private def genStmts(r: Random, kinds: Seq[(String, Char)], depth: Int): String = {
     val n = 1 + r.nextInt(3)
     (0 until n).map { _ =>
       val (f, k) = kinds(r.nextInt(kinds.length))
       val upd = k match {
-        case 'S' => if (r.nextBoolean()) s"s.$f += ${genIntExpr(r, depth)};"
-          else s"s.$f = s.$f + ${genIntExpr(r, depth)};"
+        case 'S' => r.nextInt(3) match {
+          case 0 => s"s.$f += ${genIntExpr(r, depth)};"
+          case 1 => s"s.$f = s.$f + ${genIntExpr(r, depth)};"
+          case _ => if (r.nextBoolean()) s"s.$f++;" else s"s.$f--;"
+        }
         case 'M' => s"s.$f = Math.max(s.$f, ${genNumExpr(r)});"
         case 'm' => s"s.$f = Math.min(s.$f, ${genNumExpr(r)});"
+        case 'L' => s"s.$f = ${genValExpr(r)};"
       }
       if (depth > 0 && r.nextInt(3) == 0) {
         val inner = genStmts(r, kinds, depth - 1)
@@ -80,12 +96,14 @@ class JsCompilerPropertySpec extends SparkTestBase {
 
   private def genDefinition(r: Random): String = {
     val fields = Seq("a", "b", "c").take(1 + r.nextInt(3))
-    val kinds = fields.map(f => f -> "SMm".charAt(r.nextInt(3)))
+    val kinds = fields.map(f => f -> "SMmL".charAt(r.nextInt(4)))
     val init = kinds.map { case (f, k) =>
       val v = k match {
         case 'S' => r.nextInt(10).toString
         case 'M' => if (r.nextBoolean()) "-1e308" else "0"
         case 'm' => if (r.nextBoolean()) "1e308" else "100"
+        case 'L' => Seq("0", "\"init\"", "null", "false",
+          "undefined")(r.nextInt(5))
       }
       s"$f: $v"
     }.mkString(", ")
@@ -117,12 +135,16 @@ class JsCompilerPropertySpec extends SparkTestBase {
            |            return s;
            |        },""".stripMargin
       else ""
+    // transform chains compile over NUMERIC aggregated fields only —
+    // overwrite fields carry rendered fragments, so chains naming them
+    // (or any chain when every field is an overwrite) stay interpreted
+    val numKinds = kinds.filter(_._2 != 'L')
     val chain = r.nextInt(4) match {
-      case 0 =>
-        val (f, k) = kinds(r.nextInt(kinds.length))
+      case 0 if numKinds.nonEmpty =>
+        val (f, k) = numKinds(r.nextInt(numKinds.length))
         s"""
            |    .filterBy(function(s) { return s.$f ${if (k == 'S') ">= 1" else "< 1e307"}; })""".stripMargin
-      case 1 =>
+      case 1 if numKinds.length == kinds.length =>
         val shown = kinds.map { case (f, _) => s"$f: s.$f" }.mkString(", ")
         s"""
            |    .transformBy(function(s) { return { $shown, extra: s.${kinds.head._1} * 2 }; })""".stripMargin

@@ -1002,6 +1002,7 @@ fromCategory("idx")
     // interpreter (control flow + string subtleties)
     assert(compiled == Map(
       "js_minmax" -> true,
+      "js_last_value" -> true,
       "js_date_bucket" -> true,
       "js_fold_count_sum" -> true,
       "js_try_switch" -> false,
@@ -1052,10 +1053,21 @@ fromAll()
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0 }; },
       $any: function(s, e) { s.x += e.value; return s; } })"""))
-    // plain assignment is last-write, not a sum
-    assert(!compiles("""fromAll().foreachStream().when({
+    // plain assignment IS compilable since r7 — as last-write-wins
+    assert(compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0 }; },
       $any: function(s, e) { s.x = 1; return s; } })"""))
+    // ...but not when the rhs reads state or is dynamically typed
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0, y: 0 }; },
+      $any: function(s, e) { s.x = s.y; return s; } })"""))
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0 }; },
+      $any: function(s, e) { s.x = e.body.k; return s; } })"""))
+    // mixed update kinds on one field stay interpreted
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0 }; },
+      $any: function(s, e) { s.x = e.value; s.x += 1; return s; } })"""))
     // assigned field missing from $init: JS would produce NaN
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return {}; },
@@ -1079,6 +1091,50 @@ fromAll()
     assert(compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0, y: 0 }; },
       $any: function(s, e) { if (e.value > 2) s.x += 1; else s.y -= 2; return s; } })"""))
+  }
+
+  test("column fast path: last-write overwrites — typed routing, guarded " +
+    "site ordering, undefined key omission, init fallback, s.n++/--") {
+    val log = hostileLog
+    // every overwrite shape at once: string/number/bool/date values,
+    // multiple sites where the LAST executed one wins, a field whose
+    // $init value is undefined (key absent until first assignment),
+    // statement-position increments, typed + $any handler routing
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, last: null, tag: "none",
+                                     seen: false, at: undefined }; },
+        purchase: function(s, e) {
+            s.n++;
+            s.tag = "p:" + e.streamId;
+            if (e.value > 1) { s.tag = "big"; }
+            s.seen = true;
+            return s;
+        },
+        $any: function(s, e) {
+            s.n--;
+            var d = new Date(e.timestamp);
+            s.at = d;
+            s.last = e.value;
+            return s;
+        }
+    })""", log))
+    // partitionBy + overwrite, and an if/else whose branches assign the
+    // SAME field different types (string vs number) — per-event rendering
+    // keeps each site's own stringify form
+    assert(fastEqualsInterp("""
+fromAll()
+    .partitionBy(function(e) { return e.eventType; })
+    .when({
+        $init: function() { return { v: 0, hi: -1 }; },
+        $any: function(s, e) {
+            if (e.value > 0) { s.v = e.streamId; } else { s.v = e.value; }
+            s.hi = Math.max(s.hi, e.sequenceNumber);
+            return s;
+        }
+    })""", log))
   }
 
   private def emittedEqualsInterp(src: String,
