@@ -344,21 +344,50 @@ final class JsProjection(val source: String) extends Serializable {
           "(link resolution is a batch self-join); resolve links batch-side")
     val spark = events.sparkSession
     import spark.implicits._
-    val src = source
-    val base = partBuilder
-      .init[String](JsVal.stringify(
-        CompiledJsProjection.get(src).initState()).getOrElse("{}"))
-      .whenAnyEmit((json, e, em) =>
-        CompiledJsProjection.get(src).stepJsonEmit(json, e, em))
-    val fold = if (spec.hasCreated)
-      base.whenCreated((json, e) => CompiledJsProjection.get(src).createdJson(json, e))
-    else base
-    val ordered =
-      if (spec.reorderEvents)
-        graft.streaming.Subscriptions.reorderedStreamByTime(
-          events, spec.processingLagMs.getOrElse(500L)).toDF()
-      else events
-    fold.emittedStream(ordered)
+    fastEmittedStream(events).getOrElse {
+      val src = source
+      val base = partBuilder
+        .init[String](JsVal.stringify(
+          CompiledJsProjection.get(src).initState()).getOrElse("{}"))
+        .whenAnyEmit((json, e, em) =>
+          CompiledJsProjection.get(src).stepJsonEmit(json, e, em))
+      val fold = if (spec.hasCreated)
+        base.whenCreated((json, e) => CompiledJsProjection.get(src).createdJson(json, e))
+      else base
+      val ordered =
+        if (spec.reorderEvents)
+          graft.streaming.Subscriptions.reorderedStreamByTime(
+            events, spec.processingLagMs.getOrElse(500L)).toDF()
+        else events
+      fold.emittedStream(ordered)
+    }
+  }
+
+  /** Column-compiled continuous emit: a definition whose emissions are
+    * state-free streams as a pure STATELESS select — Append mode, no
+    * state store, no per-key fold — while producing rows bit-identical
+    * to the batch [[emitted]] (same emit_seq, same rendering), so
+    * [[graft.projections.EmittedSink.streamTo]] dedup keys line up
+    * across engines. The definition's selector applies here exactly as
+    * the interpreter path's `events.where(sourceFilter)` does.
+    * reorderEvents stays interpreted: its reorder buffer's watermark can
+    * drop very-late events, which a stateless select would still emit. */
+  def fastEmittedStream(events: DataFrame): Option[Dataset[Emitted]] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val enabled = spark.conf
+      .getOption("spark.graft.js.columnCompile").forall(_.toBoolean)
+    if (!enabled || spec.reorderEvents || spec.includeLinks) None
+    else CompiledJsProjection.get(source).fastEmitPlan.flatMap { p =>
+      val optional = Set("event_id", "metadata", "link_metadata",
+        "resolved_stream_id", "resolved_event_number", "value")
+      val have = events.columns.toSet
+      val ok = p.requiredCols.forall(c => have(c) || optional(c)) &&
+        (!p.usesTimestamp || (have("timestamp") &&
+          events.schema("timestamp").dataType ==
+            org.apache.spark.sql.types.TimestampType))
+      if (ok) Some(p.build(events.where(p.selector)).as[Emitted]) else None
+    }
   }
 
   /** P8/P11 outputState: result events with the reference naming

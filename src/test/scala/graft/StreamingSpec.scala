@@ -518,6 +518,59 @@ fromCategory("acct")
       outStream, "deps", p.emitted(srcStore.read())) == 0L)
   }
 
+  test("P13 JS compiled: state-free emittedStream is a stateless select " +
+    "— no fold operator, rows == batch, exactly-once across a restart") {
+    val (srcStore, srcDir) = newStore()
+    seed(srcStore)
+    val outStream = new EventLogStore(spark,
+      Files.createTempDirectory("emitCS").toString)
+    val outBatch = new EventLogStore(spark,
+      Files.createTempDirectory("emitCB").toString)
+    // guarded emit + linkTo, all state-free → the compiled plan needs no
+    // state store AT ALL (pure per-row select), unlike the stateful-emit
+    // test above which must stay on flatMapGroupsWithState
+    val p = graft.projections.js.JsProjection.compile("""
+fromCategory("acct")
+    .foreachStream()
+    .when({
+        $any: function(s, e) {
+            if (e.eventType === 'Deposited') {
+                emit("dep-" + e.streamId, "DepositSeen", { seq: e.sequenceNumber });
+            }
+            linkTo("all-acct", e);
+        }
+    })""")
+    assert(p.emitsToColumns)
+    val fast = p.fastEmittedStream(
+      Subscriptions.subscribeAll(spark, s"$srcDir/log"))
+    assert(fast.isDefined, "state-free emissions must take the stateless path")
+    val planStr = fast.get.queryExecution.analyzed.toString
+    assert(!planStr.contains("FlatMapGroupsWithState"),
+      "compiled streaming emit must not fold per key")
+    val ck = Files.createTempDirectory("emitcsck").toString
+    def runOnce(): Unit = {
+      val q = graft.projections.EmittedSink.streamTo(outStream, "cdeps",
+        p.emittedStream(Subscriptions.subscribeAll(spark, s"$srcDir/log")), ck)
+      q.awaitTermination(60000)
+    }
+    runOnce() // catch-up over the seed
+    srcStore.append(Seq(
+      PendingEvent("acct-1", "e7", "Deposited", """{"amt":7}"""),
+      PendingEvent("acct-3", "e8", "Opened", """{}""")))
+    runOnce() // restart on the same checkpoint: only the tail emits
+    graft.projections.EmittedSink.appendIdempotent(
+      outBatch, "cdeps", p.emitted(srcStore.read()))
+    def dump(st: EventLogStore) = st.read()
+      .select("stream_id", "event_number", "event_type", "data", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    val streamed = dump(outStream)
+    assert(streamed == dump(outBatch))
+    // exactly-once: a full batch replay into the streaming target no-ops
+    assert(graft.projections.EmittedSink.appendIdempotent(
+      outStream, "cdeps", p.emitted(srcStore.read())) == 0L)
+  }
+
   test("P13 Scala DSL emittedStream: linkTo + $created parity with batch emitted") {
     val (store, dir) = newStore()
     seed(store)
