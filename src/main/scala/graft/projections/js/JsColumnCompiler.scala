@@ -123,7 +123,13 @@ private[js] object JsColumnCompiler {
     * an expression does not compile — only the state render consumes it. */
   private case object TFrag extends JTy
 
-  private final case class TC(col: Column, ty: JTy, nullAs: NullAs)
+  /** `jsonSrc`: for TDyn values reachable by a member path from a raw
+    * JSON text column (the body/metadata parse roots), the (text, path)
+    * provenance — what lets JSON.stringify of the value render from the
+    * TEXT ([[graft.functions.JsJsonPath]]) with exact key order, which
+    * the variant encoding loses (it sorts object keys). */
+  private final case class TC(col: Column, ty: JTy, nullAs: NullAs,
+      jsonSrc: Option[(Column, List[String])] = None)
 
   private def nullStr: Column = lit(null).cast(StringType)
   private def tNull: TC = TC(nullStr, TNull, NullIsJsNull)
@@ -302,7 +308,14 @@ private[js] object JsColumnCompiler {
       case TDate(true) => // SQL NULL = Invalid Date; toJSON → JSON null
         Some(when(tc.col.isNull, lit("null"))
           .otherwise(concat(lit("\""), isoOf(tc.col), lit("\""))))
-      case TDate(false) | TDyn => None
+      // dynamics render from the raw TEXT when their member-path
+      // provenance is known — exact key order and ES number re-rendering
+      // for whole objects/arrays ([[graft.functions.JsJsonPath]]); a
+      // dynamic without provenance (merged branches) stays interpreted
+      case TDyn => tc.jsonSrc.map { case (t, ss) =>
+        graft.functions.JsJsonPath(t, ss)
+      }
+      case TDate(false) => None
     }
   }
 
@@ -409,7 +422,8 @@ private[js] object JsColumnCompiler {
             Some(TC(
               when(bad, parse_json(raise_error(msg).cast(StringType)))
                 .otherwise(try_variant_get(base, "$." + prop, "variant")),
-              TDyn, NoNull))
+              TDyn, NoNull,
+              jsonSrc = tc.jsonSrc.map { case (t, ss) => (t, ss :+ prop) }))
           case (TStr(true), "length") if tc.nullAs == NoNull =>
             // ASCII receiver: codepoints == UTF-16 units, length is exact
             Some(TC(length(tc.col).cast(DoubleType), TNum(integral = true), NoNull))
@@ -489,15 +503,18 @@ private[js] object JsColumnCompiler {
     case "eventType" => Some(TC(in(ctx, "event_type"), TStr(ascii = false), NoNull))
     case "eventId" => Some(TC(in(ctx, "event_id"), TStr(ascii = false), NullIsJsNull))
     case "body" | "data" =>
-      Some(TC(memo(ctx, try_parse_json(in(ctx, "data"))), TDyn, NoNull))
+      Some(TC(memo(ctx, try_parse_json(in(ctx, "data"))), TDyn, NoNull,
+        jsonSrc = Some((in(ctx, "data"), Nil))))
     case "bodyRaw" => Some(TC(in(ctx, "data"), TStr(ascii = false), NullIsJsNull))
     case "metadataRaw" => Some(TC(in(ctx, "metadata"), TStr(ascii = false), NullIsJsNull))
     case "metadata" =>
-      Some(TC(memo(ctx, try_parse_json(in(ctx, "metadata"))), TDyn, NoNull))
+      Some(TC(memo(ctx, try_parse_json(in(ctx, "metadata"))), TDyn, NoNull,
+        jsonSrc = Some((in(ctx, "metadata"), Nil))))
     case "linkMetadataRaw" =>
       Some(TC(in(ctx, "link_metadata"), TStr(ascii = false), NullIsJsNull))
     case "linkMetadata" =>
-      Some(TC(memo(ctx, try_parse_json(in(ctx, "link_metadata"))), TDyn, NoNull))
+      Some(TC(memo(ctx, try_parse_json(in(ctx, "link_metadata"))), TDyn, NoNull,
+        jsonSrc = Some((in(ctx, "link_metadata"), Nil))))
     case "isJson" =>
       Some(TC(memo(ctx, try_parse_json(in(ctx, "data"))).isNotNull, TBool, NoNull))
     case "category" =>
@@ -1196,19 +1213,10 @@ private[js] object JsColumnCompiler {
           case None => return None
         }
         renderStateJson(env.toSeq)
-      case other => compileExpr(other, ctx, locals).flatMap { tc =>
-        tc.ty match {
-          case TNum(_, _) =>
-            Some(when(isnan(tc.col) ||
-              abs(tc.col) === lit(Double.PositiveInfinity), lit("null"))
-              .otherwise(JsNumberString(tc.col)))
-          case TStr(_) => Some(graft.functions.JsJsonString(tc.col))
-          case TBool => Some(when(tc.col, lit("true")).otherwise(lit("false")))
-          case TNull => Some(lit("null"))
-          case TUndef => Some(lit("null")) // stringify(undefined).getOrElse("null")
-          case _ => None
-        }
-      }
+      // stringify(x).getOrElse("null"): the emit native substitutes
+      // "null" where stringify yields no document (undefined)
+      case other => compileExpr(other, ctx, locals).flatMap(tc =>
+        fragOf(tc).map(frag => coalesce(frag, lit("null"))))
     }
     fn match {
       case "emit" if args.length >= 2 && args.length <= 3 =>
@@ -1289,42 +1297,21 @@ private[js] object JsColumnCompiler {
     Some((conds.result(), env))
   }
 
-  /** Render a dynamic state env as its JSON.stringify form — numbers via
-    * [[JsNumberString]] (NaN/Infinity → null like writeJson), strings via
-    * [[graft.functions.JsJsonString]], undefined-typed fields skipped.
-    * None = a field the static renderer cannot express (runtime-undefined
-    * nullability, dates, dynamics) → whole definition falls back. */
+  /** Render a dynamic field env as its JSON.stringify form: each part is
+    * the nullable `"key":value` fragment from [[fragOf]] (SQL NULL =
+    * undefined-valued → key skipped for that row, exactly stringify's
+    * property elision), joined by concat_ws. None = a field the fragment
+    * renderer cannot express → whole definition falls back. */
   private def renderStateJson(env: Seq[(String, TC)]): Option[Column] = {
     val parts = Vector.newBuilder[Column]
-    for ((k, tc) <- env if tc.ty != TUndef) {
+    for ((k, tc) <- env) {
       val keyJson = JsVal.stringify(JsStr(k)).get + ":"
       val v: Column = tc.ty match {
-        case TNum(_, _) =>
-          val body = when(isnan(tc.col) ||
-            abs(tc.col) === lit(Double.PositiveInfinity), lit("null"))
-            .otherwise(JsNumberString(tc.col))
-          tc.nullAs match {
-            case NoNull => body
-            case NullIsJsNull => when(tc.col.isNull, lit("null")).otherwise(body)
-            case NullIsUndef => return None // would need per-row field skip
-          }
-        case TStr(_) =>
-          val body = graft.functions.JsJsonString(tc.col)
-          tc.nullAs match {
-            case NoNull => body
-            case NullIsJsNull => when(tc.col.isNull, lit("null")).otherwise(body)
-            case NullIsUndef => return None
-          }
-        case TBool =>
-          val body = when(tc.col, lit("true")).otherwise(lit("false"))
-          tc.nullAs match {
-            case NoNull => body
-            case NullIsJsNull => when(tc.col.isNull, lit("null")).otherwise(body)
-            case NullIsUndef => return None
-          }
-        case TNull => lit("null")
         case TFrag => tc.col // pre-rendered; NULL = key absent this row
-        case _ => return None // TDate/TDyn state fields stay interpreted
+        case _ => fragOf(tc) match {
+          case Some(frag) => frag
+          case None => return None
+        }
       }
       parts += concat(lit(keyJson), v) // a NULL fragment nulls the part
     }

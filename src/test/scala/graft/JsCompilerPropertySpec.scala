@@ -84,7 +84,11 @@ class JsCompilerPropertySpec extends SparkTestBase {
         }
         case 'M' => s"s.$f = Math.max(s.$f, ${genNumExpr(r)});"
         case 'm' => s"s.$f = Math.min(s.$f, ${genNumExpr(r)});"
-        case 'L' => s"s.$f = ${genValExpr(r)};"
+        case 'L' =>
+          // dynamics must guard the member read like real handlers do
+          // (an unguarded e.body.k throws on null/invalid data)
+          if (r.nextInt(4) == 0) s"if (e.body) { s.$f = e.body.k; }"
+          else s"s.$f = ${genValExpr(r)};"
       }
       if (depth > 0 && r.nextInt(3) == 0) {
         val inner = genStmts(r, kinds, depth - 1)

@@ -1057,13 +1057,18 @@ fromAll()
     assert(compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0 }; },
       $any: function(s, e) { s.x = 1; return s; } })"""))
-    // ...but not when the rhs reads state or is dynamically typed
+    // ...including dynamically-typed rhs (rendered from the JSON text),
+    // but not when the rhs reads state, or when a dynamic has lost its
+    // member-path provenance (merged branches → no exact text render)
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { x: 0 }; },
+      $any: function(s, e) { s.x = e.body.k; return s; } })"""))
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0, y: 0 }; },
       $any: function(s, e) { s.x = s.y; return s; } })"""))
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0 }; },
-      $any: function(s, e) { s.x = e.body.k; return s; } })"""))
+      $any: function(s, e) { s.x = (e.value > 0 ? e.body.k : e.body.j); return s; } })"""))
     // mixed update kinds on one field stay interpreted
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0 }; },
@@ -1135,6 +1140,49 @@ fromAll()
             return s;
         }
     })""", log))
+  }
+
+  test("column fast path: dynamic overwrites + dynamic emit bodies render " +
+    "from the JSON text — key order, nested values, ES number re-rendering") {
+    val s = spark; import s.implicits._
+    // multi-key docs in NON-sorted order are the point: the variant
+    // encoding sorts object keys, so only text-driven rendering
+    // (JsJsonPath) can match the interpreter byte-for-byte
+    val log = Seq(
+      ("a-1", 0L, "t1", 0L, Some(1700000000000L),
+        """{"b":1.50,"a":"x","c":[1,2.0,{"z":true,"y":null}]}""", 1.0),
+      ("a-1", 1L, "t1", 1L, Some(1700000001000L), """{"k":1e21,"neg":-0.0}""", 2.0),
+      ("a-2", 0L, "t2", 2L, Some(1700000002000L), "not json", 3.0),
+      ("a-2", 1L, "t2", 3L, None, null, 4.0),
+      ("a-3", 0L, "t1", 4L, Some(1700000003000L), """{"k":null}""", -1.0),
+      ("a-3", 1L, "t2", 5L, Some(1700000004000L),
+        """{"k":{"bb":2,"aa":[true,"s"]}}""", 0.0))
+      .toDF("stream_id", "event_number", "event_type", "log_position",
+        "ts_ms", "data", "value")
+      .withColumn("timestamp", expr("timestamp_millis(ts_ms)")).drop("ts_ms")
+      .withColumn("correlation_id", lit(null).cast("string"))
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { snap: undefined, k: "none" }; },
+        $any: function(s, e) {
+            s.snap = e.body;
+            if (e.body && e.body.k !== undefined) { s.k = e.body.k; }
+            return s;
+        }
+    })""", log))
+    emittedEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $any: function(s, e) {
+            if (e.body) { emit("out-" + e.streamId, "Snap", e.body); }
+            if (e.body && e.body.k !== undefined) {
+                emit("k-" + e.streamId, "K", { k: e.body.k, n: 1 });
+            }
+        }
+    })""", log)
   }
 
   private def emittedEqualsInterp(src: String,
