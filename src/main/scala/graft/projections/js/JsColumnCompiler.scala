@@ -3,7 +3,7 @@ package graft.projections.js
 import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, TimestampType}
 import graft.functions.JsNumberString
 
 /** Compiles the EXPRESSIBLE subset of JS projection definitions straight
@@ -127,9 +127,62 @@ private[js] object JsColumnCompiler {
     * JSON text column (the body/metadata parse roots), the (text, path)
     * provenance — what lets JSON.stringify of the value render from the
     * TEXT ([[graft.functions.JsJsonPath]]) with exact key order, which
-    * the variant encoding loses (it sorts object keys). */
+    * the variant encoding loses (it sorts object keys).
+    *
+    * `err`: the CATCHABLE-error channel. When defined, a string column
+    * whose non-NULL value is the message of the handler-level error JS
+    * would throw evaluating this expression (member access on
+    * null/undefined, Invalid-Date toISOString); the value column is then
+    * raise-free garbage on those rows. Consumers either [[seal]] (embed
+    * `raise_error` — the interpreter's uncaught-fault parity) or, inside
+    * a compiled `try`, route the condition to the catch clause. The err
+    * column itself never raises, so evaluating it eagerly is safe; its
+    * WHEN-structure mirrors the expression's lazy evaluation order. */
   private final case class TC(col: Column, ty: JTy, nullAs: NullAs,
-      jsonSrc: Option[(Column, List[String])] = None)
+      jsonSrc: Option[(Column, List[String])] = None,
+      err: Option[Column] = None)
+
+  /** First-error-wins union of error channels, in evaluation order. */
+  private def errJoin(es: Option[Column]*): Option[Column] = {
+    val defined = es.flatten.toSeq
+    if (defined.isEmpty) None
+    else if (defined.sizeIs == 1) Some(defined.head)
+    else Some(coalesce(defined: _*))
+  }
+
+  /** Error channel of a value evaluated only under `c` (true branch) /
+    * `!c` (false branch) — the lazy-structure merge for ternaries and
+    * short-circuit operators. */
+  private def errWhen(c: Column, a: Option[Column], b: Option[Column]): Option[Column] =
+    if (a.isEmpty && b.isEmpty) None
+    else Some(when(c, a.map(x => x: Column).getOrElse(nullStr))
+      .otherwise(b.getOrElse(nullStr)))
+
+  /** Embed the error channel back into the value column as a loud
+    * `raise_error` — the non-`try` consumption boundary (an uncaught JS
+    * handler error faults the projection in the interpreter; the
+    * compiled plan fails the query with the same message). */
+  private def sealCol(tc: TC): Column = tc.err match {
+    case None => tc.col
+    case Some(e) =>
+      val raised: Column = tc.ty match {
+        case TNum(_, _) => raise_error(e).cast(DoubleType)
+        case TBool => raise_error(e).cast(BooleanType)
+        case TDate(_) => raise_error(e).cast(LongType)
+        case TDyn => parse_json(raise_error(e).cast(StringType))
+        case _ => raise_error(e).cast(StringType)
+      }
+      when(e.isNotNull, raised).otherwise(tc.col)
+  }
+  private def seal(tc: TC): TC =
+    if (tc.err.isEmpty) tc else tc.copy(col = sealCol(tc), err = None)
+  /** Seal a derived column (a fragment/key/condition computed FROM a
+    * TC's value) against that TC's error channel. */
+  private def sealDerived(c: Column, err: Option[Column], asType: org.apache.spark.sql.types.DataType = StringType): Column =
+    err match {
+      case None => c
+      case Some(e) => when(e.isNotNull, raise_error(e).cast(asType)).otherwise(c)
+    }
 
   private def nullStr: Column = lit(null).cast(StringType)
   private def tNull: TC = TC(nullStr, TNull, NullIsJsNull)
@@ -197,7 +250,16 @@ private[js] object JsColumnCompiler {
     case TUndef => Some(lit(Double.NaN))
     case TDate(_) =>
       Some(when(tc.col.isNull, lit(Double.NaN)).otherwise(tc.col.cast(DoubleType)))
-    case _: TStr | TDyn => None // string-parse subtleties stay interpreted
+    case TStr(_) =>
+      // exact ES ToNumber via the interpreter's own strToNum
+      // ([[graft.functions.JsStringNumber]]); "abc" → NaN is a value
+      val p = graft.functions.JsStringNumber(tc.col)
+      Some(tc.nullAs match {
+        case NoNull => p
+        case NullIsJsNull => when(tc.col.isNull, lit(0.0)).otherwise(p)
+        case NullIsUndef => when(tc.col.isNull, lit(Double.NaN)).otherwise(p)
+      })
+    case _ => None // dynamic ToPrimitive recursion stays interpreted
   }
 
   /** Whether `numOf` of this value is provably integer-valued. */
@@ -411,22 +473,31 @@ private[js] object JsColumnCompiler {
               prop.forall(ch => ch.isLetterOrDigit || ch == '_' || ch == '$') &&
               !prop.head.isDigit =>
             // JS throws reading a property of null/undefined — the
-            // interpreter raises the handler-level TypeError, so the
-            // compiled access must raise too, not yield undefined.
-            // (Scalars/arrays/objects-without-the-key give undefined in
-            // both.) parse_json carries the NullType raise into VARIANT.
+            // interpreter raises the handler-level TypeError, which a JS
+            // `try` can CATCH, so the condition rides the err channel
+            // (sealed to a raise at any non-try boundary). Scalars/
+            // arrays/objects-without-the-key give undefined in both.
             val base = tc.col
             val bad = base.isNull || is_variant_null(base)
             val msg = concat(lit(s"cannot read property '$prop' of "),
               when(base.isNull, lit("undefined")).otherwise(lit("null")))
-            Some(TC(
-              when(bad, parse_json(raise_error(msg).cast(StringType)))
-                .otherwise(try_variant_get(base, "$." + prop, "variant")),
+            // the access itself is raise-free (err channel carries the
+            // throw condition), so it is safe — and load-bearing for
+            // codegen size — to let-bind it: every consumer of this
+            // member (value, err condition, deeper accesses) then reads
+            // ONE per-row column instead of repeating the variant walk
+            Some(TC(memo(ctx, try_variant_get(base, "$." + prop, "variant")),
               TDyn, NoNull,
-              jsonSrc = tc.jsonSrc.map { case (t, ss) => (t, ss :+ prop) }))
+              jsonSrc = tc.jsonSrc.map { case (t, ss) => (t, ss :+ prop) },
+              // the joined err is raise-free too — memoized so sealing
+              // (which references it twice) and deeper accesses stay
+              // codegen-small however deep the member chain gets
+              err = Some(memo(ctx,
+                errJoin(tc.err, Some(when(bad, msg))).get))))
           case (TStr(true), "length") if tc.nullAs == NoNull =>
             // ASCII receiver: codepoints == UTF-16 units, length is exact
-            Some(TC(length(tc.col).cast(DoubleType), TNum(integral = true), NoNull))
+            Some(TC(length(tc.col).cast(DoubleType), TNum(integral = true),
+              NoNull, err = tc.err))
           case _ => None
         }
       }
@@ -447,7 +518,7 @@ private[js] object JsColumnCompiler {
             Some(TC(
               split(base.col, java.util.regex.Pattern.quote(sep), -1)
                 .getItem(d.toInt),
-              TStr(ascii && sep.forall(_ < 128)), NullIsUndef))
+              TStr(ascii && sep.forall(_ < 128)), NullIsUndef, err = base.err))
           case _ => None
         }
       }
@@ -457,8 +528,8 @@ private[js] object JsColumnCompiler {
         cc <- truthyExpr(c, ctx, locals)
         tt <- compileExpr(t, ctx, locals)
         ff <- compileExpr(f, ctx, locals)
-        m <- mergeTC(cc, tt, ff)
-      } yield m
+        m <- mergeTC(cc.col, tt, ff)
+      } yield m.copy(err = errJoin(cc.err, errWhen(cc.col, tt.err, ff.err)))
 
     case Logical(op, l, r) =>
       for {
@@ -466,7 +537,8 @@ private[js] object JsColumnCompiler {
         rt <- compileExpr(r, ctx, locals)
         c <- truthyOf(lt)
         m <- if (op == "&&") mergeTC(c, rt, lt) else mergeTC(c, lt, rt)
-      } yield m
+      } yield m.copy(err = errJoin(lt.err,
+        if (op == "&&") errWhen(c, rt.err, None) else errWhen(c, None, rt.err)))
 
     case Binary(op, l, r) => binary(op, l, r, ctx, locals)
     case Unary(op, x) => unary(op, x, ctx, locals)
@@ -570,28 +642,34 @@ private[js] object JsColumnCompiler {
     for (t <- ty; n <- nullAs) yield TC(when(cond, a2.col).otherwise(b2.col), t, n)
   }
 
-  /** Truthiness of an expression, with short-circuit structure compiled
-    * structurally. `&&`/`||` compile to CaseWhen — NOT Spark's And/Or:
-    * CaseWhen branches evaluate lazily and never reorder, which carries
-    * JS's short-circuit guarantee (`e.body && e.body.k` must not touch
-    * `.k`, which THROWS for a null/undefined body, when the left side
-    * already failed; Catalyst is free to reorder And conjuncts). */
-  private def truthyExpr(e: Expr, ctx: Ctx, locals: Map[String, TC]): Option[Column] =
+  /** Truthiness of an expression as a TBool TC (condition column + err
+    * channel), with short-circuit structure compiled structurally.
+    * `&&`/`||` compile to CaseWhen — NOT Spark's And/Or: CaseWhen
+    * branches evaluate lazily and never reorder, which carries JS's
+    * short-circuit guarantee (`e.body && e.body.k` must not touch `.k`,
+    * which THROWS for a null/undefined body, when the left side already
+    * failed; Catalyst is free to reorder And conjuncts). */
+  private def truthyExpr(e: Expr, ctx: Ctx, locals: Map[String, TC]): Option[TC] =
     e match {
       case Logical("&&", l, r) =>
         for (a <- truthyExpr(l, ctx, locals); b <- truthyExpr(r, ctx, locals))
-          yield when(a, b).otherwise(lit(false))
+          yield TC(when(a.col, b.col).otherwise(lit(false)), TBool, NoNull,
+            err = errJoin(a.err, errWhen(a.col, b.err, None)))
       case Logical("||", l, r) =>
         for (a <- truthyExpr(l, ctx, locals); b <- truthyExpr(r, ctx, locals))
-          yield when(a, lit(true)).otherwise(b)
-      case Unary("!", x) => truthyExpr(x, ctx, locals).map(!_)
+          yield TC(when(a.col, lit(true)).otherwise(b.col), TBool, NoNull,
+            err = errJoin(a.err, errWhen(a.col, None, b.err)))
+      case Unary("!", x) => truthyExpr(x, ctx, locals).map(tc =>
+        TC(!tc.col, TBool, NoNull, err = tc.err))
       case Cond(c, t, f) =>
         for {
           cc <- truthyExpr(c, ctx, locals)
           tt <- truthyExpr(t, ctx, locals)
           ff <- truthyExpr(f, ctx, locals)
-        } yield when(cc, tt).otherwise(ff)
-      case _ => compileExpr(e, ctx, locals).flatMap(truthyOf)
+        } yield TC(when(cc.col, tt.col).otherwise(ff.col), TBool, NoNull,
+          err = errJoin(cc.err, errWhen(cc.col, tt.err, ff.err)))
+      case _ => compileExpr(e, ctx, locals).flatMap(tc =>
+        truthyOf(tc).map(c => TC(c, TBool, NoNull, err = tc.err)))
     }
 
   /** ToNumber of an expression (delta right-hand sides), with ternary /
@@ -603,9 +681,10 @@ private[js] object JsColumnCompiler {
           cc <- truthyExpr(c, ctx, locals)
           tt <- numExpr(t, ctx, locals)
           ff <- numExpr(f, ctx, locals)
-        } yield TC(when(cc, tt.col).otherwise(ff.col),
+        } yield TC(when(cc.col, tt.col).otherwise(ff.col),
           TNum(integralClaim(tt) && integralClaim(ff),
-            boundedMsClaim(tt) && boundedMsClaim(ff)), NoNull)
+            boundedMsClaim(tt) && boundedMsClaim(ff)), NoNull,
+          err = errJoin(cc.err, errWhen(cc.col, tt.err, ff.err)))
       case Logical(op, l, r) =>
         // JS value semantics: `a && b` yields b when a is truthy, else a
         // — then the numeric context applies ToNumber to whichever won
@@ -617,31 +696,44 @@ private[js] object JsColumnCompiler {
         } yield TC(
           if (op == "&&") when(c, rn.col).otherwise(ln)
           else when(c, ln).otherwise(rn.col),
-          TNum(integralClaim(lt) && integralClaim(rn)), NoNull)
+          TNum(integralClaim(lt) && integralClaim(rn)), NoNull,
+          err = errJoin(lt.err,
+            if (op == "&&") errWhen(c, rn.err, None) else errWhen(c, None, rn.err)))
       case _ =>
         compileExpr(e, ctx, locals).flatMap { tc =>
-          numOf(tc).map(c => TC(c, TNum(integralClaim(tc), boundedMsClaim(tc)), NoNull))
+          numOf(tc).map(c => TC(c, TNum(integralClaim(tc), boundedMsClaim(tc)),
+            NoNull, err = tc.err))
         }
     }
 
   /** Partition-key value of an expression (string-or-skip), compiled at
-    * the key level so mixed-type ternaries/logicals stay expressible. */
-  private def keyExpr(e: Expr, ctx: Ctx, locals: Map[String, TC]): Option[Column] =
+    * the key level so mixed-type ternaries/logicals stay expressible.
+    * Returns the key column plus its error channel (a throwing
+    * partitionBy fn faults the projection — sealed by compileKey). */
+  private def keyExpr(e: Expr, ctx: Ctx,
+      locals: Map[String, TC]): Option[(Column, Option[Column])] =
     e match {
       case Cond(c, t, f) =>
         for {
           cc <- truthyExpr(c, ctx, locals)
-          tt <- keyExpr(t, ctx, locals)
-          ff <- keyExpr(f, ctx, locals)
-        } yield when(cc, tt).otherwise(ff)
+          (tt, te) <- keyExpr(t, ctx, locals)
+          (ff, fe) <- keyExpr(f, ctx, locals)
+        } yield (when(cc.col, tt).otherwise(ff),
+          errJoin(cc.err, errWhen(cc.col, te, fe)))
       case Logical(op, l, r) =>
         for {
           lt <- truthyExpr(l, ctx, locals)
-          lk <- keyExpr(l, ctx, locals)
-          rk <- keyExpr(r, ctx, locals)
-        } yield if (op == "&&") when(lt, rk).otherwise(lk)
-        else when(lt, lk).otherwise(rk)
-      case _ => compileExpr(e, ctx, locals).flatMap(keyOf)
+          (lk, _) <- keyExpr(l, ctx, locals)
+          (rk, re) <- keyExpr(r, ctx, locals)
+        } yield (
+          if (op == "&&") when(lt.col, rk).otherwise(lk)
+          else when(lt.col, lk).otherwise(rk),
+          // lt's err covers l's evaluation (keyExpr(l) shares it)
+          errJoin(lt.err,
+            if (op == "&&") errWhen(lt.col, re, None)
+            else errWhen(lt.col, None, re)))
+      case _ => compileExpr(e, ctx, locals).flatMap(tc =>
+        keyOf(tc).map(k => (k, tc.err)))
     }
 
   // ------------------------------------------------------ operators
@@ -655,7 +747,8 @@ private[js] object JsColumnCompiler {
         ln <- numOf(lt)
         rn <- numOf(rt)
       } yield TC(f(ln, rn),
-        TNum(integral(integralClaim(lt), integralClaim(rt))), NoNull)
+        TNum(integral(integralClaim(lt), integralClaim(rt))), NoNull,
+        err = errJoin(lt.err, rt.err))
 
     op match {
       case "+" =>
@@ -665,14 +758,16 @@ private[js] object JsColumnCompiler {
           out <- (lt.ty, rt.ty) match {
             case (_: TStr, _) | (_, _: TStr) =>
               for ((ls, la) <- strOf(lt); (rs, ra) <- strOf(rt))
-                yield TC(concat(ls, rs), TStr(la && ra), NoNull)
+                yield TC(concat(ls, rs), TStr(la && ra), NoNull,
+                  err = errJoin(lt.err, rt.err))
             case (TDyn, _) | (_, TDyn) | (TDate(_), _) | (_, TDate(_)) =>
               // Date/object ToPrimitive in `+` can go stringward — out of
               // the compiled subset (use getTime()/toISOString explicitly)
               None
             case _ =>
               for (ln <- numOf(lt); rn <- numOf(rt))
-                yield TC(ln + rn, TNum(integralClaim(lt) && integralClaim(rt)), NoNull)
+                yield TC(ln + rn, TNum(integralClaim(lt) && integralClaim(rt)),
+                  NoNull, err = errJoin(lt.err, rt.err))
           }
         } yield out
       case "-" => num2(_ - _, _ && _)
@@ -714,7 +809,8 @@ private[js] object JsColumnCompiler {
             case ">=" => ln >= rn
           }
           // Spark orders NaN; every JS comparison with NaN is false
-          TC(when(isnan(ln) || isnan(rn), lit(false)).otherwise(cmp), TBool, NoNull)
+          TC(when(isnan(ln) || isnan(rn), lit(false)).otherwise(cmp), TBool,
+            NoNull, err = errJoin(lt.err, rt.err))
         }
       case "==" | "!=" | "===" | "!==" => equality(op, l, r, ctx, locals)
       case _ => None
@@ -768,15 +864,17 @@ private[js] object JsColumnCompiler {
         case (TBool, TNum(_, _)) | (TNum(_, _), TBool) if strict => Some(lit(false))
         case _ => None
       }
-    } yield TC(if (negate) !base else base, TBool, NoNull)
+    } yield TC(if (negate) !base else base, TBool, NoNull,
+      err = errJoin(lt.err, rt.err))
   }
 
   private def unary(op: String, x: Expr, ctx: Ctx,
       locals: Map[String, TC]): Option[TC] = op match {
-    case "!" => truthyExpr(x, ctx, locals).map(c => TC(!c, TBool, NoNull))
+    case "!" => truthyExpr(x, ctx, locals).map(tc =>
+      TC(!tc.col, TBool, NoNull, err = tc.err))
     case "-" =>
       numExpr(x, ctx, locals).map(tc =>
-        TC(-tc.col, TNum(integralClaim(tc)), NoNull))
+        TC(-tc.col, TNum(integralClaim(tc)), NoNull, err = tc.err))
     case "+" => numExpr(x, ctx, locals)
     case "typeof" =>
       compileExpr(x, ctx, locals).map { tc =>
@@ -798,7 +896,7 @@ private[js] object JsColumnCompiler {
                 lit("number"))
               .otherwise(lit("object"))
         }
-        TC(s, TStr(ascii = true), NoNull)
+        TC(s, TStr(ascii = true), NoNull, err = tc.err)
       }
     case _ => None
   }
@@ -827,25 +925,26 @@ private[js] object JsColumnCompiler {
       args match { case Seq(a) => numExpr(a, ctx, locals); case _ => None }
     case Ident("String") if unshadowedNative(ctx, locals, "String") =>
       args match {
-        case Seq(a) => compileExpr(a, ctx, locals).flatMap(strOf)
-          .map { case (c, ascii) => TC(c, TStr(ascii), NoNull) }
+        case Seq(a) => compileExpr(a, ctx, locals).flatMap(tc => strOf(tc)
+          .map { case (c, ascii) => TC(c, TStr(ascii), NoNull, err = tc.err) })
         case _ => None
       }
     case Ident("Boolean") if unshadowedNative(ctx, locals, "Boolean") =>
       args match {
-        case Seq(a) => truthyExpr(a, ctx, locals).map(TC(_, TBool, NoNull))
+        case Seq(a) => truthyExpr(a, ctx, locals)
         case _ => None
       }
     case Ident("isNaN") if unshadowedNative(ctx, locals, "isNaN") =>
       args match {
-        case Seq(a) => numExpr(a, ctx, locals).map(tc => TC(isnan(tc.col), TBool, NoNull))
+        case Seq(a) => numExpr(a, ctx, locals).map(tc =>
+          TC(isnan(tc.col), TBool, NoNull, err = tc.err))
         case _ => None
       }
     case Ident("isFinite") if unshadowedNative(ctx, locals, "isFinite") =>
       args match {
         case Seq(a) => numExpr(a, ctx, locals).map(tc =>
           TC(!isnan(tc.col) && abs(tc.col) =!= lit(Double.PositiveInfinity),
-            TBool, NoNull))
+            TBool, NoNull, err = tc.err))
         case _ => None
       }
     case Member(obj, m) =>
@@ -879,7 +978,7 @@ private[js] object JsColumnCompiler {
       locals: Map[String, TC]): Option[TC] = {
     def one(f: Column => Column, integral: Boolean => Boolean) = args match {
       case Seq(a) => numExpr(a, ctx, locals).map(tc =>
-        TC(f(tc.col), TNum(integral(integralClaim(tc))), NoNull))
+        TC(f(tc.col), TNum(integral(integralClaim(tc))), NoNull, err = tc.err))
       case _ => None
     }
     // floor/ceil return BIGINT in Spark and silently zero NaN — guard the
@@ -909,7 +1008,8 @@ private[js] object JsColumnCompiler {
             val f = if (m == "min") least(at.col, bt.col) else greatest(at.col, bt.col)
             // Spark least/greatest order NaN as largest; JS propagates NaN
             TC(when(isnan(at.col) || isnan(bt.col), lit(Double.NaN)).otherwise(f),
-              TNum(integralClaim(at) && integralClaim(bt)), NoNull)
+              TNum(integralClaim(at) && integralClaim(bt)), NoNull,
+              err = errJoin(at.err, bt.err))
           }
         case _ => None
       }
@@ -924,7 +1024,7 @@ private[js] object JsColumnCompiler {
     case Seq(a) =>
       compileExpr(a, ctx, locals).flatMap { tc =>
         tc.ty match {
-          case TDate(b) => Some(TC(tc.col, TDate(b), NoNull)) // copy ctor
+          case TDate(b) => Some(TC(tc.col, TDate(b), NoNull, err = tc.err))
           case _: TStr => a match {
             case StrLit(s) =>
               val ms = JsDateOps.parse(s)
@@ -937,7 +1037,7 @@ private[js] object JsColumnCompiler {
             // toward zero (exactly what the in-range ANSI long cast does)
             val ms = when(isnan(n) || abs(n) > lit(MaxTime), lit(null).cast(LongType))
               .otherwise(n.cast(LongType))
-            TC(ms, TDate(bounded = boundedMsClaim(tc)), NoNull)
+            TC(ms, TDate(bounded = boundedMsClaim(tc)), NoNull, err = tc.err)
           }
         }
       }
@@ -950,7 +1050,7 @@ private[js] object JsColumnCompiler {
     val bounded = tc.ty match { case TDate(b) => b; case _ => false }
     def num(c: Column, boundedOut: Boolean = false): Option[TC] =
       Some(TC(when(ms.isNull, lit(Double.NaN)).otherwise(c.cast(DoubleType)),
-        TNum(integral = true, boundedMs = boundedOut), NoNull))
+        TNum(integral = true, boundedMs = boundedOut), NoNull, err = tc.err))
     m match {
       case "getTime" | "valueOf" => num(ms, boundedOut = bounded)
       case "getTimezoneOffset" => num(lit(0L))
@@ -966,14 +1066,16 @@ private[js] object JsColumnCompiler {
       case "getUTCDate" | "getDate" if bounded =>
         num(dayofmonth(timestamp_millis(ms)))
       case "toISOString" if bounded =>
-        // invalid date throws the ES RangeError in the interpreter — the
-        // compiled plan raises the same message, loudly
-        Some(TC(when(ms.isNull,
-          raise_error(lit("RangeError: Invalid time value")).cast(StringType))
-          .otherwise(isoOf(ms)), TStr(ascii = true), NoNull))
+        // invalid date throws the ES RangeError in the interpreter —
+        // CATCHABLE, so it rides the err channel (sealed to the same
+        // loud raise at any non-try boundary)
+        Some(TC(when(ms.isNull, nullStr).otherwise(isoOf(ms)),
+          TStr(ascii = true), NoNull,
+          err = errJoin(tc.err,
+            Some(when(ms.isNull, lit("RangeError: Invalid time value"))))))
       case "toJSON" if bounded =>
         Some(TC(when(ms.isNull, nullStr).otherwise(isoOf(ms)),
-          TStr(ascii = true), NullIsJsNull))
+          TStr(ascii = true), NullIsJsNull, err = tc.err))
       case _ => None
     }
   }
@@ -995,34 +1097,37 @@ private[js] object JsColumnCompiler {
       // strings, ASCII literals)
       case "slice" if ascii => args match {
         case Seq(a) => intLit(a).map(s =>
-          TC(tc.col.substr(lit(s + 1), lit(Int.MaxValue)), TStr(true), NoNull))
+          TC(tc.col.substr(lit(s + 1), lit(Int.MaxValue)), TStr(true), NoNull,
+            err = tc.err))
         case Seq(a, b) =>
           for (s <- intLit(a); e <- intLit(b); if e >= s)
-            yield TC(tc.col.substr(lit(s + 1), lit(e - s)), TStr(true), NoNull)
+            yield TC(tc.col.substr(lit(s + 1), lit(e - s)), TStr(true), NoNull,
+              err = tc.err)
         case _ => None
       }
       case "charAt" if ascii => args match {
         case Seq(a) => intLit(a).map(i =>
-          TC(tc.col.substr(lit(i + 1), lit(1)), TStr(true), NoNull))
+          TC(tc.col.substr(lit(i + 1), lit(1)), TStr(true), NoNull,
+            err = tc.err))
         case _ => None
       }
       case "indexOf" if ascii => args match {
         case Seq(StrLit(s)) if s.forall(_ < 128) =>
           Some(TC((instr(tc.col, s) - lit(1)).cast(DoubleType),
-            TNum(integral = true), NoNull))
+            TNum(integral = true), NoNull, err = tc.err))
         case _ => None
       }
-      case "toLowerCase" => Some(TC(lower(tc.col), TStr(ascii), NoNull))
-      case "toUpperCase" => Some(TC(upper(tc.col), TStr(ascii), NoNull))
-      case "trim" => Some(TC(trim(tc.col), TStr(ascii), NoNull))
+      case "toLowerCase" => Some(TC(lower(tc.col), TStr(ascii), NoNull, err = tc.err))
+      case "toUpperCase" => Some(TC(upper(tc.col), TStr(ascii), NoNull, err = tc.err))
+      case "trim" => Some(TC(trim(tc.col), TStr(ascii), NoNull, err = tc.err))
       case "concat" =>
-        args.foldLeft(Option((tc.col, ascii))) { (acc, a) =>
+        args.foldLeft(Option((tc.col, ascii, tc.err))) { (acc, a) =>
           for {
-            (c, ca) <- acc
+            (c, ca, ce) <- acc
             at <- compileExpr(a, ctx, locals)
             (ac, aa) <- strOf(at)
-          } yield (concat(c, ac), ca && aa)
-        }.map { case (c, a) => TC(c, TStr(a), NoNull) }
+          } yield (concat(c, ac), ca && aa, errJoin(ce, at.err))
+        }.map { case (c, a, e) => TC(c, TStr(a), NoNull, err = e) }
       case _ => None
     }
   }
@@ -1088,7 +1193,7 @@ private[js] object JsColumnCompiler {
 
     def addSum(f: String, rhs: Expr, negate: Boolean): Boolean = {
       val tc = numExpr(rhs, ctx, locals) match {
-        case Some(v) if integralClaim(v) => v
+        case Some(v) if integralClaim(v) => seal(v)
         case _ => return false // non-integral sums are order-sensitive
       }
       val delta = if (negate) -tc.col else tc.col
@@ -1100,7 +1205,7 @@ private[js] object JsColumnCompiler {
     // keeps exact input doubles), and max/min are commutative+associative
     def addExtremum(f: String, rhs: Expr, isMax: Boolean): Boolean = {
       val tc = numExpr(rhs, ctx, locals) match {
-        case Some(v) => v
+        case Some(v) => seal(v)
         case None => return false
       }
       val c = guard.map(g => when(g, tc.col)).getOrElse(tc.col)
@@ -1114,7 +1219,8 @@ private[js] object JsColumnCompiler {
     // `s.f = expr` with a state-free rhs: JSON-render the value per event;
     // the aggregate keeps the latest executed site (max by log position)
     def addLast(f: String, rhs: Expr): Boolean = {
-      val frag = compileExpr(rhs, ctx, locals).flatMap(fragOf) match {
+      val frag = compileExpr(rhs, ctx, locals).flatMap(tc =>
+        fragOf(tc).map(sealDerived(_, tc.err))) match {
         case Some(c) => c
         case None => return false
       }
@@ -1131,7 +1237,9 @@ private[js] object JsColumnCompiler {
         for ((n, init) <- decls) {
           val tc = init match {
             case Some(e) => compileExpr(e, ctx, locals) match {
-              case Some(v) => v
+              // seal at binding: a throwing initializer raises on USE
+              // (every later reference re-evaluates the sealed column)
+              case Some(v) => seal(v)
               case None => return None
             }
             case None => tUndef
@@ -1169,7 +1277,7 @@ private[js] object JsColumnCompiler {
         }
       case If(c, t, e) =>
         val cc = truthyExpr(c, ctx, locals) match {
-          case Some(v) => v
+          case Some(v) => sealCol(v)
           case None => return None
         }
         // lazy guard nesting (CaseWhen): the inner condition must not
@@ -1204,19 +1312,20 @@ private[js] object JsColumnCompiler {
   private def compileEmitCall(fn: String, args: Seq[Expr], guard: Option[Column],
       ctx: Ctx, locals: Map[String, TC]): Option[EmitSite] = {
     def str(e: Expr): Option[Column] =
-      compileExpr(e, ctx, locals).flatMap(strOf).map(_._1)
+      compileExpr(e, ctx, locals).flatMap(tc =>
+        strOf(tc).map(s => sealDerived(s._1, tc.err)))
     def stringifyArg(e: Expr): Option[Column] = e match {
       case ObjLit(fields) =>
         val env = mutable.LinkedHashMap.empty[String, TC]
         for ((k, fe) <- fields) compileExpr(fe, ctx, locals) match {
-          case Some(tc) => env(k) = tc
+          case Some(tc) => env(k) = seal(tc)
           case None => return None
         }
         renderStateJson(env.toSeq)
       // stringify(x).getOrElse("null"): the emit native substitutes
       // "null" where stringify yields no document (undefined)
       case other => compileExpr(other, ctx, locals).flatMap(tc =>
-        fragOf(tc).map(frag => coalesce(frag, lit("null"))))
+        fragOf(tc).map(frag => coalesce(sealDerived(frag, tc.err), lit("null"))))
     }
     fn match {
       case "emit" if args.length >= 2 && args.length <= 3 =>
@@ -1276,7 +1385,7 @@ private[js] object JsColumnCompiler {
         body match {
           case Seq(Return(Some(e))) =>
             if (kind == "filter") truthyExpr(e, ctx, Map.empty) match {
-              case Some(c) => conds += c
+              case Some(c) => conds += sealCol(c)
               case None => return None
             } else e match {
               case ObjLit(fields) =>
@@ -1284,7 +1393,7 @@ private[js] object JsColumnCompiler {
                 // position, last value
                 val out = mutable.LinkedHashMap.empty[String, TC]
                 for ((k, fe) <- fields) compileExpr(fe, ctx, Map.empty) match {
-                  case Some(tc) => out(k) = tc
+                  case Some(tc) => out(k) = seal(tc)
                   case None => return None
                 }
                 env = out.toSeq
@@ -1345,7 +1454,7 @@ private[js] object JsColumnCompiler {
             for ((n, ie) <- decls) {
               val tc = ie match {
                 case Some(e) => compileExpr(e, ctx, locals) match {
-                  case Some(v) => v
+                  case Some(v) => seal(v)
                   case None => return None
                 }
                 case None => tUndef
@@ -1354,7 +1463,7 @@ private[js] object JsColumnCompiler {
             }
           case Return(Some(e)) if i == body.length - 1 =>
             key = keyExpr(e, ctx, locals) match {
-              case s @ Some(_) => s
+              case Some((k, ke)) => Some(sealDerived(k, ke))
               case None => return None
             }
           case _ => return None

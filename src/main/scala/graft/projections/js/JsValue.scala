@@ -102,14 +102,21 @@ object JsVal {
     case JsBool(b) => if (b) 1.0 else 0.0
     case JsNull => 0.0
     case JsUndef => Double.NaN
-    case JsStr(s) =>
-      val t = s.trim
-      if (t.isEmpty) 0.0
-      else try t.toDouble catch { case _: NumberFormatException => Double.NaN }
+    case JsStr(s) => strToNum(s)
     case JsArr(items) if items.isEmpty => 0.0
     case JsArr(items) if items.size == 1 => num(items.head)
     case d: JsDate => d.ms // ES valueOf: the time value
     case _ => Double.NaN
+  }
+
+  /** ToNumber of a string — the engine's defined semantics (trimmed
+    * Java double syntax, NaN on anything else), shared verbatim by the
+    * column compiler's [[graft.functions.JsStringNumber]] so
+    * `Number(str)` computes identically on both execution paths. */
+  def strToNum(s: String): Double = {
+    val t = s.trim
+    if (t.isEmpty) 0.0
+    else try t.toDouble catch { case _: NumberFormatException => Double.NaN }
   }
 
   /** JS Number::toString (ECMA-262 6.1.6.1.20) — integral doubles print
