@@ -206,7 +206,14 @@ private[js] object JsColumnCompiler {
       val stateParam: Option[String],
       val stateEnv: Map[String, TC] = null,
       val lets: mutable.LinkedHashMap[String, Column] =
-        mutable.LinkedHashMap.empty)
+        mutable.LinkedHashMap.empty) {
+    /** Set while compiling the body of a `try` — expression forms whose
+      * runtime errors CANNOT ride the err channel (regex budget guards
+      * throw from inside codegen'd statics, uncatchably) must refuse to
+      * compile there, or a JS-catchable error would become a task
+      * failure. */
+    var inTry: Boolean = false
+  }
 
   private def in(c: Ctx, name: String): Column = { c.refs += name; col(name) }
 
@@ -325,23 +332,29 @@ private[js] object JsColumnCompiler {
     case TUndef => Some((lit("undefined"), true))
     case TDate(true) =>
       Some((when(tc.col.isNull, lit("Invalid Date")).otherwise(isoOf(tc.col)), true))
-    case TDyn =>
-      // exact for every scalar and for objects ("[object Object]"); a
-      // JSON ARRAY's ES ToString is the recursive join — not expressible
-      // here, so those rows raise loudly instead of diverging silently
-      val v = tc.col
-      val t = schema_of_variant(v)
-      Some((when(v.isNull, lit("undefined"))
-        .when(is_variant_null(v), lit("null"))
-        .when(t === "STRING", try_variant_get(v, "$", "string"))
-        .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
-          JsNumberString(try_variant_get(v, "$", "double")))
-        .when(t === "BOOLEAN",
-          when(try_variant_get(v, "$", "boolean"), lit("true")).otherwise(lit("false")))
-        .when(t.startsWith("OBJECT"), lit("[object Object]"))
-        .otherwise(raise_error(lit("js column compile: ToString of a JSON " +
-          "array value — disable spark.graft.js.columnCompile for this " +
-          "definition")).cast(StringType)), false))
+    case TDyn => tc.jsonSrc match {
+      // provenance known: render ES ToString from the TEXT via the
+      // interpreter's own toStr — exact for every shape including
+      // arrays (recursive comma join), which variant dispatch cannot do
+      case Some((t, ss)) => Some((graft.functions.JsPathToString(t, ss), false))
+      case None =>
+        // exact for every scalar and for objects ("[object Object]"); a
+        // JSON ARRAY's ES ToString is the recursive join — without text
+        // provenance those rows raise loudly instead of diverging
+        val v = tc.col
+        val t = schema_of_variant(v)
+        Some((when(v.isNull, lit("undefined"))
+          .when(is_variant_null(v), lit("null"))
+          .when(t === "STRING", try_variant_get(v, "$", "string"))
+          .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
+            JsNumberString(try_variant_get(v, "$", "double")))
+          .when(t === "BOOLEAN",
+            when(try_variant_get(v, "$", "boolean"), lit("true")).otherwise(lit("false")))
+          .when(t.startsWith("OBJECT"), lit("[object Object]"))
+          .otherwise(raise_error(lit("js column compile: ToString of a JSON " +
+            "array value — disable spark.graft.js.columnCompile for this " +
+            "definition")).cast(StringType)), false))
+    }
     case _ => None
   }
 
@@ -494,10 +507,14 @@ private[js] object JsColumnCompiler {
               // codegen-small however deep the member chain gets
               err = Some(memo(ctx,
                 errJoin(tc.err, Some(when(bad, msg))).get))))
-          case (TStr(true), "length") if tc.nullAs == NoNull =>
-            // ASCII receiver: codepoints == UTF-16 units, length is exact
-            Some(TC(length(tc.col).cast(DoubleType), TNum(integral = true),
-              NoNull, err = tc.err))
+          case (TStr(ascii), "length") if tc.nullAs == NoNull =>
+            // JS counts UTF-16 units: SQL length (codepoints) is exact
+            // for ASCII receivers; otherwise JsUtf16Length counts units
+            // straight off the UTF-8 bytes
+            val len =
+              if (ascii) length(tc.col).cast(DoubleType)
+              else graft.functions.JsUtf16Length(tc.col).cast(DoubleType)
+            Some(TC(len, TNum(integral = true), NoNull, err = tc.err))
           case _ => None
         }
       }
@@ -824,7 +841,15 @@ private[js] object JsColumnCompiler {
     for {
       lt <- compileExpr(l, ctx, locals)
       rt <- compileExpr(r, ctx, locals)
-      base <- (lt.ty, rt.ty) match {
+      base <- eqBase(lt, rt, strict)
+    } yield TC(if (negate) !base else base, TBool, NoNull,
+      err = errJoin(lt.err, rt.err))
+  }
+
+  /** The ==/=== comparison of two compiled values (switch-case matching
+    * reuses the strict form against the discriminant). */
+  private def eqBase(lt: TC, rt: TC, strict: Boolean): Option[Column] =
+    (lt.ty, rt.ty) match {
         // null / undefined comparisons — the dominant guard idiom
         case (TNull, _) =>
           Some(if (strict) isJsNull(rt) else isNullOrUndef(rt))
@@ -864,9 +889,6 @@ private[js] object JsColumnCompiler {
         case (TBool, TNum(_, _)) | (TNum(_, _), TBool) if strict => Some(lit(false))
         case _ => None
       }
-    } yield TC(if (negate) !base else base, TBool, NoNull,
-      err = errJoin(lt.err, rt.err))
-  }
 
   private def unary(op: String, x: Expr, ctx: Ctx,
       locals: Map[String, TC]): Option[TC] = op match {
@@ -1161,7 +1183,64 @@ private[js] object JsColumnCompiler {
   private final case class EmitSite(guard: Option[Column], stream: Column,
       tpe: Column, data: Column, meta: Column)
 
-  private final case class HandlerFold(fields: FieldTerms, emits: List[EmitSite])
+  /** Sequentially-accumulated error state of an enclosing compiled `try`
+    * block: `err` is a string column, NULL = no statement so far threw
+    * for this row. Each statement inside the try snapshots it (its
+    * effective guard adds `err IS NULL` at its position — a row stops
+    * executing the block at its first error) and appends its own guarded
+    * error conditions; the catch clause runs under the final non-NULL
+    * condition. */
+  private final class TryAcc { var err: Column = nullStr }
+
+  /** Whether a statement references an identifier (no shadowing
+    * analysis — conservative). Used to reject catch bodies that READ the
+    * caught error value, which the compiled plan does not model. */
+  private def mentionsName(st: Stmt, n: String): Boolean = {
+    def inS(s: Stmt): Boolean = s match {
+      case VarDecl(ds) => ds.exists(_._2.exists(inE))
+      case ExprStmt(e) => inE(e)
+      case If(c, t, e) => inE(c) || t.exists(inS) || e.exists(_.exists(inS))
+      case While(c, b) => inE(c) || b.exists(inS)
+      case DoWhile(c, b) => inE(c) || b.exists(inS)
+      case For(i, c, u, b) =>
+        i.exists(inS) || c.exists(inE) || u.exists(inE) || b.exists(inS)
+      case ForIn(v, o, b) => v == n || inE(o) || b.exists(inS)
+      case Return(e) => e.exists(inE)
+      case Throw(e) => inE(e)
+      case TryStmt(b, _, cb, fb) =>
+        b.exists(inS) || cb.exists(_.exists(inS)) || fb.exists(_.exists(inS))
+      case Switch(d, cs) => inE(d) || cs.exists { case (t, b) =>
+        t.exists(inE) || b.exists(inS) }
+      case FuncDecl(_, _, b) => b.exists(inS)
+      case BreakStmt | ContinueStmt => false
+    }
+    def inE(e: Expr): Boolean = e match {
+      case Ident(x) => x == n
+      case Member(o, _) => inE(o)
+      case Index(o, ix) => inE(o) || inE(ix)
+      case Call(c, as) => inE(c) || as.exists(inE)
+      case Unary(_, x) => inE(x)
+      case Update(_, t, _) => inE(t)
+      case Binary(_, l, r) => inE(l) || inE(r)
+      case Logical(_, l, r) => inE(l) || inE(r)
+      case Cond(c, t, f) => inE(c) || inE(t) || inE(f)
+      case Assign(_, t, v) => inE(t) || inE(v)
+      case ObjLit(fs) => fs.exists(f => inE(f._2))
+      case ArrLit(is) => is.exists(inE)
+      case FuncLit(_, b) => b.exists(inS)
+      case _ => false // literals, regex
+    }
+    inS(st)
+  }
+
+  /** `raises`: one nullable string column per top-level `throw` site —
+    * non-NULL is the message of the uncaught error this event would
+    * throw (already guarded; first site in program order wins via
+    * coalesce). The interpreter faults the whole projection on an
+    * uncaught handler throw, so the compiled plan `raise_error`s on the
+    * first contributing row. */
+  private final case class HandlerFold(fields: FieldTerms, emits: List[EmitSite],
+      raises: List[Column])
 
   private def compileHandler(fn: JsVal, cp: CompiledJsProjection,
       partitionCol: Column, refs: mutable.Set[String],
@@ -1172,7 +1251,8 @@ private[js] object JsColumnCompiler {
           envParam = params.lift(1), stateParam = params.headOption,
           lets = lets)
         walkStmts(body, None, Map.empty, topLevel = true, ctx)
-          .map { case (_, fields, emits) => HandlerFold(fields, emits) }
+          .map { case (_, fields, emits, raises) =>
+            HandlerFold(fields, emits, raises) }
       case _ => None
     }
 
@@ -1184,31 +1264,67 @@ private[js] object JsColumnCompiler {
     * linkStreamTo calls with state-free arguments, and nested `if`s,
     * then an optional final `return s`. Anything else → None. */
   private def walkStmts(stmts: Seq[Stmt], guard: Option[Column],
-      locals0: Map[String, TC], topLevel: Boolean,
-      ctx: Ctx): Option[(Map[String, TC], FieldTerms, List[EmitSite])] = {
+      locals0: Map[String, TC], topLevel: Boolean, ctx: Ctx,
+      tryAcc: Option[TryAcc] = None): Option[(Map[String, TC], FieldTerms, List[EmitSite], List[Column])] = {
     var locals = locals0
     val acc = List.newBuilder[(String, FieldOp)]
     val emitAcc = List.newBuilder[EmitSite]
+    val raiseAcc = List.newBuilder[Column]
     val last = stmts.length - 1
 
-    def addSum(f: String, rhs: Expr, negate: Boolean): Boolean = {
-      val tc = numExpr(rhs, ctx, locals) match {
-        case Some(v) if integralClaim(v) => seal(v)
+    // guard of the CURRENT statement: the enclosing guard plus, inside a
+    // try, "no earlier statement threw" — snapshotted per statement
+    def effGuard: Option[Column] = (guard, tryAcc.map(_.err.isNull)) match {
+      case (Some(g), Some(ok)) => Some(g && ok)
+      case (Some(g), None) => Some(g)
+      case (None, ok) => ok
+    }
+    // route a statement-level error: inside a try → the catch clause's
+    // condition; outside → an uncaught-fault raise site
+    def registerErr(e: Column, g: Option[Column]): Unit = {
+      val scoped = g.map(gg => when(gg, e)).getOrElse(e)
+      tryAcc match {
+        case Some(a) => a.err = coalesce(a.err, scoped)
+        case None => raiseAcc += scoped
+      }
+    }
+    // consume an expression-level err channel at a statement boundary:
+    // outside a try → seal (raise embedded at the evaluation point);
+    // inside → register it + return the unsealed TC and the ok condition
+    def consume(tc: TC, g: Option[Column]): (TC, Option[Column]) =
+      (tryAcc, tc.err) match {
+        case (Some(_), Some(e)) =>
+          registerErr(e, g)
+          (tc.copy(err = None), Some(e.isNull))
+        case _ => (seal(tc), None)
+      }
+    def andOk(g: Option[Column], ok: Option[Column]): Option[Column] = (g, ok) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (Some(a), None) => Some(a)
+      case (None, b) => b
+    }
+
+    def addSum(f: String, rhs: Expr, negate: Boolean, g0: Option[Column]): Boolean = {
+      val (tc, ok) = numExpr(rhs, ctx, locals) match {
+        case Some(v) if integralClaim(v) => consume(v, g0)
         case _ => return false // non-integral sums are order-sensitive
       }
+      val g = andOk(g0, ok)
       val delta = if (negate) -tc.col else tc.col
       acc += f -> SumTerm(
-        guard.map(g => when(g, delta).otherwise(lit(0.0))).getOrElse(delta))
+        g.map(gg => when(gg, delta).otherwise(lit(0.0))).getOrElse(delta))
       true
     }
     // running extrema are selection ops: no integrality needed (the fold
     // keeps exact input doubles), and max/min are commutative+associative
-    def addExtremum(f: String, rhs: Expr, isMax: Boolean): Boolean = {
-      val tc = numExpr(rhs, ctx, locals) match {
-        case Some(v) => seal(v)
+    def addExtremum(f: String, rhs: Expr, isMax: Boolean,
+        g0: Option[Column]): Boolean = {
+      val (tc, ok) = numExpr(rhs, ctx, locals) match {
+        case Some(v) => consume(v, g0)
         case None => return false
       }
-      val c = guard.map(g => when(g, tc.col)).getOrElse(tc.col)
+      val g = andOk(g0, ok)
+      val c = g.map(gg => when(gg, tc.col)).getOrElse(tc.col)
       acc += f -> (if (isMax) MaxTerm(c) else MinTerm(c))
       true
     }
@@ -1218,13 +1334,20 @@ private[js] object JsColumnCompiler {
     }
     // `s.f = expr` with a state-free rhs: JSON-render the value per event;
     // the aggregate keeps the latest executed site (max by log position)
-    def addLast(f: String, rhs: Expr): Boolean = {
-      val frag = compileExpr(rhs, ctx, locals).flatMap(tc =>
-        fragOf(tc).map(sealDerived(_, tc.err))) match {
+    def addLast(f: String, rhs: Expr, g0: Option[Column]): Boolean = {
+      val tc = compileExpr(rhs, ctx, locals) match {
+        case Some(v) => v
+        case None => return false
+      }
+      val frag0 = fragOf(tc) match {
         case Some(c) => c
         case None => return false
       }
-      acc += f -> LastTerm(guard.getOrElse(lit(true)), frag)
+      val (frag, ok) = (tryAcc, tc.err) match {
+        case (Some(_), Some(e)) => registerErr(e, g0); (frag0, Some(e.isNull))
+        case _ => (sealDerived(frag0, tc.err), None)
+      }
+      acc += f -> LastTerm(andOk(g0, ok).getOrElse(lit(true)), frag)
       true
     }
 
@@ -1234,12 +1357,15 @@ private[js] object JsColumnCompiler {
       // unknown-ident path). Branch-local vars stay interpreted: their
       // binding would be conditional.
       case VarDecl(decls) if topLevel =>
+        val g0 = effGuard
         for ((n, init) <- decls) {
           val tc = init match {
             case Some(e) => compileExpr(e, ctx, locals) match {
-              // seal at binding: a throwing initializer raises on USE
-              // (every later reference re-evaluates the sealed column)
-              case Some(v) => seal(v)
+              case Some(v) =>
+                // a throwing initializer throws AT THE DECLARATION, like
+                // the interpreter — registered even if the var is unused
+                v.err.foreach(registerErr(_, g0))
+                v.copy(err = None)
               case None => return None
             }
             case None => tUndef
@@ -1248,84 +1374,279 @@ private[js] object JsColumnCompiler {
         }
       case ExprStmt(Assign(op @ ("+=" | "-="), Member(Ident(s), f), rhs))
           if ctx.stateParam.contains(s) && !locals.contains(s) =>
-        if (!addSum(f, rhs, negate = op == "-=")) return None
+        if (!addSum(f, rhs, negate = op == "-=", effGuard)) return None
       case ExprStmt(Assign("=", Member(Ident(s), f), rhs))
           if ctx.stateParam.contains(s) && !locals.contains(s) =>
+        val g0 = effGuard
         val ok = rhs match {
           // `s.f = s.f + e` / `s.f = e + s.f` / `s.f = s.f - e` are the
           // spelled-out sum forms (pure e, so evaluation order collapses)
-          case Binary("+", l, r) if isSelfField(l, s, f) => addSum(f, r, negate = false)
-          case Binary("+", l, r) if isSelfField(r, s, f) => addSum(f, l, negate = false)
-          case Binary("-", l, r) if isSelfField(l, s, f) => addSum(f, r, negate = true)
+          case Binary("+", l, r) if isSelfField(l, s, f) => addSum(f, r, negate = false, g0)
+          case Binary("+", l, r) if isSelfField(r, s, f) => addSum(f, l, negate = false, g0)
+          case Binary("-", l, r) if isSelfField(l, s, f) => addSum(f, r, negate = true, g0)
           case Call(Member(Ident("Math"), m @ ("max" | "min")), Seq(a, b))
               if unshadowedMath(ctx, locals) &&
                 (isSelfField(a, s, f) ^ isSelfField(b, s, f)) =>
-            addExtremum(f, if (isSelfField(a, s, f)) b else a, isMax = m == "max")
-          case _ => addLast(f, rhs)
+            addExtremum(f, if (isSelfField(a, s, f)) b else a, isMax = m == "max", g0)
+          case _ => addLast(f, rhs, g0)
         }
         if (!ok) return None
       case ExprStmt(Update(op, Member(Ident(s), f), _))
           if ctx.stateParam.contains(s) && !locals.contains(s) =>
         // statement-position s.f++ / ++s.f: the result value is unused,
         // so both fixities are the same ±1 sum contribution
-        if (!addSum(f, NumLit(1), negate = op == "--")) return None
+        if (!addSum(f, NumLit(1), negate = op == "--", effGuard)) return None
       case ExprStmt(Call(Ident(fn @ ("emit" | "linkTo" | "linkStreamTo")), args))
           if unshadowedNative(ctx, locals, fn) =>
-        compileEmitCall(fn, args, guard, ctx, locals) match {
-          case Some(site) => emitAcc += site
+        compileEmitArgs(fn, args, ctx, locals) match {
+          case Some((stream, tpe, data, meta, argErr)) =>
+            val g0 = effGuard
+            // a throwing argument skips the emission and throws (caught
+            // by an enclosing try, else faulting the projection)
+            argErr.foreach(registerErr(_, g0))
+            emitAcc += EmitSite(andOk(g0, argErr.map(_.isNull)),
+              stream, tpe, data, meta)
           case None => return None
         }
       case If(c, t, e) =>
-        val cc = truthyExpr(c, ctx, locals) match {
-          case Some(v) => sealCol(v)
+        val g0 = effGuard
+        val cc0 = truthyExpr(c, ctx, locals) match {
+          case Some(v) => v
           case None => return None
         }
+        val (cc, ok) = (tryAcc, cc0.err) match {
+          case (Some(_), Some(er)) => registerErr(er, g0); (cc0.col, Some(er.isNull))
+          case _ => (sealCol(cc0), None)
+        }
+        val base = andOk(g0, ok)
         // lazy guard nesting (CaseWhen): the inner condition must not
         // evaluate when the outer guard already failed — it may contain a
         // throwing member access the outer `if` protects in JS
-        def nest(c: Column): Column =
-          guard.map(g => when(g, c).otherwise(lit(false))).getOrElse(c)
-        walkStmts(t, Some(nest(cc)), locals, topLevel = false, ctx) match {
-          case Some((_, ts, es2)) => acc ++= ts; emitAcc ++= es2
+        def nest(cond: Column): Column =
+          base.map(g => when(g, cond).otherwise(lit(false))).getOrElse(cond)
+        walkStmts(t, Some(nest(cc)), locals, topLevel = false, ctx, tryAcc) match {
+          case Some((_, ts, es2, rs2)) => acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
           case None => return None
         }
         e.foreach { es =>
-          walkStmts(es, Some(nest(!cc)), locals, topLevel = false, ctx) match {
-            case Some((_, ts, es2)) => acc ++= ts; emitAcc ++= es2
+          walkStmts(es, Some(nest(!cc)), locals, topLevel = false, ctx, tryAcc) match {
+            case Some((_, ts, es2, rs2)) => acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
             case None => return None
           }
         }
+
+      // try/catch: the try body's statements chain through a TryAcc (a
+      // row stops executing the block at its first error); the catch
+      // body runs under the accumulated error condition. The caught
+      // VALUE is not modeled — catch params must be unreferenced — and
+      // expression forms whose errors cannot ride the channel refuse to
+      // compile inside try (ctx.inTry).
+      case TryStmt(body, catchParam, catchBody, finallyBody) =>
+        val g0 = effGuard
+        catchParam.foreach { p =>
+          if (catchBody.exists(_.exists(mentionsName(_, p)))) return None
+        }
+        val inner = new TryAcc
+        val saveInTry = ctx.inTry
+        ctx.inTry = true
+        val bodyOut = walkStmts(body, g0, locals, topLevel = false, ctx, Some(inner))
+        ctx.inTry = saveInTry
+        bodyOut match {
+          case Some((_, ts, es2, rs2)) => acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
+          case None => return None
+        }
+        catchBody match {
+          case Some(cb) =>
+            // entries in inner.err were registered under their own full
+            // guards, so the condition is already scope-correct
+            walkStmts(cb, Some(inner.err.isNotNull), locals,
+              topLevel = false, ctx, tryAcc) match {
+              case Some((_, ts, es2, rs2)) => acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
+              case None => return None
+            }
+          case None =>
+            // try/finally with no catch: the error propagates outward
+            registerErr(inner.err, None)
+        }
+        finallyBody.foreach { fb =>
+          walkStmts(fb, g0, locals, topLevel = false, ctx, tryAcc) match {
+            case Some((_, ts, es2, rs2)) => acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
+            case None => return None
+          }
+        }
+
+      // `switch` compiles to the matched-clause INDEX (a lazy first-match
+      // CaseWhen over the case tests — ES evaluates tests in order until
+      // the first strict match, skipping the default clause) plus one
+      // "execution enters this clause" guard per clause: the first-match
+      // start, or fallthrough from the previous clause (a clause falls
+      // unless its body ends in `break`/`throw`; `default` enters on
+      // no-match wherever it sits, like the interpreter). `break`
+      // anywhere but a clause tail (and any `continue`) falls back.
+      case Switch(disc, cases) =>
+        val g0 = effGuard
+        val dTC = compileExpr(disc, ctx, locals) match {
+          // inside a try, a throwing discriminant would need its error
+          // rerouted through every clause guard — fall back instead
+          case Some(v) if tryAcc.isDefined && v.err.isDefined => return None
+          case Some(v) => seal(v)
+          case None => return None
+        }
+        // breaks nested under ifs/trys would break out of our switch
+        // mid-clause — unsupported; a NESTED switch owns its breaks and
+        // is handled by its own walk, so the scan does not descend there
+        def badBreak(ss: Seq[Stmt]): Boolean = ss.exists {
+          case BreakStmt | ContinueStmt => true
+          case If(_, t, e) => badBreak(t) || e.exists(badBreak)
+          case TryStmt(b, _, cb, fb) =>
+            badBreak(b) || cb.exists(badBreak) || fb.exists(badBreak)
+          case _ => false
+        }
+        val tests: Seq[(Int, Column)] = {
+          val b = Vector.newBuilder[(Int, Column)]
+          for (((t, _), i) <- cases.zipWithIndex; te <- t) {
+            val tTC = compileExpr(te, ctx, locals) match {
+              case Some(v) if tryAcc.isDefined && v.err.isDefined => return None
+              case Some(v) => seal(v)
+              case None => return None
+            }
+            val m = eqBase(dTC, tTC, strict = true) match {
+              case Some(c) => c
+              case None => return None
+            }
+            b += ((i, m))
+          }
+          b.result()
+        }
+        // matched-clause index, evaluated only under the enclosing guard
+        val idxRaw: Column =
+          if (tests.isEmpty) lit(-1)
+          else tests.foldLeft(Option.empty[Column]) { case (w, (i, m)) =>
+            Some(w match {
+              case None => when(m, lit(i))
+              case Some(c) => c.when(m, lit(i))
+            })
+          }.get.otherwise(lit(-1))
+        val idx: Column =
+          g0.map(g => when(g, idxRaw).otherwise(lit(-1))).getOrElse(idxRaw)
+        val noMatch = g0.map(g => g && idx === lit(-1))
+          .getOrElse(idx === lit(-1))
+        var prevFalls: Column = lit(false)
+        for (((testOpt, body0), i) <- cases.zipWithIndex) {
+          val start: Column = testOpt match {
+            case Some(_) => idx === lit(i)
+            case None => noMatch
+          }
+          val entered = start || prevFalls
+          val (body, endsBreak) = body0.lastOption match {
+            case Some(BreakStmt) => (body0.dropRight(1), true)
+            case _ => (body0, false)
+          }
+          if (badBreak(body)) return None
+          walkStmts(body, Some(entered), locals, topLevel = false, ctx, tryAcc) match {
+            case Some((_, ts, es2, rs2)) =>
+              acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
+            case None => return None
+          }
+          val endsThrow = body.lastOption.exists(_.isInstanceOf[Throw])
+          prevFalls = if (endsBreak || endsThrow) lit(false) else entered
+        }
+
+      // a top-level throw: inside a try it reaches the catch clause (the
+      // caught value is unread — catch params must be unreferenced, so a
+      // static marker suffices); uncaught it faults the projection on the
+      // first event that reaches it, with a message mirroring JsThrown's
+      // ("Name: msg") best-effort
+      case Throw(e) =>
+        val g0 = effGuard
+        tryAcc match {
+          case Some(_) => registerErr(lit("thrown"), g0)
+          case None =>
+            def errMsg(ex: Expr): Column = ex match {
+              case Call(Ident(n @ ("Error" | "TypeError" | "RangeError" |
+                  "SyntaxError")), as) if unshadowedNative(ctx, locals, n) =>
+                as.headOption.flatMap(compileExpr(_, ctx, locals)).map(seal)
+                  .flatMap(tc => strOf(tc).map(_._1)) match {
+                  case Some(m) => concat(lit(n + ": "), m)
+                  case None => lit(n)
+                }
+              case StrLit(s) => lit(s)
+              case _ => lit("js handler throw")
+            }
+            raiseAcc += (g0 match {
+              case Some(g) => when(g, errMsg(e))
+              case None => errMsg(e)
+            })
+        }
+
       case Return(None) if topLevel && i == last => ()
       case Return(Some(Ident(s))) if topLevel && i == last &&
           ctx.stateParam.contains(s) && !locals.contains(s) => ()
       case _ => return None
     }
-    Some((locals, acc.result(), emitAcc.result()))
+    Some((locals, acc.result(), emitAcc.result(), raiseAcc.result()))
+  }
+
+  /** Per-event uncaught-throw message, CASE-routed across the typed
+    * handlers with $any as the default — the same handler routing as
+    * step(). None when no handler contains a throw site. */
+  private def raiseRouted(typedHandlers: Seq[(String, HandlerFold)],
+      anyHandler: Option[HandlerFold]): Option[Column] = {
+    def one(h: HandlerFold): Option[Column] =
+      if (h.raises.isEmpty) None
+      else if (h.raises.sizeIs == 1) Some(h.raises.head)
+      else Some(coalesce(h.raises: _*)) // first site in program order wins
+    val anyR = anyHandler.flatMap(one)
+    val typedR = typedHandlers.map { case (t, h) => t -> one(h) }
+    if (anyR.isEmpty && typedR.forall(_._2.isEmpty)) None
+    else {
+      val dflt = anyR.getOrElse(nullStr)
+      Some(
+        if (typedR.isEmpty) dflt
+        else typedR.foldLeft(Option.empty[Column]) { case (acc, (t, r)) =>
+          val c = r.getOrElse(nullStr)
+          Some(acc match {
+            case None => when(col("event_type") === t, c)
+            case Some(w) => w.when(col("event_type") === t, c)
+          })
+        }.get.otherwise(dflt))
+    }
   }
 
   /** One emit/linkTo/linkStreamTo call with state-free arguments →
-    * the four string columns of the emitted row, mirroring the natives in
-    * CompiledJsProjection (emit JSON-serializes the body, undefined →
-    * "null"; linkTo reads the RESOLVED identity off the envelope,
-    * formatting `n@stream`; linkStreamTo references a stream by name).
-    * Extra-metadata arguments stay interpreted (None). */
-  private def compileEmitCall(fn: String, args: Seq[Expr], guard: Option[Column],
-      ctx: Ctx, locals: Map[String, TC]): Option[EmitSite] = {
+    * the four string columns of the emitted row plus the joined error
+    * channel of the arguments (in evaluation order), mirroring the
+    * natives in CompiledJsProjection (emit JSON-serializes the body,
+    * undefined → "null"; linkTo reads the RESOLVED identity off the
+    * envelope, formatting `n@stream`; linkStreamTo references a stream
+    * by name). Values are UNSEALED — the caller guards the site with
+    * err-IS-NULL and registers the error (a throwing argument skips the
+    * emission and throws). Extra-metadata arguments stay interpreted
+    * (None). */
+  private def compileEmitArgs(fn: String, args: Seq[Expr], ctx: Ctx,
+      locals: Map[String, TC]): Option[(Column, Column, Column, Column, Option[Column])] = {
+    var argErr: Option[Column] = None
     def str(e: Expr): Option[Column] =
-      compileExpr(e, ctx, locals).flatMap(tc =>
-        strOf(tc).map(s => sealDerived(s._1, tc.err)))
+      compileExpr(e, ctx, locals).flatMap { tc =>
+        argErr = errJoin(argErr, tc.err)
+        strOf(tc).map(_._1)
+      }
     def stringifyArg(e: Expr): Option[Column] = e match {
       case ObjLit(fields) =>
         val env = mutable.LinkedHashMap.empty[String, TC]
         for ((k, fe) <- fields) compileExpr(fe, ctx, locals) match {
-          case Some(tc) => env(k) = seal(tc)
+          case Some(tc) =>
+            argErr = errJoin(argErr, tc.err)
+            env(k) = tc.copy(err = None)
           case None => return None
         }
         renderStateJson(env.toSeq)
       // stringify(x).getOrElse("null"): the emit native substitutes
       // "null" where stringify yields no document (undefined)
-      case other => compileExpr(other, ctx, locals).flatMap(tc =>
-        fragOf(tc).map(frag => coalesce(sealDerived(frag, tc.err), lit("null"))))
+      case other => compileExpr(other, ctx, locals).flatMap { tc =>
+        argErr = errJoin(argErr, tc.err)
+        fragOf(tc).map(frag => coalesce(frag, lit("null")))
+      }
     }
     fn match {
       case "emit" if args.length >= 2 && args.length <= 3 =>
@@ -1336,7 +1657,7 @@ private[js] object JsColumnCompiler {
             case Some(b) => stringifyArg(b)
             case None => Some(lit("{}")) // default body JsObj.empty
           }
-        } yield EmitSite(guard, stream, tpe, data, nullStr)
+        } yield (stream, tpe, data, nullStr, argErr)
       case "linkTo" if args.length == 1 ||
           (args.length == 2 && (args(1) match {
             case Ident(n) => ctx.envParam.contains(n) && !locals.contains(n)
@@ -1347,10 +1668,9 @@ private[js] object JsColumnCompiler {
           stream <- str(args(0))
           sid <- envField("streamId", ctx)
           num <- envField("sequenceNumber", ctx)
-        } yield EmitSite(guard, stream,
-          lit(graft.model.EventEnvelope.LinkEventType),
+        } yield (stream, lit(graft.model.EventEnvelope.LinkEventType),
           concat(num.col.cast(LongType).cast(StringType), lit("@"), sid.col),
-          nullStr)
+          nullStr, argErr)
       case "linkStreamTo" if args.length <= 2 =>
         for {
           stream <- str(args(0))
@@ -1358,8 +1678,8 @@ private[js] object JsColumnCompiler {
             case Some(e) => str(e)
             case None => Some(in(ctx, "stream_id")) // the LINK-side stream
           }
-        } yield EmitSite(guard, stream,
-          lit(graft.model.EventEnvelope.StreamLinkEventType), referenced, nullStr)
+        } yield (stream, lit(graft.model.EventEnvelope.StreamLinkEventType),
+          referenced, nullStr, argErr)
       case _ => None
     }
   }
@@ -1539,6 +1859,7 @@ private[js] object JsColumnCompiler {
     val typedFolds: Seq[(String, FieldTerms)] =
       typedHandlers.map { case (t, h) => t -> h.fields }
     val anyFold: Option[FieldTerms] = anyHandler.map(_.fields)
+    val rowRaise: Option[Column] = raiseRouted(typedHandlers, anyHandler)
 
     // assigned fields must exist in $init (JS += onto a missing field is
     // NaN, not a sum; extrema of a missing field likewise) and use ONE
@@ -1751,6 +2072,22 @@ private[js] object JsColumnCompiler {
     val required = refs.toSet
     val usesTs = required.contains("timestamp")
 
+    // uncaught top-level throws: the raise fires DURING partial
+    // aggregation on the first contributing row — before any group
+    // filtering can drop the partition — matching the interpreter, which
+    // faults mid-fold regardless of what the transform chain would later
+    // keep. The agg output is all-NULL whenever the query survives; the
+    // state wrapper below only exists to keep the column referenced
+    // (column pruning would otherwise remove the raise with it).
+    val raiseAgg: Seq[Column] = rowRaise.toSeq.map(r =>
+      max(when(r.isNotNull, raise_error(r).cast(StringType))
+        .otherwise(nullStr)).as("__graft_raise"))
+    val allAggs = aggExprs ++ raiseAgg
+    val stateOut: Column =
+      if (rowRaise.isEmpty) stateJsonCol
+      else when(col("__graft_raise").isNotNull, col("__graft_raise"))
+        .otherwise(stateJsonCol)
+
     val letSeq = letBindings(lets)
     Some(Plan(required, usesTs, selector, (log: DataFrame) => {
       val df = letSeq.foldLeft(withDefaults(log, required)) {
@@ -1759,13 +2096,13 @@ private[js] object JsColumnCompiler {
       val withKey = df.withColumn(KeyCol, keyCol)
       val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
       val grouped =
-        if (aggExprs.nonEmpty)
-          keyed.groupBy(col(KeyCol)).agg(aggExprs.head, aggExprs.tail: _*)
+        if (allAggs.nonEmpty)
+          keyed.groupBy(col(KeyCol)).agg(allAggs.head, allAggs.tail: _*)
         else keyed.groupBy(col(KeyCol)).agg(count(lit(1)).as("__graft_cnt"))
       val filtered =
         if (filterConds.isEmpty) grouped
         else grouped.where(filterConds.reduce(_ && _))
-      filtered.select(col(KeyCol).as("partition"), stateJsonCol.as("state"))
+      filtered.select(col(KeyCol).as("partition"), stateOut.as("state"))
     }))
   }
 
@@ -1825,7 +2162,7 @@ private[js] object JsColumnCompiler {
       if (h.emits.isEmpty) emptyArr
       else filter(array(h.emits.map(siteStruct): _*), x => x.isNotNull)
     val dflt = anyHandler.map(handlerArr).getOrElse(emptyArr)
-    val arrCol =
+    val arrCol0 =
       if (typedHandlers.isEmpty) dflt
       else typedHandlers.foldLeft(Option.empty[Column]) { case (acc, (t, h)) =>
         val c = handlerArr(h)
@@ -1834,6 +2171,14 @@ private[js] object JsColumnCompiler {
           case Some(w) => w.when(col("event_type") === t, c)
         })
       }.get.otherwise(dflt)
+    // an uncaught top-level throw faults the projection per row, before
+    // this event's emissions are considered
+    val arrCol = raiseRouted(typedHandlers, anyHandler) match {
+      case Some(r) => when(r.isNotNull, raise_error(r)
+        .cast("array<struct<s:string,t:string,d:string,m:string>>"))
+        .otherwise(arrCol0)
+      case None => arrCol0
+    }
 
     val selector = selectorCol(spec)
     val required = refs.toSet

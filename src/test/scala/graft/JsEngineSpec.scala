@@ -996,16 +996,17 @@ fromCategory("idx")
       name -> fastEqualsInterp(src, log)
     }.toMap
     // sums of pure per-event expressions compile — including the
-    // transformBy/filterBy chain (post-aggregation where/select) and the
+    // transformBy/filterBy chain (post-aggregation where/select), the
     // emit/linkTo definitions (state-free emissions don't touch state, so
-    // their states() is the bare-init fold); try/switch/regex stay on the
-    // interpreter (control flow + string subtleties)
+    // their states() is the bare-init fold), and switch/try-catch control
+    // flow (clause guards + the err channel); regex stays on the
+    // interpreter until the regex column expressions land
     assert(compiled == Map(
       "js_minmax" -> true,
       "js_last_value" -> true,
       "js_date_bucket" -> true,
       "js_fold_count_sum" -> true,
-      "js_try_switch" -> false,
+      "js_try_switch" -> true,
       "js_regex_extract" -> false,
       "js_partition_by" -> true,
       "js_emit" -> true,
