@@ -111,6 +111,12 @@ private[js] object JsColumnCompiler {
   /** String column. `ascii`: provably ASCII-only (ISO timestamps,
     * number strings, ASCII literals) — required for positional ops. */
   private final case class TStr(ascii: Boolean) extends JTy
+  /** Array-of-strings column (match/split results): elements may be SQL
+    * NULL = JS undefined (unmatched capture groups). `ascii`: elements
+    * provably ASCII; `digits`: elements provably digits-only-or-empty
+    * (a digits-only regex pattern), so ToNumber of an element is
+    * integer-valued wherever finite. */
+  private final case class TStrArr(ascii: Boolean, digits: Boolean) extends JTy
   private case object TBool extends JTy
   private case object TNull extends JTy
   private case object TUndef extends JTy
@@ -140,7 +146,11 @@ private[js] object JsColumnCompiler {
     * WHEN-structure mirrors the expression's lazy evaluation order. */
   private final case class TC(col: Column, ty: JTy, nullAs: NullAs,
       jsonSrc: Option[(Column, List[String])] = None,
-      err: Option[Column] = None)
+      err: Option[Column] = None,
+      /** For TStr values: provably digits-only-or-empty (an element of a
+        * digits-only match), so ToNumber is integral wherever finite —
+        * what lets `s.n += Number(m[0])` join the long-sum fold. */
+      intStr: Boolean = false)
 
   /** First-error-wins union of error channels, in evaluation order. */
   private def errJoin(es: Option[Column]*): Option[Column] = {
@@ -170,6 +180,7 @@ private[js] object JsColumnCompiler {
         case TBool => raise_error(e).cast(BooleanType)
         case TDate(_) => raise_error(e).cast(LongType)
         case TDyn => parse_json(raise_error(e).cast(StringType))
+        case TStrArr(_, _) => raise_error(e).cast("array<string>")
         case _ => raise_error(e).cast(StringType)
       }
       when(e.isNotNull, raised).otherwise(tc.col)
@@ -274,6 +285,7 @@ private[js] object JsColumnCompiler {
     case TNum(i, _) => i
     case TBool | TNull | TUndef => true // 0/1/0/NaN (NaN trips the cast, loudly)
     case TDate(_) => true
+    case _: TStr => tc.intStr // digits-only match elements parse integral
     case _ => false
   }
 
@@ -296,6 +308,9 @@ private[js] object JsColumnCompiler {
       else when(tc.col.isNull, lit(false)).otherwise(tc.col))
     case TNull | TUndef => Some(lit(false))
     case TDate(_) => Some(lit(true)) // Date objects are truthy, even invalid ones
+    case TStrArr(_, _) => // arrays are objects: truthy even when empty
+      Some(if (tc.nullAs == NoNull) lit(true) else tc.col.isNotNull)
+    case TFrag => None // render-only; reads refuse upstream
     case TDyn =>
       val v = tc.col
       val t = schema_of_variant(v)
@@ -390,7 +405,7 @@ private[js] object JsColumnCompiler {
       case TDyn => tc.jsonSrc.map { case (t, ss) =>
         graft.functions.JsJsonPath(t, ss)
       }
-      case TDate(false) => None
+      case _ => None // Invalid-range dates, match arrays, fragments
     }
   }
 
@@ -412,6 +427,7 @@ private[js] object JsColumnCompiler {
         .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
           JsNumberString(try_variant_get(v, "$", "double")))
         .otherwise(nullStr))
+    case _ => Some(nullStr) // arrays/objects are skipped, like other objects
   }
 
   private def isNullOrUndef(tc: TC): Column = tc.ty match {
@@ -515,6 +531,17 @@ private[js] object JsColumnCompiler {
               if (ascii) length(tc.col).cast(DoubleType)
               else graft.functions.JsUtf16Length(tc.col).cast(DoubleType)
             Some(TC(len, TNum(integral = true), NoNull, err = tc.err))
+          case (TStrArr(_, _), "length") =>
+            // reading .length of a null match result throws in JS —
+            // the condition rides the err channel like TDyn accesses
+            val len = when(tc.col.isNull, lit(0.0))
+              .otherwise(size(tc.col).cast(DoubleType))
+            val nullErr =
+              if (tc.nullAs == NoNull) None
+              else Some(when(tc.col.isNull,
+                lit("cannot read property 'length' of null")))
+            Some(TC(len, TNum(integral = true), NoNull,
+              err = errJoin(tc.err, nullErr)))
           case _ => None
         }
       }
@@ -522,20 +549,21 @@ private[js] object JsColumnCompiler {
 
     case Index(o, StrLit(p)) => compileExpr(Member(o, p), ctx, locals)
 
-    // `str.split(sep)[i]` with a literal separator and constant index —
-    // the id-parsing idiom handlers lean on. Spark's split takes a regex,
-    // so the separator is Pattern-quoted (JS splits on the LITERAL);
-    // limit -1 keeps trailing empty fields like ES; an out-of-range index
-    // is SQL NULL = JS undefined.
-    case Index(Call(Member(o, "split"), Seq(StrLit(sep))), NumLit(d))
-        if sep.nonEmpty && d == math.rint(d) && d >= 0 && d <= 1e6 =>
-      compileExpr(o, ctx, locals).flatMap { base =>
-        base.ty match {
-          case TStr(ascii) if base.nullAs == NoNull =>
-            Some(TC(
-              split(base.col, java.util.regex.Pattern.quote(sep), -1)
-                .getItem(d.toInt),
-              TStr(ascii && sep.forall(_ < 128)), NullIsUndef, err = base.err))
+    // `arr[i]` on a match/split result with a constant index. Out-of-range
+    // and unmatched-group elements are SQL NULL = JS undefined
+    // (try_element_at: ANSI's plain subscript would raise out-of-range);
+    // indexing a null match result throws in JS → err channel.
+    case Index(o, NumLit(d)) if d == math.rint(d) && d >= 0 && d <= 1e6 =>
+      compileExpr(o, ctx, locals).flatMap { tc =>
+        tc.ty match {
+          case TStrArr(ascii, digits) =>
+            val nullErr =
+              if (tc.nullAs == NoNull) None
+              else Some(when(tc.col.isNull,
+                lit(s"cannot read property '${d.toLong}' of null")))
+            Some(TC(try_element_at(tc.col, lit(d.toInt + 1)),
+              TStr(ascii || digits), NullIsUndef,
+              err = errJoin(tc.err, nullErr), intStr = digits))
           case _ => None
         }
       }
@@ -907,6 +935,7 @@ private[js] object JsColumnCompiler {
           case TNull => lit("object")
           case TUndef => lit("undefined")
           case TDate(_) => lit("object")
+          case TStrArr(_, _) | TFrag => lit("object") // typeof null is "object" too
           case TDyn =>
             val v = tc.col
             val t = schema_of_variant(v)
@@ -969,6 +998,29 @@ private[js] object JsColumnCompiler {
             TBool, NoNull, err = tc.err))
         case _ => None
       }
+    // `/re/.test(s)` — a regex literal evaluates to a fresh regex per
+    // event (lastIndex 0), exactly the column op's fresh-per-call shape.
+    // The shared backtracking budget guard throws UNCATCHABLY from the
+    // codegen'd static, so regex ops refuse to compile inside `try`
+    // (a JS-catchable error must never become a task failure). `exec`
+    // compiles only without `g` (where it equals match's first-match
+    // form; a global exec advances lastIndex across CALLS — stateful).
+    case Member(RegexLit(p, f), mName @ ("test" | "exec")) if !ctx.inTry &&
+        (mName == "test" || !f.contains('g')) =>
+      args match {
+        case Seq(a) => compileExpr(a, ctx, locals).flatMap { at =>
+          strOf(at).map { case (s, ascii) =>
+            if (mName == "test")
+              TC(JsRegexColumns.test(s, p, f), TBool, NoNull, err = at.err)
+            else {
+              val digits = digitsOnlyPattern(p, f)
+              TC(JsRegexColumns.matches(s, p, f),
+                TStrArr(ascii || digits, digits), NullIsJsNull, err = at.err)
+            }
+          }
+        }
+        case _ => None
+      }
     case Member(obj, m) =>
       compileExpr(obj, ctx, locals).flatMap { tc =>
         tc.ty match {
@@ -978,6 +1030,33 @@ private[js] object JsColumnCompiler {
         }
       }
     case _ => None
+  }
+
+  /** Every char this pattern can CONSUME is provably [0-9] (only `\d`
+    * escapes, literal digits, and zero-width/structural tokens appear),
+    * so any match or capture is a digits-only-or-empty string — whose ES
+    * ToNumber is integer-valued wherever finite. The conservative gate
+    * that lets `s.n += Number(m[0])` compile into the long-sum fold.
+    * The `u` flag widens `\d` to Unicode digits in the java.util.regex
+    * mapping (JsRegexOps flavor notes) — no claim there. */
+  private def digitsOnlyPattern(p: String, flags: String): Boolean = {
+    if (flags.contains('u')) return false
+    var i = 0
+    var brace = false
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= p.length || p.charAt(i + 1) != 'd') return false
+        i += 2
+      } else {
+        if (c == '{') brace = true else if (c == '}') brace = false
+        val ok = c.isDigit || "(){}+*?|^$".indexOf(c.toInt) >= 0 ||
+          (brace && c == ',')
+        if (!ok) return false
+        i += 1
+      }
+    }
+    true
   }
 
   /** The global still resolves to the stdlib native (the program did not
@@ -1150,6 +1229,57 @@ private[js] object JsColumnCompiler {
             (ac, aa) <- strOf(at)
           } yield (concat(c, ac), ca && aa, errJoin(ce, at.err))
         }.map { case (c, a, e) => TC(c, TStr(a), NoNull, err = e) }
+
+      // regex methods with a LITERAL regex argument — native codegen'd
+      // expressions over the interpreter's own JsRegexOps algorithms
+      // (same pattern cache, same ES match/replace/split semantics), so
+      // compiled == interpreted for every pattern, flag, and subject.
+      // The backtracking budget guard throws uncatchably from the
+      // codegen'd static → refuse inside `try` (ctx.inTry).
+      case "match" if !ctx.inTry => args match {
+        case Seq(RegexLit(p, f)) =>
+          val digits = digitsOnlyPattern(p, f)
+          // no match → JS null; elements: full match + captures, with
+          // unmatched groups as SQL NULL = undefined
+          Some(TC(JsRegexColumns.matches(tc.col, p, f),
+            TStrArr(ascii || digits, digits), NullIsJsNull, err = tc.err))
+        case _ => None
+      }
+      case "replace" if !ctx.inTry => args match {
+        case Seq(RegexLit(p, f), rep) =>
+          compileExpr(rep, ctx, locals).flatMap { rt =>
+            strOf(rt).map { case (rc, ra) =>
+              // output chars come from the receiver (via $-substitution)
+              // and the replacement only — pattern chars are consumed
+              TC(JsRegexColumns.replace(tc.col, rc, p, f), TStr(ascii && ra),
+                NoNull, err = errJoin(tc.err, rt.err))
+            }
+          }
+        case _ => None
+      }
+      case "split" => args match {
+        // literal-string separator: ES splits on the LITERAL (quoted for
+        // Spark's regex split); limit -1 keeps trailing empty fields
+        case Seq(StrLit(sep)) if sep.nonEmpty =>
+          Some(TC(
+            split(tc.col, java.util.regex.Pattern.quote(sep), -1),
+            TStrArr(ascii && sep.forall(_ < 128), digits = false), NoNull,
+            err = tc.err))
+        case Seq(RegexLit(p, f)) if !ctx.inTry =>
+          Some(TC(JsRegexColumns.split(tc.col, p, f, None),
+            TStrArr(ascii, digits = false), NoNull, err = tc.err))
+        case Seq(RegexLit(p, f), lim) if !ctx.inTry =>
+          intLit(lim).map(n =>
+            TC(JsRegexColumns.split(tc.col, p, f, Some(n.toDouble)),
+              TStrArr(ascii, digits = false), NoNull, err = tc.err))
+        case _ => None
+      }
+      case "search" if !ctx.inTry => args match {
+        case Seq(RegexLit(p, f)) =>
+          Some(TC(JsRegexColumns.search(tc.col, p, f),
+            TNum(integral = true), NoNull, err = tc.err))
+        case _ => None
+      }
       case _ => None
     }
   }

@@ -260,6 +260,57 @@ private[js] object JsRegexOps {
     sb.toString
   }
 
+  // ------------------------------------------------- column entry points
+  //
+  // Static entry points for the column compiler's codegen'd regex
+  // expressions (JsRegexColumns): SAME pattern cache, SAME guarded
+  // matcher, SAME ES algorithms as the interpreter natives above, called
+  // with a fresh regex per invocation — exactly a regex literal
+  // evaluated per event (lastIndex starts at 0). A budget/SOE JsError
+  // propagates and fails the task: compiled regex ops refuse to compile
+  // inside `try`, so a JS-catchable error never becomes uncatchable.
+
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** match/exec result: null = no match; elements [full, g1, …] with
+    * null for unmatched groups. Global regexes collect every full match
+    * (String.prototype.match semantics). */
+  def colMatch(s: UTF8String, pattern: String, flags: String): ArrayData = {
+    val r = make(pattern, flags)
+    matchStr(s.toString, r) match {
+      case JsArr(items) =>
+        new GenericArrayData(items.map {
+          case JsStr(x) => utf8(x)
+          case _ => null // JsUndef: unmatched group
+        }.toArray[Any])
+      case _ => null // JsNull: no match
+    }
+  }
+
+  def colTest(s: UTF8String, pattern: String, flags: String): Boolean =
+    test(make(pattern, flags), s.toString)
+
+  def colReplace(s: UTF8String, rep: UTF8String, pattern: String,
+      flags: String): UTF8String =
+    utf8(replaceStr(s.toString, make(pattern, flags), rep.toString))
+
+  /** ES split with capture splicing; JsUndef captures → null elements. */
+  def colSplit(s: UTF8String, pattern: String, flags: String,
+      hasLimit: Boolean, limit: Double): ArrayData = {
+    val parts = split(s.toString, make(pattern, flags),
+      if (hasLimit) Some(limit) else None)
+    new GenericArrayData(parts.map {
+      case JsStr(x) => utf8(x)
+      case _ => null
+    }.toArray[Any])
+  }
+
+  def colSearch(s: UTF8String, pattern: String, flags: String): Double =
+    search(s.toString, make(pattern, flags))
+
   /** String.prototype.replace with a regex pattern and string replacement:
     * first match, or every match when `g` (which then resets lastIndex). */
   def replaceStr(s: String, r: JsRegex, rep: String): String =

@@ -17,7 +17,7 @@ class JsCompilerPropertySpec extends SparkTestBase {
   // ---------------------------------------------------------- generators
 
   private def genCond(r: Random, depth: Int): String = {
-    val base = r.nextInt(6) match {
+    val base = r.nextInt(8) match {
       case 0 => s"e.value > ${r.nextInt(200) - 100}"
       case 1 => s"e.value <= ${(r.nextInt(4000) - 2000) / 10.0}"
       case 2 => s"e.eventType === 't${1 + r.nextInt(3)}'"
@@ -27,6 +27,8 @@ class JsCompilerPropertySpec extends SparkTestBase {
       // (and now in the compiled path too — found by this very suite);
       // conditions must guard like real handlers do
       case 5 => "(e.body ? e.body.k === undefined : e.isJson)"
+      case 6 => s"/${1 + r.nextInt(3)}/.test(e.streamId)"
+      case 7 => "e.streamId.match(/t(\\d+)/) !== null"
     }
     if (depth > 0 && r.nextInt(3) == 0) {
       val rhs = genCond(r, depth - 1)
@@ -39,7 +41,7 @@ class JsCompilerPropertySpec extends SparkTestBase {
   }
 
   /** Integral-valued expression (safe for the long sum accumulator). */
-  private def genIntExpr(r: Random, depth: Int): String = r.nextInt(8) match {
+  private def genIntExpr(r: Random, depth: Int): String = r.nextInt(10) match {
     case 0 => (1 + r.nextInt(9)).toString
     case 1 => s"Math.round(e.value * ${1 + r.nextInt(100)})"
     case 2 => "d.getUTCDay()"
@@ -49,6 +51,8 @@ class JsCompilerPropertySpec extends SparkTestBase {
       s"(${genCond(r, 1)} ? ${genIntExpr(r, depth - 1)} : ${genIntExpr(r, depth - 1)})"
     case 6 if depth > 0 =>
       s"(${genIntExpr(r, depth - 1)} + ${genIntExpr(r, depth - 1)})"
+    case 7 => "e.streamId.split(/-/).length"
+    case 8 => "e.streamId.search(/\\d/)"
     case _ => s"Math.floor(e.value)"
   }
 
@@ -62,13 +66,15 @@ class JsCompilerPropertySpec extends SparkTestBase {
 
   /** Overwrite rhs: any supported value type — strings (envelope props,
     * literals, concatenations), numbers, bools, null, the Date local. */
-  private def genValExpr(r: Random): String = r.nextInt(8) match {
+  private def genValExpr(r: Random): String = r.nextInt(10) match {
     case 0 => "e.streamId"
     case 1 => "e.eventType"
     case 2 => s""""lbl${r.nextInt(4)}""""
     case 3 => "(e.eventType + ':' + e.sequenceNumber)"
     case 4 => "d"
     case 5 => if (r.nextBoolean()) "true" else "null"
+    case 6 => s"e.streamId.replace(/\\d/g, '${"#x".charAt(r.nextInt(2))}')"
+    case 7 => "e.streamId.split(/-/)[0]"
     case _ => genNumExpr(r)
   }
 

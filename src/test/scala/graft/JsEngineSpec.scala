@@ -998,16 +998,16 @@ fromCategory("idx")
     // sums of pure per-event expressions compile — including the
     // transformBy/filterBy chain (post-aggregation where/select), the
     // emit/linkTo definitions (state-free emissions don't touch state, so
-    // their states() is the bare-init fold), and switch/try-catch control
-    // flow (clause guards + the err channel); regex stays on the
-    // interpreter until the regex column expressions land
+    // their states() is the bare-init fold), switch/try-catch control
+    // flow (clause guards + the err channel), and regex match/test/
+    // replace/split over the native JsRegexColumns expressions
     assert(compiled == Map(
       "js_minmax" -> true,
       "js_last_value" -> true,
       "js_date_bucket" -> true,
       "js_fold_count_sum" -> true,
       "js_try_switch" -> true,
-      "js_regex_extract" -> false,
+      "js_regex_extract" -> true,
       "js_partition_by" -> true,
       "js_emit" -> true,
       "js_linkto" -> true,
@@ -1097,6 +1097,87 @@ fromAll()
     assert(compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0, y: 0 }; },
       $any: function(s, e) { if (e.value > 2) s.x += 1; else s.y -= 2; return s; } })"""))
+  }
+
+  test("column fast path: regex edge cases — unmatched captures, global " +
+    "match arrays, search, split limits, $-substitution, null guards") {
+    val log = hostileLog
+    assert(fastEqualsInterp("""
+fromCategory('purchase')
+    .foreachStream()
+    .when({
+        $init: function() { return { id: 0, digits: 0, pos: 0, parts1: 0,
+                                     word: '', opt: '', sub: '', tested: 0 }; },
+        $any: function(s, e) {
+            var m = e.streamId.match(/(\d+)/);
+            if (m !== null) s.id += Number(m[0]);
+            var g = e.streamId.match(/\d/g);
+            if (g) s.digits += g.length;
+            var w = e.streamId.match(/(q)?([a-z]+)/);
+            if (w) {
+                s.word = w[2];
+                s.opt = w[1] === undefined ? 'unmatched' : w[1];
+            }
+            s.pos += e.streamId.search(/-/);
+            s.parts1 += e.streamId.split(/-/, 1).length;
+            s.sub = e.streamId.replace(/(\d)/g, '[$1]');
+            if (/^[a-z]+-\d+$/.test(e.streamId)) s.tested += 1;
+            return s;
+        }
+    })""", log))
+    // out-of-range match index reads undefined (ANSI subscript must not
+    // raise), and an out-of-range split index likewise
+    assert(fastEqualsInterp("""
+fromCategory('purchase')
+    .foreachStream()
+    .when({
+        $init: function() { return { far: '', farSplit: '' }; },
+        $any: function(s, e) {
+            var m = e.streamId.match(/(\d+)/);
+            if (m !== null && m[7] === undefined) s.far = 'oob';
+            s.farSplit = e.streamId.split('-')[9] === undefined ? 'oob' : 'hit';
+            return s;
+        }
+    })""", log))
+
+    def compiles(src: String): Boolean = JsProjection.compile(src).compilesToColumns
+    // regex ops refuse to compile inside try: the backtracking budget
+    // guard throws uncatchably from the codegen'd static, so a
+    // JS-catchable error must stay on the interpreter
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) {
+        try { if (/x/.test(e.streamId)) s.n += 1; } catch (ig) {}
+        return s; } })"""))
+    // global exec is stateful across calls (lastIndex) — interpreter only
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) {
+        var m = /(\d+)/g.exec(e.streamId);
+        if (m !== null) s.n += Number(m[0]);
+        return s; } })"""))
+    // non-g exec equals first-match match() and DOES compile
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) {
+        var m = /(\d+)/.exec(e.streamId);
+        if (m !== null) s.n += Number(m[0]);
+        return s; } })"""))
+    // the u flag widens \d beyond [0-9] in the java.util.regex mapping —
+    // no digits-only claim, so the Number() sum stays interpreted
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) {
+        var m = e.streamId.match(/(\d+)/u);
+        if (m !== null) s.n += Number(m[0]);
+        return s; } })"""))
+    // a non-digits pattern gives no integral claim either
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) {
+        var m = e.streamId.match(/([a-z]+)/);
+        if (m !== null) s.n += Number(m[0]);
+        return s; } })"""))
   }
 
   test("column fast path: last-write overwrites — typed routing, guarded " +
