@@ -498,6 +498,29 @@ private[js] object JsColumnCompiler {
         }
       case _ => compileExpr(o, ctx, locals).flatMap { tc =>
         (tc.ty, p) match {
+          case (TDyn, "length") =>
+            // `.length` of a dynamic dispatches on the RUNTIME type in
+            // JS: string → UTF-16 length, array → element count, object
+            // → its "length" property, other scalars → undefined. A
+            // plain `$.length` path read would silently answer
+            // undefined for strings and arrays (found by a probe — the
+            // truthy form `if (e.body.k.length)` compiles).
+            val base = tc.col
+            val bad = base.isNull || is_variant_null(base)
+            val msg = concat(lit("cannot read property 'length' of "),
+              when(base.isNull, lit("undefined")).otherwise(lit("null")))
+            val t = schema_of_variant(base)
+            val asNum = (n: Column) => parse_json(n.cast(StringType))
+            val len =
+              when(t === "STRING", asNum(graft.functions.JsUtf16Length(
+                try_variant_get(base, "$", "string"))))
+              .when(t.startsWith("ARRAY"), asNum(size(
+                try_variant_get(base, "$", "array<variant>"))))
+              .otherwise(try_variant_get(base, "$.length", "variant"))
+            // no text provenance: the derived number has no JSON path
+            Some(TC(memo(ctx, len), TDyn, NoNull, jsonSrc = None,
+              err = Some(memo(ctx,
+                errJoin(tc.err, Some(when(bad, msg))).get))))
           case (TDyn, prop) if prop.nonEmpty &&
               prop.forall(ch => ch.isLetterOrDigit || ch == '_' || ch == '$') &&
               !prop.head.isDigit =>

@@ -1180,6 +1180,52 @@ fromCategory('purchase')
         return s; } })"""))
   }
 
+  test("column fast path: .length of a dynamic dispatches on runtime " +
+    "type — string UTF-16 units, array count, object property, scalar " +
+    "undefined, null throws catchably") {
+    val s = spark
+    import s.implicits._
+    // found as a live divergence: the variant `$.length` path read
+    // answered undefined for strings and arrays where JS reads a number
+    val log = Seq(
+      ("a-1", 0L, "t1", 1L, """{"k":"alpha"}"""),          // 5
+      ("a-1", 1L, "t1", 2L, """{"k":""}"""),               // 0 → falsy
+      ("a-1", 2L, "t1", 3L, """{"k":"𝒳!"}"""),  // astral: 3 UTF-16 units
+      ("a-1", 3L, "t1", 4L, """{"k":{"length":3}}"""),     // property read: 3
+      ("a-1", 4L, "t1", 5L, """{"k":{"x":1}}"""),          // undefined → falsy
+      ("a-1", 5L, "t1", 6L, """{"k":[1,2]}"""),            // 2
+      ("a-1", 6L, "t1", 7L, """{"k":[]}"""),               // 0 → falsy
+      ("a-1", 7L, "t1", 8L, """{"k":5}"""),                // undefined → falsy
+      ("a-1", 8L, "t1", 9L, """{"k":null}"""),             // throws → caught
+      ("a-1", 9L, "t1", 10L, """{}"""))                    // throws → caught
+      .toDF("stream_id", "event_number", "event_type", "log_position", "data")
+      .withColumn("value", lit(0.0))
+      .withColumn("timestamp", expr("timestamp_millis(1583035425678)"))
+      .withColumn("correlation_id", lit(null).cast("string"))
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { truthy: 0, caught: 0 }; },
+        $any: function(s, e) {
+            try { if (e.body.k.length) s.truthy += 1; }
+            catch (ig) { s.caught += 1; }
+            return s;
+        }
+    })""", log))
+    // and the exact values, so the dispatch itself is pinned (not just
+    // fast==interp agreeing on something else)
+    val out = JsProjection.compile("""
+fromAll().foreachStream().when({
+        $init: function() { return { truthy: 0, caught: 0 }; },
+        $any: function(s, e) {
+            try { if (e.body.k.length) s.truthy += 1; }
+            catch (ig) { s.caught += 1; }
+            return s;
+        } })""").states(log).collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("""{"truthy":4,"caught":2}"""))
+  }
+
   test("column fast path: last-write overwrites — typed routing, guarded " +
     "site ordering, undefined key omission, init fallback, s.n++/--") {
     val log = hostileLog
