@@ -1021,6 +1021,40 @@ private[js] object JsColumnCompiler {
             TBool, NoNull, err = tc.err))
         case _ => None
       }
+    case Ident("parseInt") if unshadowedNative(ctx, locals, "parseInt") =>
+      // radix must be a literal (0 → 10, the native's own defaulting);
+      // the digit-prefix parse is always integer-valued where finite
+      val radix: Option[Int] = args match {
+        case Seq(_) => Some(10)
+        case Seq(_, NumLit(d)) => Some(if (d.toInt == 0) 10 else d.toInt)
+        case _ => None
+      }
+      for {
+        r <- radix
+        a <- compileExpr(args.head, ctx, locals)
+        (sc, _) <- strOf(a)
+      } yield TC(graft.functions.JsParseInt(sc, r), TNum(integral = true),
+        NoNull, err = a.err)
+    case Ident("parseFloat") if unshadowedNative(ctx, locals, "parseFloat") =>
+      args match {
+        case Seq(a0) => for {
+          a <- compileExpr(a0, ctx, locals)
+          (sc, _) <- strOf(a)
+        } yield TC(graft.functions.JsParseFloat(sc), TNum(integral = false),
+          NoNull, err = a.err)
+        case _ => None
+      }
+    // JSON.stringify of any compiled value rides the fragment renderer
+    // (the exact writeJson semantics fragOf already guarantees);
+    // stringify(undefined) is undefined → NullIsUndef
+    case Member(Ident("JSON"), "stringify") if unshadowedJson(ctx, locals) =>
+      args match {
+        case Seq(a0) => compileExpr(a0, ctx, locals).flatMap { a =>
+          fragOf(a).map(frag =>
+            TC(frag, TStr(ascii = false), NullIsUndef, err = a.err))
+        }
+        case _ => None
+      }
     // `/re/.test(s)` — a regex literal evaluates to a fresh regex per
     // event (lastIndex 0), exactly the column op's fresh-per-call shape.
     // The shared backtracking budget guard throws UNCATCHABLY from the
@@ -1049,11 +1083,46 @@ private[js] object JsColumnCompiler {
         tc.ty match {
           case TDate(_) => dateMethod(tc, m, args)
           case TStr(_) => strMethod(tc, m, args, ctx, locals)
+          case TDyn if StringOnlyMethods(m) =>
+            // string method on a dynamic: JS dispatches on the RUNTIME
+            // type — a string applies String.prototype; every other type
+            // throws the matching catchable error (callProp's shapes:
+            // cannot-call of null/undefined, not-a-function for objects,
+            // no-method for other primitives/arrays) → err channel. The
+            // name set is STRING-ONLY methods, so a non-string receiver
+            // is an error in the interpreter too — names shared with
+            // Array.prototype (indexOf/includes/slice/concat/…) must NOT
+            // compile here, their array rows would wrongly raise.
+            val v = tc.col
+            val t = schema_of_variant(v)
+            val errC =
+              when(v.isNull, lit(s"cannot call '$m' of undefined"))
+                .when(is_variant_null(v), lit(s"cannot call '$m' of null"))
+                .when(t === "STRING", nullStr)
+                .when(t === "BOOLEAN", lit(s"no method '$m' on boolean"))
+                .when(t === "BIGINT" || t === "DOUBLE" ||
+                  t.startsWith("DECIMAL"), lit(s"no method '$m' on number"))
+                .when(t.startsWith("OBJECT"),
+                  lit(s"$m is not a function (undefined)"))
+                .otherwise(lit(s"no method '$m' on object")) // arrays
+            val recv = TC(memo(ctx, try_variant_get(v, "$", "string")),
+              TStr(ascii = false), NoNull,
+              err = Some(memo(ctx, errJoin(tc.err, Some(errC)).get)))
+            strMethod(recv, m, args, ctx, locals)
           case _ => None
         }
       }
     case _ => None
   }
+
+  /** Methods of String.prototype that exist on NO other receiver type
+    * in the interpreter's dispatch (JsInterp.callProp) — the set a
+    * dynamic receiver may compile against: a non-string value would
+    * throw there too, never silently bind an Array/Number method. */
+  private val StringOnlyMethods = Set(
+    "charAt", "charCodeAt", "startsWith", "endsWith", "toLowerCase",
+    "toUpperCase", "trim", "substring", "substr", "split", "replace",
+    "match", "search", "repeat")
 
   /** Every char this pattern can CONSUME is provably [0-9] (only `\d`
     * escapes, literal digits, and zero-width/structural tokens appear),
@@ -1094,6 +1163,13 @@ private[js] object JsColumnCompiler {
   private def unshadowedMath(ctx: Ctx, locals: Map[String, TC]): Boolean =
     !locals.contains("Math") && !ctx.envParam.contains("Math") &&
       (ctx.cp.interp.globals.lookup("Math") match {
+        case Some(_: JsObj) => true
+        case _ => false
+      })
+
+  private def unshadowedJson(ctx: Ctx, locals: Map[String, TC]): Boolean =
+    !locals.contains("JSON") && !ctx.envParam.contains("JSON") &&
+      (ctx.cp.interp.globals.lookup("JSON") match {
         case Some(_: JsObj) => true
         case _ => false
       })
@@ -1243,7 +1319,26 @@ private[js] object JsColumnCompiler {
       }
       case "toLowerCase" => Some(TC(lower(tc.col), TStr(ascii), NoNull, err = tc.err))
       case "toUpperCase" => Some(TC(upper(tc.col), TStr(ascii), NoNull, err = tc.err))
-      case "trim" => Some(TC(trim(tc.col), TStr(ascii), NoNull, err = tc.err))
+      // the interpreter's .trim is Java String.trim — every char
+      // ≤ U+0020, not just the space SQL trim strips
+      case "trim" => Some(TC(
+        regexp_replace(tc.col, "^[\\u0000-\\u0020]+|[\\u0000-\\u0020]+$", ""),
+        TStr(ascii), NoNull, err = tc.err))
+      // content predicates — substring containment needs no unit
+      // counting, so ANY receiver is exact (no ASCII restriction)
+      case "startsWith" | "endsWith" | "includes" => args match {
+        case Seq(a) => compileExpr(a, ctx, locals).flatMap { at =>
+          strOf(at).map { case (ac, _) =>
+            val c = m match {
+              case "startsWith" => tc.col.startsWith(ac)
+              case "endsWith" => tc.col.endsWith(ac)
+              case _ => tc.col.contains(ac)
+            }
+            TC(c, TBool, NoNull, err = errJoin(tc.err, at.err))
+          }
+        }
+        case _ => None
+      }
       case "concat" =>
         args.foldLeft(Option((tc.col, ascii, tc.err))) { (acc, a) =>
           for {

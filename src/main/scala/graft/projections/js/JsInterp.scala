@@ -826,19 +826,17 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
           case other => other
         }
       }))
+    // shared with the column compiler's JsParseInt/JsParseFloat — same
+    // statics, so compiled == interpreted on every input (JsVal has the
+    // semantics notes; BigInt fixes the former Long-overflow crash on
+    // huge digit strings, which ES reads as a rounded number)
     g.define("parseInt", native("parseInt", 1) { args =>
-      val s = JsVal.toStr(args.headOption.getOrElse(JsUndef)).trim
+      val s = JsVal.toStr(args.headOption.getOrElse(JsUndef))
       val radix = args.lift(1).map(JsVal.num(_).toInt).filter(_ != 0).getOrElse(10)
-      val neg = s.startsWith("-")
-      val body = s.dropWhile(c => c == '+' || c == '-')
-        .takeWhile(c => Character.digit(c, radix) >= 0)
-      if (body.isEmpty) JsNum(Double.NaN)
-      else JsNum((if (neg) -1 else 1) * java.lang.Long.parseLong(body, radix).toDouble)
+      JsNum(JsVal.parseIntStr(s, radix))
     })
     g.define("parseFloat", native("parseFloat", 1) { args =>
-      val s = JsVal.toStr(args.headOption.getOrElse(JsUndef)).trim
-      val m = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r.findFirstIn(s)
-      JsNum(m.map(_.toDouble).getOrElse(Double.NaN))
+      JsNum(JsVal.parseFloatStr(JsVal.toStr(args.headOption.getOrElse(JsUndef))))
     })
     // RegExp constructor (`new X(...)` parses as a plain call). Eagerly
     // validated: a bad dynamic pattern throws a catchable SyntaxError-

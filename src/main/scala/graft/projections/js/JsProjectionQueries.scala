@@ -295,6 +295,37 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.lastAt").as("last_at"))
       .orderBy(col("partition"))
 
+  /** The string-operation surface in one handler — parseInt on a regex-
+    * split segment, Java-trim + toLowerCase over a coerced raw body,
+    * `includes`, JSON.stringify — each mirrored by the DuckDB
+    * equivalent. The engine's `.trim` is Java String.trim (every char
+    * ≤ U+0020), which the handler exercises by padding with tab/newline
+    * before trimming. */
+  private val stringOpsSource = """
+fromCategory('signup')
+    .foreachStream()
+    .when({
+        $init: function() { return { users: 0, kid: 0, clean: '', flag: 0, j: '' }; },
+        signup: function(s, e) {
+            s.users += 1;
+            s.kid += parseInt(e.streamId.split(/-/)[1]);
+            s.clean = ('\t ' + e.bodyRaw + ' \n').trim().toLowerCase();
+            if ((e.bodyRaw + '').includes('"k"')) s.flag += 1;
+            s.j = JSON.stringify(e.eventType);
+            return s;
+        }
+    })"""
+
+  private def jsStringOps(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(stringOpsSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.users").cast("long").as("users"),
+        get_json_object(col("state"), "$.kid").cast("long").as("kid"),
+        get_json_object(col("state"), "$.clean").as("clean"),
+        get_json_object(col("state"), "$.flag").cast("long").as("flag"),
+        get_json_object(col("state"), "$.j").as("j"))
+      .orderBy(col("partition"))
+
   /** Every JS definition this module runs, by name — the handler corpus
     * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
     * == interpreter on each, including the ones that must fall back). */
@@ -305,6 +336,7 @@ fromCategory("purchase")
     "js_fold_count_sum" -> foldSource,
     "js_try_switch" -> trySwitchSource,
     "js_regex_extract" -> regexSource,
+    "js_string_ops" -> stringOpsSource,
     "js_partition_by" -> partitionSource,
     "js_emit" -> emitSource,
     "js_linkto" -> linkSource,
@@ -318,6 +350,7 @@ fromCategory("purchase")
     "js_fold_count_sum" -> (jsFold _),
     "js_try_switch" -> (jsTrySwitch _),
     "js_regex_extract" -> (jsRegexExtract _),
+    "js_string_ops" -> (jsStringOps _),
     "js_partition_by" -> (jsPartitionBy _),
     "js_emit" -> (jsEmit _),
     "js_linkto" -> (jsLinkTo _),
@@ -389,6 +422,15 @@ fromCategory("purchase")
       |            AS BIGINT) AS two_digit,
       |       regexp_replace(stream_id, '\\d', '#', 'g') AS masked
       |FROM log WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY stream_id ORDER BY 1""".stripMargin,
+    "js_string_ops" -> s"""$L
+      |SELECT stream_id AS partition,
+      |       CAST(count(*) AS BIGINT) AS users,
+      |       CAST(sum(CAST(split_part(stream_id, '-', 2) AS BIGINT)) AS BIGINT) AS kid,
+      |       arg_max(lower(data), log_position) AS clean,
+      |       CAST(sum(CASE WHEN data LIKE '%"k"%' THEN 1 ELSE 0 END) AS BIGINT) AS flag,
+      |       '"signup"' AS j
+      |FROM log WHERE event_type = 'signup' AND split_part(stream_id, '-', 1) = 'signup'
       |GROUP BY stream_id ORDER BY 1""".stripMargin,
     "js_partition_by" -> s"""$L
       |SELECT correlation_id AS partition, CAST(count(*) AS BIGINT) AS n,

@@ -119,6 +119,34 @@ object JsVal {
     else try t.toDouble catch { case _: NumberFormatException => Double.NaN }
   }
 
+  /** ES parseInt — the engine's defined semantics (trim, sign-prefix
+    * strip, longest radix-digit prefix, NaN when empty), shared by the
+    * interpreter native and the column compiler's
+    * [[graft.functions.JsParseInt]]. BigInt accumulation: a digit
+    * string past Long range is a (huge, exactly-rounded) number in ES,
+    * not an exception. An out-of-range radix yields no digits → NaN
+    * before BigInt ever sees it. */
+  def parseIntStr(s0: String, radix: Int): Double = {
+    val s = s0.trim
+    val neg = s.startsWith("-")
+    val body = s.dropWhile(c => c == '+' || c == '-')
+      .takeWhile(c => Character.digit(c, radix) >= 0)
+    if (body.isEmpty) Double.NaN
+    else {
+      val mag = BigInt(body, radix).toDouble
+      if (neg) -mag else mag
+    }
+  }
+
+  private val parseFloatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
+
+  /** ES parseFloat — longest decimal-literal prefix (the engine's
+    * defined subset: no hex, no Infinity literal), NaN when none;
+    * shared by the interpreter native and
+    * [[graft.functions.JsParseFloat]]. */
+  def parseFloatStr(s0: String): Double =
+    parseFloatRe.findFirstIn(s0.trim).map(_.toDouble).getOrElse(Double.NaN)
+
   /** JS Number::toString (ECMA-262 6.1.6.1.20) — integral doubles print
     * without a decimal point ("1", not "1.0"), plain decimal up to 1e21
     * ("10000000000000000", never Java's "1.0E16"), exponential beyond

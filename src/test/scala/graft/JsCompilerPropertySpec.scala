@@ -28,7 +28,11 @@ class JsCompilerPropertySpec extends SparkTestBase {
       // conditions must guard like real handlers do
       case 5 => "(e.body ? e.body.k === undefined : e.isJson)"
       case 6 => s"/${1 + r.nextInt(3)}/.test(e.streamId)"
-      case 7 => "e.streamId.match(/t(\\d+)/) !== null"
+      case 7 => r.nextInt(3) match {
+        case 0 => "e.streamId.match(/t(\\d+)/) !== null"
+        case 1 => s"e.streamId.startsWith('t${1 + r.nextInt(3)}')"
+        case 2 => s"e.eventType.includes('${1 + r.nextInt(3)}')"
+      }
     }
     if (depth > 0 && r.nextInt(3) == 0) {
       val rhs = genCond(r, depth - 1)
@@ -52,7 +56,8 @@ class JsCompilerPropertySpec extends SparkTestBase {
     case 6 if depth > 0 =>
       s"(${genIntExpr(r, depth - 1)} + ${genIntExpr(r, depth - 1)})"
     case 7 => "e.streamId.split(/-/).length"
-    case 8 => "e.streamId.search(/\\d/)"
+    case 8 => if (r.nextBoolean()) "e.streamId.search(/\\d/)"
+      else "parseInt(e.streamId.split(/-/)[1])"
     case _ => s"Math.floor(e.value)"
   }
 
@@ -74,7 +79,8 @@ class JsCompilerPropertySpec extends SparkTestBase {
     case 4 => "d"
     case 5 => if (r.nextBoolean()) "true" else "null"
     case 6 => s"e.streamId.replace(/\\d/g, '${"#x".charAt(r.nextInt(2))}')"
-    case 7 => "e.streamId.split(/-/)[0]"
+    case 7 => if (r.nextBoolean()) "e.streamId.split(/-/)[0]"
+      else "JSON.stringify(e.eventType)"
     case _ => genNumExpr(r)
   }
 

@@ -1008,6 +1008,7 @@ fromCategory("idx")
       "js_fold_count_sum" -> true,
       "js_try_switch" -> true,
       "js_regex_extract" -> true,
+      "js_string_ops" -> true,
       "js_partition_by" -> true,
       "js_emit" -> true,
       "js_linkto" -> true,
@@ -1178,6 +1179,70 @@ fromCategory('purchase')
         var m = e.streamId.match(/([a-z]+)/);
         if (m !== null) s.n += Number(m[0]);
         return s; } })"""))
+  }
+
+  test("column fast path: string methods on dynamics, parseInt/parseFloat, " +
+    "JSON.stringify, content predicates, Java-trim parity") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      ("purchase-1", 0L, "purchase", 1L, """{"k":"alpha"}"""),
+      ("purchase-1", 1L, "purchase", 2L, """{"k":12}"""),
+      ("purchase-2", 0L, "purchase", 3L, """{"k":"  Beta42\t"}"""),
+      ("purchase-2", 1L, "purchase", 4L, """{"k":true}"""),
+      ("purchase-2", 2L, "purchase", 5L, """{"k":null}"""),
+      ("purchase-3", 0L, "purchase", 6L, """{"k":{"x":1}}"""),
+      ("purchase-3", 1L, "purchase", 7L, """{"k":[1,2]}"""),
+      ("purchase-3", 2L, "purchase", 8L, """{"k":1.50}"""),
+      ("purchase-3", 3L, "purchase", 9L, """{}"""),
+      ("purchase-4", 0L, "purchase", 10L, "not json"),
+      ("purchase-4", 1L, "purchase", 11L, """{"k":"99999999999999999999999"}"""))
+      .toDF("stream_id", "event_number", "event_type", "log_position", "data")
+      .withColumn("value", lit(0.0))
+      .withColumn("timestamp", expr("timestamp_millis(1583035425678)"))
+      .withColumn("correlation_id", lit(null).cast("string"))
+    // string methods dispatch on the RUNTIME type of a dynamic; non-
+    // string receivers throw catchably; parseInt's BigInt accumulation
+    // reads the 23-digit string as 1e23 (the old Long parse crashed)
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { sw: 0, low: '', kid: 0, caught: 0,
+                                     pi: 0, pf: 0, j: '', n1: 0, n2: 0,
+                                     n3: 0, t: '' }; },
+        $any: function(s, e) {
+            try {
+                if (e.body.k.startsWith('al')) s.sw += 1;
+                s.low = e.body.k.toLowerCase();
+            } catch (ig) { s.caught += 1; }
+            if (e.body && typeof e.body.k === 'string' &&
+                e.body.k.search(/\d/) >= 0)
+                s.kid += (Number(e.body.k.match(/(\d+)/)[0]) < 1e20
+                    ? Number(e.body.k.match(/(\d+)/)[0]) : 0);
+            var v = e.body ? parseInt(e.body.k) : undefined;
+            var f = e.body ? parseFloat(e.body.k) : undefined;
+            if (!isNaN(v) && v < 1e20) s.pi += v;
+            if (!isNaN(f) && f < 1e20) s.pf += Math.round(f * 100);
+            if (e.body) s.j = JSON.stringify(e.body.k);
+            if (e.streamId.startsWith('purchase-')) s.n1 += 1;
+            if (e.eventType.endsWith('ase')) s.n2 += 1;
+            if (e.streamId.includes('-1')) s.n3 += 1;
+            s.t = (' \t' + e.eventType + '\n ').trim();
+            return s;
+        }
+    })""", log))
+    // the huge-digit parseInt value itself (1e23 exactly, both paths)
+    val out = JsProjection.compile("""
+fromStream('purchase-4').when({
+        $init: function() { return { big: 0 }; },
+        $any: function(s, e) {
+            if (e.body) s.big = s.big + parseInt(e.body.k) / 1e23;
+            return s;
+        } })""")
+    assert(!out.compilesToColumns) // division is non-integral: interp path
+    assert(out.states(log).collect().map(_.getString(1)).toSeq
+      == Seq("""{"big":1}"""))
   }
 
   test("column fast path: .length of a dynamic dispatches on runtime " +
