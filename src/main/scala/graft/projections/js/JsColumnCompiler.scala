@@ -277,7 +277,35 @@ private[js] object JsColumnCompiler {
         case NullIsJsNull => when(tc.col.isNull, lit(0.0)).otherwise(p)
         case NullIsUndef => when(tc.col.isNull, lit(Double.NaN)).otherwise(p)
       })
-    case _ => None // dynamic ToPrimitive recursion stays interpreted
+    case TDyn =>
+      // ToNumber dispatches on the RUNTIME type: numbers pass through,
+      // strings take the exact strToNum parse, true/false → 1/0, null →
+      // 0, undefined → NaN, objects → NaN ("[object Object]" never
+      // parses). An ARRAY's ToPrimitive is the recursive comma join —
+      // exact from the TEXT when provenance is known ([1] == 1 in ES!);
+      // without provenance those rows raise loudly instead of diverging
+      // (same policy as strOf).
+      val v = tc.col
+      val t = schema_of_variant(v)
+      val arrCase: Column = tc.jsonSrc match {
+        case Some((txt, ss)) =>
+          graft.functions.JsStringNumber(graft.functions.JsPathToString(txt, ss))
+        case None =>
+          raise_error(lit("js column compile: ToNumber of a JSON array " +
+            "value — disable spark.graft.js.columnCompile for this " +
+            "definition")).cast(DoubleType)
+      }
+      Some(when(v.isNull, lit(Double.NaN))
+        .when(is_variant_null(v), lit(0.0))
+        .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
+          try_variant_get(v, "$", "double"))
+        .when(t === "STRING",
+          graft.functions.JsStringNumber(try_variant_get(v, "$", "string")))
+        .when(t === "BOOLEAN",
+          when(try_variant_get(v, "$", "boolean"), lit(1.0)).otherwise(lit(0.0)))
+        .when(t.startsWith("OBJECT"), lit(Double.NaN))
+        .otherwise(arrCase))
+    case _ => None // fragments stay render-only
   }
 
   /** Whether `numOf` of this value is provably integer-valued. */
@@ -860,13 +888,16 @@ private[js] object JsColumnCompiler {
             .otherwise(ln % rn),
           _ && _)
       case "<" | ">" | "<=" | ">=" =>
-        // numeric relational only (JS string<string is code-unit order,
-        // which SQL binary order does not match beyond the BMP)
+        // ES relational: ToPrimitive both sides; only when BOTH come out
+        // strings is it code-unit string order (which SQL binary order
+        // does not match beyond the BMP) — so compile the NUMERIC form
+        // whenever at most one side can be a string at runtime
+        // ("5" < 10 and e.body.n > 3 are numeric; s1 < s2 stays out)
+        def stringy(t: JTy) = t.isInstanceOf[TStr] || t == TDyn
         for {
           lt <- compileExpr(l, ctx, locals)
           rt <- compileExpr(r, ctx, locals)
-          if !lt.ty.isInstanceOf[TStr] && lt.ty != TDyn &&
-            !rt.ty.isInstanceOf[TStr] && rt.ty != TDyn
+          if !(stringy(lt.ty) && stringy(rt.ty))
           ln <- numOf(lt)
           rn <- numOf(rt)
         } yield {
@@ -938,6 +969,43 @@ private[js] object JsColumnCompiler {
             .otherwise(lt.col === rt.col))
         case (TNum(_, _), TStr(_)) | (TStr(_), TNum(_, _)) if strict => Some(lit(false))
         case (TBool, TNum(_, _)) | (TNum(_, _), TBool) if strict => Some(lit(false))
+
+        // strict equality of a dynamic against a typed value dispatches
+        // on the runtime variant type (`e.body.status === 'active'`, the
+        // dominant routing guard). The typed side's SQL NULL is a JS
+        // null/undefined VALUE per its convention — strictly equal only
+        // to the matching dynamic null-ness. Loose == adds cross-type
+        // ToNumber coercions (string==number, [1]==1) — interpreted.
+        case (TDyn, _) | (_, TDyn) if strict &&
+            (lt.ty == TDyn) != (rt.ty == TDyn) =>
+          val (dyn, typed) = if (lt.ty == TDyn) (lt, rt) else (rt, lt)
+          val v = dyn.col
+          val t = schema_of_variant(v)
+          def nullSide: Column = typed.nullAs match {
+            case NullIsJsNull => is_variant_null(v)
+            case NullIsUndef => v.isNull
+            case NoNull => lit(false)
+          }
+          val typedNull =
+            if (typed.nullAs == NoNull) lit(false) else typed.col.isNull
+          typed.ty match {
+            case TStr(_) => Some(when(typedNull, nullSide)
+              .when(v.isNull, lit(false))
+              .otherwise(t === "STRING" &&
+                try_variant_get(v, "$", "string") === typed.col))
+            case TNum(_, _) => Some(when(typedNull, nullSide)
+              .when(v.isNull || isnan(typed.col), lit(false))
+              .otherwise((t === "BIGINT" || t === "DOUBLE" ||
+                t.startsWith("DECIMAL")) &&
+                try_variant_get(v, "$", "double") === typed.col))
+            case TBool => Some(when(typedNull, nullSide)
+              .when(v.isNull, lit(false))
+              .otherwise(t === "BOOLEAN" &&
+                try_variant_get(v, "$", "boolean") === typed.col))
+            case TNull => Some(is_variant_null(v))
+            case TUndef => Some(v.isNull)
+            case _ => None // dates/arrays compare by reference
+          }
         case _ => None
       }
 
@@ -1232,6 +1300,8 @@ private[js] object JsColumnCompiler {
                 TDate(bounded = !ms.isNaN && ms >= FmtMinMs && ms <= FmtMaxMs), NoNull))
             case _ => None // dynamic ISO parsing stays interpreted
           }
+          case TDyn => None // a runtime string takes the DATE-STRING parse,
+          // not ToNumber — the dispatch stays interpreted
           case _ => numOf(tc).map { n =>
             // ES TimeClip: NaN / |t|>8.64e15 → Invalid Date; else truncate
             // toward zero (exactly what the in-range ANSI long cast does)

@@ -28,10 +28,12 @@ class JsCompilerPropertySpec extends SparkTestBase {
       // conditions must guard like real handlers do
       case 5 => "(e.body ? e.body.k === undefined : e.isJson)"
       case 6 => s"/${1 + r.nextInt(3)}/.test(e.streamId)"
-      case 7 => r.nextInt(3) match {
+      case 7 => r.nextInt(5) match {
         case 0 => "e.streamId.match(/t(\\d+)/) !== null"
         case 1 => s"e.streamId.startsWith('t${1 + r.nextInt(3)}')"
         case 2 => s"e.eventType.includes('${1 + r.nextInt(3)}')"
+        case 3 => s"(e.body && e.body.k === 'u${r.nextInt(5)}')"
+        case 4 => s"(e.body && e.body.k > ${r.nextInt(500)})"
       }
     }
     if (depth > 0 && r.nextInt(3) == 0) {
@@ -58,6 +60,9 @@ class JsCompilerPropertySpec extends SparkTestBase {
     case 7 => "e.streamId.split(/-/).length"
     case 8 => if (r.nextBoolean()) "e.streamId.search(/\\d/)"
       else "parseInt(e.streamId.split(/-/)[1])"
+    case 9 =>
+      s"(e.body && typeof e.body.k === 'number' && e.body.k < 1e6 " +
+        s"? Math.round(e.body.k * ${1 + r.nextInt(20)}) : ${r.nextInt(5)})"
     case _ => s"Math.floor(e.value)"
   }
 

@@ -337,12 +337,22 @@ fromCategory("chat")
             if (e.body.sender === 'Ronan') throw new Error('no moose talk');
         }
     })""")
-    val err = intercept[org.apache.spark.SparkException] {
+    // the compiled path (the === guard compiles since r7) surfaces it as
+    // a raise_error SparkRuntimeException; the interpreter path wraps a
+    // JsError in a SparkException — both fault with the JS message
+    val err = intercept[Exception] {
       p.states(chatStore().read()).collect()
     }
     def rootMsg(t: Throwable): String =
       if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
     assert(rootMsg(err).contains("Error: no moose talk"))
+    spark.conf.set("spark.graft.js.columnCompile", "false")
+    try {
+      val ierr = intercept[Exception] {
+        p.states(chatStore().read()).collect()
+      }
+      assert(rootMsg(ierr).contains("Error: no moose talk"))
+    } finally spark.conf.set("spark.graft.js.columnCompile", "true")
   }
 
   test("switch + try/catch in a real handler: per-stream type dispatch") {
@@ -1243,6 +1253,40 @@ fromStream('purchase-4').when({
     assert(!out.compilesToColumns) // division is non-integral: interp path
     assert(out.states(log).collect().map(_.getString(1)).toSeq
       == Seq("""{"big":1}"""))
+  }
+
+  test("column fast path: strict equality and ToNumber on dynamics — " +
+    "runtime type dispatch, numeric relationals, string-number compare") {
+    val log = hostileLog
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { sEq: 0, nEq: 0, bEq: 0, ne: 0,
+                                     gt: 0, cents: 0, strNum: 0 }; },
+        $any: function(s, e) {
+            if (e.body) {
+                if (e.body.k === 'alpha') s.sEq += 1;
+                if (e.body.k === 12) s.nEq += 1;
+                if (e.body.k === true) s.bEq += 1;
+                if (e.body.k !== 'alpha') s.ne += 1;
+                if (e.body.k > 1) s.gt += 1;
+                if (typeof e.body.k === 'number' && e.body.k < 1e20)
+                    s.cents += Math.round(e.body.k * 100);
+            }
+            if (e.streamId < 5) s.strNum += 1;
+            if ('50' > e.value) s.strNum += 1;
+            return s;
+        }
+    })""", log))
+    // new Date(dynamic) stays interpreted: a runtime string takes the
+    // DATE-STRING parse, not ToNumber
+    assert(!JsProjection.compile("""fromAll().foreachStream().when({
+      $init: function() { return { t: 0 }; },
+      $any: function(s, e) {
+        if (e.body && typeof e.body.k === 'number')
+            s.t += new Date(e.body.k).getUTCHours();
+        return s; } })""").compilesToColumns)
   }
 
   test("column fast path: .length of a dynamic dispatches on runtime " +
