@@ -970,41 +970,92 @@ private[js] object JsColumnCompiler {
         case (TNum(_, _), TStr(_)) | (TStr(_), TNum(_, _)) if strict => Some(lit(false))
         case (TBool, TNum(_, _)) | (TNum(_, _), TBool) if strict => Some(lit(false))
 
-        // strict equality of a dynamic against a typed value dispatches
-        // on the runtime variant type (`e.body.status === 'active'`, the
-        // dominant routing guard). The typed side's SQL NULL is a JS
-        // null/undefined VALUE per its convention — strictly equal only
-        // to the matching dynamic null-ness. Loose == adds cross-type
-        // ToNumber coercions (string==number, [1]==1) — interpreted.
-        case (TDyn, _) | (_, TDyn) if strict &&
-            (lt.ty == TDyn) != (rt.ty == TDyn) =>
+        // equality of a dynamic against a typed value dispatches on the
+        // runtime variant type (`e.body.status === 'active'`, the
+        // dominant routing guard). Strict: only the matching type
+        // compares by value. Loose adds the ES cross-type coercions:
+        // number==ToNumber(string), booleans coerce numberward first,
+        // and an object/array ToPrimitive goes STRINGWARD against a
+        // string but numberward against a number — the array join
+        // renders exactly from the JSON text when provenance is known
+        // and raises loudly otherwise. The typed side's SQL NULL is a
+        // JS null/undefined VALUE per its convention: strictly equal
+        // only to the matching dynamic null-ness, loosely equal to
+        // either.
+        case (TDyn, _) | (_, TDyn) if (lt.ty == TDyn) != (rt.ty == TDyn) =>
           val (dyn, typed) = if (lt.ty == TDyn) (lt, rt) else (rt, lt)
           val v = dyn.col
           val t = schema_of_variant(v)
-          def nullSide: Column = typed.nullAs match {
-            case NullIsJsNull => is_variant_null(v)
-            case NullIsUndef => v.isNull
-            case NoNull => lit(false)
-          }
+          val dynNullish = v.isNull || is_variant_null(v)
+          def nullSide: Column =
+            if (!strict) dynNullish
+            else typed.nullAs match {
+              case NullIsJsNull => is_variant_null(v)
+              case NullIsUndef => v.isNull
+              case NoNull => lit(false)
+            }
           val typedNull =
             if (typed.nullAs == NoNull) lit(false) else typed.col.isNull
+          val isNumT = t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL")
+          def arrStr: Column = dyn.jsonSrc match {
+            case Some((txt, ss)) => graft.functions.JsPathToString(txt, ss)
+            case None => raise_error(lit("js column compile: ToPrimitive " +
+              "of a JSON array value — disable spark.graft.js.columnCompile " +
+              "for this definition")).cast(StringType)
+          }
           typed.ty match {
-            case TStr(_) => Some(when(typedNull, nullSide)
+            case TStr(_) if strict => Some(when(typedNull, nullSide)
               .when(v.isNull, lit(false))
               .otherwise(t === "STRING" &&
                 try_variant_get(v, "$", "string") === typed.col))
-            case TNum(_, _) => Some(when(typedNull, nullSide)
+            case TNum(_, _) if strict => Some(when(typedNull, nullSide)
               .when(v.isNull || isnan(typed.col), lit(false))
-              .otherwise((t === "BIGINT" || t === "DOUBLE" ||
-                t.startsWith("DECIMAL")) &&
+              .otherwise(isNumT &&
                 try_variant_get(v, "$", "double") === typed.col))
-            case TBool => Some(when(typedNull, nullSide)
+            case TBool if strict => Some(when(typedNull, nullSide)
               .when(v.isNull, lit(false))
               .otherwise(t === "BOOLEAN" &&
                 try_variant_get(v, "$", "boolean") === typed.col))
-            case TNull => Some(is_variant_null(v))
+            case TStr(_) => // loose vs string
+              val sv = typed.col
+              val sNum = graft.functions.JsStringNumber(sv)
+              Some(when(typedNull, nullSide)
+                .when(dynNullish, lit(false))
+                .when(t === "STRING", try_variant_get(v, "$", "string") === sv)
+                .when(isNumT, try_variant_get(v, "$", "double") === sNum)
+                .when(t === "BOOLEAN",
+                  when(try_variant_get(v, "$", "boolean"), lit(1.0))
+                    .otherwise(lit(0.0)) === sNum)
+                .when(t.startsWith("OBJECT"), lit("[object Object]") === sv)
+                .otherwise(arrStr === sv))
+            case TNum(_, _) => // loose vs number
+              val nv = typed.col
+              Some(when(typedNull, nullSide)
+                .when(isnan(nv) || dynNullish, lit(false))
+                .when(t === "STRING",
+                  graft.functions.JsStringNumber(
+                    try_variant_get(v, "$", "string")) === nv)
+                .when(isNumT, try_variant_get(v, "$", "double") === nv)
+                .when(t === "BOOLEAN",
+                  when(try_variant_get(v, "$", "boolean"), lit(1.0))
+                    .otherwise(lit(0.0)) === nv)
+                .when(t.startsWith("OBJECT"), lit(false))
+                .otherwise(graft.functions.JsStringNumber(arrStr) === nv))
+            case TBool => // loose vs boolean: the boolean coerces to 0/1
+              val bn = when(typed.col, lit(1.0)).otherwise(lit(0.0))
+              Some(when(typedNull, nullSide)
+                .when(dynNullish, lit(false))
+                .when(t === "STRING",
+                  graft.functions.JsStringNumber(
+                    try_variant_get(v, "$", "string")) === bn)
+                .when(isNumT, try_variant_get(v, "$", "double") === bn)
+                .when(t === "BOOLEAN",
+                  try_variant_get(v, "$", "boolean") === typed.col)
+                .when(t.startsWith("OBJECT"), lit(false))
+                .otherwise(graft.functions.JsStringNumber(arrStr) === bn))
+            case TNull => Some(is_variant_null(v)) // strict (loose matched earlier)
             case TUndef => Some(v.isNull)
-            case _ => None // dates/arrays compare by reference
+            case _ => None // dates compare by reference
           }
         case _ => None
       }

@@ -241,6 +241,13 @@ object JsVal {
     case (JsStr(_), JsNum(_)) => num(a) == num(b)
     case (JsBool(_), _) => looseEq(JsNum(num(a)), b)
     case (_, JsBool(_)) => looseEq(a, JsNum(num(b)))
+    // ES 7.2.14 steps 8-9: object == string/number coerces the object
+    // via ToPrimitive (toString here: "[object Object]" / array join) —
+    // Jint implements this; reference handlers can rely on [1]==1
+    case (o @ (_: JsObj | _: JsArr), (_: JsStr | _: JsNum)) =>
+      looseEq(JsStr(toStr(o)), b)
+    case ((_: JsStr | _: JsNum), o @ (_: JsObj | _: JsArr)) =>
+      looseEq(a, JsStr(toStr(o)))
     case _ => strictEq(a, b)
   }
 

@@ -33,7 +33,11 @@ class JsCompilerPropertySpec extends SparkTestBase {
         case 1 => s"e.streamId.startsWith('t${1 + r.nextInt(3)}')"
         case 2 => s"e.eventType.includes('${1 + r.nextInt(3)}')"
         case 3 => s"(e.body && e.body.k === 'u${r.nextInt(5)}')"
-        case 4 => s"(e.body && e.body.k > ${r.nextInt(500)})"
+        case 4 => r.nextInt(3) match {
+          case 0 => s"(e.body && e.body.k > ${r.nextInt(500)})"
+          case 1 => s"(e.body && e.body.k == ${r.nextInt(1000)})"
+          case 2 => s"(e.body && e.body.k == '${r.nextInt(100)}')"
+        }
       }
     }
     if (depth > 0 && r.nextInt(3) == 0) {

@@ -1279,6 +1279,29 @@ fromAll()
             return s;
         }
     })""", log))
+    // loose == adds the cross-type coercions: "12"==12 via ToNumber,
+    // true==1, object ToPrimitive goes stringward vs a string, array
+    // join vs a number ([1,2]=="1,2"); null/undefined loosely equal
+    // only each other
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { ln: 0, ls: 0, lb: 0, lo: 0,
+                                     la: 0, lnul: 0 }; },
+        $any: function(s, e) {
+            if (e.body) {
+                if (e.body.k == 12) s.ln += 1;
+                if (e.body.k == 'alpha') s.ls += 1;
+                if (e.body.k == true) s.lb += 1;
+                if (e.body.k == '[object Object]') s.lo += 1;
+                if (e.body.k == '1,2') s.la += 1;
+                if (e.body.k == null) s.lnul += 1;
+                if (e.body.k != 1.5) s.lnul += 1;
+            }
+            return s;
+        }
+    })""", log))
     // new Date(dynamic) stays interpreted: a runtime string takes the
     // DATE-STRING parse, not ToNumber
     assert(!JsProjection.compile("""fromAll().foreachStream().when({
