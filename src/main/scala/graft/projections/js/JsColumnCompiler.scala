@@ -150,7 +150,31 @@ private[js] object JsColumnCompiler {
       /** For TStr values: provably digits-only-or-empty (an element of a
         * digits-only match), so ToNumber is integral wherever finite —
         * what lets `s.n += Number(m[0])` join the long-sum fold. */
-      intStr: Boolean = false)
+      intStr: Boolean = false,
+      /** For TDyn values: the MEMOIZED `schema_of_variant` column. The
+        * type-dispatch consumers (truthy/ToNumber/ToString/key/equality)
+        * each read the schema several times and the guard/err plumbing
+        * re-embeds their CaseWhen chains — without interning, a
+        * partition-key read of `e.body.k` evaluated the RECURSIVE
+        * whole-object schema build ~24× per row (measured 3.6 s vs
+        * 0.4 s at 10× sf0.1 on js_partition_by). */
+      dynSchema: Option[Column] = None)
+
+  /** The variant schema of a TDyn value — the interned let-column when
+    * the TC carries one, else computed in place. */
+  private def dynT(tc: TC): Column =
+    tc.dynSchema.getOrElse(graft.functions.JsVariantKind(tc.col))
+
+  /** A TDyn TC whose value AND variant schema are let-bound — every
+    * creation site with a Ctx routes here so consumers share one parse
+    * and one schema build per row. */
+  private def dynTC(ctx: Ctx, v: Column,
+      jsonSrc: Option[(Column, List[String])] = None,
+      err: Option[Column] = None): TC = {
+    val bound = memo(ctx, v)
+    TC(bound, TDyn, NoNull, jsonSrc = jsonSrc, err = err,
+      dynSchema = Some(memo(ctx, graft.functions.JsVariantKind(bound))))
+  }
 
   /** First-error-wins union of error channels, in evaluation order. */
   private def errJoin(es: Option[Column]*): Option[Column] = {
@@ -248,6 +272,28 @@ private[js] object JsColumnCompiler {
   private def letBindings(lets: mutable.LinkedHashMap[String, Column]): Seq[(String, Column)] =
     lets.values.toSeq.zipWithIndex.map { case (c, i) => s"__graft_let_$i" -> c }
 
+  /** Whether a column may be evaluated EAGERLY (outside its lazy guard
+    * structure) with identical behavior: no embedded `raise_error` (the
+    * documented loud-divergence raises must stay behind their guards)
+    * and no regex expression (whose backtracking budget guard throws
+    * from the codegen'd static — eager evaluation could trip it on rows
+    * whose guards JS would have short-circuited). */
+  private def eagerSafe(c: Column): Boolean =
+    !org.apache.spark.sql.graftbridge.Bridge.expression(c).exists {
+      case _: org.apache.spark.sql.catalyst.expressions.RaiseError => true
+      case _: JsRegexTest | _: JsRegexMatch | _: JsRegexReplace |
+          _: JsRegexSplit | _: JsRegexSearch => true
+      case _ => false
+    }
+
+  /** Intern a large eager-safe column as a let — conditions, guards and
+    * error channels are referenced several times by the seal/guard
+    * plumbing, and without interning the repeated CaseWhen chains
+    * dominated per-row cost (measured 5.6× vs the hand-written twin on
+    * a partitionBy key read). Small columns stay inline. */
+  private def intern(ctx: Ctx, c: Column): Column =
+    if (eagerSafe(c) && c.toString.length > 80) memo(ctx, c) else c
+
   // --------------------------------------------------------- conversions
 
   /** JS ToNumber as a non-null double column (NaN encodes itself). */
@@ -286,7 +332,7 @@ private[js] object JsColumnCompiler {
       // without provenance those rows raise loudly instead of diverging
       // (same policy as strOf).
       val v = tc.col
-      val t = schema_of_variant(v)
+      val t = dynT(tc)
       val arrCase: Column = tc.jsonSrc match {
         case Some((txt, ss)) =>
           graft.functions.JsStringNumber(graft.functions.JsPathToString(txt, ss))
@@ -341,7 +387,7 @@ private[js] object JsColumnCompiler {
     case TFrag => None // render-only; reads refuse upstream
     case TDyn =>
       val v = tc.col
-      val t = schema_of_variant(v)
+      val t = dynT(tc)
       Some(when(v.isNull || is_variant_null(v), lit(false))
         .when(t === "STRING", length(try_variant_get(v, "$", "string")) > 0)
         .when(t === "BOOLEAN", try_variant_get(v, "$", "boolean"))
@@ -375,29 +421,33 @@ private[js] object JsColumnCompiler {
     case TUndef => Some((lit("undefined"), true))
     case TDate(true) =>
       Some((when(tc.col.isNull, lit("Invalid Date")).otherwise(isoOf(tc.col)), true))
-    case TDyn => tc.jsonSrc match {
-      // provenance known: render ES ToString from the TEXT via the
-      // interpreter's own toStr — exact for every shape including
-      // arrays (recursive comma join), which variant dispatch cannot do
-      case Some((t, ss)) => Some((graft.functions.JsPathToString(t, ss), false))
-      case None =>
-        // exact for every scalar and for objects ("[object Object]"); a
-        // JSON ARRAY's ES ToString is the recursive join — without text
-        // provenance those rows raise loudly instead of diverging
-        val v = tc.col
-        val t = schema_of_variant(v)
-        Some((when(v.isNull, lit("undefined"))
-          .when(is_variant_null(v), lit("null"))
-          .when(t === "STRING", try_variant_get(v, "$", "string"))
-          .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
-            JsNumberString(try_variant_get(v, "$", "double")))
-          .when(t === "BOOLEAN",
-            when(try_variant_get(v, "$", "boolean"), lit("true")).otherwise(lit("false")))
-          .when(t.startsWith("OBJECT"), lit("[object Object]"))
-          .otherwise(raise_error(lit("js column compile: ToString of a JSON " +
+    case TDyn =>
+      // dispatch on the MEMOIZED variant for every scalar (one JSON
+      // parse per row, shared with key/delta reads); only an ARRAY's ES
+      // ToString — the recursive comma join, which variant dispatch
+      // cannot express — walks the raw TEXT (JsPathToString re-parses),
+      // and without text provenance those rows raise loudly instead of
+      // diverging. Measured: the old render-everything-from-text form
+      // made a compiled linkTo 2.4× SLOWER than the interpreter at 10×
+      // volume (two full parses per row).
+      val v = tc.col
+      val t = dynT(tc)
+      val arrCase: Column = tc.jsonSrc match {
+        case Some((txt, ss)) => graft.functions.JsPathToString(txt, ss)
+        case None =>
+          raise_error(lit("js column compile: ToString of a JSON " +
             "array value — disable spark.graft.js.columnCompile for this " +
-            "definition")).cast(StringType)), false))
-    }
+            "definition")).cast(StringType)
+      }
+      Some((when(v.isNull, lit("undefined"))
+        .when(is_variant_null(v), lit("null"))
+        .when(t === "STRING", try_variant_get(v, "$", "string"))
+        .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
+          JsNumberString(try_variant_get(v, "$", "double")))
+        .when(t === "BOOLEAN",
+          when(try_variant_get(v, "$", "boolean"), lit("true")).otherwise(lit("false")))
+        .when(t.startsWith("OBJECT"), lit("[object Object]"))
+        .otherwise(arrCase), false))
     case _ => None
   }
 
@@ -426,12 +476,24 @@ private[js] object JsColumnCompiler {
       case TDate(true) => // SQL NULL = Invalid Date; toJSON → JSON null
         Some(when(tc.col.isNull, lit("null"))
           .otherwise(concat(lit("\""), isoOf(tc.col), lit("\""))))
-      // dynamics render from the raw TEXT when their member-path
-      // provenance is known — exact key order and ES number re-rendering
-      // for whole objects/arrays ([[graft.functions.JsJsonPath]]); a
-      // dynamic without provenance (merged branches) stays interpreted
-      case TDyn => tc.jsonSrc.map { case (t, ss) =>
-        graft.functions.JsJsonPath(t, ss)
+      // dynamic scalars stringify from the MEMOIZED variant (no second
+      // parse); only objects and arrays need the raw TEXT — exact key
+      // order and ES number re-rendering ([[graft.functions.JsJsonPath]];
+      // the variant encoding sorts keys and keeps decimal spellings). A
+      // dynamic without provenance (merged branches) stays interpreted.
+      case TDyn => tc.jsonSrc.map { case (txt, ss) =>
+        val v = tc.col
+        val t = dynT(tc)
+        when(v.isNull, nullStr)
+          .when(is_variant_null(v), lit("null"))
+          .when(t === "STRING",
+            graft.functions.JsJsonString(try_variant_get(v, "$", "string")))
+          .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
+            JsNumberString(try_variant_get(v, "$", "double")))
+          .when(t === "BOOLEAN",
+            when(try_variant_get(v, "$", "boolean"), lit("true"))
+              .otherwise(lit("false")))
+          .otherwise(graft.functions.JsJsonPath(txt, ss))
       }
       case _ => None // Invalid-range dates, match arrays, fragments
     }
@@ -449,7 +511,7 @@ private[js] object JsColumnCompiler {
     case TBool | TNull | TUndef | TDate(_) => Some(nullStr)
     case TDyn =>
       val v = tc.col
-      val t = schema_of_variant(v)
+      val t = dynT(tc)
       Some(when(v.isNull || is_variant_null(v), nullStr)
         .when(t === "STRING", try_variant_get(v, "$", "string"))
         .when(t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
@@ -537,7 +599,7 @@ private[js] object JsColumnCompiler {
             val bad = base.isNull || is_variant_null(base)
             val msg = concat(lit("cannot read property 'length' of "),
               when(base.isNull, lit("undefined")).otherwise(lit("null")))
-            val t = schema_of_variant(base)
+            val t = dynT(tc)
             val asNum = (n: Column) => parse_json(n.cast(StringType))
             val len =
               when(t === "STRING", asNum(graft.functions.JsUtf16Length(
@@ -546,7 +608,7 @@ private[js] object JsColumnCompiler {
                 try_variant_get(base, "$", "array<variant>"))))
               .otherwise(try_variant_get(base, "$.length", "variant"))
             // no text provenance: the derived number has no JSON path
-            Some(TC(memo(ctx, len), TDyn, NoNull, jsonSrc = None,
+            Some(dynTC(ctx, len,
               err = Some(memo(ctx,
                 errJoin(tc.err, Some(when(bad, msg))).get))))
           case (TDyn, prop) if prop.nonEmpty &&
@@ -563,11 +625,11 @@ private[js] object JsColumnCompiler {
               when(base.isNull, lit("undefined")).otherwise(lit("null")))
             // the access itself is raise-free (err channel carries the
             // throw condition), so it is safe — and load-bearing for
-            // codegen size — to let-bind it: every consumer of this
-            // member (value, err condition, deeper accesses) then reads
-            // ONE per-row column instead of repeating the variant walk
-            Some(TC(memo(ctx, try_variant_get(base, "$." + prop, "variant")),
-              TDyn, NoNull,
+            // codegen size — to let-bind it (and its variant schema):
+            // every consumer of this member (value, err condition,
+            // deeper accesses, type dispatch) then reads ONE per-row
+            // column instead of repeating the variant walk
+            Some(dynTC(ctx, try_variant_get(base, "$." + prop, "variant"),
               jsonSrc = tc.jsonSrc.map { case (t, ss) => (t, ss :+ prop) },
               // the joined err is raise-free too — memoized so sealing
               // (which references it twice) and deeper accesses stay
@@ -624,8 +686,9 @@ private[js] object JsColumnCompiler {
         cc <- truthyExpr(c, ctx, locals)
         tt <- compileExpr(t, ctx, locals)
         ff <- compileExpr(f, ctx, locals)
-        m <- mergeTC(cc.col, tt, ff)
-      } yield m.copy(err = errJoin(cc.err, errWhen(cc.col, tt.err, ff.err)))
+        cv = intern(ctx, cc.col)
+        m <- mergeTC(cv, tt, ff)
+      } yield m.copy(err = errJoin(cc.err, errWhen(cv, tt.err, ff.err)))
 
     case Logical(op, l, r) =>
       for {
@@ -670,18 +733,16 @@ private[js] object JsColumnCompiler {
         .cast(DoubleType), TNum(integral = true), NoNull))
     case "eventType" => Some(TC(in(ctx, "event_type"), TStr(ascii = false), NoNull))
     case "eventId" => Some(TC(in(ctx, "event_id"), TStr(ascii = false), NullIsJsNull))
-    case "body" | "data" =>
-      Some(TC(memo(ctx, try_parse_json(in(ctx, "data"))), TDyn, NoNull,
-        jsonSrc = Some((in(ctx, "data"), Nil))))
+    case "body" | "data" => Some(dynTC(ctx, try_parse_json(in(ctx, "data")),
+      jsonSrc = Some((in(ctx, "data"), Nil))))
     case "bodyRaw" => Some(TC(in(ctx, "data"), TStr(ascii = false), NullIsJsNull))
     case "metadataRaw" => Some(TC(in(ctx, "metadata"), TStr(ascii = false), NullIsJsNull))
-    case "metadata" =>
-      Some(TC(memo(ctx, try_parse_json(in(ctx, "metadata"))), TDyn, NoNull,
-        jsonSrc = Some((in(ctx, "metadata"), Nil))))
+    case "metadata" => Some(dynTC(ctx, try_parse_json(in(ctx, "metadata")),
+      jsonSrc = Some((in(ctx, "metadata"), Nil))))
     case "linkMetadataRaw" =>
       Some(TC(in(ctx, "link_metadata"), TStr(ascii = false), NullIsJsNull))
     case "linkMetadata" =>
-      Some(TC(memo(ctx, try_parse_json(in(ctx, "link_metadata"))), TDyn, NoNull,
+      Some(dynTC(ctx, try_parse_json(in(ctx, "link_metadata")),
         jsonSrc = Some((in(ctx, "link_metadata"), Nil))))
     case "isJson" =>
       Some(TC(memo(ctx, try_parse_json(in(ctx, "data"))).isNotNull, TBool, NoNull))
@@ -749,12 +810,18 @@ private[js] object JsColumnCompiler {
     e match {
       case Logical("&&", l, r) =>
         for (a <- truthyExpr(l, ctx, locals); b <- truthyExpr(r, ctx, locals))
-          yield TC(when(a.col, b.col).otherwise(lit(false)), TBool, NoNull,
-            err = errJoin(a.err, errWhen(a.col, b.err, None)))
+          yield {
+            val av = intern(ctx, a.col)
+            TC(when(av, b.col).otherwise(lit(false)), TBool, NoNull,
+              err = errJoin(a.err, errWhen(av, b.err, None)))
+          }
       case Logical("||", l, r) =>
         for (a <- truthyExpr(l, ctx, locals); b <- truthyExpr(r, ctx, locals))
-          yield TC(when(a.col, lit(true)).otherwise(b.col), TBool, NoNull,
-            err = errJoin(a.err, errWhen(a.col, None, b.err)))
+          yield {
+            val av = intern(ctx, a.col)
+            TC(when(av, lit(true)).otherwise(b.col), TBool, NoNull,
+              err = errJoin(a.err, errWhen(av, None, b.err)))
+          }
       case Unary("!", x) => truthyExpr(x, ctx, locals).map(tc =>
         TC(!tc.col, TBool, NoNull, err = tc.err))
       case Cond(c, t, f) =>
@@ -762,8 +829,11 @@ private[js] object JsColumnCompiler {
           cc <- truthyExpr(c, ctx, locals)
           tt <- truthyExpr(t, ctx, locals)
           ff <- truthyExpr(f, ctx, locals)
-        } yield TC(when(cc.col, tt.col).otherwise(ff.col), TBool, NoNull,
-          err = errJoin(cc.err, errWhen(cc.col, tt.err, ff.err)))
+        } yield {
+          val cv = intern(ctx, cc.col)
+          TC(when(cv, tt.col).otherwise(ff.col), TBool, NoNull,
+            err = errJoin(cc.err, errWhen(cv, tt.err, ff.err)))
+        }
       case _ => compileExpr(e, ctx, locals).flatMap(tc =>
         truthyOf(tc).map(c => TC(c, TBool, NoNull, err = tc.err)))
     }
@@ -777,10 +847,13 @@ private[js] object JsColumnCompiler {
           cc <- truthyExpr(c, ctx, locals)
           tt <- numExpr(t, ctx, locals)
           ff <- numExpr(f, ctx, locals)
-        } yield TC(when(cc.col, tt.col).otherwise(ff.col),
-          TNum(integralClaim(tt) && integralClaim(ff),
-            boundedMsClaim(tt) && boundedMsClaim(ff)), NoNull,
-          err = errJoin(cc.err, errWhen(cc.col, tt.err, ff.err)))
+        } yield {
+          val cv = intern(ctx, cc.col)
+          TC(when(cv, tt.col).otherwise(ff.col),
+            TNum(integralClaim(tt) && integralClaim(ff),
+              boundedMsClaim(tt) && boundedMsClaim(ff)), NoNull,
+            err = errJoin(cc.err, errWhen(cv, tt.err, ff.err)))
+        }
       case Logical(op, l, r) =>
         // JS value semantics: `a && b` yields b when a is truthy, else a
         // — then the numeric context applies ToNumber to whichever won
@@ -814,20 +887,24 @@ private[js] object JsColumnCompiler {
           cc <- truthyExpr(c, ctx, locals)
           (tt, te) <- keyExpr(t, ctx, locals)
           (ff, fe) <- keyExpr(f, ctx, locals)
-        } yield (when(cc.col, tt).otherwise(ff),
-          errJoin(cc.err, errWhen(cc.col, te, fe)))
+        } yield {
+          val cv = intern(ctx, cc.col)
+          (when(cv, tt).otherwise(ff), errJoin(cc.err, errWhen(cv, te, fe)))
+        }
       case Logical(op, l, r) =>
         for {
           lt <- truthyExpr(l, ctx, locals)
           (lk, _) <- keyExpr(l, ctx, locals)
           (rk, re) <- keyExpr(r, ctx, locals)
-        } yield (
-          if (op == "&&") when(lt.col, rk).otherwise(lk)
-          else when(lt.col, lk).otherwise(rk),
-          // lt's err covers l's evaluation (keyExpr(l) shares it)
-          errJoin(lt.err,
-            if (op == "&&") errWhen(lt.col, re, None)
-            else errWhen(lt.col, None, re)))
+        } yield {
+          val lv = intern(ctx, lt.col)
+          (if (op == "&&") when(lv, rk).otherwise(lk)
+          else when(lv, lk).otherwise(rk),
+            // lt's err covers l's evaluation (keyExpr(l) shares it)
+            errJoin(lt.err,
+              if (op == "&&") errWhen(lv, re, None)
+              else errWhen(lv, None, re)))
+        }
       case _ => compileExpr(e, ctx, locals).flatMap(tc =>
         keyOf(tc).map(k => (k, tc.err)))
     }
@@ -985,7 +1062,7 @@ private[js] object JsColumnCompiler {
         case (TDyn, _) | (_, TDyn) if (lt.ty == TDyn) != (rt.ty == TDyn) =>
           val (dyn, typed) = if (lt.ty == TDyn) (lt, rt) else (rt, lt)
           val v = dyn.col
-          val t = schema_of_variant(v)
+          val t = dynT(dyn)
           val dynNullish = v.isNull || is_variant_null(v)
           def nullSide: Column =
             if (!strict) dynNullish
@@ -1080,7 +1157,7 @@ private[js] object JsColumnCompiler {
           case TStrArr(_, _) | TFrag => lit("object") // typeof null is "object" too
           case TDyn =>
             val v = tc.col
-            val t = schema_of_variant(v)
+            val t = dynT(tc)
             when(v.isNull, lit("undefined"))
               .when(is_variant_null(v), lit("object"))
               .when(t === "STRING", lit("string"))
@@ -1213,7 +1290,7 @@ private[js] object JsColumnCompiler {
             // Array.prototype (indexOf/includes/slice/concat/…) must NOT
             // compile here, their array rows would wrongly raise.
             val v = tc.col
-            val t = schema_of_variant(v)
+            val t = dynT(tc)
             val errC =
               when(v.isNull, lit(s"cannot call '$m' of undefined"))
                 .when(is_variant_null(v), lit(s"cannot call '$m' of null"))
@@ -1665,7 +1742,10 @@ private[js] object JsColumnCompiler {
         case (Some(_), Some(e)) =>
           registerErr(e, g)
           (tc.copy(err = None), Some(e.isNull))
-        case _ => (seal(tc), None)
+        case _ =>
+          // the seal references the err twice (condition + raise payload)
+          // — intern it so the wrapper stays a let reference
+          (seal(tc.copy(err = tc.err.map(intern(ctx, _)))), None)
       }
     def andOk(g: Option[Column], ok: Option[Column]): Option[Column] = (g, ok) match {
       case (Some(a), Some(b)) => Some(a && b)
@@ -1780,7 +1860,11 @@ private[js] object JsColumnCompiler {
       case If(c, t, e) =>
         val g0 = effGuard
         val cc0 = truthyExpr(c, ctx, locals) match {
-          case Some(v) => v
+          // guards are referenced by every statement they cover — intern
+          // the raise-free pieces so nesting compounds let REFERENCES,
+          // not repeated CaseWhen chains
+          case Some(v) => v.copy(col = intern(ctx, v.col),
+            err = v.err.map(intern(ctx, _)))
           case None => return None
         }
         val (cc, ok) = (tryAcc, cc0.err) match {
@@ -1792,7 +1876,8 @@ private[js] object JsColumnCompiler {
         // evaluate when the outer guard already failed — it may contain a
         // throwing member access the outer `if` protects in JS
         def nest(cond: Column): Column =
-          base.map(g => when(g, cond).otherwise(lit(false))).getOrElse(cond)
+          base.map(g => intern(ctx, when(g, cond).otherwise(lit(false))))
+            .getOrElse(cond)
         walkStmts(t, Some(nest(cc)), locals, topLevel = false, ctx, tryAcc) match {
           case Some((_, ts, es2, rs2)) => acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
           case None => return None
@@ -2338,17 +2423,29 @@ private[js] object JsColumnCompiler {
       }.get.otherwise(fallback)
     }
 
+    // a NULL partition key skips the event — the handler never runs, so
+    // its statements must neither contribute nor raise. The skip is
+    // applied HERE, inside the aggregate inputs, never as a row filter
+    // on the computed key: Catalyst pushes such a filter below the
+    // let-bound Projects, substituting the ENTIRE key expression (JSON
+    // parse included) into the Filter with zero sharing — measured 4×
+    // on a body-keyed partitionBy at 10× sf0.1.
+    val keep: Option[Column] = if (keyNullable) Some(col(KeyCol).isNotNull) else None
+    def kept(c: Column, skipped: Column): Column =
+      keep.map(k => when(k, c).otherwise(skipped)).getOrElse(c)
     val aggExprs: Seq[Column] = assigned.flatMap { f =>
       fieldKind(f) match {
         case SumK => Seq(
-          sum(routed(f, sumContrib, lit(0.0)).cast(LongType)).as(s"__graft_sum_$f"))
+          sum(kept(routed(f, sumContrib, lit(0.0)), lit(0.0)).cast(LongType))
+            .as(s"__graft_sum_$f"))
         case MaxK => Seq(
-          max(routed(f, maxContrib, nullD)).as(s"__graft_max_$f"))
+          max(kept(routed(f, maxContrib, nullD), nullD)).as(s"__graft_max_$f"))
         case MinK => Seq(
-          min(routed(f, minContrib, nullD)).as(s"__graft_min_$f"),
-          max(routed(f, nanContrib, lit(false))).as(s"__graft_nan_$f"))
+          min(kept(routed(f, minContrib, nullD), nullD)).as(s"__graft_min_$f"),
+          max(kept(routed(f, nanContrib, lit(false)), lit(false)))
+            .as(s"__graft_nan_$f"))
         case LastK =>
-          val site = routed(f, lastContrib, nullSite)
+          val site = kept(routed(f, lastContrib, nullSite), nullSite)
           Seq(max(when(site.isNotNull,
             struct(col("log_position").as("p"), site.getField("v").as("v"))))
             .as(s"__graft_last_$f"))
@@ -2448,10 +2545,19 @@ private[js] object JsColumnCompiler {
     // keep. The agg output is all-NULL whenever the query survives; the
     // state wrapper below only exists to keep the column referenced
     // (column pruning would otherwise remove the raise with it).
-    val raiseAgg: Seq[Column] = rowRaise.toSeq.map(r =>
+    val raiseAgg: Seq[Column] = rowRaise.toSeq.map { r0 =>
+      val r = kept(r0, nullStr) // skipped events never run the handler
       max(when(r.isNotNull, raise_error(r).cast(StringType))
-        .otherwise(nullStr)).as("__graft_raise"))
-    val allAggs = aggExprs ++ raiseAgg
+        .otherwise(nullStr)).as("__graft_raise")
+    }
+    // the null-key GROUP is dropped after aggregation. The condition
+    // must reference an aggregate output (`first` is nullable, so the
+    // disjunct cannot be constant-folded away) or Catalyst would push
+    // the filter below the aggregate and back into the inlining trap
+    // this whole arrangement avoids.
+    val keepAgg: Seq[Column] =
+      if (keyNullable) Seq(first(lit(1)).as("__graft_keep")) else Nil
+    val allAggs = aggExprs ++ raiseAgg ++ keepAgg
     val stateOut: Column =
       if (rowRaise.isEmpty) stateJsonCol
       else when(col("__graft_raise").isNotNull, col("__graft_raise"))
@@ -2462,15 +2568,18 @@ private[js] object JsColumnCompiler {
       val df = letSeq.foldLeft(withDefaults(log, required)) {
         case (d, (n, c)) => d.withColumn(n, c)
       }
-      val withKey = df.withColumn(KeyCol, keyCol)
-      val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
+      val keyed = df.withColumn(KeyCol, keyCol)
       val grouped =
         if (allAggs.nonEmpty)
           keyed.groupBy(col(KeyCol)).agg(allAggs.head, allAggs.tail: _*)
         else keyed.groupBy(col(KeyCol)).agg(count(lit(1)).as("__graft_cnt"))
+      val dropNullKey =
+        if (keyNullable)
+          grouped.where(col(KeyCol).isNotNull || col("__graft_keep").isNull)
+        else grouped
       val filtered =
-        if (filterConds.isEmpty) grouped
-        else grouped.where(filterConds.reduce(_ && _))
+        if (filterConds.isEmpty) dropNullKey
+        else dropNullKey.where(filterConds.reduce(_ && _))
       filtered.select(col(KeyCol).as("partition"), stateOut.as("state"))
     }))
   }
@@ -2542,12 +2651,19 @@ private[js] object JsColumnCompiler {
       }.get.otherwise(dflt)
     // an uncaught top-level throw faults the projection per row, before
     // this event's emissions are considered
-    val arrCol = raiseRouted(typedHandlers, anyHandler) match {
+    val arrCol1 = raiseRouted(typedHandlers, anyHandler) match {
       case Some(r) => when(r.isNotNull, raise_error(r)
         .cast("array<struct<s:string,t:string,d:string,m:string>>"))
         .otherwise(arrCol0)
       case None => arrCol0
     }
+    // a NULL partition key skips the event (no emissions, no raises) —
+    // expressed as an empty array, NEVER as a row filter on the computed
+    // key, which Catalyst would push below the let Projects and inline
+    // the whole key expression into (the same trap compile() documents)
+    val arrCol =
+      if (keyNullable) when(col(KeyCol).isNotNull, arrCol1).otherwise(emptyArr)
+      else arrCol1
 
     val selector = selectorCol(spec)
     val required = refs.toSet
@@ -2558,8 +2674,7 @@ private[js] object JsColumnCompiler {
       val df = letSeq.foldLeft(withDefaults(log, required)) {
         case (d, (n, c)) => d.withColumn(n, c)
       }
-      val withKey = df.withColumn(KeyCol, keyCol)
-      val keyed = if (keyNullable) withKey.where(col(KeyCol).isNotNull) else withKey
+      val keyed = df.withColumn(KeyCol, keyCol)
       keyed
         .select(col(KeyCol).as("partition"),
           col("log_position").as("caused_by_position"),
