@@ -76,7 +76,7 @@ object AnalyticsQueries extends QueryModule {
       .orderBy(col("rep_id"))
 
   private def dedupNgram(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(nearCorpus(s, d), 0.5, "text", "id")
+    Dedup.ngramJaccardPairs(nearCorpus(s, d), 0.5, "text", "id", maxDocFreq = 64)
       .orderBy(col("id_a"), col("id_b"))
 
   private def minhashSig(s: SparkSession, d: String): DataFrame =
@@ -193,7 +193,11 @@ object AnalyticsQueries extends QueryModule {
     val exactDeduped = candidates.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val drops = Dedup.ngramJaccardPairs(exactDeduped, 0.8, "text", "id")
+    // maxDocFreq caps the inverted-index fan-out: a boilerplate shingle
+    // shared by f docs emits f^2/2 join rows — at corpus scale one hot
+    // shingle dominates the shuffle (r7: 11x bench blowup). The oracle
+    // applies the identical cap, so results stay exactly comparable.
+    val drops = Dedup.ngramJaccardPairs(exactDeduped, 0.8, "text", "id", maxDocFreq = 64)
       .select(col("id_b").as("id")).distinct()
     exactDeduped.join(drops, Seq("id"), "left_anti")
       .select(col("id"),
@@ -254,6 +258,15 @@ object AnalyticsQueries extends QueryModule {
       |    ELSE [array_to_string(w, ' ')] END) AS shingle
       |  FROM (SELECT id, $W AS w FROM corpus)),
       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY 1)""".stripMargin
+
+  /** Mirrors ngramJaccardPairs' maxDocFreq=64 hot-shingle drop: the join
+    * index excludes shingles shared by >64 docs; `sizes` stays computed
+    * from the FULL shingle sets (the Spark side prunes only join keys). */
+  private val prunedShinglesSql =
+    """pruned AS (
+      |  SELECT s.id, s.shingle FROM shingles s
+      |  JOIN (SELECT shingle FROM shingles GROUP BY 1 HAVING count(*) <= 64) ok
+      |    ON ok.shingle = s.shingle)""".stripMargin
 
   private def jaccardPairsSql(candSrc: String): String =
     s"""common AS (
@@ -374,9 +387,13 @@ object AnalyticsQueries extends QueryModule {
         |    ELSE [array_to_string(w, ' ')] END) AS shingle
         |  FROM (SELECT id, $W AS w FROM exact)),
         |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY 1),
+        |pruned AS (
+        |  SELECT s.id, s.shingle FROM shingles s
+        |  JOIN (SELECT shingle FROM shingles GROUP BY 1 HAVING count(*) <= 64) ok
+        |    ON ok.shingle = s.shingle),
         |common AS (
         |  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS c
-        |  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+        |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
         |  GROUP BY 1, 2),
         |drops AS (
         |  SELECT DISTINCT common.id_b AS id
@@ -397,8 +414,9 @@ object AnalyticsQueries extends QueryModule {
     "dedup_ngram_jaccard" ->
       s"""WITH $nearCorpusSql,
         |$shingleSql,
+        |$prunedShinglesSql,
         |${jaccardPairsSql(
-          "shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id")}""".stripMargin,
+          "pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id")}""".stripMargin,
     "dedup_minhash_signatures" ->
       s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 20),
         |$shingleSql

@@ -194,9 +194,9 @@ object RelationalQueries extends QueryModule {
   private def asofAttrib(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.rawEvents(s, d)
     val clicks = ev.where(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
     val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts div 1000").as("purchase_ts_us"),
+      .select(col("user_id"), unix_micros(col("ts")).as("purchase_ts_us"),
         QueryUtil.cents(col("value")).as("_c"))
       .groupBy(col("user_id"), col("purchase_ts_us"))
       .agg(max(col("_c")).as("purchase_cents"))
@@ -213,11 +213,11 @@ object RelationalQueries extends QueryModule {
     val hourUs = 3600000000L
     val ev = Tables.rawEvents(s, d)
     val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        expr("ts div 1000").as("win_start"),
-        (expr("ts div 1000") + hourUs).as("win_end"))
+        unix_micros(col("ts")).as("win_start"),
+        (unix_micros(col("ts")) + hourUs).as("win_end"))
     Temporal.intervalJoin(clicks, purchases, Seq("user_id"),
         "ts_us", "win_start", "win_end", Seq("purchase_id"), blockSize = hourUs)
       .groupBy(col("purchase_id"))

@@ -105,8 +105,8 @@ private[js] object JsColumnCompiler {
   /** Double column. `integral`: provably integer-valued wherever finite
     * (so the long cast at the aggregate is exact — NaN/Inf trip ANSI,
     * loudly). `boundedMs`: provably inside the formattable year range
-    * when read as epoch ms (true for the envelope timestamp, whose
-    * parquet source is nanos-in-long ⊂ years 1677–2262). */
+    * when read as epoch ms (true for the envelope timestamp — the
+    * adapter asserts years 1990–2100 at read, Tables.assertSaneTimestamps). */
   private final case class TNum(integral: Boolean, boundedMs: Boolean = false) extends JTy
   /** String column. `ascii`: provably ASCII-only (ISO timestamps,
     * number strings, ASCII literals) — required for positional ops. */
@@ -263,9 +263,24 @@ private[js] object JsColumnCompiler {
     * multiply-referenced. Throwing expressions must NOT be bound here
     * (hoisting would defeat the lazy-guard semantics). */
   private def memo(ctx: Ctx, c: Column): Column = {
-    val key = c.toString
+    val key = memoKey(c)
     if (!ctx.lets.contains(key)) ctx.lets(key) = c
     col(s"__graft_let_${ctx.lets.keysIterator.indexOf(key)}")
+  }
+
+  /** Collision-proof intern key: the canonicalized underlying Expression
+    * tree. `Column.toString` is NOT usable — every Bridge-wrapped custom
+    * expression prints `…(columnnodeexpression())` regardless of its
+    * children, so distinct kind-columns interned to the same let (the r7
+    * regression: every body-member type tag resolved to the first kind
+    * bound — the whole-body "OBJECT" — and member dispatch fell through
+    * to NULL, silently dropping all rows). The canonicalized tree prints
+    * its full children; hashCode is appended as a structural tiebreak.
+    * A FALSE key mismatch for equal trees would only add a redundant
+    * let (correctness-neutral); a false match is what must not happen. */
+  private def memoKey(c: Column): String = {
+    val e = org.apache.spark.sql.graftbridge.Bridge.expression(c).canonicalized
+    s"$e#${e.hashCode}"
   }
 
   /** The bound lets, in definition order, as (name, expr). */
@@ -292,7 +307,7 @@ private[js] object JsColumnCompiler {
     * dominated per-row cost (measured 5.6× vs the hand-written twin on
     * a partitionBy key read). Small columns stay inline. */
   private def intern(ctx: Ctx, c: Column): Column =
-    if (eagerSafe(c) && c.toString.length > 80) memo(ctx, c) else c
+    if (eagerSafe(c) && memoKey(c).length > 80) memo(ctx, c) else c
 
   // --------------------------------------------------------- conversions
 
@@ -755,8 +770,8 @@ private[js] object JsColumnCompiler {
       Some(TC(in(ctx, "log_position").cast(DoubleType), TNum(integral = true), NoNull))
     case "value" => Some(TC(in(ctx, "value").cast(DoubleType), TNum(integral = false), NoNull))
     case "timestamp" =>
-      // epoch ms; parquet nanos-in-long bounds the range to years
-      // 1677–2262, safely inside the formattable window
+      // epoch ms; the adapter's year-range assertion (1990–2100)
+      // bounds this safely inside the formattable window
       Some(TC(unix_millis(in(ctx, "timestamp")).cast(DoubleType),
         TNum(integral = true, boundedMs = true), NullIsJsNull))
     case _ => None

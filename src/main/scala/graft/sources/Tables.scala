@@ -38,20 +38,41 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` stores ts as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as TimestampType; read it as raw nanos (LongType) and
-    * convert explicitly (µs truncation matches DuckDB's read behavior). */
+  /** `events.parquet` stores ts as parquet TIMESTAMP(MICROS); read it
+    * natively as TimestampType — the same representation DuckDB's oracle
+    * reads, so both engines see identical µs instants. The explicit schema
+    * fails loudly if the physical type ever flips (e.g. back to NANOS,
+    * which Spark 4 refuses to coerce); [[assertSaneTimestamps]] guards the
+    * complementary silent failure mode (unit reinterpretation). */
   def rawEvents(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
-    s.read.schema(StructType(Seq(
+    val df = s.read.schema(StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", TimestampType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)
     ))).parquet(s"$d/events.parquet")
+    assertSaneTimestamps(s, d, df)
+    df
   }
+
+  /** Once per (session, dir): assert the event timestamps land in a sane
+    * year range. A physical-unit flip in regenerated testdata (ns read as
+    * µs or vice versa) shifts every instant by 1000× — silently corrupting
+    * every window/as-of/range query — so fail fast and loudly instead.
+    * Cost: one min/max over a single pruned column, memoized. */
+  private val tsCheckCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+  private def assertSaneTimestamps(s: SparkSession, d: String, df: DataFrame): Unit =
+    tsCheckCache.getOrElseUpdate((s, d), {
+      val row = df.agg(min(year(col("ts"))), max(year(col("ts")))).head()
+      val (lo, hi) = (row.getInt(0), row.getInt(1))
+      require(lo >= 1990 && hi <= 2100,
+        s"events.parquet ts out of sane range [$lo, $hi] for $d — " +
+          "the parquet timestamp physical unit likely changed; fix Tables.rawEvents")
+    })
 
   /** The event log in canonical envelope form (see object doc).
     *
@@ -84,7 +105,7 @@ object Tables {
       concat(col("event_type"), lit("-"), col("user_id")).as("stream_id"),
       col("event_id").cast("string").as("event_id"),
       col("event_type"),
-      expr("timestamp_micros(ts div 1000)").as("timestamp"),
+      col("ts").as("timestamp"),
       col("event_id").as("log_position"),
       get_json_object(col("props"), "$.k").as("correlation_id"),
       col("props").as("data"),
@@ -101,7 +122,7 @@ object Tables {
       (row_number().over(w) - 1).cast("long").as("event_number"),
       col("event_id").cast("string").as("event_id"),
       col("event_type"),
-      expr("timestamp_micros(ts div 1000)").as("timestamp"),
+      col("ts").as("timestamp"),
       col("event_id").as("log_position"),
       get_json_object(col("props"), "$.k").as("correlation_id"),
       lit(true).as("is_json"),

@@ -1635,4 +1635,35 @@ fromAll()
         purchase: function(s, e) { s.p += 1; return s; }
     })""", log)
   }
+
+  test("memo keys: Bridge-wrapped kind columns do not collide (r7 regression)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val a = graft.functions.JsVariantKind(col("aaa"))
+    val b = graft.functions.JsVariantKind(col("bbb"))
+    // Column.toString prints every Bridge-wrapped custom expression as
+    // "…(columnnodeexpression())" — distinct kind columns interned to
+    // one let slot, so every member's type tag resolved to the parent
+    // object's and dispatch fell through to NULL (silent 0-row states).
+    // The compiler's memo must key on something that distinguishes them.
+    assert(Bridge.expression(a).canonicalized.toString !=
+      Bridge.expression(b).canonicalized.toString)
+  }
+
+  test("compiled fast path row-counts match the interpreter on every corpus definition") {
+    // Cheap whole-corpus invariant: silent row loss in the compiled path
+    // (the r7 failure mode) turns into an instant red here, even for
+    // definitions whose full-value equivalence is only checked by the
+    // oracle gate.
+    val dir = "/root/testdata/sf0.001"
+    for ((name, fn) <- graft.projections.js.JsProjectionQueries.queries) {
+      val compiled = fn(spark, dir).count()
+      spark.conf.set("spark.graft.js.columnCompile", "false")
+      val interpreted =
+        try fn(spark, dir).count()
+        finally spark.conf.set("spark.graft.js.columnCompile", "true")
+      assert(compiled == interpreted,
+        s"$name: compiled rows=$compiled, interpreted rows=$interpreted")
+      assert(compiled > 0, s"$name: zero rows from both paths at sf0.001")
+    }
+  }
 }
