@@ -1632,6 +1632,15 @@ private[js] object JsColumnCompiler {
     * statement ran for this event); `frag` the value's JSON.stringify
     * fragment, SQL NULL = JS undefined (stringify skips the key). */
   private final case class LastTerm(exec: Column, frag: Column) extends FieldOp
+  /** Ordered append `s.f.push(v, …)` with state-free element values: the
+    * fold collect_lists each executed site's rendered elements tagged
+    * with the event's log position and array_sorts at finalization —
+    * the aggregate itself is commutative (sorting restores event order),
+    * hence batch/streaming/merge safe. `frags` are the site's element
+    * fragments in argument order, already coalesced to "null"
+    * (JSON.stringify renders undefined array ELEMENTS as null, unlike
+    * object values, which drop the key). */
+  private final case class PushTerm(exec: Column, frags: Seq[Column]) extends FieldOp
 
   /** Guarded per-event contribution terms per state field. */
   private type FieldTerms = List[(String, FieldOp)]
@@ -1814,6 +1823,31 @@ private[js] object JsColumnCompiler {
       acc += f -> LastTerm(andOk(g0, ok).getOrElse(lit(true)), frag)
       true
     }
+    // `s.f.push(e, …)` in statement position (result unused): one site,
+    // all elements state-free. JS evaluates every argument BEFORE the
+    // push runs, so a throwing later argument suppresses the whole
+    // site's append — one combined exec guard is exact.
+    def addPush(f: String, args: Seq[Expr], g0: Option[Column]): Boolean = {
+      var g = g0
+      val frags = args.map { a =>
+        val tc = compileExpr(a, ctx, locals) match {
+          case Some(v) => v
+          case None => return false
+        }
+        val frag0 = fragOf(tc) match {
+          case Some(c) => c
+          case None => return false
+        }
+        val (frag, ok) = (tryAcc, tc.err) match {
+          case (Some(_), Some(e)) => registerErr(e, g0); (frag0, Some(e.isNull))
+          case _ => (sealDerived(frag0, tc.err), None)
+        }
+        g = andOk(g, ok)
+        coalesce(frag, lit("null")) // undefined element renders as null
+      }
+      acc += f -> PushTerm(g.getOrElse(lit(true)), frags)
+      true
+    }
 
     for ((st, i) <- stmts.zipWithIndex) st match {
       // top-level var decls bind at their statement position (later
@@ -1860,6 +1894,9 @@ private[js] object JsColumnCompiler {
         // statement-position s.f++ / ++s.f: the result value is unused,
         // so both fixities are the same ±1 sum contribution
         if (!addSum(f, NumLit(1), negate = op == "--", effGuard)) return None
+      case ExprStmt(Call(Member(Member(Ident(s), f), "push"), args))
+          if ctx.stateParam.contains(s) && !locals.contains(s) && args.nonEmpty =>
+        if (!addPush(f, args, effGuard)) return None
       case ExprStmt(Call(Ident(fn @ ("emit" | "linkTo" | "linkStreamTo")), args))
           if unshadowedNative(ctx, locals, fn) =>
         compileEmitArgs(fn, args, ctx, locals) match {
@@ -2341,12 +2378,13 @@ private[js] object JsColumnCompiler {
     }
     val assignedSet = assigned.toSet
     if (allOps.exists(o => !init.contains(o._1))) return None
-    val SumK = 0; val MaxK = 1; val MinK = 2; val LastK = 3
+    val SumK = 0; val MaxK = 1; val MinK = 2; val LastK = 3; val PushK = 4
     def kindOf(op: FieldOp): Int = op match {
       case _: SumTerm => SumK
       case _: MaxTerm => MaxK
       case _: MinTerm => MinK
       case _: LastTerm => LastK
+      case _: PushTerm => PushK
     }
     val fieldKind: Map[String, Int] = assigned.map { f =>
       allOps.collect { case (`f`, op) => kindOf(op) }.distinct match {
@@ -2357,8 +2395,14 @@ private[js] object JsColumnCompiler {
     // init values: sums need exactly-representable integrals (the long
     // accumulator), extrema any number (selection keeps exact doubles);
     // overwrites keep the init's static stringify fragment (any value)
+    // push fields must start from [] — a non-empty init array would need
+    // its elements prefixed ahead of every append; rare, so fall back
+    if (assigned.exists(f => fieldKind(f) == PushK && (init(f) match {
+      case JsArr(items) => items.nonEmpty
+      case _ => true
+    }))) return None
     val initNum: Map[String, Double] = assigned.flatMap { f =>
-      if (fieldKind(f) == LastK) None
+      if (fieldKind(f) == LastK || fieldKind(f) == PushK) None
       else init(f) match {
         case JsNum(d) =>
           if (fieldKind(f) == SumK &&
@@ -2372,13 +2416,22 @@ private[js] object JsColumnCompiler {
     val initFrag: Map[String, Option[String]] = assigned.collect {
       case f if fieldKind(f) == LastK => f -> JsVal.stringify(init(f))
     }.toMap
-    if (fieldKind.valuesIterator.contains(LastK)) refs += "log_position"
+    if (fieldKind.valuesIterator.exists(k => k == LastK || k == PushK))
+      refs += "log_position"
     // final fragment of an overwrite field: the latest executed site's
     // rendered value, else the $init fragment (NULL = key absent)
     def lastFinalFrag(f: String): Column = {
       val last = col(s"__graft_last_$f")
       when(last.isNotNull, last.getField("v"))
         .otherwise(initFrag(f).map(lit(_): Column).getOrElse(nullStr))
+    }
+    // final array fragment of a push field: events sorted back into log
+    // order, each event's elements already in program order
+    def pushFinalFrag(f: String): Column = {
+      val sorted = array_sort(col(s"__graft_push_$f"))
+      concat(lit("["),
+        concat_ws(",", flatten(transform(sorted, x => x.getField("a")))),
+        lit("]"))
     }
 
     val nullD = lit(null).cast(DoubleType)
@@ -2418,6 +2471,18 @@ private[js] object JsColumnCompiler {
     // ran" (null struct). coalesce is sequential and when() lazy, so a
     // site's frag only evaluates under its own guard (throwing accesses
     // stay protected).
+    // per-event append contribution: each executed site's elements in
+    // program order; sites that didn't run contribute an empty slice
+    val nullStrArr = lit(null).cast("array<string>")
+    def pushContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, p: PushTerm) => p } match {
+        case Nil => nullStrArr
+        case one :: Nil =>
+          when(one.exec, array(one.frags: _*)).otherwise(nullStrArr)
+        case many => flatten(array(many.map(s =>
+          when(s.exec, array(s.frags: _*))
+            .otherwise(array().cast("array<string>"))): _*))
+      }
     val nullSite = lit(null).cast("struct<v:string>")
     def lastContrib(terms: FieldTerms, f: String): Column =
       terms.collect { case (`f`, l: LastTerm) => l } match {
@@ -2464,6 +2529,15 @@ private[js] object JsColumnCompiler {
           Seq(max(when(site.isNotNull,
             struct(col("log_position").as("p"), site.getField("v").as("v"))))
             .as(s"__graft_last_$f"))
+        case PushK =>
+          // collect_list skips NULL inputs, so events that append
+          // nothing cost nothing; order is restored by the finalizer's
+          // array_sort on (p, …) — log positions are unique, so the
+          // struct ordering is total and deterministic
+          val ev = kept(routed(f, pushContrib, nullStrArr), nullStrArr)
+          Seq(collect_list(when(coalesce(size(ev), lit(0)) > 0,
+            struct(col("log_position").as("p"), ev.as("a"))))
+            .as(s"__graft_push_$f"))
       }
     }
 
@@ -2508,6 +2582,7 @@ private[js] object JsColumnCompiler {
                 raise_error(lit(overflowMsg(k))).cast(StringType))
                 .otherwise(tot.cast(StringType))
             } else if (fieldKind(k) == LastK) lastFinalFrag(k)
+            else if (fieldKind(k) == PushK) pushFinalFrag(k)
             else doubleJson(finalDouble(k))
           Some(concat(lit(keyJson), rendered)) // null rendered → null part
         } else JsVal.stringify(v).map(frag => lit(keyJson + frag))
@@ -2533,6 +2608,8 @@ private[js] object JsColumnCompiler {
                 // may pass over them, but reading one falls back
                 if (fieldKind(k) == LastK)
                   Some(acc :+ (k -> TC(lastFinalFrag(k), TFrag, NoNull)))
+                else if (fieldKind(k) == PushK)
+                  Some(acc :+ (k -> TC(pushFinalFrag(k), TFrag, NoNull)))
                 else Some(acc :+ (k -> TC(finalDouble(k),
                   TNum(integral = fieldKind(k) == SumK), NoNull)))
               else constTC(v).map(tc => acc :+ (k -> tc))

@@ -326,10 +326,34 @@ fromCategory('signup')
         get_json_object(col("state"), "$.j").as("j"))
       .orderBy(col("partition"))
 
+  /** Arrays-in-state: guarded `s.big.push(...)` alongside a sum — the
+    * compiled fold collect_lists (log_position, elements) and restores
+    * order with array_sort at finalization, so the plan stays one
+    * scan + one aggregate with no interpreter node and no ordered fold. */
+  private val arrayCollectSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, big: [] }; },
+        purchase: function(s, e) {
+            s.n += 1;
+            if (e.value > 150.0) s.big.push(Math.round(e.value * 100));
+            return s;
+        }
+    })"""
+
+  private def jsArrayCollect(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(arrayCollectSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.big").as("big"))
+      .orderBy(col("partition"))
+
   /** Every JS definition this module runs, by name — the handler corpus
     * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
     * == interpreter on each, including the ones that must fall back). */
   private[graft] def handlerCorpus: Seq[(String, String)] = Seq(
+    "js_array_collect" -> arrayCollectSource,
     "js_minmax" -> minmaxSource,
     "js_last_value" -> lastValueSource,
     "js_date_bucket" -> dateSource,
@@ -355,12 +379,23 @@ fromCategory('signup')
     "js_emit" -> (jsEmit _),
     "js_linkto" -> (jsLinkTo _),
     "js_transform_filter" -> (jsTransformFilter _),
-    "js_output_state" -> (jsOutputState _)
+    "js_output_state" -> (jsOutputState _),
+    "js_array_collect" -> (jsArrayCollect _)
   )
 
   private val L = Tables.eventLogSql
 
   def oracles: Seq[(String, String)] = Seq(
+    // push order == log order within the stream; string_agg ORDER BY
+    // log_position mirrors the compiled fold's array_sort finalizer
+    "js_array_collect" -> s"""$L
+      |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
+      |       '[' || coalesce(string_agg(
+      |         CASE WHEN value > 150.0
+      |              THEN CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) END,
+      |         ',' ORDER BY log_position), '') || ']' AS big
+      |FROM log WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "js_minmax" -> s"""$L
       |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
       |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hi_cents,

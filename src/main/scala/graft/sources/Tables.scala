@@ -60,18 +60,21 @@ object Tables {
 
   /** Once per (session, dir): assert the event timestamps land in a sane
     * year range. A physical-unit flip in regenerated testdata (ns read as
-    * µs or vice versa) shifts every instant by 1000× — silently corrupting
-    * every window/as-of/range query — so fail fast and loudly instead.
-    * Cost: one min/max over a single pruned column, memoized. */
+    * µs or vice versa) shifts EVERY instant uniformly by 1000× — silently
+    * corrupting every window/as-of/range query — so fail fast and loudly.
+    * A single-row probe suffices (the shift is uniform) and costs one
+    * row-group read of one column, so the first benched query doesn't
+    * absorb a full-column min/max scan. Memoized per (session, dir). */
   private val tsCheckCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
   private def assertSaneTimestamps(s: SparkSession, d: String, df: DataFrame): Unit =
     tsCheckCache.getOrElseUpdate((s, d), {
-      val row = df.agg(min(year(col("ts"))), max(year(col("ts")))).head()
-      val (lo, hi) = (row.getInt(0), row.getInt(1))
-      require(lo >= 1990 && hi <= 2100,
-        s"events.parquet ts out of sane range [$lo, $hi] for $d — " +
-          "the parquet timestamp physical unit likely changed; fix Tables.rawEvents")
+      df.select(year(col("ts")).as("y")).head(1).foreach { row =>
+        val y = row.getInt(0)
+        require(y >= 1990 && y <= 2100,
+          s"events.parquet ts year $y out of sane range for $d — " +
+            "the parquet timestamp physical unit likely changed; fix Tables.rawEvents")
+      }
     })
 
   /** The event log in canonical envelope form (see object doc).

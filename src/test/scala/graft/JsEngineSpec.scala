@@ -1012,6 +1012,7 @@ fromCategory("idx")
     // flow (clause guards + the err channel), and regex match/test/
     // replace/split over the native JsRegexColumns expressions
     assert(compiled == Map(
+      "js_array_collect" -> true,
       "js_minmax" -> true,
       "js_last_value" -> true,
       "js_date_bucket" -> true,
@@ -1085,6 +1086,21 @@ fromAll()
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0 }; },
       $any: function(s, e) { s.x = e.value; s.x += 1; return s; } })"""))
+    // arrays-in-state compile when init is [] and elements are state-free
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { xs: [] }; },
+      $any: function(s, e) { s.xs.push(e.value); return s; } })"""))
+    // ...but not from a non-empty init array (elements would need
+    // prefixing), a state-valued element, or mixed with another kind
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { xs: [1] }; },
+      $any: function(s, e) { s.xs.push(e.value); return s; } })"""))
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { n: 0, xs: [] }; },
+      $any: function(s, e) { s.n += 1; s.xs.push(s.n); return s; } })"""))
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { xs: [] }; },
+      $any: function(s, e) { s.xs.push(e.value); s.xs = 1; return s; } })"""))
     // assigned field missing from $init: JS would produce NaN
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return {}; },
@@ -1634,6 +1650,54 @@ fromAll()
         $init: function() { return { p: 0 }; },
         purchase: function(s, e) { s.p += 1; return s; }
     })""", log)
+  }
+
+  test("column fast path: s.xs.push — order, guards, undefined elements, " +
+    "multi-arg, multi-site, fast == interpreter") {
+    val log = hostileLog
+    // guarded push + unconditional push of a dynamic body member (missing
+    // key → undefined → renders as null INSIDE the array, per stringify)
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, xs: [] }; },
+        $any: function(s, e) {
+            s.n += 1;
+            if (e.value > 1.0) s.xs.push(e.value);
+            return s;
+        }
+    })""", log))
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { ks: [] }; },
+        purchase: function(s, e) { s.ks.push(e.body.k, e.value); return s; }
+    })""", log))
+    // two sites in one handler: program order within the event
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { xs: [] }; },
+        $any: function(s, e) {
+            s.xs.push(e.value);
+            if (e.value > 100.0) s.xs.push("big");
+            return s;
+        }
+    })""", log))
+    // concrete order check: pushes land in log-position order
+    val states = JsProjection.compile("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { xs: [] }; },
+        purchase: function(s, e) { s.xs.push(e.value); return s; }
+    })""").states(log).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states("purchase-1") == """{"xs":[10.5,151.2]}""")
+    assert(states("purchase-3") == """{"xs":[42,0.49,1.01]}""")
+    assert(states("click-9") == """{"xs":[]}""")
   }
 
   test("memo keys: Bridge-wrapped kind columns do not collide (r7 regression)") {
