@@ -79,6 +79,20 @@ object AnalyticsQueries extends QueryModule {
     Dedup.ngramJaccardPairs(nearCorpus(s, d), 0.5, "text", "id", maxDocFreq = 64)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental (batch-vs-corpus) dedup: existing = ids not ≡0 mod 10;
+    * incoming = ids ≡0 mod 10 (genuinely new) ∪ exact copies of existing
+    * docs (must be dropped). Exercises both bloom paths: negatives pass
+    * join-free, positives are exact-verified. */
+  private def bloomIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val existing = all.where(col("id") % 10 =!= 0)
+    val incoming = all.where(col("id") % 10 === 0).unionAll(
+      all.where(col("id") % 10 === 1 && col("id") < 300)
+        .select((col("id") + 200000).as("id"), col("text")))
+    Dedup.incrementalNew(existing, incoming, "text", "id")
+      .select(col("id").as("doc_id")).orderBy(col("doc_id"))
+  }
+
   private def minhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.minhashSignatures(docs(s, d).where(col("id") < 20), 8, "text", "id")
       .orderBy(col("id"), col("seed"))
@@ -215,6 +229,7 @@ object AnalyticsQueries extends QueryModule {
     "text_winnow_fp" -> (winnowQ _),
     "pipeline_training_data" -> (pipelineQ _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_bloom_incremental" -> (bloomIncrementalQ _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash_signatures" -> (minhashSig _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -411,6 +426,20 @@ object AnalyticsQueries extends QueryModule {
         |FROM corpus
         |GROUP BY md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' '))
         |HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    "dedup_bloom_incremental" ->
+      """WITH existing AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0),
+        |incoming AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents
+        |  WHERE doc_id % 10 = 1 AND doc_id < 300),
+        |infp AS (SELECT id, md5(array_to_string(
+        |  string_split_regex(trim(lower(text)), '\s+'), ' ')) AS f FROM incoming),
+        |exfp AS (SELECT DISTINCT md5(array_to_string(
+        |  string_split_regex(trim(lower(text)), '\s+'), ' ')) AS f FROM existing)
+        |SELECT infp.id AS doc_id FROM infp
+        |WHERE infp.f NOT IN (SELECT f FROM exfp) ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $nearCorpusSql,
         |$shingleSql,

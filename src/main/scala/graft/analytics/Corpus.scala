@@ -275,4 +275,33 @@ object Corpus {
       .where(col("_rn") <= perSourceCap)
       .drop("_rn")
   }
+
+  /** Deterministic train/valid/test assignment by salted id-hash: the
+    * standard leakage-safe split (same id → same split on every run, every
+    * engine, any cluster size — no `rand()`, no global sort). `weights`
+    * are cut points out of 256: a doc lands in split i when its first
+    * md5 byte falls in [cut(i-1), cut(i)). Pure narrow column math —
+    * embarrassingly parallel at any scale. */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+      salt: String = "split", weights: Seq[(String, Int)] =
+        Seq("train" -> 205, "valid" -> 230, "test" -> 256)): Column = {
+    require(weights.nonEmpty && weights.last._2 == 256,
+      "weights must be ascending cut points ending at 256")
+    val bucket = conv(
+      substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 2),
+      16, 10).cast("int")
+    weights.init.foldRight(lit(weights.last._1): Column) { case ((name, cut), acc) =>
+      when(bucket < cut, name).otherwise(acc)
+    }
+  }
+
+  /** Corpus vocabulary: token → document-independent total count. The
+    * canonical "what's in my corpus" scan — partial aggregation collapses
+    * each partition's counts map-side, so the shuffle carries one row per
+    * distinct token per partition, and top-k is a TakeOrdered (no global
+    * sort). */
+  def vocabulary(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
 }

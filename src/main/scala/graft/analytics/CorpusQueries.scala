@@ -156,7 +156,24 @@ object CorpusQueries extends QueryModule {
         min(col("quality")).as("min_quality"))
       .orderBy(col("source"))
 
+  /** Deterministic split assignment, verified as per-split aggregates
+    * (the GROUP BY proves every doc got exactly one split AND that the
+    * proportions land where the cut points say). */
+  private def splitQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("split", Corpus.hashSplit(Tables.documents(s, d)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"))
+
+  private def vocabQ(s: SparkSession, d: String): DataFrame =
+    Corpus.vocabulary(Tables.documents(s, d))
+      .orderBy(col("n").desc, col("word")).limit(100)
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "split_assign" -> (splitQ _),
+    "vocab_topk" -> (vocabQ _),
     "pack_sequences" -> (packQ _),
     "chunk_documents" -> (chunkQ _),
     "chunk_by_tokens" -> (chunkTokQ _),
@@ -172,6 +189,24 @@ object CorpusQueries extends QueryModule {
   )
 
   def oracles: Seq[(String, String)] = Seq(
+    "split_assign" ->
+      """WITH assigned AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, n_chars,
+        |          CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS b
+        |        FROM documents))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS first_doc
+        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vocab_topk" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
         |  SELECT doc_id AS id, CAST(len($W) AS BIGINT) AS n_tokens,

@@ -451,4 +451,36 @@ object Dedup {
       .select(col("id").as("_drop_id"))
     docs.join(drop, docs(idCol).cast("long") === col("_drop_id"), "left_anti")
   }
+
+  /** Incremental exact dedup: the rows of `incoming` whose (normalized)
+    * text does NOT already exist in `existing` — the daily-ingest shape of
+    * exact dedup, where the historical corpus is orders of magnitude
+    * larger than the batch.
+    *
+    * Scale design: a Bloom filter over the EXISTING fingerprints
+    * (built distributed via `DataFrameStatFunctions.bloomFilter`, the same
+    * 1-byte-per-4-entries trade the reference makes for its per-PTable
+    * blooms — PTable.cs:73-83) is broadcast to the batch scan.
+    * Bloom-negative rows are provably new and never shuffle; only
+    * bloom-positive rows (true dups + fpp false positives) pay the exact
+    * anti-join against the fingerprint set. At 100 TB this turns
+    * "anti-join the batch against a petabyte corpus" into "broadcast ~1
+    * byte/doc + anti-join a few percent of the batch". The result is
+    * EXACT for any fpp: false positives are re-checked, false negatives
+    * are impossible. */
+  def incrementalNew(existing: DataFrame, incoming: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      fpp: Double = 0.03): DataFrame = {
+    val exFp = existing.select(fingerprint(col(textCol)).as("fp"))
+    val bloom = exFp.stat.bloomFilter("fp", math.max(exFp.count(), 64L), fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+    val inFp = incoming
+      .withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("might", mightContain(col("fp")))
+    val definitelyNew = inFp.where(!col("might"))
+    val verifiedNew = inFp.where(col("might"))
+      .join(exFp.distinct(), Seq("fp"), "left_anti")
+    definitelyNew.unionByName(verifiedNew).drop("fp", "might")
+  }
 }
