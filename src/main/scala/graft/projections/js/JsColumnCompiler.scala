@@ -1641,6 +1641,17 @@ private[js] object JsColumnCompiler {
     * (JSON.stringify renders undefined array ELEMENTS as null, unlike
     * object values, which drop the key). */
   private final case class PushTerm(exec: Column, frags: Seq[Column]) extends FieldOp
+  /** Dynamic-key counter object `s.f[K] = (s.f[K] || 0) + delta` (either
+    * operand order) with a state-free key K and a state-free integral
+    * delta — the count-by-<property> shape (the reference's canonical
+    * per-type/per-user tallies). Compiles to a TWO-LEVEL aggregation:
+    * level 1 groups by (partition, ToString(K)) and partial-sums deltas
+    * map-side; level 2 reassembles the object with `map` entries sorted
+    * by each key's FIRST execution position — exactly the interpreter's
+    * LinkedHashMap insertion order (JsInterp setProp). `exec` is the
+    * site guard; `key` the ES ToString of K (evaluated only under
+    * `exec`); `delta` the per-event numeric contribution. */
+  private final case class MapSumTerm(exec: Column, key: Column, delta: Column) extends FieldOp
 
   /** Guarded per-event contribution terms per state field. */
   private type FieldTerms = List[(String, FieldOp)]
@@ -1823,6 +1834,41 @@ private[js] object JsColumnCompiler {
       acc += f -> LastTerm(andOk(g0, ok).getOrElse(lit(true)), frag)
       true
     }
+    // `s.f[K] = (s.f[K] || 0) + delta`: dynamic-key counter. The rhs
+    // re-evaluates K (pure by construction, so once is enough); its
+    // error fires before delta's, like the interpreter's rhs-first
+    // evaluation. The key is ES-ToString'd (JsInterp setProp does
+    // JsVal.toStr on the property key).
+    def addMapSum(f: String, kExpr: Expr, rhs: Expr, g0: Option[Column]): Boolean = {
+      def selfRead(e: Expr): Boolean = e match {
+        case Logical("||", Index(Member(Ident(s2), f2), k2), NumLit(z)) =>
+          ctx.stateParam.contains(s2) && !locals.contains(s2) &&
+            f2 == f && k2 == kExpr && z == 0.0
+        case _ => false
+      }
+      val deltaE = rhs match {
+        case Binary("+", l, r) if selfRead(l) => r
+        case Binary("+", l, r) if selfRead(r) => l
+        case _ => return false
+      }
+      val kTC0 = compileExpr(kExpr, ctx, locals) match {
+        case Some(v) => v
+        case None => return false
+      }
+      val (kTC, kOk) = consume(kTC0, g0)
+      val g1 = andOk(g0, kOk)
+      val (dTC, dOk) = numExpr(deltaE, ctx, locals) match {
+        case Some(v) if integralClaim(v) => consume(v, g1)
+        case _ => return false // non-integral counters lose exactness
+      }
+      val g = andOk(g1, dOk)
+      val kCol = strOf(kTC) match {
+        case Some((c, _)) => c
+        case None => return false
+      }
+      acc += f -> MapSumTerm(g.getOrElse(lit(true)), kCol, dTC.col)
+      true
+    }
     // `s.f.push(e, …)` in statement position (result unused): one site,
     // all elements state-free. JS evaluates every argument BEFORE the
     // push runs, so a throwing later argument suppresses the whole
@@ -1894,6 +1940,9 @@ private[js] object JsColumnCompiler {
         // statement-position s.f++ / ++s.f: the result value is unused,
         // so both fixities are the same ±1 sum contribution
         if (!addSum(f, NumLit(1), negate = op == "--", effGuard)) return None
+      case ExprStmt(Assign("=", Index(Member(Ident(s), f), kExpr), rhs))
+          if ctx.stateParam.contains(s) && !locals.contains(s) =>
+        if (!addMapSum(f, kExpr, rhs, effGuard)) return None
       case ExprStmt(Call(Member(Member(Ident(s), f), "push"), args))
           if ctx.stateParam.contains(s) && !locals.contains(s) && args.nonEmpty =>
         if (!addPush(f, args, effGuard)) return None
@@ -2379,12 +2428,14 @@ private[js] object JsColumnCompiler {
     val assignedSet = assigned.toSet
     if (allOps.exists(o => !init.contains(o._1))) return None
     val SumK = 0; val MaxK = 1; val MinK = 2; val LastK = 3; val PushK = 4
+    val MapSumK = 5
     def kindOf(op: FieldOp): Int = op match {
       case _: SumTerm => SumK
       case _: MaxTerm => MaxK
       case _: MinTerm => MinK
       case _: LastTerm => LastK
       case _: PushTerm => PushK
+      case _: MapSumTerm => MapSumK
     }
     val fieldKind: Map[String, Int] = assigned.map { f =>
       allOps.collect { case (`f`, op) => kindOf(op) }.distinct match {
@@ -2401,8 +2452,26 @@ private[js] object JsColumnCompiler {
       case JsArr(items) => items.nonEmpty
       case _ => true
     }))) return None
+    // map fields must start from {} (pre-seeded keys would need their
+    // init values and insertion slots merged in; rare → fall back), and
+    // the two-level grouping carries ONE key column — one map field, one
+    // site per handler (one event → one key contribution)
+    val mapFields = assigned.filter(f => fieldKind(f) == MapSumK)
+    if (mapFields.nonEmpty) {
+      if (mapFields.size > 1) return None
+      val mf = mapFields.head
+      if (init(mf) match {
+        case JsObj(fields) => fields.nonEmpty
+        case _ => true
+      }) return None
+      def sites(terms: FieldTerms) =
+        terms.count { case (`mf`, _: MapSumTerm) => true; case _ => false }
+      if (typedFolds.exists(t => sites(t._2) > 1) || anyFold.exists(sites(_) > 1))
+        return None
+    }
     val initNum: Map[String, Double] = assigned.flatMap { f =>
-      if (fieldKind(f) == LastK || fieldKind(f) == PushK) None
+      if (fieldKind(f) == LastK || fieldKind(f) == PushK ||
+        fieldKind(f) == MapSumK) None
       else init(f) match {
         case JsNum(d) =>
           if (fieldKind(f) == SumK &&
@@ -2416,7 +2485,8 @@ private[js] object JsColumnCompiler {
     val initFrag: Map[String, Option[String]] = assigned.collect {
       case f if fieldKind(f) == LastK => f -> JsVal.stringify(init(f))
     }.toMap
-    if (fieldKind.valuesIterator.exists(k => k == LastK || k == PushK))
+    if (fieldKind.valuesIterator.exists(k =>
+      k == LastK || k == PushK || k == MapSumK))
       refs += "log_position"
     // final fragment of an overwrite field: the latest executed site's
     // rendered value, else the $init fragment (NULL = key absent)
@@ -2491,6 +2561,25 @@ private[js] object JsColumnCompiler {
         case many => coalesce(many.reverse.map(s =>
           when(s.exec, struct(s.frag.as("v")))): _*)
       }
+    // map-field per-event contributions: whether the site ran, its key
+    // (only evaluated under the guard — it may contain a protected
+    // throwing access), and its delta
+    def mapExecContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, m: MapSumTerm) => m.exec } match {
+        case Nil => lit(false)
+        case one :: Nil => one
+        case many => many.reduce(_ || _) // unreachable: one site enforced
+      }
+    def mapKeyContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, m: MapSumTerm) => m } match {
+        case Nil => nullStr
+        case m :: _ => when(m.exec, m.key).otherwise(nullStr)
+      }
+    def mapDeltaContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, m: MapSumTerm) => m } match {
+        case Nil => lit(0.0)
+        case m :: _ => when(m.exec, m.delta).otherwise(lit(0.0))
+      }
     def routed(f: String, mk: (FieldTerms, String) => Column, dflt: Column): Column = {
       val fallback = anyFold.map(mk(_, f)).getOrElse(dflt)
       if (typedFolds.isEmpty) fallback
@@ -2538,7 +2627,26 @@ private[js] object JsColumnCompiler {
           Seq(collect_list(when(coalesce(size(ev), lit(0)) > 0,
             struct(col("log_position").as("p"), ev.as("a"))))
             .as(s"__graft_push_$f"))
+        case MapSumK =>
+          // level-1 aggs, grouped by (partition, __graft_mk_f): the
+          // per-key partial sum, whether any site ran (a 0-delta site
+          // still CREATES the key), and the key's first execution
+          // position (the interpreter's insertion slot)
+          val execC = kept(routed(f, mapExecContrib, lit(false)), lit(false))
+          Seq(
+            sum(when(execC, routed(f, mapDeltaContrib, lit(0.0)))
+              .otherwise(lit(0.0)).cast(LongType)).as(s"__graft_mv_$f"),
+            max(execC).as(s"__graft_mx_$f"),
+            min(when(execC, col("log_position"))).as(s"__graft_mp_$f"))
       }
+    }
+    // the level-1 grouping key of each map field (evaluated lazily under
+    // the site guard; non-executing events land in a junk NULL-key group
+    // that level 2 drops via __graft_mx)
+    val mapKeyCols: Seq[(String, Column)] = mapFields.map { f =>
+      val execC = kept(routed(f, mapExecContrib, lit(false)), lit(false))
+      s"__graft_mk_$f" ->
+        when(execC, routed(f, mapKeyContrib, nullStr)).otherwise(nullStr)
     }
 
     def overflowMsg(k: String) =
@@ -2565,6 +2673,19 @@ private[js] object JsColumnCompiler {
       when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), lit("null"))
         .otherwise(JsNumberString(c))
 
+    /** Final JSON fragment of a map field: level-2 entries sorted by
+      * first-execution position = LinkedHashMap insertion order; keys
+      * JSON-escaped, values exact longs behind the 2^53 guard. */
+    def mapFinalFrag(f: String): Column = {
+      val entries = array_sort(col(s"__graft_map_$f"))
+      val parts = transform(entries, e =>
+        concat(graft.functions.JsJsonString(e.getField("k")), lit(":"),
+          when(abs(e.getField("v")) >= lit(MaxExact),
+            raise_error(lit(overflowMsg(f))).cast(StringType))
+            .otherwise(e.getField("v").cast(StringType))))
+      concat(lit("{"), concat_ws(",", parts), lit("}"))
+    }
+
     // final state JSON, in $init field order; unassigned fields are
     // compile-time fragments (undefined-valued ones are skipped, like
     // JSON.stringify). Parts are nullable "key":value fragments — a SQL
@@ -2583,6 +2704,7 @@ private[js] object JsColumnCompiler {
                 .otherwise(tot.cast(StringType))
             } else if (fieldKind(k) == LastK) lastFinalFrag(k)
             else if (fieldKind(k) == PushK) pushFinalFrag(k)
+            else if (fieldKind(k) == MapSumK) mapFinalFrag(k)
             else doubleJson(finalDouble(k))
           Some(concat(lit(keyJson), rendered)) // null rendered → null part
         } else JsVal.stringify(v).map(frag => lit(keyJson + frag))
@@ -2610,6 +2732,8 @@ private[js] object JsColumnCompiler {
                   Some(acc :+ (k -> TC(lastFinalFrag(k), TFrag, NoNull)))
                 else if (fieldKind(k) == PushK)
                   Some(acc :+ (k -> TC(pushFinalFrag(k), TFrag, NoNull)))
+                else if (fieldKind(k) == MapSumK)
+                  Some(acc :+ (k -> TC(mapFinalFrag(k), TFrag, NoNull)))
                 else Some(acc :+ (k -> TC(finalDouble(k),
                   TNum(integral = fieldKind(k) == SumK), NoNull)))
               else constTC(v).map(tc => acc :+ (k -> tc))
@@ -2655,6 +2779,28 @@ private[js] object JsColumnCompiler {
       else when(col("__graft_raise").isNotNull, col("__graft_raise"))
         .otherwise(stateJsonCol)
 
+    // level-2 re-aggregation over the level-1 outputs (two-level path
+    // only): sums of sums, maxes of maxes, appended lists flattened, and
+    // each map field's (first-position, key, count) entries collected
+    val level2Aggs: Seq[Column] = assigned.flatMap { f =>
+      fieldKind(f) match {
+        case SumK => Seq(sum(col(s"__graft_sum_$f")).as(s"__graft_sum_$f"))
+        case MaxK => Seq(max(col(s"__graft_max_$f")).as(s"__graft_max_$f"))
+        case MinK => Seq(
+          min(col(s"__graft_min_$f")).as(s"__graft_min_$f"),
+          max(col(s"__graft_nan_$f")).as(s"__graft_nan_$f"))
+        case LastK => Seq(max(col(s"__graft_last_$f")).as(s"__graft_last_$f"))
+        case PushK => Seq(flatten(collect_list(col(s"__graft_push_$f")))
+          .as(s"__graft_push_$f"))
+        case MapSumK => Seq(collect_list(
+          when(col(s"__graft_mx_$f") && col(s"__graft_mk_$f").isNotNull,
+            struct(col(s"__graft_mp_$f").as("p"), col(s"__graft_mk_$f").as("k"),
+              col(s"__graft_mv_$f").as("v")))).as(s"__graft_map_$f"))
+      }
+    } ++
+      rowRaise.toSeq.map(_ => max(col("__graft_raise")).as("__graft_raise")) ++
+      (if (keyNullable) Seq(first(col("__graft_keep")).as("__graft_keep")) else Nil)
+
     val letSeq = letBindings(lets)
     Some(Plan(required, usesTs, selector, (log: DataFrame) => {
       val df = letSeq.foldLeft(withDefaults(log, required)) {
@@ -2662,7 +2808,19 @@ private[js] object JsColumnCompiler {
       }
       val keyed = df.withColumn(KeyCol, keyCol)
       val grouped =
-        if (allAggs.nonEmpty)
+        if (mapFields.nonEmpty) {
+          // two-level: level 1 shuffles by (partition, map key) — the
+          // per-key sums collapse map-side exactly like a plain groupBy
+          // count — level 2 by partition alone (row count = #distinct
+          // keys, not #events). Better skew behavior than one level: a
+          // hot partition's keys spread over the first shuffle.
+          val l1in = mapKeyCols.foldLeft(keyed) {
+            case (d, (n, c)) => d.withColumn(n, c)
+          }
+          val l1keys = col(KeyCol) +: mapKeyCols.map(kc => col(kc._1))
+          val l1 = l1in.groupBy(l1keys: _*).agg(allAggs.head, allAggs.tail: _*)
+          l1.groupBy(col(KeyCol)).agg(level2Aggs.head, level2Aggs.tail: _*)
+        } else if (allAggs.nonEmpty)
           keyed.groupBy(col(KeyCol)).agg(allAggs.head, allAggs.tail: _*)
         else keyed.groupBy(col(KeyCol)).agg(count(lit(1)).as("__graft_cnt"))
       val dropNullKey =

@@ -58,6 +58,34 @@ fromAll()
         get_json_object(col("state"), "$.cents").cast("long").as("sum_cents"))
       .orderBy(col("partition"))
 
+  /** js dynamic-key counter object (count-by-type per correlation key) —
+    * the canonical per-property tally shape. Compiles to the r8 two-level
+    * map aggregation: level 1 groups by (partition, type), level 2
+    * reassembles the object in insertion order; no interpreter fold. */
+  private val countByTypeSource = """
+fromAll()
+    .partitionBy(function(e) {
+        return e.body && e.body.k != null ? e.body.k : null;
+    })
+    .when({
+        $init: function() { return { n: 0, by_type: {} } },
+        $any: function(s, e) {
+            s.n += 1;
+            s.by_type[e.eventType] = (s.by_type[e.eventType] || 0) + 1;
+            return s;
+        }
+    })"""
+
+  private def jsCountByType(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    JsProjection.compile(countByTypeSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        explode(from_json(get_json_object(col("state"), "$.by_type"),
+          MapType(StringType, LongType))).as(Seq("etype", "cnt")))
+      .orderBy(col("partition"), col("etype"))
+  }
+
   /** js sibling of p13_emit (conditional emit with an object body). */
   private val emitSource = """
 fromCategory("purchase")
@@ -362,6 +390,7 @@ fromCategory("purchase")
     "js_regex_extract" -> regexSource,
     "js_string_ops" -> stringOpsSource,
     "js_partition_by" -> partitionSource,
+    "js_count_by_type" -> countByTypeSource,
     "js_emit" -> emitSource,
     "js_linkto" -> linkSource,
     "js_transform_filter" -> transformSource,
@@ -376,6 +405,7 @@ fromCategory("purchase")
     "js_regex_extract" -> (jsRegexExtract _),
     "js_string_ops" -> (jsStringOps _),
     "js_partition_by" -> (jsPartitionBy _),
+    "js_count_by_type" -> (jsCountByType _),
     "js_emit" -> (jsEmit _),
     "js_linkto" -> (jsLinkTo _),
     "js_transform_filter" -> (jsTransformFilter _),
@@ -472,6 +502,14 @@ fromCategory("purchase")
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM log WHERE correlation_id IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "js_count_by_type" -> s"""$L
+      |SELECT l.correlation_id AS partition, t.n, l.event_type AS etype,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM log l
+      |JOIN (SELECT correlation_id, CAST(count(*) AS BIGINT) AS n FROM log
+      |      WHERE correlation_id IS NOT NULL GROUP BY 1) t
+      |  ON t.correlation_id = l.correlation_id
+      |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "js_emit" -> s"""$L
       |SELECT 'receipt-' || split_part(log.stream_id, '-', 2) AS stream_id,
       |       'ReceiptIssued' AS event_type,

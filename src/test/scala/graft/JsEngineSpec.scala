@@ -1013,6 +1013,7 @@ fromCategory("idx")
     // replace/split over the native JsRegexColumns expressions
     assert(compiled == Map(
       "js_array_collect" -> true,
+      "js_count_by_type" -> true,
       "js_minmax" -> true,
       "js_last_value" -> true,
       "js_date_bucket" -> true,
@@ -1698,6 +1699,110 @@ fromAll()
     assert(states("purchase-1") == """{"xs":[10.5,151.2]}""")
     assert(states("purchase-3") == """{"xs":[42,0.49,1.01]}""")
     assert(states("click-9") == """{"xs":[]}""")
+  }
+
+  test("column fast path: dynamic-key counters s.m[K] = (s.m[K]||0)+d — " +
+    "two-level agg, insertion order, guards, mixed fields, fallbacks") {
+    val log = hostileLog
+    // count-by-type with a scalar sum riding along (level-2 re-agg)
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, by_type: {} }; },
+        $any: function(s, e) {
+            s.n += 1;
+            s.by_type[e.eventType] = (s.by_type[e.eventType] || 0) + 1;
+            return s;
+        }
+    })""", log))
+    // dynamic body-member keys: every JS type ToString'd like setProp
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { m: {} }; },
+        purchase: function(s, e) {
+            s.m[e.body.k] = (s.m[e.body.k] || 0) + 1;
+            return s;
+        }
+    })""", log))
+    // guarded site + integral delta expression + commuted operand order;
+    // every scalar kind rides along through the level-2 re-aggregation
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, hi: 0, lo: 0, last: 0, xs: [], m: {} }; },
+        $any: function(s, e) {
+            s.n += 1;
+            s.hi = Math.max(s.hi, e.value);
+            s.lo = Math.min(s.lo, e.value);
+            s.last = e.value;
+            s.xs.push(e.eventType);
+            if (e.value > 1.0)
+                s.m[e.eventType] = Math.round(e.value * 100) + (s.m[e.eventType] || 0);
+            return s;
+        }
+    })""", log))
+    // zero-delta still CREATES the key (JS assignment inserts it)
+    val zero = JsProjection.compile("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { m: {} }; },
+        refund: function(s, e) { s.m[e.eventType] = (s.m[e.eventType] || 0) + 0; return s; }
+    })""")
+    assert(zero.compilesToColumns)
+    val zrow = zero.states(log).where(col("partition") === "purchase-2")
+      .select("state").head().getString(0)
+    assert(zrow == """{"m":{"refund":0}}""")
+    // insertion order = first-write order, not alphabetical / count order
+    val ordered = JsProjection.compile("""
+fromAll()
+    .partitionBy(function(e) { return "all"; })
+    .when({
+        $init: function() { return { m: {} }; },
+        $any: function(s, e) {
+            s.m[e.eventType] = (s.m[e.eventType] || 0) + 1;
+            return s;
+        }
+    })""")
+    assert(ordered.compilesToColumns)
+    val orow = ordered.states(log).select("state").head().getString(0)
+    assert(orow == """{"m":{"purchase":7,"refund":1,"click":2,"error":3}}""")
+    // fallback boundary: map shapes the two-level plan cannot express
+    def compiles(src: String): Boolean = JsProjection.compile(src).compilesToColumns
+    // two map fields → one grouping key column can't carry both
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { a: {}, b: {} }; },
+      $any: function(s, e) {
+        s.a[e.eventType] = (s.a[e.eventType] || 0) + 1;
+        s.b[e.streamId] = (s.b[e.streamId] || 0) + 1;
+        return s; } })"""))
+    // pre-seeded init keys would need merged insertion slots
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { m: { seed: 1 } }; },
+      $any: function(s, e) { s.m[e.eventType] = (s.m[e.eventType] || 0) + 1; return s; } })"""))
+    // `+=` on a possibly-missing key is NaN in JS, not a count
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { m: {} }; },
+      $any: function(s, e) { s.m[e.eventType] += 1; return s; } })"""))
+    // two sites on one field in one handler: one event, one key only
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { m: {} }; },
+      $any: function(s, e) {
+        s.m[e.eventType] = (s.m[e.eventType] || 0) + 1;
+        s.m[e.streamId] = (s.m[e.streamId] || 0) + 1;
+        return s; } })"""))
+    // non-integral delta: order-sensitive IEEE accumulation
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { m: {} }; },
+      $any: function(s, e) { s.m[e.eventType] = (s.m[e.eventType] || 0) + e.value; return s; } })"""))
+    // mismatched read key: not the counter pattern
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { m: {} }; },
+      $any: function(s, e) { s.m[e.eventType] = (s.m[e.streamId] || 0) + 1; return s; } })"""))
   }
 
   test("memo keys: Bridge-wrapped kind columns do not collide (r7 regression)") {
