@@ -1652,6 +1652,15 @@ private[js] object JsColumnCompiler {
     * site guard; `key` the ES ToString of K (evaluated only under
     * `exec`); `delta` the per-event numeric contribution. */
   private final case class MapSumTerm(exec: Column, key: Column, delta: Column) extends FieldOp
+  /** Dynamic-key overwrite `s.f[K] = <state-free expr>` — last-write-wins
+    * per key (last-seen-value-per-user etc). Same two-level plan as
+    * [[MapSumTerm]]: level 1 keeps max-by-position (latest) value struct
+    * per (partition, key) plus the key's first execution position; level
+    * 2 reassembles in insertion order, dropping keys whose FINAL value is
+    * undefined (JSON.stringify omits them, but their insertion slot —
+    * consumed by the first write — is preserved for reinserted keys,
+    * matching the interpreter's LinkedHashMap). */
+  private final case class MapLastTerm(exec: Column, key: Column, frag: Column) extends FieldOp
 
   /** Guarded per-event contribution terms per state field. */
   private type FieldTerms = List[(String, FieldOp)]
@@ -1849,7 +1858,7 @@ private[js] object JsColumnCompiler {
       val deltaE = rhs match {
         case Binary("+", l, r) if selfRead(l) => r
         case Binary("+", l, r) if selfRead(r) => l
-        case _ => return false
+        case _ => return addMapLast(f, kExpr, rhs, g0)
       }
       val kTC0 = compileExpr(kExpr, ctx, locals) match {
         case Some(v) => v
@@ -1867,6 +1876,36 @@ private[js] object JsColumnCompiler {
         case None => return false
       }
       acc += f -> MapSumTerm(g.getOrElse(lit(true)), kCol, dTC.col)
+      true
+    }
+    // `s.f[K] = <state-free expr>`: last-write-wins per dynamic key. The
+    // value renders as its JSON.stringify fragment (SQL NULL = undefined,
+    // which drops the key from output while consuming its insertion slot).
+    def addMapLast(f: String, kExpr: Expr, rhs: Expr, g0: Option[Column]): Boolean = {
+      val kTC0 = compileExpr(kExpr, ctx, locals) match {
+        case Some(v) => v
+        case None => return false
+      }
+      val (kTC, kOk) = consume(kTC0, g0)
+      val g1 = andOk(g0, kOk)
+      val vTC = compileExpr(rhs, ctx, locals) match {
+        case Some(v) => v
+        case None => return false
+      }
+      val frag0 = fragOf(vTC) match {
+        case Some(c) => c
+        case None => return false
+      }
+      val (frag, vOk) = (tryAcc, vTC.err) match {
+        case (Some(_), Some(e)) => registerErr(e, g1); (frag0, Some(e.isNull))
+        case _ => (sealDerived(frag0, vTC.err), None)
+      }
+      val g = andOk(g1, vOk)
+      val kCol = strOf(kTC) match {
+        case Some((c, _)) => c
+        case None => return false
+      }
+      acc += f -> MapLastTerm(g.getOrElse(lit(true)), kCol, frag)
       true
     }
     // `s.f.push(e, …)` in statement position (result unused): one site,
@@ -2428,7 +2467,7 @@ private[js] object JsColumnCompiler {
     val assignedSet = assigned.toSet
     if (allOps.exists(o => !init.contains(o._1))) return None
     val SumK = 0; val MaxK = 1; val MinK = 2; val LastK = 3; val PushK = 4
-    val MapSumK = 5
+    val MapSumK = 5; val MapLastK = 6
     def kindOf(op: FieldOp): Int = op match {
       case _: SumTerm => SumK
       case _: MaxTerm => MaxK
@@ -2436,7 +2475,9 @@ private[js] object JsColumnCompiler {
       case _: LastTerm => LastK
       case _: PushTerm => PushK
       case _: MapSumTerm => MapSumK
+      case _: MapLastTerm => MapLastK
     }
+    def isMapK(k: Int): Boolean = k == MapSumK || k == MapLastK
     val fieldKind: Map[String, Int] = assigned.map { f =>
       allOps.collect { case (`f`, op) => kindOf(op) }.distinct match {
         case Seq(k) => f -> k
@@ -2456,7 +2497,7 @@ private[js] object JsColumnCompiler {
     // init values and insertion slots merged in; rare → fall back), and
     // the two-level grouping carries ONE key column — one map field, one
     // site per handler (one event → one key contribution)
-    val mapFields = assigned.filter(f => fieldKind(f) == MapSumK)
+    val mapFields = assigned.filter(f => isMapK(fieldKind(f)))
     if (mapFields.nonEmpty) {
       if (mapFields.size > 1) return None
       val mf = mapFields.head
@@ -2464,14 +2505,16 @@ private[js] object JsColumnCompiler {
         case JsObj(fields) => fields.nonEmpty
         case _ => true
       }) return None
-      def sites(terms: FieldTerms) =
-        terms.count { case (`mf`, _: MapSumTerm) => true; case _ => false }
+      def sites(terms: FieldTerms) = terms.count {
+        case (`mf`, _: MapSumTerm) | (`mf`, _: MapLastTerm) => true
+        case _ => false
+      }
       if (typedFolds.exists(t => sites(t._2) > 1) || anyFold.exists(sites(_) > 1))
         return None
     }
     val initNum: Map[String, Double] = assigned.flatMap { f =>
       if (fieldKind(f) == LastK || fieldKind(f) == PushK ||
-        fieldKind(f) == MapSumK) None
+        isMapK(fieldKind(f))) None
       else init(f) match {
         case JsNum(d) =>
           if (fieldKind(f) == SumK &&
@@ -2486,7 +2529,7 @@ private[js] object JsColumnCompiler {
       case f if fieldKind(f) == LastK => f -> JsVal.stringify(init(f))
     }.toMap
     if (fieldKind.valuesIterator.exists(k =>
-      k == LastK || k == PushK || k == MapSumK))
+      k == LastK || k == PushK || isMapK(k)))
       refs += "log_position"
     // final fragment of an overwrite field: the latest executed site's
     // rendered value, else the $init fragment (NULL = key absent)
@@ -2564,21 +2607,28 @@ private[js] object JsColumnCompiler {
     // map-field per-event contributions: whether the site ran, its key
     // (only evaluated under the guard — it may contain a protected
     // throwing access), and its delta
-    def mapExecContrib(terms: FieldTerms, f: String): Column =
-      terms.collect { case (`f`, m: MapSumTerm) => m.exec } match {
-        case Nil => lit(false)
-        case one :: Nil => one
-        case many => many.reduce(_ || _) // unreachable: one site enforced
+    def mapSite(terms: FieldTerms, f: String): Option[(Column, Column)] =
+      terms.collectFirst {
+        case (`f`, m: MapSumTerm) => (m.exec, m.key)
+        case (`f`, m: MapLastTerm) => (m.exec, m.key)
       }
+    def mapExecContrib(terms: FieldTerms, f: String): Column =
+      mapSite(terms, f).map(_._1).getOrElse(lit(false))
     def mapKeyContrib(terms: FieldTerms, f: String): Column =
-      terms.collect { case (`f`, m: MapSumTerm) => m } match {
-        case Nil => nullStr
-        case m :: _ => when(m.exec, m.key).otherwise(nullStr)
+      mapSite(terms, f) match {
+        case None => nullStr
+        case Some((exec, key)) => when(exec, key).otherwise(nullStr)
       }
     def mapDeltaContrib(terms: FieldTerms, f: String): Column =
-      terms.collect { case (`f`, m: MapSumTerm) => m } match {
-        case Nil => lit(0.0)
-        case m :: _ => when(m.exec, m.delta).otherwise(lit(0.0))
+      terms.collectFirst { case (`f`, m: MapSumTerm) => m } match {
+        case None => lit(0.0)
+        case Some(m) => when(m.exec, m.delta).otherwise(lit(0.0))
+      }
+    val nullMapSite = lit(null).cast("struct<v:string>")
+    def mapLastContrib(terms: FieldTerms, f: String): Column =
+      terms.collectFirst { case (`f`, m: MapLastTerm) => m } match {
+        case None => nullMapSite
+        case Some(m) => when(m.exec, struct(m.frag.as("v"))).otherwise(nullMapSite)
       }
     def routed(f: String, mk: (FieldTerms, String) => Column, dflt: Column): Column = {
       val fallback = anyFold.map(mk(_, f)).getOrElse(dflt)
@@ -2638,6 +2688,17 @@ private[js] object JsColumnCompiler {
               .otherwise(lit(0.0)).cast(LongType)).as(s"__graft_mv_$f"),
             max(execC).as(s"__graft_mx_$f"),
             min(when(execC, col("log_position"))).as(s"__graft_mp_$f"))
+        case MapLastK =>
+          // per-key latest value (max by position), creation flag, and
+          // first-execution position, same grouping as MapSumK
+          val execC = kept(routed(f, mapExecContrib, lit(false)), lit(false))
+          val site = kept(routed(f, mapLastContrib, nullMapSite), nullMapSite)
+          Seq(
+            max(when(execC && site.isNotNull,
+              struct(col("log_position").as("p"), site.getField("v").as("v"))))
+              .as(s"__graft_mlv_$f"),
+            max(execC).as(s"__graft_mx_$f"),
+            min(when(execC, col("log_position"))).as(s"__graft_mp_$f"))
       }
     }
     // the level-1 grouping key of each map field (evaluated lazily under
@@ -2675,14 +2736,24 @@ private[js] object JsColumnCompiler {
 
     /** Final JSON fragment of a map field: level-2 entries sorted by
       * first-execution position = LinkedHashMap insertion order; keys
-      * JSON-escaped, values exact longs behind the 2^53 guard. */
+      * JSON-escaped. Counter values render as exact longs behind the 2^53
+      * guard; overwrite values as their stringify fragments, dropping
+      * keys whose final value is undefined (NULL fragment) AFTER sorting,
+      * so dropped keys still consume their insertion slot. */
     def mapFinalFrag(f: String): Column = {
-      val entries = array_sort(col(s"__graft_map_$f"))
-      val parts = transform(entries, e =>
-        concat(graft.functions.JsJsonString(e.getField("k")), lit(":"),
-          when(abs(e.getField("v")) >= lit(MaxExact),
-            raise_error(lit(overflowMsg(f))).cast(StringType))
-            .otherwise(e.getField("v").cast(StringType))))
+      val sorted = array_sort(col(s"__graft_map_$f"))
+      val parts =
+        if (fieldKind(f) == MapSumK)
+          transform(sorted, e =>
+            concat(graft.functions.JsJsonString(e.getField("k")), lit(":"),
+              when(abs(e.getField("v")) >= lit(MaxExact),
+                raise_error(lit(overflowMsg(f))).cast(StringType))
+                .otherwise(e.getField("v").cast(StringType))))
+        else
+          transform(
+            filter(sorted, e => e.getField("v").isNotNull),
+            e => concat(graft.functions.JsJsonString(e.getField("k")),
+              lit(":"), e.getField("v")))
       concat(lit("{"), concat_ws(",", parts), lit("}"))
     }
 
@@ -2704,7 +2775,7 @@ private[js] object JsColumnCompiler {
                 .otherwise(tot.cast(StringType))
             } else if (fieldKind(k) == LastK) lastFinalFrag(k)
             else if (fieldKind(k) == PushK) pushFinalFrag(k)
-            else if (fieldKind(k) == MapSumK) mapFinalFrag(k)
+            else if (isMapK(fieldKind(k))) mapFinalFrag(k)
             else doubleJson(finalDouble(k))
           Some(concat(lit(keyJson), rendered)) // null rendered → null part
         } else JsVal.stringify(v).map(frag => lit(keyJson + frag))
@@ -2732,7 +2803,7 @@ private[js] object JsColumnCompiler {
                   Some(acc :+ (k -> TC(lastFinalFrag(k), TFrag, NoNull)))
                 else if (fieldKind(k) == PushK)
                   Some(acc :+ (k -> TC(pushFinalFrag(k), TFrag, NoNull)))
-                else if (fieldKind(k) == MapSumK)
+                else if (isMapK(fieldKind(k)))
                   Some(acc :+ (k -> TC(mapFinalFrag(k), TFrag, NoNull)))
                 else Some(acc :+ (k -> TC(finalDouble(k),
                   TNum(integral = fieldKind(k) == SumK), NoNull)))
@@ -2796,6 +2867,11 @@ private[js] object JsColumnCompiler {
           when(col(s"__graft_mx_$f") && col(s"__graft_mk_$f").isNotNull,
             struct(col(s"__graft_mp_$f").as("p"), col(s"__graft_mk_$f").as("k"),
               col(s"__graft_mv_$f").as("v")))).as(s"__graft_map_$f"))
+        case MapLastK => Seq(collect_list(
+          when(col(s"__graft_mx_$f") && col(s"__graft_mk_$f").isNotNull,
+            struct(col(s"__graft_mp_$f").as("p"), col(s"__graft_mk_$f").as("k"),
+              col(s"__graft_mlv_$f").getField("v").as("v"))))
+          .as(s"__graft_map_$f"))
       }
     } ++
       rowRaise.toSeq.map(_ => max(col("__graft_raise")).as("__graft_raise")) ++

@@ -86,6 +86,31 @@ fromAll()
       .orderBy(col("partition"), col("etype"))
   }
 
+  /** js dynamic-key overwrite object (last value per event type, per
+    * correlation key) — last-write-wins maps via the same two-level plan,
+    * values selected by max log position instead of summed. */
+  private val lastByTypeSource = """
+fromAll()
+    .partitionBy(function(e) {
+        return e.body && e.body.k != null ? e.body.k : null;
+    })
+    .when({
+        $init: function() { return { last_cents: {} } },
+        $any: function(s, e) {
+            s.last_cents[e.eventType] = Math.round(e.value * 100);
+            return s;
+        }
+    })"""
+
+  private def jsLastByType(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    JsProjection.compile(lastByTypeSource).states(log(s, d))
+      .select(col("partition"),
+        explode(from_json(get_json_object(col("state"), "$.last_cents"),
+          MapType(StringType, LongType))).as(Seq("etype", "last_cents")))
+      .orderBy(col("partition"), col("etype"))
+  }
+
   /** js sibling of p13_emit (conditional emit with an object body). */
   private val emitSource = """
 fromCategory("purchase")
@@ -391,6 +416,7 @@ fromCategory("purchase")
     "js_string_ops" -> stringOpsSource,
     "js_partition_by" -> partitionSource,
     "js_count_by_type" -> countByTypeSource,
+    "js_last_by_type" -> lastByTypeSource,
     "js_emit" -> emitSource,
     "js_linkto" -> linkSource,
     "js_transform_filter" -> transformSource,
@@ -406,6 +432,7 @@ fromCategory("purchase")
     "js_string_ops" -> (jsStringOps _),
     "js_partition_by" -> (jsPartitionBy _),
     "js_count_by_type" -> (jsCountByType _),
+    "js_last_by_type" -> (jsLastByType _),
     "js_emit" -> (jsEmit _),
     "js_linkto" -> (jsLinkTo _),
     "js_transform_filter" -> (jsTransformFilter _),
@@ -510,6 +537,11 @@ fromCategory("purchase")
       |      WHERE correlation_id IS NOT NULL GROUP BY 1) t
       |  ON t.correlation_id = l.correlation_id
       |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "js_last_by_type" -> s"""$L
+      |SELECT correlation_id AS partition, event_type AS etype,
+      |       arg_max(CAST(round(value * 100) AS BIGINT), log_position) AS last_cents
+      |FROM log WHERE correlation_id IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "js_emit" -> s"""$L
       |SELECT 'receipt-' || split_part(log.stream_id, '-', 2) AS stream_id,
       |       'ReceiptIssued' AS event_type,

@@ -1014,6 +1014,7 @@ fromCategory("idx")
     assert(compiled == Map(
       "js_array_collect" -> true,
       "js_count_by_type" -> true,
+      "js_last_by_type" -> true,
       "js_minmax" -> true,
       "js_last_value" -> true,
       "js_date_bucket" -> true,
@@ -1799,10 +1800,66 @@ fromAll()
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { m: {} }; },
       $any: function(s, e) { s.m[e.eventType] = (s.m[e.eventType] || 0) + e.value; return s; } })"""))
-    // mismatched read key: not the counter pattern
+    // mismatched read key compiles as map-OVERWRITE only when the rhs is
+    // state-free — reading s.m[...] is state, so this falls back
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { m: {} }; },
       $any: function(s, e) { s.m[e.eventType] = (s.m[e.streamId] || 0) + 1; return s; } })"""))
+  }
+
+  test("column fast path: dynamic-key overwrites s.m[K] = v — last-write-" +
+    "wins per key, undefined drops the key but keeps its slot") {
+    val log = hostileLog
+    // last value per type, dynamic values, mixed with a counter field
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, last: {} }; },
+        $any: function(s, e) {
+            s.n += 1;
+            s.last[e.eventType] = Math.round(e.value * 100);
+            return s;
+        }
+    })""", log))
+    // dynamic body values (strings/numbers/objects render as stringify)
+    assert(fastEqualsInterp("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { last: {} }; },
+        purchase: function(s, e) { s.last[e.streamId] = e.body.k; return s; }
+    })""", log))
+    // concrete: last write wins; undefined FINAL value drops the key; a
+    // key rewritten after an undefined write keeps its FIRST slot (one
+    // site per handler — typed routing picks the key per event)
+    val src = """
+fromAll()
+    .partitionBy(function(e) { return "all"; })
+    .when({
+        $init: function() { return { m: {} }; },
+        refund: function(s, e) { s.m["a"] = undefined; return s; },
+        click: function(s, e) { s.m["a"] = 7; return s; },
+        $any: function(s, e) { s.m[e.eventType] = e.value; return s; }
+    })"""
+    assert(fastEqualsInterp(src, log))
+    val row = JsProjection.compile(src).states(log).select("state").head().getString(0)
+    // refund (pos 4) inserts "a" as undefined — slot between purchase (1)
+    // and error (8); clicks (5,6) rewrite it to 7 in that slot
+    assert(row == """{"m":{"purchase":1.01,"a":7,"error":99.99}}""")
+    // two sites on one field in ONE handler still fall back (an if/else
+    // pair is one key column short of expressible)
+    def compilesL(s2: String): Boolean = JsProjection.compile(s2).compilesToColumns
+    assert(!compilesL("""fromAll().foreachStream().when({
+      $init: function() { return { m: {} }; },
+      $any: function(s, e) {
+        if (e.value > 0) s.m["a"] = 1; else s.m["b"] = 2;
+        return s; } })"""))
+    // mixed counter + overwrite updates on ONE field fall back
+    assert(!compilesL("""fromAll().foreachStream().when({
+      $init: function() { return { m: {} }; },
+      purchase: function(s, e) { s.m[e.eventType] = (s.m[e.eventType] || 0) + 1; return s; },
+      refund: function(s, e) { s.m[e.eventType] = e.value; return s; } })"""))
   }
 
   test("memo keys: Bridge-wrapped kind columns do not collide (r7 regression)") {
