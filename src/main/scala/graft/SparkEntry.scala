@@ -24,6 +24,7 @@ object SparkEntry {
 object Registry {
   private def modules: Seq[QueryModule] = Seq(
     graft.operators.RelationalQueries,
+    graft.operators.EventAnalytics,
     graft.operators.ReadQueries,
     graft.operators.RetentionQueries,
     graft.operators.SystemProjectionQueries,

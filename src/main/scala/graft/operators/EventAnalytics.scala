@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Event-sequence analytics over the log — funnel conversion and cohort
+  * retention, the two queries every event-log consumer asks first
+  * (SURVEY.md §2.6 relational-gap extensions: the reference can only
+  * express these as hand-written JS folds; here they are declarative
+  * plans Catalyst can optimize).
+  *
+  * Scale design:
+  *  - Funnel: stage i is a conditional min-aggregation of one event-type
+  *    slice joined to the stage-(i−1) per-user table ON THE USER KEY —
+  *    every shuffle is keyed by user, the per-stage tables shrink
+  *    monotonically, and no step ever materializes per-user event lists.
+  *    k steps = k scans of pruned type-slices (pushed-down predicate) +
+  *    k−1 co-partitioned joins; linear in events at any user count (no
+  *    broadcast of per-user state — users may be billions).
+  *  - Cohort: first-activity week per user (one agg) joined to the
+  *    distinct (user, week) activity set (one agg) — both keyed by user,
+  *    then a tiny (cohort, offset) rollup. */
+object EventAnalytics extends QueryModule {
+
+  /** Per-user positions of each completed funnel stage: stage i counts
+    * only events of `steps(i)` AFTER the user's stage-(i−1) position —
+    * strictly ordered funnels, the standard definition. Returns one
+    * DataFrame per stage: (user, p) with p = the stage's min position. */
+  def funnelStages(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      posCol: String = "event_id"): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val s1 = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(posCol)).as("p"))
+    steps.tail.scanLeft(s1) { (prev, step) =>
+      events.where(col(typeCol) === step)
+        .join(prev.select(col(userCol), col("p").as("prev_p")), userCol)
+        .where(col(posCol) > col("prev_p"))
+        .groupBy(col(userCol)).agg(min(col(posCol)).as("p"))
+    }
+  }
+
+  /** Funnel summary: (stage, step, n_users) — how many users completed
+    * each prefix of `steps` in order. */
+  def funnelSummary(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      posCol: String = "event_id"): DataFrame = {
+    val stages = funnelStages(events, steps, userCol, typeCol, posCol)
+    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(step).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Weekly cohort retention: users grouped by first-activity week
+    * (cohort), counted in each later week they were active.
+    * Returns (cohort, week_offset, n_users). */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstWeek = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort"))
+    val activity = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("wk"))
+      .distinct()
+    activity.join(firstWeek, userCol)
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
+  // ---- registered queries -------------------------------------------
+
+  private val FunnelSteps = Seq("signup", "view", "purchase")
+
+  private def funnelQ(s: SparkSession, d: String): DataFrame =
+    funnelSummary(Tables.rawEvents(s, d), FunnelSteps).orderBy(col("stage"))
+
+  private def cohortQ(s: SparkSession, d: String): DataFrame =
+    cohortRetention(Tables.rawEvents(s, d))
+      .orderBy(col("cohort"), col("week_offset"))
+
+  def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "funnel_stages" -> (funnelQ _),
+    "cohort_retention" -> (cohortQ _)
+  )
+
+  def oracles: Seq[(String, String)] = Seq(
+    "funnel_stages" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(event_id) AS p FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.event_id) AS p FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.event_id > s1.p GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.event_id) AS p FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.event_id > s2.p GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'signup' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+        |ORDER BY stage""".stripMargin,
+    "cohort_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT f.cohort,
+        |       CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM act a JOIN first f ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

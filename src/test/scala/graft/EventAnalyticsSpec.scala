@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+/** Funnel conversion (strictly-ordered stages) and weekly cohort
+  * retention (SURVEY §2.6 event-analytics extensions). */
+class EventAnalyticsSpec extends SparkTestBase {
+
+  private def events(rows: (Long, String, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("user_id", "event_type", "event_id", "ts_str")
+      .withColumn("ts", to_timestamp(col("ts_str"))).drop("ts_str")
+  }
+
+  test("funnel counts only strictly-ordered completions") {
+    val df = events(
+      // user 1: full ordered funnel
+      (1L, "signup", 10L, "2024-01-01 10:00:00"),
+      (1L, "view", 20L, "2024-01-01 11:00:00"),
+      (1L, "purchase", 30L, "2024-01-01 12:00:00"),
+      // user 2: view BEFORE signup — stage 2 not reached
+      (2L, "view", 5L, "2024-01-01 09:00:00"),
+      (2L, "signup", 15L, "2024-01-01 10:00:00"),
+      (2L, "purchase", 25L, "2024-01-01 11:00:00"),
+      // user 3: signup + view only
+      (3L, "signup", 11L, "2024-01-01 10:00:00"),
+      (3L, "view", 21L, "2024-01-01 11:00:00"),
+      // user 4: never signs up
+      (4L, "view", 12L, "2024-01-01 10:00:00"),
+      (4L, "purchase", 22L, "2024-01-01 11:00:00"))
+    val out = EventAnalytics
+      .funnelSummary(df, Seq("signup", "view", "purchase"))
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "signup", 3L), (2, "view", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel stage positions are the EARLIEST valid completion") {
+    val df = events(
+      (1L, "signup", 10L, "2024-01-01 10:00:00"),
+      (1L, "view", 12L, "2024-01-01 10:10:00"),
+      (1L, "view", 14L, "2024-01-01 10:20:00"))
+    val stages = EventAnalytics.funnelStages(df, Seq("signup", "view"))
+    assert(stages(1).select("p").head().getLong(0) == 12L)
+  }
+
+  test("cohort retention offsets are whole weeks from first activity") {
+    val df = events(
+      // user 1: first week Jan 1 (Monday), returns week 2 and week 4
+      (1L, "view", 1L, "2024-01-02 10:00:00"),
+      (1L, "view", 2L, "2024-01-10 10:00:00"),
+      (1L, "view", 3L, "2024-01-23 10:00:00"),
+      // user 2: same cohort, week 0 only (twice — distinct weeks count once)
+      (2L, "view", 4L, "2024-01-03 10:00:00"),
+      (2L, "click", 5L, "2024-01-04 10:00:00"),
+      // user 3: cohort week of Jan 8
+      (3L, "view", 6L, "2024-01-08 10:00:00"),
+      (3L, "view", 7L, "2024-01-16 10:00:00"))
+    val out = EventAnalytics.cohortRetention(df)
+      .orderBy("cohort", "week_offset").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getLong(2)))
+      .toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 3, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
+}
