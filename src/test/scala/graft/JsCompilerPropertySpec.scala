@@ -119,10 +119,31 @@ class JsCompilerPropertySpec extends SparkTestBase {
     }.mkString("\n            ")
   }
 
+  /** One dynamic-key map statement — at most ONE site per handler and one
+    * map field per definition, the compilable contract. The kind (counter
+    * vs overwrite) is fixed per definition so handlers never mix. */
+  private def genMapStmt(r: Random, f: String, counter: Boolean): String = {
+    val (keyE, guard) = r.nextInt(3) match {
+      case 0 => ("e.eventType", None)
+      case 1 => (s""""g" + (e.value > ${r.nextInt(100)} ? "hi" : "lo")""", None)
+      case _ => ("e.body.k", Some("e.body")) // body keys guard the read
+    }
+    val upd =
+      if (counter) s"s.$f[$keyE] = (s.$f[$keyE] || 0) + ${genIntExpr(r, 1)};"
+      else s"s.$f[$keyE] = ${genValExpr(r)};"
+    guard match {
+      case Some(g) => s"if ($g) { $upd }"
+      case None =>
+        if (r.nextInt(3) == 0) s"if (${genCond(r, 1)}) { $upd }" else upd
+    }
+  }
+
   private def genDefinition(r: Random): String = {
     val fields = Seq("a", "b", "c").take(1 + r.nextInt(3))
     val kinds = fields.map(f => f -> "SMmL".charAt(r.nextInt(4)))
-    val init = kinds.map { case (f, k) =>
+    val mapField: Option[(String, Boolean)] =
+      if (r.nextInt(3) > 0) Some(("mp", r.nextBoolean())) else None
+    val init = (kinds.map { case (f, k) =>
       val v = k match {
         case 'S' => r.nextInt(10).toString
         case 'M' => if (r.nextBoolean()) "-1e308" else "0"
@@ -131,7 +152,7 @@ class JsCompilerPropertySpec extends SparkTestBase {
           "undefined")(r.nextInt(5))
       }
       s"$f: $v"
-    }.mkString(", ")
+    } ++ mapField.map { case (f, _) => s"$f: {}" }).mkString(", ")
     val selector = r.nextInt(3) match {
       case 0 => "fromAll()"
       case 1 => s"fromCategory('t${1 + r.nextInt(3)}')"
@@ -151,12 +172,15 @@ class JsCompilerPropertySpec extends SparkTestBase {
           |    })""".stripMargin
       case _ => ".foreachStream()"
     }
+    def mapStmt: String =
+      mapField.map { case (f, c) => "\n            " + genMapStmt(r, f, c) }
+        .getOrElse("")
     val typed =
       if (r.nextBoolean())
         s"""
            |        t${1 + r.nextInt(3)}: function(s, e) {
            |            var d = new Date(e.timestamp);
-           |            ${genStmts(r, kinds, 2)}
+           |            ${genStmts(r, kinds, 2)}$mapStmt
            |            return s;
            |        },""".stripMargin
       else ""
@@ -181,7 +205,7 @@ class JsCompilerPropertySpec extends SparkTestBase {
        |        ${"$"}init: function() { return { $init }; },$typed
        |        ${"$"}any: function(s, e) {
        |            var d = new Date(e.timestamp);
-       |            ${genStmts(r, kinds, 2)}
+       |            ${genStmts(r, kinds, 2)}$mapStmt
        |            return s;
        |        }
        |    })$chain""".stripMargin
