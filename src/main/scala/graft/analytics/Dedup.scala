@@ -97,6 +97,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (Bayardo, Ma &
+    * Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007): order
+    * shingles rarest-first globally (docFreq asc, shingle asc); a doc of
+    * size |S| indexes only its first |S| − ⌈t·|S|⌉ + 1 shingles in that
+    * order. Any pair with J ≥ t must overlap in ≥ ⌈t·|S|⌉ shingles, so it
+    * cannot avoid the prefix — joining PREFIX entries against the FULL
+    * index loses no qualifying pair, and candidates are exact-verified on
+    * the full sets. ZERO recall loss (unlike the `maxDocFreq` cap), and
+    * hot boilerplate shingles — the f² blowup drivers — sit at the END of
+    * the frequency order, so they enter a prefix only for docs that have
+    * almost nothing else: fan-out per shingle is df_prefix × df_full, not
+    * df². Candidate volume shrinks by ~(1−t) per indexed doc on top.
+    *
+    * Measured trade (sf0.1 + ×100 soak, BASELINE.md): the extra shuffles
+    * (docFreq join, per-doc rank window, candidate distinct, two
+    * verification joins) cost ~2-3× over [[ngramJaccardPairs]] with a
+    * `maxDocFreq` cap on corpora whose candidates are dominated by
+    * genuinely-similar pairs — which no exact filter can avoid. Use THIS
+    * when zero recall loss is required (dedup decisions feeding training
+    * data); use the capped variant when the recall trade is acceptable
+    * and latency matters. */
+  def ngramJaccardPairsExact(docs: DataFrame, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleSets(docs, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val freq = idx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = idx.join(freq, "shingle")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+    val prefix = ranked
+      .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("sz"), col("shingle"))
+    // size-ratio prune inside the join is still exact: J <= min/max size
+    val cands = prefix.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          col("a.sz") >= col("b.sz") * threshold &&
+          col("b.sz") >= col("a.sz") * threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyJaccard(cands, sets, threshold)
+  }
+
   /** MinHash prime modulus (2^31 - 1, prime). */
   val MinhashP = 2147483647L
 

@@ -29,6 +29,27 @@ class AnalyticsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("prefix-filtered ngram pairs == uncapped inverted-index pairs (exact, zero recall loss)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val base = canon(Dedup.ngramJaccardPairs(docs, t))
+      val pref = canon(Dedup.ngramJaccardPairsExact(docs, t))
+      assert(pref == base, s"threshold $t diverged")
+    }
+    // and on a corpus with a hot boilerplate shingle shared by all docs
+    val s = spark; import s.implicits._
+    val boiler = (1L to 30L).map(i =>
+      (i, s"subscribe to our newsletter for updates item$i thing${i % 3} extra${i % 5} blah${i % 7}"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      assert(canon(Dedup.ngramJaccardPairsExact(boiler, t)) ==
+        canon(Dedup.ngramJaccardPairs(boiler, t)), s"boiler threshold $t diverged")
+    }
+  }
+
   test("minhash-LSH recovers the same dup pairs as exact Jaccard here") {
     val pairs = Dedup.minhashLshPairs(docs, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
