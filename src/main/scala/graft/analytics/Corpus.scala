@@ -304,4 +304,30 @@ object Corpus {
     docs.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Token-rarity scoring: each doc's mean corpus-frequency RANK over its
+    * tokens — by Zipf, log rank tracks −log P(token), so this is an
+    * integer-exact stand-in for unigram-LM scoring (CCNet-style quality
+    * filtering: gibberish and OCR noise score high, fluent text low)
+    * that two engines reproduce bit-for-bit (rank sums are integer; the
+    * only float op is one final division). The rank window runs over the
+    * VOCABULARY (distinct tokens — heavy-tailed but ≪ corpus; the one
+    * acceptable single-partition sort), while the per-token join and
+    * per-doc aggregation stay fully distributed. */
+  def rarityScores(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(length(col("word")) > 0)
+    val ranked = toks.groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("rank",
+        dense_rank().over(Window.orderBy(col("n").desc, col("word"))))
+      .select(col("word"), col("rank"))
+    toks.join(ranked, "word")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
+      .withColumn("mean_rank",
+        round(col("rank_sum").cast("double") / col("n_tokens"), 6))
+  }
 }

@@ -171,9 +171,16 @@ object CorpusQueries extends QueryModule {
     Corpus.vocabulary(Tables.documents(s, d))
       .orderBy(col("n").desc, col("word")).limit(100)
 
+  private def rarityQ(s: SparkSession, d: String): DataFrame =
+    Corpus.rarityScores(Tables.documents(s, d))
+      .select(col("id").as("doc_id"), col("n_tokens"), col("rank_sum"),
+        col("mean_rank"))
+      .orderBy(col("doc_id"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "split_assign" -> (splitQ _),
     "vocab_topk" -> (vocabQ _),
+    "text_rarity" -> (rarityQ _),
     "pack_sequences" -> (packQ _),
     "chunk_documents" -> (chunkQ _),
     "chunk_by_tokens" -> (chunkTokQ _),
@@ -189,6 +196,21 @@ object CorpusQueries extends QueryModule {
   )
 
   def oracles: Seq[(String, String)] = Seq(
+    "text_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |         unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |  FROM documents),
+        |t AS (SELECT id, word FROM toks WHERE word <> ''),
+        |vocab AS (SELECT word, count(*) AS n FROM t GROUP BY 1),
+        |ranked AS (
+        |  SELECT word, dense_rank() OVER (ORDER BY n DESC, word) AS rank
+        |  FROM vocab)
+        |SELECT t.id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(r.rank) AS BIGINT) AS rank_sum,
+        |       round(CAST(sum(r.rank) AS DOUBLE) / count(*), 6) AS mean_rank
+        |FROM t JOIN ranked r ON r.word = t.word
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "split_assign" ->
       """WITH assigned AS (
         |  SELECT doc_id, n_chars,

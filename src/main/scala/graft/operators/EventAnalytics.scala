@@ -71,6 +71,25 @@ object EventAnalytics extends QueryModule {
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
 
+  /** Time-to-convert through the funnel: for each user who completes all
+    * of `steps` in order (by event TIME), the interval from the first
+    * stage-1 event to the first full completion, summarized as exact
+    * interpolated percentiles (same continuous definition in Spark
+    * `percentile` and DuckDB `quantile_cont`). */
+  def timeToConvert(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val stages = funnelStages(events, steps, userCol, typeCol, posCol = tsCol)
+    val first = stages.head.select(col(userCol), col("p").as("t0"))
+    val last = stages.last.select(col(userCol), col("p").as("t1"))
+    first.join(last, userCol)
+      .select(((unix_micros(col("t1")) - unix_micros(col("t0"))) / 3.6e9)
+        .as("hours"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(hours, 0.5)"), 6).as("p50_hours"),
+        round(expr("percentile(hours, 0.9)"), 6).as("p90_hours"))
+  }
+
   // ---- registered queries -------------------------------------------
 
   private val FunnelSteps = Seq("signup", "view", "purchase")
@@ -78,12 +97,16 @@ object EventAnalytics extends QueryModule {
   private def funnelQ(s: SparkSession, d: String): DataFrame =
     funnelSummary(Tables.rawEvents(s, d), FunnelSteps).orderBy(col("stage"))
 
+  private def ttcQ(s: SparkSession, d: String): DataFrame =
+    timeToConvert(Tables.rawEvents(s, d), FunnelSteps)
+
   private def cohortQ(s: SparkSession, d: String): DataFrame =
     cohortRetention(Tables.rawEvents(s, d))
       .orderBy(col("cohort"), col("week_offset"))
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "funnel_stages" -> (funnelQ _),
+    "funnel_time_to_convert" -> (ttcQ _),
     "cohort_retention" -> (cohortQ _)
   )
 
@@ -107,6 +130,25 @@ object EventAnalytics extends QueryModule {
         |  UNION ALL
         |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
         |ORDER BY stage""".stripMargin,
+    "funnel_time_to_convert" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS p FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS p FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.p GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS p FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.p GROUP BY 1),
+        |conv AS (
+        |  SELECT (epoch_us(s3.p) - epoch_us(s1.p)) / 3600000000.0 AS hours
+        |  FROM s3 JOIN s1 ON s1.user_id = s3.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |       round(quantile_cont(hours, 0.5), 6) AS p50_hours,
+        |       round(quantile_cont(hours, 0.9), 6) AS p90_hours
+        |FROM conv""".stripMargin,
     "cohort_retention" ->
       """WITH first AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
