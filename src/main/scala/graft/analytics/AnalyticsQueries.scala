@@ -75,6 +75,20 @@ object AnalyticsQueries extends QueryModule {
       .select(col("rep_id"), col("n_copies"))
       .orderBy(col("rep_id"))
 
+  /** Lee-et-al duplicated-substring stats over a corpus with verbatim
+    * copies of docs 0..99: every window of a copied doc (and its original)
+    * is corpus-duplicated; organic 8-gram repeats in the base corpus also
+    * surface. */
+  private def substringDupQ(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDupStats(exactCorpus(s, d), k = 8, "text", "id")
+      .orderBy(col("id"))
+
+  /** Full Lee-et-al substring removal over the same corpus: token spans
+    * covered by any corpus-duplicated 8-gram are excised. */
+  private def substringRemoveQ(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDupRemove(exactCorpus(s, d), k = 8, "text", "id")
+      .orderBy(col("id"))
+
   private def dedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(nearCorpus(s, d), 0.5, "text", "id", maxDocFreq = 64)
       .orderBy(col("id_a"), col("id_b"))
@@ -109,6 +123,17 @@ object AnalyticsQueries extends QueryModule {
         Dedup.minhashLshPairs(nearCorpus(s, d), 0.5, k = 16, bands = 4, "text", "id"))
       .select(col("id"), col("component"))
       .orderBy(col("id"))
+
+  /** Keep-best near-dup resolution: same pair graph as dedup_components,
+    * but the cluster winner is the LONGEST text (ties: lowest id) — the
+    * near-copies carry an extra token, so this policy keeps the copy where
+    * min-id would keep the original. */
+  private def resolvePriorityQ(s: SparkSession, d: String): DataFrame = {
+    val corpus = nearCorpus(s, d)
+    val pairs = Dedup.minhashLshPairs(corpus, 0.5, k = 16, bands = 4, "text", "id")
+    Dedup.resolveNearDupsBy(corpus, pairs, length(col("text")), "id")
+      .select(col("id")).orderBy(col("id"))
+  }
 
   private def winnowPairsQ(s: SparkSession, d: String): DataFrame =
     Dedup.winnowOverlapPairs(nearCorpus(s, d).where(col("id") % 5 === 0),
@@ -230,10 +255,13 @@ object AnalyticsQueries extends QueryModule {
     "pipeline_training_data" -> (pipelineQ _),
     "dedup_exact" -> (dedupExact _),
     "dedup_bloom_incremental" -> (bloomIncrementalQ _),
+    "dedup_substring" -> (substringDupQ _),
+    "dedup_substring_remove" -> (substringRemoveQ _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash_signatures" -> (minhashSig _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_resolve_priority" -> (resolvePriorityQ _),
     "dedup_winnow_pairs" -> (winnowPairsQ _),
     "dedup_simhash" -> (simhashQ _),
     "dedup_simhash_pairs" -> (simhashPairsQ _),
@@ -273,6 +301,43 @@ object AnalyticsQueries extends QueryModule {
       |    ELSE [array_to_string(w, ' ')] END) AS shingle
       |  FROM (SELECT id, $W AS w FROM corpus)),
       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY 1)""".stripMargin
+
+  /** MinHash(16)-LSH(4-band) candidates, 0.5-Jaccard verification, and the
+    * transitive closure of the resulting pair graph — the shared backbone
+    * of the components and priority-resolution oracles. Ends with the
+    * recursive `reach(src, dst)` CTE. */
+  private lazy val minhashReachSql =
+    s"""sig AS (
+      |  SELECT id, seed,
+      |         min(((2*seed+1) * (${hash60("shingle")} % 2147483647)
+      |              + seed * 2654435761) % 2147483647) AS minhash
+      |  FROM shingles CROSS JOIN range(16) t(seed) GROUP BY 1, 2),
+      |bandkeys AS (
+      |  SELECT id, CAST(seed // 4 AS INT) AS band,
+      |         string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || CAST(minhash AS VARCHAR),
+      |                    ',' ORDER BY seed) AS band_key
+      |  FROM sig GROUP BY 1, 2),
+      |cands AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bandkeys a JOIN bandkeys b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+      |common AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS c
+      |  FROM cands c JOIN shingles a ON a.id = c.id_a
+      |               JOIN shingles b ON b.id = c.id_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2),
+      |verified AS (
+      |  SELECT common.id_a, common.id_b
+      |  FROM common JOIN sizes sa ON sa.id = common.id_a
+      |              JOIN sizes sb ON sb.id = common.id_b
+      |  WHERE CAST(common.c AS DOUBLE) / (sa.sz + sb.sz - common.c) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM verified
+      |  UNION SELECT id_b, id_a FROM verified),
+      |reach(src, dst) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
 
   /** Mirrors ngramJaccardPairs' maxDocFreq=64 hot-shingle drop: the join
     * index excludes shingles shared by >64 docs; `sizes` stays computed
@@ -440,6 +505,45 @@ object AnalyticsQueries extends QueryModule {
         |  string_split_regex(trim(lower(text)), '\s+'), ' ')) AS f FROM existing)
         |SELECT infp.id AS doc_id FROM infp
         |WHERE infp.f NOT IN (SELECT f FROM exfp) ORDER BY 1""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH $exactCorpusSql,
+        |toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+        |wins AS (
+        |  SELECT id, md5(array_to_string(list_slice(w, gs, gs + 7), ' ')) AS h
+        |  FROM (SELECT id, w, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS gs
+        |        FROM toks)),
+        |duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |per AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup_windows FROM wins
+        |        WHERE h IN (SELECT h FROM duph) GROUP BY id)
+        |SELECT t.id, CAST(greatest(len(w) - 7, 0) AS BIGINT) AS n_windows,
+        |       coalesce(per.n_dup_windows, 0) AS n_dup_windows,
+        |       CAST(coalesce(per.n_dup_windows, 0) AS DOUBLE)
+        |         / nullif(greatest(len(w) - 7, 0), 0) AS dup_ratio
+        |FROM toks t LEFT JOIN per ON per.id = t.id
+        |ORDER BY t.id""".stripMargin,
+    "dedup_substring_remove" ->
+      s"""WITH $exactCorpusSql,
+        |toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+        |wins AS (
+        |  SELECT id, gs AS i, md5(array_to_string(list_slice(w, gs, gs + 7), ' ')) AS h
+        |  FROM (SELECT id, w, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS gs
+        |        FROM toks)),
+        |duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |cov AS (SELECT DISTINCT id, p FROM (
+        |  SELECT id, unnest(range(i, i + 8)) AS p FROM wins
+        |  WHERE h IN (SELECT h FROM duph))),
+        |covagg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY id),
+        |tokpos AS (SELECT id, p, w[CAST(p AS INT)] AS tok
+        |           FROM (SELECT id, w, unnest(range(1, len(w) + 1)) AS p FROM toks)),
+        |keptagg AS (SELECT tokpos.id, string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |            FROM tokpos ANTI JOIN cov ON cov.id = tokpos.id AND cov.p = tokpos.p
+        |            GROUP BY tokpos.id)
+        |SELECT t.id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |       coalesce(covagg.n_removed, 0) AS n_removed,
+        |       coalesce(keptagg.text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN covagg ON covagg.id = t.id
+        |            LEFT JOIN keptagg ON keptagg.id = t.id
+        |ORDER BY t.id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $nearCorpusSql,
         |$shingleSql,
@@ -478,39 +582,22 @@ object AnalyticsQueries extends QueryModule {
     "dedup_components" ->
       s"""WITH RECURSIVE $nearCorpusSql,
         |$shingleSql,
-        |sig AS (
-        |  SELECT id, seed,
-        |         min(((2*seed+1) * (${hash60("shingle")} % 2147483647)
-        |              + seed * 2654435761) % 2147483647) AS minhash
-        |  FROM shingles CROSS JOIN range(16) t(seed) GROUP BY 1, 2),
-        |bandkeys AS (
-        |  SELECT id, CAST(seed // 4 AS INT) AS band,
-        |         string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || CAST(minhash AS VARCHAR),
-        |                    ',' ORDER BY seed) AS band_key
-        |  FROM sig GROUP BY 1, 2),
-        |cands AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM bandkeys a JOIN bandkeys b
-        |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
-        |common AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS c
-        |  FROM cands c JOIN shingles a ON a.id = c.id_a
-        |               JOIN shingles b ON b.id = c.id_b AND b.shingle = a.shingle
-        |  GROUP BY 1, 2),
-        |verified AS (
-        |  SELECT common.id_a, common.id_b
-        |  FROM common JOIN sizes sa ON sa.id = common.id_a
-        |              JOIN sizes sb ON sb.id = common.id_b
-        |  WHERE CAST(common.c AS DOUBLE) / (sa.sz + sb.sz - common.c) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM verified
-        |  UNION SELECT id_b, id_a FROM verified),
-        |reach(src, dst) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |$minhashReachSql
         |SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS component
         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    "dedup_resolve_priority" ->
+      s"""WITH RECURSIVE $nearCorpusSql,
+        |$shingleSql,
+        |$minhashReachSql,
+        |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+        |         FROM reach GROUP BY src),
+        |allc AS (SELECT c.id, coalesce(comp.component, c.id) AS component,
+        |                len(c.text) AS l
+        |         FROM corpus c LEFT JOIN comp ON comp.id = c.id),
+        |ranked AS (SELECT id, row_number() OVER
+        |             (PARTITION BY component ORDER BY l DESC, id) AS rn
+        |           FROM allc)
+        |SELECT id FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""WITH $nearCorpusSql,
         |sub AS (SELECT id, text FROM corpus WHERE id % 5 = 0),

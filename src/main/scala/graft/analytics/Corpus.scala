@@ -330,4 +330,83 @@ object Corpus {
       .withColumn("mean_rank",
         round(col("rank_sum").cast("double") / col("n_tokens"), 6))
   }
+
+  /** EXACT heavy hitters: every token with total corpus count >= minCount,
+    * with its exact count — without ever shuffling the long tail. Classic
+    * two-pass scheme (Misra & Gries 1982 summaries, merged by union):
+    *
+    * Pass 1 runs a Misra-Gries summary of `capacity` counters inside each
+    * partition (per-partition imperative state — the one place
+    * `mapPartitions` is the right tool). MG guarantees a partition
+    * undercounts any token by at most n_p/(capacity+1), so a token absent
+    * from EVERY summary has total count <= N/(capacity+1): if
+    * minCount > N/(capacity+1), the union of survivors is a guaranteed
+    * superset of the heavy hitters. The summaries also carry one sentinel
+    * row with the partition's token count, so N is known without a second
+    * source scan; the guarantee is ASSERTED loudly rather than assumed.
+    *
+    * Pass 2 broadcast-joins the small candidate set against the token
+    * stream — the corpus is never shuffled, only candidate rows reach the
+    * (map-side combined) count — and keeps counts >= minCount.
+    *
+    * At 100 TB: pass 1 is a pure scan with O(capacity) state per task;
+    * the shuffle carries <= capacity x partitions candidate rows; pass 2's
+    * shuffle carries one row per (candidate, partition). Compare the naive
+    * groupBy-then-filter, which shuffles one row per DISTINCT TOKEN per
+    * partition — for web-scale corpora that is billions of tail tokens
+    * paying for a handful of heavy ones.
+    *
+    * If `capacity` turns out too small for the corpus (guarantee floor
+    * N/(capacity+1) reaches minCount), pass 1 is re-run once with a
+    * sufficient capacity derived from the now-known N (`autoGrow`, the
+    * default — results stay EXACT at any scale without tuning); with
+    * autoGrow=false it refuses loudly instead. */
+  def heavyHitters(docs: DataFrame, minCount: Long, capacity: Int = 4096,
+      textCol: String = "text", autoGrow: Boolean = true): DataFrame = {
+    require(minCount > 0 && capacity > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(length(col("word")) > 0)
+    // (token, isSentinel, n): survivors carry their residual MG counter
+    // (diagnostic only); the sentinel carries the partition's token count.
+    def summarize(cap: Int) = words.as[String].mapPartitions { it =>
+      val mg = new java.util.HashMap[String, Long]()
+      var np = 0L
+      it.foreach { w =>
+        np += 1L
+        val cur = mg.getOrDefault(w, 0L)
+        if (cur > 0L) mg.put(w, cur + 1L)
+        else if (mg.size < cap) mg.put(w, 1L)
+        else {
+          val itr = mg.entrySet().iterator()
+          while (itr.hasNext) {
+            val e = itr.next()
+            if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      mg.entrySet().iterator().asScala.map(e => (e.getKey, false, e.getValue.longValue())) ++
+        Iterator(("", true, np))
+    }.toDF("word", "sentinel", "n").cache()
+    def tokenCount(df: DataFrame): Long =
+      df.where(col("sentinel")).agg(sum(col("n"))).as[Option[Long]].head().getOrElse(0L)
+    var summaries = summarize(capacity)
+    val total = tokenCount(summaries)
+    if (total / (capacity + 1L) >= minCount) {
+      require(autoGrow,
+        s"heavyHitters: minCount=$minCount is below the MG guarantee floor " +
+          s"${total / (capacity + 1L)} for capacity=$capacity over $total tokens — " +
+          "raise capacity or minCount (candidates would not be a guaranteed superset)")
+      summaries.unpersist()
+      val grown = math.min(2L * total / minCount + 1L, Int.MaxValue.toLong).toInt
+      summaries = summarize(grown)
+    }
+    val candidates = summaries.where(!col("sentinel")).select(col("word")).distinct()
+    words.join(broadcast(candidates), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
 }

@@ -177,9 +177,16 @@ object CorpusQueries extends QueryModule {
         col("mean_rank"))
       .orderBy(col("doc_id"))
 
+  /** Exact heavy hitters (MG candidates + exact verify); threshold 100
+    * keeps the output stable and non-trivial at every SF. */
+  private def heavyHittersQ(s: SparkSession, d: String): DataFrame =
+    Corpus.heavyHitters(Tables.documents(s, d), minCount = 100L)
+      .orderBy(col("word"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "split_assign" -> (splitQ _),
     "vocab_topk" -> (vocabQ _),
+    "vocab_heavy_hitters" -> (heavyHittersQ _),
     "text_rarity" -> (rarityQ _),
     "pack_sequences" -> (packQ _),
     "chunk_documents" -> (chunkQ _),
@@ -229,6 +236,12 @@ object CorpusQueries extends QueryModule {
         |      FROM documents)
         |WHERE word <> ''
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "vocab_heavy_hitters" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY 1 HAVING count(*) >= 100 ORDER BY word""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
         |  SELECT doc_id AS id, CAST(len($W) AS BIGINT) AS n_tokens,

@@ -363,6 +363,95 @@ object Dedup {
           joinSep).as("text"))
   }
 
+  /** Exact duplicated-substring detection (Lee et al. 2021, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better"): any run of
+    * k consecutive tokens whose exact text occurs more than once in the
+    * corpus — across documents OR repeated within one — is duplicated text.
+    * Returns per-document (id, n_windows, n_dup_windows, dup_ratio): how
+    * many of the document's k-token windows are corpus-duplicated, the
+    * standard "verbatim memorization risk" signal used to drive substring
+    * removal. Documents shorter than k tokens have zero windows and a NULL
+    * ratio.
+    *
+    * Scale shape (the suffix-array of the paper replaced by its
+    * equivalent fixed-k window-hash formulation, which distributes): window
+    * hashes are a narrow per-row `transform` (no quadratic substr — one
+    * token-array slice per window); ONE shuffle counts occurrences per
+    * 128-bit window hash with map-side partial aggregation (high-cardinality
+    * key, no skew); duplicated hashes — a small fraction of any real corpus
+    * — equi-join back to the window index, and ONE shuffle re-aggregates
+    * per document. Everything is linear in total token count; nothing is
+    * ever pairwise. */
+  def substringDupStats(docs: DataFrame, k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // The token array is LET-BOUND (bindOnce): after projection collapse
+    // a bare column reference would inline the split into the window
+    // lambda and re-tokenize the text once per window — quadratic per doc.
+    val wins = docs
+      .select(col(idCol).as("id"),
+        bindOnce(tokens(col(textCol)), { w =>
+          when(size(w) >= k,
+            transform(sequence(lit(1), size(w) - (k - 1)),
+              i => md5(concat_ws(" ", slice(w, i, lit(k))))))
+            .otherwise(array().cast("array<string>"))
+        }).as("wh"))
+    val occ = wins.select(col("id"), explode(col("wh")).as("h"))
+    // Occurrences counted WITH multiplicity: a window repeated inside one
+    // document is duplicated text too (the paper's within-doc case).
+    val dupHashes = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1).select(col("h"))
+    val dupPerDoc = occ.join(dupHashes, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_windows"))
+    wins.select(col("id"), size(col("wh")).cast("long").as("n_windows"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .na.fill(0L, Seq("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / nullif(col("n_windows"), lit(0L)))
+  }
+
+  /** Exact duplicated-substring REMOVAL (the full Lee et al. 2021
+    * semantics): every token covered by ANY corpus-duplicated k-token
+    * window is excised from the document; the survivors are re-joined in
+    * order. Returns (id, n_tokens, n_removed, text_clean) — `text_clean`
+    * is the whitespace-normalized document with duplicated spans cut out
+    * (empty string when everything was duplicated).
+    *
+    * Scale shape: same linear window-hash census as [[substringDupStats]];
+    * covered positions explode only the DUPLICATED windows (k rows each —
+    * a constant factor on the duplicated fraction, not the corpus), and
+    * the per-document covered-set is a bounded array (<= token count).
+    * The rebuild is a narrow `filter` over the token array — no second
+    * pass over text. */
+  def substringDupRemove(docs: DataFrame, k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    // Token array let-bound (bindOnce) — see substringDupStats: a bare
+    // reference would re-tokenize the text once per window after
+    // projection collapse.
+    val wins = docs.select(col(idCol).as("id"),
+      bindOnce(tokens(col(textCol)), { w =>
+        when(size(w) >= k,
+          transform(sequence(lit(1), size(w) - (k - 1)),
+            i => struct(i.as("i"), md5(concat_ws(" ", slice(w, i, lit(k)))).as("h"))))
+          .otherwise(array().cast("array<struct<i:int,h:string>>"))
+      }).as("ws"))
+      .select(col("id"), explode(col("ws")).as("x"))
+      .select(col("id"), col("x.i").as("i"), col("x.h").as("h"))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1).select(col("h"))
+    val covered = wins.join(dupHashes, "h")
+      .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .groupBy(col("id")).agg(collect_set(col("p")).as("cov"))
+    toks.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        when(col("cov").isNull, array_join(col("w"), " "))
+          .otherwise(array_join(
+            filter(col("w"), (t, i) => !array_contains(col("cov"), i + 1)), " "))
+          .as("text_clean"))
+  }
+
   /** SimHash (60-bit): per bit position, sum +1/-1 over distinct token
     * hashes; the sign of each sum sets the bit. Folded per-row over the
     * token-hash array (no explode). Returns (id, simhash). */
@@ -494,6 +583,33 @@ object Dedup {
       .where(col("id") =!= col("component"))
       .select(col("id").as("_drop_id"))
     docs.join(drop, docs(idCol).cast("long") === col("_drop_id"), "left_anti")
+  }
+
+  /** Near-dup resolution keeping the BEST document of each duplicate
+    * cluster by an arbitrary priority expression (highest quality score,
+    * longest text, freshest crawl — instead of [[resolveNearDups]]'s
+    * min-id policy). Ties break on lowest id, so the result is
+    * deterministic for any priority column.
+    *
+    * Scale shape: components come from the pointer-jumping label
+    * propagation (O(log diameter) rounds over the PAIR GRAPH only);
+    * picking the winner is one per-component max_by aggregation over the
+    * docs that appear in any pair — the untouched (pair-free) bulk of the
+    * corpus never shuffles, it passes through an anti-join against the
+    * losers. */
+  def resolveNearDupsBy(docs: DataFrame, pairs: DataFrame, priority: Column,
+      idCol: String = "doc_id", aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol) // (id, component)
+    val member = docs.select(col(idCol).cast("long").as("_m_id"), priority.as("_prio"))
+      .join(comp, col("_m_id") === col("id"))
+    // lexicographic struct max = (highest priority, then lowest id)
+    val winners = member.groupBy(col("component"))
+      .agg(max(struct(col("_prio"), (-col("_m_id")).as("_neg_id"))).as("_w"))
+      .select(col("component"), (-col("_w").getField("_neg_id")).as("_keep_id"))
+    val losers = member.join(winners, "component")
+      .where(col("_m_id") =!= col("_keep_id"))
+      .select(col("_m_id").as("_drop_id"))
+    docs.join(losers, docs(idCol).cast("long") === col("_drop_id"), "left_anti")
   }
 
   /** Incremental exact dedup: the rows of `incoming` whose (normalized)

@@ -168,6 +168,21 @@ object Subscriptions {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming SESSION windows (native `session_window`, Spark 3.2+):
+    * per-stream activity sessions closed by `gap` of event-time
+    * inactivity. Append-mode semantics: a session row is emitted exactly
+    * once, when the watermark passes its end — so state is O(open
+    * sessions) and downstream sees only finalized sessions. Batch parity:
+    * the same `session_window` groupBy over the full log yields the same
+    * rows (the streaming run withholds only sessions the watermark has
+    * not yet closed). */
+  def sessionWindowedAgg(events: DataFrame, gap: String, delay: String): DataFrame =
+    events.withWatermark("timestamp", delay)
+      .groupBy(session_window(col("timestamp"), gap).as("w"), col("stream_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("stream_id"), col("n"))
+
   /** P17 reorderEvents + processingLag: a stateful reorder buffer for
     * multi-stream sources whose events can arrive across micro-batch
     * boundaries out of global-position order. Events are buffered in the

@@ -401,4 +401,53 @@ class AnalyticsSpec extends SparkTestBase {
     // components {1,3,5} -> keep 1; {7,8} -> keep 7; others untouched
     assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
   }
+
+  test("resolveNearDupsBy keeps the highest-priority doc per component, ties to lowest id") {
+    val s = spark; import s.implicits._
+    val docs = (0L to 9L).map(i => (i, s"doc $i", if (i == 3L) 9.0 else 1.0))
+      .toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.resolveNearDupsBy(docs, pairs, col("q")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // {1,3,5}: q peaks at 3 -> keep 3 (min-id would keep 1); {7,8}: equal
+    // priority -> lowest id 7; pair-free docs untouched
+    assert(kept == Set(0L, 2L, 3L, 4L, 6L, 7L, 9L))
+  }
+
+  test("substringDupStats: cross-doc and within-doc window duplication, exact counts") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5"),             // windows: [t1..t4] [t2..t5]
+      (2L, "x t1 t2 t3 t4 y"),            // 3 windows; shares [t1..t4] with doc 1
+      (3L, "z1 z2 z3 z4"),                // 1 unique window
+      (4L, "r1 r2 r3 r4 r1 r2 r3 r4"),    // 5 windows; [r1..r4] occurs twice (within-doc)
+      (5L, "short doc")                   // < k tokens: 0 windows, NULL ratio
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(docs, k = 4).orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(byId(1L) == ((2L, 1L, Some(0.5))))
+    assert(byId(2L) == ((3L, 1L, Some(1.0 / 3.0))))
+    assert(byId(3L) == ((1L, 0L, Some(0.0))))
+    assert(byId(4L) == ((5L, 2L, Some(0.4))))
+    assert(byId(5L) == ((0L, 0L, None)))
+  }
+
+  test("substringDupRemove: covered spans excised, survivors rejoined in order") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5"),
+      (2L, "x t1 t2 t3 t4 y"),
+      (3L, "z1 z2 z3 z4"),
+      (4L, "r1 r2 r3 r4 r1 r2 r3 r4"),
+      (5L, "short doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupRemove(docs, k = 4).orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5L, 4L, "t5")))
+    assert(out(2L) == ((6L, 4L, "x y")))
+    assert(out(3L) == ((4L, 0L, "z1 z2 z3 z4")))
+    assert(out(4L) == ((8L, 8L, "")))
+    assert(out(5L) == ((2L, 0L, "short doc")))
+  }
 }

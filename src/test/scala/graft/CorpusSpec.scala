@@ -184,4 +184,45 @@ class CorpusSpec extends SparkTestBase {
       .where(col("max_dropped") > col("min_kept"))
     assert(bad.count() == 0)
   }
+
+  test("heavyHitters: exact counts under skew with a tiny MG capacity") {
+    val s2 = spark; import s2.implicits._
+    // 200 singleton tokens + two hot ones; capacity 9 forces constant MG
+    // eviction, yet the guarantee floor N/(cap+1) = 720/10 = 72 < 100.
+    val words = (0 until 200).map(i =>
+        s"rare${('a' + i / 26).toChar}${('a' + i % 26).toChar}") ++
+      Seq.fill(300)("hotone") ++ Seq.fill(220)("hottwo")
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(7)
+    val out = Corpus.heavyHitters(docs, minCount = 100L, capacity = 9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("hotone" -> 300L, "hottwo" -> 220L))
+  }
+
+  test("heavyHitters: refuses when capacity cannot guarantee the superset (autoGrow off)") {
+    val s2 = spark; import s2.implicits._
+    val docs = Seq.tabulate(50)(i => (i.toLong, s"w$i w$i w$i")).toDF("doc_id", "text")
+    // N = 150 tokens, capacity 2 -> floor 50; minCount 10 is below it
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.heavyHitters(docs, minCount = 10L, capacity = 2, autoGrow = false)
+    }
+    assert(ex.getMessage.contains("guarantee floor"))
+  }
+
+  test("heavyHitters: autoGrow re-runs pass 1 and stays exact with an undersized capacity") {
+    val s2 = spark; import s2.implicits._
+    // same skewed fixture, capacity 2: floor 720/3 = 240 >= 100, so the
+    // first pass cannot guarantee a superset — autoGrow must recover both
+    // hot tokens exactly anyway.
+    val words = (0 until 200).map(i =>
+        s"rare${('a' + i / 26).toChar}${('a' + i % 26).toChar}") ++
+      Seq.fill(300)("hotone") ++ Seq.fill(220)("hottwo")
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(7)
+    val out = Corpus.heavyHitters(docs, minCount = 100L, capacity = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("hotone" -> 300L, "hottwo" -> 220L))
+  }
 }

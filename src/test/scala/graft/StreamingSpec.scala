@@ -257,6 +257,52 @@ fromAll().foreachStream().when({
     assert(batch.size == 3) // 10:00 Deposited x2, 11:00 Withdrawn, 11:00 Deposited
   }
 
+  test("streaming session windows (append mode) equal the batch session_window agg") {
+    val (store, dir) = newStore()
+    store.append(Seq(
+      PendingEvent("acct-1", "s1", "Ping", "{}", timestamp = ts("2024-01-01 10:00:00")),
+      PendingEvent("acct-1", "s2", "Ping", "{}", timestamp = ts("2024-01-01 10:10:00")),
+      PendingEvent("acct-1", "s3", "Ping", "{}", timestamp = ts("2024-01-01 11:30:00")),
+      PendingEvent("acct-2", "s4", "Ping", "{}", timestamp = ts("2024-01-01 10:05:00")),
+      PendingEvent("acct-3", "s5", "Ping", "{}", timestamp = ts("2024-01-01 15:00:00"))))
+    val s = spark; import s.implicits._
+    val batch = store.read() // collected BEFORE the acct-9 watermark sentinel lands
+      .groupBy(session_window(col("timestamp"), "30 minutes").as("w"), col("stream_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("stream_id"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val ck = java.nio.file.Files.createTempDirectory("sessck").toString
+    val out = java.nio.file.Files.createTempDirectory("sessout").toString
+    def runOnce(): Unit = {
+      val q = Subscriptions.sessionWindowedAgg(
+          Subscriptions.subscribeAll(spark, s"$dir/log"), "30 minutes", "1 second")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce() // batch 1: watermark starts at epoch — nothing finalized yet
+    // a later arrival advances the watermark past every earlier session end
+    store.append(Seq(
+      PendingEvent("acct-9", "s6", "Ping", "{}", timestamp = ts("2024-01-01 16:00:00"))))
+    runOnce() // restart on the same checkpoint: finalized sessions emit
+    val streamed = spark.read.parquet(out)
+      .select("w_start", "w_end", "stream_id", "n")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // every session closed by the 16:00 watermark emitted exactly once:
+    // acct-1 [10:00,10:40) n=2 (merged) + [11:30,12:00) n=1; acct-2
+    // [10:05,10:35) n=1; acct-3 [15:00,15:30) n=1. The 16:00 session
+    // itself is still open — withheld in streaming, excluded from batch.
+    assert(streamed == batch)
+    assert(streamed.size == 4)
+    assert(streamed.exists { case (_, _, sid, n) => sid == "acct-1" && n == 2L })
+  }
+
   test("P17 reorderEvents: out-of-order arrival across batches is released in position order") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
