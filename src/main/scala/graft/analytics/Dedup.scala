@@ -402,7 +402,10 @@ object Dedup {
       .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1).select(col("h"))
     val dupPerDoc = occ.join(dupHashes, "h")
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup_windows"))
-    wins.select(col("id"), size(col("wh")).cast("long").as("n_windows"))
+    // window COUNT needs no hashes — derive it from the token count alone
+    // rather than building the window array a third time
+    docs.select(col(idCol).as("id"),
+        greatest(size(tokens(col(textCol))) - (k - 1), lit(0)).cast("long").as("n_windows"))
       .join(dupPerDoc, Seq("id"), "left")
       .na.fill(0L, Seq("n_dup_windows"))
       .withColumn("dup_ratio",

@@ -92,6 +92,30 @@ object EventAnalytics extends QueryModule {
 
   // ---- registered queries -------------------------------------------
 
+  /** Top event-type PATHS: the most frequent length-`n` consecutive
+    * event-type sequences across users (product-analytics "user paths",
+    * also the n-gram census a behavioral-cloning pipeline runs over
+    * action logs). Consecutive = adjacent in the user's (ts, event_id)
+    * order; sequences never span users.
+    *
+    * Scale shape: ONE shuffle keyed by user + a per-user local sort (the
+    * window), lead() is a zero-copy peek within the sorted run — per-user
+    * event lists are never materialized. The global census is a map-side
+    * combined groupBy on the path string, and top-k is a TakeOrdered, not
+    * a global sort. */
+  def pathNgrams(events: DataFrame, n: Int = 3,
+      userCol: String = "user_id"): DataFrame = {
+    require(n >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("ts"), col("event_id"))
+    val leads = (1 until n).map(i => lead(col("event_type"), i).over(w).as(s"_l$i"))
+    events.select((col(userCol) +: col("ts") +: col("event_id") +:
+        col("event_type").as("_l0") +: leads): _*)
+      .where(col(s"_l${n - 1}").isNotNull) // windows that run off the user's tail
+      .select(concat_ws(">", (0 until n).map(i => col(s"_l$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+  }
+
   private val FunnelSteps = Seq("signup", "view", "purchase")
 
   private def funnelQ(s: SparkSession, d: String): DataFrame =
@@ -104,10 +128,15 @@ object EventAnalytics extends QueryModule {
     cohortRetention(Tables.rawEvents(s, d))
       .orderBy(col("cohort"), col("week_offset"))
 
+  private def pathsQ(s: SparkSession, d: String): DataFrame =
+    pathNgrams(Tables.rawEvents(s, d), n = 3)
+      .orderBy(col("n_paths").desc, col("path")).limit(25)
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "funnel_stages" -> (funnelQ _),
     "funnel_time_to_convert" -> (ttcQ _),
-    "cohort_retention" -> (cohortQ _)
+    "cohort_retention" -> (cohortQ _),
+    "path_trigrams" -> (pathsQ _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -130,6 +159,15 @@ object EventAnalytics extends QueryModule {
         |  UNION ALL
         |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
         |ORDER BY stage""".stripMargin,
+    "path_trigrams" ->
+      """WITH l AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+        |  FROM events)
+        |SELECT a || '>' || b || '>' || c AS path, CAST(count(*) AS BIGINT) AS n_paths
+        |FROM l WHERE c IS NOT NULL
+        |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 25""".stripMargin,
     "funnel_time_to_convert" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS p FROM events

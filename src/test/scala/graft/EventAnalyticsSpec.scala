@@ -67,4 +67,31 @@ class EventAnalyticsSpec extends SparkTestBase {
       ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 3, 1L),
       ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
   }
+
+  test("pathNgrams: adjacent-only sequences, never spanning users, tail windows dropped") {
+    val df = events(
+      // user 1: a -> b -> c -> b  => trigrams a>b>c, b>c>b
+      (1L, "a", 1L, "2024-01-01 10:00:00"),
+      (1L, "b", 2L, "2024-01-01 10:01:00"),
+      (1L, "c", 3L, "2024-01-01 10:02:00"),
+      (1L, "b", 4L, "2024-01-01 10:03:00"),
+      // user 2: a -> b -> c  => a>b>c (no cross-user c>b>a etc.)
+      (2L, "a", 5L, "2024-01-01 11:00:00"),
+      (2L, "b", 6L, "2024-01-01 11:01:00"),
+      (2L, "c", 7L, "2024-01-01 11:02:00"),
+      // user 3: too short for any trigram
+      (3L, "a", 8L, "2024-01-01 12:00:00"),
+      (3L, "b", 9L, "2024-01-01 12:01:00"))
+    val out = EventAnalytics.pathNgrams(df, n = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a>b>c" -> 2L, "b>c>b" -> 1L))
+    // ties in ts break on event_id: same-ts events order deterministically
+    val tied = events(
+      (9L, "x", 11L, "2024-01-01 10:00:00"),
+      (9L, "y", 12L, "2024-01-01 10:00:00"),
+      (9L, "z", 13L, "2024-01-01 10:00:00"))
+    val t = EventAnalytics.pathNgrams(tied, n = 3)
+      .collect().map(r => r.getString(0)).toSeq
+    assert(t == Seq("x>y>z"))
+  }
 }
