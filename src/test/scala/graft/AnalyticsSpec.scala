@@ -402,6 +402,27 @@ class AnalyticsSpec extends SparkTestBase {
     assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
   }
 
+  test("mergeable HLL sketches: per-source sketches unioned == direct sketch, within 5% of exact") {
+    // The incremental-cardinality pattern at 100 TB: sketch each
+    // partition/day ONCE (hll_sketch_agg), persist the fixed-size binary,
+    // union later (hll_union_agg) — no re-scan of history. The union is
+    // NOT bit-identical to one-shot sketching (union promotes coupon-mode
+    // sketches to dense HLL, one-shot may stay exact-sparse), but both
+    // must sit within the sketch's error bounds of the exact count.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val direct = docs.agg(hll_sketch_estimate(hll_sketch_agg(col("fp"))).as("est"))
+      .collect().head.getLong(0)
+    val merged = docs.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("fp")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    val exact = docs.select(col("fp")).distinct().count()
+    assert(math.abs(merged - direct).toDouble / exact < 0.02)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+    assert(math.abs(direct - exact).toDouble / exact < 0.05)
+  }
+
   test("resolveNearDupsBy keeps the highest-priority doc per component, ties to lowest id") {
     val s = spark; import s.implicits._
     val docs = (0L to 9L).map(i => (i, s"doc $i", if (i == 3L) 9.0 else 1.0))
