@@ -196,4 +196,35 @@ class FuzzSpec extends SparkTestBase {
     assert(out.count() == docs.count())
     assert(out.where(col("predicted").isNull).count() == 0)
   }
+
+  test("substring dedup family: hostile corpus never throws; stats and removal stay coherent") {
+    val docs = hostileDocs(50)
+    val n = docs.count()
+    val stats = Dedup.substringDupStats(docs, k = 3)
+    val rem = Dedup.substringDupRemove(docs, k = 3)
+    assert(stats.count() == n && rem.count() == n)
+    stats.collect().foreach { r =>
+      if (!r.isNullAt(1)) {
+        val (nw, nd) = (r.getLong(1), r.getLong(2))
+        assert(nw >= 0 && nd >= 0 && nd <= nw, s"window bounds: $r")
+        if (nw > 0) assert(math.abs(r.getDouble(3) - nd.toDouble / nw) < 1e-12)
+      }
+    }
+    rem.collect().foreach { r =>
+      if (!r.isNullAt(1)) {
+        val (nt, nr) = (r.getLong(1), r.getLong(2))
+        assert(nr >= 0 && nr <= nt, s"removal bounds: $r")
+        if (nr == nt) assert(r.getString(3) == "", s"full removal must empty the doc: $r")
+      }
+    }
+    // stats and removal agree on WHO has duplicated text; untouched docs
+    // come back whitespace-normalized but token-identical
+    val joined = stats.select(col("id"), col("n_dup_windows"))
+      .join(rem.select(col("id"), col("n_removed"), col("text_clean")), "id")
+      .join(docs.select(col("doc_id").as("id"),
+        array_join(TextFunctions.tokens(col("text")), " ").as("norm")), "id")
+    assert(joined.where((col("n_dup_windows") > 0) =!= (col("n_removed") > 0)).count() == 0)
+    assert(joined.where(col("n_removed") === 0 && col("norm").isNotNull &&
+      col("text_clean") =!= col("norm")).count() == 0)
+  }
 }

@@ -212,4 +212,26 @@ class PlanSpec extends SparkTestBase {
       assert(r.getLong(1) == 0L && r.getLong(2) == r.getLong(3) - 1)
     }
   }
+
+  test("heavyHitters candidate verify is a broadcast join — the corpus is never shuffled") {
+    val s = spark; import s.implicits._
+    val docs = Seq.tabulate(300)(i => (i.toLong, s"hot hot word$i")).toDF("doc_id", "text")
+    val hh = graft.analytics.Corpus.heavyHitters(docs, minCount = 100L)
+    val plan = executedPlan(hh)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("substring-dedup census joins are equi-joins, never cartesian") {
+    val s = spark; import s.implicits._
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, if (i % 2 == 0) "a b c d e f g h i j" else s"u$i v$i w$i x$i y$i z$i p$i q$i"))
+      .toDF("doc_id", "text")
+    Seq(graft.analytics.Dedup.substringDupStats(docs, k = 8),
+        graft.analytics.Dedup.substringDupRemove(docs, k = 8)).foreach { df =>
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        plan.take(1500))
+    }
+  }
 }
