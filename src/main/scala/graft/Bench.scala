@@ -52,7 +52,10 @@ object Bench {
     // cost up front, so the timed pass measures steady-state per-query
     // execution — the number that scales with data volume — rather than
     // compiler latency that is amortized away on any real corpus.
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args restrict the run to the named queries (iteration aid);
+    // a filtered run never overwrites the in-repo BENCH_LOCAL.json.
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) all.filter(args.toSet) else all
     names.foreach(runOnce)
 
     val results = names.map(n => n -> runOnce(n))
@@ -70,7 +73,8 @@ object Bench {
     // (build.sbt present) — run from anywhere else this must not scatter
     // stray files.
     val inRepoOut =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
+      if (args.isEmpty &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
         Seq("BENCH_LOCAL.json")
       else Seq.empty
     val outs = Seq("/tmp/bench.json") ++ inRepoOut ++

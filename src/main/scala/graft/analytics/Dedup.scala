@@ -382,34 +382,57 @@ object Dedup {
     * — equi-join back to the window index, and ONE shuffle re-aggregates
     * per document. Everything is linear in total token count; nothing is
     * ever pairwise. */
+  /** 128-bit window fingerprint for the substring census: two independent
+    * XXH64 passes over the token-array slice (the second salted by an
+    * extra chained column). Replaces an md5-hex key: no per-window string
+    * concat, and the shuffle/join key is 16 bytes instead of a 32-char
+    * string. 64 bits alone would collide at 100 TB scale (~10^12 windows
+    * → ~10^4 expected collisions); the pair pushes that to ~2^-40. */
+  private def winKey(sl: Column): Column =
+    struct(xxhash64(sl).as("h1"), xxhash64(sl, lit(1L)).as("h2"))
+  private val winKeyType = "struct<h1:bigint,h2:bigint>"
+  private val winKeyArrayType = s"array<$winKeyType>"
+
   def substringDupStats(docs: DataFrame, k: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // The token array is LET-BOUND (bindOnce): after projection collapse
     // a bare column reference would inline the split into the window
     // lambda and re-tokenize the text once per window — quadratic per doc.
-    val wins = docs
+    // explode_outer keeps zero-window docs (short or null text) in the
+    // flow as a single null-h row, so no second scan of `docs` is needed
+    // for the per-doc window count.
+    val occ = docs
       .select(col(idCol).as("id"),
         bindOnce(tokens(col(textCol)), { w =>
           when(size(w) >= k,
             transform(sequence(lit(1), size(w) - (k - 1)),
-              i => md5(concat_ws(" ", slice(w, i, lit(k))))))
-            .otherwise(array().cast("array<string>"))
+              i => winKey(slice(w, i, lit(k)))))
+            .otherwise(array().cast(winKeyArrayType))
         }).as("wh"))
-    val occ = wins.select(col("id"), explode(col("wh")).as("h"))
+      .select(col("id"), explode_outer(col("wh")).as("h"))
     // Occurrences counted WITH multiplicity: a window repeated inside one
     // document is duplicated text too (the paper's within-doc case).
-    val dupHashes = occ.groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1).select(col("h"))
-    val dupPerDoc = occ.join(dupHashes, "h")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_windows"))
-    // window COUNT needs no hashes — derive it from the token count alone
-    // rather than building the window array a third time
-    docs.select(col(idCol).as("id"),
-        greatest(size(tokens(col(textCol))) - (k - 1), lit(0)).cast("long").as("n_windows"))
-      .join(dupPerDoc, Seq("id"), "left")
-      .na.fill(0L, Seq("n_dup_windows"))
-      .withColumn("dup_ratio",
-        col("n_dup_windows").cast("double") / nullif(col("n_windows"), lit(0L)))
+    //
+    // The (id, h) pre-aggregation is load-bearing for single-pass
+    // execution: both downstream consumers (the global census and the
+    // per-doc rollup) read the SAME shuffled subtree, so AQE serves the
+    // second one from a ReusedExchange — the scan + tokenize + window
+    // build runs once, not twice. It is also the skew guard: the census
+    // exchange moves one row per (doc, hash), never one per occurrence,
+    // so a boilerplate window repeated across millions of docs costs its
+    // hot reducer one row per doc with partial counts already folded.
+    val perDocHash = occ.groupBy(col("id"), col("h"))
+      .agg(count(col("h")).as("c")) // count(h): the null-h row folds to c=0
+    val dupTotals = perDocHash.groupBy(col("h"))
+      .agg(sum(col("c")).as("tot")).where(col("h").isNotNull && col("tot") > 1)
+      .select(col("h"), lit(1).as("dup"))
+    perDocHash.join(dupTotals, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_windows"),
+        coalesce(sum(when(col("dup") === 1, col("c"))), lit(0L)).as("n_dup_windows"))
+      .select(col("id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast("double") /
+          nullif(col("n_windows"), lit(0L))).as("dup_ratio"))
   }
 
   /** Exact duplicated-substring REMOVAL (the full Lee et al. 2021
@@ -435,14 +458,20 @@ object Dedup {
       bindOnce(tokens(col(textCol)), { w =>
         when(size(w) >= k,
           transform(sequence(lit(1), size(w) - (k - 1)),
-            i => struct(i.as("i"), md5(concat_ws(" ", slice(w, i, lit(k)))).as("h"))))
-          .otherwise(array().cast("array<struct<i:int,h:string>>"))
+            i => struct(i.as("i"), winKey(slice(w, i, lit(k))).as("h"))))
+          .otherwise(array().cast(s"array<struct<i:int,h:$winKeyType>>"))
       }).as("ws"))
       .select(col("id"), explode(col("ws")).as("x"))
       .select(col("id"), col("x.i").as("i"), col("x.h").as("h"))
-    val dupHashes = wins.groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1).select(col("h"))
-    val covered = wins.join(dupHashes, "h")
+    // The census is a count-over-window by h, NOT a groupBy + self-join:
+    // a join would evaluate the scan + window build once per side (column
+    // pruning specializes the two subtrees, so the exchange cannot be
+    // reused), while the window computes occurrence counts in the same
+    // single pass that carries the positions — one scan, one exchange.
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val covered = wins
+      .withColumn("cnt", count(lit(1)).over(byH))
+      .where(col("cnt") > 1)
       .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
       .groupBy(col("id")).agg(collect_set(col("p")).as("cov"))
     toks.join(covered, Seq("id"), "left")
