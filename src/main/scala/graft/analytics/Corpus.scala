@@ -409,4 +409,96 @@ object Corpus {
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
   }
+
+  /** The Gopher quality-rule set (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * appendix A1.1) as an explicit per-rule filter — the de-facto
+    * standard heuristic gate for web-scraped training text. One boolean
+    * column per rule plus the conjunction, so a pipeline can both filter
+    * (`where(col("pass"))`) and audit WHICH rule rejects how much:
+    *
+    *  - r_word_count:  50 <= words <= 100,000
+    *  - r_mean_len:    3 <= mean word length <= 10
+    *  - r_symbol:      (# + ellipsis) to word ratio <= 0.1
+    *  - r_bullet:      <= 90% of lines start with a bullet
+    *  - r_ellipsis:    <= 30% of lines end with an ellipsis
+    *  - r_alpha:       >= 80% of words contain an alphabetic char
+    *  - r_stop:        >= 2 distinct Gopher stop words present
+    *
+    * Entirely narrow column math over the let-bound token and line arrays
+    * — no shuffle, no UDF; embarrassingly parallel at any scale. */
+  def gopherQuality(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = col(textCol)
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEll = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3 +
+      (length(t) - length(regexp_replace(t, "…", "")))
+    docs.select(col(idCol).as("id"),
+      TextFunctions.bindOnce(TextFunctions.tokens(t), { w =>
+        TextFunctions.bindOnce(split(t, "\n"), { ls =>
+          val n = size(w)
+          val nl = size(ls)
+          val meanLen = aggregate(w, lit(0L), (a, x) => a + length(x))
+            .cast("double") / n
+          val bullets = size(filter(ls, l =>
+            ltrim(l).startsWith("•") || ltrim(l).startsWith("- ") ||
+              ltrim(l).startsWith("* ")))
+          val ells = size(filter(ls, l =>
+            rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+          val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]")))
+          val stopHits = size(array_intersect(
+            transform(w, x => lower(x)), array(stops.map(lit): _*)))
+          struct(
+            n.cast("long").as("n_words"),
+            (n >= 50 && n <= 100000).as("r_word_count"),
+            (meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_len"),
+            ((nHash + nEll).cast("double") / n <= 0.1).as("r_symbol"),
+            (bullets.cast("double") / nl <= 0.9).as("r_bullet"),
+            (ells.cast("double") / nl <= 0.3).as("r_ellipsis"),
+            (alphaWords.cast("double") / n >= 0.8).as("r_alpha"),
+            (stopHits >= 2).as("r_stop"))
+        })
+      }).as("g"))
+      .select(col("id"), col("g.*"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
+  /** Temperature-based source rebalancing (the multilingual-training mix
+    * of Devlin et al. 2019 §mBERT / Conneau et al. 2020 XLM-R §3.1:
+    * sample source i with probability ∝ p_i^alpha, p_i = n_i / N,
+    * 0 < alpha <= 1). Realized downsample-only — no document is ever
+    * duplicated: keep rate_i = (n_min / n_i)^(1-alpha), which makes the
+    * kept mix follow the tempered distribution exactly while the smallest
+    * source keeps every row. Membership is decided by the same salted
+    * per-mille-of-million hash gate as [[mixSources]] — deterministic
+    * across runs, engines, and cluster sizes; no rand().
+    *
+    * Scale shape: one tiny groupBy(source) count (map-side combined),
+    * broadcast back as a rate column; the gate itself is a narrow filter
+    * — the corpus is never shuffled.
+    *
+    * Determinism note for cross-engine exact matching: with
+    * alpha = 0.5 the rate is sqrt(n_min/n_i) — IEEE-754 division and
+    * sqrt are correctly rounded, so every engine computes bit-identical
+    * thresholds. Other alphas route through pow(), whose last-ulp
+    * behavior is library-specific; results remain deterministic per
+    * engine but a boundary-hash doc could differ across engines. */
+  def temperatureSample(docs: DataFrame, alpha: Double = 0.5,
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val bySource = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val counts = bySource.crossJoin(
+      broadcast(bySource.agg(min(col("_n")).as("_n_min"))))
+    val rate =
+      if (alpha == 0.5) sqrt(col("_n_min").cast("double") / col("_n"))
+      else pow(col("_n_min").cast("double") / col("_n"), 1.0 - alpha)
+    docs.join(broadcast(counts), sourceCol)
+      .where(
+        pmod(TextFunctions.hash60(col(idCol).cast("string")), lit(1000000L)) <
+          round(rate * 1000000.0).cast("long"))
+      .drop("_n", "_n_min")
+  }
 }

@@ -183,6 +183,37 @@ object CorpusQueries extends QueryModule {
     Corpus.heavyHitters(Tables.documents(s, d), minCount = 100L)
       .orderBy(col("word"))
 
+  /** Gopher rule audit over a corpus with planted violations: bullet-led
+    * copies (ids +100000), ellipsis-terminated copies (+200000),
+    * symbol-stuffed copies (+300000), 10-token truncations (+400000) —
+    * each family must trip exactly its rule. */
+  private def gopherQ(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+    val corpus = base
+      .unionAll(base.where(col("id") < 30)
+        .select((col("id") + 100000).as("id"),
+          concat(lit("• "), col("text")).as("text")))
+      .unionAll(base.where(col("id") >= 30 && col("id") < 60)
+        .select((col("id") + 200000).as("id"),
+          concat(col("text"), lit(" word...")).as("text")))
+      .unionAll(base.where(col("id") >= 60 && col("id") < 90)
+        .select((col("id") + 300000).as("id"),
+          concat(col("text"), lit(" #" * 20)).as("text")))
+      .unionAll(base.where(col("id") >= 90 && col("id") < 110)
+        .select((col("id") + 400000).as("id"),
+          array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 10),
+            " ").as("text")))
+    Corpus.gopherQuality(corpus, idCol = "id").orderBy(col("id"))
+  }
+
+  /** Temperature rebalancing at alpha = 0.5 (the IEEE-exact sqrt path),
+    * verified as per-source counts: larger sources must shrink by
+    * sqrt(n_min/n_i), the smallest keeps everything. */
+  private def temperatureQ(s: SparkSession, d: String): DataFrame =
+    Corpus.temperatureSample(Tables.documents(s, d), alpha = 0.5)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "split_assign" -> (splitQ _),
     "vocab_topk" -> (vocabQ _),
@@ -199,7 +230,9 @@ object CorpusQueries extends QueryModule {
     "decontaminate" -> (decontamQ _),
     "text_repetition" -> (repetitionQ _),
     "select_token_budget" -> (budgetQ _),
-    "mix_sources" -> (mixQ _)
+    "mix_sources" -> (mixQ _),
+    "quality_gopher" -> (gopherQ _),
+    "sample_temperature" -> (temperatureQ _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -445,6 +478,66 @@ object CorpusQueries extends QueryModule {
         |  FROM scored)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(quality) AS min_quality
-        |FROM ranked WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM ranked WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quality_gopher" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '• ' || text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' word...' FROM documents
+        |  WHERE doc_id >= 30 AND doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || repeat(' #', 20) FROM documents
+        |  WHERE doc_id >= 60 AND doc_id < 90
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    array_to_string((string_split_regex(trim(text), '\\s+'))[1:10], ' ')
+        |  FROM documents WHERE doc_id >= 90 AND doc_id < 110),
+        |g AS (
+        |  SELECT id, string_split_regex(trim(text), '\\s+') AS w,
+        |    string_split(text, chr(10)) AS ls,
+        |    length(text) - length(replace(text, '#', '')) AS nhash,
+        |    (length(text) - length(replace(text, '...', ''))) / 3 +
+        |      (length(text) - length(replace(text, '…', ''))) AS nell
+        |  FROM corpus),
+        |m AS (
+        |  SELECT id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_len,
+        |    CAST(nhash + nell AS DOUBLE) / len(w) AS sym_ratio,
+        |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '•')
+        |      OR starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS DOUBLE)
+        |      / len(ls) AS bullet_ratio,
+        |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+        |      OR ends_with(rtrim(l), '…'))) AS DOUBLE) / len(ls) AS ell_ratio,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / len(w) AS alpha_ratio,
+        |    len(list_distinct(list_intersect(list_transform(w, x -> lower(x)),
+        |      ['the','be','to','of','and','that','have','with']))) AS stop_hits
+        |  FROM g)
+        |SELECT id, n_words,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  mean_len >= 3.0 AND mean_len <= 10.0 AS r_mean_len,
+        |  sym_ratio <= 0.1 AS r_symbol,
+        |  bullet_ratio <= 0.9 AS r_bullet,
+        |  ell_ratio <= 0.3 AS r_ellipsis,
+        |  alpha_ratio >= 0.8 AS r_alpha,
+        |  stop_hits >= 2 AS r_stop,
+        |  (n_words BETWEEN 50 AND 100000) AND mean_len >= 3.0 AND mean_len <= 10.0
+        |    AND sym_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ell_ratio <= 0.3
+        |    AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS pass
+        |FROM m ORDER BY id""".stripMargin,
+    "sample_temperature" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source,
+        |    sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n) AS rate
+        |  FROM counts)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents d JOIN r ON r.source = d.source
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        |  < CAST(round(rate * 1000000.0) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

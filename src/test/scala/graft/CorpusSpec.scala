@@ -225,4 +225,52 @@ class CorpusSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("hotone" -> 300L, "hottwo" -> 220L))
   }
+
+  test("gopherQuality: each planted violation trips exactly its rule") {
+    val s = spark; import s.implicits._
+    val good = (1 to 60).map(i => s"the quick brown fox and word$i").mkString(" ")
+    val docs = Seq(
+      1L -> good,                                     // passes everything
+      2L -> "too short of the and",                   // < 50 words
+      3L -> ("• line one\n• line two\n• line three\n• the and of that have " + good),
+      4L -> ((1 to 5).map(i => s"the and of line$i...").mkString("\n")),
+      5L -> (good + " #" * 100),                      // symbol-stuffed
+      6L -> ((1 to 60).map(_ => "12345 67890 ..... #### !!!").mkString(" ") + " the of")
+    ).toDF("doc_id", "text")
+    val out = Corpus.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = out(id).getBoolean(out(id).fieldIndex(c))
+    assert(b(1, "pass"))
+    assert(!b(2, "r_word_count") && b(2, "r_stop"))
+    assert(!b(3, "r_bullet") && b(3, "r_word_count"))
+    assert(!b(4, "r_ellipsis"))
+    assert(!b(5, "r_symbol") && !b(5, "r_alpha"))
+    assert(!b(6, "r_alpha") && b(6, "r_stop"))
+  }
+
+  test("gopherQuality: hostile shapes (empty / blank) never throw") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, ""), (2L, " "), (3L, "\n\n"), (4L, "• \n• ")).toDF("doc_id", "text")
+    val out = Corpus.gopherQuality(docs).collect()
+    assert(out.length == 4)
+  }
+
+  test("temperatureSample: alpha=1 keeps everything; alpha=0.5 keeps the smallest source whole and tempers the rest") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 900).map(i =>
+        (i.toLong, if (i < 800) "big" else "small"))
+      .toDF("doc_id", "source")
+    assert(Corpus.temperatureSample(docs, alpha = 1.0).count() == 900)
+    val kept = Corpus.temperatureSample(docs, alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 100L)
+    // big keeps ~ 800 * sqrt(100/800) = 283; the hash gate is uniform so
+    // allow generous slack, but it must be a real downsample
+    assert(kept("big") > 180L && kept("big") < 380L)
+    // determinism: same input -> identical kept set
+    val a = Corpus.temperatureSample(docs, alpha = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b2 = Corpus.temperatureSample(docs, alpha = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b2)
+  }
 }
