@@ -1762,12 +1762,26 @@ private[js] object JsColumnCompiler {
     val raiseAcc = List.newBuilder[Column]
     val last = stmts.length - 1
 
+    // "no earlier top-level `return s` fired" — accumulated by the
+    // early-return cases below; an early return guards every SUBSEQUENT
+    // statement with its negated condition (exactly the statements the
+    // interpreter would skip)
+    var retGuard: Option[Column] = None
+
     // guard of the CURRENT statement: the enclosing guard plus, inside a
-    // try, "no earlier statement threw" — snapshotted per statement
-    def effGuard: Option[Column] = (guard, tryAcc.map(_.err.isNull)) match {
-      case (Some(g), Some(ok)) => Some(g && ok)
-      case (Some(g), None) => Some(g)
-      case (None, ok) => ok
+    // try, "no earlier statement threw", plus "no earlier early return
+    // fired" — snapshotted per statement
+    def effGuard: Option[Column] = {
+      val base: Option[Column] = (guard, tryAcc.map(_.err.isNull)) match {
+        case (Some(g), Some(ok)) => Some(g && ok)
+        case (Some(g), None) => Some(g)
+        case (None, ok) => ok
+      }
+      (base, retGuard) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, None) => a
+        case (None, b) => b
+      }
     }
     // route a statement-level error: inside a try → the catch clause's
     // condition; outside → an uncaught-fault raise site
@@ -1997,6 +2011,49 @@ private[js] object JsColumnCompiler {
               stream, tpe, data, meta)
           case None => return None
         }
+      // early return: `if (cond) return s;` — optionally with statements
+      // before the return — at handler top level, the ubiquitous
+      // in-handler event filter. The then-branch (minus the return) runs
+      // under the condition; every SUBSEQUENT top-level statement runs
+      // under its negation, via retGuard. Refused inside try (a return
+      // there would also have to skip the rest of the try body through
+      // the error channel) and with an else branch (rare; the general If
+      // walk rejects the nested return).
+      case If(c, tb, None) if topLevel && tryAcc.isEmpty &&
+          tb.lastOption.exists {
+            case Return(Some(Ident(s))) =>
+              ctx.stateParam.contains(s) && !locals.contains(s)
+            case _ => false
+          } =>
+        val g0 = effGuard
+        val cc0 = truthyExpr(c, ctx, locals) match {
+          case Some(v) => v.copy(col = intern(ctx, v.col),
+            err = v.err.map(intern(ctx, _)))
+          case None => return None
+        }
+        // outside a try the seal embeds the raise at the evaluation
+        // point: a throwing condition faults, like the interpreter
+        val cc = sealCol(cc0)
+        val taken = g0
+          .map(g => intern(ctx, when(g, cc).otherwise(lit(false))))
+          .getOrElse(intern(ctx, cc))
+        walkStmts(tb.dropRight(1), Some(taken), locals,
+            topLevel = false, ctx, tryAcc) match {
+          case Some((_, ts, es2, rs2)) => acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
+          case None => return None
+        }
+        // lazy: the condition must not evaluate when the enclosing guard
+        // already failed (it may contain a throwing member access)
+        val notTaken = g0
+          .map(g => intern(ctx, when(g, !cc).otherwise(lit(true))))
+          .getOrElse(intern(ctx, !cc))
+        retGuard = Some(retGuard.map(_ && notTaken).getOrElse(notTaken))
+
+      // unconditional mid-block `return s`: nothing after it ever runs
+      case Return(Some(Ident(s))) if topLevel && i < last &&
+          ctx.stateParam.contains(s) && !locals.contains(s) =>
+        retGuard = Some(lit(false))
+
       case If(c, t, e) =>
         val g0 = effGuard
         val cc0 = truthyExpr(c, ctx, locals) match {

@@ -402,10 +402,34 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.big").as("big"))
       .orderBy(col("partition"))
 
+  /** Early-return filter idiom (r8 compiled shape): small purchases
+    * short-circuit the handler; the rest fold count + cents. */
+  private val earlyReturnSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { small: 0, n: 0, cents: 0 } },
+        $any: function(s, e) {
+            if (e.value < 50) { s.small += 1; return s; }
+            s.n += 1;
+            s.cents += Math.round(e.value * 100);
+            return s;
+        }
+    })"""
+
+  private def jsEarlyReturn(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(earlyReturnSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.small").cast("long").as("small"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.cents").cast("long").as("cents"))
+      .orderBy(col("partition"))
+
   /** Every JS definition this module runs, by name — the handler corpus
     * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
     * == interpreter on each, including the ones that must fall back). */
   private[graft] def handlerCorpus: Seq[(String, String)] = Seq(
+    "js_early_return" -> earlyReturnSource,
     "js_array_collect" -> arrayCollectSource,
     "js_minmax" -> minmaxSource,
     "js_last_value" -> lastValueSource,
@@ -437,12 +461,22 @@ fromCategory("purchase")
     "js_linkto" -> (jsLinkTo _),
     "js_transform_filter" -> (jsTransformFilter _),
     "js_output_state" -> (jsOutputState _),
-    "js_array_collect" -> (jsArrayCollect _)
+    "js_array_collect" -> (jsArrayCollect _),
+    "js_early_return" -> (jsEarlyReturn _)
   )
 
   private val L = Tables.eventLogSql
 
   def oracles: Seq[(String, String)] = Seq(
+    "js_early_return" -> s"""$L
+      |SELECT stream_id AS partition,
+      |       CAST(count(*) FILTER (WHERE value < 50) AS BIGINT) AS small,
+      |       CAST(count(*) FILTER (WHERE value >= 50) AS BIGINT) AS n,
+      |       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |         FILTER (WHERE value >= 50), 0) AS BIGINT) AS cents
+      |FROM log WHERE event_type = 'purchase'
+      |  AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     // push order == log order within the stream; string_agg ORDER BY
     // log_position mirrors the compiled fold's array_sort finalizer
     "js_array_collect" -> s"""$L

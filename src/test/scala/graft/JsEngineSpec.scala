@@ -1012,6 +1012,7 @@ fromCategory("idx")
     // flow (clause guards + the err channel), and regex match/test/
     // replace/split over the native JsRegexColumns expressions
     assert(compiled == Map(
+      "js_early_return" -> true,
       "js_array_collect" -> true,
       "js_count_by_type" -> true,
       "js_last_by_type" -> true,
@@ -1046,6 +1047,38 @@ fromAll()
             $any: function(s, e) { s.n += 1; return s; } })""")
       .states(log).collect().map(_.getString(0)).toSet
     assert(keys == Set("alpha", "12", "1.5", "", "0", "1e+21"))
+  }
+
+  test("column fast path: early returns — filter idiom, pre-return " +
+    "statements, stacked returns, fast == interpreter on hostile data") {
+    val log = hostileLog
+    // the filter idiom: skip non-purchases entirely
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { n: 0, cents: 0 }; },
+    $any: function(s, e) {
+        if (e.eventType !== 'purchase') return s;
+        s.n += 1;
+        s.cents += Math.round(e.value * 100);
+        return s;
+    } })""", log))
+    // statements BEFORE the return run under the condition; stacked
+    // early returns compound (second condition only evaluated when the
+    // first did not fire)
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { skipped: 0, weird: 0, n: 0 }; },
+    $any: function(s, e) {
+        if (e.eventType === 'click') { s.skipped += 1; return s; }
+        if (e.body && e.body.k === true) { s.weird += 1; return s; }
+        s.n += 1;
+        return s;
+    } })""", log))
+    // unconditional mid-block return: trailing statements never run
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { n: 0, never: 0 }; },
+    $any: function(s, e) { s.n += 1; return s; s.never += 1; return s; } })""", log))
   }
 
   test("column fast path: plan is pure Catalyst — no interpreter node, " +
@@ -1107,13 +1140,28 @@ fromAll()
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return {}; },
       $any: function(s, e) { s.x += 1; return s; } })"""))
-    // loops / state reads / early returns stay interpreted
+    // loops / state reads stay interpreted (early returns on STATE
+    // conditions included — the condition itself reads state)
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0 }; },
       $any: function(s, e) { while (s.x < 3) s.x += 1; return s; } })"""))
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0, y: 0 }; },
       $any: function(s, e) { s.x += 1; if (s.x > 2) return s; s.y += 1; return s; } })"""))
+    // ...but early returns on EVENT conditions compile (r8): the
+    // in-handler filter idiom — subsequent statements take the negated
+    // condition as a guard
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) {
+        if (e.eventType !== 'purchase') return s; s.n += 1; return s; } })"""))
+    // inside try: refused (the return would have to skip the rest of the
+    // try body through the error channel)
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) {
+        try { if (e.value > 0) return s; s.n += 1; } catch (ig) {}
+        return s; } })"""))
     // $created, $deleted, bi-state, transforms: out of the subset
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0 }; },
