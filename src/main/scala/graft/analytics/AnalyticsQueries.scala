@@ -271,8 +271,20 @@ object AnalyticsQueries extends QueryModule {
     "ann_pq_topk" -> (annPqTopK _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_lsh_neardup" -> (annLshNearDup _),
-    "emb_near_dup" -> (embNearDup _)
+    "emb_near_dup" -> (embNearDup _),
+    "emb_quantize_sq8" -> (sq8Q _)
   )
+
+  /** SQ8 storage codec: per-vector code hash (bit-exact across engines —
+    * the floor(+0.5) chain is IEEE-correctly-rounded end to end) plus max
+    * reconstruction error. */
+  private def sq8Q(s: SparkSession, d: String): DataFrame =
+    Similarity.sq8(Tables.embeddings(s, d))
+      .select(col("id").as("vec_id"), col("n_dims"),
+        md5(array_join(transform(col("codes"), c => c.cast("string")), ","))
+          .as("codes_md5"),
+        col("err_max"))
+      .orderBy(col("vec_id"))
 
   // ---- DuckDB oracle SQL ----
 
@@ -835,6 +847,23 @@ object AnalyticsQueries extends QueryModule {
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(sim, 6) AS sim
-        |FROM sims WHERE sim >= 0.4 ORDER BY 1, 2""".stripMargin
+        |FROM sims WHERE sim >= 0.4 ORDER BY 1, 2""".stripMargin,
+    "emb_quantize_sq8" ->
+      """WITH vals AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM vals GROUP BY 1),
+        |coded AS (
+        |  SELECT vec_id, vals.d, v, mn, mx,
+        |    CASE WHEN mx = mn THEN 0.0
+        |         ELSE least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
+        |                             0.0), 255.0)
+        |    END AS code
+        |  FROM vals JOIN stats ON stats.d = vals.d)
+        |SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
+        |  md5(string_agg(CAST(CAST(code AS INT) AS VARCHAR), ',' ORDER BY d)) AS codes_md5,
+        |  max(abs(v - (mn + code * (mx - mn) / 255.0))) AS err_max
+        |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -428,13 +428,13 @@ object Corpus {
     * Entirely narrow column math over the let-bound token and line arrays
     * — no shuffle, no UDF; embarrassingly parallel at any scale. */
   def gopherQuality(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", keep: Seq[String] = Nil): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val t = col(textCol)
     val nHash = length(t) - length(regexp_replace(t, "#", ""))
     val nEll = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3 +
       (length(t) - length(regexp_replace(t, "…", "")))
-    docs.select(col(idCol).as("id"),
+    docs.select((col(idCol).as("id") +: keep.map(col)) :+
       TextFunctions.bindOnce(TextFunctions.tokens(t), { w =>
         TextFunctions.bindOnce(split(t, "\n"), { ls =>
           val n = size(w)
@@ -459,8 +459,8 @@ object Corpus {
             (alphaWords.cast("double") / n >= 0.8).as("r_alpha"),
             (stopHits >= 2).as("r_stop"))
         })
-      }).as("g"))
-      .select(col("id"), col("g.*"))
+      }).as("g"): _*)
+      .select((col("id") +: keep.map(col)) :+ col("g.*"): _*)
       .withColumn("pass",
         col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))

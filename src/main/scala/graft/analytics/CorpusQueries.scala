@@ -13,6 +13,36 @@ object CorpusQueries extends QueryModule {
   /** Tokenization shared with the text oracles. */
   private val W = "string_split_regex(trim(text), '\\s+')"
 
+  /** Gopher rule CTEs over a `corpus(id, text)` CTE — mirrors
+    * Corpus.gopherQuality expression for expression. */
+  private val gopherCtes =
+    """g AS (
+      |  SELECT id, string_split_regex(trim(text), '\s+') AS w,
+      |    string_split(text, chr(10)) AS ls,
+      |    length(text) - length(replace(text, '#', '')) AS nhash,
+      |    (length(text) - length(replace(text, '...', ''))) / 3 +
+      |      (length(text) - length(replace(text, '…', ''))) AS nell
+      |  FROM corpus),
+      |m AS (
+      |  SELECT id, CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_len,
+      |    CAST(nhash + nell AS DOUBLE) / len(w) AS sym_ratio,
+      |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '•')
+      |      OR starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS DOUBLE)
+      |      / len(ls) AS bullet_ratio,
+      |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+      |      OR ends_with(rtrim(l), '…'))) AS DOUBLE) / len(ls) AS ell_ratio,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |      / len(w) AS alpha_ratio,
+      |    len(list_distinct(list_intersect(list_transform(w, x -> lower(x)),
+      |      ['the','be','to','of','and','that','have','with']))) AS stop_hits
+      |  FROM g)""".stripMargin
+
+  private val gopherPassSql =
+    """(n_words BETWEEN 50 AND 100000) AND mean_len >= 3.0 AND mean_len <= 10.0
+      |    AND sym_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ell_ratio <= 0.3
+      |    AND alpha_ratio >= 0.8 AND stop_hits >= 2""".stripMargin
+
   private def packQ(s: SparkSession, d: String): DataFrame =
     Corpus.packSequences(Tables.documents(s, d), budget = 256, shardSize = 100)
       .groupBy(col("shard"), col("seq"))
@@ -206,6 +236,28 @@ object CorpusQueries extends QueryModule {
     Corpus.gopherQuality(corpus, idCol = "id").orderBy(col("id"))
   }
 
+  /** Per-source corpus profile: the triage dashboard a pipeline runs
+    * before mixing decisions — doc/token volumes, token-count percentiles
+    * (packing / curriculum inputs), and the Gopher pass rate. Integer
+    * aggregates and interpolated percentiles of integers only — no
+    * order-sensitive float accumulation, so both engines agree exactly.
+    * Zero shuffles before the per-source rollup: the rule columns ride
+    * the scan via gopherQuality's passthrough. */
+  private def summaryQ(s: SparkSession, d: String): DataFrame =
+    Corpus.gopherQuality(
+        Tables.documents(s, d).withColumn("n_toks",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long")),
+        keep = Seq("source", "n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        round(expr("percentile(n_toks, 0.5)"), 6).as("p50_tokens"),
+        round(expr("percentile(n_toks, 0.9)"), 6).as("p90_tokens"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        round(col("n_pass").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+
   /** Temperature rebalancing at alpha = 0.5 (the IEEE-exact sqrt path),
     * verified as per-source counts: larger sources must shrink by
     * sqrt(n_min/n_i), the smallest keeps everything. */
@@ -232,7 +284,8 @@ object CorpusQueries extends QueryModule {
     "select_token_budget" -> (budgetQ _),
     "mix_sources" -> (mixQ _),
     "quality_gopher" -> (gopherQ _),
-    "sample_temperature" -> (temperatureQ _)
+    "sample_temperature" -> (temperatureQ _),
+    "corpus_summary" -> (summaryQ _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -494,27 +547,7 @@ object CorpusQueries extends QueryModule {
         |  SELECT doc_id + 400000,
         |    array_to_string((string_split_regex(trim(text), '\\s+'))[1:10], ' ')
         |  FROM documents WHERE doc_id >= 90 AND doc_id < 110),
-        |g AS (
-        |  SELECT id, string_split_regex(trim(text), '\\s+') AS w,
-        |    string_split(text, chr(10)) AS ls,
-        |    length(text) - length(replace(text, '#', '')) AS nhash,
-        |    (length(text) - length(replace(text, '...', ''))) / 3 +
-        |      (length(text) - length(replace(text, '…', ''))) AS nell
-        |  FROM corpus),
-        |m AS (
-        |  SELECT id, CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_len,
-        |    CAST(nhash + nell AS DOUBLE) / len(w) AS sym_ratio,
-        |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '•')
-        |      OR starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS DOUBLE)
-        |      / len(ls) AS bullet_ratio,
-        |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
-        |      OR ends_with(rtrim(l), '…'))) AS DOUBLE) / len(ls) AS ell_ratio,
-        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-        |      / len(w) AS alpha_ratio,
-        |    len(list_distinct(list_intersect(list_transform(w, x -> lower(x)),
-        |      ['the','be','to','of','and','that','have','with']))) AS stop_hits
-        |  FROM g)
+        |$gopherCtes
         |SELECT id, n_words,
         |  n_words BETWEEN 50 AND 100000 AS r_word_count,
         |  mean_len >= 3.0 AND mean_len <= 10.0 AS r_mean_len,
@@ -523,10 +556,23 @@ object CorpusQueries extends QueryModule {
         |  ell_ratio <= 0.3 AS r_ellipsis,
         |  alpha_ratio >= 0.8 AS r_alpha,
         |  stop_hits >= 2 AS r_stop,
-        |  (n_words BETWEEN 50 AND 100000) AND mean_len >= 3.0 AND mean_len <= 10.0
-        |    AND sym_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ell_ratio <= 0.3
-        |    AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS pass
+        |  $gopherPassSql AS pass
         |FROM m ORDER BY id""".stripMargin,
+    "corpus_summary" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+        |$gopherCtes,
+        |p AS (SELECT id, $gopherPassSql AS pass FROM m),
+        |t AS (SELECT doc_id AS id, source, CAST(len($W) AS BIGINT) AS n_toks
+        |      FROM documents)
+        |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  round(quantile_cont(n_toks, 0.5), 6) AS p50_tokens,
+        |  round(quantile_cont(n_toks, 0.9), 6) AS p90_tokens,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  round(CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS pass_rate
+        |FROM t JOIN p ON p.id = t.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_temperature" ->
       """WITH counts AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),

@@ -471,4 +471,28 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out(4L) == ((8L, 8L, "")))
     assert(out(5L) == ((2L, 0L, "short doc")))
   }
+
+  test("sq8: codes bounded, min/max hit the rails, constant dims code 0, " +
+    "reconstruction error within half a quantization step") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 10f, 7f)),
+      (2L, Array(1.0f, 10f, -3f)),
+      (3L, Array(0.5f, 10f, 2f)),
+      (4L, Array(0.25f, 10f, 11f))).toDF("vec_id", "embedding")
+    val out = graft.analytics.Similarity.sq8(vecs).orderBy("id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getInt(2), r.getDouble(3)))).toMap
+    out.values.foreach { case (codes, n, _) =>
+      assert(n == 3 && codes.forall(c => c >= 0 && c <= 255))
+    }
+    // dim 0 spans [0,1]: min codes 0, max codes 255; dim 1 constant -> 0
+    assert(out(1L)._1 == Seq(0, 0, 182))
+    assert(out(2L)._1(0) == 255 && out(2L)._1(2) == 0)
+    // err bound: half a step per dim; steps are 1/255 and 14/255
+    val maxStep = 14.0 / 255
+    out.values.foreach { case (_, _, err) => assert(err <= maxStep / 2 + 1e-12) }
+    // exact-rail reconstruction: v == min gives err contribution 0 on that dim
+    assert(out(2L)._3 <= maxStep / 2 + 1e-12)
+  }
 }
