@@ -495,4 +495,25 @@ class AnalyticsSpec extends SparkTestBase {
     // exact-rail reconstruction: v == min gives err contribution 0 on that dim
     assert(out(2L)._3 <= maxStep / 2 + 1e-12)
   }
+
+  test("sq8: hostile vectors — NaN/Inf components code to null, an " +
+    "all-non-finite dim never shifts its neighbors, nothing throws") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, Float.NaN, 5f)),
+      (2L, Array(1.0f, Float.PositiveInfinity, 7f)),
+      (3L, Array(0.5f, Float.NegativeInfinity, 6f)),
+      (4L, Array(Float.NaN, Float.NaN, Float.NaN))).toDF("vec_id", "embedding")
+    val out = graft.analytics.Similarity.sq8(vecs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toList
+    // dim 1 is non-finite everywhere -> null codes, and dim 2 (5..7)
+    // still gets ITS OWN stats: 5 -> 0, 7 -> 255, 6 -> mid
+    assert(out.map(_._2(1)) == List(null, null, null, null))
+    assert(out(0)._2(2) == 0 && out(1)._2(2) == 255)
+    assert(out(3)._2 == Seq(null, null, null) && out(3)._4.isEmpty)
+    // finite dims still bound the reconstruction error
+    out.take(3).foreach { case (_, _, _, err) =>
+      assert(err.exists(_ <= (2.0 / 255) / 2 + 1e-12)) }
+  }
 }
