@@ -2019,7 +2019,7 @@ private[js] object JsColumnCompiler {
       // there would also have to skip the rest of the try body through
       // the error channel) and with an else branch (rare; the general If
       // walk rejects the nested return).
-      case If(c, tb, None) if topLevel && tryAcc.isEmpty &&
+      case If(c, tb, eb) if topLevel && tryAcc.isEmpty &&
           tb.lastOption.exists {
             case Return(Some(Ident(s))) =>
               ctx.stateParam.contains(s) && !locals.contains(s)
@@ -2048,6 +2048,16 @@ private[js] object JsColumnCompiler {
           .map(g => intern(ctx, when(g, !cc).otherwise(lit(true))))
           .getOrElse(intern(ctx, !cc))
         retGuard = Some(retGuard.map(_ && notTaken).getOrElse(notTaken))
+        // an else branch after a returning then-branch is just more
+        // not-taken code: walk it under the updated guard (returns inside
+        // it stay refused — the nested walk rejects them)
+        eb.foreach { es =>
+          walkStmts(es, effGuard, locals, topLevel = false, ctx, tryAcc) match {
+            case Some((_, ts, es2, rs2)) =>
+              acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
+            case None => return None
+          }
+        }
 
       // unconditional mid-block `return s`: nothing after it ever runs
       case Return(Some(Ident(s))) if topLevel && i < last &&

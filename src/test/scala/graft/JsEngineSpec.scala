@@ -1079,6 +1079,16 @@ fromAll().foreachStream().when({
 fromAll().foreachStream().when({
     $init: function() { return { n: 0, never: 0 }; },
     $any: function(s, e) { s.n += 1; return s; s.never += 1; return s; } })""", log))
+    // if/else where the then-branch returns: the else body is just more
+    // not-taken code
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { clicks: 0, cents: 0 }; },
+    $any: function(s, e) {
+        if (e.eventType === 'click') { s.clicks += 1; return s; }
+        else { s.cents += Math.round(e.value * 100); }
+        return s;
+    } })""", log))
   }
 
   test("column fast path: plan is pure Catalyst — no interpreter node, " +
