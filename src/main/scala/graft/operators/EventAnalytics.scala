@@ -116,6 +116,44 @@ object EventAnalytics extends QueryModule {
       .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
   }
 
+  /** Multi-touch LINEAR attribution: every conversion event credits the
+    * same user's touch events (of `touchTypes`) inside the lookback
+    * window before it with 1/n each — the standard equal-split model
+    * (first/last/position-based variants are a credit-expression swap;
+    * LAST-touch alone is the as-of join in operators/Temporal).
+    * Returns (touch_type, n_touches, credit_millionths): credits are
+    * summed as round(1e6/n) INTEGERS, so the totals are exact and
+    * order-independent — no float accumulation to diverge across
+    * engines or partitionings.
+    *
+    * Scale shape: touches and conversions are pruned type slices
+    * (pushed-down predicates) joined ON THE USER KEY with the time-range
+    * predicate inside the join — never a cartesian; per-conversion touch
+    * counts are a window keyed by the conversion id (high-cardinality,
+    * skew-safe); the final rollup is a tiny per-type groupBy. */
+  def attributionLinear(events: DataFrame, touchTypes: Seq[String],
+      convType: String, lookbackHours: Double = 72.0,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lookbackUs = (lookbackHours * 3.6e9).toLong
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("u"), col(typeCol).as("touch_type"),
+        unix_micros(col(tsCol)).as("tt"))
+    val convs = events.where(col(typeCol) === convType)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("ct"),
+        col(idCol).as("cid"))
+    val pairs = touches.join(convs, Seq("u"))
+      .where(col("tt") < col("ct") && col("tt") >= col("ct") - lookbackUs)
+    pairs
+      .withColumn("n_in_conv",
+        count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(round(lit(1000000.0) / col("n_in_conv")).cast("long"))
+          .as("credit_millionths"))
+  }
+
   private val FunnelSteps = Seq("signup", "view", "purchase")
 
   private def funnelQ(s: SparkSession, d: String): DataFrame =
@@ -132,11 +170,18 @@ object EventAnalytics extends QueryModule {
     pathNgrams(Tables.rawEvents(s, d), n = 3)
       .orderBy(col("n_paths").desc, col("path")).limit(25)
 
+  private def attributionQ(s: SparkSession, d: String): DataFrame =
+    attributionLinear(Tables.rawEvents(s, d),
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackHours = 72.0)
+      .orderBy(col("touch_type"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "funnel_stages" -> (funnelQ _),
     "funnel_time_to_convert" -> (ttcQ _),
     "cohort_retention" -> (cohortQ _),
-    "path_trigrams" -> (pathsQ _)
+    "path_trigrams" -> (pathsQ _),
+    "attribution_linear" -> (attributionQ _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -197,6 +242,24 @@ object EventAnalytics extends QueryModule {
         |       CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset,
         |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
         |FROM act a JOIN first f ON f.user_id = a.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "attribution_linear" ->
+      """WITH touches AS (
+        |  SELECT user_id AS u, event_type AS touch_type, epoch_us(ts) AS tt
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |convs AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS ct, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT t.touch_type, c.cid FROM touches t JOIN convs c ON t.u = c.u
+        |  WHERE t.tt < c.ct AND t.tt >= c.ct - 259200000000),
+        |counted AS (
+        |  SELECT touch_type,
+        |         count(*) OVER (PARTITION BY cid) AS n_in_conv
+        |  FROM pairs)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CAST(round(1000000.0 / n_in_conv) AS BIGINT)) AS BIGINT)
+        |    AS credit_millionths
+        |FROM counted GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -94,4 +94,32 @@ class EventAnalyticsSpec extends SparkTestBase {
       .collect().map(r => r.getString(0)).toSeq
     assert(t == Seq("x>y>z"))
   }
+
+  test("attributionLinear: equal split inside the window, cross-user and " +
+    "out-of-window touches excluded, credits sum exactly") {
+    val df = events(
+      // user 1: view + click inside 72h of the purchase -> 1/2 each
+      (1L, "view", 1L, "2024-01-01 10:00:00"),
+      (1L, "click", 2L, "2024-01-02 10:00:00"),
+      (1L, "purchase", 3L, "2024-01-03 10:00:00"),
+      // user 1: second purchase — only the click is within ITS window?
+      // no: both are, window is 72h back from 01-04 -> view(01-01)=exactly
+      // 72h, excluded (tt >= ct - lookback is inclusive: 01-01 10:00 IS
+      // the boundary, so it IS included) -> 1/2 each again
+      (1L, "purchase", 4L, "2024-01-04 10:00:00"),
+      // user 2: a single view -> full credit
+      (2L, "view", 5L, "2024-01-05 10:00:00"),
+      (2L, "purchase", 6L, "2024-01-05 11:00:00"),
+      // user 2: a view AFTER the purchase never credits
+      (2L, "view", 7L, "2024-01-05 12:00:00"),
+      // user 3: touch with no conversion -> no credit
+      (3L, "click", 8L, "2024-01-06 10:00:00"))
+    val out = EventAnalytics.attributionLinear(df,
+        touchTypes = Seq("view", "click"), convType = "purchase")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // purchase cid=3: view+click (1/2 each); cid=4: view at exactly -72h
+    // (inclusive) + click -> 1/2 each; cid=6: one view -> 1/1
+    assert(out("click") == ((2L, 1000000L)))
+    assert(out("view") == ((3L, 2000000L)))
+  }
 }

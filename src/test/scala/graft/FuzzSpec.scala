@@ -79,6 +79,25 @@ class FuzzSpec extends SparkTestBase {
     }
   }
 
+  test("gopherQuality + temperatureSample: hostile corpus never throws; " +
+    "ratios stay in domain; sampling is a subset and deterministic") {
+    val docs = hostileDocs(60)
+      .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(3))))
+    val n = docs.count()
+    val g = Corpus.gopherQuality(docs).collect()
+    assert(g.length == n)
+    g.foreach { r =>
+      if (!r.isNullAt(1)) assert(r.getLong(r.fieldIndex("n_words")) >= 0)
+    }
+    val kept = Corpus.temperatureSample(docs, alpha = 0.5)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(all))
+    val again = Corpus.temperatureSample(docs, alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again)
+  }
+
   test("shingles + winnowing: non-null in, non-empty structurally-sane out") {
     val docs = hostileDocs(60).where(col("text").isNotNull)
     val out = docs.select(
