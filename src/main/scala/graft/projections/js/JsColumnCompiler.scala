@@ -1685,6 +1685,24 @@ private[js] object JsColumnCompiler {
   /** Whether a statement references an identifier (no shadowing
     * analysis — conservative). Used to reject catch bodies that READ the
     * caught error value, which the compiled plan does not model. */
+  /** Encoded separator for NESTED state-field paths: `s.a.n` folds under
+    * the flat key "a\\u0001n". U+0001 cannot appear in a JS identifier, so
+    * member-access paths can never collide with a flat field, and
+    * `functions.col` never misparses it (unlike a dot). */
+  private[js] val PathSep = "\u0001"
+
+  /** The state-field PATH a member chain addresses: Some("f") for `s.f`,
+    * Some("a\\u0001b") for `s.a.b`, None when the base is not the
+    * (unshadowed) state parameter. */
+  private def statePathOf(e: Expr, ctx: Ctx,
+      locals: Map[String, TC]): Option[String] = e match {
+    case Member(Ident(s), f)
+        if ctx.stateParam.contains(s) && !locals.contains(s) => Some(f)
+    case Member(inner: Member, f) =>
+      statePathOf(inner, ctx, locals).map(_ + PathSep + f)
+    case _ => None
+  }
+
   private def mentionsName(st: Stmt, n: String): Boolean = {
     def inS(s: Stmt): Boolean = s match {
       case VarDecl(ds) => ds.exists(_._2.exists(inE))
@@ -1835,8 +1853,8 @@ private[js] object JsColumnCompiler {
       acc += f -> (if (isMax) MaxTerm(c) else MinTerm(c))
       true
     }
-    def isSelfField(e: Expr, s: String, f: String): Boolean = e match {
-      case Member(Ident(n), p) => n == s && p == f && !locals.contains(n)
+    def isSelfField(e: Expr, ctx: Ctx, f: String): Boolean = e match {
+      case m: Member => statePathOf(m, ctx, locals).contains(f)
       case _ => false
     }
     // `s.f = expr` with a state-free rhs: JSON-render the value per event;
@@ -1864,9 +1882,8 @@ private[js] object JsColumnCompiler {
     // JsVal.toStr on the property key).
     def addMapSum(f: String, kExpr: Expr, rhs: Expr, g0: Option[Column]): Boolean = {
       def selfRead(e: Expr): Boolean = e match {
-        case Logical("||", Index(Member(Ident(s2), f2), k2), NumLit(z)) =>
-          ctx.stateParam.contains(s2) && !locals.contains(s2) &&
-            f2 == f && k2 == kExpr && z == 0.0
+        case Logical("||", Index(m2: Member, k2), NumLit(z)) =>
+          statePathOf(m2, ctx, locals).contains(f) && k2 == kExpr && z == 0.0
         case _ => false
       }
       val deltaE = rhs match {
@@ -1969,36 +1986,45 @@ private[js] object JsColumnCompiler {
           }
           locals += (n -> tc)
         }
-      case ExprStmt(Assign(op @ ("+=" | "-="), Member(Ident(s), f), rhs))
-          if ctx.stateParam.contains(s) && !locals.contains(s) =>
+      // state-field update targets resolve through statePathOf: a flat
+      // `s.f` OR a nested member chain `s.a.b.c` (path-encoded key) —
+      // the downstream fold machinery is path-agnostic, and compile()
+      // flattens $init / rebuilds the nested JSON at the boundary
+      case ExprStmt(Assign(op @ ("+=" | "-="), tgt: Member, rhs))
+          if statePathOf(tgt, ctx, locals).isDefined =>
+        val f = statePathOf(tgt, ctx, locals).get
         if (!addSum(f, rhs, negate = op == "-=", effGuard)) return None
-      case ExprStmt(Assign("=", Member(Ident(s), f), rhs))
-          if ctx.stateParam.contains(s) && !locals.contains(s) =>
+      case ExprStmt(Assign("=", tgt: Member, rhs))
+          if statePathOf(tgt, ctx, locals).isDefined =>
+        val f = statePathOf(tgt, ctx, locals).get
         val g0 = effGuard
         val ok = rhs match {
           // `s.f = s.f + e` / `s.f = e + s.f` / `s.f = s.f - e` are the
           // spelled-out sum forms (pure e, so evaluation order collapses)
-          case Binary("+", l, r) if isSelfField(l, s, f) => addSum(f, r, negate = false, g0)
-          case Binary("+", l, r) if isSelfField(r, s, f) => addSum(f, l, negate = false, g0)
-          case Binary("-", l, r) if isSelfField(l, s, f) => addSum(f, r, negate = true, g0)
+          case Binary("+", l, r) if isSelfField(l, ctx, f) => addSum(f, r, negate = false, g0)
+          case Binary("+", l, r) if isSelfField(r, ctx, f) => addSum(f, l, negate = false, g0)
+          case Binary("-", l, r) if isSelfField(l, ctx, f) => addSum(f, r, negate = true, g0)
           case Call(Member(Ident("Math"), m @ ("max" | "min")), Seq(a, b))
               if unshadowedMath(ctx, locals) &&
-                (isSelfField(a, s, f) ^ isSelfField(b, s, f)) =>
-            addExtremum(f, if (isSelfField(a, s, f)) b else a, isMax = m == "max", g0)
+                (isSelfField(a, ctx, f) ^ isSelfField(b, ctx, f)) =>
+            addExtremum(f, if (isSelfField(a, ctx, f)) b else a, isMax = m == "max", g0)
           case _ => addLast(f, rhs, g0)
         }
         if (!ok) return None
-      case ExprStmt(Update(op, Member(Ident(s), f), _))
-          if ctx.stateParam.contains(s) && !locals.contains(s) =>
+      case ExprStmt(Update(op, tgt: Member, _))
+          if statePathOf(tgt, ctx, locals).isDefined =>
         // statement-position s.f++ / ++s.f: the result value is unused,
         // so both fixities are the same ±1 sum contribution
+        val f = statePathOf(tgt, ctx, locals).get
         if (!addSum(f, NumLit(1), negate = op == "--", effGuard)) return None
-      case ExprStmt(Assign("=", Index(Member(Ident(s), f), kExpr), rhs))
-          if ctx.stateParam.contains(s) && !locals.contains(s) =>
-        if (!addMapSum(f, kExpr, rhs, effGuard)) return None
-      case ExprStmt(Call(Member(Member(Ident(s), f), "push"), args))
-          if ctx.stateParam.contains(s) && !locals.contains(s) && args.nonEmpty =>
-        if (!addPush(f, args, effGuard)) return None
+      case ExprStmt(Assign("=", Index(tgt: Member, kExpr), rhs))
+          if statePathOf(tgt, ctx, locals).isDefined =>
+        if (!addMapSum(statePathOf(tgt, ctx, locals).get, kExpr, rhs, effGuard))
+          return None
+      case ExprStmt(Call(Member(tgt: Member, "push"), args))
+          if statePathOf(tgt, ctx, locals).isDefined && args.nonEmpty =>
+        if (!addPush(statePathOf(tgt, ctx, locals).get, args, effGuard))
+          return None
       case ExprStmt(Call(Ident(fn @ ("emit" | "linkTo" | "linkStreamTo")), args))
           if unshadowedNative(ctx, locals, fn) =>
         compileEmitArgs(fn, args, ctx, locals) match {
@@ -2527,12 +2553,35 @@ private[js] object JsColumnCompiler {
     // update kind across all handlers
     val allOps: Seq[(String, FieldOp)] =
       typedFolds.flatMap(_._2) ++ anyFold.toList.flatten
-    val assigned: Seq[String] = {
-      val all = allOps.map(_._1).toSet
-      init.keys.filter(all).toSeq // in $init order
-    }
+    val assignedPaths = allOps.map(_._1).toSet
+
+    // NESTED state: flatten $init along the paths the handlers assign —
+    // an object node expands into path-encoded leaves ONLY when some
+    // assigned path descends into it (untouched subtrees stay whole and
+    // render from their static stringify). The fold machinery below is
+    // path-agnostic; only this flattening and the JSON renderer know
+    // about nesting.
+    def descends(prefix: String): Boolean =
+      assignedPaths.exists(_.startsWith(prefix + PathSep))
+    val flatInit = mutable.LinkedHashMap.empty[String, JsVal]
+    def flattenInto(prefix: String, fields: Seq[(String, JsVal)]): Unit =
+      fields.foreach { case (k, v) =>
+        val pk = if (prefix.isEmpty) k else prefix + PathSep + k
+        v match {
+          case JsObj(sub) if descends(pk) => flattenInto(pk, sub.toSeq)
+          case _ => flatInit += pk -> v
+        }
+      }
+    flattenInto("", init.toSeq)
+    // overlapping targets (whole `s.a` AND leaf `s.a.n`) mix update
+    // kinds across one subtree — fall back
+    if (assignedPaths.exists(a =>
+      assignedPaths.exists(_.startsWith(a + PathSep)))) return None
+
+    val assigned: Seq[String] =
+      flatInit.keys.filter(assignedPaths).toSeq // in flattened $init order
     val assignedSet = assigned.toSet
-    if (allOps.exists(o => !init.contains(o._1))) return None
+    if (allOps.exists(o => !flatInit.contains(o._1))) return None
     val SumK = 0; val MaxK = 1; val MinK = 2; val LastK = 3; val PushK = 4
     val MapSumK = 5; val MapLastK = 6
     def kindOf(op: FieldOp): Int = op match {
@@ -2556,7 +2605,7 @@ private[js] object JsColumnCompiler {
     // overwrites keep the init's static stringify fragment (any value)
     // push fields must start from [] — a non-empty init array would need
     // its elements prefixed ahead of every append; rare, so fall back
-    if (assigned.exists(f => fieldKind(f) == PushK && (init(f) match {
+    if (assigned.exists(f => fieldKind(f) == PushK && (flatInit(f) match {
       case JsArr(items) => items.nonEmpty
       case _ => true
     }))) return None
@@ -2568,7 +2617,7 @@ private[js] object JsColumnCompiler {
     if (mapFields.nonEmpty) {
       if (mapFields.size > 1) return None
       val mf = mapFields.head
-      if (init(mf) match {
+      if (flatInit(mf) match {
         case JsObj(fields) => fields.nonEmpty
         case _ => true
       }) return None
@@ -2582,7 +2631,7 @@ private[js] object JsColumnCompiler {
     val initNum: Map[String, Double] = assigned.flatMap { f =>
       if (fieldKind(f) == LastK || fieldKind(f) == PushK ||
         isMapK(fieldKind(f))) None
-      else init(f) match {
+      else flatInit(f) match {
         case JsNum(d) =>
           if (fieldKind(f) == SumK &&
             !(d == math.rint(d) && !d.isInfinite && !d.isNaN &&
@@ -2593,7 +2642,7 @@ private[js] object JsColumnCompiler {
     }.toMap
     // undefined init (stringify None) → key absent until first assignment
     val initFrag: Map[String, Option[String]] = assigned.collect {
-      case f if fieldKind(f) == LastK => f -> JsVal.stringify(init(f))
+      case f if fieldKind(f) == LastK => f -> JsVal.stringify(flatInit(f))
     }.toMap
     if (fieldKind.valuesIterator.exists(k =>
       k == LastK || k == PushK || isMapK(k)))
@@ -2829,24 +2878,36 @@ private[js] object JsColumnCompiler {
     // JSON.stringify). Parts are nullable "key":value fragments — a SQL
     // NULL part means the key is absent for THIS row (an overwrite field
     // currently holding undefined), which concat_ws skips per row.
+    // Nested subtrees with assigned leaves rebuild recursively, mixing
+    // aggregated leaf fragments with the untouched siblings' statics.
     val plainStateJson: Column = {
-      val parts: Seq[Column] = init.toSeq.flatMap { case (k, v) =>
-        def keyJson = JsVal.stringify(JsStr(k)).get + ":"
-        if (assignedSet(k)) {
-          val rendered =
-            if (fieldKind(k) == SumK) {
-              // exact long rendering (numToStr == decimal digits here)
-              val tot = lit(initNum(k).toLong) + col(s"__graft_sum_$k")
-              when(abs(tot) >= lit(MaxExact),
-                raise_error(lit(overflowMsg(k))).cast(StringType))
-                .otherwise(tot.cast(StringType))
-            } else if (fieldKind(k) == LastK) lastFinalFrag(k)
-            else if (fieldKind(k) == PushK) pushFinalFrag(k)
-            else if (isMapK(fieldKind(k))) mapFinalFrag(k)
-            else doubleJson(finalDouble(k))
-          Some(concat(lit(keyJson), rendered)) // null rendered → null part
-        } else JsVal.stringify(v).map(frag => lit(keyJson + frag))
-      }
+      def renderedAssigned(k: String): Column =
+        if (fieldKind(k) == SumK) {
+          // exact long rendering (numToStr == decimal digits here)
+          val tot = lit(initNum(k).toLong) + col(s"__graft_sum_$k")
+          when(abs(tot) >= lit(MaxExact),
+            raise_error(lit(overflowMsg(k))).cast(StringType))
+            .otherwise(tot.cast(StringType))
+        } else if (fieldKind(k) == LastK) lastFinalFrag(k)
+        else if (fieldKind(k) == PushK) pushFinalFrag(k)
+        else if (isMapK(fieldKind(k))) mapFinalFrag(k)
+        else doubleJson(finalDouble(k))
+      def renderFields(prefix: String, fields: Seq[(String, JsVal)]): Seq[Column] =
+        fields.flatMap { case (k, v) =>
+          val pk = if (prefix.isEmpty) k else prefix + PathSep + k
+          def keyJson = JsVal.stringify(JsStr(k)).get + ":"
+          if (assignedSet(pk))
+            Some(concat(lit(keyJson), renderedAssigned(pk))) // null → absent
+          else v match {
+            case JsObj(sub) if descends(pk) =>
+              val inner = renderFields(pk, sub.toSeq)
+              Some(if (inner.isEmpty) lit(keyJson + "{}")
+                else concat(lit(keyJson + "{"),
+                  concat_ws(",", inner: _*), lit("}")))
+            case _ => JsVal.stringify(v).map(frag => lit(keyJson + frag))
+          }
+        }
+      val parts = renderFields("", init.toSeq)
       if (parts.isEmpty) lit("{}")
       else concat(lit("{"), concat_ws(",", parts: _*), lit("}"))
     }
@@ -2858,6 +2919,9 @@ private[js] object JsColumnCompiler {
     // the whole plan interpreter-free.
     val transformed: Option[(Seq[Column], Seq[(String, TC)])] =
       if (cp.transformsList.isEmpty) Some((Nil, Nil))
+      // nested assigned leaves don't cross into the transform env (the
+      // chain would read the PARENT object's stale init) — fall back
+      else if (assigned.exists(_.contains(PathSep))) return None
       else {
         val base: Option[Seq[(String, TC)]] =
           init.toSeq.foldLeft(Option(Vector.empty[(String, TC)])) {

@@ -425,10 +425,37 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.cents").cast("long").as("cents"))
       .orderBy(col("partition"))
 
+  /** Nested-state fold (r8 compiled shape): counters and extrema live in
+    * SUBTREES of the state object; an untouched sibling ('kind') must
+    * render verbatim in place. */
+  private val nestedStateSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { meta: { kind: 'agg', n: 0 },
+                                     money: { cents: 0, hi: 0 } } },
+        $any: function(s, e) {
+            s.meta.n += 1;
+            s.money.cents += Math.round(e.value * 100);
+            s.money.hi = Math.max(s.money.hi, Math.round(e.value * 100));
+            return s;
+        }
+    })"""
+
+  private def jsNestedState(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(nestedStateSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.meta.kind").as("kind"),
+        get_json_object(col("state"), "$.meta.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.money.cents").cast("long").as("cents"),
+        get_json_object(col("state"), "$.money.hi").cast("long").as("hi"))
+      .orderBy(col("partition"))
+
   /** Every JS definition this module runs, by name — the handler corpus
     * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
     * == interpreter on each, including the ones that must fall back). */
   private[graft] def handlerCorpus: Seq[(String, String)] = Seq(
+    "js_nested_state" -> nestedStateSource,
     "js_early_return" -> earlyReturnSource,
     "js_array_collect" -> arrayCollectSource,
     "js_minmax" -> minmaxSource,
@@ -462,12 +489,21 @@ fromCategory("purchase")
     "js_transform_filter" -> (jsTransformFilter _),
     "js_output_state" -> (jsOutputState _),
     "js_array_collect" -> (jsArrayCollect _),
-    "js_early_return" -> (jsEarlyReturn _)
+    "js_early_return" -> (jsEarlyReturn _),
+    "js_nested_state" -> (jsNestedState _)
   )
 
   private val L = Tables.eventLogSql
 
   def oracles: Seq[(String, String)] = Seq(
+    "js_nested_state" -> s"""$L
+      |SELECT stream_id AS partition, 'agg' AS kind,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hi
+      |FROM log WHERE event_type = 'purchase'
+      |  AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "js_early_return" -> s"""$L
       |SELECT stream_id AS partition,
       |       CAST(count(*) FILTER (WHERE value < 50) AS BIGINT) AS small,

@@ -1012,6 +1012,7 @@ fromCategory("idx")
     // flow (clause guards + the err channel), and regex match/test/
     // replace/split over the native JsRegexColumns expressions
     assert(compiled == Map(
+      "js_nested_state" -> true,
       "js_early_return" -> true,
       "js_array_collect" -> true,
       "js_count_by_type" -> true,
@@ -1089,6 +1090,52 @@ fromAll().foreachStream().when({
         else { s.cents += Math.round(e.value * 100); }
         return s;
     } })""", log))
+  }
+
+  test("column fast path: nested state — every update kind through a " +
+    "path, untouched siblings verbatim, fast == interpreter") {
+    val log = hostileLog
+    // one nested subtree per update kind + untouched siblings at both
+    // levels; key order must match the interpreter's
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { tag: 'x', c: { n: 0, hi: 0, note: 'keep' },
+                                 deep: { a: { b: 0 } }, last: { v: 0 } }; },
+    $any: function(s, e) {
+        s.c.n += 1;
+        s.c.hi = Math.max(s.c.hi, Math.round(e.value * 100));
+        s.deep.a.b += 2;
+        s.last.v = e.eventType;
+        return s;
+    } })""", log))
+    // nested push + nested dynamic-key counter map
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { bag: { xs: [] }, m: { byType: {} } }; },
+    $any: function(s, e) {
+        s.bag.xs.push(Math.round(e.value * 100));
+        s.m.byType[e.eventType] = (s.m.byType[e.eventType] || 0) + 1;
+        return s;
+    } })""", log))
+
+    def compiles(src: String): Boolean = JsProjection.compile(src).compilesToColumns
+    // leaf missing from the $init subtree: JS would NaN — fall back
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { a: {} }; },
+      $any: function(s, e) { s.a.n += 1; return s; } })"""))
+    // parent is not an object in $init — fall back
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { a: 0 }; },
+      $any: function(s, e) { s.a.n += 1; return s; } })"""))
+    // whole-object overwrite AND a leaf update on the same subtree
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { a: { n: 0 } }; },
+      $any: function(s, e) { s.a.n += 1; s.a = 1; return s; } })"""))
+    // transformBy over nested assigned leaves stays interpreted
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { a: { n: 0 } }; },
+      $any: function(s, e) { s.a.n += 1; return s; } })
+      .transformBy(function(s) { return s; })"""))
   }
 
   test("column fast path: plan is pure Catalyst — no interpreter node, " +
