@@ -200,6 +200,40 @@ fromAll()
     assert(second("acct-3") == batch2("acct-3"))
   }
 
+  test("P20 JS compiled streaming: nested-state definition takes the agg " +
+    "path and equals batch") {
+    val (store, dir) = newStore()
+    seed(store)
+    val p = graft.projections.js.JsProjection.compile("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { agg: { n: 0, hi: -1 }, keep: 'k' }; },
+        $any: function(s, e) {
+            s.agg.n += 1;
+            s.agg.hi = Math.max(s.agg.hi, e.sequenceNumber);
+            return s;
+        }
+    })""")
+    assert(p.compilesToColumns)
+    val src = Subscriptions.subscribeAll(spark, s"$dir/log")
+      .where(col("stream_id").startsWith("acct-"))
+    assert(p.fastStatesStream(src).isDefined)
+    val ck = Files.createTempDirectory("jsnestck").toString
+    val captured = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val q = p.statesStream(src).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, String)], _: Long) =>
+        b.collect().foreach { case (k, v) => captured.put(k, v) }: Unit
+      }
+      .option("checkpointLocation", ck)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val batch = p.states(store.read().where(col("stream_id").startsWith("acct-")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(captured.asScala.toMap == batch)
+  }
+
   test("JS options(reorderEvents): out-of-order arrivals fold in position order") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
