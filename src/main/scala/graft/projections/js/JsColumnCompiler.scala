@@ -1641,6 +1641,13 @@ private[js] object JsColumnCompiler {
     * (JSON.stringify renders undefined array ELEMENTS as null, unlike
     * object values, which drop the key). */
   private final case class PushTerm(exec: Column, frags: Seq[Column]) extends FieldOp
+  /** String accumulator `s.f += <state-free STATICALLY-STRING expr>` (a
+    * string rhs makes JS += concatenation whatever the accumulator
+    * currently holds): each executed site's appended fragment is
+    * collect_listed tagged with the event's log position and joined at
+    * finalization in sorted order — the PushTerm scheme, flattened to
+    * one string. $init must be a string. */
+  private final case class ConcatTerm(exec: Column, frag: Column) extends FieldOp
   /** Dynamic-key counter object `s.f[K] = (s.f[K] || 0) + delta` (either
     * operand order) with a state-free key K and a state-free integral
     * delta — the count-by-<property> shape (the reference's canonical
@@ -1832,12 +1839,30 @@ private[js] object JsColumnCompiler {
     def addSum(f: String, rhs: Expr, negate: Boolean, g0: Option[Column]): Boolean = {
       val (tc, ok) = numExpr(rhs, ctx, locals) match {
         case Some(v) if integralClaim(v) => consume(v, g0)
-        case _ => return false // non-integral sums are order-sensitive
+        // `s.f += <statically-string expr>` is CONCATENATION in JS —
+        // an ordered-append fold, not a sum (never for -=, which
+        // coerces numerically). Non-integral numeric sums stay
+        // order-sensitive and fall back.
+        case _ => return !negate && addConcat(f, rhs, g0)
       }
       val g = andOk(g0, ok)
       val delta = if (negate) -tc.col else tc.col
       acc += f -> SumTerm(
         g.map(gg => when(gg, delta).otherwise(lit(0.0))).getOrElse(delta))
+      true
+    }
+    def addConcat(f: String, rhs: Expr, g0: Option[Column]): Boolean = {
+      val sTC0 = compileExpr(rhs, ctx, locals) match {
+        case Some(v) if v.ty.isInstanceOf[TStr] => v
+        case _ => return false
+      }
+      val (sTC, ok) = consume(sTC0, g0)
+      val g = andOk(g0, ok)
+      val frag = strOf(sTC) match {
+        case Some((c, _)) => c
+        case None => return false
+      }
+      acc += f -> ConcatTerm(g.getOrElse(lit(true)), frag)
       true
     }
     // running extrema are selection ops: no integrality needed (the fold
@@ -2583,7 +2608,7 @@ private[js] object JsColumnCompiler {
     val assignedSet = assigned.toSet
     if (allOps.exists(o => !flatInit.contains(o._1))) return None
     val SumK = 0; val MaxK = 1; val MinK = 2; val LastK = 3; val PushK = 4
-    val MapSumK = 5; val MapLastK = 6
+    val MapSumK = 5; val MapLastK = 6; val ConcatK = 7
     def kindOf(op: FieldOp): Int = op match {
       case _: SumTerm => SumK
       case _: MaxTerm => MaxK
@@ -2592,6 +2617,7 @@ private[js] object JsColumnCompiler {
       case _: PushTerm => PushK
       case _: MapSumTerm => MapSumK
       case _: MapLastTerm => MapLastK
+      case _: ConcatTerm => ConcatK
     }
     def isMapK(k: Int): Boolean = k == MapSumK || k == MapLastK
     val fieldKind: Map[String, Int] = assigned.map { f =>
@@ -2609,6 +2635,14 @@ private[js] object JsColumnCompiler {
       case JsArr(items) => items.nonEmpty
       case _ => true
     }))) return None
+    // concat accumulators must start from a string (JS 0 += "x" would be
+    // "0x" only after a first numeric render — rare; fall back)
+    val initStr: Map[String, String] = assigned.collect {
+      case f if fieldKind(f) == ConcatK => flatInit(f) match {
+        case JsStr(s0) => f -> s0
+        case _ => return None
+      }
+    }.toMap
     // map fields must start from {} (pre-seeded keys would need their
     // init values and insertion slots merged in; rare → fall back), and
     // the two-level grouping carries ONE key column — one map field, one
@@ -2630,7 +2664,7 @@ private[js] object JsColumnCompiler {
     }
     val initNum: Map[String, Double] = assigned.flatMap { f =>
       if (fieldKind(f) == LastK || fieldKind(f) == PushK ||
-        isMapK(fieldKind(f))) None
+        fieldKind(f) == ConcatK || isMapK(fieldKind(f))) None
       else flatInit(f) match {
         case JsNum(d) =>
           if (fieldKind(f) == SumK &&
@@ -2645,7 +2679,7 @@ private[js] object JsColumnCompiler {
       case f if fieldKind(f) == LastK => f -> JsVal.stringify(flatInit(f))
     }.toMap
     if (fieldKind.valuesIterator.exists(k =>
-      k == LastK || k == PushK || isMapK(k)))
+      k == LastK || k == PushK || k == ConcatK || isMapK(k)))
       refs += "log_position"
     // final fragment of an overwrite field: the latest executed site's
     // rendered value, else the $init fragment (NULL = key absent)
@@ -2662,6 +2696,12 @@ private[js] object JsColumnCompiler {
         concat_ws(",", flatten(transform(sorted, x => x.getField("a")))),
         lit("]"))
     }
+    // final RAW string of a concat accumulator: $init prefix + appended
+    // fragments in log order (each event's sites already joined)
+    def concatRawStr(f: String): Column =
+      concat(lit(initStr(f)),
+        concat_ws("", transform(array_sort(col(s"__graft_cat_$f")),
+          x => x.getField("s"))))
 
     val nullD = lit(null).cast(DoubleType)
 
@@ -2711,6 +2751,18 @@ private[js] object JsColumnCompiler {
         case many => flatten(array(many.map(s =>
           when(s.exec, array(s.frags: _*))
             .otherwise(array().cast("array<string>"))): _*))
+      }
+    // per-event appended string of a concat field: executed sites join in
+    // program order (a non-executed site contributes ""); NULL = no site
+    // ran, so the event collects nothing
+    def concatContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, c: ConcatTerm) => c } match {
+        case Nil => nullStr
+        case one :: Nil => when(one.exec, one.frag).otherwise(nullStr)
+        case many =>
+          when(many.map(_.exec).reduce(_ || _),
+            concat(many.map(c => when(c.exec, c.frag).otherwise(lit(""))): _*))
+            .otherwise(nullStr)
       }
     val nullSite = lit(null).cast("struct<v:string>")
     def lastContrib(terms: FieldTerms, f: String): Column =
@@ -2793,6 +2845,11 @@ private[js] object JsColumnCompiler {
           Seq(collect_list(when(coalesce(size(ev), lit(0)) > 0,
             struct(col("log_position").as("p"), ev.as("a"))))
             .as(s"__graft_push_$f"))
+        case ConcatK =>
+          val ev = kept(routed(f, concatContrib, nullStr), nullStr)
+          Seq(collect_list(when(ev.isNotNull,
+            struct(col("log_position").as("p"), ev.as("s"))))
+            .as(s"__graft_cat_$f"))
         case MapSumK =>
           // level-1 aggs, grouped by (partition, __graft_mk_f): the
           // per-key partial sum, whether any site ran (a 0-delta site
@@ -2890,6 +2947,8 @@ private[js] object JsColumnCompiler {
             .otherwise(tot.cast(StringType))
         } else if (fieldKind(k) == LastK) lastFinalFrag(k)
         else if (fieldKind(k) == PushK) pushFinalFrag(k)
+        else if (fieldKind(k) == ConcatK)
+          graft.functions.JsJsonString(concatRawStr(k))
         else if (isMapK(fieldKind(k))) mapFinalFrag(k)
         else doubleJson(finalDouble(k))
       def renderFields(prefix: String, fields: Seq[(String, JsVal)]): Seq[Column] =
@@ -2934,6 +2993,9 @@ private[js] object JsColumnCompiler {
                   Some(acc :+ (k -> TC(lastFinalFrag(k), TFrag, NoNull)))
                 else if (fieldKind(k) == PushK)
                   Some(acc :+ (k -> TC(pushFinalFrag(k), TFrag, NoNull)))
+                // a concat accumulator IS a string — chains can read it
+                else if (fieldKind(k) == ConcatK)
+                  Some(acc :+ (k -> TC(concatRawStr(k), TStr(ascii = false), NoNull)))
                 else if (isMapK(fieldKind(k)))
                   Some(acc :+ (k -> TC(mapFinalFrag(k), TFrag, NoNull)))
                 else Some(acc :+ (k -> TC(finalDouble(k),
@@ -2994,6 +3056,8 @@ private[js] object JsColumnCompiler {
         case LastK => Seq(max(col(s"__graft_last_$f")).as(s"__graft_last_$f"))
         case PushK => Seq(flatten(collect_list(col(s"__graft_push_$f")))
           .as(s"__graft_push_$f"))
+        case ConcatK => Seq(flatten(collect_list(col(s"__graft_cat_$f")))
+          .as(s"__graft_cat_$f"))
         case MapSumK => Seq(collect_list(
           when(col(s"__graft_mx_$f") && col(s"__graft_mk_$f").isNotNull,
             struct(col(s"__graft_mp_$f").as("p"), col(s"__graft_mk_$f").as("k"),

@@ -451,10 +451,32 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.money.hi").cast("long").as("hi"))
       .orderBy(col("partition"))
 
+  /** String-concat accumulator (r8 compiled shape): the audit-trail
+    * idiom — append one token per event, final value in log order. */
+  private val stringAccumSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, trail: '' } },
+        $any: function(s, e) {
+            s.n += 1;
+            s.trail += e.eventType + ';';
+            return s;
+        }
+    })"""
+
+  private def jsStringAccum(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(stringAccumSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.trail").as("trail"))
+      .orderBy(col("partition"))
+
   /** Every JS definition this module runs, by name — the handler corpus
     * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
     * == interpreter on each, including the ones that must fall back). */
   private[graft] def handlerCorpus: Seq[(String, String)] = Seq(
+    "js_string_accum" -> stringAccumSource,
     "js_nested_state" -> nestedStateSource,
     "js_early_return" -> earlyReturnSource,
     "js_array_collect" -> arrayCollectSource,
@@ -490,12 +512,20 @@ fromCategory("purchase")
     "js_output_state" -> (jsOutputState _),
     "js_array_collect" -> (jsArrayCollect _),
     "js_early_return" -> (jsEarlyReturn _),
-    "js_nested_state" -> (jsNestedState _)
+    "js_nested_state" -> (jsNestedState _),
+    "js_string_accum" -> (jsStringAccum _)
   )
 
   private val L = Tables.eventLogSql
 
   def oracles: Seq[(String, String)] = Seq(
+    "js_string_accum" -> s"""$L
+      |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
+      |       coalesce(string_agg(event_type || ';', '' ORDER BY log_position),
+      |                '') AS trail
+      |FROM log WHERE event_type = 'purchase'
+      |  AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "js_nested_state" -> s"""$L
       |SELECT stream_id AS partition, 'agg' AS kind,
       |       CAST(count(*) AS BIGINT) AS n,

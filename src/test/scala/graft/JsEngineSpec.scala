@@ -1012,6 +1012,7 @@ fromCategory("idx")
     // flow (clause guards + the err channel), and regex match/test/
     // replace/split over the native JsRegexColumns expressions
     assert(compiled == Map(
+      "js_string_accum" -> true,
       "js_nested_state" -> true,
       "js_early_return" -> true,
       "js_array_collect" -> true,
@@ -1090,6 +1091,41 @@ fromAll().foreachStream().when({
         else { s.cents += Math.round(e.value * 100); }
         return s;
     } })""", log))
+  }
+
+  test("column fast path: string concat accumulators — += in log order, " +
+    "multiple guarded sites, init prefix, escaping, fast == interpreter") {
+    val log = hostileLog
+    // the audit-trail idiom: append per event, order = log order
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { seq: '' }; },
+    $any: function(s, e) { s.seq += e.eventType + ';'; return s; } })""", log))
+    // guarded sites pick per event; a non-empty init stays a prefix; two
+    // appends in one handler land in program order; quotes/backslashes
+    // must JSON-escape exactly like the interpreter's stringify
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { log: 'start:', q: '' }; },
+    $any: function(s, e) {
+        if (e.value > 5) s.log += 'big,'; else s.log += 'small,';
+        s.log += '|';
+        s.q += '"\n\\';
+        return s;
+    } })""", log))
+    // spelled-out form s.f = s.f + x compiles; string -= never does
+    def compiles(src: String): Boolean = JsProjection.compile(src).compilesToColumns
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { seq: '' }; },
+      $any: function(s, e) { s.seq = s.seq + e.streamId; return s; } })"""))
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { seq: '' }; },
+      $any: function(s, e) { s.seq -= e.streamId; return s; } })"""))
+    // numeric init with a string append stays interpreted (first render
+    // would be numeric)
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { seq: 0 }; },
+      $any: function(s, e) { s.seq += e.eventType; return s; } })"""))
   }
 
   test("column fast path: nested state — every update kind through a " +
