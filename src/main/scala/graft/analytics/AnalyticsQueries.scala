@@ -272,8 +272,18 @@ object AnalyticsQueries extends QueryModule {
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_lsh_neardup" -> (annLshNearDup _),
     "emb_near_dup" -> (embNearDup _),
-    "emb_quantize_sq8" -> (sq8Q _)
+    "emb_quantize_sq8" -> (sq8Q _),
+    "ann_sq8_topk" -> (annSq8TopK _)
   )
+
+  /** Asymmetric SQ8 search: full-precision queries against the
+    * reconstructed 8-bit corpus. */
+  private def annSq8TopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.sq8TopK(emb.where(col("vec_id") < 10), emb, 5)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** SQ8 storage codec: per-vector code hash (bit-exact across engines —
     * the floor(+0.5) chain is IEEE-correctly-rounded end to end) plus max
@@ -864,6 +874,33 @@ object AnalyticsQueries extends QueryModule {
         |SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
         |  md5(string_agg(CAST(CAST(code AS INT) AS VARCHAR), ',' ORDER BY d)) AS codes_md5,
         |  max(abs(v - (mn + code * (mx - mn) / 255.0))) AS err_max
-        |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ann_sq8_topk" ->
+      """WITH vals AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM vals GROUP BY 1),
+        |rec AS (
+        |  SELECT vec_id, list(mn + (CASE WHEN mx = mn THEN 0.0
+        |      ELSE least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
+        |                          0.0), 255.0)
+        |    END) * (mx - mn) / 255.0 ORDER BY vals.d) AS rv
+        |  FROM vals JOIN stats ON stats.d = vals.d GROUP BY 1),
+        |q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, rec.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, rec.rv)
+        |      / (sqrt(list_dot_product(q.qv, q.qv))
+        |         * sqrt(list_dot_product(rec.rv, rec.rv))) AS sim
+        |  FROM q JOIN rec ON q.vec_id <> rec.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -516,4 +516,29 @@ class AnalyticsSpec extends SparkTestBase {
     out.take(3).foreach { case (_, _, _, err) =>
       assert(err.exists(_ <= (2.0 / 255) / 2 + 1e-12)) }
   }
+
+  test("sq8TopK: on well-separated clusters the asymmetric scan returns " +
+    "the exact neighbors — quantization never flips a clear ranking") {
+    val s = spark; import s.implicits._
+    // three orthogonal-ish clusters, intra-cluster sim ~0.99+, inter ~0
+    val vecs = (0 until 30).map { i =>
+      val base = Array.fill(12)(0.0f)
+      base(i % 3 * 4) = 10f; base(i % 3 * 4 + 1) = 1f + (i / 3) * 0.01f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 3)
+    val exact = graft.analytics.Similarity.bruteForceTopK(q, vecs, 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val viaSq8 = graft.analytics.Similarity.sq8TopK(q, vecs, 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    val exactMap = graft.analytics.Similarity.bruteForceTopK(q, vecs, 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(viaSq8.keySet == exact)
+    // every ranked neighbor must come from the query's own cluster
+    viaSq8.foreach { case ((qid, _), nid) => assert(nid % 3 == qid % 3) }
+    assert(viaSq8 == exactMap)
+  }
 }
