@@ -81,7 +81,17 @@ final class JsInterp(stepBudget: Long = JsInterp.DefaultStepBudget) {
         env.define("arguments", JsArr(mutable.ArrayBuffer(args: _*)))
       callDepth += 1
       try { run(body, env); JsUndef }
-      catch { case r: ReturnEx => r.value }
+      catch {
+        case r: ReturnEx => r.value
+        // a shallow JVM thread can overflow BEFORE the ES depth cap
+        // (each ES frame costs dozens of JVM frames, and the headroom
+        // depends on where in the host stack the handler was entered) —
+        // convert to the same catchable answer the cap gives, exactly
+        // like the regex engine's deep-recursion conversion. State is
+        // safe: callDepth unwinds via the finally chain.
+        case _: StackOverflowError =>
+          throw new JsError("RangeError: Maximum call stack size exceeded")
+      }
       finally callDepth -= 1
     case other => throw new JsError(s"${JsVal.toStr(other)} is not a function")
   }

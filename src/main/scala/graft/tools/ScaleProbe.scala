@@ -42,7 +42,8 @@ object ScaleProbe {
     "dedup_winnow_pairs", "dedup_components", "dedup_semantic", "dedup_lines",
     "dedup_substring", "dedup_substring_remove", "vocab_heavy_hitters",
     "quality_gopher", "sample_temperature", "corpus_summary",
-    "emb_quantize_sq8", "js_early_return",
+    "emb_quantize_sq8", "ann_sq8_topk", "js_early_return",
+    "js_nested_state", "js_string_accum", "attribution_linear",
     "emb_near_dup", "ann_ivf_topk", "ann_pq_topk", "text_winnow_fp", "text_repetition",
     "text_bpe_tokens", "pii_redact", "pack_sequences", "select_token_budget",
     "tfidf_keywords", "decontaminate", "pipeline_training_data",
