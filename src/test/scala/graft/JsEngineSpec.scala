@@ -1604,6 +1604,20 @@ fromAll()
     })""", log)
   }
 
+  test("column fast path: emitted() under early returns — an emit after " +
+    "`return` never fires, one before it always does") {
+    emittedEqualsInterp("""
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $any: function(s, e) {
+            if (e.value <= 100) { emit("small-" + e.streamId, "Small", { v: e.value }); return s; }
+            emit("big-" + e.streamId, "Big", { v: e.value });
+            return s;
+        }
+    })""", hostileLog)
+  }
+
   private def emittedEqualsInterp(src: String,
       log: org.apache.spark.sql.DataFrame): Unit = {
     val p = JsProjection.compile(src)
