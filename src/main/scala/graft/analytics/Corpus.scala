@@ -410,6 +410,27 @@ object Corpus {
       .where(col("n") >= minCount)
   }
 
+  /** Corpus snapshot diff — the incremental-refresh triage every
+    * recurring pipeline runs first: which documents were ADDED, REMOVED,
+    * or CHANGED (same id, different content) between two snapshots.
+    * Content identity is the md5 of the text column; unchanged docs
+    * report "same" (callers usually filter them out).
+    *
+    * Scale shape: each snapshot contributes one narrow scan projecting
+    * (id, hash); ONE full-outer shuffle on the id joins them — no text
+    * ever moves, no pairwise work. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val a = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("h_old"))
+    val b = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("h_new"))
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("same"))
+  }
+
   /** The Gopher quality-rule set (Rae et al. 2021, "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher",
     * appendix A1.1) as an explicit per-rule filter — the de-facto

@@ -258,6 +258,23 @@ object CorpusQueries extends QueryModule {
         round(col("n_pass").cast("double") / col("n_docs"), 6))
       .orderBy(col("source"))
 
+  /** Snapshot diff with planted churn: new snapshot drops ids < 50,
+    * rewrites 50..99, adds copies at +500000 — exactly those rows (and
+    * only those) must surface with their statuses. */
+  private def diffQ(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val next = base.where(col("doc_id") >= 50)
+      .select(col("doc_id"),
+        when(col("doc_id") < 100, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+    Corpus.snapshotDiff(base, next)
+      .where(col("status") =!= "same")
+      .select(col("id"), col("status"))
+      .orderBy(col("id"))
+  }
+
   /** Temperature rebalancing at alpha = 0.5 (the IEEE-exact sqrt path),
     * verified as per-source counts: larger sources must shrink by
     * sqrt(n_min/n_i), the smallest keeps everything. */
@@ -285,7 +302,8 @@ object CorpusQueries extends QueryModule {
     "mix_sources" -> (mixQ _),
     "quality_gopher" -> (gopherQ _),
     "sample_temperature" -> (temperatureQ _),
-    "corpus_summary" -> (summaryQ _)
+    "corpus_summary" -> (summaryQ _),
+    "corpus_diff" -> (diffQ _)
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -573,6 +591,22 @@ object CorpusQueries extends QueryModule {
         |    AS pass_rate
         |FROM t JOIN p ON p.id = t.id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_diff" ->
+      """WITH a AS (SELECT doc_id AS id, md5(text) AS h_old FROM documents),
+        |b0 AS (
+        |  SELECT doc_id, CASE WHEN doc_id < 100 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id >= 50
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents WHERE doc_id < 50),
+        |b AS (SELECT doc_id AS id, md5(text) AS h_new FROM b0)
+        |SELECT coalesce(a.id, b.id) AS id,
+        |  CASE WHEN a.id IS NULL THEN 'added'
+        |       WHEN b.id IS NULL THEN 'removed'
+        |       WHEN a.h_old <> b.h_new THEN 'changed'
+        |       ELSE 'same' END AS status
+        |FROM a FULL OUTER JOIN b ON a.id = b.id
+        |WHERE a.id IS NULL OR b.id IS NULL OR a.h_old <> b.h_new
+        |ORDER BY 1""".stripMargin,
     "sample_temperature" ->
       """WITH counts AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),

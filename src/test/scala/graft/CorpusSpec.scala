@@ -226,6 +226,16 @@ class CorpusSpec extends SparkTestBase {
     assert(out == Map("hotone" -> 300L, "hottwo" -> 220L))
   }
 
+  test("snapshotDiff: statuses partition the id space; identical snapshots all 'same'") {
+    val s = spark; import s.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val b = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+    assert(Corpus.snapshotDiff(a, a).where(col("status") =!= "same").count() == 0)
+  }
+
   test("gopherQuality: each planted violation trips exactly its rule") {
     val s = spark; import s.implicits._
     val good = (1 to 60).map(i => s"the quick brown fox and word$i").mkString(" ")
