@@ -93,26 +93,38 @@ class JsCompilerPropertySpec extends SparkTestBase {
     case _ => genNumExpr(r)
   }
 
-  private def genStmts(r: Random, kinds: Seq[(String, Char)], depth: Int): String = {
+  /** Statically-STRING expression (the concat-accumulator contract). */
+  private def genStrExpr(r: Random): String = r.nextInt(4) match {
+    case 0 => s"e.eventType + '${";,|".charAt(r.nextInt(3))}'"
+    case 1 => s"e.streamId.replace(/\\d/g, '*') + '|'"
+    case 2 => s"'x${r.nextInt(5)}'"
+    case _ => "e.streamId + ';'"
+  }
+
+  private def genStmts(r: Random, kinds: Seq[(String, Char)], depth: Int,
+      base: String = "s"): String = {
     val n = 1 + r.nextInt(3)
     (0 until n).map { _ =>
       val (f, k) = kinds(r.nextInt(kinds.length))
       val upd = k match {
         case 'S' => r.nextInt(3) match {
-          case 0 => s"s.$f += ${genIntExpr(r, depth)};"
-          case 1 => s"s.$f = s.$f + ${genIntExpr(r, depth)};"
-          case _ => if (r.nextBoolean()) s"s.$f++;" else s"s.$f--;"
+          case 0 => s"$base.$f += ${genIntExpr(r, depth)};"
+          case 1 => s"$base.$f = $base.$f + ${genIntExpr(r, depth)};"
+          case _ => if (r.nextBoolean()) s"$base.$f++;" else s"$base.$f--;"
         }
-        case 'M' => s"s.$f = Math.max(s.$f, ${genNumExpr(r)});"
-        case 'm' => s"s.$f = Math.min(s.$f, ${genNumExpr(r)});"
+        case 'M' => s"$base.$f = Math.max($base.$f, ${genNumExpr(r)});"
+        case 'm' => s"$base.$f = Math.min($base.$f, ${genNumExpr(r)});"
+        case 'C' =>
+          if (r.nextBoolean()) s"$base.$f += ${genStrExpr(r)};"
+          else s"$base.$f = $base.$f + ${genStrExpr(r)};"
         case 'L' =>
           // dynamics must guard the member read like real handlers do
           // (an unguarded e.body.k throws on null/invalid data)
-          if (r.nextInt(4) == 0) s"if (e.body) { s.$f = e.body.k; }"
-          else s"s.$f = ${genValExpr(r)};"
+          if (r.nextInt(4) == 0) s"if (e.body) { $base.$f = e.body.k; }"
+          else s"$base.$f = ${genValExpr(r)};"
       }
       if (depth > 0 && r.nextInt(3) == 0) {
-        val inner = genStmts(r, kinds, depth - 1)
+        val inner = genStmts(r, kinds, depth - 1, base)
         if (r.nextBoolean()) s"if (${genCond(r, 1)}) { $inner }"
         else s"if (${genCond(r, 1)}) { $inner } else { $upd }"
       } else upd
@@ -122,15 +134,16 @@ class JsCompilerPropertySpec extends SparkTestBase {
   /** One dynamic-key map statement — at most ONE site per handler and one
     * map field per definition, the compilable contract. The kind (counter
     * vs overwrite) is fixed per definition so handlers never mix. */
-  private def genMapStmt(r: Random, f: String, counter: Boolean): String = {
+  private def genMapStmt(r: Random, f: String, counter: Boolean,
+      base: String = "s"): String = {
     val (keyE, guard) = r.nextInt(3) match {
       case 0 => ("e.eventType", None)
       case 1 => (s""""g" + (e.value > ${r.nextInt(100)} ? "hi" : "lo")""", None)
       case _ => ("e.body.k", Some("e.body")) // body keys guard the read
     }
     val upd =
-      if (counter) s"s.$f[$keyE] = (s.$f[$keyE] || 0) + ${genIntExpr(r, 1)};"
-      else s"s.$f[$keyE] = ${genValExpr(r)};"
+      if (counter) s"$base.$f[$keyE] = ($base.$f[$keyE] || 0) + ${genIntExpr(r, 1)};"
+      else s"$base.$f[$keyE] = ${genValExpr(r)};"
     guard match {
       case Some(g) => s"if ($g) { $upd }"
       case None =>
@@ -140,19 +153,28 @@ class JsCompilerPropertySpec extends SparkTestBase {
 
   private def genDefinition(r: Random): String = {
     val fields = Seq("a", "b", "c").take(1 + r.nextInt(3))
-    val kinds = fields.map(f => f -> "SMmL".charAt(r.nextInt(4)))
+    val kinds = fields.map(f => f -> "SMmLC".charAt(r.nextInt(5)))
     val mapField: Option[(String, Boolean)] =
       if (r.nextInt(3) > 0) Some(("mp", r.nextBoolean())) else None
-    val init = (kinds.map { case (f, k) =>
+    // nested state: every field lives under one subtree `s.g.*` (plus a
+    // verbatim untouched sibling); transform chains over nested leaves
+    // are outside the compiled subset, so nesting forces chain = ""
+    val nested = r.nextInt(3) == 0
+    val base = if (nested) "s.g" else "s"
+    val initFields = (kinds.map { case (f, k) =>
       val v = k match {
         case 'S' => r.nextInt(10).toString
         case 'M' => if (r.nextBoolean()) "-1e308" else "0"
         case 'm' => if (r.nextBoolean()) "1e308" else "100"
+        case 'C' => if (r.nextBoolean()) "''" else "'pre:'"
         case 'L' => Seq("0", "\"init\"", "null", "false",
           "undefined")(r.nextInt(5))
       }
       s"$f: $v"
     } ++ mapField.map { case (f, _) => s"$f: {}" }).mkString(", ")
+    val init =
+      if (nested) s"g: { $initFields }, untouched: { z: 'keep' }"
+      else initFields
     val selector = r.nextInt(3) match {
       case 0 => "fromAll()"
       case 1 => s"fromCategory('t${1 + r.nextInt(3)}')"
@@ -173,39 +195,47 @@ class JsCompilerPropertySpec extends SparkTestBase {
       case _ => ".foreachStream()"
     }
     def mapStmt: String =
-      mapField.map { case (f, c) => "\n            " + genMapStmt(r, f, c) }
+      mapField.map { case (f, c) => "\n            " + genMapStmt(r, f, c, base) }
         .getOrElse("")
+    // the in-handler filter idiom: an event-condition early return ahead
+    // of the fold statements (everything after compiles under ¬cond)
+    def earlyRet: String =
+      if (r.nextInt(3) == 0) s"if (${genCond(r, 1)}) { return s; }\n            "
+      else ""
     val typed =
       if (r.nextBoolean())
         s"""
            |        t${1 + r.nextInt(3)}: function(s, e) {
            |            var d = new Date(e.timestamp);
-           |            ${genStmts(r, kinds, 2)}$mapStmt
+           |            ${earlyRet}${genStmts(r, kinds, 2, base)}$mapStmt
            |            return s;
            |        },""".stripMargin
       else ""
     // transform chains compile over NUMERIC aggregated fields only —
     // overwrite fields carry rendered fragments, so chains naming them
-    // (or any chain when every field is an overwrite) stay interpreted
-    val numKinds = kinds.filter(_._2 != 'L')
-    val chain = r.nextInt(4) match {
-      case 0 if numKinds.nonEmpty =>
-        val (f, k) = numKinds(r.nextInt(numKinds.length))
-        s"""
-           |    .filterBy(function(s) { return s.$f ${if (k == 'S') ">= 1" else "< 1e307"}; })""".stripMargin
-      case 1 if numKinds.length == kinds.length =>
-        val shown = kinds.map { case (f, _) => s"$f: s.$f" }.mkString(", ")
-        s"""
-           |    .transformBy(function(s) { return { $shown, extra: s.${kinds.head._1} * 2 }; })""".stripMargin
-      case _ => ""
-    }
+    // (or any chain when every field is an overwrite) stay interpreted —
+    // and never over nested leaves
+    val numKinds = kinds.filter(k => k._2 != 'L' && k._2 != 'C')
+    val chain =
+      if (nested) ""
+      else r.nextInt(4) match {
+        case 0 if numKinds.nonEmpty =>
+          val (f, k) = numKinds(r.nextInt(numKinds.length))
+          s"""
+             |    .filterBy(function(s) { return s.$f ${if (k == 'S') ">= 1" else "< 1e307"}; })""".stripMargin
+        case 1 if numKinds.length == kinds.length =>
+          val shown = kinds.map { case (f, _) => s"$f: s.$f" }.mkString(", ")
+          s"""
+             |    .transformBy(function(s) { return { $shown, extra: s.${kinds.head._1} * 2 }; })""".stripMargin
+        case _ => ""
+      }
     s"""
        |$selector$partition
        |    .when({
        |        ${"$"}init: function() { return { $init }; },$typed
        |        ${"$"}any: function(s, e) {
        |            var d = new Date(e.timestamp);
-       |            ${genStmts(r, kinds, 2)}$mapStmt
+       |            ${earlyRet}${genStmts(r, kinds, 2, base)}$mapStmt
        |            return s;
        |        }
        |    })$chain""".stripMargin
