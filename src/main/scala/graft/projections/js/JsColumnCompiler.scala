@@ -1648,6 +1648,14 @@ private[js] object JsColumnCompiler {
     * finalization in sorted order — the PushTerm scheme, flattened to
     * one string. $init must be a string. */
   private final case class ConcatTerm(exec: Column, frag: Column) extends FieldOp
+  /** String PREPEND accumulator `s.f = <state-free STATICALLY-STRING
+    * expr> + s.f`: the mirror of [[ConcatTerm]] — fragments are
+    * collect_listed tagged with log position and joined in REVERSE
+    * position order at finalization, with $init as the SUFFIX (each
+    * prepend pushes in front of everything before it). Within one
+    * event, later sites prepend in front of earlier ones, so the
+    * per-event contribution joins sites in reverse program order. */
+  private final case class PrependTerm(exec: Column, frag: Column) extends FieldOp
   /** Dynamic-key counter object `s.f[K] = (s.f[K] || 0) + delta` (either
     * operand order) with a state-free key K and a state-free integral
     * delta — the count-by-<property> shape (the reference's canonical
@@ -1836,14 +1844,19 @@ private[js] object JsColumnCompiler {
       case (None, b) => b
     }
 
-    def addSum(f: String, rhs: Expr, negate: Boolean, g0: Option[Column]): Boolean = {
+    def addSum(f: String, rhs: Expr, negate: Boolean, g0: Option[Column],
+        selfOnRight: Boolean = false): Boolean = {
       val (tc, ok) = numExpr(rhs, ctx, locals) match {
         case Some(v) if integralClaim(v) => consume(v, g0)
         // `s.f += <statically-string expr>` is CONCATENATION in JS —
         // an ordered-append fold, not a sum (never for -=, which
-        // coerces numerically). Non-integral numeric sums stay
-        // order-sensitive and fall back.
-        case _ => return !negate && addConcat(f, rhs, g0)
+        // coerces numerically). When the self-field was the RIGHT
+        // operand (`s.f = expr + s.f`) a string expr PREPENDS — the
+        // commutative shortcut only holds for numbers. Non-integral
+        // numeric sums stay order-sensitive and fall back.
+        case _ =>
+          return !negate &&
+            (if (selfOnRight) addPrepend(f, rhs, g0) else addConcat(f, rhs, g0))
       }
       val g = andOk(g0, ok)
       val delta = if (negate) -tc.col else tc.col
@@ -1863,6 +1876,20 @@ private[js] object JsColumnCompiler {
         case None => return false
       }
       acc += f -> ConcatTerm(g.getOrElse(lit(true)), frag)
+      true
+    }
+    def addPrepend(f: String, lhs: Expr, g0: Option[Column]): Boolean = {
+      val sTC0 = compileExpr(lhs, ctx, locals) match {
+        case Some(v) if v.ty.isInstanceOf[TStr] => v
+        case _ => return false
+      }
+      val (sTC, ok) = consume(sTC0, g0)
+      val g = andOk(g0, ok)
+      val frag = strOf(sTC) match {
+        case Some((c, _)) => c
+        case None => return false
+      }
+      acc += f -> PrependTerm(g.getOrElse(lit(true)), frag)
       true
     }
     // running extrema are selection ops: no integrality needed (the fold
@@ -2023,11 +2050,27 @@ private[js] object JsColumnCompiler {
           if statePathOf(tgt, ctx, locals).isDefined =>
         val f = statePathOf(tgt, ctx, locals).get
         val g0 = effGuard
+        // the left spine of a `+` chain: `s.f + e1 + e2` parses
+        // left-assoc as `(s.f + e1) + e2`, so the accumulator sits at
+        // the HEAD of the flattened spine
+        def plusChain(e: Expr): List[Expr] = e match {
+          case Binary("+", l, r) => plusChain(l) :+ r
+          case other => List(other)
+        }
         val ok = rhs match {
-          // `s.f = s.f + e` / `s.f = e + s.f` / `s.f = s.f - e` are the
-          // spelled-out sum forms (pure e, so evaluation order collapses)
-          case Binary("+", l, r) if isSelfField(l, ctx, f) => addSum(f, r, negate = false, g0)
-          case Binary("+", l, r) if isSelfField(r, ctx, f) => addSum(f, l, negate = false, g0)
+          // `s.f = s.f + e1 + e2 + …` is the spelled-out accumulation
+          // chain: each tail part contributes its own term in program
+          // order (a string part appends, integral parts sum — mixed
+          // kinds on one field are refused downstream, matching JS's
+          // type-dependent `+`). Covers the 2-element `s.f = s.f + e`.
+          case Binary("+", _, _)
+              if plusChain(rhs).headOption.exists(isSelfField(_, ctx, f)) &&
+                !plusChain(rhs).tail.exists(isSelfField(_, ctx, f)) =>
+            plusChain(rhs).tail.forall(p => addSum(f, p, negate = false, g0))
+          // `s.f = e + s.f`: commutative for a NUMERIC e; a statically
+          // string e is a PREPEND (addSum routes it to addPrepend)
+          case Binary("+", l, r) if isSelfField(r, ctx, f) =>
+            addSum(f, l, negate = false, g0, selfOnRight = true)
           case Binary("-", l, r) if isSelfField(l, ctx, f) => addSum(f, r, negate = true, g0)
           case Call(Member(Ident("Math"), m @ ("max" | "min")), Seq(a, b))
               if unshadowedMath(ctx, locals) &&
@@ -2608,7 +2651,7 @@ private[js] object JsColumnCompiler {
     val assignedSet = assigned.toSet
     if (allOps.exists(o => !flatInit.contains(o._1))) return None
     val SumK = 0; val MaxK = 1; val MinK = 2; val LastK = 3; val PushK = 4
-    val MapSumK = 5; val MapLastK = 6; val ConcatK = 7
+    val MapSumK = 5; val MapLastK = 6; val ConcatK = 7; val PrependK = 8
     def kindOf(op: FieldOp): Int = op match {
       case _: SumTerm => SumK
       case _: MaxTerm => MaxK
@@ -2618,6 +2661,7 @@ private[js] object JsColumnCompiler {
       case _: MapSumTerm => MapSumK
       case _: MapLastTerm => MapLastK
       case _: ConcatTerm => ConcatK
+      case _: PrependTerm => PrependK
     }
     def isMapK(k: Int): Boolean = k == MapSumK || k == MapLastK
     val fieldKind: Map[String, Int] = assigned.map { f =>
@@ -2635,13 +2679,14 @@ private[js] object JsColumnCompiler {
       case JsArr(items) => items.nonEmpty
       case _ => true
     }))) return None
-    // concat accumulators must start from a string (JS 0 += "x" would be
-    // "0x" only after a first numeric render — rare; fall back)
+    // concat/prepend accumulators must start from a string (JS 0 += "x"
+    // would be "0x" only after a first numeric render — rare; fall back)
     val initStr: Map[String, String] = assigned.collect {
-      case f if fieldKind(f) == ConcatK => flatInit(f) match {
-        case JsStr(s0) => f -> s0
-        case _ => return None
-      }
+      case f if fieldKind(f) == ConcatK || fieldKind(f) == PrependK =>
+        flatInit(f) match {
+          case JsStr(s0) => f -> s0
+          case _ => return None
+        }
     }.toMap
     // map fields must start from {} (pre-seeded keys would need their
     // init values and insertion slots merged in; rare → fall back), and
@@ -2664,7 +2709,8 @@ private[js] object JsColumnCompiler {
     }
     val initNum: Map[String, Double] = assigned.flatMap { f =>
       if (fieldKind(f) == LastK || fieldKind(f) == PushK ||
-        fieldKind(f) == ConcatK || isMapK(fieldKind(f))) None
+        fieldKind(f) == ConcatK || fieldKind(f) == PrependK ||
+        isMapK(fieldKind(f))) None
       else flatInit(f) match {
         case JsNum(d) =>
           if (fieldKind(f) == SumK &&
@@ -2679,7 +2725,7 @@ private[js] object JsColumnCompiler {
       case f if fieldKind(f) == LastK => f -> JsVal.stringify(flatInit(f))
     }.toMap
     if (fieldKind.valuesIterator.exists(k =>
-      k == LastK || k == PushK || k == ConcatK || isMapK(k)))
+      k == LastK || k == PushK || k == ConcatK || k == PrependK || isMapK(k)))
       refs += "log_position"
     // final fragment of an overwrite field: the latest executed site's
     // rendered value, else the $init fragment (NULL = key absent)
@@ -2702,6 +2748,13 @@ private[js] object JsColumnCompiler {
       concat(lit(initStr(f)),
         concat_ws("", transform(array_sort(col(s"__graft_cat_$f")),
           x => x.getField("s"))))
+    // final RAW string of a prepend accumulator: fragments in REVERSE
+    // log order (latest event prepended in front), $init as the suffix
+    def prependRawStr(f: String): Column =
+      concat(
+        concat_ws("", reverse(transform(array_sort(col(s"__graft_pre_$f")),
+          x => x.getField("s")))),
+        lit(initStr(f)))
 
     val nullD = lit(null).cast(DoubleType)
 
@@ -2762,6 +2815,18 @@ private[js] object JsColumnCompiler {
         case many =>
           when(many.map(_.exec).reduce(_ || _),
             concat(many.map(c => when(c.exec, c.frag).otherwise(lit(""))): _*))
+            .otherwise(nullStr)
+      }
+    // per-event prepended string: within one event, LATER sites prepend
+    // in front of earlier ones, so sites join in reverse program order
+    def prependContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, c: PrependTerm) => c } match {
+        case Nil => nullStr
+        case one :: Nil => when(one.exec, one.frag).otherwise(nullStr)
+        case many =>
+          when(many.map(_.exec).reduce(_ || _),
+            concat(many.reverse.map(c =>
+              when(c.exec, c.frag).otherwise(lit(""))): _*))
             .otherwise(nullStr)
       }
     val nullSite = lit(null).cast("struct<v:string>")
@@ -2850,6 +2915,11 @@ private[js] object JsColumnCompiler {
           Seq(collect_list(when(ev.isNotNull,
             struct(col("log_position").as("p"), ev.as("s"))))
             .as(s"__graft_cat_$f"))
+        case PrependK =>
+          val ev = kept(routed(f, prependContrib, nullStr), nullStr)
+          Seq(collect_list(when(ev.isNotNull,
+            struct(col("log_position").as("p"), ev.as("s"))))
+            .as(s"__graft_pre_$f"))
         case MapSumK =>
           // level-1 aggs, grouped by (partition, __graft_mk_f): the
           // per-key partial sum, whether any site ran (a 0-delta site
@@ -2949,6 +3019,8 @@ private[js] object JsColumnCompiler {
         else if (fieldKind(k) == PushK) pushFinalFrag(k)
         else if (fieldKind(k) == ConcatK)
           graft.functions.JsJsonString(concatRawStr(k))
+        else if (fieldKind(k) == PrependK)
+          graft.functions.JsJsonString(prependRawStr(k))
         else if (isMapK(fieldKind(k))) mapFinalFrag(k)
         else doubleJson(finalDouble(k))
       def renderFields(prefix: String, fields: Seq[(String, JsVal)]): Seq[Column] =
@@ -2993,9 +3065,12 @@ private[js] object JsColumnCompiler {
                   Some(acc :+ (k -> TC(lastFinalFrag(k), TFrag, NoNull)))
                 else if (fieldKind(k) == PushK)
                   Some(acc :+ (k -> TC(pushFinalFrag(k), TFrag, NoNull)))
-                // a concat accumulator IS a string — chains can read it
+                // a concat/prepend accumulator IS a string — chains can
+                // read it
                 else if (fieldKind(k) == ConcatK)
                   Some(acc :+ (k -> TC(concatRawStr(k), TStr(ascii = false), NoNull)))
+                else if (fieldKind(k) == PrependK)
+                  Some(acc :+ (k -> TC(prependRawStr(k), TStr(ascii = false), NoNull)))
                 else if (isMapK(fieldKind(k)))
                   Some(acc :+ (k -> TC(mapFinalFrag(k), TFrag, NoNull)))
                 else Some(acc :+ (k -> TC(finalDouble(k),
@@ -3058,6 +3133,8 @@ private[js] object JsColumnCompiler {
           .as(s"__graft_push_$f"))
         case ConcatK => Seq(flatten(collect_list(col(s"__graft_cat_$f")))
           .as(s"__graft_cat_$f"))
+        case PrependK => Seq(flatten(collect_list(col(s"__graft_pre_$f")))
+          .as(s"__graft_pre_$f"))
         case MapSumK => Seq(collect_list(
           when(col(s"__graft_mx_$f") && col(s"__graft_mk_$f").isNotNull,
             struct(col(s"__graft_mp_$f").as("p"), col(s"__graft_mk_$f").as("k"),

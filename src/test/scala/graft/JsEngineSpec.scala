@@ -1128,6 +1128,96 @@ fromAll().foreachStream().when({
       $any: function(s, e) { s.seq += e.eventType; return s; } })"""))
   }
 
+  test("column fast path: string PREPEND accumulators and left-assoc " +
+    "append chains, fast == interpreter") {
+    val log = hostileLog
+    def compiles(src: String): Boolean = JsProjection.compile(src).compilesToColumns
+    // `s.f = x + s.f` with a string x PREPENDS — latest event in front,
+    // $init at the tail (this was silently compiled as an APPEND before)
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { seq: 'I' }; },
+    $any: function(s, e) { s.seq = e.eventType + '|' + s.seq; return s; } })""", log))
+    // two prepend sites in one handler: the later statement lands in
+    // front of the earlier one's fragment
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { seq: '' }; },
+    $any: function(s, e) {
+        s.seq = e.eventType + s.seq;
+        if (e.value > 5) { s.seq = '!' + s.seq; }
+        return s;
+    } })""", log))
+    // left-assoc chain `s.f = s.f + a + b` parses as `(s.f + a) + b`:
+    // each tail part appends in program order (the seed-5 shape)
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { b: '' }; },
+    $any: function(s, e) {
+        s.b += e.streamId.replace(/\d/g, '*') + '|';
+        s.b = s.b + e.eventType + ';';
+        return s;
+    } })""", log))
+    // numeric chain: `s.n = s.n + 1 + 2` sums both tail parts
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { n: 0 }; },
+    $any: function(s, e) { s.n = s.n + 1 + 2; return s; } })""", log))
+    // numeric `s.n = x + s.n` stays the commutative sum
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { n: 0 }; },
+    $any: function(s, e) { s.n = 2 + s.n; return s; } })""", log))
+    // mixing prepend and append sites on one field is order-interleaved
+    // per event — stays interpreted, parity via the fallback
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { seq: '' }; },
+      $any: function(s, e) {
+          s.seq += e.eventType;
+          s.seq = e.streamId + s.seq;
+          return s; } })"""))
+    // self-field in the MIDDLE of a chain stays interpreted
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { seq: '' }; },
+      $any: function(s, e) { s.seq = e.eventType + s.seq + ';'; return s; } })"""))
+  }
+
+  test("column fast path: compile-coverage pins for the idioms bisected " +
+    "in past rounds (each must stay on the fast path)") {
+    def compiles(src: String): Boolean = JsProjection.compile(src).compilesToColumns
+    // negated-regex early return (the in-handler filter idiom)
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { a: 0 }; },
+      $any: function(s, e) {
+        if (!(/2/.test(e.streamId))) { return s; }
+        s.a += 1; return s; } })"""))
+    // two concat sites on one field across two statements (r8's seed 5)
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { b: '' }; },
+      $any: function(s, e) {
+        s.b += e.streamId.replace(/\d/g, '*') + '|';
+        s.b = s.b + e.eventType + ';'; return s; } })"""))
+    // regex replace inside a concat fragment
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { b: '' }; },
+      $any: function(s, e) { s.b += e.streamId.replace(/\d/g, '*') + '|'; return s; } })"""))
+    // Date local + getTime under a date-bucket partition key
+    assert(compiles("""fromAll().partitionBy(function(e) {
+        return new Date(e.timestamp).toISOString().slice(0, 10);
+      }).when({
+      $init: function() { return { a: 100 }; },
+      $any: function(s, e) {
+        var d = new Date(e.timestamp);
+        s.a = Math.min(s.a, d.getTime()); return s; } })"""))
+    // typed handler with an early return beside an unguarded $any
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { a: 100 }; },
+      t2: function(s, e) {
+        if (!(/2/.test(e.streamId))) { return s; }
+        s.a = Math.min(s.a, (e.value * 1.25)); return s; },
+      $any: function(s, e) { s.a = Math.min(s.a, e.value); return s; } })"""))
+  }
+
   test("column fast path: nested state — every update kind through a " +
     "path, untouched siblings verbatim, fast == interpreter") {
     val log = hostileLog
