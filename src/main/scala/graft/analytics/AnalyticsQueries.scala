@@ -859,34 +859,42 @@ object AnalyticsQueries extends QueryModule {
         |SELECT id_a, id_b, round(sim, 6) AS sim
         |FROM sims WHERE sim >= 0.4 ORDER BY 1, 2""".stripMargin,
     "emb_quantize_sq8" ->
+      // mirrors Similarity.sq8's non-finite semantics: stats train on
+      // FINITE components only, non-finite components code to NULL
+      // (dropped from the md5 agg and err_max, kept in n_dims)
       """WITH vals AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
         |         CAST(unnest(embedding) AS DOUBLE) AS v
         |  FROM embeddings),
-        |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM vals GROUP BY 1),
+        |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM vals
+        |          WHERE isfinite(v) GROUP BY 1),
         |coded AS (
         |  SELECT vec_id, vals.d, v, mn, mx,
-        |    CASE WHEN mx = mn THEN 0.0
+        |    CASE WHEN NOT isfinite(v) OR mn IS NULL THEN NULL
+        |         WHEN mx = mn THEN 0.0
         |         ELSE least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
         |                             0.0), 255.0)
         |    END AS code
-        |  FROM vals JOIN stats ON stats.d = vals.d)
+        |  FROM vals LEFT JOIN stats ON stats.d = vals.d)
         |SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
         |  md5(string_agg(CAST(CAST(code AS INT) AS VARCHAR), ',' ORDER BY d)) AS codes_md5,
-        |  max(abs(v - (mn + code * (mx - mn) / 255.0))) AS err_max
+        |  max(CASE WHEN code IS NULL THEN NULL
+        |           ELSE abs(v - (mn + code * (mx - mn) / 255.0)) END) AS err_max
         |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_sq8_topk" ->
       """WITH vals AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
         |         CAST(unnest(embedding) AS DOUBLE) AS v
         |  FROM embeddings),
-        |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM vals GROUP BY 1),
+        |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM vals
+        |          WHERE isfinite(v) GROUP BY 1),
         |rec AS (
-        |  SELECT vec_id, list(mn + (CASE WHEN mx = mn THEN 0.0
+        |  SELECT vec_id, list(CASE WHEN NOT isfinite(v) OR mn IS NULL THEN NULL
+        |    ELSE mn + (CASE WHEN mx = mn THEN 0.0
         |      ELSE least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
         |                          0.0), 255.0)
-        |    END) * (mx - mn) / 255.0 ORDER BY vals.d) AS rv
-        |  FROM vals JOIN stats ON stats.d = vals.d GROUP BY 1),
+        |    END) * (mx - mn) / 255.0 END ORDER BY vals.d) AS rv
+        |  FROM vals LEFT JOIN stats ON stats.d = vals.d GROUP BY 1),
         |q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
         |      FROM embeddings WHERE vec_id < 10),
         |scored AS (
@@ -899,7 +907,7 @@ object AnalyticsQueries extends QueryModule {
         |  SELECT query_id, neighbor_id, sim,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
-        |  FROM scored)
+        |  FROM scored WHERE NOT isnan(sim))
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )

@@ -404,7 +404,15 @@ object Corpus {
       val grown = math.min(2L * total / minCount + 1L, Int.MaxValue.toLong).toInt
       summaries = summarize(grown)
     }
-    val candidates = summaries.where(!col("sentinel")).select(col("word")).distinct()
+    // the candidate set is small by construction (≤ capacity per
+    // partition, deduped) — materialize it to a LOCAL relation so the
+    // cached summaries can be unpersisted NOW instead of leaking cache
+    // blocks into the session until the caller happens to execute the
+    // returned plan
+    val candidateWords = summaries.where(!col("sentinel"))
+      .select(col("word")).distinct().as[String].collect().toSeq
+    summaries.unpersist()
+    val candidates = candidateWords.toDF("word")
     words.join(broadcast(candidates), "word")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)

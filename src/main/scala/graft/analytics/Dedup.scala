@@ -383,13 +383,16 @@ object Dedup {
     * per document. Everything is linear in total token count; nothing is
     * ever pairwise. */
   /** 128-bit window fingerprint for the substring census: two independent
-    * XXH64 passes over the token-array slice (the second salted by an
-    * extra chained column). Replaces an md5-hex key: no per-window string
-    * concat, and the shuffle/join key is 16 bytes instead of a 32-char
-    * string. 64 bits alone would collide at 100 TB scale (~10^12 windows
-    * → ~10^4 expected collisions); the pair pushes that to ~2^-40. */
+    * XXH64 passes over the token-array slice, the second with the salt
+    * column FIRST so it perturbs the seed chain before the slice is
+    * hashed — `xxhash64(sl, salt)` would make h2 a deterministic function
+    * of h1 (any h1 collision is an h2 collision, collapsing the pair back
+    * to 64 bits). Replaces an md5-hex key: no per-window string concat,
+    * and the shuffle/join key is 16 bytes instead of a 32-char string.
+    * 64 bits alone would collide at 100 TB scale (~10^12 windows → ~10^4
+    * expected collisions); the independent pair pushes that to ~2^-40. */
   private def winKey(sl: Column): Column =
-    struct(xxhash64(sl).as("h1"), xxhash64(sl, lit(1L)).as("h2"))
+    struct(xxhash64(sl).as("h1"), xxhash64(lit(1L), sl).as("h2"))
   private val winKeyType = "struct<h1:bigint,h2:bigint>"
   private val winKeyArrayType = s"array<$winKeyType>"
 
