@@ -2106,19 +2106,31 @@ private[js] object JsColumnCompiler {
           case None => return None
         }
       // early return: `if (cond) return s;` — optionally with statements
-      // before the return — at handler top level, the ubiquitous
-      // in-handler event filter. The then-branch (minus the return) runs
-      // under the condition; every SUBSEQUENT top-level statement runs
-      // under its negation, via retGuard. Refused inside try (a return
-      // there would also have to skip the rest of the try body through
-      // the error channel) and with an else branch (rare; the general If
-      // walk rejects the nested return).
-      case If(c, tb, eb) if topLevel && tryAcc.isEmpty &&
-          tb.lastOption.exists {
+      // before the return, optionally an else branch, and the return may
+      // sit in EITHER branch (or both) — at handler top level, the
+      // ubiquitous in-handler event filter. A branch that ends in
+      // `return s` runs (minus the return) under its condition, and
+      // every SUBSEQUENT top-level statement runs under the negation of
+      // "a returning branch was taken", via retGuard; when both branches
+      // return, everything after the if is dead code. Refused inside try
+      // (a return there would also have to skip the rest of the try body
+      // through the error channel); returns NESTED deeper than a branch
+      // tail stay refused (the nested walk rejects them).
+      case If(c, tb, eb) if topLevel && tryAcc.isEmpty && {
+          def endsRet(ss: Seq[Stmt]) = ss.lastOption.exists {
             case Return(Some(Ident(s))) =>
               ctx.stateParam.contains(s) && !locals.contains(s)
             case _ => false
-          } =>
+          }
+          endsRet(tb) || eb.exists(endsRet)
+        } =>
+        def endsRet(ss: Seq[Stmt]) = ss.lastOption.exists {
+          case Return(Some(Ident(s))) =>
+            ctx.stateParam.contains(s) && !locals.contains(s)
+          case _ => false
+        }
+        val tRet = endsRet(tb)
+        val eRet = eb.exists(endsRet)
         val g0 = effGuard
         val cc0 = truthyExpr(c, ctx, locals) match {
           case Some(v) => v.copy(col = intern(ctx, v.col),
@@ -2131,26 +2143,43 @@ private[js] object JsColumnCompiler {
         val taken = g0
           .map(g => intern(ctx, when(g, cc).otherwise(lit(false))))
           .getOrElse(intern(ctx, cc))
-        walkStmts(tb.dropRight(1), Some(taken), locals,
+        walkStmts(if (tRet) tb.dropRight(1) else tb, Some(taken), locals,
             topLevel = false, ctx, tryAcc) match {
           case Some((_, ts, es2, rs2)) => acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
           case None => return None
         }
-        // lazy: the condition must not evaluate when the enclosing guard
-        // already failed (it may contain a throwing member access)
-        val notTaken = g0
-          .map(g => intern(ctx, when(g, !cc).otherwise(lit(true))))
+        // the else body runs exactly when the if executed AND the
+        // condition failed (false when the enclosing guard failed — the
+        // if never ran)
+        val elseTaken = g0
+          .map(g => intern(ctx, when(g, !cc).otherwise(lit(false))))
           .getOrElse(intern(ctx, !cc))
-        retGuard = Some(retGuard.map(_ && notTaken).getOrElse(notTaken))
-        // an else branch after a returning then-branch is just more
-        // not-taken code: walk it under the updated guard (returns inside
-        // it stay refused — the nested walk rejects them)
         eb.foreach { es =>
-          walkStmts(es, effGuard, locals, topLevel = false, ctx, tryAcc) match {
+          walkStmts(if (eRet) es.dropRight(1) else es, Some(elseTaken),
+              locals, topLevel = false, ctx, tryAcc) match {
             case Some((_, ts, es2, rs2)) =>
               acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
             case None => return None
           }
+        }
+        // retGuard factors are TRUE when the enclosing guard failed: the
+        // skip semantics only apply when this if actually executed (and
+        // the guard is lazy — the condition must not evaluate when the
+        // enclosing guard already failed; it may contain a throwing
+        // member access)
+        val cont: Option[Column] = (tRet, eRet) match {
+          case (true, true) => None // both branches return — dead after
+          case (true, false) => Some(g0
+            .map(g => intern(ctx, when(g, !cc).otherwise(lit(true))))
+            .getOrElse(intern(ctx, !cc)))
+          case (false, true) => Some(g0
+            .map(g => intern(ctx, when(g, cc).otherwise(lit(true))))
+            .getOrElse(intern(ctx, cc)))
+          case (false, false) => Some(lit(true)) // unreachable by the case guard
+        }
+        retGuard = cont match {
+          case None => Some(lit(false))
+          case Some(k) => Some(retGuard.map(_ && k).getOrElse(k))
         }
 
       // unconditional mid-block `return s`: nothing after it ever runs

@@ -472,11 +472,40 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.trail").as("trail"))
       .orderBy(col("partition"))
 
+  /** if/else with `return s` in BOTH branches (r9 compiled shape),
+    * mixing an extremum in one branch with a counter + string PREPEND
+    * in the other — each mutation runs under its branch condition. */
+  private val branchFoldSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { hi: 0, small: 0, trail: '' } },
+        $any: function(s, e) {
+            if (e.value >= 50) {
+                s.hi = Math.max(s.hi, Math.round(e.value * 100));
+                return s;
+            } else {
+                s.small += 1;
+                s.trail = e.eventType + '|' + s.trail;
+                return s;
+            }
+        }
+    })"""
+
+  private def jsBranchFold(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(branchFoldSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.hi").cast("long").as("hi_cents"),
+        get_json_object(col("state"), "$.small").cast("long").as("small"),
+        get_json_object(col("state"), "$.trail").as("trail"))
+      .orderBy(col("partition"))
+
   /** Every JS definition this module runs, by name — the handler corpus
     * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
     * == interpreter on each, including the ones that must fall back). */
   private[graft] def handlerCorpus: Seq[(String, String)] = Seq(
     "js_string_accum" -> stringAccumSource,
+    "js_branch_fold" -> branchFoldSource,
     "js_nested_state" -> nestedStateSource,
     "js_early_return" -> earlyReturnSource,
     "js_array_collect" -> arrayCollectSource,
@@ -513,7 +542,8 @@ fromCategory("purchase")
     "js_array_collect" -> (jsArrayCollect _),
     "js_early_return" -> (jsEarlyReturn _),
     "js_nested_state" -> (jsNestedState _),
-    "js_string_accum" -> (jsStringAccum _)
+    "js_string_accum" -> (jsStringAccum _),
+    "js_branch_fold" -> (jsBranchFold _)
   )
 
   private val L = Tables.eventLogSql
@@ -523,6 +553,18 @@ fromCategory("purchase")
       |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
       |       coalesce(string_agg(event_type || ';', '' ORDER BY log_position),
       |                '') AS trail
+      |FROM log WHERE event_type = 'purchase'
+      |  AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // hi folds Math.max from init 0; trail PREPENDS — latest event first
+    // (ORDER BY log_position DESC), init '' as the suffix
+    "js_branch_fold" -> s"""$L
+      |SELECT stream_id AS partition,
+      |       CAST(coalesce(max(CAST(round(value * 100) AS BIGINT))
+      |         FILTER (WHERE value >= 50), 0) AS BIGINT) AS hi_cents,
+      |       CAST(count(*) FILTER (WHERE value < 50) AS BIGINT) AS small,
+      |       coalesce(string_agg(event_type || '|', '' ORDER BY log_position DESC)
+      |         FILTER (WHERE value < 50), '') AS trail
       |FROM log WHERE event_type = 'purchase'
       |  AND split_part(stream_id, '-', 1) = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin,

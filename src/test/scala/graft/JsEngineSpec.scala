@@ -1013,6 +1013,7 @@ fromCategory("idx")
     // replace/split over the native JsRegexColumns expressions
     assert(compiled == Map(
       "js_string_accum" -> true,
+      "js_branch_fold" -> true,
       "js_nested_state" -> true,
       "js_early_return" -> true,
       "js_array_collect" -> true,
@@ -1090,6 +1091,36 @@ fromAll().foreachStream().when({
         if (e.eventType === 'click') { s.clicks += 1; return s; }
         else { s.cents += Math.round(e.value * 100); }
         return s;
+    } })""", log))
+    // BOTH branches return: mutations route per branch, trailing code is
+    // dead for every event
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { clicks: 0, cents: 0, never: 0 }; },
+    $any: function(s, e) {
+        if (e.eventType === 'click') { s.clicks += 1; return s; }
+        else { s.cents += Math.round(e.value * 100); return s; }
+        s.never += 1;
+        return s;
+    } })""", log))
+    // return in the ELSE branch only: subsequent statements run exactly
+    // when the condition held
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { clicks: 0, after: 0 }; },
+    $any: function(s, e) {
+        if (e.eventType === 'click') { s.clicks += 1; }
+        else { return s; }
+        s.after += 1;
+        return s;
+    } })""", log))
+    // both-return if/else mixing extrema and concat across branches
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { hi: -1e308, trail: '' }; },
+    $any: function(s, e) {
+        if (e.value > 0) { s.hi = Math.max(s.hi, e.value); return s; }
+        else { s.trail += e.eventType + ','; return s; }
     } })""", log))
   }
 
