@@ -94,6 +94,9 @@ object Projections {
     new ProjectionBuilder0(
       graft.operators.SystemProjections.categoryFirst(col("stream_id"), sep).isin(cs: _*))
   def fromAll(): ProjectionBuilder0 = new ProjectionBuilder0(lit(true))
+  /** A filtered fromAll over an arbitrary stream predicate column (the
+    * fromStreamsMatching selector). */
+  def fromFilter(pred: Column): ProjectionBuilder0 = new ProjectionBuilder0(pred)
 
   /** Adapt an envelope DataFrame (Tables.eventLog or EventLogStore.read) to
     * the typed fold input. Missing `value` column defaults to 0.

@@ -2578,16 +2578,66 @@ private[js] object JsColumnCompiler {
     else Some((lit(""), false))
   }
 
-  private def selectorCol(spec: JsProjectionSpec): Column = spec.selector match {
-    // same expressions as graft.projections.Projections.from* builders
-    case JsSelector.Stream(id) => col("stream_id") === id
-    case JsSelector.Streams(ids) => col("stream_id").isin(ids: _*)
-    case JsSelector.Category(c) =>
-      graft.operators.SystemProjections.categoryFirst(col("stream_id"), "-") === c
-    case JsSelector.Categories(cs) =>
-      graft.operators.SystemProjections.categoryFirst(col("stream_id"), "-").isin(cs: _*)
-    case JsSelector.All => lit(true)
-  }
+  private def selectorCol(cp: CompiledJsProjection): Option[Column] =
+    cp.spec.selector match {
+      // same expressions as graft.projections.Projections.from* builders
+      case JsSelector.Stream(id) => Some(col("stream_id") === id)
+      case JsSelector.Streams(ids) => Some(col("stream_id").isin(ids: _*))
+      case JsSelector.Category(c) =>
+        Some(graft.operators.SystemProjections.categoryFirst(col("stream_id"), "-") === c)
+      case JsSelector.Categories(cs) =>
+        Some(graft.operators.SystemProjections
+          .categoryFirst(col("stream_id"), "-").isin(cs: _*))
+      case JsSelector.All => Some(lit(true))
+      // the whole-plan fast path requires the PREDICATE to compile too —
+      // a per-row interpreter UDF inside an otherwise pure-Catalyst plan
+      // would defeat the point; refusal falls the definition back
+      case JsSelector.StreamsMatching => compileStreamFilter(cp)
+    }
+
+  /** Compile a fromStreamsMatching predicate to a boolean Column over
+    * `stream_id`: the function body must be a var-prefix + single-return
+    * expression in the compiled subset, with the first parameter bound to
+    * the stream id STRING (not the event envelope) and the optional
+    * second (streamMetadata) parameter bound to undefined — mirroring
+    * [[CompiledJsProjection.streamMatches]]. */
+  private[js] def compileStreamFilter(cp: CompiledJsProjection): Option[Column] =
+    cp.streamFilterFnOpt match {
+      case Some(JsFunc(params, body, _)) =>
+        val lets = mutable.LinkedHashMap.empty[String, Column]
+        val ctx = new Ctx(cp, lit(""), mutable.Set.empty[String],
+          envParam = None, stateParam = None, lets = lets)
+        var locals: Map[String, TC] =
+          params.headOption.map(_ -> TC(col("stream_id"),
+            TStr(ascii = false), NoNull)).toMap ++
+            params.lift(1).map(_ -> tUndef).toMap
+        var res: Option[Column] = None
+        for ((st, i) <- body.zipWithIndex) st match {
+          case VarDecl(decls) if res.isEmpty =>
+            for ((n, ie) <- decls) {
+              val tc = ie match {
+                case Some(e) => compileExpr(e, ctx, locals) match {
+                  case Some(v) => seal(v)
+                  case None => return None
+                }
+                case None => tUndef
+              }
+              locals += (n -> tc)
+            }
+          case Return(Some(e)) if i == body.length - 1 =>
+            res = truthyExpr(e, ctx, locals) match {
+              case Some(v) => Some(sealCol(v))
+              case None => return None
+            }
+          case _ => return None
+        }
+        // the selector column must be let-free (it's applied as a bare
+        // where() ahead of the let-bound projects) — refuse if the body
+        // pulled in a let binding or an envelope column
+        if (lets.nonEmpty) return None
+        res.orElse(Some(lit(false))) // no return → undefined → no stream
+      case _ => None
+    }
 
   /** Default the optional meta/resolved columns exactly like
     * Projections.toLogEvents does for withMeta=false inputs. */
@@ -3118,7 +3168,10 @@ private[js] object JsColumnCompiler {
         case None => return None
       }
 
-    val selector = selectorCol(spec)
+    val selector = selectorCol(cp) match {
+      case Some(c) => c
+      case None => return None // uncompilable fromStreamsMatching predicate
+    }
     val required = refs.toSet
     val usesTs = required.contains("timestamp")
 
@@ -3292,7 +3345,10 @@ private[js] object JsColumnCompiler {
       if (keyNullable) when(col(KeyCol).isNotNull, arrCol1).otherwise(emptyArr)
       else arrCol1
 
-    val selector = selectorCol(spec)
+    val selector = selectorCol(cp) match {
+      case Some(c) => c
+      case None => return None // uncompilable fromStreamsMatching predicate
+    }
     val required = refs.toSet
     val usesTs = required.contains("timestamp")
 

@@ -2,7 +2,7 @@ package graft.projections.js
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, udf}
 import graft.projections.{Emitted, Emitter, FoldBuilder, LogEvent, PartitionedBuilder, ProjectionBuilder0, Projections}
 
 /** JS projection definitions — the reference's actual query language
@@ -38,8 +38,12 @@ import graft.projections.{Emitted, Emitter, FoldBuilder, LogEvent, PartitionedBu
   *
   * Honest gaps (each throws or is documented, never silently wrong):
   * `$initShared` bi-state (P16 — same two-level restriction as the Scala
-  * DSL) and `fromStreamsMatching` are rejected at compile; `$deleted` maps
-  * to `$streamDeleted` tombstone events.
+  * DSL) is rejected at compile; `$deleted` maps to `$streamDeleted`
+  * tombstone events. `fromStreamsMatching(fn)` is supported as a filtered
+  * fromAll: the predicate compiles to a Catalyst filter when its body is
+  * in the expression subset, else it runs per row via the interpreter
+  * (streamMetadata, the optional second parameter, is undefined — stream
+  * metadata carries no selector semantics in the batch engine).
   */
 final class JsProjection(val source: String) extends Serializable {
 
@@ -66,6 +70,18 @@ final class JsProjection(val source: String) extends Serializable {
       case JsSelector.Category(c) => Projections.fromCategory(c)
       case JsSelector.Categories(cs) => Projections.fromCategories(cs)
       case JsSelector.All => Projections.fromAll()
+      case JsSelector.StreamsMatching =>
+        // prefer the compiled Catalyst predicate (regex/startsWith/…);
+        // fall back to the interpreter via a deterministic UDF that
+        // re-derives the predicate from `source` per executor
+        val src = source
+        val filterCol = JsColumnCompiler.compileStreamFilter(
+          CompiledJsProjection.get(src)).getOrElse {
+          val pred = udf((sid: String) =>
+            CompiledJsProjection.get(src).streamMatches(sid))
+          pred(col("stream_id"))
+        }
+        Projections.fromFilter(filterCol)
     }
     // includeLinks also widens: the envelope must see the resolved
     // identity and the link's metadata that resolveInline attaches
@@ -438,6 +454,11 @@ object JsSelector {
   final case class Category(c: String) extends JsSelector
   final case class Categories(cs: Seq[String]) extends JsSelector
   case object All extends JsSelector
+  /** fromStreamsMatching(fn): streams whose ID satisfies a JS predicate.
+    * The predicate function itself lives on the CompiledJsProjection
+    * (re-derived from `source` on executors), not here — this is the
+    * serializable marker. */
+  case object StreamsMatching extends JsSelector
 }
 
 /** Declarative facts extracted from evaluating a definition. */
@@ -476,12 +497,14 @@ final class CompiledJsProjection private (source: String) {
   private var createdFn: Option[JsVal] = None
   private var deletedFn: Option[JsVal] = None
   private var partitionFn: Option[JsVal] = None
+  private var streamFilterFn: Option[JsVal] = None // fromStreamsMatching
   private var transforms = List.empty[(String, JsVal)] // ("transform"|"filter", fn)
 
   // read-only views for the column compiler (JsColumnCompiler)
   private[js] def handlersMap: Map[String, JsVal] = handlers
   private[js] def anyFnOpt: Option[JsVal] = anyFn
   private[js] def partitionFnOpt: Option[JsVal] = partitionFn
+  private[js] def streamFilterFnOpt: Option[JsVal] = streamFilterFn
   private[js] def deletedFnOpt: Option[JsVal] = deletedFn
   private[js] def transformsList: List[(String, JsVal)] = transforms
 
@@ -507,7 +530,8 @@ final class CompiledJsProjection private (source: String) {
     * (Declared before the compileDefinition() call below — constructor
     * statements run in declaration order.) */
   private var allowedNext: Set[String] = Set(
-    "fromStream", "fromAll", "fromStreams", "fromCategory", "fromCategories")
+    "fromStream", "fromAll", "fromStreams", "fromCategory", "fromCategories",
+    "fromStreamsMatching")
 
   compileDefinition()
 
@@ -623,9 +647,21 @@ final class CompiledJsProjection private (source: String) {
     g.define("options", JsNative("options", 1, { args =>
       applyOptions(args); JsUndef
     }))
-    g.define("fromStreamsMatching", JsNative("fromStreamsMatching", 1, { _ =>
-      throw new JsError("fromStreamsMatching is not supported (reference marks it " +
-        "experimental); use fromCategory/fromAll with a filter")
+    // fromStreamsMatching(fn): the stream-set predicate selector — a
+    // filtered fromAll where fn(streamId) gates each stream. The
+    // predicate compiles to a Catalyst filter column when its body is in
+    // the expression subset (regex tests, startsWith, …); otherwise it
+    // evaluates per row through the interpreter.
+    g.define("fromStreamsMatching", JsNative("fromStreamsMatching", 1, { args =>
+      enter("fromStreamsMatching")
+      args.headOption match {
+        case Some(f @ JsFunc(_, _, _)) => streamFilterFn = Some(f)
+        case _ =>
+          throw new JsError("fromStreamsMatching: a filter function is required")
+      }
+      spec.selector = JsSelector.StreamsMatching
+      spec.selectorSet = true
+      builderObj
     }))
 
     // emit surface (JintProjectionStateHandler.cs:239-267, 301-352).
@@ -745,6 +781,14 @@ final class CompiledJsProjection private (source: String) {
       case JsStr(s) => Some(s)
       case _ => None
     }
+  }
+
+  /** fromStreamsMatching predicate over one stream id (interpreter path;
+    * the second streamMetadata parameter is passed as undefined — stream
+    * metadata carries no selector semantics in the batch engine). */
+  def streamMatches(sid: String): Boolean = streamFilterFn match {
+    case Some(f) => JsVal.bool(invoke(f, Seq(JsStr(sid), JsUndef)))
+    case None => true
   }
 
   private def partitionOf(e: LogEvent): String =
@@ -970,6 +1014,7 @@ object CompiledJsProjection {
     "fromStreams" -> Set("when", "partitionBy", "outputState"),
     "fromCategory" -> Set("when", "partitionBy", "outputState", "foreachStream"),
     "fromCategories" -> Set("when", "partitionBy", "outputState"),
+    "fromStreamsMatching" -> Set("when", "partitionBy", "outputState", "foreachStream"),
     "when" -> Set("transformBy", "filterBy", "outputState", "outputTo"),
     "foreachStream" -> Set("when"),
     "outputState" -> Set("transformBy", "filterBy", "outputTo"),

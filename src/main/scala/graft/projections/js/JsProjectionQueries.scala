@@ -472,6 +472,27 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.trail").as("trail"))
       .orderBy(col("partition"))
 
+  /** fromStreamsMatching (r9): regex stream-set predicate selector —
+    * compiles to a Catalyst rlike filter ahead of the fold. */
+  private val streamsMatchingSource = """
+fromStreamsMatching(function(sid) { return /^purchase-1[0-9]$/.test(sid); })
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, cents: 0 } },
+        $any: function(s, e) {
+            s.n += 1;
+            s.cents += Math.round(e.value * 100);
+            return s;
+        }
+    })"""
+
+  private def jsStreamsMatching(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(streamsMatchingSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.n").cast("long").as("n"),
+        get_json_object(col("state"), "$.cents").cast("long").as("sum_cents"))
+      .orderBy(col("partition"))
+
   /** if/else with `return s` in BOTH branches (r9 compiled shape),
     * mixing an extremum in one branch with a counter + string PREPEND
     * in the other — each mutation runs under its branch condition. */
@@ -506,6 +527,7 @@ fromCategory("purchase")
   private[graft] def handlerCorpus: Seq[(String, String)] = Seq(
     "js_string_accum" -> stringAccumSource,
     "js_branch_fold" -> branchFoldSource,
+    "js_streams_matching" -> streamsMatchingSource,
     "js_nested_state" -> nestedStateSource,
     "js_early_return" -> earlyReturnSource,
     "js_array_collect" -> arrayCollectSource,
@@ -543,7 +565,8 @@ fromCategory("purchase")
     "js_early_return" -> (jsEarlyReturn _),
     "js_nested_state" -> (jsNestedState _),
     "js_string_accum" -> (jsStringAccum _),
-    "js_branch_fold" -> (jsBranchFold _)
+    "js_branch_fold" -> (jsBranchFold _),
+    "js_streams_matching" -> (jsStreamsMatching _)
   )
 
   private val L = Tables.eventLogSql
@@ -567,6 +590,11 @@ fromCategory("purchase")
       |         FILTER (WHERE value < 50), '') AS trail
       |FROM log WHERE event_type = 'purchase'
       |  AND split_part(stream_id, '-', 1) = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "js_streams_matching" -> s"""$L
+      |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM log WHERE regexp_matches(stream_id, '^purchase-1[0-9]$$')
       |GROUP BY 1 ORDER BY 1""".stripMargin,
     "js_nested_state" -> s"""$L
       |SELECT stream_id AS partition, 'agg' AS kind,

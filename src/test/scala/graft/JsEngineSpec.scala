@@ -385,7 +385,49 @@ fromCategory("chat")
   test("JS definition validation: bad sources are rejected at compile") {
     intercept[JsError] { JsProjection.compile("var x = 1;") } // no selector
     intercept[JsParseError] { JsProjection.compile("fromAll().when({") }
+    // fromStreamsMatching requires a FUNCTION argument
     intercept[JsError] { JsProjection.compile("fromStreamsMatching('a.*')") }
+  }
+
+  test("fromStreamsMatching: predicate stream selector — compiled filter " +
+    "== interpreter; exotic predicates run through the interpreter UDF") {
+    val log = hostileLog
+    // regex predicate: compiles to a Catalyst rlike filter
+    assert(fastEqualsInterp("""
+fromStreamsMatching(function(sid) { return /^purchase-/.test(sid); })
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0 }; },
+        $any: function(s, e) { s.n += 1; return s; } })""", log))
+    // startsWith + var prefix in the predicate body
+    assert(fastEqualsInterp("""
+fromStreamsMatching(function(sid) { var p = 'click'; return sid.startsWith(p); })
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0 }; },
+        $any: function(s, e) { s.n += 1; return s; } })""", log))
+    // a loop-bearing predicate refuses the column path but the
+    // interpreter-UDF fallback still selects the right streams
+    val p = JsProjection.compile("""
+fromStreamsMatching(function(sid) {
+    var dashes = 0;
+    for (var i = 0; i < sid.length; i++) { if (sid[i] === '-') dashes++; }
+    return dashes === 1;
+})
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0 }; },
+        $any: function(s, e) { s.n += 1; return s; } })""")
+    assert(!p.compilesToColumns)
+    val parts = p.states(log).collect().map(_.getString(0)).toSet
+    assert(parts == Set("purchase-1", "purchase-2", "purchase-3", "click-9",
+      "error-3"))
+    // grammar: the selector admits foreachStream/partitionBy/when like
+    // fromAll, and is itself only valid at the chain start
+    intercept[JsError] {
+      JsProjection.compile(
+        "fromAll().fromStreamsMatching(function(s) { return true; })")
+    }
   }
 
   test("chain grammar matches the reference's availability table") {
@@ -1014,6 +1056,7 @@ fromCategory("idx")
     assert(compiled == Map(
       "js_string_accum" -> true,
       "js_branch_fold" -> true,
+      "js_streams_matching" -> true,
       "js_nested_state" -> true,
       "js_early_return" -> true,
       "js_array_collect" -> true,
