@@ -74,6 +74,49 @@ object Subscriptions {
     subscribeAll(spark, logDir,
       col("stream_id") === streamId && col("event_number") >= from)
 
+  /** SUB1 + R1: subscribe to one stream honoring read-time retention
+    * (maxCount/maxAge/$tb metadata, tombstones) — the reference applies
+    * retention at EVERY read (IndexReader.ReadStreamEventsForwardInternal),
+    * so a catch-up subscription must not replay already-retired history.
+    *
+    * The bounds are resolved ONCE at subscription creation from the
+    * on-disk log — a driver-side point lookup, not a stream-stream join.
+    * That is sufficient: min_event_number only ever rises and the age
+    * cutoff only moves forward, so a start-time bound never re-admits
+    * retired catch-up history, and live-tail events are always newer than
+    * any fixed cutoff (they can never be over-trimmed). A tombstoned
+    * stream yields no rows, like the reference's StreamDeleted outcome. */
+  def subscribeStreamRetained(spark: SparkSession, logDir: String,
+      streamId: String, from: Long = 0L,
+      asOf: Column = current_timestamp()): DataFrame = {
+    val dir = new java.io.File(logDir)
+    val (minEvt, cutoff, deleted) =
+      if (!dir.exists()) (0L, Option.empty[java.sql.Timestamp], false)
+      else {
+        val metaStream = EventEnvelope.MetastreamPrefix + streamId
+        val slice = spark.read.parquet(logDir)
+          .where(col("stream_id").isin(streamId, metaStream))
+        val meta = graft.operators.Retention.metadataFromLog(slice)
+        graft.operators.Retention
+          .bounds(slice.where(col("stream_id") === streamId), meta, asOf)
+          .collect().headOption match {
+          case Some(r) => (
+            r.getLong(r.fieldIndex("_min_event_number")),
+            Option(r.getAs[java.sql.Timestamp]("_cutoff_ts")),
+            r.getBoolean(r.fieldIndex("_deleted")))
+          case None => (0L, None, false) // no history yet — nothing to clamp
+        }
+      }
+    if (deleted) subscribeAll(spark, logDir, lit(false))
+    else {
+      val ageOk = cutoff.map(ts => col("timestamp") >= lit(ts))
+        .getOrElse(lit(true))
+      subscribeAll(spark, logDir,
+        col("stream_id") === streamId &&
+          col("event_number") >= math.max(from, minEvt) && ageOk)
+    }
+  }
+
   /** P20: run a projection fold as a continuous streaming query. State per
     * partition key lives in the state store and survives restarts via the
     * checkpoint dir. Emits (partition, state) after every update

@@ -49,6 +49,45 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.forall(!_.isNullAt(2)))
   }
 
+  test("R1 in streaming: a catch-up subscription over a retention-bounded " +
+    "stream matches the batch retained read; the live tail still flows") {
+    val (store, dir) = newStore()
+    store.append((0 until 6).map(i =>
+      PendingEvent("ret-1", s"r$i", "Tick", s"""{"n":$i}""")))
+    store.setMetadata("ret-1", maxCount = Some(2)) // keep the last two
+    val checkpoint = Files.createTempDirectory("retck").toString
+    val out = Files.createTempDirectory("retout").toString + "/out"
+    val stream = Subscriptions.subscribeStreamRetained(spark, s"$dir/log", "ret-1")
+    def runOnce(): Unit = {
+      val q = stream.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce() // catch-up honors retention
+    val got = spark.read.parquet(out).select("event_number").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val batch = store.readRetained().where(col("stream_id") === "ret-1")
+      .select("event_number").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batch == Seq(4L, 5L))
+    assert(got == batch, "subscription must match the batch retained read")
+    // live tail: new events are above any start-time bound by construction
+    store.append(Seq(PendingEvent("ret-1", "r9", "Tick", """{"n":9}""")))
+    runOnce()
+    val nums = spark.read.parquet(out).select("event_number").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(nums == Seq(4L, 5L, 6L))
+    // a tombstoned stream subscribes to nothing
+    val (store2, dir2) = newStore()
+    seed(store2)
+    store2.tombstone("acct-1")
+    val q2 = Subscriptions.subscribeStreamRetained(spark, s"$dir2/log", "acct-1")
+      .writeStream.format("memory").queryName("rettomb")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.sql("SELECT * FROM rettomb").isEmpty)
+  }
+
   test("SUB1: catch-up then live — a second append is picked up by the next trigger") {
     val (store, dir) = newStore()
     seed(store)
