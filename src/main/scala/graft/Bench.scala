@@ -72,8 +72,10 @@ object Bench {
     // comparison. Written only when cwd actually IS the project root
     // (build.sbt present) — run from anywhere else this must not scatter
     // stray files.
+    // ... and only for the standard sf0.1 corpus: ad-hoc runs against a
+    // scaled or synthetic dir must not masquerade as the round baseline
     val inRepoOut =
-      if (args.isEmpty &&
+      if (args.isEmpty && sfDir == "/root/testdata/sf0.1" &&
           java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
         Seq("BENCH_LOCAL.json")
       else Seq.empty

@@ -530,4 +530,93 @@ object Corpus {
           round(rate * 1000000.0).cast("long"))
       .drop("_n", "_n_min")
   }
+
+  /** CCNet-style LM perplexity scoring + head/middle/tail bucketing
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data" — the filtering step behind most
+    * modern web corpora). CCNet scores each document with a KenLM 5-gram
+    * trained on Wikipedia and splits the corpus at perplexity terciles;
+    * here the LM is an order-2 (bigram) model with unigram interpolation
+    * (weight `lambda`) and add-`alpha` smoothing, trained on the `train`
+    * sample (pass a clean reference slice). The vocabulary is capped at
+    * the top `vocab` words by training count (count-then-word order makes
+    * the cut deterministic); everything rarer maps to one UNK class —
+    * which is also what keeps the model broadcastable at 100 TB.
+    *
+    * Output: (id, n_tokens, log_ppl, bucket) for every document with ≥ 2
+    * tokens, log_ppl = mean −ln p(wᵢ|wᵢ₋₁) rounded to 6 places (the
+    * natural-log perplexity; monotonic in exp-perplexity), bucket =
+    * head/middle/tail by log_ppl terciles.
+    *
+    * Scale shape: training is two map-side-combined groupBy counts over
+    * the TRAIN SAMPLE (bounded by sample size, not corpus size); the
+    * model ships as three broadcast maps (unigram, bigram, bigram-prefix
+    * counts) on one row — scoring is a single stateless pass over the
+    * corpus with per-row map lookups, no join and no shuffle of the
+    * text. The tercile split is a window over one (id, score) pair per
+    * doc; at extreme doc counts swap it for cutoffs estimated on a score
+    * sample, exactly as CCNet does. */
+  def perplexityScore(docs: DataFrame, train: DataFrame, vocab: Int = 2000,
+      lambda: Double = 0.9, alpha: Double = 1.0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val Sep = "\u0001" // cannot occur inside a whitespace-split token
+    val Unk = "\u0002unk"
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
+
+    // pass 1 over train: the retained vocabulary, as a broadcast map
+    val vset = train.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocab)
+      .agg(map_from_entries(collect_list(struct(col("w"), lit(true)))).as("_vs"))
+    def unked(c: Column): Column =
+      transform(toks(c), x =>
+        when(element_at(col("_vs"), x).isNotNull, x).otherwise(lit(Unk)))
+    def bigrams(ws: Column): Column =
+      when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1), i =>
+          concat(element_at(ws, i), lit(Sep), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))
+
+    // pass 2 over train: unigram/bigram/prefix counts (UNK substituted)
+    val tws = train.crossJoin(broadcast(vset)).select(unked(col(textCol)).as("ws"))
+    val uni = tws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("double").as("cu"))
+    val bi = tws.select(explode(bigrams(col("ws"))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).cast("double").as("cb"))
+    val model = uni
+      .agg(map_from_entries(collect_list(struct(col("w"), col("cu")))).as("_um"),
+        sum(col("cu")).as("_n"),
+        count(lit(1)).cast("double").as("_v"))
+      .crossJoin(bi.agg(
+        map_from_entries(collect_list(struct(col("b"), col("cb")))).as("_bm")))
+      .crossJoin(bi
+        .select(substring_index(col("b"), Sep, 1).as("v"), col("cb"))
+        .groupBy(col("v")).agg(sum(col("cb")).as("cp"))
+        .agg(map_from_entries(collect_list(struct(col("v"), col("cp")))).as("_pm")))
+
+    val scored = docs.crossJoin(broadcast(vset)).crossJoin(broadcast(model))
+      .select(col(idCol).as("id"), unked(col(textCol)).as("ws"),
+        col("_um"), col("_bm"), col("_pm"), col("_n"), col("_v"))
+      .withColumn("_nb",
+        when(size(col("ws")) >= 2, size(col("ws")) - 1).otherwise(lit(0)))
+      .where(col("_nb") > 0)
+      .withColumn("log_ppl", round(
+        aggregate(sequence(lit(1), col("_nb")), lit(0.0), (acc, i) => {
+          val v = element_at(col("ws"), i)
+          val w = element_at(col("ws"), i + 1)
+          val cp = element_at(col("_pm"), v)
+          val pbi = when(cp.isNotNull,
+            coalesce(element_at(col("_bm"), concat(v, lit(Sep), w)), lit(0.0)) / cp)
+            .otherwise(lit(0.0))
+          val pu = (coalesce(element_at(col("_um"), w), lit(0.0)) + lit(alpha)) /
+            (col("_n") + lit(alpha) * (col("_v") + lit(1.0)))
+          acc - log(lit(lambda) * pbi + lit(1.0 - lambda) * pu)
+        }) / col("_nb"), 6))
+    val terciles = org.apache.spark.sql.expressions.Window
+      .orderBy(col("log_ppl").asc, col("id").asc)
+    scored.select(col("id"), (col("_nb") + 1).as("n_tokens"), col("log_ppl"),
+      element_at(lit(Array("head", "middle", "tail")),
+        ntile(3).over(terciles)).as("bucket"))
+  }
 }

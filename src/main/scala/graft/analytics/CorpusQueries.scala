@@ -283,7 +283,16 @@ object CorpusQueries extends QueryModule {
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  /** CCNet perplexity filter: bigram LM trained on docs 0..299 (the
+    * "clean reference sample"), every doc scored and tercile-bucketed. */
+  private def perplexityQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Corpus.perplexityScore(docs, docs.where(col("doc_id") < 300))
+      .orderBy(col("id"))
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "perplexity_bucket" -> (perplexityQ _),
     "split_assign" -> (splitQ _),
     "vocab_topk" -> (vocabQ _),
     "vocab_heavy_hitters" -> (heavyHittersQ _),
@@ -307,6 +316,51 @@ object CorpusQueries extends QueryModule {
   )
 
   def oracles: Seq[(String, String)] = Seq(
+    // mirrors Corpus.perplexityScore expression for expression: top-2000
+    // vocab (count DESC, word), UNK = chr(2)||'unk', p = 0.9·p_bi +
+    // (1−0.9)·add-1-smoothed p_uni, log_ppl = sum(−ln p)/n_bigrams
+    "perplexity_bucket" ->
+      """WITH tr AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 300),
+        |trt AS (SELECT id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                               x -> x <> '') AS ws FROM tr),
+        |trtok AS (SELECT id, generate_subscripts(ws, 1) AS i, unnest(ws) AS tok FROM trt),
+        |vocab AS (SELECT tok AS w FROM trtok GROUP BY 1
+        |          ORDER BY count(*) DESC, tok LIMIT 2000),
+        |tru AS (SELECT t.id, t.i,
+        |          CASE WHEN v.w IS NOT NULL THEN t.tok ELSE chr(2) || 'unk' END AS w
+        |        FROM trtok t LEFT JOIN vocab v ON v.w = t.tok),
+        |uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS cu FROM tru GROUP BY 1),
+        |bi AS (SELECT a.w AS v, b.w AS w2, CAST(count(*) AS DOUBLE) AS cb
+        |       FROM tru a JOIN tru b ON a.id = b.id AND b.i = a.i + 1 GROUP BY 1, 2),
+        |pfx AS (SELECT v, sum(cb) AS cp FROM bi GROUP BY 1),
+        |m AS (SELECT (SELECT sum(cu) FROM uni) AS n,
+        |             (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS vs),
+        |dt AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                        x -> x <> '') AS ws FROM documents),
+        |dtok AS (SELECT id, generate_subscripts(ws, 1) AS i, unnest(ws) AS tok FROM dt),
+        |du AS (SELECT t.id, t.i,
+        |         CASE WHEN v.w IS NOT NULL THEN t.tok ELSE chr(2) || 'unk' END AS w
+        |       FROM dtok t LEFT JOIN vocab v ON v.w = t.tok),
+        |pairs AS (SELECT a.id, a.w AS v, b.w AS w2
+        |          FROM du a JOIN du b ON a.id = b.id AND b.i = a.i + 1),
+        |scored AS (
+        |  SELECT p.id,
+        |    0.9 * (CASE WHEN pfx.cp IS NOT NULL
+        |                THEN coalesce(bi.cb, 0.0) / pfx.cp ELSE 0.0 END) +
+        |    (1.0 - 0.9) * ((coalesce(uni.cu, 0.0) + 1.0) / (m.n + 1.0 * (m.vs + 1.0))) AS p
+        |  FROM pairs p
+        |  LEFT JOIN bi ON bi.v = p.v AND bi.w2 = p.w2
+        |  LEFT JOIN pfx ON pfx.v = p.v
+        |  LEFT JOIN uni ON uni.w = p.w2
+        |  CROSS JOIN m),
+        |lp AS (
+        |  SELECT id, CAST(count(*) + 1 AS INT) AS n_tokens,
+        |         round(sum(-ln(p)) / count(*), 6) AS log_ppl
+        |  FROM scored GROUP BY 1)
+        |SELECT id, n_tokens, log_ppl,
+        |  CASE ntile(3) OVER (ORDER BY log_ppl, id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM lp ORDER BY id""".stripMargin,
     "text_rarity" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,

@@ -283,4 +283,29 @@ class CorpusSpec extends SparkTestBase {
     val b2 = Corpus.temperatureSample(docs, alpha = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b2)
   }
+
+  test("perplexityScore: in-domain text lands in head, gibberish in tail; " +
+    "sub-2-token docs are excluded; UNK keeps OOV text scoreable") {
+    val s = spark; import s.implicits._
+    val train = (0 until 40).map(i =>
+      (1000L + i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // in-domain
+      (2L, "the fox jumps over the dog"),                  // in-domain-ish
+      (3L, "zxq qvv wub nlp gqr xxj plo"),                 // all-OOV gibberish
+      (4L, "single"),                                      // < 2 tokens: excluded
+      (5L, "")                                             // empty: excluded
+    ).toDF("doc_id", "text")
+    val out = Corpus.perplexityScore(docs, train, vocab = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1 < out(3L)._1, "in-domain must score below gibberish")
+    assert(out(1L)._2 == "head" && out(3L)._2 == "tail")
+    // deterministic across runs
+    val again = Corpus.perplexityScore(docs, train, vocab = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == out.map { case (k, v) => k -> v._1 })
+  }
 }
