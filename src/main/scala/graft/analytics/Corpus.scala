@@ -619,4 +619,67 @@ object Corpus {
       element_at(lit(Array("head", "middle", "tail")),
         ntile(3).over(terciles)).as("bucket"))
   }
+
+  /** DSIR-style data selection via hashed n-gram importance weights (Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): estimate how target-domain-like each raw document is
+    * by the log-likelihood ratio of its hashed word uni+bigram features
+    * under bag-of-buckets models of the TARGET sample vs the RAW corpus,
+    * add-1 smoothed over `buckets` hash buckets:
+    *
+    *   log_weight(d) = Σ_f [ ln((c_t[b(f)]+1)/(N_t+B))
+    *                       − ln((c_r[b(f)]+1)/(N_r+B)) ]
+    *
+    * `selected` marks the top quartile by weight (DSIR then resamples
+    * proportionally; a deterministic top-fraction keeps the gate exact).
+    * The bucket hash is the portable md5-based
+    * [[graft.functions.TextFunctions.hash60]], so any engine reproduces
+    * the same features.
+    *
+    * Scale shape: both feature distributions are B-bounded groupBy counts
+    * (map-side combined — B buckets, not vocabulary-sized); they ship as
+    * two broadcast maps on one row and scoring is a single stateless
+    * pass over the corpus — no join, no shuffle of the text. The
+    * quartile flag is a window over one (id, weight) pair per doc; at
+    * extreme doc counts swap it for a sampled weight cutoff. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val Sep = "\u0001"
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
+    // hashed feature buckets: unigrams plus order-preserving bigrams
+    def featBuckets(c: Column): Column =
+      TextFunctions.bindOnce(toks(c), { ws =>
+        val bis = when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1), i =>
+            concat(element_at(ws, i), lit(Sep), element_at(ws, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        transform(concat(ws, bis),
+          g => pmod(TextFunctions.hash60(g), lit(buckets.toLong)))
+      })
+    def bucketCounts(df: DataFrame): DataFrame = df
+      .select(explode(featBuckets(col(textCol))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).cast("double").as("c"))
+    val model = bucketCounts(target)
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("_tm"),
+        sum(col("c")).as("_nt"))
+      .crossJoin(bucketCounts(raw)
+        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("_rm"),
+          sum(col("c")).as("_nr")))
+    val scored = raw.crossJoin(broadcast(model))
+      .select(col(idCol).as("id"), featBuckets(col(textCol)).as("fs"),
+        col("_tm"), col("_rm"), col("_nt"), col("_nr"))
+      .where(size(col("fs")) > 0)
+      .withColumn("log_weight", round(
+        aggregate(col("fs"), lit(0.0), (acc, b) =>
+          acc +
+            (log((coalesce(element_at(col("_tm"), b), lit(0.0)) + lit(1.0)) /
+              (col("_nt") + lit(buckets.toDouble))) -
+             log((coalesce(element_at(col("_rm"), b), lit(0.0)) + lit(1.0)) /
+              (col("_nr") + lit(buckets.toDouble))))), 6))
+    val quartiles = org.apache.spark.sql.expressions.Window
+      .orderBy(col("log_weight").desc, col("id").asc)
+    scored.select(col("id"), size(col("fs")).as("n_features"), col("log_weight"),
+      (ntile(4).over(quartiles) === 1).as("selected"))
+  }
 }

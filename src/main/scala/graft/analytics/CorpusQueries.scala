@@ -291,8 +291,17 @@ object CorpusQueries extends QueryModule {
       .orderBy(col("id"))
   }
 
+  /** DSIR importance weights: target = docs 0..199 (the proxy domain),
+    * raw = the whole corpus; top quartile flagged selected. */
+  private def dsirQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Corpus.importanceWeights(docs, docs.where(col("doc_id") < 200))
+      .orderBy(col("id"))
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "perplexity_bucket" -> (perplexityQ _),
+    "dsir_weights" -> (dsirQ _),
     "split_assign" -> (splitQ _),
     "vocab_topk" -> (vocabQ _),
     "vocab_heavy_hitters" -> (heavyHittersQ _),
@@ -316,6 +325,34 @@ object CorpusQueries extends QueryModule {
   )
 
   def oracles: Seq[(String, String)] = Seq(
+    // mirrors Corpus.importanceWeights: hashed uni+bigram buckets via the
+    // portable hash60 (md5 hex prefix), add-1 smoothing over 4096 buckets
+    "dsir_weights" ->
+      """WITH dt AS (SELECT doc_id AS id,
+        |              list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                          x -> x <> '') AS ws FROM documents),
+        |toks AS (SELECT id, generate_subscripts(ws, 1) AS i, unnest(ws) AS tok FROM dt),
+        |bis AS (SELECT a.id, a.tok || chr(1) || b.tok AS g
+        |        FROM toks a JOIN toks b ON a.id = b.id AND b.i = a.i + 1),
+        |feats AS (
+        |  SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS b FROM toks
+        |  UNION ALL
+        |  SELECT id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 FROM bis),
+        |tc AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM feats WHERE id < 200 GROUP BY 1),
+        |rc AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM feats GROUP BY 1),
+        |m AS (SELECT (SELECT sum(c) FROM tc) AS nt, (SELECT sum(c) FROM rc) AS nr),
+        |scored AS (
+        |  SELECT f.id,
+        |    ln((coalesce(tc.c, 0.0) + 1.0) / (m.nt + 4096.0)) -
+        |    ln((coalesce(rc.c, 0.0) + 1.0) / (m.nr + 4096.0)) AS s
+        |  FROM feats f LEFT JOIN tc ON tc.b = f.b LEFT JOIN rc ON rc.b = f.b
+        |  CROSS JOIN m),
+        |lw AS (SELECT id, CAST(count(*) AS INT) AS n_features,
+        |              round(sum(s), 6) AS log_weight
+        |       FROM scored GROUP BY 1)
+        |SELECT id, n_features, log_weight,
+        |  ntile(4) OVER (ORDER BY log_weight DESC, id) = 1 AS selected
+        |FROM lw ORDER BY id""".stripMargin,
     // mirrors Corpus.perplexityScore expression for expression: top-2000
     // vocab (count DESC, word), UNK = chr(2)||'unk', p = 0.9·p_bi +
     // (1−0.9)·add-1-smoothed p_uni, log_ppl = sum(−ln p)/n_bigrams

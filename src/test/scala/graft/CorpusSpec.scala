@@ -308,4 +308,28 @@ class CorpusSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(again == out.map { case (k, v) => k -> v._1 })
   }
+
+  test("importanceWeights: target-like docs outweigh off-domain ones; " +
+    "empty docs are excluded; top quartile is flagged") {
+    val s = spark; import s.implicits._
+    val target = (0 until 30).map(i =>
+      (2000L + i, "machine learning models train on curated text corpora"))
+      .toDF("doc_id", "text")
+    val raw = (Seq(
+      (1L, "machine learning models train on curated text"), // target-like
+      (2L, "curated corpora text machine"),                  // target-ish
+      (3L, "xylophone quartz banana umbrella kiwi"),         // off-domain
+      (4L, "")                                               // excluded
+    ) ++ (10L until 16L).map(i => (i, "assorted filler words here")))
+      .toDF("doc_id", "text")
+    val out = Corpus.importanceWeights(raw, target, buckets = 512)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L)._1 > out(3L)._1, "target-like must outweigh off-domain")
+    assert(out(1L)._2, "the most target-like doc must be selected")
+    // quartile flag covers ~25% of scored docs
+    val nSel = out.values.count(_._2)
+    assert(nSel >= 1 && nSel <= out.size / 2)
+  }
 }
