@@ -55,13 +55,17 @@ object EventEnvelope {
 
 /** Stream metadata, parsed from `$$<stream>` metastream JSON bodies.
   * Mirrors reference StreamMetadata (src/EventStore.Core/Data/StreamMetadata.cs:17-52):
-  * maxCount, maxAge (seconds), truncateBefore ($tb). */
+  * maxCount, maxAge (seconds), truncateBefore ($tb), cacheControl
+  * ($cacheControl, seconds — a serving-layer HTTP cache hint with no
+  * batch-read semantics; parsed and round-tripped for API completeness,
+  * never applied by any read path). */
 final case class StreamMeta(
     stream_id: String,
     max_count: Option[Long],
     max_age_sec: Option[Long],
     truncate_before: Option[Long],
-    tombstoned: Boolean)
+    tombstoned: Boolean,
+    cache_control_sec: Option[Long] = None)
 
 object ExpectedVersion {
   /** reference: src/EventStore.Core/Data/ExpectedVersion.cs:6-13 */

@@ -525,12 +525,13 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     * readable until the next scavenge physically removes it. */
   def setMetadata(streamId: String, maxCount: Option[Long] = None,
       maxAgeSec: Option[Long] = None, truncateBefore: Option[Long] = None,
-      temp: Option[Boolean] = None): Unit = {
+      temp: Option[Boolean] = None, cacheControlSec: Option[Long] = None): Unit = {
     val body = Seq(
       maxCount.map(v => s""""$$maxCount":$v"""),
       maxAgeSec.map(v => s""""$$maxAge":$v"""),
       truncateBefore.map(v => s""""$$tb":$v"""),
-      temp.map(v => s""""$$tmp":$v""")
+      temp.map(v => s""""$$tmp":$v"""),
+      cacheControlSec.map(v => s""""$$cacheControl":$v""")
     ).flatten.mkString("{", ",", "}")
     append(Seq(PendingEvent(
       EventEnvelope.MetastreamPrefix + streamId,
@@ -550,7 +551,8 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
         .select(
           get_json_object(col("data"), "$.$maxCount").cast("long"),
           get_json_object(col("data"), "$.$maxAge").cast("long"),
-          get_json_object(col("data"), "$.$tb").cast("long"))
+          get_json_object(col("data"), "$.$tb").cast("long"),
+          get_json_object(col("data"), "$.$cacheControl").cast("long"))
         .limit(1).collect()
     }
     val tombstoned = streamState(streamId) == EventLogStore.StreamDeleted
@@ -558,7 +560,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
       case None => StreamMeta(streamId, None, None, None, tombstoned)
       case Some(r) =>
         def opt(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
-        StreamMeta(streamId, opt(0), opt(1), opt(2), tombstoned)
+        StreamMeta(streamId, opt(0), opt(1), opt(2), tombstoned, opt(3))
     }
   }
 

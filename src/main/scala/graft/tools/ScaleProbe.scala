@@ -51,7 +51,9 @@ object ScaleProbe {
     "asof_join_attrib", "range_join_window", "chunk_by_tokens",
     "js_fold_count_sum", "session_window_agg",
     "window_sliding_agg", "sys3_stream_by_category",
-    "multimodal_image_real", "multimodal_audio_decode")
+    "multimodal_image_real", "multimodal_audio_decode",
+    "perplexity_bucket", "dsir_weights", "js_branch_fold",
+    "js_streams_matching")
 
   private val srcDir = "/root/testdata/sf0.1"
   private val scaleRoot = "/tmp/graft_scale"

@@ -267,6 +267,11 @@ class EventLogStoreSpec extends SparkTestBase {
     store.setMetadata("a-1", maxCount = Some(5L)) // latest wins; maxAge not carried
     assert(store.getMetadata("a-1") ==
       graft.model.StreamMeta("a-1", Some(5L), None, None, false))
+    // $cacheControl round-trips (a serving-cache hint — parsed, never
+    // applied by reads)
+    store.setMetadata("a-1", maxCount = Some(5L), cacheControlSec = Some(120L))
+    assert(store.getMetadata("a-1") ==
+      graft.model.StreamMeta("a-1", Some(5L), None, None, false, Some(120L)))
     store.append(Seq(pe("b-1", "e2")))
     store.softDelete("b-1")
     assert(store.getMetadata("b-1").truncate_before == Some(1L))
