@@ -550,17 +550,20 @@ object Corpus {
     *
     * Scale shape: training is two map-side-combined groupBy counts over
     * the TRAIN SAMPLE (bounded by sample size, not corpus size); the
-    * model ships as three broadcast maps (unigram, bigram, bigram-prefix
-    * counts) on one row — scoring is a single stateless pass over the
-    * corpus with per-row map lookups, no join and no shuffle of the
-    * text. The tercile split is a window over one (id, score) pair per
-    * doc; at extreme doc counts swap it for cutoffs estimated on a score
-    * sample, exactly as CCNet does. */
+    * model stays as three small TABLES (unigram, bigram, bigram-prefix
+    * counts) that scoring probes via BROADCAST HASH JOINS — O(1) per
+    * probe, where a broadcast map-column lookup would be a linear key
+    * scan over every model entry per bigram (ArrayBasedMap element_at;
+    * unusable once a realistic train sample yields 10^5+ bigrams). The
+    * document text never shuffles: the only wide op is re-aggregating
+    * tiny (id, -ln p) rows per doc, with map-side partial aggregation.
+    * The tercile split is a window over one (id, score) pair per doc; at
+    * extreme doc counts swap it for cutoffs estimated on a score sample,
+    * exactly as CCNet does. */
   def perplexityScore(docs: DataFrame, train: DataFrame, vocab: Int = 2000,
       lambda: Double = 0.9, alpha: Double = 1.0,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val Sep = "\u0001" // cannot occur inside a whitespace-split token
-    val Unk = "\u0002unk"
+    val Unk = "\u0002unk" // distinct from any real token
     def toks(c: Column): Column =
       filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
 
@@ -572,50 +575,59 @@ object Corpus {
     def unked(c: Column): Column =
       transform(toks(c), x =>
         when(element_at(col("_vs"), x).isNotNull, x).otherwise(lit(Unk)))
-    def bigrams(ws: Column): Column =
+    def bigramPairs(ws: Column): Column =
       when(size(ws) >= 2,
         transform(sequence(lit(1), size(ws) - 1), i =>
-          concat(element_at(ws, i), lit(Sep), element_at(ws, i + 1))))
-        .otherwise(array().cast("array<string>"))
+          struct(element_at(ws, i).as("v"), element_at(ws, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<v:string,w2:string>>"))
 
-    // pass 2 over train: unigram/bigram/prefix counts (UNK substituted)
+    // pass 2 over train: unigram/bigram/prefix count tables (UNK'd)
     val tws = train.crossJoin(broadcast(vset)).select(unked(col(textCol)).as("ws"))
     val uni = tws.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).cast("double").as("cu"))
-    val bi = tws.select(explode(bigrams(col("ws"))).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).cast("double").as("cb"))
-    val model = uni
-      .agg(map_from_entries(collect_list(struct(col("w"), col("cu")))).as("_um"),
-        sum(col("cu")).as("_n"),
-        count(lit(1)).cast("double").as("_v"))
-      .crossJoin(bi.agg(
-        map_from_entries(collect_list(struct(col("b"), col("cb")))).as("_bm")))
-      .crossJoin(bi
-        .select(substring_index(col("b"), Sep, 1).as("v"), col("cb"))
-        .groupBy(col("v")).agg(sum(col("cb")).as("cp"))
-        .agg(map_from_entries(collect_list(struct(col("v"), col("cp")))).as("_pm")))
+    val bi = tws.select(explode(bigramPairs(col("ws"))).as("p"))
+      .select(col("p.v").as("v"), col("p.w2").as("w2"))
+      .groupBy(col("v"), col("w2")).agg(count(lit(1)).cast("double").as("cb"))
+    val pfx = bi.groupBy(col("v")).agg(sum(col("cb")).as("cp"))
+    // an all-empty train yields empty count tables: coalesce the total
+    // to 0 so the smoothed formula stays defined (p = 1, log_ppl = 0)
+    // instead of propagating NULL through every score
+    val scalars = uni.agg(coalesce(sum(col("cu")), lit(0.0)).as("_n"),
+      count(lit(1)).cast("double").as("_v"))
 
-    val scored = docs.crossJoin(broadcast(vset)).crossJoin(broadcast(model))
-      .select(col(idCol).as("id"), unked(col(textCol)).as("ws"),
-        col("_um"), col("_bm"), col("_pm"), col("_n"), col("_v"))
-      .withColumn("_nb",
-        when(size(col("ws")) >= 2, size(col("ws")) - 1).otherwise(lit(0)))
-      .where(col("_nb") > 0)
-      .withColumn("log_ppl", round(
-        aggregate(sequence(lit(1), col("_nb")), lit(0.0), (acc, i) => {
-          val v = element_at(col("ws"), i)
-          val w = element_at(col("ws"), i + 1)
-          val cp = element_at(col("_pm"), v)
-          val pbi = when(cp.isNotNull,
-            coalesce(element_at(col("_bm"), concat(v, lit(Sep), w)), lit(0.0)) / cp)
-            .otherwise(lit(0.0))
-          val pu = (coalesce(element_at(col("_um"), w), lit(0.0)) + lit(alpha)) /
-            (col("_n") + lit(alpha) * (col("_v") + lit(1.0)))
-          acc - log(lit(lambda) * pbi + lit(1.0 - lambda) * pu)
-        }) / col("_nb"), 6))
+    // the <2-token exclusion filters on a CHEAP re-split of the raw text
+    // (a filter on the computed pair array would be pushed below its
+    // Project with the whole expression substituted in — the inlining
+    // trap JsColumnCompiler documents); the explode is the only pass
+    // that touches the text
+    val pairs = docs
+      .where(size(toks(col(textCol))) >= 2)
+      .crossJoin(broadcast(vset))
+      .select(col(idCol).as("id"),
+        // the token array must be LET-BOUND: bigramPairs references it
+        // from inside a transform lambda, and an inlined subtree there
+        // re-tokenizes the whole document once PER PAIR — O(len^2)
+        // (measured 30x on the x30 soak before the binding)
+        explode(TextFunctions.bindOnce(unked(col(textCol)), bigramPairs))
+          .as("p"))
+      .select(col("id"), col("p.v").as("v"), col("p.w2").as("w2"))
+    val scored = pairs
+      .join(broadcast(bi), Seq("v", "w2"), "left")
+      .join(broadcast(pfx), Seq("v"), "left")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("id"),
+        (lit(lambda) *
+          when(col("cp").isNotNull, coalesce(col("cb"), lit(0.0)) / col("cp"))
+            .otherwise(lit(0.0)) +
+         lit(1.0 - lambda) * ((coalesce(col("cu"), lit(0.0)) + lit(alpha)) /
+          (col("_n") + lit(alpha) * (col("_v") + lit(1.0))))).as("p"))
+      .groupBy(col("id"))
+      .agg((count(lit(1)) + 1).cast("int").as("n_tokens"),
+        round(sum(-log(col("p"))) / count(lit(1)), 6).as("log_ppl"))
     val terciles = org.apache.spark.sql.expressions.Window
       .orderBy(col("log_ppl").asc, col("id").asc)
-    scored.select(col("id"), (col("_nb") + 1).as("n_tokens"), col("log_ppl"),
+    scored.select(col("id"), col("n_tokens"), col("log_ppl"),
       element_at(lit(Array("head", "middle", "tail")),
         ntile(3).over(terciles)).as("bucket"))
   }
@@ -660,26 +672,45 @@ object Corpus {
     def bucketCounts(df: DataFrame): DataFrame = df
       .select(explode(featBuckets(col(textCol))).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).cast("double").as("c"))
+    // the count distributions ship as DENSE bucket-indexed ARRAYS, not
+    // maps: Catalyst map element_at is a LINEAR key scan (ArrayBasedMap),
+    // so B=4096 maps cost ~2k comparisons per lookup — the r9 ×100 soak
+    // measured the map form at ~6 ms/doc, all lookup scan. Array
+    // element_at is O(1); the map→array densify runs once on the one
+    // model row.
+    def dense(m: Column): Column =
+      transform(sequence(lit(0), lit(buckets - 1)),
+        i => coalesce(element_at(m, i.cast("long")), lit(0.0)))
     val model = bucketCounts(target)
-      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("_tm"),
-        sum(col("c")).as("_nt"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("_tm0"),
+        coalesce(sum(col("c")), lit(0.0)).as("_nt"))
       .crossJoin(bucketCounts(raw)
-        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("_rm"),
-          sum(col("c")).as("_nr")))
-    val scored = raw.crossJoin(broadcast(model))
+        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("_rm0"),
+          coalesce(sum(col("c")), lit(0.0)).as("_nr")))
+      .select(dense(col("_tm0")).as("_tm"), dense(col("_rm0")).as("_rm"),
+        col("_nt"), col("_nr"))
+    // empty docs filter on a cheap re-split of the raw text (no
+    // hashing; and NOT length(trim(..)) — SQL trim strips only spaces,
+    // so a tabs-only doc would pass yet tokenize to nothing); the hashed
+    // feature array — the expensive md5-per-gram expression — is produced
+    // once in its own Project and referenced only as an attribute, never
+    // re-inlined into a pushed-down filter (the r9 soak measured the
+    // filter-on-computed-array form re-hashing every gram per reference)
+    val scored = raw
+      .where(size(toks(col(textCol))) > 0)
+      .crossJoin(broadcast(model))
       .select(col(idCol).as("id"), featBuckets(col(textCol)).as("fs"),
         col("_tm"), col("_rm"), col("_nt"), col("_nr"))
-      .where(size(col("fs")) > 0)
-      .withColumn("log_weight", round(
+      .select(col("id"), size(col("fs")).as("n_features"), round(
         aggregate(col("fs"), lit(0.0), (acc, b) =>
           acc +
-            (log((coalesce(element_at(col("_tm"), b), lit(0.0)) + lit(1.0)) /
+            (log((element_at(col("_tm"), b.cast("int") + 1) + lit(1.0)) /
               (col("_nt") + lit(buckets.toDouble))) -
-             log((coalesce(element_at(col("_rm"), b), lit(0.0)) + lit(1.0)) /
-              (col("_nr") + lit(buckets.toDouble))))), 6))
+             log((element_at(col("_rm"), b.cast("int") + 1) + lit(1.0)) /
+              (col("_nr") + lit(buckets.toDouble))))), 6).as("log_weight"))
     val quartiles = org.apache.spark.sql.expressions.Window
       .orderBy(col("log_weight").desc, col("id").asc)
-    scored.select(col("id"), size(col("fs")).as("n_features"), col("log_weight"),
+    scored.select(col("id"), col("n_features"), col("log_weight"),
       (ntile(4).over(quartiles) === 1).as("selected"))
   }
 }

@@ -117,6 +117,33 @@ object Subscriptions {
     }
   }
 
+  /** SUB2 + R1: filtered `$all` subscription honoring read-time retention
+    * for EVERY stream — a stream-static join against the per-stream
+    * [[graft.operators.Retention.bounds]] table, broadcast (one small row
+    * per stream, never a shuffle of the event stream). The static side is
+    * re-planned per micro-batch, so bounds ADVANCE as the log grows —
+    * matching the reference, which applies retention on every read.
+    * Metastreams are excluded (a `$all` reader sees data streams; the
+    * reference surfaces metadata through its own `$$` reads).
+    *
+    * Scale note: bounds() recomputes per-stream last-event-numbers from
+    * the log; at very large stream counts feed it the incrementally
+    * maintained stats table instead (EventLogStore keeps one — the same
+    * substitution scavengeIncremental makes). */
+  def subscribeAllRetained(spark: SparkSession, logDir: String,
+      filter: Column = lit(true), fromPosition: Long = -1L,
+      asOf: Column = current_timestamp()): DataFrame = {
+    val noMeta = !col("stream_id").startsWith(EventEnvelope.MetastreamPrefix)
+    val base = subscribeAll(spark, logDir, filter && noMeta, fromPosition)
+    if (!new java.io.File(logDir).exists()) return base
+    val log = spark.read.parquet(logDir)
+    val bounds = graft.operators.Retention.bounds(
+      log.where(noMeta), graft.operators.Retention.metadataFromLog(log), asOf)
+    base.join(broadcast(bounds), Seq("stream_id"), "left")
+      .where(graft.operators.Retention.keepCondition)
+      .drop("_min_event_number", "_cutoff_ts", "_deleted")
+  }
+
   /** P20: run a projection fold as a continuous streaming query. State per
     * partition key lives in the state store and survives restarts via the
     * checkpoint dir. Emits (partition, state) after every update

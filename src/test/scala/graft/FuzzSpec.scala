@@ -52,6 +52,37 @@ class FuzzSpec extends SparkTestBase {
     rows.toDF("doc_id", "text")
   }
 
+  test("perplexityScore + importanceWeights: hostile corpus never throws; " +
+    "scores finite; null/empty/short docs excluded; empty train defined") {
+    val docs = hostileDocs(50)
+    val train = docs.where(col("doc_id") < 25)
+    val ppl = Corpus.perplexityScore(docs, train, vocab = 100).collect()
+    ppl.foreach { r =>
+      val lp = r.getDouble(2)
+      assert(!lp.isNaN && !lp.isInfinite && lp >= 0, s"log_ppl domain: $r")
+      assert(Set("head", "middle", "tail")(r.getString(3)), s"bucket: $r")
+    }
+    val ids = ppl.map(_.getLong(0)).toSet
+    assert(!ids(9000L) && !ids(9001L) && !ids(9002L),
+      "null/empty/whitespace docs must be excluded")
+    val dw = Corpus.importanceWeights(docs, train, buckets = 128).collect()
+    dw.foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite, s"weight: $r")
+      assert(r.getInt(1) > 0, s"features: $r")
+    }
+    val ids2 = dw.map(_.getLong(0)).toSet
+    assert(!ids2(9000L) && !ids2(9001L))
+    // a train sample with zero tokens still yields defined scores: the
+    // smoothed unigram term degenerates to 1, so every bigram scores
+    // p = (1−λ)·1 and log_ppl is the constant −ln(1−λ) ≈ 2.302585
+    val emptyTrain = docs.where(col("doc_id") === 9001L)
+    val ppl0 = Corpus.perplexityScore(docs, emptyTrain, vocab = 10).collect()
+    assert(ppl0.nonEmpty)
+    ppl0.foreach(r => assert(r.getDouble(2) == 2.302585, s"empty-train ppl: $r"))
+    val dw0 = Corpus.importanceWeights(docs, emptyTrain, buckets = 64).collect()
+    dw0.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+
   test("text stats family: never throws; every score stays in its domain") {
     val docs = hostileDocs(60)
     val out = docs.select(

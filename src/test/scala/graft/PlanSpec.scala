@@ -222,6 +222,28 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("perplexity/DSIR scoring passes: models arrive by broadcast and the " +
+    "corpus is never shuffled (no exchange between the docs scan and the score)") {
+    val s = spark; import s.implicits._
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"alpha beta w$i gamma delta epsilon t${i % 7}"))
+      .toDF("doc_id", "text")
+    val train = docs.where(col("doc_id") < 20)
+    for (df <- Seq(
+        graft.analytics.Corpus.perplexityScore(docs, train, vocab = 50)
+          .drop("bucket"), // the tercile window is the documented exception
+        graft.analytics.Corpus.importanceWeights(docs, train, buckets = 256)
+          .drop("selected"))) {
+      val plan = executedPlan(df)
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"), plan.take(1200))
+      // the scoring side must be join- and shuffle-free over the corpus:
+      // the only exchanges allowed are the tiny model/vocab aggregations
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        plan.take(1500))
+    }
+  }
+
   test("substring-dedup census joins are equi-joins, never cartesian") {
     val s = spark; import s.implicits._
     val docs = Seq.tabulate(40)(i =>

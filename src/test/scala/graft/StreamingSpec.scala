@@ -88,6 +88,29 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM rettomb").isEmpty)
   }
 
+  test("R1 in streaming: $all retained subscription == batch retained read " +
+    "across mixed per-stream metadata") {
+    val (store, dir) = newStore()
+    store.append((0 until 6).map(i =>
+      PendingEvent("cap-1", s"c$i", "Tick", s"""{"n":$i}""")))
+    store.append((0 until 3).map(i =>
+      PendingEvent("free-1", s"f$i", "Tick", s"""{"n":$i}""")))
+    store.append(Seq(PendingEvent("gone-1", "g0", "Tick", "{}")))
+    store.setMetadata("cap-1", maxCount = Some(2))
+    store.tombstone("gone-1")
+    val q = Subscriptions.subscribeAllRetained(spark, s"$dir/log")
+      .writeStream.format("memory").queryName("retall")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT stream_id, event_number FROM retall").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = store.readRetained().select("stream_id", "event_number")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got == Set(("cap-1", 4L), ("cap-1", 5L),
+      ("free-1", 0L), ("free-1", 1L), ("free-1", 2L)))
+  }
+
   test("SUB1: catch-up then live — a second append is picked up by the next trigger") {
     val (store, dir) = newStore()
     seed(store)
