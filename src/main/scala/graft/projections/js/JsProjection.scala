@@ -544,6 +544,23 @@ final class CompiledJsProjection private (source: String) {
     allowedNext = CompiledJsProjection.grammar(stage)
   }
 
+  /** Shared handler registration for `when({...})` entries and the
+    * standalone `on_event`/`on_any` definition functions (reference
+    * AddHandler, JintProjectionStateHandler.cs:614-641, including its
+    * bi-state `$deleted` rejection). */
+  private def addHandler(name: String, f: JsVal): Unit = name match {
+    case "$init" => initFn = Some(f)
+    case "$initShared" => initSharedFn = Some(f); spec.isBiState = true
+    case "$any" => anyFn = Some(f); spec.hasAny = true
+    case "$created" => createdFn = Some(f); spec.hasCreated = true
+    case "$deleted" if spec.isBiState =>
+      throw new JsError("Cannot handle deletes in bi-state projections")
+    case "$deleted" => deletedFn = Some(f)
+    case tpe =>
+      handlers += (tpe -> f)
+      spec.handledTypes += tpe
+  }
+
   private def compileDefinition(): Unit = {
     val g = interp.globals
 
@@ -553,21 +570,19 @@ final class CompiledJsProjection private (source: String) {
           enter("when")
           args.headOption match {
             case Some(JsObj(hs)) =>
-              hs.foreach {
-                case ("$init", f) => initFn = Some(f)
-                case ("$initShared", f) =>
-                  initSharedFn = Some(f); spec.isBiState = true
-                case ("$any", f) => anyFn = Some(f); spec.hasAny = true
-                case ("$created", f) => createdFn = Some(f); spec.hasCreated = true
-                case ("$deleted", f) => deletedFn = Some(f)
-                case (tpe, f) =>
-                  handlers += (tpe -> f)
-                  spec.handledTypes += tpe
-              }
+              hs.foreach { case (n, f) => addHandler(n, f) }
               self
             case _ => throw new JsError("when() expects a handler object")
           }
         }),
+        // chain marker after when (reference grammar row :465): declares
+        // the definition produces a state transform — implies outputState
+        "$defines_state_transform" ->
+          JsNative("$defines_state_transform", 0, { _ =>
+            enter("$defines_state_transform")
+            spec.outputStateRequested = true
+            self
+          }),
         "foreachStream" -> JsNative("foreachStream", 0, { _ =>
           enter("foreachStream")
           spec.foreachStream = true; self
@@ -616,6 +631,9 @@ final class CompiledJsProjection private (source: String) {
         opts.get("reorderEvents").foreach(v => spec.reorderEvents = JsVal.bool(v))
         opts.get("processingLag").foreach(v =>
           spec.processingLagMs = Some(JsVal.num(v).toLong))
+        // reference _setters row (JintProjectionStateHandler.cs:482):
+        // bi-state can be declared as an option as well as via $initShared
+        opts.get("biState").foreach(v => spec.isBiState = JsVal.bool(v))
       case _ => ()
     }
 
@@ -646,6 +664,25 @@ final class CompiledJsProjection private (source: String) {
     selectorNative("fromAll")(_ => JsSelector.All)
     g.define("options", JsNative("options", 1, { args =>
       applyOptions(args); JsUndef
+    }))
+    // standalone handler registration (reference on_event/on_any,
+    // JintProjectionStateHandler.cs:500-501, 642-663): the pre-chain way
+    // to attach handlers — `fromAll(); on_event('T', fn); on_any(fn);`
+    g.define("on_event", JsNative("on_event", 2, { args =>
+      (args.headOption, args.lift(1)) match {
+        case (Some(n @ JsStr(_)), Some(f @ JsFunc(_, _, _))) =>
+          addHandler(JsVal.toStr(n), f)
+        case _ =>
+          throw new JsError("on_event(eventName, handler) expects a string and a function")
+      }
+      JsUndef
+    }))
+    g.define("on_any", JsNative("on_any", 1, { args =>
+      args.headOption match {
+        case Some(f @ JsFunc(_, _, _)) => addHandler("$any", f)
+        case _ => throw new JsError("on_any(handler) expects a function")
+      }
+      JsUndef
     }))
     // fromStreamsMatching(fn): the stream-set predicate selector — a
     // filtered fromAll where fn(streamId) gates each stream. The
@@ -1015,7 +1052,9 @@ object CompiledJsProjection {
     "fromCategory" -> Set("when", "partitionBy", "outputState", "foreachStream"),
     "fromCategories" -> Set("when", "partitionBy", "outputState"),
     "fromStreamsMatching" -> Set("when", "partitionBy", "outputState", "foreachStream"),
-    "when" -> Set("transformBy", "filterBy", "outputState", "outputTo"),
+    "when" -> Set("transformBy", "filterBy", "outputState", "outputTo",
+      "$defines_state_transform"),
+    "$defines_state_transform" -> Set.empty,
     "foreachStream" -> Set("when"),
     "outputState" -> Set("transformBy", "filterBy", "outputTo"),
     "partitionBy" -> Set("when"),

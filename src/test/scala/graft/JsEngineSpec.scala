@@ -430,6 +430,49 @@ fromStreamsMatching(function(sid) {
     }
   }
 
+  test("on_event/on_any standalone handler registration == when({...}); " +
+    "$defines_state_transform chains after when; options({biState})") {
+    val log = hostileLog
+    // the pre-chain registration style: same handlers, same results
+    val viaOn = JsProjection.compile("""
+fromAll().foreachStream();
+on_event('purchase', function(s, e) { s.cents += Math.round(e.value * 100); return s; });
+on_any(function(s, e) { s.n += 1; return s; });
+on_event('$init', function() { return { n: 0, cents: 0 }; });
+""")
+    val viaWhen = JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { n: 0, cents: 0 }; },
+    purchase: function(s, e) { s.cents += Math.round(e.value * 100); return s; },
+    $any: function(s, e) { s.n += 1; return s; }
+})""")
+    val a = viaOn.states(log).orderBy("partition").collect().toSeq
+    val b = viaWhen.states(log).orderBy("partition").collect().toSeq
+    assert(a == b, "on_event/on_any must register the same handlers as when")
+    // bad arguments are rejected like the reference's ArgumentException
+    intercept[JsError] { JsProjection.compile("fromAll(); on_event('t');") }
+    intercept[JsError] { JsProjection.compile("fromAll(); on_any('not a fn');") }
+    // $defines_state_transform: valid after when, terminal, implies
+    // outputState; not valid at the chain start
+    val dst = JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { n: 0 }; },
+    $any: function(s, e) { s.n += 1; return s; }
+}).$defines_state_transform()""")
+    assert(dst.states(log).count() > 0)
+    intercept[JsError] {
+      JsProjection.compile("fromAll().$defines_state_transform()")
+    }
+    // options({biState: true}) without $initShared: shared state = {}
+    val bi = JsProjection.compile("""
+options({ biState: true });
+fromAll().foreachStream().when({
+    $init: function() { return { n: 0 }; },
+    $any: function(s, e) { s[0].n += 1; return s; }
+})""")
+    assert(bi.states(log).count() > 0)
+  }
+
   test("chain grammar matches the reference's availability table") {
     def bad(src: String): String =
       intercept[JsError] { JsProjection.compile(src) }.getMessage
