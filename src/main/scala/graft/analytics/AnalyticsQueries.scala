@@ -888,13 +888,15 @@ object AnalyticsQueries extends QueryModule {
         |  FROM embeddings),
         |stats AS (SELECT d, min(v) AS mn, max(v) AS mx FROM vals
         |          WHERE isfinite(v) GROUP BY 1),
-        |rec AS (
+        |rec0 AS (
         |  SELECT vec_id, list(CASE WHEN NOT isfinite(v) OR mn IS NULL THEN NULL
         |    ELSE mn + (CASE WHEN mx = mn THEN 0.0
         |      ELSE least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
         |                          0.0), 255.0)
         |    END) * (mx - mn) / 255.0 END ORDER BY vals.d) AS rv
         |  FROM vals LEFT JOIN stats ON stats.d = vals.d GROUP BY 1),
+        |rec AS (SELECT * FROM rec0
+        |        WHERE len(list_filter(rv, x -> x IS NULL)) = 0),
         |q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
         |      FROM embeddings WHERE vec_id < 10),
         |scored AS (

@@ -566,52 +566,66 @@ object Corpus {
     val Unk = "\u0002unk" // distinct from any real token
     def toks(c: Column): Column =
       filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
-
-    // pass 1 over train: the retained vocabulary, as a broadcast map
-    val vset = train.select(explode(toks(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(vocab)
-      .agg(map_from_entries(collect_list(struct(col("w"), lit(true)))).as("_vs"))
-    def unked(c: Column): Column =
-      transform(toks(c), x =>
-        when(element_at(col("_vs"), x).isNotNull, x).otherwise(lit(Unk)))
     def bigramPairs(ws: Column): Column =
       when(size(ws) >= 2,
         transform(sequence(lit(1), size(ws) - 1), i =>
           struct(element_at(ws, i).as("v"), element_at(ws, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<v:string,w2:string>>"))
 
+    // pass 1 over train: the retained vocabulary, as a TABLE — membership
+    // is probed via broadcast hash joins below, NOT a per-token map
+    // lookup (a broadcast map element_at is a linear key scan over all
+    // `vocab` entries for every token — the same ArrayBasedMap pathology
+    // the DSIR op documents)
+    val vocabT = train.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocab)
+      .select(col("w"))
+
+    // UNK-normalize an exploded token column via one broadcast join
+    def normTok(df: DataFrame, c: String): DataFrame = {
+      val flag = "_k_" + c
+      df.join(broadcast(vocabT.select(col("w").as(c), lit(true).as(flag))),
+          Seq(c), "left")
+        .withColumn(c, when(col(flag), col(c)).otherwise(lit(Unk)))
+        .drop(flag)
+    }
+    // per-doc bigram pairs, exploded and UNK-normalized on both sides.
+    // The token array is LET-BOUND: bigramPairs references it from inside
+    // a transform lambda, and an inlined subtree there re-tokenizes the
+    // whole document once PER PAIR — O(len^2) (measured 30x on the x30
+    // soak before the binding). The <2-token exclusion filters on a
+    // cheap re-split of the raw text (a filter on the computed array
+    // would be pushed below its Project with the whole expression
+    // substituted in — the inlining trap JsColumnCompiler documents).
+    def pairsOf(df: DataFrame, id: Column): DataFrame = {
+      val raw = df
+        .where(size(toks(col(textCol))) >= 2)
+        .select(id.as("id"),
+          explode(TextFunctions.bindOnce(toks(col(textCol)), bigramPairs))
+            .as("p"))
+        .select(col("id"), col("p.v").as("v"), col("p.w2").as("w2"))
+      normTok(normTok(raw, "v"), "w2")
+    }
+
     // pass 2 over train: unigram/bigram/prefix count tables (UNK'd)
-    val tws = train.crossJoin(broadcast(vset)).select(unked(col(textCol)).as("ws"))
-    val uni = tws.select(explode(col("ws")).as("w"))
+    val uni = normTok(
+        train.select(explode(toks(col(textCol))).as("w")), "w")
       .groupBy(col("w")).agg(count(lit(1)).cast("double").as("cu"))
-    val bi = tws.select(explode(bigramPairs(col("ws"))).as("p"))
-      .select(col("p.v").as("v"), col("p.w2").as("w2"))
+    val bi = pairsOf(train, lit(0L))
       .groupBy(col("v"), col("w2")).agg(count(lit(1)).cast("double").as("cb"))
     val pfx = bi.groupBy(col("v")).agg(sum(col("cb")).as("cp"))
     // an all-empty train yields empty count tables: coalesce the total
-    // to 0 so the smoothed formula stays defined (p = 1, log_ppl = 0)
-    // instead of propagating NULL through every score
+    // to 0 so the smoothed formula stays defined instead of propagating
+    // NULL through every score
     val scalars = uni.agg(coalesce(sum(col("cu")), lit(0.0)).as("_n"),
       count(lit(1)).cast("double").as("_v"))
 
-    // the <2-token exclusion filters on a CHEAP re-split of the raw text
-    // (a filter on the computed pair array would be pushed below its
-    // Project with the whole expression substituted in — the inlining
-    // trap JsColumnCompiler documents); the explode is the only pass
-    // that touches the text
-    val pairs = docs
-      .where(size(toks(col(textCol))) >= 2)
-      .crossJoin(broadcast(vset))
-      .select(col(idCol).as("id"),
-        // the token array must be LET-BOUND: bigramPairs references it
-        // from inside a transform lambda, and an inlined subtree there
-        // re-tokenizes the whole document once PER PAIR — O(len^2)
-        // (measured 30x on the x30 soak before the binding)
-        explode(TextFunctions.bindOnce(unked(col(textCol)), bigramPairs))
-          .as("p"))
-      .select(col("id"), col("p.v").as("v"), col("p.w2").as("w2"))
-    val scored = pairs
+    // scoring: every probe is a broadcast hash join (O(1) per bigram,
+    // viable for realistically-sized train samples); the document text
+    // never shuffles — the only wide op is re-aggregating tiny
+    // (id, -ln p) rows per doc, with map-side partial aggregation
+    val scored = pairsOf(docs, col(idCol))
       .join(broadcast(bi), Seq("v", "w2"), "left")
       .join(broadcast(pfx), Seq("v"), "left")
       .join(broadcast(uni.withColumnRenamed("w", "w2")), Seq("w2"), "left")

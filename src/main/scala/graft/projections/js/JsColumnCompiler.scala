@@ -2063,9 +2063,17 @@ private[js] object JsColumnCompiler {
           // order (a string part appends, integral parts sum — mixed
           // kinds on one field are refused downstream, matching JS's
           // type-dependent `+`). Covers the 2-element `s.f = s.f + e`.
+          // Inside a try, a MULTI-part chain is refused: JS evaluates
+          // the whole rhs before assigning, so one throwing part must
+          // suppress EVERY part's contribution — but each addSum call
+          // guards its term only by its own part's ok-condition, which
+          // would let the error-free parts land (outside a try the seal
+          // faults the projection at evaluation, so the per-part guards
+          // are equivalent there).
           case Binary("+", _, _)
               if plusChain(rhs).headOption.exists(isSelfField(_, ctx, f)) &&
-                !plusChain(rhs).tail.exists(isSelfField(_, ctx, f)) =>
+                !plusChain(rhs).tail.exists(isSelfField(_, ctx, f)) &&
+                (plusChain(rhs).sizeIs <= 2 || tryAcc.isEmpty) =>
             plusChain(rhs).tail.forall(p => addSum(f, p, negate = false, g0))
           // `s.f = e + s.f`: commutative for a NUMERIC e; a statically
           // string e is a PREPEND (addSum routes it to addPrepend)

@@ -86,15 +86,23 @@ object Subscriptions {
     * retired catch-up history, and live-tail events are always newer than
     * any fixed cutoff (they can never be over-trimmed). A tombstoned
     * stream yields no rows, like the reference's StreamDeleted outcome. */
+  /** Batch view of the on-disk log, or None when there is no history yet
+    * (missing dir, or an existing dir with no parquet segments — schema
+    * inference throws on those; same guard as [[logSchema]]). */
+  private def historyOpt(spark: SparkSession, logDir: String): Option[DataFrame] =
+    if (!new java.io.File(logDir).exists()) None
+    else
+      try Some(spark.read.parquet(logDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+
   def subscribeStreamRetained(spark: SparkSession, logDir: String,
       streamId: String, from: Long = 0L,
       asOf: Column = current_timestamp()): DataFrame = {
-    val dir = new java.io.File(logDir)
-    val (minEvt, cutoff, deleted) =
-      if (!dir.exists()) (0L, Option.empty[java.sql.Timestamp], false)
-      else {
+    val (minEvt, cutoff, deleted) = historyOpt(spark, logDir) match {
+      case None => (0L, Option.empty[java.sql.Timestamp], false)
+      case Some(history) =>
         val metaStream = EventEnvelope.MetastreamPrefix + streamId
-        val slice = spark.read.parquet(logDir)
+        val slice = history
           .where(col("stream_id").isin(streamId, metaStream))
         val meta = graft.operators.Retention.metadataFromLog(slice)
         graft.operators.Retention
@@ -106,7 +114,7 @@ object Subscriptions {
             r.getBoolean(r.fieldIndex("_deleted")))
           case None => (0L, None, false) // no history yet — nothing to clamp
         }
-      }
+    }
     if (deleted) subscribeAll(spark, logDir, lit(false))
     else {
       val ageOk = cutoff.map(ts => col("timestamp") >= lit(ts))
@@ -120,11 +128,19 @@ object Subscriptions {
   /** SUB2 + R1: filtered `$all` subscription honoring read-time retention
     * for EVERY stream — a stream-static join against the per-stream
     * [[graft.operators.Retention.bounds]] table, broadcast (one small row
-    * per stream, never a shuffle of the event stream). The static side is
-    * re-planned per micro-batch, so bounds ADVANCE as the log grows —
-    * matching the reference, which applies retention on every read.
-    * Metastreams are excluded (a `$all` reader sees data streams; the
-    * reference surfaces metadata through its own `$$` reads).
+    * per stream, never a shuffle of the event stream). Like
+    * [[subscribeStreamRetained]], the bounds are FIXED at subscription
+    * creation: the batch read's file listing snapshots then (stream-static
+    * joins re-execute the static plan per micro-batch but never re-list
+    * files), and that is sound in the same direction — per-stream bounds
+    * only rise over time, so a creation-time clamp never re-admits
+    * already-retired history; events retired AFTER creation keep flowing
+    * until the next (re)subscription, exactly the catch-up/live split.
+    * Re-subscribe (new call, same checkpoint) to pick up newer bounds,
+    * and do so after a scavenge in any case — the frozen listing would
+    * otherwise reference physically deleted files. Metastreams are
+    * excluded (a `$all` reader sees data streams; the reference surfaces
+    * metadata through its own `$$` reads).
     *
     * Scale note: bounds() recomputes per-stream last-event-numbers from
     * the log; at very large stream counts feed it the incrementally
@@ -135,13 +151,15 @@ object Subscriptions {
       asOf: Column = current_timestamp()): DataFrame = {
     val noMeta = !col("stream_id").startsWith(EventEnvelope.MetastreamPrefix)
     val base = subscribeAll(spark, logDir, filter && noMeta, fromPosition)
-    if (!new java.io.File(logDir).exists()) return base
-    val log = spark.read.parquet(logDir)
-    val bounds = graft.operators.Retention.bounds(
-      log.where(noMeta), graft.operators.Retention.metadataFromLog(log), asOf)
-    base.join(broadcast(bounds), Seq("stream_id"), "left")
-      .where(graft.operators.Retention.keepCondition)
-      .drop("_min_event_number", "_cutoff_ts", "_deleted")
+    historyOpt(spark, logDir) match {
+      case None => base
+      case Some(log) =>
+        val bounds = graft.operators.Retention.bounds(
+          log.where(noMeta), graft.operators.Retention.metadataFromLog(log), asOf)
+        base.join(broadcast(bounds), Seq("stream_id"), "left")
+          .where(graft.operators.Retention.keepCondition)
+          .drop("_min_event_number", "_cutoff_ts", "_deleted")
+    }
   }
 
   /** P20: run a projection fold as a continuous streaming query. State per

@@ -1297,6 +1297,21 @@ fromAll().foreachStream().when({
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { seq: '' }; },
       $any: function(s, e) { s.seq = e.eventType + s.seq + ';'; return s; } })"""))
+    // a MULTI-part chain inside try stays interpreted: one throwing part
+    // must suppress every part (JS evaluates the whole rhs before
+    // assigning), which the per-part term guards cannot express
+    assert(!compiles("""fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) {
+          try { s.n = s.n + Math.round(e.body.a) + 1; } catch (x) {}
+          return s; } })"""))
+    // the 2-element spelled-out form still compiles inside try (single
+    // part: its own ok-guard IS the whole-assignment guard)
+    assert(compiles("""fromAll().foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      $any: function(s, e) {
+          try { s.n = s.n + Math.round(e.value); } catch (x) {}
+          return s; } })"""))
   }
 
   test("column fast path: compile-coverage pins for the idioms bisected " +
