@@ -563,6 +563,24 @@ object Corpus {
   def perplexityScore(docs: DataFrame, train: DataFrame, vocab: Int = 2000,
       lambda: Double = 0.9, alpha: Double = 1.0,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = perplexityScores(docs, train, vocab, lambda, alpha,
+      textCol, idCol)
+    val terciles = org.apache.spark.sql.expressions.Window
+      .orderBy(col("log_ppl").asc, col("id").asc)
+    scored.select(col("id"), col("n_tokens"), col("log_ppl"),
+      element_at(lit(Array("head", "middle", "tail")),
+        ntile(3).over(terciles)).as("bucket"))
+  }
+
+  /** [[perplexityScore]] minus the tercile bucketing: (id, n_tokens,
+    * log_ppl) per scoreable document. This is the form a STREAMING
+    * scorer runs per micro-batch (the tercile window needs the whole
+    * score distribution; streaming pipelines bucket against cutoffs
+    * estimated on a batch sample instead — see
+    * [[CorpusStream.perplexityScoreStream]]). */
+  def perplexityScores(docs: DataFrame, train: DataFrame, vocab: Int = 2000,
+      lambda: Double = 0.9, alpha: Double = 1.0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val Unk = "\u0002unk" // distinct from any real token
     def toks(c: Column): Column =
       filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
@@ -639,11 +657,7 @@ object Corpus {
       .groupBy(col("id"))
       .agg((count(lit(1)) + 1).cast("int").as("n_tokens"),
         round(sum(-log(col("p"))) / count(lit(1)), 6).as("log_ppl"))
-    val terciles = org.apache.spark.sql.expressions.Window
-      .orderBy(col("log_ppl").asc, col("id").asc)
-    scored.select(col("id"), col("n_tokens"), col("log_ppl"),
-      element_at(lit(Array("head", "middle", "tail")),
-        ntile(3).over(terciles)).as("bucket"))
+    scored
   }
 
   /** DSIR-style data selection via hashed n-gram importance weights (Xie
@@ -669,7 +683,8 @@ object Corpus {
     * quartile flag is a window over one (id, weight) pair per doc; at
     * extreme doc counts swap it for a sampled weight cutoff. */
   def importanceWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      referenceOverride: Option[DataFrame] = None): DataFrame = {
     val Sep = "\u0001"
     def toks(c: Column): Column =
       filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
@@ -698,7 +713,10 @@ object Corpus {
     val model = bucketCounts(target)
       .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("_tm0"),
         coalesce(sum(col("c")), lit(0.0)).as("_nt"))
-      .crossJoin(bucketCounts(raw)
+      // the "raw" distribution defaults to the scored corpus itself; a
+      // STREAMING caller passes a fixed reference corpus instead (one
+      // micro-batch cannot represent the raw distribution)
+      .crossJoin(bucketCounts(referenceOverride.getOrElse(raw))
         .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("_rm0"),
           coalesce(sum(col("c")), lit(0.0)).as("_nr")))
       .select(dense(col("_tm0")).as("_tm"), dense(col("_rm0")).as("_rm"),

@@ -568,6 +568,52 @@ fromAll().foreachStream().when({
     assert(kept == Set(1L, 2L, 4L)) // 3 deduped against state from batch 1
   }
 
+  test("streaming perplexity + DSIR scoring: per-batch scores union to the " +
+    "batch scoring; replayed batches overwrite their own partition") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val train = all.where(col("doc_id") < 40)
+    val rows = all.as[(Long, String)].collect().toSeq
+
+    val pplOut = Files.createTempDirectory("pplout").toString + "/scores"
+    val pplCk = Files.createTempDirectory("pplck").toString
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = graft.analytics.CorpusStream.perplexityScoreStream(
+      in1.toDF().toDF("doc_id", "text"), train, pplOut, pplCk, vocab = 200)
+    in1.addData(rows.take(60)); q1.processAllAvailable()
+    in1.addData(rows.drop(60)); q1.processAllAvailable()
+    q1.stop()
+    val streamed = spark.read.parquet(pplOut)
+      .select("id", "n_tokens", "log_ppl").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val batch = graft.analytics.Corpus
+      .perplexityScores(all, train, vocab = 200).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(streamed == batch, "streamed scores must union to the batch scoring")
+
+    val dsirOut = Files.createTempDirectory("dsirout").toString + "/w"
+    val dsirCk = Files.createTempDirectory("dsirck").toString
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.analytics.CorpusStream.importanceWeightsStream(
+      in2.toDF().toDF("doc_id", "text"), target = train, reference = all,
+      outDir = dsirOut, checkpoint = dsirCk, buckets = 256)
+    in2.addData(rows.take(60)); q2.processAllAvailable()
+    in2.addData(rows.drop(60)); q2.processAllAvailable()
+    q2.stop()
+    val streamedW = spark.read.parquet(dsirOut)
+      .select("id", "log_weight").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batchW = graft.analytics.Corpus
+      .importanceWeights(all, train, buckets = 256,
+        referenceOverride = Some(all))
+      .select("id", "log_weight").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamedW == batchW, "streamed weights must union to the batch run")
+  }
+
   test("streaming training pipeline: quality gate -> dedup -> token stats, batch == stream") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
