@@ -88,6 +88,20 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM rettomb").isEmpty)
   }
 
+  test("retained subscriptions over an existing-but-empty log dir subscribe " +
+    "to empty history instead of failing schema inference") {
+    val dir = Files.createTempDirectory("retempty").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/log"))
+    for ((stream, name) <- Seq(
+        Subscriptions.subscribeStreamRetained(spark, s"$dir/log", "a-1") -> "remp1",
+        Subscriptions.subscribeAllRetained(spark, s"$dir/log") -> "remp2")) {
+      val q = stream.writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(spark.sql(s"SELECT * FROM $name").isEmpty)
+    }
+  }
+
   test("R1 in streaming: $all retained subscription == batch retained read " +
     "across mixed per-stream metadata") {
     val (store, dir) = newStore()
