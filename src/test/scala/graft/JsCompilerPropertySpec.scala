@@ -303,10 +303,10 @@ class JsCompilerPropertySpec extends SparkTestBase {
        |    })""".stripMargin
   }
 
-  test("generated emit definitions: fast emitted() == interpreter (20 seeds)") {
+  test("generated emit definitions: fast emitted() == interpreter (60 seeds)") {
     val log = genLog(new Random(11)).cache()
     log.count()
-    for (seed <- 100 to 119) {
+    for (seed <- 100 to 159) {
       val r = new Random(seed)
       val src = genEmitDefinition(r)
       val p = JsProjection.compile(src)
@@ -323,7 +323,7 @@ class JsCompilerPropertySpec extends SparkTestBase {
   }
 
   test("generated compilable definitions: fast path == interpreter on a " +
-    "generated hostile log (40 seeds)") {
+    "generated hostile log (80 seeds)") {
     val log = genLog(new Random(7)).cache()
     log.count()
     // FALLBACK-TOLERANT by design (the r8 lesson): a generated definition
@@ -334,7 +334,7 @@ class JsCompilerPropertySpec extends SparkTestBase {
     // means the generator and compiler have diverged and one of them
     // needs a look (listing the refused seeds for the bisect).
     val refused = List.newBuilder[Int]
-    for (seed <- 1 to 40) {
+    for (seed <- 1 to 80) {
       val r = new Random(seed)
       val src = genDefinition(r)
       val p = JsProjection.compile(src)
@@ -348,8 +348,8 @@ class JsCompilerPropertySpec extends SparkTestBase {
       } finally spark.conf.set("spark.graft.js.columnCompile", "true")
     }
     val refusedSeeds = refused.result()
-    assert(refusedSeeds.size <= 2,
-      s"compiled ${40 - refusedSeeds.size}/40 — generator/compiler subset " +
+    assert(refusedSeeds.size <= 4,
+      s"compiled ${80 - refusedSeeds.size}/80 — generator/compiler subset " +
         s"drift; refused seeds: $refusedSeeds")
   }
 }
