@@ -38,10 +38,30 @@ object Retention {
     * log (last event numbers are global state), then applicable to any
     * slice of it (see EventLogStore.scavengeIncremental, which filters one
     * date partition at a time against one shared bounds table). */
-  def bounds(log: DataFrame, meta: DataFrame, asOf: Column): DataFrame = {
-    val last = log.groupBy(col("stream_id"))
-      .agg(max(col("event_number")).as("_last"))
-    last.join(meta, Seq("stream_id"), "left")
+  def bounds(log: DataFrame, meta: DataFrame, asOf: Column): DataFrame =
+    boundsFromLasts(
+      log.groupBy(col("stream_id")).agg(max(col("event_number")).as("_last")),
+      meta, asOf)
+
+  /** [[bounds]] over a PRECOMPUTED per-stream last-event-number table
+    * `(stream_id, _last[, _tombstoned])` — the incremental-stats fast
+    * path: EventLogStore maintains exactly this table at append time, so
+    * a subscription or retained read derives its bounds from one small
+    * point table plus the metastream rows, never aggregating the event
+    * log itself (the substitution scavengeIncremental already makes for
+    * its own bounds). An optional `_tombstoned` column ORs into the
+    * deleted flag alongside the metadata-derived one. */
+  def boundsFromLasts(lasts: DataFrame, meta: DataFrame, asOf: Column): DataFrame = {
+    val withTomb =
+      if (lasts.columns.contains("_tombstoned")) lasts
+      else lasts.withColumn("_tombstoned", lit(false))
+    // metadataFromMetastreams carries no tombstoned column (that is the
+    // point — its callers bring tombstones via `_tombstoned`)
+    val metaTomb: Column =
+      if (meta.columns.contains("tombstoned"))
+        coalesce(col("tombstoned"), lit(false))
+      else lit(false)
+    withTomb.join(meta, Seq("stream_id"), "left")
       .select(
         col("stream_id"),
         greatest(
@@ -52,7 +72,8 @@ object Retention {
         when(col("max_age_sec").isNotNull,
           asOf - make_dt_interval(lit(0), lit(0), lit(0), col("max_age_sec").cast("double"))
         ).as("_cutoff_ts"),
-        (coalesce(col("tombstoned"), lit(false)) ||
+        (metaTomb ||
+          coalesce(col("_tombstoned"), lit(false)) ||
           coalesce(col("truncate_before"), lit(0L)) === DeletedStream).as("_deleted"))
   }
 
@@ -74,17 +95,7 @@ object Retention {
     * metadata event per metastream wins. Tombstones come from
     * `$streamDeleted` events in the base stream. */
   def metadataFromLog(log: DataFrame): DataFrame = {
-    val metaRows = log.where(col("stream_id").startsWith("$$"))
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("stream_id")).orderBy(col("event_number").desc)))
-      .where(col("_rn") === 1)
-      .select(
-        expr("substring(stream_id, 3)").as("stream_id"),
-        get_json_object(col("data"), "$.$maxCount").cast("long").as("max_count"),
-        get_json_object(col("data"), "$.$maxAge").cast("long").as("max_age_sec"),
-        get_json_object(col("data"), "$.$tb").cast("long").as("truncate_before"),
-        coalesce(get_json_object(col("data"), "$.$tmp").cast("boolean"), lit(false)).as("temp"))
+    val metaRows = metadataFromMetastreams(log)
     val tombstones = log
       .where(col("event_type") === graft.model.EventEnvelope.StreamDeletedEventType)
       .select(col("stream_id")).distinct()
@@ -97,4 +108,23 @@ object Retention {
         // a read-time one, so applyRetention/bounds ignore it
         coalesce(col("temp"), lit(false)).as("temp"))
   }
+
+  /** The metastream-derived half of [[metadataFromLog]] — WITHOUT the
+    * tombstone scan over the base log (tombstoned = false throughout).
+    * Callers that already know tombstone state from a stats table
+    * (EventLogStore.retentionBounds) pair this with
+    * [[boundsFromLasts]]' `_tombstoned` column, and the `$$`-prefix
+    * filter pushes to the parquet scan as a StringStartsWith. */
+  def metadataFromMetastreams(log: DataFrame): DataFrame =
+    log.where(col("stream_id").startsWith("$$"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stream_id")).orderBy(col("event_number").desc)))
+      .where(col("_rn") === 1)
+      .select(
+        expr("substring(stream_id, 3)").as("stream_id"),
+        get_json_object(col("data"), "$.$maxCount").cast("long").as("max_count"),
+        get_json_object(col("data"), "$.$maxAge").cast("long").as("max_age_sec"),
+        get_json_object(col("data"), "$.$tb").cast("long").as("truncate_before"),
+        coalesce(get_json_object(col("data"), "$.$tmp").cast("boolean"), lit(false)).as("temp"))
 }

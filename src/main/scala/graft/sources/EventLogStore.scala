@@ -220,13 +220,40 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     "parquet.bloom.filter.enabled#event_id" -> "true")
 
   /** The log with read-time retention applied (metastreams + tombstones
-    * honored) — what a reference reader sees. */
-  def readRetained(asOf: Column = current_timestamp()): DataFrame = {
-    val log = read()
-    val meta = graft.operators.Retention.metadataFromLog(log)
-    graft.operators.Retention.applyRetention(
-      log.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix)), meta, asOf)
+    * honored) — what a reference reader sees. Bounds come from
+    * [[retentionBounds]] — the stats fast path — not a log aggregation. */
+  def readRetained(asOf: Column = current_timestamp()): DataFrame =
+    graft.operators.Retention.applyBounds(
+      read().where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix)),
+      retentionBounds(asOf))
+
+  /** Per-stream retention bounds from the INCREMENTAL stats table — the
+    * read/subscription fast path: one point table (last event numbers +
+    * tombstone flags, maintained transactionally at append) joined with
+    * the metastream rows (a `$$`-prefix scan that pushes down), so the
+    * event log is never aggregated to learn its own bounds. */
+  def retentionBounds(asOf: Column = current_timestamp()): DataFrame = {
+    ensureStats()
+    // the stats table also carries metastream rows ($$x appends maintain
+    // them like any stream) — bounds are for DATA streams only
+    val lasts = statsLatest()
+      .where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix))
+      .select(col("stream_id"),
+        col("last_event_number").as("_last"), col("tombstoned").as("_tombstoned"))
+    graft.operators.Retention.boundsFromLasts(lasts,
+      graft.operators.Retention.metadataFromMetastreams(
+        if (exists) read() else lasts.limit(0)
+          .select(col("stream_id"), lit(0L).as("event_number"),
+            lit(null).cast("string").as("data"))), asOf)
   }
+
+  /** SUB2 + R1 from this store: retained `$all` subscription whose bounds
+    * come from [[retentionBounds]] (the stats fast path) instead of
+    * Subscriptions' standalone full-log derivation. */
+  def subscribeAllRetained(filter: Column = lit(true), fromPosition: Long = -1L,
+      asOf: Column = current_timestamp()): DataFrame =
+    graft.streaming.Subscriptions.subscribeAllRetained(spark, logDir, filter,
+      fromPosition, asOf, boundsOverride = Some(retentionBounds(asOf)))
 
   // ---------------------------------------------------------------- stats
 

@@ -148,15 +148,20 @@ object Subscriptions {
     * substitution scavengeIncremental makes). */
   def subscribeAllRetained(spark: SparkSession, logDir: String,
       filter: Column = lit(true), fromPosition: Long = -1L,
-      asOf: Column = current_timestamp()): DataFrame = {
+      asOf: Column = current_timestamp(),
+      boundsOverride: Option[DataFrame] = None): DataFrame = {
     val noMeta = !col("stream_id").startsWith(EventEnvelope.MetastreamPrefix)
     val base = subscribeAll(spark, logDir, filter && noMeta, fromPosition)
-    historyOpt(spark, logDir) match {
+    val bounds = boundsOverride.orElse(historyOpt(spark, logDir).map { log =>
+      // standalone derivation from the raw log; an EventLogStore caller
+      // passes its stats-table bounds instead (store.subscribeAllRetained)
+      graft.operators.Retention.bounds(
+        log.where(noMeta), graft.operators.Retention.metadataFromLog(log), asOf)
+    })
+    bounds match {
       case None => base
-      case Some(log) =>
-        val bounds = graft.operators.Retention.bounds(
-          log.where(noMeta), graft.operators.Retention.metadataFromLog(log), asOf)
-        base.join(broadcast(bounds), Seq("stream_id"), "left")
+      case Some(b) =>
+        base.join(broadcast(b), Seq("stream_id"), "left")
           .where(graft.operators.Retention.keepCondition)
           .drop("_min_event_number", "_cutoff_ts", "_deleted")
     }

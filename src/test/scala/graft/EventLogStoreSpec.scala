@@ -277,6 +277,21 @@ class EventLogStoreSpec extends SparkTestBase {
     assert(store.getMetadata("b-1").truncate_before == Some(1L))
     store.tombstone("c-1")
     assert(store.getMetadata("c-1").tombstoned)
+    // the stats-table bounds fast path equals the full-log derivation
+    // (fold in everything above: maxCount metadata, soft delete's $tb,
+    // a tombstone, plus a multi-event stream)
+    store.append(Seq(pe("a-1", "e5"), pe("a-1", "e6"), pe("a-1", "e7")))
+    val asOf = org.apache.spark.sql.functions
+      .lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+    val log = store.read()
+    val fromLog = graft.operators.Retention.bounds(
+        log.where(!org.apache.spark.sql.functions.col("stream_id").startsWith("$$")),
+        graft.operators.Retention.metadataFromLog(log), asOf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3))).toSet
+    val fromStats = store.retentionBounds(asOf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(fromStats == fromLog,
+      s"stats bounds $fromStats must equal log bounds $fromLog")
   }
 
   test("append crash between log and stats writes is reconciled on reopen") {

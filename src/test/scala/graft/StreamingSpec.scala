@@ -123,6 +123,14 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
     assert(got == Set(("cap-1", 4L), ("cap-1", 5L),
       ("free-1", 0L), ("free-1", 1L), ("free-1", 2L)))
+    // the store's stats-table fast path produces the same subscription
+    val q3 = store.subscribeAllRetained()
+      .writeStream.format("memory").queryName("retall2")
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(60000)
+    val gotStats = spark.sql("SELECT stream_id, event_number FROM retall2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotStats == batch, "stats-derived bounds must match the log-derived ones")
   }
 
   test("SUB1: catch-up then live — a second append is picked up by the next trigger") {
