@@ -89,6 +89,16 @@ object AnalyticsQueries extends QueryModule {
     Dedup.substringDupRemove(exactCorpus(s, d), k = 8, "text", "id")
       .orderBy(col("id"))
 
+  /** Length-thresholded removal (the paper's >= minLen semantics via
+    * chained-window stitching): the verbatim doc copies (long duplicated
+    * spans) are fully excised exactly as in dedup_substring_remove, while
+    * organic short 8-gram repeats now SURVIVE — only runs of consecutive
+    * duplicated windows covering >= 20 tokens are cut. */
+  private def substringSpansQ(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDupRemoveSpans(exactCorpus(s, d), k = 8, minLen = 20,
+      "text", "id")
+      .orderBy(col("id"))
+
   private def dedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(nearCorpus(s, d), 0.5, "text", "id", maxDocFreq = 64)
       .orderBy(col("id_a"), col("id_b"))
@@ -257,6 +267,7 @@ object AnalyticsQueries extends QueryModule {
     "dedup_bloom_incremental" -> (bloomIncrementalQ _),
     "dedup_substring" -> (substringDupQ _),
     "dedup_substring_remove" -> (substringRemoveQ _),
+    "dedup_substring_spans" -> (substringSpansQ _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash_signatures" -> (minhashSig _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -554,6 +565,34 @@ object AnalyticsQueries extends QueryModule {
         |cov AS (SELECT DISTINCT id, p FROM (
         |  SELECT id, unnest(range(i, i + 8)) AS p FROM wins
         |  WHERE h IN (SELECT h FROM duph))),
+        |covagg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY id),
+        |tokpos AS (SELECT id, p, w[CAST(p AS INT)] AS tok
+        |           FROM (SELECT id, w, unnest(range(1, len(w) + 1)) AS p FROM toks)),
+        |keptagg AS (SELECT tokpos.id, string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |            FROM tokpos ANTI JOIN cov ON cov.id = tokpos.id AND cov.p = tokpos.p
+        |            GROUP BY tokpos.id)
+        |SELECT t.id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |       coalesce(covagg.n_removed, 0) AS n_removed,
+        |       coalesce(keptagg.text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN covagg ON covagg.id = t.id
+        |            LEFT JOIN keptagg ON keptagg.id = t.id
+        |ORDER BY t.id""".stripMargin,
+    "dedup_substring_spans" ->
+      s"""WITH $exactCorpusSql,
+        |toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+        |wins AS (
+        |  SELECT id, gs AS i, md5(array_to_string(list_slice(w, gs, gs + 7), ' ')) AS h
+        |  FROM (SELECT id, w, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS gs
+        |        FROM toks)),
+        |duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |dstart AS (SELECT id, i FROM wins WHERE h IN (SELECT h FROM duph)),
+        |runs AS (
+        |  SELECT id, min(i) AS s, max(i) AS e FROM (
+        |    SELECT id, i, i - row_number() OVER (PARTITION BY id ORDER BY i) AS island
+        |    FROM dstart)
+        |  GROUP BY id, island HAVING max(i) - min(i) + 8 >= 20),
+        |cov AS (SELECT DISTINCT id, p FROM (
+        |  SELECT id, unnest(range(s, e + 8)) AS p FROM runs)),
         |covagg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY id),
         |tokpos AS (SELECT id, p, w[CAST(p AS INT)] AS tok
         |           FROM (SELECT id, w, unnest(range(1, len(w) + 1)) AS p FROM toks)),

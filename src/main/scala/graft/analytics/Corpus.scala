@@ -557,19 +557,32 @@ object Corpus {
     * unusable once a realistic train sample yields 10^5+ bigrams). The
     * document text never shuffles: the only wide op is re-aggregating
     * tiny (id, -ln p) rows per doc, with map-side partial aggregation.
-    * The tercile split is a window over one (id, score) pair per doc; at
-    * extreme doc counts swap it for cutoffs estimated on a score sample,
-    * exactly as CCNet does. */
+    * The tercile split is TWO-PASS: exact `percentile` CUTOFFS first (a
+    * tree-wise aggregate whose buffer is bounded by DISTINCT 6-dp
+    * scores, not doc count), then a broadcast flag per row — never a
+    * global unpartitioned Window, which would sort one (id, score) row
+    * per doc on a SINGLE task (tens of GB at 10⁹ docs). Buckets are
+    * VALUE-based: docs tied exactly at a cutoff share the lower
+    * bucket. */
   def perplexityScore(docs: DataFrame, train: DataFrame, vocab: Int = 2000,
       lambda: Double = 0.9, alpha: Double = 1.0,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val scored = perplexityScores(docs, train, vocab, lambda, alpha,
       textCol, idCol)
-    val terciles = org.apache.spark.sql.expressions.Window
-      .orderBy(col("log_ppl").asc, col("id").asc)
-    scored.select(col("id"), col("n_tokens"), col("log_ppl"),
-      element_at(lit(Array("head", "middle", "tail")),
-        ntile(3).over(terciles)).as("bucket"))
+    // cutoffs rounded to 6 dp so both engines bucket rows against the
+    // same literal (interpolated quantiles land ≥ gap/3 away from either
+    // neighbouring 6-dp score, so ulp-level engine drift cannot cross a
+    // rounding boundary). The scoring subtree is evaluated twice — once
+    // for cutoffs, once for flags — a deliberate 2× constant over a
+    // persist the caller couldn't unpersist.
+    val cuts = scored.agg(
+      round(percentile(col("log_ppl"), lit(1.0 / 3)), 6).as("_c1"),
+      round(percentile(col("log_ppl"), lit(2.0 / 3)), 6).as("_c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("id"), col("n_tokens"), col("log_ppl"),
+        when(col("log_ppl") <= col("_c1"), lit("head"))
+          .when(col("log_ppl") <= col("_c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 
   /** [[perplexityScore]] minus the tercile bucketing: (id, n_tokens,
@@ -680,8 +693,13 @@ object Corpus {
     * (map-side combined — B buckets, not vocabulary-sized); they ship as
     * two broadcast maps on one row and scoring is a single stateless
     * pass over the corpus — no join, no shuffle of the text. The
-    * quartile flag is a window over one (id, weight) pair per doc; at
-    * extreme doc counts swap it for a sampled weight cutoff. */
+    * quartile flag is TWO-PASS: an exact `percentile` CUTOFF (tree-wise
+    * aggregate, buffer bounded by distinct 6-dp weights) broadcast back
+    * as a per-row comparison — never a global unpartitioned Window
+    * (single-task sort of one row per doc). The comparison is STRICT:
+    * docs tied exactly at the cutoff drop out, so the selection stays
+    * bounded at ~a quarter of the corpus even when a huge tied mass
+    * sits at the boundary (a `>=` rule would flood the gate). */
   def importanceWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
       textCol: String = "text", idCol: String = "doc_id",
       referenceOverride: Option[DataFrame] = None): DataFrame = {
@@ -740,9 +758,13 @@ object Corpus {
               (col("_nt") + lit(buckets.toDouble))) -
              log((element_at(col("_rm"), b.cast("int") + 1) + lit(1.0)) /
               (col("_nr") + lit(buckets.toDouble))))), 6).as("log_weight"))
-    val quartiles = org.apache.spark.sql.expressions.Window
-      .orderBy(col("log_weight").desc, col("id").asc)
-    scored.select(col("id"), col("n_features"), col("log_weight"),
-      (ntile(4).over(quartiles) === 1).as("selected"))
+    // top-quartile cutoff, rounded to 6 dp for cross-engine comparison
+    // stability (same argument as perplexityScore's terciles); the
+    // scoring subtree runs twice — cutoff pass + flag pass
+    val cut = scored.agg(
+      round(percentile(col("log_weight"), lit(0.75)), 6).as("_c75"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("id"), col("n_features"), col("log_weight"),
+        (col("log_weight") > col("_c75")).as("selected"))
   }
 }

@@ -349,10 +349,11 @@ object CorpusQueries extends QueryModule {
         |  CROSS JOIN m),
         |lw AS (SELECT id, CAST(count(*) AS INT) AS n_features,
         |              round(sum(s), 6) AS log_weight
-        |       FROM scored GROUP BY 1)
+        |       FROM scored GROUP BY 1),
+        |cut AS (SELECT round(quantile_cont(log_weight, 0.75), 6) AS c75 FROM lw)
         |SELECT id, n_features, log_weight,
-        |  ntile(4) OVER (ORDER BY log_weight DESC, id) = 1 AS selected
-        |FROM lw ORDER BY id""".stripMargin,
+        |  log_weight > cut.c75 AS selected
+        |FROM lw, cut ORDER BY id""".stripMargin,
     // mirrors Corpus.perplexityScore expression for expression: top-2000
     // vocab (count DESC, word), UNK = chr(2)||'unk', p = 0.9·p_bi +
     // (1−0.9)·add-1-smoothed p_uni, log_ppl = sum(−ln p)/n_bigrams
@@ -393,11 +394,13 @@ object CorpusQueries extends QueryModule {
         |lp AS (
         |  SELECT id, CAST(count(*) + 1 AS INT) AS n_tokens,
         |         round(sum(-ln(p)) / count(*), 6) AS log_ppl
-        |  FROM scored GROUP BY 1)
+        |  FROM scored GROUP BY 1),
+        |cuts AS (SELECT round(quantile_cont(log_ppl, CAST(1 AS DOUBLE)/3), 6) AS c1,
+        |                round(quantile_cont(log_ppl, CAST(2 AS DOUBLE)/3), 6) AS c2 FROM lp)
         |SELECT id, n_tokens, log_ppl,
-        |  CASE ntile(3) OVER (ORDER BY log_ppl, id)
-        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM lp ORDER BY id""".stripMargin,
+        |  CASE WHEN log_ppl <= cuts.c1 THEN 'head'
+        |       WHEN log_ppl <= cuts.c2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM lp, cuts ORDER BY id""".stripMargin,
     "text_rarity" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,

@@ -487,6 +487,72 @@ object Dedup {
           .as("text_clean"))
   }
 
+  /** Duplicated-substring removal at the paper's LENGTH THRESHOLD —
+    * the semantics Lee et al. 2021 actually run with their suffix array
+    * (remove duplicated substrings of >= `minLen` tokens), approximated
+    * distributively by CHAINED-WINDOW STITCHING: a span is excised only
+    * when it is covered by a maximal run of CONSECUTIVE corpus-duplicated
+    * k-windows at least `minLen` tokens long. A genuinely duplicated
+    * span of m >= minLen tokens makes all its m−k+1 window starts
+    * duplicated and consecutive, so it is always fully excised (no
+    * false negatives vs the suffix-array form); an isolated duplicated
+    * k-gram spans only k < minLen tokens and survives — the
+    * over-removal [[substringDupRemove]]'s fixed-k form pays is gone.
+    * The one approximation left is the chimera case: consecutive
+    * windows each duplicated AGAINST DIFFERENT sources stitch into one
+    * run and may remove a composite span no single source duplicates —
+    * the conservative (over-removal) direction for a training-data
+    * cleaner.
+    *
+    * Scale shape: identical single-pass census as
+    * [[substringDupRemove]]; the stitching adds one window partitioned
+    * BY DOCUMENT (gaps-and-islands over duplicated start positions —
+    * bounded by tokens per doc, never global) and the span filter drops
+    * short runs before any position explode, so the explode cost is
+    * bounded by genuinely-long duplication, typically far below the
+    * fixed-k coverage. Returns (id, n_tokens, n_removed, text_clean). */
+  def substringDupRemoveSpans(docs: DataFrame, k: Int = 8, minLen: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minLen >= k, s"minLen=$minLen must be >= k=$k")
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    // same let-bound window build as substringDupRemove (see there for
+    // the inlining trap) and the same count-over-window census
+    val wins = docs.select(col(idCol).as("id"),
+      bindOnce(tokens(col(textCol)), { w =>
+        when(size(w) >= k,
+          transform(sequence(lit(1), size(w) - (k - 1)),
+            i => struct(i.as("i"), winKey(slice(w, i, lit(k))).as("h"))))
+          .otherwise(array().cast(s"array<struct<i:int,h:$winKeyType>>"))
+      }).as("ws"))
+      .select(col("id"), explode(col("ws")).as("x"))
+      .select(col("id"), col("x.i").as("i"), col("x.h").as("h"))
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val dupStarts = wins
+      .withColumn("cnt", count(lit(1)).over(byH))
+      .where(col("cnt") > 1)
+      .select(col("id"), col("i"))
+    // gaps-and-islands per doc: consecutive duplicated starts share
+    // (i - row_number); a run [s..e] covers tokens [s, e+k-1], i.e. a
+    // span of e-s+k tokens
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("i"))
+    val covered = dupStarts
+      .withColumn("island", col("i") - row_number().over(byDoc))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("i")).as("s"), max(col("i")).as("e"))
+      .where(col("e") - col("s") + k >= minLen)
+      .select(col("id"), explode(sequence(col("s"), col("e") + (k - 1))).as("p"))
+      .groupBy(col("id")).agg(collect_set(col("p")).as("cov"))
+    toks.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        when(col("cov").isNull, array_join(col("w"), " "))
+          .otherwise(array_join(
+            filter(col("w"), (t, i) => !array_contains(col("cov"), i + 1)), " "))
+          .as("text_clean"))
+  }
+
   /** SimHash (60-bit): per bit position, sum +1/-1 over distinct token
     * hashes; the sign of each sum sets the bit. Folded per-row over the
     * token-hash array (no explode). Returns (id, simhash). */
@@ -662,20 +728,35 @@ object Dedup {
     * "anti-join the batch against a petabyte corpus" into "broadcast ~1
     * byte/doc + anti-join a few percent of the batch". The result is
     * EXACT for any fpp: false positives are re-checked, false negatives
-    * are impossible. */
+    * are impossible.
+    *
+    * The bloom only pays for itself while it fits the driver and the
+    * executors: at fpp=0.03 it costs ~0.63 bytes per existing doc, so
+    * 10¹⁰ docs would be a ~6 GB broadcast — an OOM, built silently.
+    * Past `maxBloomDocs` (default 10⁹ ≈ 630 MB) the op therefore falls
+    * back to the plain distributed anti-join on the fingerprint — the
+    * shuffle the bloom exists to avoid, but the only exact shape that
+    * needs no driver-side structure. Both paths return identical rows. */
   def incrementalNew(existing: DataFrame, incoming: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      fpp: Double = 0.03): DataFrame = {
+      fpp: Double = 0.03, maxBloomDocs: Long = 1000000000L): DataFrame = {
     val exFp = existing.select(fingerprint(col(textCol)).as("fp"))
-    val bloom = exFp.stat.bloomFilter("fp", math.max(exFp.count(), 64L), fpp)
-    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
-    val inFp = incoming
-      .withColumn("fp", fingerprint(col(textCol)))
-      .withColumn("might", mightContain(col("fp")))
-    val definitelyNew = inFp.where(!col("might"))
-    val verifiedNew = inFp.where(col("might"))
-      .join(exFp.distinct(), Seq("fp"), "left_anti")
-    definitelyNew.unionByName(verifiedNew).drop("fp", "might")
+    val nExisting = exFp.count()
+    if (nExisting > maxBloomDocs) {
+      incoming.withColumn("fp", fingerprint(col(textCol)))
+        .join(exFp.distinct(), Seq("fp"), "left_anti")
+        .drop("fp")
+    } else {
+      val bloom = exFp.stat.bloomFilter("fp", math.max(nExisting, 64L), fpp)
+      val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+      val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+      val inFp = incoming
+        .withColumn("fp", fingerprint(col(textCol)))
+        .withColumn("might", mightContain(col("fp")))
+      val definitelyNew = inFp.where(!col("might"))
+      val verifiedNew = inFp.where(col("might"))
+        .join(exFp.distinct(), Seq("fp"), "left_anti")
+      definitelyNew.unionByName(verifiedNew).drop("fp", "might")
+    }
   }
 }

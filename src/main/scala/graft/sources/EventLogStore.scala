@@ -276,7 +276,16 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir)
   }
 
-  /** Latest stats row per stream (LSM read path: last delta wins). */
+  /** Latest stats row per stream (LSM read path: last delta wins).
+    *
+    * Shape at scale: a per-stream window over the STATS table only — one
+    * shuffle of d·N delta rows (d = deltas since last compaction, N =
+    * streams), never the log. `tools/RetentionBoundsProbe` measured this
+    * at 1M/5M streams against both the full-log aggregation it replaces
+    * and a struct-max aggregation alternative; the window form ties or
+    * wins (per-group sort of d≈3 rows is trivial, and the struct-max's
+    * partial combine buys nothing when a stream's deltas are scattered
+    * across input files). Numbers in BASELINE.md. */
   private def statsLatest(): DataFrame = {
     if (!statsExists)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], statsSchema)

@@ -40,7 +40,8 @@ object ScaleProbe {
   private val probeQueries = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs",
     "dedup_winnow_pairs", "dedup_components", "dedup_semantic", "dedup_lines",
-    "dedup_substring", "dedup_substring_remove", "vocab_heavy_hitters",
+    "dedup_substring", "dedup_substring_remove", "dedup_substring_spans",
+    "vocab_heavy_hitters",
     "quality_gopher", "sample_temperature", "corpus_summary",
     "emb_quantize_sq8", "ann_sq8_topk", "js_early_return",
     "js_nested_state", "js_string_accum", "attribution_linear",

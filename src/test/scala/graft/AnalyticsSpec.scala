@@ -50,6 +50,71 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalNew bloom-size gate: past maxBloomDocs the op falls back " +
+    "to the plain anti-join — same rows, no driver-built bloom in the plan") {
+    val s = spark; import s.implicits._
+    val existing = (0L until 40L).map(i => (i, s"historical doc number $i body"))
+      .toDF("doc_id", "text")
+    val incoming = ((100L until 110L).map(i => (i, s"fresh doc $i")) ++
+      (0L until 5L).map(i => (1000L + i, s"historical doc number $i body")))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBloom = Dedup.incrementalNew(existing, incoming)
+    val viaAnti = Dedup.incrementalNew(existing, incoming, maxBloomDocs = 0L)
+    assert(ids(viaBloom) == (100L until 110L).toSet)
+    assert(ids(viaAnti) == ids(viaBloom), "fallback must return identical rows")
+    // the trigger is real: only the bloom path carries the mightContain
+    // UDF (asserted on the ANALYZED plan — ConvertToLocalRelation folds
+    // the filter into a LocalTableScan for these in-memory inputs)
+    assert(viaBloom.queryExecution.analyzed.toString.contains("UDF"))
+    assert(!viaAnti.queryExecution.analyzed.toString.contains("UDF"),
+      "past the gate no bloom (and no UDF filter) may be built")
+  }
+
+  test("LSH auto-sizing: planes grow with corpus size (clamped); banded " +
+    "tables hold the recall that raised planes alone lose") {
+    val s = spark; import s.implicits._
+    // the sizing rule itself: fixed at small N, ~log2(N/target) at scale
+    assert(Similarity.autoPlanes(10000L) == 8)
+    assert(Similarity.autoPlanes(1000000000L) == 18)
+    assert(Similarity.autoPlanes(Long.MaxValue) == 30)
+    assert(Similarity.autoPlanes(0L) == 8)
+
+    // planted corpus: n bases + n near-dups (i, i+n) at sim ~0.9988
+    def corpus(n: Int) = {
+      val dims = 16
+      ((0 until n).map(i => (i.toLong,
+        Array.tabulate(dims)(d => math.sin(i * dims + d + 1).toFloat))) ++
+       (0 until n).map(i => ((i + n).toLong,
+        Array.tabulate(dims)(d => (math.sin(i * dims + d + 1) +
+          0.05 * math.sin(i * 31 + d * 7)).toFloat))))
+        .toDF("vec_id", "embedding")
+    }
+    def recall(df: org.apache.spark.sql.DataFrame, n: Int): Double = {
+      val got = df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0 until n).count(i => got((i.toLong, (i + n).toLong))).toDouble / n
+    }
+    for (n <- Seq(150, 1500)) {
+      val c = corpus(n)
+      val planes = Similarity.autoPlanes(2L * n, targetBucket = 4L)
+      val single = recall(
+        Similarity.lshNearDupPairsBanded(c, 0.99, planes, tables = 1), n)
+      val banded = recall(
+        Similarity.lshNearDupPairsBanded(c, 0.99, planes, tables = 4), n)
+      assert(banded >= 0.98, s"n=$n planes=$planes banded recall $banded")
+      assert(banded >= single, s"n=$n: banding lost recall ($banded < $single)")
+      if (n == 1500) // the grown plane count visibly costs a lone table
+        assert(single < 0.95, s"n=$n planes=$planes single-table recall $single")
+    }
+    // the auto default dispatches to the banded form and stays exact on
+    // the re-rank: every returned pair really is above threshold
+    val auto = Similarity.lshNearDupPairs(corpus(150), 0.99)
+    assert(auto.where(col("sim") < 0.99).count() == 0)
+    assert(recall(auto, 150) >= 0.98)
+  }
+
   test("minhash-LSH recovers the same dup pairs as exact Jaccard here") {
     val pairs = Dedup.minhashLshPairs(docs, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -470,6 +535,38 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out(3L) == ((4L, 0L, "z1 z2 z3 z4")))
     assert(out(4L) == ((8L, 8L, "")))
     assert(out(5L) == ((2L, 0L, "short doc")))
+  }
+
+  test("substringDupRemoveSpans: only duplicated spans >= minLen are excised; " +
+    "isolated k-gram repeats survive where the fixed-k form removes them") {
+    val s = spark; import s.implicits._
+    val longSpan = (1 to 14).map(i => s"L$i").mkString(" ")   // 14 shared tokens
+    val exactSpan = (1 to 12).map(i => s"M$i").mkString(" ")  // exactly minLen
+    val shortSpan = (1 to 8).map(i => s"S$i").mkString(" ")   // one dup window
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $longSpan b1 b2 b3"),
+      (2L, s"c1 c2 c3 $longSpan d1 d2 d3"),
+      (3L, s"e1 e2 e3 $shortSpan f1 f2"),
+      (4L, s"g1 g2 $shortSpan h1 h2"),
+      (5L, s"p1 $exactSpan p2"),
+      (6L, s"q1 $exactSpan q2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupRemoveSpans(docs, k = 8, minLen = 12)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // 14-token span: above threshold, fully excised from both docs
+    assert(out(1L) == ((14L, "a1 a2 a3 b1 b2 b3")))
+    assert(out(2L) == ((14L, "c1 c2 c3 d1 d2 d3")))
+    // 8-token repeat: below threshold, SURVIVES here...
+    assert(out(3L) == ((0L, s"e1 e2 e3 $shortSpan f1 f2")))
+    assert(out(4L) == ((0L, s"g1 g2 $shortSpan h1 h2")))
+    // ...but the fixed-k form removes it — the semantic gap being closed
+    val fixedK = Dedup.substringDupRemove(docs, k = 8).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixedK(3L) == 8L && fixedK(4L) == 8L)
+    // boundary: a span of exactly minLen tokens is excised
+    assert(out(5L) == ((12L, "p1 p2")))
+    assert(out(6L) == ((12L, "q1 q2")))
   }
 
   test("sq8: codes bounded, min/max hit the rails, constant dims code 0, " +

@@ -331,5 +331,13 @@ class CorpusSpec extends SparkTestBase {
     // quartile flag covers ~25% of scored docs
     val nSel = out.values.count(_._2)
     assert(nSel >= 1 && nSel <= out.size / 2)
+    // tie rule: when EVERY doc scores identically the 75th-percentile
+    // cutoff equals that score and the strict comparison selects none —
+    // a >= rule would select the whole corpus through the gate
+    val same = (0L until 8L).map(i => (i, "machine learning text"))
+      .toDF("doc_id", "text")
+    val tied = Corpus.importanceWeights(same, target, buckets = 512).collect()
+    assert(tied.length == 8 && tied.forall(!_.getBoolean(3)),
+      "an all-tied corpus must select nothing, not everything")
   }
 }
