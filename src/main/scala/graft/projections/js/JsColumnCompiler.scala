@@ -68,6 +68,10 @@ private[js] object JsColumnCompiler {
 
   /** Working name of the partition-key column inside the compiled plan. */
   private val KeyCol = "__graft_js_k"
+  /** Prefix of the per-field PRE-EVENT state columns (running sum over
+    * the fold-order-preceding rows of the partition) that compiled
+    * state reads resolve to; the build adds one per read field. */
+  private val PreColPrefix = "__graft_jspre_"
   /** 2^53 — beyond it integral doubles lose exactness; the compiled
     * render raises rather than silently diverging from ES. */
   private val MaxExact = 9007199254740992L
@@ -92,7 +96,13 @@ private[js] object JsColumnCompiler {
         * mirrors the interpreter streaming path, which folds the caller's
         * stream as given (the subscription supplies the slice). */
       selector: Column,
-      build: DataFrame => DataFrame)
+      build: DataFrame => DataFrame,
+      /** True when the build adds pre-state running-sum WINDOW columns
+        * (compiled `if (s.count === 0)`-style reads): windows neither
+        * run on streaming DataFrames nor see prior micro-batches'
+        * state, so fastStatesStream must refuse such plans (the
+        * interpreter's state-store path keeps streaming exact). */
+      usesPreState: Boolean = false)
 
   // ------------------------------------------------- typed column model
 
@@ -241,7 +251,20 @@ private[js] object JsColumnCompiler {
       val stateParam: Option[String],
       val stateEnv: Map[String, TC] = null,
       val lets: mutable.LinkedHashMap[String, Column] =
-        mutable.LinkedHashMap.empty) {
+        mutable.LinkedHashMap.empty,
+      /** Non-null ONLY while compiling states()-fold handlers: fields the
+        * handler READS from pre-event state (`if (s.count === 0) …`),
+        * compiled to running-sum window columns the build adds. null
+        * everywhere else (transform chains resolve state via stateEnv;
+        * the emitted() compile must stay state-free). */
+      val foldStateReads: mutable.Set[String] = null) {
+    /** Fields a statement already mutated EARLIER in this handler walk:
+      * a pre-state read compiled after a same-handler mutation of the
+      * same field would see the stale pre-event value where the
+      * interpreter sees the mutated one — those reads refuse. Statement
+      * order is exactly walk order (conditions compile before bodies, so
+      * `if (s.count === 0) { s.count += 1 }` reads legally). */
+    val foldMutated: mutable.Set[String] = mutable.Set.empty
     /** Set while compiling the body of a `try` — expression forms whose
       * runtime errors CANNOT ride the err channel (regex budget guards
       * throw from inside codegen'd statics, uncatchably) must refuse to
@@ -600,6 +623,25 @@ private[js] object JsColumnCompiler {
           case Some(tc) if tc.ty == TFrag => None
           case Some(tc) => Some(tc)
           case None => Some(tUndef)
+        }
+      case Ident(n) if ctx.stateParam.contains(n) && !locals.contains(n) &&
+          ctx.foldStateReads != null =>
+        // FOLD-handler PRE-STATE read (`if (s.count === 0) …`, the
+        // ubiquitous first-event guard): compiles to a per-partition
+        // running sum over the fold-order-PRECEDING rows — exactly the
+        // value the interpreter's state holds when this event's handler
+        // starts. The build adds the window column; compile() validates
+        // post-walk that the field is a sum-kind integral field whose own
+        // contributions never read pre-state (no circularity) — anything
+        // else falls the whole definition back. A read AFTER a
+        // same-handler mutation of the field refuses here (the
+        // interpreter would see the mutated value). Exactness: integral
+        // longs, same 2^53 contract as the aggregate itself.
+        if (ctx.foldMutated.contains(p)) None
+        else {
+          ctx.foldStateReads += p
+          ctx.refs += "log_position"
+          Some(TC(col(PreColPrefix + p), TNum(integral = true), NoNull))
         }
       case _ => compileExpr(o, ctx, locals).flatMap { tc =>
         (tc.ty, p) match {
@@ -1756,6 +1798,45 @@ private[js] object JsColumnCompiler {
     inS(st)
   }
 
+  /** State-field paths a statement may ASSIGN, anywhere inside it —
+    * branches, loops, try bodies included. A static overapproximation
+    * (state-param shadowing by nested locals is ignored; assignment
+    * shapes that would refuse to compile still mark), used only to order
+    * pre-state READS before same-handler mutations — an overmark can
+    * only cause a conservative fallback, never a wrong compile. Scans
+    * statement-position assignment shapes, the only ones the compiled
+    * subset accepts. */
+  private def mutatedPathsOf(st: Stmt, ctx: Ctx): Set[String] = {
+    val out = mutable.Set.empty[String]
+    def pathOf(e: Expr): Option[String] = e match {
+      case Member(Ident(s), f) if ctx.stateParam.contains(s) => Some(f)
+      case Member(inner: Member, f) => pathOf(inner).map(_ + PathSep + f)
+      case _ => None
+    }
+    def inE(e: Expr): Unit = e match {
+      case Assign(_, m: Member, _) => pathOf(m).foreach(out += _)
+      case Assign(_, Index(m: Member, _), _) => pathOf(m).foreach(out += _)
+      case Update(_, m: Member, _) => pathOf(m).foreach(out += _)
+      case Call(Member(m: Member, "push"), _) => pathOf(m).foreach(out += _)
+      case _ => ()
+    }
+    def inS(s: Stmt): Unit = s match {
+      case ExprStmt(e) => inE(e)
+      case If(_, t, e) => t.foreach(inS); e.foreach(_.foreach(inS))
+      case While(_, b) => b.foreach(inS)
+      case DoWhile(_, b) => b.foreach(inS)
+      case For(i, _, _, b) => i.foreach(inS); b.foreach(inS)
+      case ForIn(_, _, b) => b.foreach(inS)
+      case TryStmt(b, _, cb, fb) =>
+        b.foreach(inS); cb.foreach(_.foreach(inS)); fb.foreach(_.foreach(inS))
+      case Switch(_, cs) => cs.foreach(_._2.foreach(inS))
+      case FuncDecl(_, _, b) => b.foreach(inS)
+      case _ => ()
+    }
+    inS(st)
+    out.toSet
+  }
+
   /** `raises`: one nullable string column per top-level `throw` site —
     * non-NULL is the message of the uncaught error this event would
     * throw (already guarded; first site in program order wins via
@@ -1767,12 +1848,13 @@ private[js] object JsColumnCompiler {
 
   private def compileHandler(fn: JsVal, cp: CompiledJsProjection,
       partitionCol: Column, refs: mutable.Set[String],
-      lets: mutable.LinkedHashMap[String, Column]): Option[HandlerFold] =
+      lets: mutable.LinkedHashMap[String, Column],
+      stateReads: mutable.Set[String] = null): Option[HandlerFold] =
     fn match {
       case JsFunc(params, body, _) =>
         val ctx = new Ctx(cp, partitionCol, refs,
           envParam = params.lift(1), stateParam = params.headOption,
-          lets = lets)
+          lets = lets, foldStateReads = stateReads)
         walkStmts(body, None, Map.empty, topLevel = true, ctx)
           .map { case (_, fields, emits, raises) =>
             HandlerFold(fields, emits, raises) }
@@ -2017,7 +2099,7 @@ private[js] object JsColumnCompiler {
       true
     }
 
-    for ((st, i) <- stmts.zipWithIndex) st match {
+    for ((st, i) <- stmts.zipWithIndex) { st match {
       // top-level var decls bind at their statement position (later
       // statements see the value; earlier references fall back on the
       // unknown-ident path). Branch-local vars stay interpreted: their
@@ -2376,6 +2458,14 @@ private[js] object JsColumnCompiler {
           ctx.stateParam.contains(s) && !locals.contains(s) => ()
       case _ => return None
     }
+    // pre-state read ordering: fields this statement may have assigned
+    // (anywhere inside it — branches included) are marked so that any
+    // LATER read of them in this handler refuses. Nested walks mark
+    // their statements through the same ctx as they recurse, so the
+    // order is exactly interpreter statement order.
+    if (ctx.foldStateReads != null)
+      ctx.foldMutated ++= mutatedPathsOf(st, ctx)
+    }
     Some((locals, acc.result(), emitAcc.result(), raiseAcc.result()))
   }
 
@@ -2682,17 +2772,23 @@ private[js] object JsColumnCompiler {
     }
 
     // handlers → per-field contribution terms (emit sites are collected
-    // too but do not affect state — compileEmitted consumes those)
+    // too but do not affect state — compileEmitted consumes those).
+    // stateReadsAcc collects pre-state reads across all handlers; the
+    // states() plan is the ONLY consumer that can honor them (the build
+    // adds the running-sum window columns), so only these calls enable
+    // them — compileEmitted keeps the default null and refuses.
     val handlerCtx = col(KeyCol)
+    val stateReadsAcc = mutable.Set.empty[String]
     val typedHandlers: Seq[(String, HandlerFold)] =
       cp.handlersMap.toSeq.map { case (t, fn) =>
-        compileHandler(fn, cp, handlerCtx, refs, lets) match {
+        compileHandler(fn, cp, handlerCtx, refs, lets, stateReadsAcc) match {
           case Some(h) => t -> h
           case None => return None
         }
       }
     val anyHandler: Option[HandlerFold] = cp.anyFnOpt match {
-      case Some(fn) => compileHandler(fn, cp, handlerCtx, refs, lets) match {
+      case Some(fn) => compileHandler(fn, cp, handlerCtx, refs, lets,
+          stateReadsAcc) match {
         case Some(h) => Some(h)
         case None => return None
       }
@@ -2814,6 +2910,14 @@ private[js] object JsColumnCompiler {
     if (fieldKind.valuesIterator.exists(k =>
       k == LastK || k == PushK || k == ConcatK || k == PrependK || isMapK(k)))
       refs += "log_position"
+    // pre-state reads (`if (s.count === 0) …`): only SUM-kind integral
+    // fields are readable — the fold-order running sum is the one
+    // pre-event state the build's window can reconstruct. Reads of
+    // extrema/overwrite/map fields (or of fields $init lacks) fall back.
+    val preReads: Seq[String] = stateReadsAcc.toSeq.sorted
+    if (!preReads.forall(f => assignedSet(f) && fieldKind(f) == SumK))
+      return None
+    if (preReads.nonEmpty) refs += "log_position"
     // final fragment of an overwrite field: the latest executed site's
     // rendered value, else the $init fragment (NULL = key absent)
     def lastFinalFrag(f: String): Column = {
@@ -3240,11 +3344,87 @@ private[js] object JsColumnCompiler {
       (if (keyNullable) Seq(first(col("__graft_keep")).as("__graft_keep")) else Nil)
 
     val letSeq = letBindings(lets)
+
+    // Pre-state-read plumbing. `taintedLets`: interned lets that
+    // reference a pre-state column, directly or through another let
+    // (fixpoint) — those must be bound AFTER the window columns in the
+    // build, while everything else stays ahead of the key (the key and
+    // the window inputs may reference pre-free lets only).
+    // Column references, extracted from the CANONICALIZED tree's print:
+    // a Column's expression is a single ColumnNodeExpression leaf whose
+    // children are sql.internal ColumnNodes, invisible to a catalyst
+    // collect — but the canonical form prints the node tree in full
+    // (the memoKey invariant), so the `UnresolvedAttribute(List(name`
+    // occurrences are exactly the referenced column names. Our working
+    // names (__graft_let_N / __graft_jspre_F) are single-part and
+    // bracket-free, so the regex extraction is lossless for them.
+    val attrRe = "UnresolvedAttribute\\(List\\(([^),]+)[),]".r
+    def attrRefs(c: Column): Set[String] =
+      attrRe.findAllMatchIn(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)
+          .canonicalized.toString)
+        .map(_.group(1)).toSet
+    val taintedLets: Set[String] =
+      if (preReads.isEmpty) Set.empty
+      else {
+        var tainted = Set.empty[String]
+        var grown = true
+        while (grown) {
+          grown = false
+          for ((n, c) <- letSeq if !tainted(n)) {
+            val rs = attrRefs(c)
+            if (rs.exists(r => r.startsWith(PreColPrefix) || tainted(r))) {
+              tainted += n; grown = true
+            }
+          }
+        }
+        tainted
+      }
+    // Circularity gate: a READ field's own per-row contribution must
+    // never itself depend on a pre-state column — directly or through a
+    // tainted let — or the window input would reference the window
+    // output. Other (unread) fields MAY reference pre columns freely:
+    // those references live in agg inputs computed after the windows.
+    if (preReads.nonEmpty) {
+      for (f <- preReads) {
+        val rs = attrRefs(kept(routed(f, sumContrib, lit(0.0)), lit(0.0)))
+        if (rs.exists(r => r.startsWith(PreColPrefix) || taintedLets(r)))
+          return None
+      }
+      // the partition key itself must be pre-free (it compiles before
+      // any handler walk, so this can only trip on pathological reuse)
+      if (attrRefs(keyCol).exists(r => r.startsWith(PreColPrefix) ||
+          taintedLets(r))) return None
+    }
+
     Some(Plan(required, usesTs, selector, (log: DataFrame) => {
-      val df = letSeq.foldLeft(withDefaults(log, required)) {
+      val (letsPre, letsPost) = letSeq.partition { case (n, _) => !taintedLets(n) }
+      val df = letsPre.foldLeft(withDefaults(log, required)) {
         case (d, (n, c)) => d.withColumn(n, c)
       }
-      val keyed = df.withColumn(KeyCol, keyCol)
+      val keyed0 = df.withColumn(KeyCol, keyCol)
+      // pre-state columns: field value the interpreter's state holds as
+      // this event's handler STARTS = $init + running sum of the field's
+      // own contributions over the fold-order-preceding rows of the
+      // partition. One window shuffle on the partition key; the agg
+      // below reuses that partitioning (no second exchange) — the price
+      // is map-side partial aggregation, the same trade the interpreter
+      // path's per-key sort already makes. Integral longs rendered as
+      // doubles: exact below 2^53 like the aggregate itself.
+      val keyedPre = preReads.foldLeft(keyed0) { (d, f) =>
+        val contrib = kept(routed(f, sumContrib, lit(0.0)), lit(0.0))
+          .cast(LongType)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(KeyCol)).orderBy(col("log_position"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        d.withColumn(PreColPrefix + f,
+          (lit(initNum(f).toLong) + coalesce(sum(contrib).over(w), lit(0L)))
+            .cast(DoubleType))
+      }
+      // lets that READ pre-state bind only now, after the windows
+      val keyed = letsPost.foldLeft(keyedPre) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }
       val grouped =
         if (mapFields.nonEmpty) {
           // two-level: level 1 shuffles by (partition, map key) — the
@@ -3269,7 +3449,7 @@ private[js] object JsColumnCompiler {
         if (filterConds.isEmpty) dropNullKey
         else dropNullKey.where(filterConds.reduce(_ && _))
       filtered.select(col(KeyCol).as("partition"), stateOut.as("state"))
-    }))
+    }, usesPreState = preReads.nonEmpty))
   }
 
   /** Compile the emitted() path: every emit/linkTo call site becomes a

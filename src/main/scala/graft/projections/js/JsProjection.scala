@@ -289,7 +289,11 @@ final class JsProjection(val source: String) extends Serializable {
     // streaming path emits raw fold state, so the fast path must too
     if (!enabled || spec.reorderEvents || spec.includeLinks ||
       CompiledJsProjection.get(source).transformsList.nonEmpty) None
-    else CompiledJsProjection.get(source).fastPlan.flatMap { p =>
+    else CompiledJsProjection.get(source).fastPlan.filter(!_.usesPreState)
+      .flatMap { p =>
+      // pre-state reads compile to per-batch window columns — a window
+      // neither runs in a streaming aggregation nor sees earlier
+      // micro-batches' state; the interpreter state-store path stays
       val optional = Set("event_id", "metadata", "link_metadata",
         "resolved_stream_id", "resolved_event_number", "value")
       val have = events.columns.toSet

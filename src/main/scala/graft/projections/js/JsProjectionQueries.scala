@@ -521,6 +521,32 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.trail").as("trail"))
       .orderBy(col("partition"))
 
+  /** Pre-state read guard (r10 compiled shape): the ubiquitous
+    * first-event check — `if (s.count === 0)` routes the first purchase's
+    * cents to one field and every later purchase's to another. Compiles
+    * to a fold-order running-sum window feeding ordinary guarded sums;
+    * no interpreter anywhere in the plan. */
+  private val firstEventSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { count: 0, first_cents: 0, later_cents: 0 } },
+        purchase: function(s, e) {
+            if (s.count === 0) { s.first_cents += Math.round(e.value * 100); }
+            else { s.later_cents += Math.round(e.value * 100); }
+            s.count += 1;
+            return s;
+        }
+    })"""
+
+  private def jsFirstEvent(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(firstEventSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.count").cast("long").as("n"),
+        get_json_object(col("state"), "$.first_cents").cast("long").as("first_cents"),
+        get_json_object(col("state"), "$.later_cents").cast("long").as("later_cents"))
+      .orderBy(col("partition"))
+
   /** Every JS definition this module runs, by name — the handler corpus
     * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
     * == interpreter on each, including the ones that must fall back). */
@@ -528,6 +554,7 @@ fromCategory("purchase")
     "js_string_accum" -> stringAccumSource,
     "js_branch_fold" -> branchFoldSource,
     "js_streams_matching" -> streamsMatchingSource,
+    "js_first_event" -> firstEventSource,
     "js_nested_state" -> nestedStateSource,
     "js_early_return" -> earlyReturnSource,
     "js_array_collect" -> arrayCollectSource,
@@ -566,7 +593,8 @@ fromCategory("purchase")
     "js_nested_state" -> (jsNestedState _),
     "js_string_accum" -> (jsStringAccum _),
     "js_branch_fold" -> (jsBranchFold _),
-    "js_streams_matching" -> (jsStreamsMatching _)
+    "js_streams_matching" -> (jsStreamsMatching _),
+    "js_first_event" -> (jsFirstEvent _)
   )
 
   private val L = Tables.eventLogSql
@@ -595,6 +623,22 @@ fromCategory("purchase")
       |SELECT stream_id AS partition, CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM log WHERE regexp_matches(stream_id, '^purchase-1[0-9]$$')
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // first purchase (by log position) lands in first_cents, the rest in
+    // later_cents; category streams with zero purchase-typed events keep
+    // $init (0/0/0) — the fold runs no handler but the key still folds
+    "js_first_event" -> s"""$L
+      |SELECT stream_id AS partition,
+      |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n,
+      |       CAST(coalesce(CAST(round(arg_min(value, log_position)
+      |         FILTER (WHERE event_type = 'purchase') * 100) AS BIGINT), 0)
+      |         AS BIGINT) AS first_cents,
+      |       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |           FILTER (WHERE event_type = 'purchase'), 0)
+      |         - coalesce(CAST(round(arg_min(value, log_position)
+      |           FILTER (WHERE event_type = 'purchase') * 100) AS BIGINT), 0)
+      |         AS BIGINT) AS later_cents
+      |FROM log WHERE split_part(stream_id, '-', 1) = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin,
     "js_nested_state" -> s"""$L
       |SELECT stream_id AS partition, 'agg' AS kind,

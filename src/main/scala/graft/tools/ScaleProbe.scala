@@ -54,7 +54,7 @@ object ScaleProbe {
     "window_sliding_agg", "sys3_stream_by_category",
     "multimodal_image_real", "multimodal_audio_decode",
     "perplexity_bucket", "dsir_weights", "js_branch_fold",
-    "js_streams_matching")
+    "js_streams_matching", "js_first_event")
 
   private val srcDir = "/root/testdata/sf0.1"
   private val scaleRoot = "/tmp/graft_scale"

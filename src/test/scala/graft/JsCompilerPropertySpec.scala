@@ -162,7 +162,15 @@ class JsCompilerPropertySpec extends SparkTestBase {
     // are outside the compiled subset, so nesting forces chain = ""
     val nested = r.nextInt(3) == 0
     val base = if (nested) "s.g" else "s"
-    val initFields = (kinds.map { case (f, k) =>
+    // pre-state read guards (r10 compiled shape): a third of the FLAT
+    // definitions carry the first-event idiom — a `cnt`-guarded sum
+    // field `pg`, with cnt read BEFORE its unconditional increment at
+    // the handler tail (reads of nested paths stay refused, so nested
+    // definitions skip the idiom to keep the compiled fraction honest)
+    val preState = !nested && r.nextInt(3) == 0
+    val initFields = ((if (preState)
+      Seq(s"cnt: ${r.nextInt(3)}", "pg: 0") else Nil) ++
+      kinds.map { case (f, k) =>
       val v = k match {
         case 'S' => r.nextInt(10).toString
         case 'M' => if (r.nextBoolean()) "-1e308" else "0"
@@ -203,13 +211,26 @@ class JsCompilerPropertySpec extends SparkTestBase {
     def earlyRet: String =
       if (r.nextInt(3) == 0) s"if (${genCond(r, 1)}) { return s; }\n            "
       else ""
+    // the first-event idiom: cnt read (comparison forms varied) guards a
+    // pg sum, then cnt increments unconditionally at the handler tail
+    def preGuard: String =
+      if (!preState) "" else {
+        val cmp = Seq("=== 0", "!== 0", "> 1", "<= 1", "== 2")(r.nextInt(5))
+        val bodyStmt = s"s.pg += ${genIntExpr(r, 1)};"
+        (r.nextInt(3) match {
+          case 0 => s"if (s.cnt $cmp) { $bodyStmt }"
+          case 1 => s"if (s.cnt $cmp) { $bodyStmt } else { s.pg += 1; }"
+          case _ => s"if (s.cnt $cmp && ${genCond(r, 1)}) { $bodyStmt }"
+        }) + "\n            "
+      }
+    def cntInc: String = if (preState) "s.cnt += 1;\n            " else ""
     val typed =
       if (r.nextBoolean())
         s"""
            |        t${1 + r.nextInt(3)}: function(s, e) {
            |            var d = new Date(e.timestamp);
-           |            ${earlyRet}${genStmts(r, kinds, 2, base)}$mapStmt
-           |            return s;
+           |            ${earlyRet}${preGuard}${genStmts(r, kinds, 2, base)}$mapStmt
+           |            ${cntInc}return s;
            |        },""".stripMargin
       else ""
     // transform chains compile over NUMERIC aggregated fields only —
@@ -236,8 +257,8 @@ class JsCompilerPropertySpec extends SparkTestBase {
        |        ${"$"}init: function() { return { $init }; },$typed
        |        ${"$"}any: function(s, e) {
        |            var d = new Date(e.timestamp);
-       |            ${earlyRet}${genStmts(r, kinds, 2, base)}$mapStmt
-       |            return s;
+       |            ${earlyRet}${preGuard}${genStmts(r, kinds, 2, base)}$mapStmt
+       |            ${cntInc}return s;
        |        }
        |    })$chain""".stripMargin
   }

@@ -1100,6 +1100,7 @@ fromCategory("idx")
       "js_string_accum" -> true,
       "js_branch_fold" -> true,
       "js_streams_matching" -> true,
+      "js_first_event" -> true,
       "js_nested_state" -> true,
       "js_early_return" -> true,
       "js_array_collect" -> true,
@@ -1136,6 +1137,88 @@ fromAll()
             $any: function(s, e) { s.n += 1; return s; } })""")
       .states(log).collect().map(_.getString(0)).toSet
     assert(keys == Set("alpha", "12", "1.5", "", "0", "1e+21"))
+  }
+
+  test("column fast path: pre-state read guards — first-event checks and " +
+    "value-position reads compile; order/kind/circularity violations fall back") {
+    val log = hostileLog
+    // the canonical first-event guard (r9 verdict item 8): reads of
+    // s.count BEFORE its increment compile to a fold-order running-sum
+    // window; both branches and the unconditional tail stay exact
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { count: 0, first: 0, later: 0 }; },
+    $any: function(s, e) {
+        if (s.count === 0) { s.first += e.sequenceNumber + 7; }
+        else { s.later += 1; }
+        s.count += 1;
+        return s;
+    } })""", log))
+    // value-position read: acc accumulates the PRE-event count (0+1+…)
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { count: 0, acc: 0 }; },
+    $any: function(s, e) {
+        s.acc += s.count;
+        s.count += 1;
+        return s;
+    } })""", log))
+    // composed with a row predicate: only a first event that is a
+    // purchase sets the flag
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { count: 0, firstIsPurchase: 0 }; },
+    $any: function(s, e) {
+        if (s.count === 0 && e.eventType === 'purchase') { s.firstIsPurchase += 1; }
+        s.count += 1;
+        return s;
+    } })""", log))
+    // a read AFTER a same-handler mutation sees live state the window
+    // cannot reconstruct — must fall back, never silently diverge
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { count: 0, first: 0 }; },
+    $any: function(s, e) {
+        s.count += 1;
+        if (s.count === 1) { s.first += 1; }
+        return s;
+    } })""").compilesToColumns)
+    // reads of non-sum (overwrite) fields fall back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { last: 0, n: 0 }; },
+    $any: function(s, e) {
+        if (s.last === 0) { s.n += 1; }
+        s.last = e.sequenceNumber;
+        return s;
+    } })""").compilesToColumns)
+    // a field whose own delta reads itself is circular — fall back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { count: 1 }; },
+    $any: function(s, e) {
+        s.count += s.count;
+        return s;
+    } })""").compilesToColumns)
+    // streaming: the window neither runs on a stream nor sees earlier
+    // batches — the fast streaming path must refuse pre-state plans
+    // (while still engaging for plain folds)
+    val pre = JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { count: 0, first: 0 }; },
+    $any: function(s, e) {
+        if (s.count === 0) { s.first += 1; }
+        s.count += 1;
+        return s;
+    } })""")
+    assert(pre.compilesToColumns)
+    assert(pre.fastStatesStream(log).isEmpty,
+      "pre-state plans must not take the streaming fast path")
+    val plain = JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { n: 0 }; },
+    $any: function(s, e) { s.n += 1; return s; } })""")
+    assert(plain.fastStatesStream(log).isDefined)
   }
 
   test("column fast path: early returns — filter idiom, pre-return " +
