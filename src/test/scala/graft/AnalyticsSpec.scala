@@ -216,6 +216,39 @@ class AnalyticsSpec extends SparkTestBase {
     assert(perQuery.values.forall(_ <= 3) && perQuery.nonEmpty)
   }
 
+  test("IVF auto-sizing: nlist ~ 4*sqrt(N) clamped, nprobe a fixed fraction; " +
+    "the auto default equals the explicitly-sized call") {
+    val s = spark; import s.implicits._
+    // the sizing rule: guideline in the middle, clamps at the ends
+    assert(Similarity.autoIvf(10000L) == ((400, 25)))
+    assert(Similarity.autoIvf(100000000L) == ((40000, 2500)))
+    assert(Similarity.autoIvf(10L) == ((16, 2)))
+    assert(Similarity.autoIvf(Long.MaxValue) == ((1 << 18, (1 << 18) / 16)))
+    // auto dispatch is pure plumbing: same rows as the explicit call
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val (al, ap) = Similarity.autoIvf(300L)
+    assert(al == 69 && ap == 4)
+    assert(rows(Similarity.ivfTopK(queries, vecs, k = 3)) ==
+      rows(Similarity.ivfTopK(queries, vecs, k = 3, nlist = al, nprobe = ap)))
+    // semanticDedup sizes for PAIRWISE cost: fixed expected list length,
+    // so nlist grows LINEARLY with N (N/1024), not with sqrt(N)
+    assert(Similarity.autoSemanticNlist(1000000L) == 976)
+    assert(Similarity.autoSemanticNlist(1000L) == 16)
+    assert(Similarity.autoSemanticNlist(Long.MaxValue) == (1 << 18))
+    val sd = Similarity.autoSemanticNlist(300L)
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "kept").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(kept(Similarity.semanticDedup(vecs, threshold = 0.98)) ==
+      kept(Similarity.semanticDedup(vecs, sd, 0.98)))
+  }
+
   test("IVF k-means training: deterministic, improves quantizer fit, probe-all stays exact") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def inertia(cent: org.apache.spark.sql.DataFrame): Double = {
