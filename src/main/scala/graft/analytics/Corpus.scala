@@ -761,12 +761,17 @@ object Corpus {
              log((element_at(col("_rm"), b.cast("int") + 1) + lit(1.0)) /
               (col("_nr") + lit(buckets.toDouble))))), 6).as("log_weight"))
     // top-quartile cutoff, rounded to 6 dp for cross-engine comparison
-    // stability (same argument as perplexityScore's terciles); the
-    // scoring subtree appears in both the cutoff and flag passes but the
-    // shared per-doc aggregation exchange is ReuseExchange-served
-    val cut = scored.agg(
+    // stability (same argument as perplexityScore's terciles). Unlike
+    // perplexityScore, the scoring pass here is deliberately SHUFFLE-FREE
+    // — so there is no exchange for ReuseExchange to serve the cutoff
+    // pass from, and both consumers would re-hash every gram (measured
+    // 1.8× at sf0.1). The explicit repartition materializes the narrow
+    // (id, n_features, log_weight) rows behind ONE exchange both passes
+    // share: one scoring pass + one narrow shuffle, linear at any N.
+    val scoredX = scored.repartition(col("id"))
+    val cut = scoredX.agg(
       round(percentile(col("log_weight"), lit(0.75)), 6).as("_c75"))
-    scored.crossJoin(broadcast(cut))
+    scoredX.crossJoin(broadcast(cut))
       .select(col("id"), col("n_features"), col("log_weight"),
         (col("log_weight") > col("_c75")).as("selected"))
   }
