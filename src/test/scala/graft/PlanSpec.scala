@@ -246,6 +246,34 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("compiled pre-state fold: the running-sum window partitions by the " +
+    "fold key — never one global task — and no interpreter node appears") {
+    val s = spark; import s.implicits._
+    val log = Seq.tabulate(60)(i =>
+      (s"acct-${i % 7}", (i / 7).toLong, "E", i.toLong, """{"v":1}""", 1.0))
+      .toDF("stream_id", "event_number", "event_type", "log_position", "data", "value")
+      .withColumn("timestamp", expr("timestamp_millis(1700000000000 + log_position)"))
+      .withColumn("correlation_id", lit(null).cast("string"))
+    val p = graft.projections.js.JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { count: 0, first: 0 }; },
+    $any: function(s, e) {
+        if (s.count === 0) { s.first += e.sequenceNumber + 1; }
+        s.count += 1;
+        return s;
+    } })""")
+    assert(p.compilesToColumns)
+    val df = p.states(log)
+    val plan = executedPlan(df)
+    // the pre-state window shuffles on the SAME key the fold aggregates
+    // on; a global (unpartitioned) window would read SinglePartition here
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+    // compiled end-to-end: the interpreter path would show a
+    // flatMapGroups over sorted groups instead
+    assert(!plan.contains("FlatMapGroups"), plan.take(1500))
+  }
+
   test("substring-dedup census joins are equi-joins, never cartesian") {
     val s = spark; import s.implicits._
     val docs = Seq.tabulate(40)(i =>

@@ -284,6 +284,58 @@ fromAll()
     assert(second("acct-3") == batch2("acct-3"))
   }
 
+  test("P20 JS pre-state guards: statesStream refuses the window plan, " +
+    "the interpreter state store keeps first-event semantics across batches") {
+    val (store, dir) = newStore()
+    seed(store)
+    val p = graft.projections.js.JsProjection.compile("""
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { count: 0, first: 0 }; },
+        $any: function(s, e) {
+            if (s.count === 0) { s.first += e.sequenceNumber + 7; }
+            s.count += 1;
+            return s;
+        }
+    })""")
+    // batch compiles (the r10 pre-state window)…
+    assert(p.compilesToColumns)
+    // …but the streaming fast path must refuse it: a per-batch window
+    // would re-flag "first" in every micro-batch
+    val src = Subscriptions.subscribeAll(spark, s"$dir/log")
+      .where(col("stream_id").startsWith("acct-"))
+    assert(p.fastStatesStream(src).isEmpty)
+
+    val ck = Files.createTempDirectory("jspreck").toString
+    def runPass(): Map[String, String] = {
+      val captured = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      val q = p.statesStream(
+          Subscriptions.subscribeAll(spark, s"$dir/log")
+            .where(col("stream_id").startsWith("acct-")))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, String)], _: Long) =>
+          b.collect().foreach { case (k, v) => captured.put(k, v) }: Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      captured.asScala.toMap
+    }
+    val first = runPass()
+    val batch1 = p.states(store.read().where(col("stream_id").startsWith("acct-")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(first == batch1, "stream (interpreter) must equal batch (compiled)")
+    // a tail batch must NOT re-trigger the first-event guard: the state
+    // store remembers count > 0 across micro-batches and restarts
+    store.append(Seq(PendingEvent("acct-1", "e9", "Deposited", """{"amt":1}""")))
+    val second = runPass()
+    val batch2 = p.states(store.read().where(col("stream_id").startsWith("acct-")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(second("acct-1") == batch2("acct-1"))
+  }
+
   test("P20 JS compiled streaming: nested-state definition takes the agg " +
     "path and equals batch") {
     val (store, dir) = newStore()
