@@ -247,6 +247,13 @@ class AnalyticsSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getBoolean(1))).toSet
     assert(kept(Similarity.semanticDedup(vecs, threshold = 0.98)) ==
       kept(Similarity.semanticDedup(vecs, sd, 0.98)))
+    // with a TRAINED quantizer, auto geometry follows the centroid
+    // table (nprobe = count/16 of the REAL lists), not the corpus rule
+    val trained = Similarity.trainIvfCentroids(vecs, nlist = 48, iters = 1)
+    assert(rows(Similarity.ivfTopK(queries, vecs, k = 3,
+        centroids = Some(trained))) ==
+      rows(Similarity.ivfTopK(queries, vecs, k = 3, nlist = 48, nprobe = 3,
+        centroids = Some(trained))))
   }
 
   test("IVF k-means training: deterministic, improves quantizer fit, probe-all stays exact") {
