@@ -215,6 +215,16 @@ object AnalyticsQueries extends QueryModule {
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** The r10 banded OR-construction (the auto default's engine): two
+    * independent plane tables, candidates = pairs colliding in EITHER —
+    * the oracle embeds both tables' sign literals and unions the two
+    * bucket joins. */
+  private def annLshBanded(s: SparkSession, d: String): DataFrame =
+    Similarity.lshNearDupPairsBanded(Tables.embeddings(s, d), 0.4,
+        planes = 4, tables = 2)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** End-to-end training-data pipeline — the composed 100 TB use case:
     * quality gate → language select → exact dedup (min id per fingerprint)
     * → near-dedup (drop the larger id of every Jaccard >= 0.8 pair) →
@@ -282,6 +292,7 @@ object AnalyticsQueries extends QueryModule {
     "ann_pq_topk" -> (annPqTopK _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_lsh_neardup" -> (annLshNearDup _),
+    "ann_lsh_banded" -> (annLshBanded _),
     "emb_near_dup" -> (embNearDup _),
     "emb_quantize_sq8" -> (sq8Q _),
     "ann_sq8_topk" -> (annSq8TopK _)
@@ -885,6 +896,34 @@ object AnalyticsQueries extends QueryModule {
         |    list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
         |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id)
+        |SELECT id_a, id_b, round(sim, 6) AS sim
+        |FROM sims WHERE sim >= 0.4 ORDER BY 1, 2""".stripMargin
+    },
+    "ann_lsh_banded" -> {
+      // both plane tables' ±1 signs embedded (table 0 = the base "p:d"
+      // derivation, table 1 = "t1:p:d"); a pair is a candidate when it
+      // collides in EITHER table — UNION dedups before the exact verify,
+      // mirroring the banded path's (id_a, id_b) aggregate
+      def bucketExpr(table: Int) =
+        Similarity.lshPlaneSigns(planes = 4, dims = 64, table).map { plane =>
+          val dot = plane.zipWithIndex.map { case (sign, dd) =>
+            s"(v[${dd + 1}] * $sign)"
+          }.mkString(" + ")
+          s"(CASE WHEN ($dot) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bkt AS (SELECT id, v, ${bucketExpr(0)} AS b0, ${bucketExpr(1)} AS b1 FROM e),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+        |  FROM bkt a JOIN bkt b ON a.b0 = b.b0 AND a.id < b.id
+        |  UNION
+        |  SELECT a.id, b.id, a.v, b.v
+        |  FROM bkt a JOIN bkt b ON a.b1 = b.b1 AND a.id < b.id),
+        |sims AS (
+        |  SELECT id_a, id_b,
+        |    list_dot_product(va, vb)
+        |      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS sim
+        |  FROM cand)
         |SELECT id_a, id_b, round(sim, 6) AS sim
         |FROM sims WHERE sim >= 0.4 ORDER BY 1, 2""".stripMargin
     },
