@@ -276,5 +276,21 @@ class FuzzSpec extends SparkTestBase {
     assert(joined.where((col("n_dup_windows") > 0) =!= (col("n_removed") > 0)).count() == 0)
     assert(joined.where(col("n_removed") === 0 && col("norm").isNotNull &&
       col("text_clean") =!= col("norm")).count() == 0)
+    // the length-thresholded form never throws either, and removes a
+    // strict SUBSET of the fixed-k coverage (runs below minLen survive)
+    val spans = Dedup.substringDupRemoveSpans(docs, k = 3, minLen = 5)
+    assert(spans.count() == n)
+    val sj = spans.select(col("id"), col("n_removed").as("span_removed"),
+        col("n_tokens").as("span_nt"), col("text_clean").as("span_clean"))
+      .join(rem.select(col("id"), col("n_removed")), "id")
+    assert(sj.where(col("span_removed") > col("n_removed")).count() == 0,
+      "minLen can only shrink the excised set")
+    sj.collect().foreach { r =>
+      if (!r.isNullAt(2)) {
+        assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2), s"span bounds: $r")
+        if (r.getLong(1) == r.getLong(2))
+          assert(r.getString(3) == "", s"full span removal must empty: $r")
+      }
+    }
   }
 }
