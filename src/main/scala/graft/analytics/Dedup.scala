@@ -451,6 +451,25 @@ object Dedup {
     * the per-document covered-set is a bounded array (<= token count).
     * The rebuild is a narrow `filter` over the token array — no second
     * pass over text. */
+  /** Rebuild the cleaned text from the token array `w` and the covered
+    * 1-based POSITION set `cov` (null = nothing covered) by slicing the
+    * segments BETWEEN sorted covered positions and flattening —
+    * O(n + |cov|·log|cov|) per document, no per-token membership test.
+    * The r10 form filtered per token with `array_contains(cov, i+1)`, a
+    * linear scan of the covered set per token: O(tokens × removed) per
+    * document — same class as the r6 per-position `substr` trap (per-doc
+    * bounded, but a fully-duplicated multi-MB document paid ~n² in its
+    * own length; FuzzSpec now pins that case). The boundary array is
+    * let-bound (bindOnce): a bare reference inside the transform lambda
+    * would re-sort the covered set once per segment. */
+  private def rebuildClean(w: Column, cov: Column): Column =
+    when(cov.isNull, array_join(w, " "))
+      .otherwise(bindOnce(
+        concat(array(lit(0)), array_sort(cov), array(size(w) + 1)),
+        b => array_join(flatten(transform(sequence(lit(1), size(b) - 1),
+          j => slice(w, element_at(b, j) + 1,
+            element_at(b, j + 1) - element_at(b, j) - 1))), " ")))
+
   def substringDupRemove(docs: DataFrame, k: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
@@ -481,10 +500,7 @@ object Dedup {
       .select(col("id"),
         size(col("w")).cast("long").as("n_tokens"),
         coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
-        when(col("cov").isNull, array_join(col("w"), " "))
-          .otherwise(array_join(
-            filter(col("w"), (t, i) => !array_contains(col("cov"), i + 1)), " "))
-          .as("text_clean"))
+        rebuildClean(col("w"), col("cov")).as("text_clean"))
   }
 
   /** Duplicated-substring removal at the paper's LENGTH THRESHOLD —
@@ -547,10 +563,7 @@ object Dedup {
       .select(col("id"),
         size(col("w")).cast("long").as("n_tokens"),
         coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
-        when(col("cov").isNull, array_join(col("w"), " "))
-          .otherwise(array_join(
-            filter(col("w"), (t, i) => !array_contains(col("cov"), i + 1)), " "))
-          .as("text_clean"))
+        rebuildClean(col("w"), col("cov")).as("text_clean"))
   }
 
   /** SimHash (60-bit): per bit position, sum +1/-1 over distinct token

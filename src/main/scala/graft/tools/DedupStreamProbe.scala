@@ -1,0 +1,84 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.analytics.DedupStream
+import graft.sources.Tables
+
+/** Flatness probe for the incremental streaming near-dup resolver: feeds
+  * N equal document batches through [[DedupStream.resolveNearDupsStream]]
+  * (restarting the stream per batch, like a scheduled ingest job) and
+  * times each batch. The claim under test: per-batch wall time stays FLAT
+  * as the accumulated history grows N×, because each batch only shingles
+  * its own documents, probes the persisted posting index, and rewrites
+  * the resolved partitions its edges touch — the pre-r11 form re-indexed
+  * and re-resolved the whole history every batch, so its batch time grew
+  * linearly with batch number.
+  *
+  * Corpus: sf0.1 documents replicated `mult`× with ScaleProbe's bijective
+  * per-replica character substitution (near-dup rate constant, replicas
+  * shingle-disjoint), split into `nBatches` equal hash chunks.
+  *
+  * Usage: DedupStreamProbe [mult] [nBatches]   (default 30 10)
+  * Prints per-batch seconds plus one JSON line, also written to
+  * /tmp/dedup_stream_probe.json. */
+object DedupStreamProbe {
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.lift(0).map(_.toInt).getOrElse(30)
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = graft.GraftSession.create(master = "local[32]", shufflePartitions = 32)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = Files.createTempDirectory("ndprobe").toString
+    val srcDir = s"$root/src"
+    val stateDir = s"$root/state"
+    val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(srcDir))
+
+    // documents only, same bijective substitution scheme as ScaleProbe
+    val lo = "abcdefghijklm"
+    val hi = "nopqrstuvwxyz"
+    def rot(a: String, k: Int) = a.drop(k % a.length) + a.take(k % a.length)
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val corpus = (0 until mult).map { i =>
+      base.select((col("doc_id") + i * 10000000L).as("doc_id"),
+        translate(col("text"), lo + hi, rot(lo, i % 13) + rot(hi, (i / 13) % 13)).as("text"))
+    }.reduce(_ unionAll _)
+      .withColumn("chunk", pmod(xxhash64(col("doc_id")), lit(nBatches)))
+      .persist()
+    val total = corpus.count()
+    println(s"corpus: $total docs in $nBatches batches")
+
+    val ix = DedupStream.MinHashIndexer(threshold = 0.5, k = 16, bands = 8,
+      textCol = "text", idCol = "doc_id", n = 3)
+    val times = (0 until nBatches).map { i =>
+      corpus.where(col("chunk") === i).select(col("doc_id"), col("text"))
+        .coalesce(4).write.mode("append").parquet(srcDir)
+      val t0 = System.nanoTime()
+      val q = DedupStream.resolveNearDupsStream(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"))
+          .parquet(srcDir),
+        stateDir, ck, ix)
+      q.awaitTermination(600000)
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"batch $i%2d  $t%7.2f s  (history ${(i + 1) * total / nBatches} docs)")
+      t
+    }
+    corpus.unpersist()
+    val tc0 = System.nanoTime()
+    DedupStream.compactResolved(spark, stateDir)
+    val compactSec = (System.nanoTime() - tc0) / 1e9
+    val resolved = spark.read.parquet(s"$stateDir/resolved").count()
+    val ratio = times(nBatches - 1) / times(1)
+    val json = s"""{"mult":$mult,"n_batches":$nBatches,"docs":$total,""" +
+      s""""resolved":$resolved,"batch_sec":[${times.map(t => f"$t%.2f").mkString(",")}],""" +
+      f""""last_over_second":$ratio%.2f,"compact_sec":$compactSec%.2f}"""
+    println(json)
+    Files.write(Paths.get("/tmp/dedup_stream_probe.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

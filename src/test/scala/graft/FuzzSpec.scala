@@ -293,4 +293,26 @@ class FuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  test("fully-duplicated multi-MB doc: segment-slice rebuild stays linear") {
+    val s = spark; import s.implicits._
+    // two copies of one ~2 MB document: every token position is covered,
+    // so the covered set is as large as the token array. The r10 rebuild
+    // scanned that set per token (array_contains) — ~n² in the document's
+    // own length, minutes at this size; the segment-slice rebuild is
+    // O(n + |cov| log |cov|) and finishes in seconds.
+    val nTok = 300000
+    val txt = (0 until nTok).map(i => s"tok${i % 97}").mkString(" ")
+    val docs = Seq((1L, txt), (2L, txt)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val rem = Dedup.substringDupRemove(docs, k = 8).collect()
+    val spans = Dedup.substringDupRemoveSpans(docs, k = 8, minLen = 20).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    rem.foreach { r =>
+      assert(r.getLong(1) == nTok && r.getLong(2) == nTok, s"full coverage: $r")
+      assert(r.getString(3) == "", "full removal must empty the doc")
+    }
+    spans.foreach(r => assert(r.getString(3) == "", "one full-length run must empty the doc"))
+    assert(secs < 120.0, f"rebuild took $secs%.1f s — per-token covered-set scan regression?")
+  }
 }

@@ -975,32 +975,43 @@ fromCategory("acct")
       (5L, base + " gamma"),
       (6L, "streaming state stores keep per key state across micro batch boundaries safely"),
       (7L, "streaming state stores keep per key state across micro batch boundaries today"))
+    // 0 < 1 dethrones the {1,2,5} representative: batch 1's resolved
+    // partition (where doc 1 lives) must be REWRITTEN by a later batch —
+    // the touched-component partition-overwrite path
+    val chunk3 = Seq((0L, base + " delta"))
 
-    val pg = (nw: org.apache.spark.sql.DataFrame, all: org.apache.spark.sql.DataFrame) =>
-      Dedup.minhashLshPairsBetween(nw, all, threshold = 0.5, k = 16, bands = 8,
-        textCol = "text", idCol = "doc_id", n = 3)
+    val ix = DedupStream.MinHashIndexer(threshold = 0.5, k = 16, bands = 8,
+      textCol = "text", idCol = "doc_id", n = 3)
 
     def runOnce(): Unit = {
       val q = DedupStream.resolveNearDupsStream(
         spark.readStream
           .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"))
           .parquet(srcDir),
-        stateDir, ck, pg)
+        stateDir, ck, ix)
       q.awaitTermination(120000)
     }
     chunk1.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
     runOnce()
     chunk2.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
     runOnce() // RESTART on the same checkpoint: only the new files process
+    chunk3.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
 
-    val streamed = spark.read.parquet(s"$stateDir/resolved")
+    val streamed = DedupStream.resolvedCorpus(spark, stateDir)
       .select("doc_id").as[Long].collect().toSet
-    val all = (chunk1 ++ chunk2).toDF("doc_id", "text")
+    // the materialized form is the same view, written as plain files
+    DedupStream.compactResolved(spark, stateDir)
+    val compacted = spark.read.parquet(s"$stateDir/resolved")
+      .select("doc_id").as[Long].collect().toSet
+    assert(compacted == streamed)
+    val all = (chunk1 ++ chunk2 ++ chunk3).toDF("doc_id", "text")
     val batchResolved = Dedup.resolveNearDups(all,
         Dedup.minhashLshPairs(all, 0.5, 16, 8, "text", "doc_id", 3))
       .select("doc_id").as[Long].collect().toSet
     assert(streamed == batchResolved)
-    assert(streamed.contains(1L) && !streamed.contains(5L), "cross-restart near-dup dropped")
+    assert(!streamed.contains(1L) && !streamed.contains(5L), "cross-restart near-dup dropped")
+    assert(streamed.contains(0L), "late smaller-id representative kept")
     assert(streamed.contains(6L) && !streamed.contains(7L), "same-chunk near-dup dropped")
   }
 
@@ -1066,11 +1077,11 @@ fromCategory("acct")
         .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"))
         .parquet(srcDir),
       stateDir, ck,
-      (nw, all) => Dedup.minhashLshPairsBetween(nw, all, threshold = 0.5, k = 16,
-        bands = 8, textCol = "text", idCol = "doc_id", n = 3))
+      DedupStream.MinHashIndexer(threshold = 0.5, k = 16, bands = 8,
+        textCol = "text", idCol = "doc_id", n = 3))
     q.awaitTermination(120000)
-    // zero pairs => empty edge partitions; the corpus passes through intact
-    val resolved = spark.read.parquet(s"$stateDir/resolved")
+    // zero pairs => empty drops partitions; the corpus passes through intact
+    val resolved = DedupStream.resolvedCorpus(spark, stateDir)
       .select("doc_id").as[Long].collect().toSet
     assert(resolved == Set(1L, 2L, 3L))
   }
