@@ -257,7 +257,19 @@ private[js] object JsColumnCompiler {
         * compiled to running-sum window columns the build adds. null
         * everywhere else (transform chains resolve state via stateEnv;
         * the emitted() compile must stay state-free). */
-      val foldStateReads: mutable.Set[String] = null) {
+      val foldStateReads: mutable.Set[String] = null,
+      /** Top-level `$init` fields, for typing fold pre-state reads at
+        * the read site (the field's KIND is only known post-walk, so the
+        * read claims the $init value's type and compile() verifies the
+        * claim against the actual kind — exact-or-fallback). Empty
+        * outside states()-fold compilation. */
+      val initFields: Map[String, JsVal] = Map.empty,
+      /** Fields whose pre-state reads must claim integral=false even
+        * under an integral $init — set by compile()'s retry pass when
+        * the first walk's claim turned out unsupported by the field's
+        * actual contributions (e.g. `peak: 0` updated with fractional
+        * values). */
+      val preReadNonIntegral: Set[String] = Set.empty) {
     /** Fields a statement already mutated EARLIER in this handler walk:
       * a pre-state read compiled after a same-handler mutation of the
       * same field would see the stale pre-event value where the
@@ -626,22 +638,39 @@ private[js] object JsColumnCompiler {
         }
       case Ident(n) if ctx.stateParam.contains(n) && !locals.contains(n) &&
           ctx.foldStateReads != null =>
-        // FOLD-handler PRE-STATE read (`if (s.count === 0) …`, the
-        // ubiquitous first-event guard): compiles to a per-partition
-        // running sum over the fold-order-PRECEDING rows — exactly the
-        // value the interpreter's state holds when this event's handler
-        // starts. The build adds the window column; compile() validates
-        // post-walk that the field is a sum-kind integral field whose own
-        // contributions never read pre-state (no circularity) — anything
-        // else falls the whole definition back. A read AFTER a
-        // same-handler mutation of the field refuses here (the
-        // interpreter would see the mutated value). Exactness: integral
-        // longs, same 2^53 contract as the aggregate itself.
+        // FOLD-handler PRE-STATE read (`if (s.count === 0) …`,
+        // `if (e.v > s.peak) …`, `if (s.last === e.type) …`): compiles to
+        // a per-partition window over the fold-order-PRECEDING rows —
+        // exactly the value the interpreter's state holds when this
+        // event's handler starts. The window form depends on the field's
+        // update KIND (running sum for sums, running extremum for
+        // max/min, latest preceding assignment for overwrites), which is
+        // only known post-walk — so the read claims the $init value's
+        // TYPE here (numbers read as TNum whose integral claim follows
+        // the init; strings as TStr with no ascii claim) and compile()
+        // verifies the claim against the actual kind and every site's
+        // provable type, falling the whole definition back on any
+        // mismatch. A read AFTER a same-handler mutation of the field
+        // refuses here (the interpreter would see the mutated value).
+        // Exactness: sums are integral longs under the 2^53 contract;
+        // extrema/overwrites keep exact doubles / raw strings.
         if (ctx.foldMutated.contains(p)) None
-        else {
-          ctx.foldStateReads += p
-          ctx.refs += "log_position"
-          Some(TC(col(PreColPrefix + p), TNum(integral = true), NoNull))
+        else ctx.initFields.get(p) match {
+          // ±Infinity init (the canonical extremum seed) reads with NO
+          // integral claim — the pre value is whatever candidate beat
+          // the seed, integral only if every candidate is, which the
+          // claim-verification can then skip checking
+          case Some(JsNum(d)) if !d.isNaN =>
+            ctx.foldStateReads += p
+            ctx.refs += "log_position"
+            Some(TC(col(PreColPrefix + p),
+              TNum(integral = !d.isInfinite && d == math.rint(d) &&
+                !ctx.preReadNonIntegral(p)), NoNull))
+          case Some(JsStr(_)) =>
+            ctx.foldStateReads += p
+            ctx.refs += "log_position"
+            Some(TC(col(PreColPrefix + p), TStr(ascii = false), NoNull))
+          case _ => None
         }
       case _ => compileExpr(o, ctx, locals).flatMap { tc =>
         (tc.ty, p) match {
@@ -1666,14 +1695,36 @@ private[js] object JsColumnCompiler {
     * across every handler and branch, or the definition falls back. */
   private sealed trait FieldOp
   private final case class SumTerm(col: Column) extends FieldOp
-  private final case class MaxTerm(col: Column) extends FieldOp
-  private final case class MinTerm(col: Column) extends FieldOp
+  /** `integral`: whether the candidate carried an integral claim — what
+    * lets a pre-state READ of the field keep the integral type claim it
+    * made from an integral $init (non-integral candidates + integral
+    * claim → fallback). */
+  private final case class MaxTerm(col: Column, integral: Boolean) extends FieldOp
+  private final case class MinTerm(col: Column, integral: Boolean) extends FieldOp
+  /** Running-extremum RECURRENCE `if (X > s.f) s.f = X` (and the
+    * mirrored / min forms, strict comparisons only): equivalent to
+    * "argmax over (init, candidates), FIRST occurrence wins ties, NaN
+    * candidates skipped" — unlike [[MaxTerm]]'s Math.max, which
+    * poisons to NaN. `cand` is the guarded candidate (NULL when the
+    * enclosing guard failed); the fold aggregates
+    * struct(+0.0-normalized value, tie-break position, RAW value), so
+    * -0/+0 never flips a comparison yet the state keeps the exact bit
+    * pattern the interpreter holds. */
+  private final case class GuardMaxTerm(cand: Column, integral: Boolean) extends FieldOp
+  private final case class GuardMinTerm(cand: Column, integral: Boolean) extends FieldOp
   /** Plain overwrite `s.f = <state-free expr>`: last assignment wins, so
     * the fold is max-by-log-position over executed sites — commutative,
     * hence batch/streaming safe. `exec` is the site's guard (whether the
     * statement ran for this event); `frag` the value's JSON.stringify
-    * fragment, SQL NULL = JS undefined (stringify skips the key). */
-  private final case class LastTerm(exec: Column, frag: Column) extends FieldOp
+    * fragment, SQL NULL = JS undefined (stringify skips the key).
+    * `rawNum`/`rawStr` carry the site's RAW value column when it is
+    * provably a plain number / string (NoNull, no error channel) — what
+    * a pre-state READ of the field reconstructs via a latest-preceding-
+    * site window; sites without a raw in the init's class refuse such
+    * reads. */
+  private final case class LastTerm(exec: Column, frag: Column,
+      rawNum: Option[Column] = None, rawNumIntegral: Boolean = false,
+      rawStr: Option[Column] = None) extends FieldOp
   /** Ordered append `s.f.push(v, …)` with state-free element values: the
     * fold collect_lists each executed site's rendered elements tagged
     * with the event's log position and array_sorts at finalization —
@@ -1721,6 +1772,39 @@ private[js] object JsColumnCompiler {
 
   /** Guarded per-event contribution terms per state field. */
   private type FieldTerms = List[(String, FieldOp)]
+
+  /** Recognize the running-extremum recurrence statement shape:
+    * `if (X > s.f) s.f = X` / `if (s.f < X) s.f = X` → (f, X, isMax=true);
+    * `if (X < s.f) s.f = X` / `if (s.f > X) s.f = X` → (f, X, isMax=false).
+    * STRICT comparisons only (>= / <= assign on ties — last-wins, a
+    * different tie-break; rare, falls back), no else branch, the branch
+    * body exactly one assignment, and the condition's candidate
+    * STRUCTURALLY identical to the assigned value (JS evaluates X twice;
+    * expressions here are pure, so one compile is exact). A candidate
+    * that itself mentions s.f is rejected here when it IS s.f, and by
+    * the post-walk circularity gate when it merely contains a read. */
+  private def extremumIdiom(c: Expr, tb: Seq[Stmt], ctx: Ctx,
+      locals: Map[String, TC]): Option[(String, Expr, Boolean)] = tb match {
+    case Seq(ExprStmt(Assign("=", tgt: Member, value))) =>
+      statePathOf(tgt, ctx, locals).flatMap { f =>
+        def self(e: Expr): Boolean = e match {
+          case m: Member => statePathOf(m, ctx, locals).contains(f)
+          case _ => false
+        }
+        c match {
+          case Binary(">", x, s) if self(s) && !self(x) && x == value =>
+            Some((f, x, true))
+          case Binary("<", s, x) if self(s) && !self(x) && x == value =>
+            Some((f, x, true))
+          case Binary("<", x, s) if self(s) && !self(x) && x == value =>
+            Some((f, x, false))
+          case Binary(">", s, x) if self(s) && !self(x) && x == value =>
+            Some((f, x, false))
+          case _ => None
+        }
+      }
+    case _ => None
+  }
 
   /** One emit/linkTo/linkStreamTo call site: the guard under which it
     * executes plus the four STRING columns of the emitted row. All are
@@ -1849,12 +1933,15 @@ private[js] object JsColumnCompiler {
   private def compileHandler(fn: JsVal, cp: CompiledJsProjection,
       partitionCol: Column, refs: mutable.Set[String],
       lets: mutable.LinkedHashMap[String, Column],
-      stateReads: mutable.Set[String] = null): Option[HandlerFold] =
+      stateReads: mutable.Set[String] = null,
+      initFields: Map[String, JsVal] = Map.empty,
+      preReadNonIntegral: Set[String] = Set.empty): Option[HandlerFold] =
     fn match {
       case JsFunc(params, body, _) =>
         val ctx = new Ctx(cp, partitionCol, refs,
           envParam = params.lift(1), stateParam = params.headOption,
-          lets = lets, foldStateReads = stateReads)
+          lets = lets, foldStateReads = stateReads, initFields = initFields,
+          preReadNonIntegral = preReadNonIntegral)
         walkStmts(body, None, Map.empty, topLevel = true, ctx)
           .map { case (_, fields, emits, raises) =>
             HandlerFold(fields, emits, raises) }
@@ -1984,7 +2071,26 @@ private[js] object JsColumnCompiler {
       }
       val g = andOk(g0, ok)
       val c = g.map(gg => when(gg, tc.col)).getOrElse(tc.col)
-      acc += f -> (if (isMax) MaxTerm(c) else MinTerm(c))
+      acc += f -> (if (isMax) MaxTerm(c, integralClaim(tc))
+        else MinTerm(c, integralClaim(tc)))
+      true
+    }
+    // running-extremum recurrence `if (X > s.f) s.f = X` — see
+    // [[GuardMaxTerm]]; X must be provably numeric (a coercible string
+    // would compare numerically but ASSIGN the raw string) and not
+    // mutated-before-read in this handler
+    def addGuardExtremum(f: String, x: Expr, isMax: Boolean,
+        g0: Option[Column]): Boolean = {
+      if (ctx.foldMutated.contains(f)) return false
+      val tc0 = compileExpr(x, ctx, locals) match {
+        case Some(v) if v.ty.isInstanceOf[TNum] && v.nullAs == NoNull => v
+        case _ => return false
+      }
+      val (tc, ok) = consume(tc0, g0)
+      val g = andOk(g0, ok)
+      val cand = g.map(gg => when(gg, tc.col)).getOrElse(tc.col)
+      acc += f -> (if (isMax) GuardMaxTerm(cand, integralClaim(tc))
+        else GuardMinTerm(cand, integralClaim(tc)))
       true
     }
     def isSelfField(e: Expr, ctx: Ctx, f: String): Boolean = e match {
@@ -2006,7 +2112,18 @@ private[js] object JsColumnCompiler {
         case (Some(_), Some(e)) => registerErr(e, g0); (frag0, Some(e.isNull))
         case _ => (sealDerived(frag0, tc.err), None)
       }
-      acc += f -> LastTerm(andOk(g0, ok).getOrElse(lit(true)), frag)
+      // raw typed value, for pre-state reads of this field: only when
+      // the site's value is provably a plain number/string with no
+      // error channel (an erroring site's raw can't be sealed)
+      val (rawNum, rawStr) = tc.ty match {
+        case _: TNum if tc.nullAs == NoNull && tc.err.isEmpty =>
+          (Some(tc.col), None)
+        case _: TStr if tc.nullAs == NoNull && tc.err.isEmpty =>
+          (None, Some(tc.col))
+        case _ => (None, None)
+      }
+      acc += f -> LastTerm(andOk(g0, ok).getOrElse(lit(true)), frag,
+        rawNum, integralClaim(tc), rawStr)
       true
     }
     // `s.f[K] = (s.f[K] || 0) + delta`: dynamic-key counter. The rhs
@@ -2276,6 +2393,17 @@ private[js] object JsColumnCompiler {
       case Return(Some(Ident(s))) if topLevel && i < last &&
           ctx.stateParam.contains(s) && !locals.contains(s) =>
         retGuard = Some(lit(false))
+
+      // running-extremum recurrence (see [[extremumIdiom]]): the guard
+      // READS s.f, but the fold it defines is a pure selection over the
+      // candidates — compiled WITHOUT the read, so no window is needed
+      // unless some OTHER statement reads the field. Only inside
+      // states()-fold handlers (the only consumer with the GMax/GMin
+      // aggregate machinery).
+      case If(c, tb, None) if ctx.foldStateReads != null &&
+          extremumIdiom(c, tb, ctx, locals).isDefined =>
+        val (f, x, isMax) = extremumIdiom(c, tb, ctx, locals).get
+        if (!addGuardExtremum(f, x, isMax, effGuard)) return None
 
       case If(c, t, e) =>
         val g0 = effGuard
@@ -2752,7 +2880,25 @@ private[js] object JsColumnCompiler {
     df
   }
 
+  /** Control-flow signal from the pre-read claim gate: the first walk
+    * claimed integral reads (from an integral $init) that the field's
+    * actual contributions cannot support — recompile with those reads
+    * demoted to integral=false. Monotone set, so one retry gathers all. */
+  private final case class NonIntegralRetry(fields: Set[String])
+    extends Exception with scala.util.control.NoStackTrace
+
   def compile(cp: CompiledJsProjection): Option[Plan] = {
+    var force = Set.empty[String]
+    var attempts = 0
+    while (attempts < 3) {
+      try return compileOnce(cp, force)
+      catch { case NonIntegralRetry(fs) => force ++= fs; attempts += 1 }
+    }
+    None
+  }
+
+  private def compileOnce(cp: CompiledJsProjection,
+      forceNonIntegral: Set[String]): Option[Plan] = {
     val spec = cp.spec
     if (spec.isBiState || spec.hasCreated || cp.deletedFnOpt.isDefined) return None
 
@@ -2779,16 +2925,18 @@ private[js] object JsColumnCompiler {
     // them — compileEmitted keeps the default null and refuses.
     val handlerCtx = col(KeyCol)
     val stateReadsAcc = mutable.Set.empty[String]
+    val initTop: Map[String, JsVal] = init.toMap
     val typedHandlers: Seq[(String, HandlerFold)] =
       cp.handlersMap.toSeq.map { case (t, fn) =>
-        compileHandler(fn, cp, handlerCtx, refs, lets, stateReadsAcc) match {
+        compileHandler(fn, cp, handlerCtx, refs, lets, stateReadsAcc,
+            initTop, forceNonIntegral) match {
           case Some(h) => t -> h
           case None => return None
         }
       }
     val anyHandler: Option[HandlerFold] = cp.anyFnOpt match {
       case Some(fn) => compileHandler(fn, cp, handlerCtx, refs, lets,
-          stateReadsAcc) match {
+          stateReadsAcc, initTop, forceNonIntegral) match {
         case Some(h) => Some(h)
         case None => return None
       }
@@ -2835,10 +2983,13 @@ private[js] object JsColumnCompiler {
     if (allOps.exists(o => !flatInit.contains(o._1))) return None
     val SumK = 0; val MaxK = 1; val MinK = 2; val LastK = 3; val PushK = 4
     val MapSumK = 5; val MapLastK = 6; val ConcatK = 7; val PrependK = 8
+    val GMaxK = 9; val GMinK = 10
     def kindOf(op: FieldOp): Int = op match {
       case _: SumTerm => SumK
       case _: MaxTerm => MaxK
       case _: MinTerm => MinK
+      case _: GuardMaxTerm => GMaxK
+      case _: GuardMinTerm => GMinK
       case _: LastTerm => LastK
       case _: PushTerm => PushK
       case _: MapSumTerm => MapSumK
@@ -2908,15 +3059,58 @@ private[js] object JsColumnCompiler {
       case f if fieldKind(f) == LastK => f -> JsVal.stringify(flatInit(f))
     }.toMap
     if (fieldKind.valuesIterator.exists(k =>
-      k == LastK || k == PushK || k == ConcatK || k == PrependK || isMapK(k)))
+      k == LastK || k == PushK || k == ConcatK || k == PrependK ||
+        k == GMaxK || k == GMinK || isMapK(k)))
       refs += "log_position"
-    // pre-state reads (`if (s.count === 0) …`): only SUM-kind integral
-    // fields are readable — the fold-order running sum is the one
-    // pre-event state the build's window can reconstruct. Reads of
-    // extrema/overwrite/map fields (or of fields $init lacks) fall back.
+    // pre-state reads: verify the TYPE CLAIM each read made from $init
+    // against the field's actual kind and its sites. Readable kinds and
+    // their window reconstructions:
+    //  - SumK    → $init + running sum of preceding contributions;
+    //  - MaxK/MinK (Math.max/min) and GMaxK/GMinK (guard recurrences)
+    //             → running extremum of preceding candidates vs $init;
+    //  - LastK   → the latest PRECEDING executed site's raw value, $init
+    //             before any — requiring every site to carry a raw in
+    //             the init's class (all-numeric or all-string).
+    // An integral claim (integral $init) additionally requires every
+    // candidate/raw integral-claimed — a fractional candidate under an
+    // integral claim falls back. Everything else (push/concat/map
+    // fields, fields $init lacks, object/bool inits) falls back.
     val preReads: Seq[String] = stateReadsAcc.toSeq.sorted
-    if (!preReads.forall(f => assignedSet(f) && fieldKind(f) == SumK))
-      return None
+    // claims that turned out unsupported by the actual contributions:
+    // gathered in full, then ONE recompile with those reads demoted
+    val demote = Set.newBuilder[String]
+    for (f <- preReads) {
+      if (!assignedSet(f)) return None
+      val claimIntegral = (flatInit.get(f) match {
+        case Some(JsNum(d)) => d == math.rint(d) && !d.isNaN && !d.isInfinite
+        case _ => false
+      }) && !forceNonIntegral(f)
+      fieldKind(f) match {
+        case SumK => // integral init + long deltas enforced by initNum
+        case MaxK | MinK | GMaxK | GMinK =>
+          if (!flatInit.get(f).exists(_.isInstanceOf[JsNum])) return None
+          if (claimIntegral && allOps.exists {
+            case (`f`, MaxTerm(_, i)) => !i
+            case (`f`, MinTerm(_, i)) => !i
+            case (`f`, GuardMaxTerm(_, i)) => !i
+            case (`f`, GuardMinTerm(_, i)) => !i
+            case _ => false
+          }) demote += f
+        case LastK =>
+          val sites = allOps.collect { case (`f`, l: LastTerm) => l }
+          flatInit.get(f) match {
+            case Some(JsNum(d)) if !d.isNaN =>
+              if (sites.exists(_.rawNum.isEmpty)) return None
+              if (claimIntegral && sites.exists(!_.rawNumIntegral)) demote += f
+            case Some(JsStr(_)) =>
+              if (sites.exists(_.rawStr.isEmpty)) return None
+            case _ => return None
+          }
+        case _ => return None
+      }
+    }
+    val demoted = demote.result()
+    if (demoted.nonEmpty) throw NonIntegralRetry(demoted)
     if (preReads.nonEmpty) refs += "log_position"
     // final fragment of an overwrite field: the latest executed site's
     // rendered value, else the $init fragment (NULL = key absent)
@@ -2959,7 +3153,7 @@ private[js] object JsColumnCompiler {
         case many => many.reduce(_ + _)
       }
     def maxContrib(terms: FieldTerms, f: String): Column =
-      terms.collect { case (`f`, MaxTerm(c)) => c } match {
+      terms.collect { case (`f`, MaxTerm(c, _)) => c } match {
         case Nil => nullD
         case one :: Nil => one
         case many => greatest(many: _*)
@@ -2967,16 +3161,64 @@ private[js] object JsColumnCompiler {
     // min candidates strip NaN (Spark orders NaN largest, so a NaN would
     // silently lose; JS Math.min poisons to NaN — tracked by the flag)
     def minContrib(terms: FieldTerms, f: String): Column =
-      terms.collect { case (`f`, MinTerm(c)) => c }
+      terms.collect { case (`f`, MinTerm(c, _)) => c }
         .map(c => when(coalesce(isnan(c), lit(false)), nullD).otherwise(c)) match {
         case Nil => nullD
         case one :: Nil => one
         case many => least(many: _*)
       }
     def nanContrib(terms: FieldTerms, f: String): Column =
-      terms.collect { case (`f`, MinTerm(c)) => coalesce(isnan(c), lit(false)) } match {
+      terms.collect { case (`f`, MinTerm(c, _)) => coalesce(isnan(c), lit(false)) } match {
         case Nil => lit(false)
         case some => some.reduce(_ || _)
+      }
+    // guard-recurrence extremum candidates: struct(+0.0-normalized sort
+    // key, tie-break position, RAW value). NaN candidates drop (NaN
+    // never wins a strict comparison — unlike Math.max's poisoning);
+    // ties keep the EARLIEST occurrence (the interpreter never
+    // reassigns on ==), via -position under max / +position under min.
+    // The normalization makes -0 and +0 compare equal (JS `>`)
+    // while `raw` preserves the exact bit pattern the state holds.
+    // NB isnan(NULL) is FALSE in Spark (IsNaN is a null-handling
+    // predicate), so the null-candidate case (site guard failed) needs
+    // its own disjunct — a struct with a NULL sort key would otherwise
+    // slip through and win min() (nulls order FIRST inside structs)
+    val nullGm = lit(null).cast("struct<v:double,p:bigint,raw:double>")
+    def gmaxContrib(terms: FieldTerms, f: String): Column =
+      terms.collectFirst { case (`f`, t: GuardMaxTerm) => t.cand } match {
+        case None => nullGm
+        case Some(c) => when(c.isNull || isnan(c), nullGm)
+          .otherwise(struct((c + lit(0.0)).as("v"),
+            (-col("log_position")).as("p"), c.as("raw")))
+      }
+    def gminContrib(terms: FieldTerms, f: String): Column =
+      terms.collectFirst { case (`f`, t: GuardMinTerm) => t.cand } match {
+        case None => nullGm
+        case Some(c) => when(c.isNull || isnan(c), nullGm)
+          .otherwise(struct((c + lit(0.0)).as("v"),
+            col("log_position").as("p"), c.as("raw")))
+      }
+    // latest-preceding-site window inputs for pre-state reads of an
+    // overwrite field: the site's RAW number/string under its exec
+    // guard (null struct = site didn't run; last(ignoreNulls) skips)
+    val nullGn = lit(null).cast("struct<d:double>")
+    val nullGs = lit(null).cast("struct<s:string>")
+    def preLastNumContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, l: LastTerm) => l } match {
+        case Nil => nullGn
+        case one :: Nil =>
+          when(one.exec, struct(one.rawNum.get.cast(DoubleType).as("d")))
+            .otherwise(nullGn)
+        case many => coalesce(many.reverse.map(s =>
+          when(s.exec, struct(s.rawNum.get.cast(DoubleType).as("d")))): _*)
+      }
+    def preLastStrContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, l: LastTerm) => l } match {
+        case Nil => nullGs
+        case one :: Nil =>
+          when(one.exec, struct(one.rawStr.get.as("s"))).otherwise(nullGs)
+        case many => coalesce(many.reverse.map(s =>
+          when(s.exec, struct(s.rawStr.get.as("s")))): _*)
       }
     // per-event overwrite outcome: the LAST executed site wins, so probe
     // sites in reverse program order; the struct wrapper distinguishes
@@ -3087,6 +3329,10 @@ private[js] object JsColumnCompiler {
           min(kept(routed(f, minContrib, nullD), nullD)).as(s"__graft_min_$f"),
           max(kept(routed(f, nanContrib, lit(false)), lit(false)))
             .as(s"__graft_nan_$f"))
+        case GMaxK => Seq(
+          max(kept(routed(f, gmaxContrib, nullGm), nullGm)).as(s"__graft_gmax_$f"))
+        case GMinK => Seq(
+          min(kept(routed(f, gminContrib, nullGm), nullGm)).as(s"__graft_gmin_$f"))
         case LastK =>
           val site = kept(routed(f, lastContrib, nullSite), nullSite)
           Seq(max(when(site.isNotNull,
@@ -3163,6 +3409,19 @@ private[js] object JsColumnCompiler {
         if (initNum(f).isNaN) lit(Double.NaN)
         else when(col(s"__graft_nan_$f"), lit(Double.NaN))
           .otherwise(least(lit(initNum(f)), col(s"__graft_min_$f")))
+      // guard recurrences: the best candidate only DETHRONES the init
+      // under the strict comparison (init wins ties, NaN init never
+      // loses — x > NaN is false in both JS and Spark's NaN-greatest
+      // ordering for the > side; the < side guards NaN init explicitly)
+      case GMaxK =>
+        val m = col(s"__graft_gmax_$f")
+        when(m.isNull || !(m.getField("v") > lit(initNum(f) + 0.0)),
+          lit(initNum(f))).otherwise(m.getField("raw"))
+      case GMinK =>
+        val m = col(s"__graft_gmin_$f")
+        if (initNum(f).isNaN) lit(Double.NaN)
+        else when(m.isNull || !(m.getField("v") < lit(initNum(f) + 0.0)),
+          lit(initNum(f))).otherwise(m.getField("raw"))
     }
     def doubleJson(c: Column): Column =
       when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), lit("null"))
@@ -3322,6 +3581,8 @@ private[js] object JsColumnCompiler {
         case MinK => Seq(
           min(col(s"__graft_min_$f")).as(s"__graft_min_$f"),
           max(col(s"__graft_nan_$f")).as(s"__graft_nan_$f"))
+        case GMaxK => Seq(max(col(s"__graft_gmax_$f")).as(s"__graft_gmax_$f"))
+        case GMinK => Seq(min(col(s"__graft_gmin_$f")).as(s"__graft_gmin_$f"))
         case LastK => Seq(max(col(s"__graft_last_$f")).as(s"__graft_last_$f"))
         case PushK => Seq(flatten(collect_list(col(s"__graft_push_$f")))
           .as(s"__graft_push_$f"))
@@ -3380,14 +3641,29 @@ private[js] object JsColumnCompiler {
         }
         tainted
       }
+    // Per-read-field window inputs — the kind-appropriate per-event
+    // contribution columns the pre-state window aggregates (shared by
+    // the circularity gate below and the build's window binder)
+    def preWindowInputs(f: String): Seq[Column] = fieldKind(f) match {
+      case SumK => Seq(kept(routed(f, sumContrib, lit(0.0)), lit(0.0)))
+      case MaxK => Seq(kept(routed(f, maxContrib, nullD), nullD))
+      case MinK => Seq(kept(routed(f, minContrib, nullD), nullD),
+        kept(routed(f, nanContrib, lit(false)), lit(false)))
+      case GMaxK => Seq(kept(routed(f, gmaxContrib, nullGm), nullGm))
+      case GMinK => Seq(kept(routed(f, gminContrib, nullGm), nullGm))
+      case LastK => flatInit(f) match {
+        case JsNum(_) => Seq(kept(routed(f, preLastNumContrib, nullGn), nullGn))
+        case _ => Seq(kept(routed(f, preLastStrContrib, nullGs), nullGs))
+      }
+    }
     // Circularity gate: a READ field's own per-row contribution must
     // never itself depend on a pre-state column — directly or through a
     // tainted let — or the window input would reference the window
     // output. Other (unread) fields MAY reference pre columns freely:
     // those references live in agg inputs computed after the windows.
     if (preReads.nonEmpty) {
-      for (f <- preReads) {
-        val rs = attrRefs(kept(routed(f, sumContrib, lit(0.0)), lit(0.0)))
+      for (f <- preReads; c <- preWindowInputs(f)) {
+        val rs = attrRefs(c)
         if (rs.exists(r => r.startsWith(PreColPrefix) || taintedLets(r)))
           return None
       }
@@ -3404,22 +3680,52 @@ private[js] object JsColumnCompiler {
       }
       val keyed0 = df.withColumn(KeyCol, keyCol)
       // pre-state columns: field value the interpreter's state holds as
-      // this event's handler STARTS = $init + running sum of the field's
-      // own contributions over the fold-order-preceding rows of the
-      // partition. One window shuffle on the partition key; the agg
+      // this event's handler STARTS, reconstructed over the fold-order-
+      // PRECEDING rows of the partition — $init + running sum for sums,
+      // running extremum vs $init for max/min (Math.* and guard
+      // recurrences alike), latest preceding executed site for
+      // overwrites. One window shuffle on the partition key; the agg
       // below reuses that partitioning (no second exchange) — the price
       // is map-side partial aggregation, the same trade the interpreter
-      // path's per-key sort already makes. Integral longs rendered as
-      // doubles: exact below 2^53 like the aggregate itself.
+      // path's per-key sort already makes. Sums are integral longs
+      // rendered as doubles (exact below 2^53, like the aggregate);
+      // extrema/overwrites carry exact doubles / raw strings.
       val keyedPre = preReads.foldLeft(keyed0) { (d, f) =>
-        val contrib = kept(routed(f, sumContrib, lit(0.0)), lit(0.0))
-          .cast(LongType)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(KeyCol)).orderBy(col("log_position"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        d.withColumn(PreColPrefix + f,
-          (lit(initNum(f).toLong) + coalesce(sum(contrib).over(w), lit(0L)))
-            .cast(DoubleType))
+        val ins = preWindowInputs(f)
+        val pre: Column = fieldKind(f) match {
+          case SumK =>
+            (lit(initNum(f).toLong) +
+              coalesce(sum(ins.head.cast(LongType)).over(w), lit(0L)))
+              .cast(DoubleType)
+          case MaxK => greatest(lit(initNum(f)), max(ins.head).over(w))
+          case MinK =>
+            if (initNum(f).isNaN) lit(Double.NaN)
+            else when(coalesce(max(ins(1).cast("int")).over(w), lit(0)) > 0,
+              lit(Double.NaN))
+              .otherwise(least(lit(initNum(f)), min(ins.head).over(w)))
+          case GMaxK =>
+            val m = max(ins.head).over(w)
+            when(m.isNull || !(m.getField("v") > lit(initNum(f) + 0.0)),
+              lit(initNum(f))).otherwise(m.getField("raw"))
+          case GMinK =>
+            val m = min(ins.head).over(w)
+            if (initNum(f).isNaN) lit(Double.NaN)
+            else when(m.isNull || !(m.getField("v") < lit(initNum(f) + 0.0)),
+              lit(initNum(f))).otherwise(m.getField("raw"))
+          case LastK =>
+            val site = last(ins.head, ignoreNulls = true).over(w)
+            flatInit(f) match {
+              case JsNum(d0) =>
+                coalesce(site.getField("d"), lit(d0))
+              case JsStr(s0) =>
+                coalesce(site.getField("s"), lit(s0))
+              case _ => lit(null) // unreachable: gate validated the init
+            }
+        }
+        d.withColumn(PreColPrefix + f, pre)
       }
       // lets that READ pre-state bind only now, after the windows
       val keyed = letsPost.foldLeft(keyedPre) {

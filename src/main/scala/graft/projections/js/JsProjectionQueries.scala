@@ -547,10 +547,44 @@ fromCategory("purchase")
         get_json_object(col("state"), "$.later_cents").cast("long").as("later_cents"))
       .orderBy(col("partition"))
 
+  /** Non-sum pre-state reads (r11 compiled shape): a high-water-mark
+    * counter (`if (cents > s.peak)` reads the RUNNING MAX before its own
+    * Math.max mutation), a consecutive-same-type counter (`if (s.last ===
+    * e.eventType)` reads the latest PRECEDING overwrite), and a running
+    * minimum via the guard recurrence `if (cents < s.low) s.low = cents`
+    * seeded from Infinity (compiled as a selection aggregate — no read,
+    * no window). All interpreter-free; the two reads compile to
+    * fold-key-partitioned windows. */
+  private val highWaterSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { peak: 0, rises: 0, last: '', repeats: 0, low: Infinity } },
+        $any: function(s, e) {
+            var cents = Math.round(e.value * 100);
+            if (cents > s.peak) { s.rises += 1; }
+            s.peak = Math.max(s.peak, cents);
+            if (s.last === e.eventType) { s.repeats += 1; }
+            s.last = e.eventType;
+            if (cents < s.low) s.low = cents;
+            return s;
+        }
+    })"""
+
+  private def jsHighWater(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(highWaterSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.peak").cast("long").as("peak_cents"),
+        get_json_object(col("state"), "$.rises").cast("long").as("rises"),
+        get_json_object(col("state"), "$.repeats").cast("long").as("repeats"),
+        get_json_object(col("state"), "$.low").cast("long").as("low_cents"))
+      .orderBy(col("partition"))
+
   /** Every JS definition this module runs, by name — the handler corpus
     * the JsEngineSpec column-compiler equivalence suite sweeps (fast path
     * == interpreter on each, including the ones that must fall back). */
   private[graft] def handlerCorpus: Seq[(String, String)] = Seq(
+    "js_high_water" -> highWaterSource,
     "js_string_accum" -> stringAccumSource,
     "js_branch_fold" -> branchFoldSource,
     "js_streams_matching" -> streamsMatchingSource,
@@ -594,7 +628,8 @@ fromCategory("purchase")
     "js_string_accum" -> (jsStringAccum _),
     "js_branch_fold" -> (jsBranchFold _),
     "js_streams_matching" -> (jsStreamsMatching _),
-    "js_first_event" -> (jsFirstEvent _)
+    "js_first_event" -> (jsFirstEvent _),
+    "js_high_water" -> (jsHighWater _)
   )
 
   private val L = Tables.eventLogSql
@@ -624,6 +659,27 @@ fromCategory("purchase")
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM log WHERE regexp_matches(stream_id, '^purchase-1[0-9]$$')
       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // peak = running max seeded 0; rises counts strict prefix-max breaks
+    // (first event vs the 0 seed); repeats counts consecutive same-type
+    // pairs (lag default '' = the $init last); low = min over all cents
+    // (the Infinity seed always loses on a non-empty stream)
+    "js_high_water" -> s"""$L,
+      |w AS (
+      |  SELECT stream_id, event_type, log_position,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         greatest(CAST(0 AS BIGINT),
+      |           coalesce(max(CAST(round(value * 100) AS BIGINT)) OVER (
+      |             PARTITION BY stream_id ORDER BY log_position
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS prepeak,
+      |         coalesce(lag(event_type) OVER (
+      |           PARTITION BY stream_id ORDER BY log_position), '') AS prev_type
+      |  FROM log WHERE split_part(stream_id, '-', 1) = 'purchase')
+      |SELECT stream_id AS partition,
+      |       CAST(greatest(0, max(cents)) AS BIGINT) AS peak_cents,
+      |       CAST(count(*) FILTER (WHERE cents > prepeak) AS BIGINT) AS rises,
+      |       CAST(count(*) FILTER (WHERE event_type = prev_type) AS BIGINT) AS repeats,
+      |       CAST(min(cents) AS BIGINT) AS low_cents
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // first purchase (by log position) lands in first_cents, the rest in
     // later_cents; category streams with zero purchase-typed events keep
     // $init (0/0/0) — the fold runs no handler but the key still folds

@@ -168,8 +168,15 @@ class JsCompilerPropertySpec extends SparkTestBase {
     // the handler tail (reads of nested paths stay refused, so nested
     // definitions skip the idiom to keep the compiled fraction honest)
     val preState = !nested && r.nextInt(3) == 0
+    // r11 non-sum pre-state idioms (guard bodies generated below)
+    val pre2 = !nested && r.nextInt(3) == 0
+    val pre2Init: Seq[String] =
+      if (!pre2) Nil
+      else Seq(s"peak: ${Seq("0", "0.5", "-1e308")(r.nextInt(3))}", "pr: 0",
+        "lastT: ''", "rp: 0",
+        s"nlow: ${Seq("Infinity", "1e308", "100")(r.nextInt(3))}")
     val initFields = ((if (preState)
-      Seq(s"cnt: ${r.nextInt(3)}", "pg: 0") else Nil) ++
+      Seq(s"cnt: ${r.nextInt(3)}", "pg: 0") else Nil) ++ pre2Init ++
       kinds.map { case (f, k) =>
       val v = k match {
         case 'S' => r.nextInt(10).toString
@@ -224,12 +231,32 @@ class JsCompilerPropertySpec extends SparkTestBase {
         }) + "\n            "
       }
     def cntInc: String = if (preState) "s.cnt += 1;\n            " else ""
+    // r11 non-sum pre-state idioms: an extremum read (running max, read
+    // BEFORE its own Math.max mutation), a string last-value read (lag
+    // of the latest preceding overwrite), and the guard recurrence
+    // `if (x < s.f) s.f = x` (compiled as a selection — no read). The
+    // integral-init + fractional-candidate combination exercises the
+    // claim-demotion retry; the hostile log's -0.0 values exercise the
+    // recurrence's normalized tie-breaks, its NaN getTime() the skip.
+    def pre2Guard: String =
+      if (!pre2) "" else {
+        val cand = genNumExpr(r)
+        val cmp = if (r.nextBoolean()) s"$cand > s.peak" else s"s.peak < $cand"
+        val low = genNumExpr(r)
+        val lastSrc = if (r.nextBoolean()) "e.eventType" else "e.streamId"
+        s"""if ($cmp) { s.pr += ${genIntExpr(r, 1)}; }
+           |            s.peak = Math.max(s.peak, ${genNumExpr(r)});
+           |            if (s.lastT === $lastSrc) { s.rp += 1; }
+           |            s.lastT = $lastSrc;
+           |            if ($low < s.nlow) { s.nlow = $low; }
+           |            """.stripMargin
+      }
     val typed =
       if (r.nextBoolean())
         s"""
            |        t${1 + r.nextInt(3)}: function(s, e) {
            |            var d = new Date(e.timestamp);
-           |            ${earlyRet}${preGuard}${genStmts(r, kinds, 2, base)}$mapStmt
+           |            ${earlyRet}${preGuard}${pre2Guard}${genStmts(r, kinds, 2, base)}$mapStmt
            |            ${cntInc}return s;
            |        },""".stripMargin
       else ""
@@ -257,7 +284,7 @@ class JsCompilerPropertySpec extends SparkTestBase {
        |        ${"$"}init: function() { return { $init }; },$typed
        |        ${"$"}any: function(s, e) {
        |            var d = new Date(e.timestamp);
-       |            ${earlyRet}${preGuard}${genStmts(r, kinds, 2, base)}$mapStmt
+       |            ${earlyRet}${preGuard}${pre2Guard}${genStmts(r, kinds, 2, base)}$mapStmt
        |            ${cntInc}return s;
        |        }
        |    })$chain""".stripMargin

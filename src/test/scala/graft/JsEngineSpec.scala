@@ -1101,6 +1101,7 @@ fromCategory("idx")
       "js_branch_fold" -> true,
       "js_streams_matching" -> true,
       "js_first_event" -> true,
+      "js_high_water" -> true,
       "js_nested_state" -> true,
       "js_early_return" -> true,
       "js_array_collect" -> true,
@@ -1183,13 +1184,24 @@ fromAll().foreachStream().when({
         if (s.count === 1) { s.first += 1; }
         return s;
     } })""").compilesToColumns)
-    // reads of non-sum (overwrite) fields fall back
-    assert(!JsProjection.compile("""
+    // reads of numeric overwrite fields COMPILE since r11 (latest
+    // preceding site via a last-ignoreNulls window) and stay exact
+    assert(fastEqualsInterp("""
 fromAll().foreachStream().when({
     $init: function() { return { last: 0, n: 0 }; },
     $any: function(s, e) {
         if (s.last === 0) { s.n += 1; }
         s.last = e.sequenceNumber;
+        return s;
+    } })""", log))
+    // …but an overwrite site whose value is not provably a plain
+    // number/string in the $init's class (dynamic body read) refuses
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { last: 0, n: 0 }; },
+    $any: function(s, e) {
+        if (s.last === 0) { s.n += 1; }
+        if (e.body) { s.last = e.body.k; }
         return s;
     } })""").compilesToColumns)
     // a field whose own delta reads itself is circular — fall back

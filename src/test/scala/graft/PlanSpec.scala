@@ -274,6 +274,47 @@ fromAll().foreachStream().when({
     assert(!plan.contains("FlatMapGroups"), plan.take(1500))
   }
 
+  test("compiled non-sum pre-state folds: extremum and last-value windows " +
+    "partition by the fold key; the guard recurrence needs no window at all") {
+    val s = spark; import s.implicits._
+    val log = Seq.tabulate(60)(i =>
+      (s"acct-${i % 7}", (i / 7).toLong, if (i % 3 == 0) "A" else "B",
+        i.toLong, """{"v":1}""", (i % 11).toDouble))
+      .toDF("stream_id", "event_number", "event_type", "log_position", "data", "value")
+      .withColumn("timestamp", expr("timestamp_millis(1700000000000 + log_position)"))
+      .withColumn("correlation_id", lit(null).cast("string"))
+    // extremum read (running max) + string last-value read (lag-style):
+    // both pre columns bind as fold-key-partitioned windows
+    val p = graft.projections.js.JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { peak: 0, rises: 0, last: '', repeats: 0 }; },
+    $any: function(s, e) {
+        if (e.value > s.peak) { s.rises += 1; }
+        s.peak = Math.max(s.peak, e.value);
+        if (s.last === e.eventType) { s.repeats += 1; }
+        s.last = e.eventType;
+        return s;
+    } })""")
+    assert(p.compilesToColumns)
+    val plan = executedPlan(p.states(log))
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+    assert(!plan.contains("FlatMapGroups"), plan.take(1500))
+    // the guard recurrence alone is a pure selection aggregate — compiled
+    // with NO window (nothing reads the field outside its own idiom)
+    val q = graft.projections.js.JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { low: Infinity }; },
+    $any: function(s, e) {
+        if (e.value < s.low) { s.low = e.value; }
+        return s;
+    } })""")
+    assert(q.compilesToColumns)
+    val qplan = executedPlan(q.states(log))
+    assert(!qplan.contains("Window"), qplan.take(1500))
+    assert(!qplan.contains("FlatMapGroups"), qplan.take(1500))
+  }
+
   test("substring-dedup census joins are equi-joins, never cartesian") {
     val s = spark; import s.implicits._
     val docs = Seq.tabulate(40)(i =>
