@@ -99,6 +99,14 @@ object AnalyticsQueries extends QueryModule {
       "text", "id")
       .orderBy(col("id"))
 
+  /** Strict (single-source-verified) span removal: a run is excised only
+    * when one (document, offset) partner carries its whole window chain —
+    * the chimera-free audit mode. */
+  private def substringStrictQ(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDupRemoveSpans(exactCorpus(s, d), k = 8, minLen = 20,
+      "text", "id", strict = true)
+      .orderBy(col("id"))
+
   private def dedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(nearCorpus(s, d), 0.5, "text", "id", maxDocFreq = 64)
       .orderBy(col("id_a"), col("id_b"))
@@ -278,6 +286,7 @@ object AnalyticsQueries extends QueryModule {
     "dedup_substring" -> (substringDupQ _),
     "dedup_substring_remove" -> (substringRemoveQ _),
     "dedup_substring_spans" -> (substringSpansQ _),
+    "dedup_substring_strict" -> (substringStrictQ _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash_signatures" -> (minhashSig _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -604,6 +613,45 @@ object AnalyticsQueries extends QueryModule {
         |  GROUP BY id, island HAVING max(i) - min(i) + 8 >= 20),
         |cov AS (SELECT DISTINCT id, p FROM (
         |  SELECT id, unnest(range(s, e + 8)) AS p FROM runs)),
+        |covagg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY id),
+        |tokpos AS (SELECT id, p, w[CAST(p AS INT)] AS tok
+        |           FROM (SELECT id, w, unnest(range(1, len(w) + 1)) AS p FROM toks)),
+        |keptagg AS (SELECT tokpos.id, string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |            FROM tokpos ANTI JOIN cov ON cov.id = tokpos.id AND cov.p = tokpos.p
+        |            GROUP BY tokpos.id)
+        |SELECT t.id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |       coalesce(covagg.n_removed, 0) AS n_removed,
+        |       coalesce(keptagg.text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN covagg ON covagg.id = t.id
+        |            LEFT JOIN keptagg ON keptagg.id = t.id
+        |ORDER BY t.id""".stripMargin,
+    "dedup_substring_strict" ->
+      s"""WITH $exactCorpusSql,
+        |toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+        |wins AS (
+        |  SELECT id, gs AS i, md5(array_to_string(list_slice(w, gs, gs + 7), ' ')) AS h
+        |  FROM (SELECT id, w, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS gs
+        |        FROM toks)),
+        |duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |dstart AS (SELECT id, i FROM wins WHERE h IN (SELECT h FROM duph)),
+        |runs AS (
+        |  SELECT id, min(i) AS s, max(i) AS e FROM (
+        |    SELECT id, i, i - row_number() OVER (PARTITION BY id ORDER BY i) AS island
+        |    FROM dstart)
+        |  GROUP BY id, island HAVING max(i) - min(i) + 8 >= 20),
+        |rstart AS (SELECT id, s, e, unnest(range(s, e + 1)) AS i FROM runs),
+        |rsh AS (SELECT r.id, r.s, r.e, r.i, w.h
+        |        FROM rstart r JOIN wins w ON w.id = r.id AND w.i = r.i),
+        |ver AS (
+        |  SELECT DISTINCT id, s, e FROM (
+        |    SELECT a.id, a.s, a.e, b.id AS pid, b.i - a.i AS off,
+        |           CAST(count(*) AS BIGINT) AS n
+        |    FROM rsh a JOIN wins b ON b.h = a.h
+        |      AND NOT (b.id = a.id AND b.i = a.i)
+        |    GROUP BY 1, 2, 3, 4, 5)
+        |  WHERE n = e - s + 1),
+        |cov AS (SELECT DISTINCT id, p FROM (
+        |  SELECT id, unnest(range(s, e + 8)) AS p FROM ver)),
         |covagg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY id),
         |tokpos AS (SELECT id, p, w[CAST(p AS INT)] AS tok
         |           FROM (SELECT id, w, unnest(range(1, len(w) + 1)) AS p FROM toks)),

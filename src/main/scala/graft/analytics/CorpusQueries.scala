@@ -292,7 +292,12 @@ object CorpusQueries extends QueryModule {
   }
 
   /** DSIR importance weights: target = docs 0..199 (the proxy domain),
-    * raw = the whole corpus; top quartile flagged selected. */
+    * raw = the whole corpus; top quartile flagged selected. NOTE the
+    * selection contract is VALUE-based (log_weight strictly above the
+    * exact p75 cutoff), not rank-based: on heavily tied corpora fewer
+    * than a quarter of docs select (zero when all weights tie) — a
+    * consumer needing a guaranteed quartile-sized sample must rank
+    * instead. */
   private def dsirQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     Corpus.importanceWeights(docs, docs.where(col("doc_id") < 200))

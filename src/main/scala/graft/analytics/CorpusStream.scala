@@ -48,7 +48,10 @@ object CorpusStream {
     * distributions (both trained batch-side — the reference corpus
     * stands in for the raw distribution, which a stream cannot supply
     * upfront). Selection quartiles are likewise a batch-sample decision;
-    * the stream emits raw weights. */
+    * the stream emits raw weights. (Batch `selected` is VALUE-based —
+    * strictly above the exact p75 cutoff, under-selecting on ties — see
+    * [[Corpus.importanceWeights]]; a streaming consumer applying a
+    * batch-sampled cutoff inherits that contract.) */
   def importanceWeightsStream(docs: DataFrame, target: DataFrame,
       reference: DataFrame, outDir: String, checkpoint: String,
       buckets: Int = 4096, textCol: String = "text",

@@ -514,11 +514,20 @@ object Dedup {
     * false negatives vs the suffix-array form); an isolated duplicated
     * k-gram spans only k < minLen tokens and survives — the
     * over-removal [[substringDupRemove]]'s fixed-k form pays is gone.
-    * The one approximation left is the chimera case: consecutive
-    * windows each duplicated AGAINST DIFFERENT sources stitch into one
-    * run and may remove a composite span no single source duplicates —
-    * the conservative (over-removal) direction for a training-data
-    * cleaner.
+    * The one approximation left in the DEFAULT mode is the chimera case:
+    * consecutive windows each duplicated AGAINST DIFFERENT sources stitch
+    * into one run and may remove a composite span no single source
+    * duplicates — the conservative (over-removal) direction for a
+    * training-data cleaner. `strict = true` closes it: a run is excised
+    * only when some single (document, offset) other than the run itself
+    * carries the SAME window chain contiguously — every start in [s..e]
+    * aligns to the partner at one constant offset. The verification is
+    * an equi-join of the runs' window starts back to the census keyed on
+    * the window hash, grouped by candidate (partner, offset) and kept on
+    * a full-length chain count; its fan-out is one row per (run window ×
+    * other occurrence), so corpus-boilerplate windows repeated across f
+    * documents cost f rows per run start — audit-grade cleaning pays a
+    * bounded multiple of the census where the default pays none.
     *
     * Scale shape: identical single-pass census as
     * [[substringDupRemove]]; the stitching adds one window partitioned
@@ -528,7 +537,8 @@ object Dedup {
     * bounded by genuinely-long duplication, typically far below the
     * fixed-k coverage. Returns (id, n_tokens, n_removed, text_clean). */
   def substringDupRemoveSpans(docs: DataFrame, k: Int = 8, minLen: Int = 20,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      strict: Boolean = false): DataFrame = {
     require(minLen >= k, s"minLen=$minLen must be >= k=$k")
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
     // same let-bound window build as substringDupRemove (see there for
@@ -552,11 +562,34 @@ object Dedup {
     // span of e-s+k tokens
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("i"))
-    val covered = dupStarts
+    val runs0 = dupStarts
       .withColumn("island", col("i") - row_number().over(byDoc))
       .groupBy(col("id"), col("island"))
       .agg(min(col("i")).as("s"), max(col("i")).as("e"))
       .where(col("e") - col("s") + k >= minLen)
+    val runs =
+      if (!strict) runs0
+      else {
+        // single-source verification (see the header): the run's window
+        // starts join back to the census on the window hash; a candidate
+        // (partner, offset) survives only with a FULL-length chain —
+        // n matches == run length — and the run's own alignment
+        // (pid == id, off == 0) is excluded
+        val runStarts = runs0
+          .select(col("id"), col("s"), col("e"),
+            explode(sequence(col("s"), col("e"))).as("i"))
+          .join(wins, Seq("id", "i"))
+        runStarts
+          .join(wins.select(col("id").as("pid"), col("i").as("j"), col("h")),
+            Seq("h"))
+          .where(!(col("pid") === col("id") && col("j") === col("i")))
+          .groupBy(col("id"), col("s"), col("e"), col("pid"),
+            (col("j") - col("i")).as("off"))
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") === col("e") - col("s") + 1)
+          .select(col("id"), col("s"), col("e")).distinct()
+      }
+    val covered = runs
       .select(col("id"), explode(sequence(col("s"), col("e") + (k - 1))).as("p"))
       .groupBy(col("id")).agg(collect_set(col("p")).as("cov"))
     toks.join(covered, Seq("id"), "left")

@@ -1,0 +1,207 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Persisted ANN indexes: train the quantizer geometry ONCE, serve many
+  * query batches. Every inline [[Similarity]] search form retrains per
+  * call — centroid count()s, Lloyd passes, corpus assignment, PQ/SQ8
+  * encoding — which is the right shape for a one-shot batch job and the
+  * wrong one for production ANN, where an index is built by a scheduled
+  * job and queried continuously (the FAISS train/add/search lifecycle).
+  *
+  * Layout under `path` (plain parquet, like EventLogStore's stats
+  * layout — externally readable, no sidecar formats):
+  *  - `meta/`      one row: kind, nlist, m, kcent — read before search to
+  *                 derive defaults (nprobe = nlist/16) without touching
+  *                 the corpus;
+  *  - `centroids/` (centroid_id, centv) — the coarse quantizer;
+  *  - `vectors/`   (id, list_id, v) — IVF: the corpus clustered by list,
+  *                 range-partitioned + sorted by list_id;
+  *  - `codebook/`  (sub, cid, cv) — IVF-PQ subspace centroids;
+  *  - `codes/`     (id, list_id, codes) — IVF-PQ: PQ codes clustered by
+  *                 list, range-partitioned + sorted by list_id;
+  *  - `sq8stats/`  one row: the per-dimension [min,max] map;
+  *  - `sq8codes/`  (id, codes) — the 8-bit coded corpus.
+  *
+  * Scale shape of a saved-index search: centroids/codebook/stats
+  * broadcast (tiny); the probed corpus read prunes to the PROBED LISTS —
+  * probed list ids collect to the driver (bounded by nlist) and push down
+  * as an `isin` filter over the list-sorted files, so parquet row-group
+  * stats skip every unprobed list's row groups; past `PushdownMaxLists`
+  * distinct lists it degrades to the equi-join form. Search equals the
+  * inline form EXACTLY for the same geometry (spec-pinned): assignment,
+  * probing, tie-breaks and ranking reuse the same expressions, and
+  * doubles round-trip parquet bit-exactly. */
+object SimilarityIndex {
+
+  /** Above this many probed list ids, prune via equi-join instead of a
+    * driver-collected isin pushdown (same gate pattern as
+    * [[DedupStream.PushdownMaxIds]]). */
+  val PushdownMaxLists: Long = 10000L
+
+  private def writeSorted(df: DataFrame, sortCol: String, path: String): Unit =
+    df.repartitionByRange(col(sortCol)).sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
+
+  private def meta(spark: SparkSession, path: String): org.apache.spark.sql.Row =
+    spark.read.parquet(s"$path/meta").first()
+
+  /** Prune a list-sorted table to the probed list ids. */
+  private def pruneToLists(tbl: DataFrame, probes: DataFrame): DataFrame = {
+    val lists = probes.select(col("list_id")).distinct()
+    if (lists.count() <= PushdownMaxLists) {
+      val ids = lists.collect().map(_.get(0))
+      tbl.where(col("list_id").isin(ids: _*))
+    } else tbl.join(lists, "list_id")
+  }
+
+  // ---------------------------------------------------------------- IVF
+
+  /** Build and persist an IVF index: centroids (lowest-id init, optional
+    * Lloyd `iters` via [[Similarity.trainIvfCentroids]]) plus the corpus
+    * clustered by its list assignment. `nlist <= 0` auto-sizes via
+    * [[Similarity.autoIvf]]. */
+  def saveIvf(corpus: DataFrame, path: String, nlist: Int = 0, iters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import Similarity._
+    val spark = corpus.sparkSession
+    val n = if (nlist > 0) nlist else autoIvf(corpus.count())._1
+    val cent =
+      (if (iters > 0) trainIvfCentroids(corpus, n, iters, idCol, vecCol)
+         .select(col("centroid_id"), col("centv"))
+       else corpus.where(col(idCol) < n)
+         .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv")))
+        .localCheckpoint(true)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val assigned = c.crossJoin(broadcast(cent))
+      .select(col("id"), col("v"), col("centroid_id"),
+        cosine(col("v"), col("centv")).as("csim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("list_id"),
+        first(col("v")).as("v"))
+    writeSorted(assigned.select(col("id"), col("list_id"), col("v")),
+      "list_id", s"$path/vectors")
+    import spark.implicits._
+    Seq(("ivf", n, 0, 0)).toDF("kind", "nlist", "m", "kcent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Approximate top-k against a saved IVF index — identical results to
+    * [[Similarity.ivfTopK]] with the index's centroids and geometry, but
+    * the only corpus-scale work left is the pruned scan of the probed
+    * lists. `nprobe <= 0` defaults to nlist/16 (floor 2), read from meta. */
+  def ivfTopK(spark: SparkSession, queries: DataFrame, path: String, k: Int,
+      nprobe: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import Similarity._
+    val np = if (nprobe > 0) nprobe
+      else math.max(2, meta(spark, path).getAs[Int]("nlist") / 16)
+    val cent = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("psim", cosine(col("qv"), col("centv")))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= np)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))
+      .localCheckpoint(true)
+    val cands = pruneToLists(spark.read.parquet(s"$path/vectors"), probes)
+    val scored = broadcast(probes).join(cands, "list_id")
+      .where(col("query_id") =!= col("id"))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .where(!isnan(col("sim")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Build and persist an IVF-PQ index: coarse centroids + list
+    * assignments + PQ codebook + the m-byte-coded corpus. Mirrors
+    * [[Similarity.ivfPqTopK]]'s training exactly (codes quantize raw
+    * vectors; `iters = 0` keeps the codebook deterministic). */
+  def saveIvfPq(corpus: DataFrame, path: String, nlist: Int, m: Int, kcent: Int,
+      iters: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import Similarity._
+    val spark = corpus.sparkSession
+    val cent = corpus.where(col(idCol) < nlist)
+      .select(col(idCol).cast("int").as("centroid_id"), asDouble(col(vecCol)).as("centv"))
+      .localCheckpoint(true)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v0"))
+      .crossJoin(broadcast(cent))
+      .select(col("id"), col("centroid_id"), cosine(col("v0"), col("centv")).as("csim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("list_id"))
+    val cb = pqCodebook(corpus, m, kcent, iters, idCol, vecCol).localCheckpoint(true)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    writeSorted(pqEncode(corpus, cb, m, idCol, vecCol).join(assigned, "id")
+      .select(col("id"), col("list_id"), col("codes")), "list_id", s"$path/codes")
+    import spark.implicits._
+    Seq(("ivfpq", nlist, m, kcent)).toDF("kind", "nlist", "m", "kcent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** ADC top-k against a saved IVF-PQ index — identical results to
+    * [[Similarity.ivfPqTopK]] for the index's geometry; per query batch
+    * only the probed lists' code rows are scanned (m ints per vector). */
+  def ivfPqTopK(spark: SparkSession, queries: DataFrame, path: String, k: Int,
+      nprobe: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import Similarity._
+    val mrow = meta(spark, path)
+    val (m, kcent) = (mrow.getAs[Int]("m"), mrow.getAs[Int]("kcent"))
+    val np = if (nprobe > 0) nprobe else math.max(2, mrow.getAs[Int]("nlist") / 16)
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("psim", cosine(col("qv"), col("centv")))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= np)
+      .select(col("query_id"), col("centroid_id").as("list_id"))
+      .localCheckpoint(true)
+    val qtab = pqQueryTab(queries, cb, m, idCol, vecCol)
+    val cands = pruneToLists(spark.read.parquet(s"$path/codes"), probes)
+    adcTopK(
+      cands.select(col("id").as("neighbor_id"), col("codes"), col("list_id"))
+        .join(broadcast(probes), "list_id")
+        .join(broadcast(qtab), "query_id")
+        .withColumn("adist", adcDist(col("codes"), col("tab"), m, kcent)),
+      m, kcent, k)
+  }
+
+  // ---------------------------------------------------------------- SQ8
+
+  /** Persist the SQ8 codec: per-dimension [min,max] stats + the 8-bit
+    * coded corpus — the 4× storage cut becomes an at-rest format instead
+    * of a per-search recode. */
+  def saveSq8(corpus: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import Similarity._
+    sq8Stats(corpus, vecCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/sq8stats")
+    sq8(corpus, idCol, vecCol).select(col("id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$path/sq8codes")
+  }
+
+  /** Asymmetric SQ8 top-k against the saved codec — identical results to
+    * [[Similarity.sq8TopK]]; the corpus is never re-encoded. */
+  def sq8TopK(spark: SparkSession, queries: DataFrame, path: String, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import Similarity._
+    val rec = spark.read.parquet(s"$path/sq8codes")
+      .crossJoin(broadcast(spark.read.parquet(s"$path/sq8stats")))
+      .select(col("id").as("neighbor_id"), sq8Reconstruct(col("codes")).as("cv"))
+      .where(!exists(col("cv"), c => c.isNull))
+    sq8Rank(rec, queries, k, idCol, vecCol)
+  }
+}

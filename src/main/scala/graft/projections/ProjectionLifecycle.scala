@@ -172,6 +172,29 @@ object ProjectionLifecycle {
           "ProjectionLifecycle.enable (or reset) to run again")
     }
 
+  /** Read back a projection's materialized RESULT for a partition — the
+    * library face of the reference's `GET /projection/{name}/state
+    * ?partition=` management read (EventStore.Projections.Core/Services/
+    * Http/ProjectionsController.cs:90-92): the latest event's data on the
+    * partition's result stream ([[graft.projections]] outputState naming,
+    * ProjectionNamesBuilder.cs:40-75; `resultStreamPattern` for P11
+    * overrides, `{0}` = partition). None when nothing materialized, or
+    * the result stream was truncated/deleted (retention applies — a reset
+    * projection reads as empty until it re-runs). One bucket-pruned point
+    * lookup. */
+  def resultFor(store: EventLogStore, name: String, partition: String = "",
+      resultStreamPattern: Option[String] = None): Option[String] = {
+    val stream = resultStreamPattern match {
+      case Some(p) => p.replace("{0}", partition)
+      case None if partition.isEmpty => s"$$projections-$name-result"
+      case None => s"$$projections-$name-$partition-result"
+    }
+    if (!store.exists) return None
+    graft.operators.Reads.readStreamBackwards(
+        store.readStreamEvents(stream), stream, maxCount = 1L)
+      .select(col("data")).collect().headOption.map(_.getString(0))
+  }
+
   /** Reset a projection: truncate its result/checkpoint/registry streams
     * and every stream it emitted into, then bump the epoch so the next
     * run re-checkpoints and re-emits from scratch. Safe to call on a

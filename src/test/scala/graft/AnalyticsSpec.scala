@@ -609,6 +609,31 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out(6L) == ((12L, "q1 q2")))
   }
 
+  test("substringDupRemoveSpans strict mode: a planted chimera run is kept; " +
+    "single-source runs still cut") {
+    val s = spark; import s.implicits._
+    val t = (1 to 10).map(i => s"w$i")
+    // X = w1..w10; Y shares X's prefix (w1..w6); Z shares X's suffix
+    // (w4..w10). Every window of X is duplicated — starts 1..4 against Y,
+    // 4..8 against Z — so the stitched island covers ALL of X even though
+    // no single source carries w1..w10: the chimera case
+    val docs = Seq(
+      (1L, t.mkString(" ")),
+      (2L, t.take(6).mkString(" ")),
+      (3L, t.drop(3).mkString(" "))).toDF("doc_id", "text")
+    def run(strict: Boolean) =
+      Dedup.substringDupRemoveSpans(docs, k = 3, minLen = 5, strict = strict)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val dflt = run(strict = false)
+    assert(dflt(1L) == ((10L, "")), "default removes the composite span")
+    assert(dflt(2L) == ((6L, "")) && dflt(3L) == ((7L, "")))
+    val strict = run(strict = true)
+    assert(strict(1L) == ((0L, t.mkString(" "))),
+      "strict keeps the chimera — no single (source, offset) has the chain")
+    // Y and Z each align fully against X at one offset — still cut
+    assert(strict(2L) == ((6L, "")) && strict(3L) == ((7L, "")))
+  }
+
   test("sq8: codes bounded, min/max hit the rails, constant dims code 0, " +
     "reconstruction error within half a quantization step") {
     val s = spark; import s.implicits._
@@ -677,5 +702,40 @@ class AnalyticsSpec extends SparkTestBase {
     // every ranked neighbor must come from the query's own cluster
     viaSq8.foreach { case ((qid, _), nid) => assert(nid % 3 == qid % 3) }
     assert(viaSq8 == exactMap)
+  }
+
+  test("saved ANN indexes (IVF / IVF-PQ / SQ8) reproduce the inline searches exactly") {
+    val s = spark; import s.implicits._
+    import graft.analytics.SimilarityIndex
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+
+    // IVF with a Lloyd-trained quantizer: train-once == train-inline
+    SimilarityIndex.saveIvf(vecs, s"$dir/ivf", nlist = 24, iters = 2)
+    val trained = Similarity.trainIvfCentroids(vecs, nlist = 24, iters = 2)
+    assert(rows(SimilarityIndex.ivfTopK(spark, queries, s"$dir/ivf", k = 3, nprobe = 6)) ==
+      rows(Similarity.ivfTopK(queries, vecs, k = 3, nlist = 24, nprobe = 6,
+        centroids = Some(trained))))
+    // default nprobe derives from the SAVED meta (nlist/16, floor 2)
+    assert(rows(SimilarityIndex.ivfTopK(spark, queries, s"$dir/ivf", k = 3)) ==
+      rows(Similarity.ivfTopK(queries, vecs, k = 3, nlist = 24, nprobe = 2,
+        centroids = Some(trained))))
+
+    // IVF-PQ: saved codebook + codes == inline training, same geometry
+    SimilarityIndex.saveIvfPq(vecs, s"$dir/ivfpq", nlist = 6, m = 4, kcent = 16)
+    assert(rows(SimilarityIndex.ivfPqTopK(spark, queries, s"$dir/ivfpq", k = 3, nprobe = 2)) ==
+      rows(Similarity.ivfPqTopK(queries, vecs, k = 3, nlist = 6, nprobe = 2,
+        m = 4, kcent = 16)))
+
+    // SQ8: saved stats + codes == inline recode
+    SimilarityIndex.saveSq8(vecs, s"$dir/sq8")
+    assert(rows(SimilarityIndex.sq8TopK(spark, queries, s"$dir/sq8", k = 5)) ==
+      rows(Similarity.sq8TopK(queries, vecs, 5)))
   }
 }

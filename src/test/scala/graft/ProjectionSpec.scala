@@ -121,6 +121,34 @@ class ProjectionSpec extends SparkTestBase {
     assert(resumed == full)
   }
 
+  test("resultFor: management read-back of a partition's materialized result") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val store = new graft.sources.EventLogStore(spark,
+      java.nio.file.Files.createTempDirectory("resfor").toString)
+    // nothing materialized yet — and a store with no log at all
+    assert(ProjectionLifecycle.resultFor(store, "counts", "chat-1").isEmpty)
+    val results = Projections.fromCategory("chat")
+      .foreachStream()
+      .init(0L)
+      .whenAny((n, _) => n + 1)
+      .outputState(chat, "counts", n => s"""{"count":$n}""")
+      .withColumn("event_id", concat(lit("res:"), col("stream_id")))
+      .withColumn("metadata", lit(null).cast("string"))
+      .withColumn("correlation_id", lit(null).cast("string"))
+      .withColumn("timestamp", lit(null).cast("timestamp"))
+      .drop("partition")
+    store.appendBulk(results, orderBy = Seq("stream_id"))
+    // whenAny counts every event in the category stream: chat-1 has 3
+    // ChatMessages + 1 SystemNotice
+    assert(ProjectionLifecycle.resultFor(store, "counts", "chat-1")
+      == Some("""{"count":4}"""))
+    assert(ProjectionLifecycle.resultFor(store, "counts", "chat-2")
+      == Some("""{"count":2}"""))
+    assert(ProjectionLifecycle.resultFor(store, "counts", "absent").isEmpty)
+    assert(ProjectionLifecycle.resultFor(store, "other").isEmpty)
+  }
+
   test("P21: emitted-stream writes are exactly-once across projection replays") {
     val s = spark; import s.implicits._
     val store = new graft.sources.EventLogStore(spark,
