@@ -685,8 +685,14 @@ object Corpus {
     *   log_weight(d) = Σ_f [ ln((c_t[b(f)]+1)/(N_t+B))
     *                       − ln((c_r[b(f)]+1)/(N_r+B)) ]
     *
-    * `selected` marks the top quartile by weight (DSIR then resamples
-    * proportionally; a deterministic top-fraction keeps the gate exact).
+    * `selected` is VALUE-based, not rank-based: it marks rows with
+    * `log_weight` strictly above the exact p75 cutoff (DSIR then
+    * resamples proportionally; a deterministic value threshold keeps the
+    * gate exact and engine-portable). On heavily tied corpora this can
+    * select far fewer than a quarter of rows — zero when every weight
+    * ties — so consumers needing a guaranteed quartile-SIZED sample must
+    * rank (e.g. row_number over log_weight desc) on top of the weights
+    * themselves rather than rely on `selected`.
     * The bucket hash is the portable md5-based
     * [[graft.functions.TextFunctions.hash60]], so any engine reproduces
     * the same features.
