@@ -304,8 +304,17 @@ object AnalyticsQueries extends QueryModule {
     "ann_lsh_banded" -> (annLshBanded _),
     "emb_near_dup" -> (embNearDup _),
     "emb_quantize_sq8" -> (sq8Q _),
-    "ann_sq8_topk" -> (annSq8TopK _)
+    "ann_sq8_topk" -> (annSq8TopK _),
+    "sample_diversity" -> (sampleDiversityQ _)
   )
+
+  /** Cluster-balanced diversity sample: 8 deterministic coarse centroids
+    * (vec_id < 8, the oracle-embeddable untrained-quantizer form — the
+    * library default auto-sizes and trains), quota 20 per cluster, picked
+    * in portable id-hash order. */
+  private def sampleDiversityQ(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterBalancedSample(Tables.embeddings(s, d), quota = 20, nlist = 8)
+      .orderBy(col("vec_id"))
 
   /** Asymmetric SQ8 search: full-precision queries against the
     * reconstructed 8-bit corpus. */
@@ -815,6 +824,30 @@ object AnalyticsQueries extends QueryModule {
         |  coalesce(mps, -1.0) < 0.4 AS kept
         |FROM assigned LEFT JOIN prior ON prior.id = assigned.id
         |ORDER BY assigned.id""".stripMargin,
+    // mirrors Similarity.clusterBalancedSample: assignment exactly as
+    // ann_ivf_topk's (cosine DESC, centroid-id tie-break), then a
+    // per-cluster row_number in portable md5 id-hash order
+    "sample_diversity" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, cid AS list_id, round(csim, 6) AS csim FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      list_dot_product(e.v, c.cv)
+        |        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |ranked AS (
+        |  SELECT vec_id, list_id, csim,
+        |    CAST(row_number() OVER (PARTITION BY list_id ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(vec_id AS STRING)), 1, 15)) AS BIGINT),
+        |      vec_id) AS INT) AS rank
+        |  FROM assigned)
+        |SELECT vec_id, list_id, rank, csim, rank <= 20 AS selected
+        |FROM ranked ORDER BY vec_id""".stripMargin,
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -711,19 +711,10 @@ object Corpus {
   def importanceWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
       textCol: String = "text", idCol: String = "doc_id",
       referenceOverride: Option[DataFrame] = None): DataFrame = {
-    val Sep = "\u0001"
-    def toks(c: Column): Column =
-      filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
+    def toks(c: Column): Column = grams(c)
     // hashed feature buckets: unigrams plus order-preserving bigrams
-    def featBuckets(c: Column): Column =
-      TextFunctions.bindOnce(toks(c), { ws =>
-        val bis = when(size(ws) >= 2,
-          transform(sequence(lit(1), size(ws) - 1), i =>
-            concat(element_at(ws, i), lit(Sep), element_at(ws, i + 1))))
-          .otherwise(array().cast("array<string>"))
-        transform(concat(ws, bis),
-          g => pmod(TextFunctions.hash60(g), lit(buckets.toLong)))
-      })
+    // (lifted to hashedGramBuckets, shared with the Naive Bayes classifier)
+    def featBuckets(c: Column): Column = hashedGramBuckets(c, buckets)
     def bucketCounts(df: DataFrame): DataFrame = df
       .select(explode(featBuckets(col(textCol))).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).cast("double").as("c"))
@@ -780,5 +771,140 @@ object Corpus {
     scoredX.crossJoin(broadcast(cut))
       .select(col("id"), col("n_features"), col("log_weight"),
         (col("log_weight") > col("_c75")).as("selected"))
+  }
+
+  /** Lower-cased whitespace tokens with empties dropped — the shared
+    * tokenization of the hashed-feature models ([[importanceWeights]],
+    * [[naiveBayesTrain]]). */
+  private[analytics] def grams(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
+
+  /** Hashed word uni+bigram feature buckets: every token and every
+    * order-preserving bigram (joined on an unprintable separator so
+    * bigrams cannot collide with unigrams textually) hashes through the
+    * portable md5-based [[graft.functions.TextFunctions.hash60]] into one
+    * of `buckets` slots. This is the fastText hashing trick (Joulin et
+    * al. 2016, "Bag of Tricks for Efficient Text Classification"): any
+    * model built over these features is bounded at B slots per class no
+    * matter how large the vocabulary grows, so it broadcasts at any
+    * corpus size. Shared by the DSIR scorer and the Naive Bayes
+    * classifier; the hash is engine-portable, so oracle SQL reproduces
+    * the identical features. */
+  private[analytics] def hashedGramBuckets(c: Column, buckets: Int): Column =
+    TextFunctions.bindOnce(grams(c), { ws =>
+      val bis = when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1), i =>
+          concat(element_at(ws, i), lit("\u0001"), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      transform(concat(ws, bis),
+        g => pmod(TextFunctions.hash60(g), lit(buckets.toLong)))
+    })
+
+  /** Multinomial Naive Bayes text classifier over hashed uni+bigram
+    * features — the classic trained quality/domain filter of LLM data
+    * pipelines (the shape of CCNet's and GPT-3's fastText-style document
+    * classifiers: train on a labeled sample, score the whole corpus).
+    * Returns a ONE-ROW model: labels sorted ascending, per-class log
+    * priors ln(n_class/n), per-class token totals, and per-class DENSE
+    * `buckets`-slot count arrays (dense because Catalyst map lookup is a
+    * linear scan — same argument as [[importanceWeights]]).
+    *
+    * Scale shape: training is two B-bounded hash aggregations (map-side
+    * combined) over one corpus scan — the model is ≤ labels × buckets
+    * doubles regardless of vocabulary or corpus size, so it always
+    * broadcasts. Docs with no tokens are unscoreable and excluded from
+    * the priors. */
+  def naiveBayesTrain(docs: DataFrame, labelCol: String = "label",
+      textCol: String = "text", buckets: Int = 4096): DataFrame = {
+    val scoreable = docs.where(size(grams(col(textCol))) > 0)
+    val counts = scoreable
+      .select(col(labelCol).as("_l"),
+        explode(hashedGramBuckets(col(textCol), buckets)).as("b"))
+      .groupBy(col("_l"), col("b")).agg(count(lit(1)).cast("double").as("c"))
+    val priors = scoreable.groupBy(col(labelCol).as("_l"))
+      .agg(count(lit(1)).cast("double").as("_nd"))
+    // densify WITHOUT a map probe (Catalyst map element_at is a linear
+    // key scan — B² comparisons per class; measured 6.2 s of the train
+    // pass at B=4096): materialize the tiny full (label × bucket) grid,
+    // left-join the sparse counts, and fold the sorted entries into
+    // position order — the trainIvfCentroids mean-update pattern. The
+    // zero-filled sum keeps _tot bit-exact (counts are integer-valued).
+    val perClass = priors.select(col("_l"),
+        explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("b"))
+      .join(counts, Seq("_l", "b"), "left")
+      .groupBy(col("_l"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("b"),
+            coalesce(col("c"), lit(0.0)).as("c")))),
+          s => s.getField("c")).as("_cnt"),
+        sum(coalesce(col("c"), lit(0.0))).as("_tot"))
+    perClass.join(priors, Seq("_l"))
+      .select(struct(col("_l"), col("_nd"), col("_tot"),
+        col("_cnt")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("_cls"))
+      .select(
+        transform(col("_cls"), s => s.getField("_l")).as("_labels"),
+        TextFunctions.bindOnce(
+          aggregate(col("_cls"), lit(0.0), (a, s) => a + s.getField("_nd")),
+          n => transform(col("_cls"),
+            s => log(s.getField("_nd") / n))).as("_priors"),
+        transform(col("_cls"), s => s.getField("_tot")).as("_tots"),
+        transform(col("_cls"), s => s.getField("_cnt")).as("_cnts"))
+  }
+
+  /** Score every scoreable document under a [[naiveBayesTrain]] model and
+    * keep the argmax class: per class, ln prior + Σ_tokens ln of the
+    * add-1-smoothed bucket probability (c+1)/(tot+B). Per-class scores
+    * are rounded to 6 dp BEFORE the argmax and ties break toward the
+    * lexicographically smaller label, so any SQL engine reproduces the
+    * same prediction (the repo's standard cross-engine comparison rule).
+    * Appends `pred_label` and `log_score` (the winning rounded score) to
+    * the input columns.
+    *
+    * Scale shape: ONE broadcast of the one-row model against a stateless
+    * corpus scan — the text never shuffles, there is no join and no
+    * window; per-row cost is O(tokens × labels) array arithmetic inside
+    * codegen. The feature array and score array are materialized as
+    * attributes in their own projections (never re-inlined — the
+    * documented pushed-filter re-hash trap). */
+  def naiveBayesClassify(docs: DataFrame, model: DataFrame,
+      buckets: Int = 4096, textCol: String = "text"): DataFrame = {
+    // ONE nested let-bound expression: features are hashed once per row,
+    // the per-label score array is computed once, and the argmax index is
+    // computed once. Materializing these as separate withColumn steps
+    // looks equivalent but is the documented lambda-inlining trap: each
+    // intermediate is referenced ONCE by its consumer, so CollapseProject
+    // merges the Projects and the md5-hashing feature subtree lands
+    // INSIDE the per-label transform lambda — re-hashing every gram once
+    // per label (measured 11.6 s vs 2.9 s at sf0.1 for 5 labels).
+    val result = TextFunctions.bindOnce(
+      hashedGramBuckets(col(textCol), buckets), fs =>
+      TextFunctions.bindOnce(
+        transform(sequence(lit(1), size(col("_labels"))), l =>
+          round(element_at(col("_priors"), l) +
+            aggregate(fs, lit(0.0), (acc, b) =>
+              acc + log(
+                (element_at(element_at(col("_cnts"), l), b.cast("int") + 1)
+                  + lit(1.0)) /
+                (element_at(col("_tots"), l) + lit(buckets.toDouble)))),
+            6)), scores =>
+        TextFunctions.bindOnce(
+          // first index no later index strictly beats = argmax with ties
+          // toward the smaller (sorted-ascending) label
+          aggregate(sequence(lit(1), size(col("_labels"))), lit(0),
+            (best, i) => when(best === 0 ||
+                element_at(scores, i) > element_at(scores, best), i)
+              .otherwise(best)), best =>
+          struct(element_at(col("_labels"), best).as("pred_label"),
+            element_at(scores, best).as("log_score")))))
+    docs
+      .where(size(grams(col(textCol))) > 0)
+      .crossJoin(broadcast(model))
+      .withColumn("_r", result)
+      // the struct attribute is referenced TWICE here, which is what
+      // stops CollapseProject from re-inlining the expensive producer
+      .select(docs.columns.map(col).toSeq ++ Seq(
+        col("_r.pred_label").as("pred_label"),
+        col("_r.log_score").as("log_score")): _*)
   }
 }

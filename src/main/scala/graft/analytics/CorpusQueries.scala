@@ -304,7 +304,24 @@ object CorpusQueries extends QueryModule {
       .orderBy(col("id"))
   }
 
+  /** Trained-classifier language ID (the fastText-style model-based
+    * filter slot): multinomial NB over hashed uni+bigram features,
+    * trained on the 80% split (doc_id % 5 != 0), scored over the whole
+    * corpus with the train flag carried for accuracy accounting. */
+  private def nbQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val model = Corpus.naiveBayesTrain(
+      docs.where(col("doc_id") % 5 =!= 0), "lang", "text", buckets = 4096)
+    Corpus.naiveBayesClassify(docs, model, buckets = 4096)
+      .select(col("doc_id"), col("pred_label").as("pred_lang"),
+        col("log_score"),
+        (col("pred_label") === col("lang")).as("correct"),
+        (col("doc_id") % 5 =!= 0).as("is_train"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "classify_naive_bayes" -> (nbQ _),
     "perplexity_bucket" -> (perplexityQ _),
     "dsir_weights" -> (dsirQ _),
     "split_assign" -> (splitQ _),
@@ -330,6 +347,45 @@ object CorpusQueries extends QueryModule {
   )
 
   def oracles: Seq[(String, String)] = Seq(
+    // mirrors Corpus.naiveBayesTrain/Classify expression for expression:
+    // hashed uni+bigram buckets via the portable hash60 (md5 hex prefix),
+    // per-class add-1 smoothing over 4096 buckets, per-class scores
+    // rounded to 6 dp BEFORE the argmax, ties toward the smaller label
+    "classify_naive_bayes" ->
+      """WITH dt AS (SELECT doc_id AS id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> '') AS ws FROM documents),
+        |sc AS (SELECT * FROM dt WHERE len(ws) > 0),
+        |toks AS (SELECT id, generate_subscripts(ws, 1) AS i, unnest(ws) AS tok FROM sc),
+        |bis AS (SELECT a.id, a.tok || chr(1) || b.tok AS g
+        |        FROM toks a JOIN toks b ON a.id = b.id AND b.i = a.i + 1),
+        |feats AS (
+        |  SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS b FROM toks
+        |  UNION ALL
+        |  SELECT id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 FROM bis),
+        |cls AS (SELECT lang AS l, CAST(count(*) AS DOUBLE) AS nd
+        |        FROM sc WHERE id % 5 <> 0 GROUP BY 1),
+        |tot AS (SELECT sum(nd) AS n FROM cls),
+        |cnt AS (SELECT sc.lang AS l, f.b, CAST(count(*) AS DOUBLE) AS c
+        |        FROM feats f JOIN sc ON sc.id = f.id
+        |        WHERE f.id % 5 <> 0 GROUP BY 1, 2),
+        |ct AS (SELECT l, sum(c) AS t FROM cnt GROUP BY 1),
+        |scored AS (
+        |  SELECT f.id, cls.l,
+        |    round(ln(cls.nd / tot.n) +
+        |      sum(ln((coalesce(cnt.c, 0.0) + 1.0) / (ct.t + 4096.0))), 6) AS s
+        |  FROM feats f
+        |  CROSS JOIN cls
+        |  JOIN ct ON ct.l = cls.l
+        |  LEFT JOIN cnt ON cnt.l = cls.l AND cnt.b = f.b
+        |  CROSS JOIN tot
+        |  GROUP BY f.id, cls.l, cls.nd, ct.t, tot.n),
+        |best AS (SELECT id, l, s,
+        |    row_number() OVER (PARTITION BY id ORDER BY s DESC, l) AS rn FROM scored)
+        |SELECT b.id AS doc_id, b.l AS pred_lang, b.s AS log_score,
+        |  (b.l = d.lang) AS correct, (b.id % 5 <> 0) AS is_train
+        |FROM best b JOIN documents d ON d.doc_id = b.id
+        |WHERE rn = 1 ORDER BY b.id""".stripMargin,
     // mirrors Corpus.importanceWeights: hashed uni+bigram buckets via the
     // portable hash60 (md5 hex prefix), add-1 smoothing over 4096 buckets
     "dsir_weights" ->

@@ -738,4 +738,42 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rows(SimilarityIndex.sq8TopK(spark, queries, s"$dir/sq8", k = 5)) ==
       rows(Similarity.sq8TopK(queries, vecs, 5)))
   }
+
+  test("clusterBalancedSample: every cluster keeps min(quota, size); the " +
+    "sample never oversamples the dense mode; the draw is deterministic") {
+    val s = spark; import s.implicits._
+    import graft.analytics.Similarity
+    // three orthogonal clusters with wildly skewed sizes: 60 / 12 / 3
+    val sizes = Seq(60, 12, 3)
+    // id = c + 3*i interleaves the clusters so the untrained quantizer
+    // (first nlist ids) starts with one centroid per true cluster
+    val vecs = sizes.zipWithIndex.flatMap { case (n, c) =>
+      (0 until n).map { i =>
+        val v = Array.fill(12)(0.0f)
+        v(c * 4) = 10f; v(c * 4 + 1) = 1f + i * 0.01f
+        (c.toLong + 3L * i, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(vecs, quota = 5, nlist = 3)
+      .collect()
+    assert(out.length == 75)
+    val perList = out.filter(_.getAs[Boolean]("selected"))
+      .groupBy(_.getAs[Int]("list_id")).view.mapValues(_.length).toMap
+    // every cluster contributes, and none beyond the quota
+    assert(perList.values.forall(_ <= 5), perList.toString)
+    assert(perList.values.sum == perList.size * 5 - math.max(0, 5 - 3),
+      s"expected min(quota, size) per cluster, got $perList")
+    // ranks are a permutation within each cluster
+    out.groupBy(_.getAs[Int]("list_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+    // deterministic: a second run is identical
+    val again = Similarity.clusterBalancedSample(vecs, quota = 5, nlist = 3)
+      .collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // auto-geometry path (nlist <= 0) runs and keeps the quota bound
+    val auto = Similarity.clusterBalancedSample(vecs, quota = 5).collect()
+    assert(auto.length == 75 && auto.filter(_.getAs[Boolean]("selected"))
+      .groupBy(_.getAs[Int]("list_id")).forall(_._2.length <= 5))
+  }
 }

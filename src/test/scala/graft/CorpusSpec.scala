@@ -340,4 +340,35 @@ class CorpusSpec extends SparkTestBase {
     assert(tied.length == 8 && tied.forall(!_.getBoolean(3)),
       "an all-tied corpus must select nothing, not everything")
   }
+
+  test("naiveBayes: disjoint-vocab classes classify perfectly; all-OOV " +
+    "docs get a deterministic prediction; empty docs are excluded") {
+    val s = spark; import s.implicits._
+    val train = (
+      (0 until 12).map(i => (s"spark shuffle partition exchange plan $i plan", "systems")) ++
+      (0 until 6).map(i => (s"sonnet meter rhyme stanza verse $i verse", "poetry"))
+    ).toDF("text", "label")
+    val model = Corpus.naiveBayesTrain(train, "label", "text", buckets = 512)
+    val docs = Seq(
+      (1L, "shuffle exchange plan partition"),   // systems vocab
+      (2L, "rhyme stanza meter"),                // poetry vocab
+      (3L, "zzz qqq unseen tokens entirely"),    // all OOV -> prior decides
+      (4L, "")                                   // unscoreable
+    ).toDF("doc_id", "text")
+    val out = Corpus.naiveBayesClassify(docs, model, buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "systems" && out(2L) == "poetry",
+      s"expected vocab-driven predictions, got $out")
+    // all-OOV: hashing makes the exact winner bucket-collision-dependent,
+    // but it must be a model label and identical on every run
+    assert(Set("systems", "poetry")(out(3L)))
+    val rerun = Corpus.naiveBayesClassify(docs, model, buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rerun == out)
+    // model stays bounded: one row, one dense count array per class
+    val m = Corpus.naiveBayesTrain(train, "label", "text", buckets = 512).collect()
+    assert(m.length == 1)
+    assert(m(0).getSeq[String](0).toSeq == Seq("poetry", "systems"))
+    assert(m(0).getSeq[scala.collection.Seq[Double]](3).forall(_.length == 512))
+  }
 }

@@ -327,4 +327,36 @@ fromAll().foreachStream().when({
         plan.take(1500))
     }
   }
+
+  test("naiveBayesClassify: the one-row model broadcasts and the corpus " +
+    "is never shuffled — no join, no window over the docs side") {
+    val s = spark; import s.implicits._
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"alpha beta w$i gamma", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "label")
+    val model = graft.analytics.Corpus.naiveBayesTrain(docs, buckets = 128)
+    val plan = executedPlan(
+      graft.analytics.Corpus.naiveBayesClassify(docs, model, buckets = 128))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("clusterBalancedSample: centroids broadcast; the quota window " +
+    "partitions by list_id — never a single global task") {
+    val s = spark; import s.implicits._
+    val vecs = Seq.tabulate(60)(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = executedPlan(
+      graft.analytics.Similarity.clusterBalancedSample(vecs, quota = 5, nlist = 4))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("hashpartitioning(list_id"), plan.take(1500))
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+  }
 }
