@@ -310,19 +310,54 @@ object Corpus {
     * integer-exact stand-in for unigram-LM scoring (CCNet-style quality
     * filtering: gibberish and OCR noise score high, fluent text low)
     * that two engines reproduce bit-for-bit (rank sums are integer; the
-    * only float op is one final division). The rank window runs over the
-    * VOCABULARY (distinct tokens — heavy-tailed but ≪ corpus; the one
-    * acceptable single-partition sort), while the per-token join and
-    * per-doc aggregation stay fully distributed. */
+    * only float op is one final division).
+    *
+    * The rank is over the VOCABULARY by (count desc, word) — the key is
+    * unique per row, so dense_rank == 1 + #preceding rows, and the naive
+    * form is a single-partition sort of every distinct token (a 100 TB
+    * vocabulary runs to 10⁹ tokens — dead). Decompose it exactly,
+    * [[selectToTokenBudget]]-style, into three bounded levels:
+    *
+    *  1. frequency classes: distinct count VALUES (≤ O(√corpus-tokens):
+    *     their sum is the corpus) get a prefix-count window — the only
+    *     unpartitioned window left, over that provably-small row set;
+    *  2. within a class, 2-char word-prefix buckets (≤ 702) get a
+    *     prefix-count window PARTITIONED by class — bucketing by a
+    *     PREFIX of the sort key keeps cross-bucket order consistent;
+    *  3. within a bucket, row_number PARTITIONED by (class, bucket).
+    *
+    * rank = class prefix + bucket prefix + within-bucket row_number —
+    * identical values to the naive dense_rank (PropertySpec pins the
+    * equality), every big sort partitioned, the two prefix tables
+    * broadcast. */
   def rarityScores(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val toks = docs
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .where(length(col("word")) > 0)
-    val ranked = toks.groupBy("word").agg(count(lit(1)).as("n"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("_p2", substring(col("word"), 1, 2))
+    val wn = Window.orderBy(col("n").desc)
+    val classPrefix = counts.groupBy(col("n")).agg(count(lit(1)).as("_cn"))
+      .withColumn("_np", coalesce(sum(col("_cn"))
+        .over(wn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n"), col("_np"))
+    val wb = Window.partitionBy(col("n")).orderBy(col("_p2"))
+    val bucketPrefix = counts.groupBy(col("n"), col("_p2"))
+      .agg(count(lit(1)).as("_cb"))
+      .withColumn("_bp", coalesce(sum(col("_cb"))
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n"), col("_p2"), col("_bp"))
+    val ww = Window.partitionBy(col("n"), col("_p2")).orderBy(col("word"))
+    val ranked = counts
+      .join(broadcast(classPrefix), Seq("n"))
+      // bucketPrefix is (class, 2-char-prefix)-keyed — usually tiny but
+      // up to classes × 702 rows at extreme vocabularies, so no forced
+      // broadcast: AQE picks one while it fits
+      .join(bucketPrefix, Seq("n", "_p2"))
       .withColumn("rank",
-        dense_rank().over(Window.orderBy(col("n").desc, col("word"))))
+        (col("_np") + col("_bp") + row_number().over(ww)).cast("int"))
       .select(col("word"), col("rank"))
     toks.join(ranked, "word")
       .groupBy(col("id"))
@@ -907,4 +942,17 @@ object Corpus {
         col("_r.pred_label").as("pred_label"),
         col("_r.log_score").as("log_score")): _*)
   }
+
+  /** Persist a [[naiveBayesTrain]] model (one parquet row — labels,
+    * priors, totals, dense count arrays) so serving jobs classify
+    * without retraining: the train-once/serve-many split
+    * [[SimilarityIndex]] gives the ANN quantizers. */
+  def saveNaiveBayes(model: DataFrame, path: String): Unit =
+    model.write.mode("overwrite").parquet(path)
+
+  /** Load a model persisted by [[saveNaiveBayes]] for
+    * [[naiveBayesClassify]] / streaming classification. */
+  def loadNaiveBayes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
 }

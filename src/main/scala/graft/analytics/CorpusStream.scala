@@ -70,4 +70,28 @@ object CorpusStream {
         ()
       }
       .start()
+
+  /** Naive Bayes classification as a streaming query: every arriving
+    * document gains (pred_label, log_score) under a model trained ONCE
+    * batch-side ([[Corpus.naiveBayesTrain]]). The one-row model is
+    * eagerly materialized here (localCheckpoint), so micro-batches
+    * re-broadcast a cached row instead of re-running the training
+    * aggregation once per batch. */
+  def naiveBayesClassifyStream(docs: DataFrame, model: DataFrame,
+      outDir: String, checkpoint: String, buckets: Int = 4096,
+      textCol: String = "text"): StreamingQuery = {
+    val m = model.localCheckpoint(true)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Corpus.naiveBayesClassify(batch, m, buckets, textCol)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+  }
 }

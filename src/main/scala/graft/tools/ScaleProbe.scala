@@ -53,7 +53,8 @@ object ScaleProbe {
     "js_fold_count_sum", "session_window_agg",
     "window_sliding_agg", "sys3_stream_by_category",
     "multimodal_image_real", "multimodal_audio_decode",
-    "perplexity_bucket", "dsir_weights", "js_branch_fold",
+    "perplexity_bucket", "dsir_weights", "classify_naive_bayes",
+    "sample_diversity", "js_branch_fold",
     "js_streams_matching", "js_first_event")
 
   private val srcDir = "/root/testdata/sf0.1"

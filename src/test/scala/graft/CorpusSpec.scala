@@ -370,5 +370,12 @@ class CorpusSpec extends SparkTestBase {
     assert(m.length == 1)
     assert(m(0).getSeq[String](0).toSeq == Seq("poetry", "systems"))
     assert(m(0).getSeq[scala.collection.Seq[Double]](3).forall(_.length == 512))
+    // persisted model classifies identically to the inline one
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    Corpus.saveNaiveBayes(model, dir)
+    val reloaded = Corpus.loadNaiveBayes(spark, dir)
+    val viaSaved = Corpus.naiveBayesClassify(docs, reloaded, buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(viaSaved == out)
   }
 }

@@ -246,4 +246,35 @@ class PropertySpec extends SparkTestBase {
     assert(JsVal.stringify(v).get == """{"nan":null,"inf":null,"arr":[null,null,1]}""")
     assert(JsVal.stringify(JsUndef).isEmpty) // top-level undefined: no output
   }
+
+  test("rarityScores: the three-level decomposed rank equals the naive " +
+    "global dense_rank on generated corpora") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy-tailed vocabulary: few hot words, many hapaxes, prefix
+    // collisions by construction (shared 1-2 char stems)
+    val wordGen = Gen.frequency(
+      7 -> Gen.oneOf("a", "ab", "abc", "the", "thx", "t"),
+      3 -> Gen.choose(0, 5000).map(i => s"w${i.toHexString}"))
+    val docsGen = Gen.listOfN(120, Gen.listOfN(12, wordGen))
+    val docsList = docsGen(Gen.Parameters.default, Seed(7L)).get
+    val docs = docsList.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val fast = graft.analytics.Corpus.rarityScores(docs)
+      .select("id", "n_tokens", "rank_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the naive single-partition formulation the decomposition replaces
+    val toks = docs.select(col("doc_id").as("id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(length(col("word")) > 0)
+    val naive = toks.groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("rank",
+        dense_rank().over(Window.orderBy(col("n").desc, col("word"))))
+    val slow = toks.join(naive, "word").groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("rank").cast("long")).as("rank_sum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == slow)
+  }
 }

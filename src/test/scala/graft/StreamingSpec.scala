@@ -686,6 +686,26 @@ fromAll().foreachStream().when({
       .select("id", "log_weight").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(streamedW == batchW, "streamed weights must union to the batch run")
+
+    val nbOut = Files.createTempDirectory("nbout").toString + "/pred"
+    val nbCk = Files.createTempDirectory("nbck").toString
+    val model = graft.analytics.Corpus.naiveBayesTrain(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        .where(col("doc_id") < 100), "lang", "text", buckets = 256)
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = graft.analytics.CorpusStream.naiveBayesClassifyStream(
+      in3.toDF().toDF("doc_id", "text"), model, nbOut, nbCk, buckets = 256)
+    in3.addData(rows.take(60)); q3.processAllAvailable()
+    in3.addData(rows.drop(60)); q3.processAllAvailable()
+    q3.stop()
+    val streamedP = spark.read.parquet(nbOut)
+      .select("doc_id", "pred_label", "log_score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val batchP = graft.analytics.Corpus
+      .naiveBayesClassify(all, model, buckets = 256)
+      .select("doc_id", "pred_label", "log_score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamedP == batchP, "streamed predictions must union to the batch run")
   }
 
   test("streaming training pipeline: quality gate -> dedup -> token stats, batch == stream") {
