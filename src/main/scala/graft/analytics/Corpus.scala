@@ -935,6 +935,11 @@ object Corpus {
     docs
       .where(size(grams(col(textCol))) > 0)
       .crossJoin(broadcast(model))
+      // an empty model (no scoreable training docs → empty _labels) can
+      // predict nothing: guard it to an empty result rather than letting
+      // sequence(1, 0) — which Spark evaluates as the DESCENDING [1, 0] —
+      // produce null predictions for every document
+      .where(size(col("_labels")) > 0)
       .withColumn("_r", result)
       // the struct attribute is referenced TWICE here, which is what
       // stops CollapseProject from re-inlining the expensive producer

@@ -138,9 +138,19 @@ object DedupStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  private def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
+  private[graft] def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
       indexer: BandIndexer, idCol: String): Unit = {
     val spark = batch.sparkSession
+    // REPLAY GUARD: the label marker is the LAST write of a batch, so a
+    // committed marker for this batchId means every state write below
+    // already completed — the crash was between our commit and the
+    // streaming checkpoint's. Re-running would be wrong twice over:
+    // (a) writeLabels would overwrite the live committed snapshot in
+    // place (a second crash mid-overwrite corrupts the only snapshot its
+    // marker vouches for), and (b) `prior` would read THIS batch's
+    // labels, so the drops delta recomputes as empty and the dynamic
+    // overwrite would erase the batch's good drops partition.
+    if (latestCommitted(s"$stateDir/labels").exists(_ >= batchId)) return
     // reads use EXPLICIT schemas: a batch can legally write zero rows
     // (no documents, or no new near-dup pairs), and schema inference over
     // a parquet dir with no data files throws UNABLE_TO_INFER_SCHEMA
@@ -180,11 +190,15 @@ object DedupStream {
     val skSchema = partSchema(sketchNew)
     val partnerIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val skAll = readAs(s"$stateDir/sketch", skSchema).drop("_batch")
+    // one bounded collect answers both "how many" and "which": a
+    // separate count() pays a second full job over the distinct-id set
+    // on every micro-batch just to pick the branch
+    val partnersCapped = partnerIds.limit(PushdownMaxIds.toInt + 1)
+      .collect().map(_.getLong(0)).toSeq
     val skTbl =
-      if (partnerIds.count() <= PushdownMaxIds) {
-        val ids = partnerIds.collect().map(_.getLong(0)).toSeq
-        skAll.where(col("id").isin(ids: _*))
-      } else skAll.join(partnerIds, "id")
+      if (partnersCapped.size <= PushdownMaxIds)
+        skAll.where(col("id").isin(partnersCapped: _*))
+      else skAll.join(partnerIds, "id")
     val newEdges = cands
       .join(skTbl.select(col("id").as("id_a"), col("sk").as("sk_a")), "id_a")
       .join(skTbl.select(col("id").as("id_b"), col("sk").as("sk_b")), "id_b")
@@ -227,6 +241,20 @@ object DedupStream {
     * anti-join over the corpus. */
   def resolvedCorpus(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       idCol: String = "doc_id"): DataFrame = {
+    // a stream whose batches were ALL empty leaves docs/ with no data
+    // files (dynamic partitionBy writes no partition for zero rows) and
+    // schema inference would throw; the resolved view of nothing is an
+    // empty (idCol) corpus
+    val docsDir = Paths.get(s"$stateDir/docs")
+    val hasData = Files.exists(docsDir) && {
+      val w = Files.walk(docsDir)
+      try w.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+    if (!hasData) {
+      import spark.implicits._
+      return Seq.empty[Long].toDF(idCol)
+    }
     val docs = spark.read.parquet(s"$stateDir/docs")
     val drops = spark.read.schema(dropsSchema).parquet(s"$stateDir/drops")
       .select(col("id").as("_drop_id"))

@@ -51,10 +51,11 @@ object SimilarityIndex {
   /** Prune a list-sorted table to the probed list ids. */
   private def pruneToLists(tbl: DataFrame, probes: DataFrame): DataFrame = {
     val lists = probes.select(col("list_id")).distinct()
-    if (lists.count() <= PushdownMaxLists) {
-      val ids = lists.collect().map(_.get(0))
-      tbl.where(col("list_id").isin(ids: _*))
-    } else tbl.join(lists, "list_id")
+    // one bounded collect decides the branch AND supplies the ids — a
+    // separate count() is a second full job on the per-query hot path
+    val capped = lists.limit(PushdownMaxLists.toInt + 1).collect().map(_.get(0))
+    if (capped.length <= PushdownMaxLists) tbl.where(col("list_id").isin(capped: _*))
+    else tbl.join(lists, "list_id")
   }
 
   // ---------------------------------------------------------------- IVF

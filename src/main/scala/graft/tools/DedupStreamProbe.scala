@@ -72,7 +72,9 @@ object DedupStreamProbe {
     DedupStream.compactResolved(spark, stateDir)
     val compactSec = (System.nanoTime() - tc0) / 1e9
     val resolved = spark.read.parquet(s"$stateDir/resolved").count()
-    val ratio = times(nBatches - 1) / times(1)
+    // batch 1 pays JIT/codegen warmup, so the flatness ratio compares the
+    // last batch to the SECOND — which only exists from 2 batches up
+    val ratio = if (nBatches >= 2) times(nBatches - 1) / times(1) else 1.0
     val json = s"""{"mult":$mult,"n_batches":$nBatches,"docs":$total,""" +
       s""""resolved":$resolved,"batch_sec":[${times.map(t => f"$t%.2f").mkString(",")}],""" +
       f""""last_over_second":$ratio%.2f,"compact_sec":$compactSec%.2f}"""

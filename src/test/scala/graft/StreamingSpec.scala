@@ -1033,6 +1033,32 @@ fromCategory("acct")
     assert(!streamed.contains(1L) && !streamed.contains(5L), "cross-restart near-dup dropped")
     assert(streamed.contains(0L), "late smaller-id representative kept")
     assert(streamed.contains(6L) && !streamed.contains(7L), "same-chunk near-dup dropped")
+
+    // REPLAY of an already-committed batch (foreachBatch re-delivery when
+    // the crash fell between our label commit and the streaming
+    // checkpoint's): must be a no-op — in particular it must NOT erase
+    // the batch's drops partition by recomputing the delta against the
+    // batch's own committed labels
+    val lastBatch = (chunk1 ++ chunk2 ++ chunk3).toDF("doc_id", "text")
+      .where(col("doc_id") === 0L)
+    val dropsBefore = spark.read.parquet(s"$stateDir/drops")
+      .select("id", "_batch").collect().map(_.toString).sorted.toSeq
+    DedupStream.processBatch(lastBatch, 2L, stateDir, ix, "doc_id")
+    val dropsAfter = spark.read.parquet(s"$stateDir/drops")
+      .select("id", "_batch").collect().map(_.toString).sorted.toSeq
+    assert(dropsAfter == dropsBefore, "replayed committed batch must not rewrite drops")
+    assert(DedupStream.resolvedCorpus(spark, stateDir)
+      .select("doc_id").as[Long].collect().toSet == streamed)
+  }
+
+  test("streaming near-dup: an all-empty stream resolves to an empty corpus") {
+    val s = spark; import s.implicits._
+    import graft.analytics.DedupStream
+    val dir = Files.createTempDirectory("dsempty").toString
+    // state dir with docs/ present but holding no data files (the shape
+    // dynamic partitionBy leaves after zero-row batches)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/docs"))
+    assert(DedupStream.resolvedCorpus(spark, dir).count() == 0)
   }
 
   test("stream-stream interval join (native, watermarked) == batch intervalJoin") {
