@@ -315,4 +315,42 @@ class FuzzSpec extends SparkTestBase {
     spans.foreach(r => assert(r.getString(3) == "", "one full-length run must empty the doc"))
     assert(secs < 120.0, f"rebuild took $secs%.1f s — per-token covered-set scan regression?")
   }
+
+  test("naiveBayes train+classify: hostile corpus never throws; every " +
+    "scoreable doc gets exactly one finite-scored model label") {
+    val s = spark; import s.implicits._
+    val docs = hostileDocs(50)
+      .withColumn("label", (col("doc_id") % 3).cast("string"))
+    val model = graft.analytics.Corpus.naiveBayesTrain(
+      docs.where(col("doc_id") % 2 === 0), "label", "text", buckets = 64)
+    val out = graft.analytics.Corpus.naiveBayesClassify(docs, model, buckets = 64)
+      .select(col("doc_id"), col("pred_label"), col("log_score")).collect()
+    val labels = model.collect()(0).getSeq[String](0).toSet
+    // null/empty/whitespace docs are unscoreable and excluded; the rest
+    // predict a model label with a finite negative score
+    assert(out.forall(r => labels(r.getString(1)) && !r.isNullAt(2) &&
+      !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite && r.getDouble(2) <= 0.0))
+    val ids = out.map(_.getLong(0)).toSet
+    assert(Seq(9000L, 9001L, 9002L).forall(!ids.contains(_)))
+    assert(out.length == ids.size, "exactly one prediction per doc")
+  }
+
+  test("clusterBalancedSample: degenerate embeddings (zero/NaN cosine) " +
+    "never throw and every vector lands in exactly one cluster") {
+    val s = spark; import s.implicits._
+    import graft.analytics.Similarity
+    val vecs = (0 until 40).map { i =>
+      val v =
+        if (i % 7 == 0) Array.fill(8)(0.0f) // zero vector -> NaN cosine
+        else Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(vecs, quota = 3, nlist = 4).collect()
+    assert(out.length == 40, "every vector assigned exactly once")
+    val perList = out.groupBy(_.getAs[Int]("list_id"))
+    perList.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      assert(rs.count(_.getAs[Boolean]("selected")) == math.min(3, rs.length))
+    }
+  }
 }
