@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Streaming faces of the corpus-scoring operators: the model is trained
   * ONCE batch-side from a static reference sample, and each micro-batch
@@ -92,6 +92,72 @@ object CorpusStream {
           .parquet(outDir)
         ()
       }
+      .start()
+  }
+
+  /** Cluster-balanced quota ADMISSION as a streaming query — the
+    * streaming face of [[Similarity.clusterBalancedSample]]: every
+    * arriving vector is assigned to its nearest centroid of a FIXED
+    * batch-trained quantizer (embedded as literals — stateless per-row
+    * arithmetic, no stream-static join), and at most `quota` vectors per
+    * cluster are admitted over the stream's LIFETIME — first arrival
+    * wins, within-batch ties broken by a deterministic id hash (the
+    * uniform-draw semantics of the batch op, applied to arrival order).
+    * Per-cluster admitted counts live in engine-managed
+    * flatMapGroupsWithState state, committed atomically with the file
+    * sink's manifest, so a restart resumes the quotas instead of
+    * re-admitting.
+    *
+    * Scale shape: assignment cost is vectors × centroids codegen'd
+    * array arithmetic (centroid table bounded at 2^18 by the IVF clamp);
+    * the stateful op shuffles one narrow (id, list) row per vector and
+    * keeps ONE long of state per cluster. Admission is inherently
+    * arrival-ordered; batch [[Similarity.clusterBalancedSample]] remains
+    * the order-free form. */
+  def clusterQuotaSampleStream(vectors: DataFrame, centroids: DataFrame,
+      quota: Int, outDir: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // sorted ascending so the argmax's first-wins tie rule matches the
+    // batch op's (max csim, then smaller centroid id)
+    val cent = centroids.select(col("centroid_id").cast("int"),
+        Similarity.asDouble(col("centv"))).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(cent.nonEmpty, "empty centroid table")
+    val idLit = array(cent.map(c => lit(c._1)): _*)
+    val centLit = array(cent.map(c => array(c._2.map(lit(_)): _*)): _*)
+    val v = Similarity.asDouble(col(vecCol))
+    val best = graft.functions.TextFunctions.bindOnce(
+      transform(centLit, c => Similarity.cosine(v, c)), scores =>
+        aggregate(sequence(lit(1), lit(cent.length)), lit(0),
+          (bestI, i) => when(bestI === 0 ||
+              element_at(scores, i) > element_at(scores, bestI), i)
+            .otherwise(bestI)))
+    vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        element_at(idLit, best).as("list_id"))
+      .as[(Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Int)](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (listId: Int, rows: Iterator[(Long, Int)], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, quota - admitted).toInt
+          val take =
+            if (room == 0) Seq.empty[Long]
+            else rows.map(_._1).toSeq
+              .sortBy(id =>
+                (scala.util.hashing.MurmurHash3.stringHash(id.toString), id))
+              .take(room)
+          state.update(admitted + take.size)
+          take.iterator.map(id => (id, listId))
+      }
+      .toDF("vec_id", "list_id")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", outDir)
+      .outputMode("append")
       .start()
   }
 }

@@ -1051,6 +1051,49 @@ fromCategory("acct")
       .select("doc_id").as[Long].collect().toSet == streamed)
   }
 
+  test("streaming cluster-quota admission: lifetime per-cluster caps hold " +
+    "across batches and across a restart; earlier arrivals win") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.analytics.{CorpusStream, Similarity}
+
+    // three orthogonal clusters; centroid table = one prototype per cluster
+    def vec(c: Int, i: Int): Array[Float] = {
+      val v = Array.fill(12)(0.0f); v(c * 4) = 10f; v(c * 4 + 1) = 1f + i * 0.01f; v
+    }
+    val centroids = Seq(0, 1, 2).map(c =>
+      (c, vec(c, 0).map(_.toDouble).toSeq)).toDF("centroid_id", "centv")
+    val outDir = Files.createTempDirectory("cqout").toString + "/sample"
+    val ck = Files.createTempDirectory("cqck").toString
+    val in = MemoryStream[(Long, Array[Float])]
+    def start() = CorpusStream.clusterQuotaSampleStream(
+      in.toDF().toDF("vec_id", "embedding"), centroids, quota = 2, outDir, ck)
+
+    val q1 = start()
+    // batch 1: 3 of cluster 0 (one over quota), 1 of cluster 1
+    in.addData((100L, vec(0, 1)), (101L, vec(0, 2)), (102L, vec(0, 3)), (200L, vec(1, 1)))
+    q1.processAllAvailable(); q1.stop()
+
+    val q2 = start() // RESTART on the same checkpoint: quotas must persist
+    // batch 2: 2 more of cluster 0 (cluster full -> rejected),
+    // 2 of cluster 1 (one admitted), 1 of cluster 2
+    in.addData((103L, vec(0, 4)), (104L, vec(0, 5)),
+      (201L, vec(1, 2)), (202L, vec(1, 3)), (300L, vec(2, 1)))
+    q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(outDir).as[(Long, Int)].collect().toMap
+    val perList = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perList(0) == 2 && perList(1) == 2 && perList(2) == 1, perList.toString)
+    // cluster 0 filled ENTIRELY from batch 1 (first arrival wins): the
+    // restart must not re-open the quota for batch 2's 103/104
+    assert(Set(103L, 104L).forall(!out.contains(_)),
+      "restart re-opened an exhausted cluster quota")
+    assert(out.keySet.subsetOf(Set(100L, 101L, 102L, 200L, 201L, 202L, 300L)))
+    // assignment is by nearest centroid: admitted ids carry their cluster
+    out.foreach { case (id, list) => assert(list == (id / 100 - 1).toInt) }
+  }
+
   test("streaming near-dup: an all-empty stream resolves to an empty corpus") {
     val s = spark; import s.implicits._
     import graft.analytics.DedupStream
