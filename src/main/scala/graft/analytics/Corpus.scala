@@ -936,9 +936,9 @@ object Corpus {
       .where(size(grams(col(textCol))) > 0)
       .crossJoin(broadcast(model))
       // an empty model (no scoreable training docs → empty _labels) can
-      // predict nothing: guard it to an empty result rather than letting
-      // sequence(1, 0) — which Spark evaluates as the DESCENDING [1, 0] —
-      // produce null predictions for every document
+      // predict nothing: guard it to an empty result. Unguarded,
+      // sequence(1, 0) evaluates as the DESCENDING [1, 0] and the l = 0
+      // iteration throws ELEMENT_AT_BY_INDEX_ZERO — a job failure
       .where(size(col("_labels")) > 0)
       .withColumn("_r", result)
       // the struct attribute is referenced TWICE here, which is what

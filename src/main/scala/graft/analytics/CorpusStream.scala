@@ -95,62 +95,89 @@ object CorpusStream {
       .start()
   }
 
+  /** Portable per-id draw order — the JVM-side twin of
+    * [[graft.functions.TextFunctions.hash60]] (first 15 hex chars of the
+    * md5 of the id string), so the streaming quota draw picks the same
+    * ids the batch sampler's hash60 window order would. */
+  private[analytics] def hash60Jvm(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
   /** Cluster-balanced quota ADMISSION as a streaming query — the
     * streaming face of [[Similarity.clusterBalancedSample]]: every
     * arriving vector is assigned to its nearest centroid of a FIXED
-    * batch-trained quantizer (embedded as literals — stateless per-row
-    * arithmetic, no stream-static join), and at most `quota` vectors per
-    * cluster are admitted over the stream's LIFETIME — first arrival
-    * wins, within-batch ties broken by a deterministic id hash (the
-    * uniform-draw semantics of the batch op, applied to arrival order).
-    * Per-cluster admitted counts live in engine-managed
-    * flatMapGroupsWithState state, committed atomically with the file
-    * sink's manifest, so a restart resumes the quotas instead of
-    * re-admitting.
+    * batch-trained quantizer, and at most `quota` vectors per cluster
+    * are admitted over the stream's LIFETIME — first arrival wins,
+    * within-batch ties broken by the portable hash60 id order (the same
+    * uniform draw the batch op uses). The quantizer ships as a BROADCAST
+    * VARIABLE probed by a typed map — O(nlist·dims) data, never
+    * O(nlist·dims) plan nodes, so the 2^18-centroid IVF clamp holds.
+    * State per cluster is the ADMITTED ID SET (bounded by `quota`), not
+    * a bare count: re-delivered ids (reprocessed ingest, overlapping
+    * file drops) are recognized and not admitted or emitted twice. The
+    * state commits atomically with the file sink's manifest, so a
+    * restart resumes the quotas instead of re-admitting.
     *
-    * Scale shape: assignment cost is vectors × centroids codegen'd
-    * array arithmetic (centroid table bounded at 2^18 by the IVF clamp);
-    * the stateful op shuffles one narrow (id, list) row per vector and
-    * keeps ONE long of state per cluster. Admission is inherently
-    * arrival-ordered; batch [[Similarity.clusterBalancedSample]] remains
-    * the order-free form. */
+    * Contract: ids must be (castable to) LONG and vectors non-null —
+    * the typed state path needs a concrete key type (every embedding
+    * table in this repo keys by long `vec_id`); a null id after the
+    * cast fails fast with a clear error. Admission is inherently
+    * arrival-ordered; batch [[Similarity.clusterBalancedSample]]
+    * remains the order-free form. */
   def clusterQuotaSampleStream(vectors: DataFrame, centroids: DataFrame,
       quota: Int, outDir: String, checkpoint: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    // sorted ascending so the argmax's first-wins tie rule matches the
-    // batch op's (max csim, then smaller centroid id)
-    val cent = centroids.select(col("centroid_id").cast("int"),
+    // sorted ascending so the strictly-greater argmax ties toward the
+    // smaller centroid id — the batch op's max_by(struct(csim, -id)) rule
+    val cent: Array[(Int, Array[Double])] = centroids
+      .select(col("centroid_id").cast("int"),
         Similarity.asDouble(col("centv"))).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     require(cent.nonEmpty, "empty centroid table")
-    val idLit = array(cent.map(c => lit(c._1)): _*)
-    val centLit = array(cent.map(c => array(c._2.map(lit(_)): _*)): _*)
-    val v = Similarity.asDouble(col(vecCol))
-    val best = graft.functions.TextFunctions.bindOnce(
-      transform(centLit, c => Similarity.cosine(v, c)), scores =>
-        aggregate(sequence(lit(1), lit(cent.length)), lit(0),
-          (bestI, i) => when(bestI === 0 ||
-              element_at(scores, i) > element_at(scores, bestI), i)
-            .otherwise(bestI)))
+    val bc = spark.sparkContext.broadcast(cent)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
     vectors
       .select(col(idCol).cast("long").as("vec_id"),
-        element_at(idLit, best).as("list_id"))
-      .as[(Long, Int)]
+        Similarity.asDouble(col(vecCol)).as("v"))
+      .as[(java.lang.Long, Array[Double])]
+      .map { case (idBoxed, v) =>
+        require(idBoxed != null,
+          s"clusterQuotaSampleStream: id column '$idCol' must cast to a non-null long")
+        val cs = bc.value
+        var best = 0; var bestSim = Double.NaN; var i = 0
+        while (i < cs.length) {
+          val s = cos(v, cs(i)._2)
+          // NaN never wins a strict comparison: zero/NaN vectors land in
+          // the first (smallest-id) cluster, same as the expression form
+          if (i == 0 || s > bestSim || bestSim.isNaN && !s.isNaN) {
+            best = i; bestSim = s
+          }
+          i += 1
+        }
+        (idBoxed.longValue(), cs(best)._1)
+      }
       .groupByKey(_._2)
-      .flatMapGroupsWithState[Long, (Long, Int)](OutputMode.Append,
+      .flatMapGroupsWithState[Seq[Long], (Long, Int)](OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
-        (listId: Int, rows: Iterator[(Long, Int)], state: GroupState[Long]) =>
-          val admitted = state.getOption.getOrElse(0L)
-          val room = math.max(0L, quota - admitted).toInt
+        (listId: Int, rows: Iterator[(Long, Int)], state: GroupState[Seq[Long]]) =>
+          val admitted = state.getOption.getOrElse(Seq.empty)
+          val seen = admitted.toSet
+          val room = math.max(0, quota - admitted.size)
           val take =
             if (room == 0) Seq.empty[Long]
-            else rows.map(_._1).toSeq
-              .sortBy(id =>
-                (scala.util.hashing.MurmurHash3.stringHash(id.toString), id))
+            else rows.map(_._1).toSeq.distinct.filterNot(seen)
+              .sortBy(id => (hash60Jvm(id), id))
               .take(room)
-          state.update(admitted + take.size)
+          if (take.nonEmpty) state.update(admitted ++ take)
           take.iterator.map(id => (id, listId))
       }
       .toDF("vec_id", "list_id")

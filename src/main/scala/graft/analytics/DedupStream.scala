@@ -144,12 +144,13 @@ object DedupStream {
     // REPLAY GUARD: the label marker is the LAST write of a batch, so a
     // committed marker for this batchId means every state write below
     // already completed — the crash was between our commit and the
-    // streaming checkpoint's. Re-running would be wrong twice over:
-    // (a) writeLabels would overwrite the live committed snapshot in
-    // place (a second crash mid-overwrite corrupts the only snapshot its
-    // marker vouches for), and (b) `prior` would read THIS batch's
-    // labels, so the drops delta recomputes as empty and the dynamic
-    // overwrite would erase the batch's good drops partition.
+    // streaming checkpoint's. Without the guard, writeLabels would
+    // overwrite the live committed snapshot IN PLACE (its predecessor is
+    // already pruned), so a second crash mid-overwrite leaves a partial
+    // snapshot under a marker that vouches for it. (The drops delta is
+    // safe either way: against this batch's own committed labels it
+    // recomputes as EMPTY, and a zero-row dynamic overwrite writes no
+    // partitions — a no-op, per the header's crash-safety note.)
     if (latestCommitted(s"$stateDir/labels").exists(_ >= batchId)) return
     // reads use EXPLICIT schemas: a batch can legally write zero rows
     // (no documents, or no new near-dup pairs), and schema inference over
@@ -244,7 +245,9 @@ object DedupStream {
     // a stream whose batches were ALL empty leaves docs/ with no data
     // files (dynamic partitionBy writes no partition for zero rows) and
     // schema inference would throw; the resolved view of nothing is an
-    // empty (idCol) corpus
+    // empty corpus. Note the SHAPE caveat: with no files there is no
+    // schema to recover, so this fast path returns a single LONG idCol —
+    // callers selecting other doc columns must handle the all-empty case
     val docsDir = Paths.get(s"$stateDir/docs")
     val hasData = Files.exists(docsDir) && {
       val w = Files.walk(docsDir)

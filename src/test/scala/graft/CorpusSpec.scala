@@ -378,8 +378,8 @@ class CorpusSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(viaSaved == out)
     // an empty model (nothing scoreable to train on) predicts NOTHING —
-    // not null labels (sequence(1,0) is DESCENDING [1,0] in Spark, so an
-    // unguarded scores transform would probe empty arrays)
+    // unguarded, sequence(1,0) is the DESCENDING [1,0] in Spark and the
+    // l = 0 probe throws ELEMENT_AT_BY_INDEX_ZERO instead of returning
     val emptyModel = Corpus.naiveBayesTrain(
       Seq(("", "a")).toDF("text", "label"), "label", "text", buckets = 512)
     assert(Corpus.naiveBayesClassify(docs, emptyModel, buckets = 512).count() == 0)

@@ -1082,14 +1082,24 @@ fromCategory("acct")
       (201L, vec(1, 2)), (202L, vec(1, 3)), (300L, vec(2, 1)))
     q2.processAllAvailable(); q2.stop()
 
-    val out = spark.read.parquet(outDir).as[(Long, Int)].collect().toMap
+    val q3 = start()
+    // batch 3: id 300 is RE-DELIVERED (reprocessed ingest) while its
+    // cluster still has room — it must not be admitted or emitted twice;
+    // 301 takes the remaining slot
+    in.addData((300L, vec(2, 1)), (301L, vec(2, 2)))
+    q3.processAllAvailable(); q3.stop()
+
+    val rows = spark.read.parquet(outDir).as[(Long, Int)].collect().toSeq
+    assert(rows.size == rows.toMap.size, "an id was emitted more than once")
+    val out = rows.toMap
     val perList = out.groupBy(_._2).view.mapValues(_.size).toMap
-    assert(perList(0) == 2 && perList(1) == 2 && perList(2) == 1, perList.toString)
+    assert(perList(0) == 2 && perList(1) == 2 && perList(2) == 2, perList.toString)
+    assert(out.contains(300L) && out.contains(301L))
     // cluster 0 filled ENTIRELY from batch 1 (first arrival wins): the
     // restart must not re-open the quota for batch 2's 103/104
     assert(Set(103L, 104L).forall(!out.contains(_)),
       "restart re-opened an exhausted cluster quota")
-    assert(out.keySet.subsetOf(Set(100L, 101L, 102L, 200L, 201L, 202L, 300L)))
+    assert(out.keySet.subsetOf(Set(100L, 101L, 102L, 200L, 201L, 202L, 300L, 301L)))
     // assignment is by nearest centroid: admitted ids carry their cluster
     out.foreach { case (id, list) => assert(list == (id / 100 - 1).toInt) }
   }
