@@ -99,7 +99,7 @@ object CorpusStream {
     * [[graft.functions.TextFunctions.hash60]] (first 15 hex chars of the
     * md5 of the id string), so the streaming quota draw picks the same
     * ids the batch sampler's hash60 window order would. */
-  private[analytics] def hash60Jvm(id: Long): Long = {
+  private[graft] def hash60Jvm(id: Long): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)

@@ -247,6 +247,19 @@ class PropertySpec extends SparkTestBase {
     assert(JsVal.stringify(JsUndef).isEmpty) // top-level undefined: no output
   }
 
+  test("hash60Jvm == the hash60 Column expression for generated ids") {
+    val s = spark; import s.implicits._
+    val ids = (Gen.listOfN(200, Gen.chooseNum(Long.MinValue, Long.MaxValue))(
+      Gen.Parameters.default, Seed(11L)).get :+ 0L :+ -1L :+ Long.MaxValue)
+    val viaCol = ids.toDF("id")
+      .select(col("id"), graft.functions.TextFunctions.hash60(col("id").cast("string")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(graft.analytics.CorpusStream.hash60Jvm(id) == viaCol(id),
+        s"hash60Jvm diverges from the column form at id=$id")
+    }
+  }
+
   test("rarityScores: the three-level decomposed rank equals the naive " +
     "global dense_rank on generated corpora") {
     val s = spark; import s.implicits._
