@@ -118,7 +118,9 @@ object CorpusStream {
     * a bare count: re-delivered ids (reprocessed ingest, overlapping
     * file drops) are recognized and not admitted or emitted twice. The
     * state commits atomically with the file sink's manifest, so a
-    * restart resumes the quotas instead of re-admitting.
+    * restart resumes the quotas instead of re-admitting. (State schema:
+    * one array<bigint> of admitted ids per cluster — checkpoints from
+    * the pre-release count-only form are not compatible.)
     *
     * Contract: ids must be (castable to) LONG and vectors non-null —
     * the typed state path needs a concrete key type (every embedding
@@ -139,12 +141,6 @@ object CorpusStream {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     require(cent.nonEmpty, "empty centroid table")
     val bc = spark.sparkContext.broadcast(cent)
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     vectors
       .select(col(idCol).cast("long").as("vec_id"),
         Similarity.asDouble(col(vecCol)).as("v"))
@@ -153,14 +149,16 @@ object CorpusStream {
         require(idBoxed != null,
           s"clusterQuotaSampleStream: id column '$idCol' must cast to a non-null long")
         val cs = bc.value
-        var best = 0; var bestSim = Double.NaN; var i = 0
+        var best = 0
+        var bestSim = graft.functions.CosineSimilarity.compute(v, cs(0)._2)
+        var i = 1
         while (i < cs.length) {
-          val s = cos(v, cs(i)._2)
-          // NaN never wins a strict comparison: zero/NaN vectors land in
-          // the first (smallest-id) cluster, same as the expression form
-          if (i == 0 || s > bestSim || bestSim.isNaN && !s.isNaN) {
-            best = i; bestSim = s
-          }
+          val s = graft.functions.CosineSimilarity.compute(v, cs(i)._2)
+          // Double.compare ranks NaN GREATEST and ties keep the first
+          // (smallest) centroid id — exactly the batch op's
+          // max_by(struct(csim, -centroid_id)) ordering, degenerate
+          // zero-norm centroids (NaN csim) included
+          if (java.lang.Double.compare(s, bestSim) > 0) { best = i; bestSim = s }
           i += 1
         }
         (idBoxed.longValue(), cs(best)._1)
@@ -175,7 +173,9 @@ object CorpusStream {
           val take =
             if (room == 0) Seq.empty[Long]
             else rows.map(_._1).toSeq.distinct.filterNot(seen)
-              .sortBy(id => (hash60Jvm(id), id))
+              // key PRECOMPUTED: Scala sortBy runs its key function per
+              // COMPARISON, which would md5 each id ~2·log n times
+              .map(id => ((hash60Jvm(id), id), id)).sortBy(_._1).map(_._2)
               .take(room)
           if (take.nonEmpty) state.update(admitted ++ take)
           take.iterator.map(id => (id, listId))

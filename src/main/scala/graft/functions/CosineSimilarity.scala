@@ -34,15 +34,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
-      dot += xv * yv; na += xv * xv; nb += yv * yv
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    CosineSimilarity.compute(x.toDoubleArray(), y.toDoubleArray())
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,6 +64,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  /** The one JVM cosine kernel — shared by the interpreted expression
+    * path and JVM-side callers (the streaming quota assignment), so the
+    * formula (min-length truncation, ascending accumulation,
+    * dot / (√na·√nb)) can never desynchronize between them. */
+  def compute(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Column API: cosine_similarity(a, b) over array<double> columns. */
   def apply(a: Column, b: Column): Column =
     Bridge.column(
