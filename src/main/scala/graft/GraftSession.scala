@@ -21,6 +21,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // point-lookup pushdowns (DedupStream band keys / sketch partner
+      // ids, SimilarityIndex probed lists) push eq-list parquet filters;
+      // past the default threshold (10) Spark degrades In to a min/max
+      // RANGE filter, which prunes nothing over hash-distributed keys.
+      // 1000 is the measured safe bound: Spark builds the parquet In as
+      // a LEFT-DEEP or-of-eq chain whose recursive evaluation stack-
+      // overflows around 2000 terms (ParquetPushdown.EqListMax mirrors
+      // this; larger key sets chunk into ≤1000-term range-scoped scans)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
     // SURVEY §7 "foreachStream over millions of streams in streaming mode":
     // the RocksDB state store spills per-key projection state to local disk
     // instead of holding every partition's state on the executor heap.

@@ -3,10 +3,10 @@ package graft.analytics
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Streaming face of corpus near-dup resolution: banded candidate
@@ -22,6 +22,15 @@ import org.apache.spark.storage.StorageLevel
   *    and verification sketches persist in state tables; later batches
   *    probe those tables instead of recomputing history (the pre-r11 form
   *    re-signatured the whole corpus every micro-batch).
+  *  - the posting probe is BOUNDED, not history-proportional: the
+  *    accumulated index is periodically folded into a bk-SORTED compacted
+  *    snapshot (`indexc/`, see [[compactState]]), and each batch probes it
+  *    with its own bounded band-key set pushed down as an eq-list filter
+  *    (≤ |batch|·bands longs). Row-group/page stats on the sorted bk
+  *    column skip everything outside the probed keys, so the probe reads
+  *    O(|batch| · granule) bytes — independent of corpus size — instead
+  *    of scanning every posting ever written. Only the small uncompacted
+  *    tail (batches since the last compaction) is scanned whole.
   *  - component labels update incrementally: the prior (member →
   *    representative) label table IS a spanning contraction of every edge
   *    seen so far, so unioning it (as edges) with just the new batch's
@@ -35,23 +44,19 @@ import org.apache.spark.storage.StorageLevel
   *    (a maintenance op, like scavenge — never on the batch path).
   *    Representatives are min-id, so drops are MONOTONE (a component's
   *    min only decreases as components merge) — a delta log never needs
-  *    a retraction. The r11 first cut rewrote the resolved partitions of
-  *    every touched component per batch; with duplicate clusters spread
-  *    uniformly over arrival batches (the common case) that touched
-  *    nearly every partition every batch, i.e. an O(history) rewrite in
-  *    disguise — the delta form's per-batch write is exactly the newly
-  *    dropped ids.
+  *    a retraction.
   *
   * Per-batch cost: compute is O(|batch|) (index the new docs) plus the
-  * touched-component maintenance; the only history-proportional term left
-  * is the columnar probe scan of `index/` — two 8-byte columns per
-  * posting, orders cheaper than the text re-shingle it replaces, and the
-  * candidate join against it broadcasts the (small) new side. A band-keyed
-  * RocksDB state store (`flatMapGroupsWithState`) could eliminate even
-  * that scan; plain-parquet state keeps every table externally readable
-  * and replayable, which this module values more. Accumulating state
-  * files are the other long-horizon term (footer/listing cost) — the same
-  * small-file compaction trade EventLogStore documents.
+  * touched-component maintenance; probe/verification reads are bounded by
+  * the batch's band keys / pair participants via sorted-snapshot pushdown.
+  * The label snapshot read remains pair-graph sized (dup'd docs, not
+  * corpus), the accepted term. State-file growth is handled by the same
+  * compaction: [[compactState]] folds the per-batch `index/`, `sketch/`
+  * and `drops/` partitions into single sorted snapshots on a cadence
+  * (`compactEvery`), so file listings stay proportional to the snapshot
+  * count, not the batch count. `docs/` accrues one partition per batch
+  * like any ingest log — [[compactResolved]] (or EventLogStore-style file
+  * compaction) is the read-side answer there.
   *
   * State layout under `stateDir` (all plain parquet):
   *  - `docs/`    — every document, partitioned by arrival batch;
@@ -59,10 +64,15 @@ import org.apache.spark.storage.StorageLevel
   *                 `bk` = xxhash64(band index, band key), so equality is
   *                 band-scoped; hash collisions only ADD candidates, which
   *                 exact verification then rejects;
+  *  - `indexc/`  — compacted postings snapshot, range-partitioned +
+  *                 sorted by `bk` under `_upto=N` (N = last folded batch),
+  *                 committed via the same atomic `_committed_N` marker
+  *                 protocol as labels;
   *  - `sketch/`  — (id, sk) verification sketches, partitioned by arrival
   *                 batch, range-partitioned + sorted by id inside each
   *                 partition so pair verification fetches participants via
   *                 row-group-pruned id pushdown instead of a corpus scan;
+  *  - `sketchc/` — compacted sketch snapshot, sorted by id, `_upto=N`;
   *  - `labels/`  — current (id, component) for every doc in a non-trivial
   *                 component — one snapshot per batch under `_batch=N`,
   *                 made live by an atomic `_committed_N` marker AFTER the
@@ -71,7 +81,11 @@ import org.apache.spark.storage.StorageLevel
   *                 snapshot intact and live);
   *  - `drops/`   — (id) newly-dropped per batch, partitioned by the batch
   *                 that dropped them;
-  *  - `resolved/` — [[compactResolved]]'s materialization (optional).
+  *  - `dropsc/`  — compacted drops snapshot, sorted by id, `_upto=N`;
+  *  - `resolved/` — [[compactResolved]]'s materialization (optional);
+  *  - `_docs_schema.json` — the document schema, written on the first
+  *    batch so [[resolvedCorpus]] can answer with the REAL schema even
+  *    when every batch so far was empty.
   *
   * Restart safety: docs/index/sketch/drops writes are DYNAMIC partition
   * overwrites keyed on the micro-batch id, so a replayed batch rewrites
@@ -82,10 +96,18 @@ import org.apache.spark.storage.StorageLevel
   * which dynamic overwrite turns into a no-op, preserving the committed
   * partition). Re-adding an already-absorbed edge to the label graph is
   * a no-op by CC idempotence, so a crash at ANY point between writes
-  * replays cleanly. `StreamingSpec` asserts streaming == one-shot batch
-  * [[Dedup.resolveNearDups]] across restarts, including a later batch
-  * with a smaller id dethroning an earlier batch's representative. */
+  * replays cleanly. Compaction is likewise crash-safe: the snapshot
+  * commits via its marker BEFORE the folded per-batch partitions are
+  * deleted, and every reader takes `snapshot ∪ (per-batch partitions
+  * AFTER the snapshot watermark)` — a crash between marker and deletion
+  * leaves already-folded partitions on disk, which the watermark filter
+  * excludes and the next compaction re-deletes. `StreamingSpec` asserts
+  * streaming == one-shot batch [[Dedup.resolveNearDups]] across restarts,
+  * including a later batch with a smaller id dethroning an earlier
+  * batch's representative, with and without a compaction cadence. */
 object DedupStream {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Banded near-dup indexer: everything the incremental resolver needs to
     * know about a similarity family. `index` emits one row per document —
@@ -123,23 +145,60 @@ object DedupStream {
   }
 
   /** Above this many ids, point lookups switch from a driver-collected
-    * parquet-pushdown `isin` read (row-group pruning on the id-sorted
-    * sketch files) to a distributed semi-join — the same cap-gated trade
-    * as [[Dedup.incrementalNew]]'s bloom gate. */
+    * parquet-pushdown read (chunked eq-lists with row-group pruning on
+    * the sorted state files, [[ParquetPushdown.inSorted]]) to a
+    * distributed semi-join — the same cap-gated trade as
+    * [[Dedup.incrementalNew]]'s bloom gate. */
   val PushdownMaxIds: Long = 10000L
 
+  /** Cap on the per-batch band-key pushdown list (≥ PushdownMaxIds: a
+    * batch emits `bands` postings per doc, so its distinct-bk set runs
+    * several times its doc count; 32k keys = 32 chunked scans, still a
+    * bounded read). Micro-batches whose bk set exceeds this fall back to
+    * scanning the posting snapshot — if batches that large are routine,
+    * split the ingest into smaller triggers (maxFilesPerTrigger) or move
+    * postings into a band-keyed RocksDB state store. */
+  val PushdownMaxKeys: Long = 32000L
+
+  private val indexDataSchema = StructType.fromDDL("id LONG, bk LONG")
+  private val dropsDataSchema = StructType.fromDDL("id LONG")
+  private val dropsSchema = StructType.fromDDL("id LONG, _batch LONG")
+
+  /** Per-batch disk-read telemetry for the LAST processed micro-batch — a
+    * LOCAL-MODE probe aid: in `local[*]` the hadoop `file`-scheme
+    * statistics aggregate every task's reads in this JVM, so the deltas
+    * around the probe/verify actions are exactly their bytes read. On a
+    * real cluster executor reads are invisible to the driver's counters,
+    * so this stays a test/probe instrument, not an API. */
+  final case class BatchIoStats(batchId: Long, probeBytes: Long, verifyBytes: Long)
+  @volatile private[graft] var lastIoStats: Option[BatchIoStats] = None
+
+  private def fsBytesRead(): Long = {
+    val s = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
+    if (s == null) 0L else {
+      val v = s.getLong("bytesRead")
+      if (v == null) 0L else v.longValue()
+    }
+  }
+
+  /** Start the incremental resolver. `compactEvery` > 0 folds the
+    * per-batch state partitions into sorted snapshots every that many
+    * batches ([[compactState]]) — the cadence that keeps both the probe
+    * scan and the state-file count bounded on a long-lived stream; 0
+    * leaves compaction entirely to explicit maintenance calls. */
   def resolveNearDupsStream(docs: DataFrame, stateDir: String, checkpoint: String,
-      indexer: BandIndexer, idCol: String = "doc_id"): StreamingQuery =
+      indexer: BandIndexer, idCol: String = "doc_id",
+      compactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, stateDir, indexer, idCol)
+        processBatch(batch, batchId, stateDir, indexer, idCol, compactEvery)
       }
       .trigger(Trigger.AvailableNow())
       .start()
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
-      indexer: BandIndexer, idCol: String): Unit = {
+      indexer: BandIndexer, idCol: String, compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     // REPLAY GUARD: the label marker is the LAST write of a batch, so a
     // committed marker for this batchId means every state write below
@@ -151,7 +210,13 @@ object DedupStream {
     // safe either way: against this batch's own committed labels it
     // recomputes as EMPTY, and a zero-row dynamic overwrite writes no
     // partitions — a no-op, per the header's crash-safety note.)
-    if (latestCommitted(s"$stateDir/labels").exists(_ >= batchId)) return
+    if (latestCommitted(s"$stateDir/labels").exists(_ >= batchId)) {
+      log.warn(s"DedupStream: skipping micro-batch $batchId — $stateDir already has a " +
+        "committed label snapshot at or past it. Expected ONCE after a crash replay; if " +
+        "every batch logs this, the stateDir is being reused with a FRESH checkpoint dir " +
+        "(batch ids restarted at 0) and new data is silently not being ingested.")
+      return
+    }
     // reads use EXPLICIT schemas: a batch can legally write zero rows
     // (no documents, or no new near-dup pairs), and schema inference over
     // a parquet dir with no data files throws UNABLE_TO_INFER_SCHEMA
@@ -161,6 +226,15 @@ object DedupStream {
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch").parquet(path)
     def partSchema(df: DataFrame): StructType = df.withColumn("_batch", lit(batchId)).schema
+
+    // 0. pin the document schema once, so the resolved view of an
+    //    all-empty stream can still answer with the real shape
+    val schemaMarker = Paths.get(s"$stateDir/_docs_schema.json")
+    if (!Files.exists(schemaMarker)) {
+      Files.createDirectories(Paths.get(stateDir))
+      Files.write(schemaMarker,
+        batch.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
 
     // 1. this batch's documents land in their own arrival partition
     writePart(batch, s"$stateDir/docs")
@@ -179,18 +253,39 @@ object DedupStream {
     //    includes this batch, so same-batch pairs surface too). Every pair
     //    is discovered exactly when its later document arrives, so the
     //    union of per-batch edges equals the one-shot batch pair set.
-    val allPostings = readAs(s"$stateDir/index", partSchema(postingsNew)).drop("_batch")
+    //    The accumulated index = the bk-sorted compacted snapshot, PRUNED
+    //    to this batch's bounded bk set (eq-list pushdown → row-group/page
+    //    skipping on the sorted bk column), ∪ the uncompacted per-batch
+    //    tail. Pruning the snapshot to the probe keys is semantics-free:
+    //    the join is an equality on bk, so rows outside the new batch's
+    //    bk set can never match.
+    val (idxUpto, idxSnap) = readSnapshot(spark, s"$stateDir/indexc", indexDataSchema)
+    val tailPostings = readAs(s"$stateDir/index", partSchema(postingsNew))
+      .where(col("_batch") > idxUpto).drop("_batch")
+    val bkCapped = postingsNew.select(col("bk")).distinct()
+      .limit(PushdownMaxKeys.toInt + 1).collect().map(_.getLong(0)).toSeq
+    val idxSnapPruned =
+      if (bkCapped.size <= PushdownMaxKeys)
+        ParquetPushdown.inSorted(idxSnap, "bk", bkCapped)
+      else idxSnap // cap-gated fallback: the equi-join itself still filters
+    val allPostings = idxSnapPruned.unionAll(tailPostings)
+    val ioProbe0 = fsBytesRead()
     val cands = postingsNew.as("a").join(allPostings.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
       .localCheckpoint(true)
+    val ioProbe1 = fsBytesRead()
 
     // 4. exact verification, fetching sketches for pair PARTICIPANTS only
+    //    — from the id-sorted compacted sketch snapshot ∪ the tail, with
+    //    the participant ids pushed down the same way
     val skSchema = partSchema(sketchNew)
     val partnerIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val skAll = readAs(s"$stateDir/sketch", skSchema).drop("_batch")
+    val (skUpto, skSnap) = readSnapshot(spark, s"$stateDir/sketchc", sketchNew.schema)
+    val skAll = skSnap.unionAll(
+      readAs(s"$stateDir/sketch", skSchema).where(col("_batch") > skUpto).drop("_batch"))
     // one bounded collect answers both "how many" and "which": a
     // separate count() pays a second full job over the distinct-id set
     // on every micro-batch just to pick the branch
@@ -198,7 +293,7 @@ object DedupStream {
       .collect().map(_.getLong(0)).toSeq
     val skTbl =
       if (partnersCapped.size <= PushdownMaxIds)
-        skAll.where(col("id").isin(partnersCapped: _*))
+        ParquetPushdown.inSorted(skAll, "id", partnersCapped)
       else skAll.join(partnerIds, "id")
     val newEdges = cands
       .join(skTbl.select(col("id").as("id_a"), col("sk").as("sk_a")), "id_a")
@@ -206,6 +301,7 @@ object DedupStream {
       .where(indexer.score(col("sk_a"), col("sk_b")) >= indexer.threshold)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
+    lastIoStats = Some(BatchIoStats(batchId, ioProbe1 - ioProbe0, fsBytesRead() - ioProbe1))
     idx.unpersist()
 
     // 5. incremental components: prior labels are a spanning contraction
@@ -229,38 +325,111 @@ object DedupStream {
     val priorDropped = prior.where(col("id") =!= col("component")).select(col("id"))
     writePart(droppedTouched.join(priorDropped, Seq("id"), "left_anti"),
       s"$stateDir/drops")
-    writeLabels(s"$stateDir/labels", comp, batchId)
+    writeSnapshot(s"$stateDir/labels", comp.repartitionByRange(col("id")), batchId, "_batch")
     comp.unpersist()
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactState(spark, stateDir)
   }
 
-  private val dropsSchema = StructType.fromDDL("id LONG, _batch LONG")
+  /** Fold the accumulated per-batch `index/`, `sketch/` and `drops/`
+    * partitions into single SORTED snapshots (`indexc/` by bk, `sketchc/`
+    * and `dropsc/` by id) and delete the folded per-batch partitions —
+    * the maintenance op that keeps the per-batch probe bounded (sorted
+    * snapshot + eq-list pushdown) and the state-file count flat on a
+    * long-lived stream. Runs automatically on the `compactEvery` cadence
+    * or explicitly, any time; crash-safe per the header (snapshot marker
+    * commits before the folded partitions are deleted; readers exclude
+    * already-folded partitions by the snapshot watermark). Only batches
+    * with a COMMITTED label snapshot are folded, so a crash-replayed
+    * batch never finds its partitions half-owned by a snapshot. */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    latestCommitted(s"$stateDir/labels").foreach { upto =>
+      compactTable(spark, s"$stateDir/index", s"$stateDir/indexc", "bk", upto)
+      compactTable(spark, s"$stateDir/sketch", s"$stateDir/sketchc", "id", upto)
+      compactTable(spark, s"$stateDir/drops", s"$stateDir/dropsc", "id", upto)
+    }
+
+  private def hasParquetFiles(dir: String): Boolean = {
+    val p = Paths.get(dir)
+    Files.exists(p) && {
+      val w = Files.walk(p)
+      try w.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+  }
+
+  /** Fold `srcDir`'s per-batch partitions with ids in (current snapshot
+    * watermark, upto] into a new sorted snapshot at `dstDir/_upto=upto`,
+    * then delete the folded source partitions. */
+  private def compactTable(spark: SparkSession, srcDir: String, dstDir: String,
+      sortCol: String, upto: Long): Unit = {
+    if (!hasParquetFiles(srcDir)) return // nothing new to fold
+    val full = spark.read.parquet(srcDir) // schema from files (sk is indexer-typed)
+    val dataSchema = StructType(full.schema.filterNot(_.name == "_batch"))
+    val (curUpto, cur) = readSnapshot(spark, dstDir, dataSchema)
+    if (curUpto < upto) {
+      val tail = full.where(col("_batch") > curUpto && col("_batch") <= upto).drop("_batch")
+      writeSnapshot(dstDir,
+        cur.unionByName(tail).repartitionByRange(col(sortCol))
+          .sortWithinPartitions(col(sortCol)),
+        upto, "_upto")
+    }
+    // delete folded per-batch partitions (≤ the LIVE snapshot watermark —
+    // covers both this fold and leftovers from a crash after a previous
+    // fold's marker commit)
+    latestCommitted(dstDir).foreach { live =>
+      val d = Paths.get(srcDir)
+      if (Files.exists(d)) {
+        val s = Files.list(d)
+        try s.iterator().asScala.toList.foreach { p =>
+          val nm = p.getFileName.toString
+          if (nm.startsWith("_batch=") &&
+              nm.stripPrefix("_batch=").toLongOption.exists(_ <= live)) deleteRec(p)
+        } finally s.close()
+      }
+    }
+  }
+
+  /** The latest COMMITTED snapshot of a `_upto=`-partitioned compacted
+    * view: (watermark, data) — (-1, empty) before the first compaction. */
+  private def readSnapshot(spark: SparkSession, dir: String,
+      dataSchema: StructType): (Long, DataFrame) =
+    latestCommitted(dir) match {
+      case None => (-1L, spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), dataSchema))
+      case Some(k) => (k,
+        spark.read.schema(dataSchema.add("_upto", LongType)).parquet(dir)
+          .where(col("_upto") === k).drop("_upto"))
+    }
 
   /** The current resolved corpus — one min-id representative per near-dup
-    * component: `docs/` minus the accumulated `drops/` deltas. A view, not
-    * a scan-and-rewrite: the anti-join's drop side is the (small) dropped
-    * id set, so reading the resolution costs one broadcast-shaped
-    * anti-join over the corpus. */
-  def resolvedCorpus(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+    * component: `docs/` minus the accumulated `drops/` deltas (compacted
+    * snapshot ∪ tail). A view, not a scan-and-rewrite: the anti-join's
+    * drop side is the (small) dropped id set, so reading the resolution
+    * costs one broadcast-shaped anti-join over the corpus. */
+  def resolvedCorpus(spark: SparkSession, stateDir: String,
       idCol: String = "doc_id"): DataFrame = {
     // a stream whose batches were ALL empty leaves docs/ with no data
     // files (dynamic partitionBy writes no partition for zero rows) and
     // schema inference would throw; the resolved view of nothing is an
-    // empty corpus. Note the SHAPE caveat: with no files there is no
-    // schema to recover, so this fast path returns a single LONG idCol —
-    // callers selecting other doc columns must handle the all-empty case
-    val docsDir = Paths.get(s"$stateDir/docs")
-    val hasData = Files.exists(docsDir) && {
-      val w = Files.walk(docsDir)
-      try w.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-      finally w.close()
-    }
-    if (!hasData) {
+    // empty corpus with the schema pinned by the first processed batch's
+    // `_docs_schema.json` marker (pre-marker state dirs fall back to a
+    // single LONG idCol — the only shape recoverable from nothing)
+    if (!hasParquetFiles(s"$stateDir/docs")) {
+      val marker = Paths.get(s"$stateDir/_docs_schema.json")
+      if (Files.exists(marker)) {
+        val schema = DataType.fromJson(new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+        return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      }
       import spark.implicits._
       return Seq.empty[Long].toDF(idCol)
     }
     val docs = spark.read.parquet(s"$stateDir/docs")
-    val drops = spark.read.schema(dropsSchema).parquet(s"$stateDir/drops")
-      .select(col("id").as("_drop_id"))
+    val (dropsUpto, dropsSnap) = readSnapshot(spark, s"$stateDir/dropsc", dropsDataSchema)
+    val dropTail = spark.read.schema(dropsSchema).parquet(s"$stateDir/drops")
+      .where(col("_batch") > dropsUpto).drop("_batch")
+    val drops = dropsSnap.unionAll(dropTail).select(col("id").as("_drop_id"))
     docs.join(drops, docs(idCol).cast("long") === col("_drop_id"), "left_anti")
       .drop("_batch")
   }
@@ -268,7 +437,7 @@ object DedupStream {
   /** Materialize [[resolvedCorpus]] under `stateDir/resolved` — an
     * on-demand maintenance/compaction op for consumers that want the
     * resolution as plain files, never part of the per-batch path. */
-  def compactResolved(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+  def compactResolved(spark: SparkSession, stateDir: String,
       idCol: String = "doc_id"): Unit =
     resolvedCorpus(spark, stateDir, idCol)
       .write.mode("overwrite").parquet(s"$stateDir/resolved")
@@ -278,7 +447,7 @@ object DedupStream {
   /** The latest COMMITTED label snapshot (empty before any commit). The
     * `_committed_N` marker is written only after snapshot N's job commits,
     * so a crash mid-write leaves the previous snapshot live. */
-  private def latestLabels(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private def latestLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     latestCommitted(dir) match {
       case None => Seq.empty[(Long, Long)].toDF("id", "component")
@@ -298,25 +467,40 @@ object DedupStream {
     finally s.close()
   }
 
-  /** Write label snapshot N, commit it with an atomic marker, prune
-    * superseded snapshots. Markers are plain `_`-prefixed files, invisible
-    * to parquet reads. */
-  private def writeLabels(dir: String, comp: DataFrame, batchId: Long): Unit = {
-    // range-repartition before the write: the local union-find path
-    // parallelizes a driver array over default parallelism, which would
-    // otherwise shed 32 tiny files per snapshot; AQE coalesces this to
-    // data-sized partitions
-    comp.repartitionByRange(col("id")).withColumn("_batch", lit(batchId))
+  /** Write snapshot `key` of a marker-committed snapshot dir (labels or a
+    * compacted view), commit it with an atomic marker, prune superseded
+    * snapshots. Markers are plain `_`-prefixed files, invisible to
+    * parquet reads. Uncommitted partition leftovers (a crash mid-write)
+    * are cleaned BEFORE the write: a zero-row dynamic overwrite would
+    * otherwise leave partial files under a marker that vouches for them. */
+  private def writeSnapshot(dir: String, df: DataFrame, key: Long,
+      partCol: String): Unit = {
+    val live = latestCommitted(dir)
+    val d = Paths.get(dir)
+    if (Files.exists(d)) {
+      val s = Files.list(d)
+      try s.iterator().asScala.toList.foreach { p =>
+        val nm = p.getFileName.toString
+        if (nm.startsWith(s"$partCol=") &&
+            !nm.stripPrefix(s"$partCol=").toLongOption.exists(k => live.contains(k)))
+          deleteRec(p)
+      } finally s.close()
+    }
+    // range-repartition upstream where it matters; AQE coalesces tiny
+    // outputs to data-sized partitions
+    df.withColumn(partCol, lit(key))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("_batch").parquet(dir)
-    Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(s"$dir/_committed_$batchId"), Array.emptyByteArray)
-    val s = Files.list(Paths.get(dir))
+      .partitionBy(partCol).parquet(dir)
+    Files.createDirectories(d)
+    Files.write(Paths.get(s"$dir/_committed_$key"), Array.emptyByteArray)
+    val s = Files.list(d)
     try s.iterator().asScala.toList.foreach { p =>
       val nm = p.getFileName.toString
       val stale =
-        (nm.startsWith("_batch=") && nm.stripPrefix("_batch=").toLongOption.exists(_ < batchId)) ||
-        (nm.startsWith("_committed_") && nm.stripPrefix("_committed_").toLongOption.exists(_ < batchId))
+        (nm.startsWith(s"$partCol=") &&
+          nm.stripPrefix(s"$partCol=").toLongOption.exists(_ < key)) ||
+        (nm.startsWith("_committed_") &&
+          nm.stripPrefix("_committed_").toLongOption.exists(_ < key))
       if (stale) deleteRec(p)
     } finally s.close()
   }

@@ -20,7 +20,15 @@ import graft.sources.Tables
   * per-replica character substitution (near-dup rate constant, replicas
   * shingle-disjoint), split into `nBatches` equal hash chunks.
   *
-  * Usage: DedupStreamProbe [mult] [nBatches]   (default 30 10)
+  * Beyond wall time, the probe reports the BYTES READ by each batch's
+  * candidate-probe and verification stages (DedupStream.lastIoStats, the
+  * local-mode `file`-scheme FS counters around those exact actions): with
+  * the bk-sorted compacted index + bounded eq-list pushdown, probe bytes
+  * must stay ~FLAT as history grows — the r11 residual was precisely this
+  * scan growing with history. `compactEvery` (default 4) exercises the
+  * in-stream compaction cadence.
+  *
+  * Usage: DedupStreamProbe [mult] [nBatches] [compactEvery] (default 30 10 4)
   * Prints per-batch seconds plus one JSON line, also written to
   * /tmp/dedup_stream_probe.json. */
 object DedupStreamProbe {
@@ -28,6 +36,7 @@ object DedupStreamProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.lift(0).map(_.toInt).getOrElse(30)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    val compactEvery = args.lift(2).map(_.toInt).getOrElse(4)
     val spark = graft.GraftSession.create(master = "local[32]", shufflePartitions = 32)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -53,7 +62,7 @@ object DedupStreamProbe {
 
     val ix = DedupStream.MinHashIndexer(threshold = 0.5, k = 16, bands = 8,
       textCol = "text", idCol = "doc_id", n = 3)
-    val times = (0 until nBatches).map { i =>
+    val stats = (0 until nBatches).map { i =>
       corpus.where(col("chunk") === i).select(col("doc_id"), col("text"))
         .coalesce(4).write.mode("append").parquet(srcDir)
       val t0 = System.nanoTime()
@@ -61,12 +70,16 @@ object DedupStreamProbe {
         spark.readStream
           .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"))
           .parquet(srcDir),
-        stateDir, ck, ix)
+        stateDir, ck, ix, compactEvery = compactEvery)
       q.awaitTermination(600000)
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"batch $i%2d  $t%7.2f s  (history ${(i + 1) * total / nBatches} docs)")
-      t
+      val io = DedupStream.lastIoStats.filter(_.batchId == i)
+      val (pb, vb) = io.map(s => (s.probeBytes, s.verifyBytes)).getOrElse((-1L, -1L))
+      println(f"batch $i%2d  $t%7.2f s  probe ${pb / 1048576.0}%8.2f MiB  " +
+        f"verify ${vb / 1048576.0}%8.2f MiB  (history ${(i + 1) * total / nBatches} docs)")
+      (t, pb, vb)
     }
+    val times = stats.map(_._1)
     corpus.unpersist()
     val tc0 = System.nanoTime()
     DedupStream.compactResolved(spark, stateDir)
@@ -75,9 +88,15 @@ object DedupStreamProbe {
     // batch 1 pays JIT/codegen warmup, so the flatness ratio compares the
     // last batch to the SECOND — which only exists from 2 batches up
     val ratio = if (nBatches >= 2) times(nBatches - 1) / times(1) else 1.0
-    val json = s"""{"mult":$mult,"n_batches":$nBatches,"docs":$total,""" +
+    val probeRatio = if (nBatches >= 2 && stats(1)._2 > 0)
+      stats(nBatches - 1)._2.toDouble / stats(1)._2 else 1.0
+    val json = s"""{"mult":$mult,"n_batches":$nBatches,"compact_every":$compactEvery,""" +
+      s""""docs":$total,""" +
       s""""resolved":$resolved,"batch_sec":[${times.map(t => f"$t%.2f").mkString(",")}],""" +
-      f""""last_over_second":$ratio%.2f,"compact_sec":$compactSec%.2f}"""
+      s""""probe_mib":[${stats.map(s => f"${s._2 / 1048576.0}%.2f").mkString(",")}],""" +
+      s""""verify_mib":[${stats.map(s => f"${s._3 / 1048576.0}%.2f").mkString(",")}],""" +
+      f""""last_over_second":$ratio%.2f,"probe_bytes_last_over_second":$probeRatio%.2f,""" +
+      f""""compact_sec":$compactSec%.2f}"""
     println(json)
     Files.write(Paths.get("/tmp/dedup_stream_probe.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.sources.{EventLogStore, PendingEvent}
@@ -1183,5 +1184,90 @@ fromCategory("acct")
     val resolved = DedupStream.resolvedCorpus(spark, stateDir)
       .select("doc_id").as[Long].collect().toSet
     assert(resolved == Set(1L, 2L, 3L))
+  }
+
+  test("streaming near-dup with compaction cadence == batch; folded partitions removed; " +
+    "replay after compaction is a no-op") {
+    val s = spark; import s.implicits._
+    import graft.analytics.{Dedup, DedupStream}
+    val srcDir = Files.createTempDirectory("ndcdocs").toString
+    val stateDir = Files.createTempDirectory("ndcstate").toString
+    val ck = Files.createTempDirectory("ndcck").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    val chunks = Seq(
+      Seq((1L, base + " alpha"), (2L, base + " beta"),
+        (3L, "completely different text about spark catalyst optimizer internals and codegen")),
+      Seq((5L, base + " gamma"),
+        (6L, "streaming state stores keep per key state across micro batch boundaries safely"),
+        (7L, "streaming state stores keep per key state across micro batch boundaries today")),
+      // 0 dethrones {1,2,5}'s representative AFTER a compaction has folded
+      // those docs' postings into the indexc snapshot — the probe must
+      // find the historical partners through the compacted view
+      Seq((0L, base + " delta")))
+    val ix = DedupStream.MinHashIndexer(threshold = 0.5, k = 16, bands = 8,
+      textCol = "text", idCol = "doc_id", n = 3)
+    def runOnce(): Unit = {
+      val q = DedupStream.resolveNearDupsStream(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"))
+          .parquet(srcDir),
+        stateDir, ck, ix, compactEvery = 1) // fold after EVERY batch
+      q.awaitTermination(120000)
+    }
+    chunks.foreach { c =>
+      c.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      runOnce()
+    }
+    def batchDirs(sub: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(s"$stateDir/$sub")
+      if (!Files.exists(p)) Seq.empty
+      else {
+        val st = Files.list(p)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_batch=")).toList
+        finally st.close()
+      }
+    }
+    // every processed batch was folded: no per-batch partitions remain,
+    // committed snapshots exist
+    for (sub <- Seq("index", "sketch", "drops"))
+      assert(batchDirs(sub).isEmpty, s"$sub still holds folded per-batch partitions")
+    for (sub <- Seq("indexc", "sketchc", "dropsc"))
+      assert(Files.exists(java.nio.file.Paths.get(s"$stateDir/$sub/_committed_2")),
+        s"$sub snapshot not committed at the last batch")
+    val streamed = DedupStream.resolvedCorpus(spark, stateDir)
+      .select("doc_id").as[Long].collect().toSet
+    val all = chunks.flatten.toDF("doc_id", "text")
+    val batchResolved = Dedup.resolveNearDups(all,
+        Dedup.minhashLshPairs(all, 0.5, 16, 8, "text", "doc_id", 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batchResolved)
+    assert(streamed.contains(0L) && !streamed.contains(1L) && !streamed.contains(5L),
+      "post-compaction batch failed to probe folded postings")
+    // replay of a committed batch with compaction enabled: still a no-op
+    val drops0 = DedupStream.resolvedCorpus(spark, stateDir)
+      .select("doc_id").as[Long].collect().toSet
+    DedupStream.processBatch(chunks(2).toDF("doc_id", "text"), 2L, stateDir, ix,
+      "doc_id", compactEvery = 1)
+    assert(DedupStream.resolvedCorpus(spark, stateDir)
+      .select("doc_id").as[Long].collect().toSet == drops0)
+    // explicit maintenance call on already-compacted state: idempotent
+    DedupStream.compactState(spark, stateDir)
+    assert(DedupStream.resolvedCorpus(spark, stateDir)
+      .select("doc_id").as[Long].collect().toSet == drops0)
+  }
+
+  test("streaming near-dup: schema marker gives the all-empty resolved view the real shape") {
+    val s = spark; import s.implicits._
+    import graft.analytics.DedupStream
+    val stateDir = Files.createTempDirectory("ndschema").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    DedupStream.processBatch(empty, 0L, stateDir,
+      DedupStream.MinHashIndexer(threshold = 0.5, k = 16, bands = 8,
+        textCol = "text", idCol = "doc_id", n = 3), "doc_id")
+    val resolved = DedupStream.resolvedCorpus(spark, stateDir)
+    assert(resolved.schema.fieldNames.toSeq == Seq("doc_id", "text"),
+      "all-empty resolved view lost the document schema")
+    assert(resolved.count() == 0)
   }
 }
