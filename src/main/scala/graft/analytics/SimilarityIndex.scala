@@ -1,8 +1,12 @@
 package graft.analytics
 
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Persisted ANN indexes: train the quantizer geometry ONCE, serve many
   * query batches. Every inline [[Similarity]] search form retrains per
@@ -45,8 +49,36 @@ object SimilarityIndex {
     df.repartitionByRange(col(sortCol)).sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(path)
 
+  /** [[writeSorted]]'s append twin — the incremental `add` lands as new
+    * sorted files next to the existing ones, so row-group stats keep
+    * pruning on the sort key without rewriting the base. */
+  private def appendSorted(df: DataFrame, sortCol: String, path: String): Unit =
+    df.repartitionByRange(col(sortCol)).sortWithinPartitions(col(sortCol))
+      .write.mode("append").parquet(path)
+
   private def meta(spark: SparkSession, path: String): org.apache.spark.sql.Row =
     spark.read.parquet(s"$path/meta").first()
+
+  private def hasParquetFiles(dir: String): Boolean = {
+    val p = Paths.get(dir)
+    Files.exists(p) && {
+      val w = Files.walk(p)
+      try w.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+  }
+
+  /** A stored corpus table plus its streaming-add overlay (`<sub>_add/`,
+    * written by [[addIvfStream]] with per-batch dynamic overwrite) — the
+    * union every search reads, so streamed adds are visible without a
+    * rebuild. */
+  private def readWithAdds(spark: SparkSession, path: String, sub: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/$sub")
+    val addDir = s"$path/${sub}_add"
+    if (hasParquetFiles(addDir))
+      base.unionByName(spark.read.parquet(addDir).drop("_batch"))
+    else base
+  }
 
   /** Prune a list-sorted table to the probed list ids. */
   private def pruneToLists(tbl: DataFrame, probes: DataFrame): DataFrame = {
@@ -54,7 +86,8 @@ object SimilarityIndex {
     // one bounded collect decides the branch AND supplies the ids — a
     // separate count() is a second full job on the per-query hot path
     val capped = lists.limit(PushdownMaxLists.toInt + 1).collect().map(_.get(0))
-    if (capped.length <= PushdownMaxLists) tbl.where(col("list_id").isin(capped: _*))
+    if (capped.length <= PushdownMaxLists)
+      ParquetPushdown.inSorted(tbl, "list_id", capped.toSeq)
     else tbl.join(lists, "list_id")
   }
 
@@ -76,14 +109,7 @@ object SimilarityIndex {
          .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centv")))
         .localCheckpoint(true)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val assigned = c.crossJoin(broadcast(cent))
-      .select(col("id"), col("v"), col("centroid_id"),
-        cosine(col("v"), col("centv")).as("csim"))
-      .groupBy(col("id"))
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("list_id"),
-        first(col("v")).as("v"))
-    writeSorted(assigned.select(col("id"), col("list_id"), col("v")),
+    writeSorted(assignToLists(corpus, cent, idCol, vecCol, keepV = true),
       "list_id", s"$path/vectors")
     import spark.implicits._
     Seq(("ivf", n, 0, 0)).toDF("kind", "nlist", "m", "kcent")
@@ -109,7 +135,7 @@ object SimilarityIndex {
       .where(col("prn") <= np)
       .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))
       .localCheckpoint(true)
-    val cands = pruneToLists(spark.read.parquet(s"$path/vectors"), probes)
+    val cands = pruneToLists(readWithAdds(spark, path, "vectors"), probes)
     val scored = broadcast(probes).join(cands, "list_id")
       .where(col("query_id") =!= col("id"))
       .withColumn("sim", cosine(col("qv"), col("v")))
@@ -135,11 +161,7 @@ object SimilarityIndex {
       .select(col(idCol).cast("int").as("centroid_id"), asDouble(col(vecCol)).as("centv"))
       .localCheckpoint(true)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val assigned = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v0"))
-      .crossJoin(broadcast(cent))
-      .select(col("id"), col("centroid_id"), cosine(col("v0"), col("centv")).as("csim"))
-      .groupBy(col("id"))
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("list_id"))
+    val assigned = assignToLists(corpus, cent, idCol, vecCol, keepV = false)
     val cb = pqCodebook(corpus, m, kcent, iters, idCol, vecCol).localCheckpoint(true)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     writeSorted(pqEncode(corpus, cb, m, idCol, vecCol).join(assigned, "id")
@@ -171,7 +193,7 @@ object SimilarityIndex {
       .select(col("query_id"), col("centroid_id").as("list_id"))
       .localCheckpoint(true)
     val qtab = pqQueryTab(queries, cb, m, idCol, vecCol)
-    val cands = pruneToLists(spark.read.parquet(s"$path/codes"), probes)
+    val cands = pruneToLists(readWithAdds(spark, path, "codes"), probes)
     adcTopK(
       cands.select(col("id").as("neighbor_id"), col("codes"), col("list_id"))
         .join(broadcast(probes), "list_id")
@@ -205,4 +227,131 @@ object SimilarityIndex {
       .where(!exists(col("cv"), c => c.isNull))
     sq8Rank(rec, queries, k, idCol, vecCol)
   }
+
+  // ---------------------------------------------- incremental add (FAISS
+  // add semantics: the geometry is FROZEN at train time; new vectors are
+  // assigned/encoded with the SAVED quantizer and appended — no retrain)
+
+  /** Append new vectors to a saved IVF index without retraining: assign
+    * each to its nearest SAVED centroid with the exact expressions
+    * [[saveIvf]] uses, and append as new list-sorted files — so
+    * `saveIvf(A); addIvf(B)` holds the same rows as `saveIvf(A ∪ B)`
+    * whenever both runs share the geometry (spec-pinned). Returns the
+    * post-add list-population skew (max/mean) — the drift signal: frozen
+    * centroids slowly mis-shape as the distribution moves, and a caller
+    * gates [[retrainIvf]] on this passing its threshold. */
+  def addIvf(newVectors: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    import Similarity._
+    val spark = newVectors.sparkSession
+    val cent = spark.read.parquet(s"$path/centroids")
+    appendSorted(assignToLists(newVectors, cent, idCol, vecCol, keepV = true),
+      "list_id", s"$path/vectors")
+    listSkew(spark, path, "vectors")
+  }
+
+  /** Append new vectors to a saved IVF-PQ index: nearest SAVED coarse
+    * centroid + PQ codes under the SAVED codebook, appended list-sorted.
+    * Same parity contract and skew return as [[addIvf]]. */
+  def addIvfPq(newVectors: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    import Similarity._
+    val spark = newVectors.sparkSession
+    val m = meta(spark, path).getAs[Int]("m")
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook").localCheckpoint(true)
+    val assigned = assignToLists(newVectors, cent, idCol, vecCol, keepV = false)
+    appendSorted(pqEncode(newVectors, cb, m, idCol, vecCol).join(assigned, "id")
+      .select(col("id"), col("list_id"), col("codes")), "list_id", s"$path/codes")
+    listSkew(spark, path, "codes")
+  }
+
+  /** Append new vectors to a saved SQ8 codec, encoded under the SAVED
+    * per-dimension [min,max] (the frozen-codec contract: stats are the
+    * geometry; re-deriving them from new data would silently re-scale
+    * every existing code). */
+  def addSq8(newVectors: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import Similarity._
+    val spark = newVectors.sparkSession
+    val stats = spark.read.parquet(s"$path/sq8stats")
+    sq8EncodeWith(newVectors, stats, idCol, vecCol).select(col("id"), col("codes"))
+      .write.mode("append").parquet(s"$path/sq8codes")
+  }
+
+  /** The shared saved-centroid assignment — identical to the save paths'
+    * expressions so add parity is structural, not coincidental. */
+  private def assignToLists(vectors: DataFrame, cent: DataFrame,
+      idCol: String, vecCol: String, keepV: Boolean): DataFrame = {
+    import Similarity._
+    val c = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val scored = c.crossJoin(broadcast(cent))
+      .select(col("id"), col("v"), col("centroid_id"),
+        cosine(col("v"), col("centv")).as("csim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("list_id"),
+        first(col("v")).as("v"))
+    if (keepV) scored.select(col("id"), col("list_id"), col("v"))
+    else scored.select(col("id"), col("list_id"))
+  }
+
+  /** Population skew (max/mean over non-empty lists) of a list-clustered
+    * table — reads only the pruned `list_id` column. 1.0 = balanced. */
+  def listSkew(spark: SparkSession, path: String, sub: String = "vectors"): Double = {
+    val r = readWithAdds(spark, path, sub).groupBy(col("list_id")).count()
+      .agg(max(col("count")).cast("double").as("mx"), avg(col("count")).as("av")).first()
+    if (r.isNullAt(0) || r.getDouble(1) == 0.0) 1.0 else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Re-train the IVF geometry in place from the stored corpus — the
+    * maintenance op a caller runs when [[addIvf]]'s skew passes their
+    * threshold. Reads `vectors/` (plus the streaming-add overlay) back as
+    * the corpus, eagerly materializes it (the save path overwrites the
+    * very files it would otherwise still be reading), re-runs [[saveIvf]]
+    * at the given (or auto-sized) geometry, and clears the overlay. Lloyd
+    * iterations default to 1 so the retrained centroids come from the
+    * CURRENT distribution rather than requiring low ids to exist. */
+  def retrainIvf(spark: SparkSession, path: String, nlist: Int = 0,
+      iters: Int = 1): Unit = {
+    val corpus = readWithAdds(spark, path, "vectors")
+      .select(col("id").as("vec_id"), col("v").as("embedding"))
+      .localCheckpoint(true)
+    saveIvf(corpus, path, nlist, iters)
+    val addDir = Paths.get(s"$path/vectors_add")
+    if (Files.exists(addDir)) {
+      val s = Files.walk(addDir)
+      try s.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
+  /** Streaming face of [[addIvf]]: every arriving micro-batch is assigned
+    * with the SAVED centroids (collected to driver-side literals once —
+    * stream-safe under executor loss) and lands under
+    * `vectors_add/_batch=N` via dynamic partition overwrite, so a
+    * crash-replayed batch rewrites exactly its own partition —
+    * replay-idempotent with no dedup read path. Searches
+    * ([[ivfTopK]]) read base ∪ overlay transparently; [[retrainIvf]]
+    * folds the overlay into the base. */
+  def addIvfStream(vectors: DataFrame, path: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery = {
+    val spark = vectors.sparkSession
+    val centSaved = spark.read.parquet(s"$path/centroids")
+    val cent = spark.createDataFrame(
+      java.util.Arrays.asList(centSaved.collect(): _*), centSaved.schema)
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        addStreamBatch(batch, batchId, path, cent, idCol, vecCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private[graft] def addStreamBatch(batch: DataFrame, batchId: Long, path: String,
+      cent: DataFrame, idCol: String, vecCol: String): Unit =
+    assignToLists(batch, cent, idCol, vecCol, keepV = true)
+      .withColumn("_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch").parquet(s"$path/vectors_add")
 }

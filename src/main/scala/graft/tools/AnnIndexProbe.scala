@@ -67,11 +67,26 @@ object AnnIndexProbe {
     val qSq = time(SimilarityIndex.sq8TopK(spark, queries, s"$root/sq8", 10))
     val iSq = time(Similarity.sq8TopK(queries, corpus, 10))
 
+    // incremental add (after all base measurements, so it can't disturb
+    // them): a 1/mult slice arrives with fresh ids — assign/encode with
+    // the SAVED geometry and append; the comparison point is the full
+    // rebuild (build_sec) that add replaces in the FAISS lifecycle
+    val addB = base.select((col("vec_id") + mult.toLong * 10000000L).as("vec_id"),
+      col("embedding")).localCheckpoint(true)
+    val nAdd = addB.count()
+    val aIvf = timeU(SimilarityIndex.addIvf(addB, s"$root/ivf"))
+    val aPq = timeU(SimilarityIndex.addIvfPq(addB, s"$root/ivfpq"))
+    val aSq = timeU(SimilarityIndex.addSq8(addB, s"$root/sq8"))
+    val qIvfA = time(SimilarityIndex.ivfTopK(spark, queries, s"$root/ivf", 10, nprobe))
+    val skew = SimilarityIndex.listSkew(spark, s"$root/ivf")
+
     val json =
       f"""{"mult":$mult,"vectors":$n,"nlist":$nlist,"nprobe":$nprobe,""" +
       f""""ivf":{"build_sec":$bIvf%.2f,"indexed_query_sec":$qIvf%.2f,"inline_sec":$iIvf%.2f},""" +
       f""""ivfpq":{"build_sec":$bPq%.2f,"indexed_query_sec":$qPq%.2f,"inline_sec":$iPq%.2f},""" +
-      f""""sq8":{"build_sec":$bSq%.2f,"indexed_query_sec":$qSq%.2f,"inline_sec":$iSq%.2f}}"""
+      f""""sq8":{"build_sec":$bSq%.2f,"indexed_query_sec":$qSq%.2f,"inline_sec":$iSq%.2f},""" +
+      f""""add":{"rows":$nAdd,"ivf_add_sec":$aIvf%.2f,"ivfpq_add_sec":$aPq%.2f,""" +
+      f""""sq8_add_sec":$aSq%.2f,"post_add_query_sec":$qIvfA%.2f,"post_add_skew":$skew%.2f}}"""
     println(json)
     Files.write(java.nio.file.Paths.get("/tmp/ann_index_probe.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

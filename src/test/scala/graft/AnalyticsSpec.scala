@@ -739,6 +739,79 @@ class AnalyticsSpec extends SparkTestBase {
       rows(Similarity.sq8TopK(queries, vecs, 5)))
   }
 
+  test("incremental ANN add: save(A)+add(B) == save(A∪B); streamed adds are " +
+    "replay-idempotent; retrain folds the overlay") {
+    val s = spark; import s.implicits._
+    import graft.analytics.SimilarityIndex
+    // B scaled INSIDE A's per-dimension range so the frozen SQ8 stats and
+    // (id-initialized, iters=0) quantizers are identical for A and A∪B —
+    // the precondition under which add parity is exact row-for-row
+    def mk(ids: Range, scale: Float = 1f) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat * scale))
+    }.toDF("vec_id", "embedding")
+    val a = mk(0 until 200)
+    val b = mk(200 until 260, 0.5f)
+    val all = a.unionAll(b)
+    val queries = a.where(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("annadd").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def tbl(p: String, cols: String*) =
+      spark.read.parquet(p).select(cols.map(col): _*).collect()
+        .map(_.toString).toSeq.sorted
+
+    // IVF
+    SimilarityIndex.saveIvf(a, s"$dir/ivf", nlist = 24)
+    val skew = SimilarityIndex.addIvf(b, s"$dir/ivf")
+    assert(skew >= 1.0)
+    SimilarityIndex.saveIvf(all, s"$dir/ivfall", nlist = 24)
+    assert(tbl(s"$dir/ivf/vectors", "id", "list_id", "v") ==
+      tbl(s"$dir/ivfall/vectors", "id", "list_id", "v"))
+    assert(rows(SimilarityIndex.ivfTopK(spark, queries, s"$dir/ivf", k = 3, nprobe = 6)) ==
+      rows(SimilarityIndex.ivfTopK(spark, queries, s"$dir/ivfall", k = 3, nprobe = 6)))
+
+    // IVF-PQ: frozen coarse centroids AND codebook
+    SimilarityIndex.saveIvfPq(a, s"$dir/pq", nlist = 6, m = 4, kcent = 16)
+    SimilarityIndex.addIvfPq(b, s"$dir/pq")
+    SimilarityIndex.saveIvfPq(all, s"$dir/pqall", nlist = 6, m = 4, kcent = 16)
+    assert(tbl(s"$dir/pq/codes", "id", "list_id", "codes") ==
+      tbl(s"$dir/pqall/codes", "id", "list_id", "codes"))
+
+    // SQ8: frozen [min,max] codec
+    SimilarityIndex.saveSq8(a, s"$dir/sq8")
+    SimilarityIndex.addSq8(b, s"$dir/sq8")
+    SimilarityIndex.saveSq8(all, s"$dir/sq8all")
+    assert(tbl(s"$dir/sq8/sq8codes", "id", "codes") ==
+      tbl(s"$dir/sq8all/sq8codes", "id", "codes"))
+
+    // streaming add: overlay lands per-batch; searches see it; a replayed
+    // batch rewrites exactly its own partition (no duplicate rows)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    SimilarityIndex.saveIvf(a, s"$dir/ivfs", nlist = 24)
+    val ck = java.nio.file.Files.createTempDirectory("annaddck").toString
+    val in = MemoryStream[(Long, Array[Float])]
+    b.as[(Long, Array[Float])].collect().foreach(r => in.addData(r))
+    val q = SimilarityIndex.addIvfStream(in.toDF().toDF("vec_id", "embedding"),
+      s"$dir/ivfs", ck)
+    q.awaitTermination(120000)
+    assert(rows(SimilarityIndex.ivfTopK(spark, queries, s"$dir/ivfs", k = 3, nprobe = 6)) ==
+      rows(SimilarityIndex.ivfTopK(spark, queries, s"$dir/ivfall", k = 3, nprobe = 6)))
+    val overlayBefore = tbl(s"$dir/ivfs/vectors_add", "id", "list_id")
+    val cent = spark.read.parquet(s"$dir/ivfs/centroids")
+    SimilarityIndex.addStreamBatch(b, 0L, s"$dir/ivfs", cent, "vec_id", "embedding")
+    assert(tbl(s"$dir/ivfs/vectors_add", "id", "list_id") == overlayBefore,
+      "replayed add batch changed the overlay")
+
+    // retrain: folds base + overlay into a fresh geometry, clears overlay
+    SimilarityIndex.retrainIvf(spark, s"$dir/ivfs", nlist = 24, iters = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/ivfs/vectors_add")))
+    assert(spark.read.parquet(s"$dir/ivfs/vectors").count() == 260)
+    assert(rows(SimilarityIndex.ivfTopK(spark, queries, s"$dir/ivfs", k = 3, nprobe = 6))
+      .nonEmpty)
+  }
+
   test("clusterBalancedSample: every cluster keeps min(quota, size); the " +
     "sample never oversamples the dense mode; the draw is deterministic") {
     val s = spark; import s.implicits._
