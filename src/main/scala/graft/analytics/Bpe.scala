@@ -1,0 +1,196 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Trained byte-pair-encoding tokenizer: the real-token counterpart to
+  * the BPE-ish regex counter ([[TextFunctions.bpeTokenCount]]) that the
+  * token-budget operators (`select_token_budget`, `pack_sequences`,
+  * `chunk_by_tokens`) measure in. Production pipelines budget in the
+  * tokens their actual tokenizer emits; this module trains a merge table
+  * on a corpus (Sennrich et al. 2016's iterative pair contraction) and
+  * applies it as a pure codegen'd column expression.
+  *
+  * Apply design — the wrapped-separator fold: a piece's character
+  * sequence is wrapped as `␁c₁␁␁c₂␁…` (every token in its own `␁…␁`
+  * envelope, `␁` = U+0001, stripped from input first), and each merge
+  * (a,b) is one `replace` of `␁a␁␁b␁` with `␁ab␁`. Envelopes make
+  * occurrences non-overlapping, so `replace`'s left-to-right scan merges
+  * exactly like classic greedy BPE (including runs: `aaa` under (a,a) →
+  * `(aa)(a)`). The whole application is ONE `aggregate` over a LITERAL
+  * merge-table array — constant generated-code size no matter how many
+  * merges (the janino 64KB lesson: loop over broadcast data, never
+  * string-built unrolling) — nested inside a `transform` over the
+  * pre-tokenized pieces. Zero shuffles, zero joins: tokenization stays a
+  * stateless corpus scan at any scale.
+  *
+  * Training: one distributed piece-count pass (groupBy + top-`vocabCap`
+  * by count), then a driver-local pair-contraction loop over that BOUNDED
+  * table — O(vocabCap · avgLen) per round, independent of corpus size.
+  * This is the same bounded-model shape as the IVF quantizer training:
+  * the corpus-wide aggregation is distributed, the model fit runs on a
+  * capped summary. The driver loop and the column fold are pinned equal
+  * by `BpePropertySpec` (greedy-left-to-right twins).
+  *
+  * Oracle geometry: the registered queries use [[FixedMerges]] embedded
+  * as literals so DuckDB replays the identical fold as nested
+  * `replace`s; library callers default to [[train]]'s corpus-fit table
+  * (the established oracle-geometry split). */
+object Bpe {
+
+  /** Token-envelope sentinel (U+0001). Stripped from input text before
+    * tokenization — it cannot occur inside a token. */
+  val Sep = "\u0001"
+
+  /** Oracle-geometry merge table: common English pairs in priority order
+    * (later merges build on earlier products — `in`+`g` requires `i`+`n`
+    * first). Small enough to embed as literal SQL on the DuckDB side. */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "u", "t" -> "i",
+    "s" -> "t", "e" -> "n", "o" -> "r", "e" -> "s", "in" -> "g",
+    "a" -> "t")
+
+  private def stripSep(text: Column): Column = replace(text, lit(Sep), lit(""))
+
+  /** `␁c₁␁␁c₂␁…` envelope of a piece ((?s): whitespace pieces carry
+    * newlines; Java regex `.` is code-point aware). */
+  private def wrap(piece: Column): Column =
+    regexp_replace(piece, lit("(?s)(.)"), lit(Sep + "$1" + Sep))
+
+  private def fold(wrapped: Column, merges: Seq[(String, String)]): Column = {
+    val tbl = array(merges.map { case (a, b) =>
+      struct(lit(Sep + a + Sep + Sep + b + Sep).as("pat"),
+        lit(Sep + a + b + Sep).as("rep"))
+    }: _*)
+    aggregate(tbl, wrapped, (s, m) => replace(s, m.getField("pat"), m.getField("rep")))
+  }
+
+  private def pieceTokens(p: Column, merges: Seq[(String, String)]): Column =
+    split(btrim(fold(wrap(p), merges), lit(Sep)), lit(Sep + Sep))
+
+  /** BPE tokens of `text` under `merges`: pre-tokenize with
+    * [[TextFunctions.BpePattern]] (pieces tile the text losslessly), then
+    * apply the merges greedily left-to-right within each piece. Returns
+    * array<string>; concatenating it reproduces the (Sep-stripped) text —
+    * the round-trip property `BpePropertySpec` pins. */
+  def tokenize(text: Column, merges: Seq[(String, String)] = FixedMerges): Column =
+    flatten(transform(TextFunctions.bpePieces(stripSep(text)),
+      p => pieceTokens(p, merges)))
+
+  /** Trained-BPE token count — sums per-piece token counts without
+    * materializing the flat token array. */
+  def tokenCount(text: Column, merges: Seq[(String, String)] = FixedMerges): Column =
+    aggregate(
+      transform(TextFunctions.bpePieces(stripSep(text)),
+        p => size(pieceTokens(p, merges))),
+      lit(0L), (acc, x) => acc + x)
+
+  // ------------------------------------------------------------ training
+
+  /** Train a merge table: distributed piece counts capped at the top
+    * `vocabCap` pieces (by count, ties lexicographic — deterministic),
+    * then `numMerges` rounds of pair contraction on the driver. Stops
+    * early when the best pair's count drops below `minPairCount`.
+    * Whitespace runs are excluded from training (they carry no useful
+    * merges); the apply side still tokenizes them — character-wise. */
+  def train(docs: DataFrame, numMerges: Int, vocabCap: Int = 20000,
+      minPairCount: Long = 2, textCol: String = "text"): Seq[(String, String)] = {
+    val words = docs
+      .select(explode(TextFunctions.bpePieces(stripSep(col(textCol)))).as("w"))
+      .where(trim(col("w")) =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var toks: Array[(Array[String], Long)] =
+      words.map { case (w, c) => (splitCodePoints(w), c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var rounds = 0
+    var go = true
+    while (rounds < numMerges && go) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      toks.foreach { case (ts, c) =>
+        var i = 0
+        while (i + 1 < ts.length) {
+          val k = (ts(i), ts(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) go = false
+      else {
+        // max count, ties toward the lexicographically smallest pair
+        val (best, cnt) = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        if (cnt < minPairCount) go = false
+        else {
+          merges += best
+          toks = toks.map { case (ts, c) => (mergeJvm(ts, best._1, best._2), c) }
+          rounds += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Persist a merge table as (rank, a, b) parquet. */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "a", "b").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+
+  // ----------------------------------------------------------- JVM twins
+
+  private[graft] def splitCodePoints(s: String): Array[String] =
+    s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** One greedy left-to-right merge pass — the contraction [[train]]
+    * iterates, and the semantics the envelope `replace` reproduces. */
+  private[graft] def mergeJvm(ts: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < ts.length) {
+      if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += ts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** JVM twin of the per-piece column fold — `BpePropertySpec` pins the
+    * two equal over random pieces and merge tables. */
+  private[graft] def tokenizePieceJvm(piece: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var ts = splitCodePoints(piece)
+    merges.foreach { case (a, b) => ts = mergeJvm(ts, a, b) }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(ts)
+  }
+
+  // --------------------------------------------------------- oracle SQL
+
+  /** DuckDB fold of one piece expression: the same envelope wrap + nested
+    * literal replaces, generated from [[FixedMerges]] so Spark and oracle
+    * share one source of truth. */
+  private[analytics] def foldSql(pieceExpr: String): String =
+    FixedMerges.foldLeft(
+      s"regexp_replace($pieceExpr, '(?s)(.)', chr(1)||'\\1'||chr(1), 'g')") {
+      case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'${a + b}'||chr(1))"
+    }
+
+  /** DuckDB token list of one piece expression (trim = DuckDB's
+    * two-arg btrim). */
+  private[analytics] def pieceTokensSql(pieceExpr: String): String =
+    s"string_split(trim(${foldSql(pieceExpr)}, chr(1)), chr(1)||chr(1))"
+
+  /** DuckDB trained-BPE token count of a text expression. */
+  private[analytics] def tokenCountSql(textExpr: String): String =
+    s"CAST(coalesce(list_sum(list_transform(" +
+      s"regexp_extract_all(replace($textExpr, chr(1), ''), '${TextFunctions.BpePattern}')," +
+      s" p -> len(${pieceTokensSql("p")}))), 0) AS BIGINT)"
+}

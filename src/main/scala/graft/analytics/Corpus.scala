@@ -22,12 +22,17 @@ object Corpus {
     * (`shardSize` documents per shard): a global orderBy-cumsum would be a
     * single-partition stage — sharded packing is both how real pipelines
     * pack (per input shard) and embarrassingly parallel. Returns one row
-    * per document: (id, shard, seq, n_tokens, start). */
+    * per document: (id, shard, seq, n_tokens, start).
+    *
+    * `tokenCounter` picks the budget unit — whitespace tokens by default,
+    * or a real tokenizer (e.g. `Bpe.tokenCount(_, merges)` for
+    * trained-BPE budgets). */
   def packSequences(docs: DataFrame, budget: Int, shardSize: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      tokenCounter: Column => Column = TextFunctions.tokenCount): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))
     docs.select(col(idCol).as("id"),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        tokenCounter(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"id div $shardSize"))
       .withColumn("start",
         coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -850,11 +855,26 @@ object Corpus {
     * broadcasts. Docs with no tokens are unscoreable and excluded from
     * the priors. */
   def naiveBayesTrain(docs: DataFrame, labelCol: String = "label",
-      textCol: String = "text", buckets: Int = 4096): DataFrame = {
-    val scoreable = docs.where(size(grams(col(textCol))) > 0)
+      textCol: String = "text", buckets: Int = 4096): DataFrame =
+    naiveBayesTrainFeatures(
+      docs.select(col(labelCol), col(textCol),
+        hashedGramBuckets(col(textCol), buckets).as("_nbf")),
+      labelCol, "_nbf", buckets,
+      // the priors pass only counts rows: gate it on the un-hashed gram
+      // count so column pruning drops the md5 subtree from that branch
+      scoreablePred = Some(size(grams(col(textCol))) > 0))
+
+  /** [[naiveBayesTrain]] over a PRE-HASHED feature column — the shared-
+    * exchange form: when the same corpus is both trained on and scored
+    * (the standard split-train/score-all pipeline), hash the grams ONCE
+    * into a persisted column and feed both passes
+    * ([[naiveBayesTrainClassify]] wires this up). */
+  def naiveBayesTrainFeatures(docs: DataFrame, labelCol: String,
+      featCol: String, buckets: Int = 4096,
+      scoreablePred: Option[Column] = None): DataFrame = {
+    val scoreable = docs.where(scoreablePred.getOrElse(size(col(featCol)) > 0))
     val counts = scoreable
-      .select(col(labelCol).as("_l"),
-        explode(hashedGramBuckets(col(textCol), buckets)).as("b"))
+      .select(col(labelCol).as("_l"), explode(col(featCol)).as("b"))
       .groupBy(col("_l"), col("b")).agg(count(lit(1)).cast("double").as("c"))
     val priors = scoreable.groupBy(col(labelCol).as("_l"))
       .agg(count(lit(1)).cast("double").as("_nd"))
@@ -903,7 +923,36 @@ object Corpus {
     * attributes in their own projections (never re-inlined — the
     * documented pushed-filter re-hash trap). */
   def naiveBayesClassify(docs: DataFrame, model: DataFrame,
-      buckets: Int = 4096, textCol: String = "text"): DataFrame = {
+      buckets: Int = 4096, textCol: String = "text"): DataFrame =
+    naiveBayesScore(docs, model, buckets,
+      hashedGramBuckets(col(textCol), buckets), size(grams(col(textCol))) > 0)
+
+  /** [[naiveBayesClassify]] over a PRE-HASHED feature column. The input
+    * should be MATERIALIZED (persisted/checkpointed) — over a bare
+    * projection, CollapseProject would re-inline the hashing subtree into
+    * the scoring lambda and defeat the sharing (the documented trap). */
+  def naiveBayesClassifyFeatures(docs: DataFrame, model: DataFrame,
+      buckets: Int = 4096, featCol: String = "_nbf"): DataFrame =
+    naiveBayesScore(docs, model, buckets, col(featCol), size(col(featCol)) > 0)
+
+  /** Hash grams once, train on the `isTrain` subset, classify the WHOLE
+    * corpus from the same persisted features — the split-train/score-all
+    * pipeline with the gram-hash pass paid ONCE instead of twice (the
+    * DSIR shared-exchange pattern). Output matches
+    * train-then-classify exactly; the persisted feature column is
+    * dropped from the result. */
+  def naiveBayesTrainClassify(docs: DataFrame, labelCol: String,
+      isTrain: Column, textCol: String = "text",
+      buckets: Int = 4096): DataFrame = {
+    val featDocs = docs
+      .withColumn("_nbf", hashedGramBuckets(col(textCol), buckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = naiveBayesTrainFeatures(featDocs.where(isTrain), labelCol, "_nbf", buckets)
+    naiveBayesClassifyFeatures(featDocs, model, buckets, "_nbf").drop("_nbf")
+  }
+
+  private def naiveBayesScore(docs: DataFrame, model: DataFrame,
+      buckets: Int, feats: Column, scoreable: Column): DataFrame = {
     // ONE nested let-bound expression: features are hashed once per row,
     // the per-label score array is computed once, and the argmax index is
     // computed once. Materializing these as separate withColumn steps
@@ -913,7 +962,7 @@ object Corpus {
     // INSIDE the per-label transform lambda — re-hashing every gram once
     // per label (measured 11.6 s vs 2.9 s at sf0.1 for 5 labels).
     val result = TextFunctions.bindOnce(
-      hashedGramBuckets(col(textCol), buckets), fs =>
+      feats, fs =>
       TextFunctions.bindOnce(
         transform(sequence(lit(1), size(col("_labels"))), l =>
           round(element_at(col("_priors"), l) +
@@ -933,7 +982,7 @@ object Corpus {
           struct(element_at(col("_labels"), best).as("pred_label"),
             element_at(scores, best).as("log_score")))))
     docs
-      .where(size(grams(col(textCol))) > 0)
+      .where(scoreable)
       .crossJoin(broadcast(model))
       // an empty model (no scoreable training docs → empty _labels) can
       // predict nothing: guard it to an empty result. Unguarded,

@@ -50,6 +50,26 @@ object CorpusQueries extends QueryModule {
         min(col("id")).as("first_doc"))
       .orderBy(col("shard"), col("seq"))
 
+  /** Trained-BPE tokenization under the FIXED oracle merge table: per-doc
+    * piece count, real token count, and the md5 of the full token list
+    * (every token in every doc pinned, not just the count). */
+  private def bpeQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      size(graft.functions.TextFunctions.bpePieces(col("text"))).as("n_pieces"),
+      Bpe.tokenCount(col("text")).as("n_bpe_trained"),
+      md5(concat_ws("\u0002", Bpe.tokenize(col("text")))).as("tok_md5"))
+      .orderBy(col("doc_id"))
+
+  /** [[packQ]] measured in trained-BPE tokens instead of whitespace
+    * tokens — the budget unit a real pipeline packs by. */
+  private def packBpeQ(s: SparkSession, d: String): DataFrame =
+    Corpus.packSequences(Tables.documents(s, d), budget = 256, shardSize = 100,
+        tokenCounter = Bpe.tokenCount(_))
+      .groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("id")).as("first_doc"))
+      .orderBy(col("shard"), col("seq"))
+
   private def chunkQ(s: SparkSession, d: String): DataFrame =
     Corpus.chunkDocuments(Tables.documents(s, d), chunkSize = 120, stride = 90)
       .select(col("id"), col("chunk_id"), col("start"),
@@ -310,9 +330,12 @@ object CorpusQueries extends QueryModule {
     * corpus with the train flag carried for accuracy accounting. */
   private def nbQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val model = Corpus.naiveBayesTrain(
-      docs.where(col("doc_id") % 5 =!= 0), "lang", "text", buckets = 4096)
-    Corpus.naiveBayesClassify(docs, model, buckets = 4096)
+    // shared-exchange form (r12): grams hash ONCE into a persisted
+    // feature column feeding BOTH the train aggregation and the scoring
+    // scan — value-identical to train-then-classify, measured faster at
+    // sf0.1 (BASELINE.md)
+    Corpus.naiveBayesTrainClassify(docs, "lang", col("doc_id") % 5 =!= 0,
+        "text", buckets = 4096)
       .select(col("doc_id"), col("pred_label").as("pred_lang"),
         col("log_score"),
         (col("pred_label") === col("lang")).as("correct"),
@@ -329,6 +352,8 @@ object CorpusQueries extends QueryModule {
     "vocab_heavy_hitters" -> (heavyHittersQ _),
     "text_rarity" -> (rarityQ _),
     "pack_sequences" -> (packQ _),
+    "bpe_tokenize" -> (bpeQ _),
+    "pack_sequences_bpe" -> (packBpeQ _),
     "chunk_documents" -> (chunkQ _),
     "chunk_by_tokens" -> (chunkTokQ _),
     "text_clean" -> (cleanQ _),
@@ -504,6 +529,37 @@ object CorpusQueries extends QueryModule {
     "pack_sequences" ->
       s"""WITH d AS (
         |  SELECT doc_id AS id, CAST(len($W) AS BIGINT) AS n_tokens,
+        |         doc_id // 100 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM d)
+        |SELECT shard, CAST(start // 256 AS BIGINT) AS seq, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(id) AS first_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the trained-BPE fold replayed as literal nested replaces generated
+    // from the SAME FixedMerges list the Spark side applies (one source
+    // of truth, Bpe.foldSql) — every token of every doc pinned via the
+    // chr(2)-joined md5
+    "bpe_tokenize" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(replace(text, chr(1), ''),
+        |      '${graft.functions.TextFunctions.BpePattern}') AS pieces
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, pieces,
+        |    flatten(list_transform(pieces, q -> ${Bpe.pieceTokensSql("q")})) AS toks
+        |  FROM p)
+        |SELECT doc_id, CAST(len(pieces) AS INT) AS n_pieces,
+        |  CAST(coalesce(len(toks), 0) AS BIGINT) AS n_bpe_trained,
+        |  md5(array_to_string(toks, chr(2))) AS tok_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "pack_sequences_bpe" ->
+      s"""WITH d AS (
+        |  SELECT doc_id AS id, ${Bpe.tokenCountSql("text")} AS n_tokens,
         |         doc_id // 100 AS shard
         |  FROM documents),
         |c AS (

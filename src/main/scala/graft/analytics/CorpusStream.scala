@@ -74,13 +74,17 @@ object CorpusStream {
   /** Naive Bayes classification as a streaming query: every arriving
     * document gains (pred_label, log_score) under a model trained ONCE
     * batch-side ([[Corpus.naiveBayesTrain]]). The one-row model is
-    * eagerly materialized here (localCheckpoint), so micro-batches
-    * re-broadcast a cached row instead of re-running the training
-    * aggregation once per batch. */
+    * eagerly collected to DRIVER-SIDE LITERALS (a local relation) before
+    * the stream starts, so micro-batches re-broadcast a driver-held row
+    * instead of re-running the training aggregation once per batch — and,
+    * unlike a `localCheckpoint` (whose blocks live in executor storage),
+    * the model survives executor loss for the stream's whole lifetime. */
   def naiveBayesClassifyStream(docs: DataFrame, model: DataFrame,
       outDir: String, checkpoint: String, buckets: Int = 4096,
       textCol: String = "text"): StreamingQuery = {
-    val m = model.localCheckpoint(true)
+    val spark = docs.sparkSession
+    val m = spark.createDataFrame(
+      java.util.Arrays.asList(model.collect(): _*), model.schema)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -127,7 +131,18 @@ object CorpusStream {
     * table in this repo keys by long `vec_id`); a null id after the
     * cast fails fast with a clear error. Admission is inherently
     * arrival-ordered; batch [[Similarity.clusterBalancedSample]]
-    * remains the order-free form. */
+    * remains the order-free form.
+    *
+    * Heap sizing: the stateful stage buffers ONE cluster's distinct new
+    * ids per micro-batch on a single task to sort them into the portable
+    * draw order (8 bytes/id plus ids already admitted, ≤ `quota`). With
+    * a small `nlist` and a very large first batch that concentrates
+    * O(|batch|/nlist) ids on one task — size the FIRST load's batches
+    * (maxFilesPerTrigger / maxBytesPerTrigger) so a cluster's share fits
+    * task heap; steady-state batches are small by construction. A
+    * pre-trim cannot bound this exactly: re-delivered ids are only
+    * recognizable against the admitted-id STATE, so any bounded
+    * stateless top-k could trim away ids the state would have admitted. */
   def clusterQuotaSampleStream(vectors: DataFrame, centroids: DataFrame,
       quota: Int, outDir: String, checkpoint: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery = {

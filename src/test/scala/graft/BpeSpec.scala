@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Bpe
+
+/** Trained BPE tokenizer: greedy-merge semantics, column/JVM twin
+  * equivalence, lossless round-trip, training contraction order, and the
+  * budget-operator integration. */
+class BpeSpec extends SparkTestBase {
+
+  private val pat = java.util.regex.Pattern.compile(graft.functions.TextFunctions.BpePattern)
+
+  private def expected(text: String, ms: Seq[(String, String)]): Seq[String] = {
+    val m = pat.matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out ++= Bpe.tokenizePieceJvm(m.group(), ms)
+    out.result()
+  }
+
+  test("fixed-merge tokenize: known segmentation, count, lossless round-trip") {
+    val s = spark; import s.implicits._
+    val texts = Seq(
+      "the thing", "running in the north", "a  b\n\nc!", "", "th",
+      "aaa", "... the end.", "tab\tand  spaces", "Mixed CASE Words")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"), Bpe.tokenize(col("text")).as("toks"),
+        Bpe.tokenCount(col("text")).as("n")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2))).sortBy(_._1)
+    got.foreach { case (i, toks, n) =>
+      assert(toks.mkString("") == texts(i.toInt),
+        s"round-trip failed for '${texts(i.toInt)}'")
+      assert(n == toks.size)
+      assert(toks == expected(texts(i.toInt), Bpe.FixedMerges))
+    }
+    // hand-derived: the(t+h, th+e); " thing" -> ' ' th in(+g) -> ' ', th, ing
+    assert(got(0)._2 == Seq("the", " ", "th", "ing"))
+  }
+
+  test("column fold == JVM twin over adversarial pieces and merge tables " +
+    "(runs, rebuilt products, unicode)") {
+    val s = spark; import s.implicits._
+    val tables = Seq(
+      Seq("a" -> "a"),                                 // overlapping runs
+      Seq("a" -> "a", "aa" -> "a"),                    // product rebuilt on product
+      Seq("a" -> "a", "aa" -> "aa"),                   // product pairs
+      Seq("l" -> "l", "h" -> "e", "he" -> "ll"),       // chained products
+      Bpe.FixedMerges)
+    val texts = Seq("aaaa", "aaa", "aaaaa", "hello", "llll", "ab", "héllo",
+      "😀😀a", "the cat and the hat", "  ", "a a a")
+    for (ms <- tables) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(col("id"), Bpe.tokenize(col("text"), ms).as("toks")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+      got.foreach { case (i, toks) =>
+        assert(toks == expected(texts(i.toInt), ms),
+          s"mismatch for '${texts(i.toInt)}' under $ms: $toks")
+      }
+    }
+  }
+
+  test("train: expected contraction order, deterministic ties, early stop, " +
+    "and the trained table tokenizes the corpus losslessly") {
+    val s = spark; import s.implicits._
+    val docs = Seq((0L, "aaab aaab"), (1L, "aaab")).toDF("doc_id", "text")
+    // (a,a)=6 wins round 1; round 2 ties (aa,a)=3 vs (a,b)=3 -> lexicographic
+    assert(Bpe.train(docs, 2, minPairCount = 1) == Seq("a" -> "a", "a" -> "b"))
+    // early stop: all remaining pairs below minPairCount
+    assert(Bpe.train(docs, 50, minPairCount = 7) == Seq.empty)
+    // a trained table on richer text still round-trips everything
+    val rich = Seq((0L, "the northern lights shine over the northern town"),
+      (1L, "a runner running north"), (2L, "shine on, shine on")).toDF("doc_id", "text")
+    val trained = Bpe.train(rich, 12, minPairCount = 1)
+    assert(trained.nonEmpty && trained.size <= 12)
+    val rt = rich.select(col("text"), Bpe.tokenize(col("text"), trained).as("toks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    rt.foreach { case (t, toks) => assert(toks.mkString("") == t) }
+  }
+
+  test("saveMerges/loadMerges round-trip preserves order; pack/chunk run on " +
+    "real BPE counts") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.saveMerges(spark, Bpe.FixedMerges, s"$dir/merges")
+    assert(Bpe.loadMerges(spark, s"$dir/merges") == Bpe.FixedMerges)
+    val docs = Seq((0L, "the thing and the other thing"),
+      (1L, "north running runner")).toDF("doc_id", "text")
+    val packed = graft.analytics.Corpus.packSequences(docs, budget = 4, shardSize = 100,
+      tokenCounter = Bpe.tokenCount(_))
+    val total = packed.agg(sum(col("n_tokens"))).first().getLong(0)
+    val direct = docs.select(Bpe.tokenCount(col("text")).as("n"))
+      .agg(sum(col("n"))).first().getLong(0)
+    assert(total == direct && total > 0)
+  }
+}
