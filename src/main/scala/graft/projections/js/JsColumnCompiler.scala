@@ -277,6 +277,14 @@ private[js] object JsColumnCompiler {
       * order is exactly walk order (conditions compile before bodies, so
       * `if (s.count === 0) { s.count += 1 }` reads legally). */
     val foldMutated: mutable.Set[String] = mutable.Set.empty
+    /** Dynamic-key MAP pre-state reads compiled in THIS handler:
+      * field → (the read's key Expr, its unguarded ES-ToString column).
+      * The window that reconstructs `s.f[K]` partitions by ONE per-row
+      * key, so every read of f in a handler — and that handler's write
+      * site, if any — must use a STRUCTURALLY identical key expression
+      * (the canonical read-then-update guard idiom); a second key shape
+      * refuses. Per-handler by construction (one Ctx per handler). */
+    val foldMapReads: mutable.Map[String, (Expr, Column)] = mutable.Map.empty
     /** Set while compiling the body of a `try` — expression forms whose
       * runtime errors CANNOT ride the err channel (regex budget guards
       * throw from inside codegen'd statics, uncatchably) must refuse to
@@ -747,6 +755,44 @@ private[js] object JsColumnCompiler {
     }
 
     case Index(o, StrLit(p)) => compileExpr(Member(o, p), ctx, locals)
+
+    // Dynamic-key MAP pre-state read `s.f[K]` inside a states()-fold
+    // handler (`if (s.seen[e.k])` membership, `if ((s.seen[e.k]||0) > t)`
+    // threshold guards): compiles to a window over the fold-order-
+    // PRECEDING rows of (partition, ToString(K)) — the same two-level
+    // key the map-write aggregation groups by — reconstructing exactly
+    // the value the interpreter's LinkedHashMap holds for K as this
+    // event's handler starts. SQL NULL = key never written = undefined
+    // (`|| 0` coalesces it; truthiness reads it falsy — both exact).
+    // The read claims NUMBER (counter fields are integral longs by
+    // construction; overwrite-map values verify their sites' raw
+    // numeric claims post-walk like LastTerm reads, demoting integral
+    // via the one-shot retry). String-valued map reads fall back. K is
+    // evaluated BEFORE the member read in JS, so its error channel is
+    // the read's. A read after a same-handler write of f refuses
+    // (foldMutated), like every pre-state read.
+    case Index(m: Member, kExpr) if ctx.foldStateReads != null &&
+        statePathOf(m, ctx, locals).isDefined =>
+      val f = statePathOf(m, ctx, locals).get
+      if (ctx.foldMutated.contains(f)) None
+      else ctx.initFields.get(f) match {
+        case Some(JsObj(fields)) if fields.isEmpty =>
+          compileExpr(kExpr, ctx, locals).flatMap { kTC =>
+            strOf(kTC).flatMap { case (kCol, _) =>
+              ctx.foldMapReads.get(f) match {
+                case Some((e0, _)) if e0 != kExpr => None // two key shapes
+                case _ =>
+                  ctx.foldMapReads.getOrElseUpdate(f, (kExpr, kCol))
+                  ctx.foldStateReads += f
+                  ctx.refs += "log_position"
+                  Some(TC(col(PreColPrefix + f),
+                    TNum(integral = !ctx.preReadNonIntegral(f)), NullIsUndef,
+                    err = kTC.err))
+              }
+            }
+          }
+        case _ => None
+      }
 
     // `arr[i]` on a match/split result with a constant index. Out-of-range
     // and unmatched-group elements are SQL NULL = JS undefined
@@ -1768,7 +1814,12 @@ private[js] object JsColumnCompiler {
     * undefined (JSON.stringify omits them, but their insertion slot —
     * consumed by the first write — is preserved for reinserted keys,
     * matching the interpreter's LinkedHashMap). */
-  private final case class MapLastTerm(exec: Column, key: Column, frag: Column) extends FieldOp
+  private final case class MapLastTerm(exec: Column, key: Column, frag: Column,
+      /** The site's RAW value when provably a plain number (NoNull, no
+        * error channel) — what a dynamic-key pre-state READ of the field
+        * reconstructs via a latest-preceding-site window over
+        * (partition, key); sites without one refuse such reads. */
+      rawNum: Option[Column] = None, rawNumIntegral: Boolean = false) extends FieldOp
 
   /** Guarded per-event contribution terms per state field. */
   private type FieldTerms = List[(String, FieldOp)]
@@ -1928,7 +1979,13 @@ private[js] object JsColumnCompiler {
     * uncaught handler throw, so the compiled plan `raise_error`s on the
     * first contributing row. */
   private final case class HandlerFold(fields: FieldTerms, emits: List[EmitSite],
-      raises: List[Column])
+      raises: List[Column],
+      /** Per map-read field, THIS handler's unguarded read-key column —
+        * the per-row partition key of the pre-state window for rows this
+        * handler processes (raise-free: errors ride the read's err
+        * channel). Handlers that only WRITE the field route their
+        * guarded site key instead; see mapPreKey. */
+      mapReadKeys: Map[String, Column] = Map.empty)
 
   private def compileHandler(fn: JsVal, cp: CompiledJsProjection,
       partitionCol: Column, refs: mutable.Set[String],
@@ -1944,7 +2001,8 @@ private[js] object JsColumnCompiler {
           preReadNonIntegral = preReadNonIntegral)
         walkStmts(body, None, Map.empty, topLevel = true, ctx)
           .map { case (_, fields, emits, raises) =>
-            HandlerFold(fields, emits, raises) }
+            HandlerFold(fields, emits, raises,
+              ctx.foldMapReads.view.mapValues(_._2).toMap) }
       case _ => None
     }
 
@@ -2142,6 +2200,10 @@ private[js] object JsColumnCompiler {
         case Binary("+", l, r) if selfRead(r) => l
         case _ => return addMapLast(f, kExpr, rhs, g0)
       }
+      // a pre-state read of f in this handler pins the window key — the
+      // write site must use the same key expression or the window's
+      // per-row partition key is ill-defined
+      if (ctx.foldMapReads.get(f).exists(_._1 != kExpr)) return false
       val kTC0 = compileExpr(kExpr, ctx, locals) match {
         case Some(v) => v
         case None => return false
@@ -2164,6 +2226,7 @@ private[js] object JsColumnCompiler {
     // value renders as its JSON.stringify fragment (SQL NULL = undefined,
     // which drops the key from output while consuming its insertion slot).
     def addMapLast(f: String, kExpr: Expr, rhs: Expr, g0: Option[Column]): Boolean = {
+      if (ctx.foldMapReads.get(f).exists(_._1 != kExpr)) return false // see addMapSum
       val kTC0 = compileExpr(kExpr, ctx, locals) match {
         case Some(v) => v
         case None => return false
@@ -2187,7 +2250,14 @@ private[js] object JsColumnCompiler {
         case Some((c, _)) => c
         case None => return false
       }
-      acc += f -> MapLastTerm(g.getOrElse(lit(true)), kCol, frag)
+      // raw typed value for dynamic-key pre-state reads of this field
+      // (the LastTerm contract, per key)
+      val rawNum = vTC.ty match {
+        case _: TNum if vTC.nullAs == NoNull && vTC.err.isEmpty => Some(vTC.col)
+        case _ => None
+      }
+      acc += f -> MapLastTerm(g.getOrElse(lit(true)), kCol, frag,
+        rawNum, integralClaim(vTC))
       true
     }
     // `s.f.push(e, …)` in statement position (result unused): one site,
@@ -3106,6 +3176,15 @@ private[js] object JsColumnCompiler {
               if (sites.exists(_.rawStr.isEmpty)) return None
             case _ => return None
           }
+        // dynamic-key map reads claim NUMBER with integral unless the
+        // retry pass demoted (the {} init carries no value type to claim
+        // from): counter maps are integral longs by construction;
+        // overwrite maps verify their sites' raws like LastTerm
+        case MapSumK => ()
+        case MapLastK =>
+          val sites = allOps.collect { case (`f`, m: MapLastTerm) => m }
+          if (sites.exists(_.rawNum.isEmpty)) return None
+          if (!forceNonIntegral(f) && sites.exists(!_.rawNumIntegral)) demote += f
         case _ => return None
       }
     }
@@ -3296,11 +3375,50 @@ private[js] object JsColumnCompiler {
         case None => nullMapSite
         case Some(m) => when(m.exec, struct(m.frag.as("v"))).otherwise(nullMapSite)
       }
+    // latest-preceding-site window input for dynamic-key pre-state reads
+    // of an overwrite map: the site's RAW number under its exec guard —
+    // the preLastNumContrib contract, per (partition, key). Only built
+    // for read fields, whose sites all verified a rawNum.
+    def preMapLastNumContrib(terms: FieldTerms, f: String): Column =
+      terms.collectFirst { case (`f`, m: MapLastTerm) => m } match {
+        case None => nullGn
+        case Some(m) => when(m.exec,
+          struct(m.rawNum.get.cast(DoubleType).as("d"))).otherwise(nullGn)
+      }
     def routed(f: String, mk: (FieldTerms, String) => Column, dflt: Column): Column = {
       val fallback = anyFold.map(mk(_, f)).getOrElse(dflt)
       if (typedFolds.isEmpty) fallback
       else typedFolds.foldLeft(Option.empty[Column]) { case (acc, (t, terms)) =>
         val c = mk(terms, f)
+        Some(acc match {
+          case None => when(col("event_type") === t, c)
+          case Some(w) => w.when(col("event_type") === t, c)
+        })
+      }.get.otherwise(fallback)
+    }
+    // Per-row partition key of a map-read field's pre-state window,
+    // routed CASE-over-event_type like every other contribution: a
+    // handler that READS f supplies its unguarded read key (reader rows
+    // must land in their key's partition even when their own write site
+    // does not execute — the key column is raise-free, errors ride the
+    // read's err channel); a handler that only WRITES supplies its
+    // guarded site key (non-executing rows contribute nothing, so any
+    // partition holds them, and the guarded form keeps protected
+    // throwing key accesses lazy); handlers touching f not at all route
+    // NULL — an inert partition. Within a handler, read and write keys
+    // are structurally identical (enforced at the walk), so every row
+    // that matters lands in exactly its key's partition.
+    def mapPreKey(f: String): Column = {
+      def keyOf(h: HandlerFold): Column =
+        h.mapReadKeys.get(f).getOrElse(
+          h.fields.collectFirst {
+            case (`f`, m: MapSumTerm) => when(m.exec, m.key)
+            case (`f`, m: MapLastTerm) => when(m.exec, m.key)
+          }.getOrElse(nullStr))
+      val fallback = anyHandler.map(keyOf).getOrElse(nullStr)
+      if (typedHandlers.isEmpty) fallback
+      else typedHandlers.foldLeft(Option.empty[Column]) { case (acc, (t, h)) =>
+        val c = keyOf(h)
         Some(acc match {
           case None => when(col("event_type") === t, c)
           case Some(w) => w.when(col("event_type") === t, c)
@@ -3655,6 +3773,15 @@ private[js] object JsColumnCompiler {
         case JsNum(_) => Seq(kept(routed(f, preLastNumContrib, nullGn), nullGn))
         case _ => Seq(kept(routed(f, preLastStrContrib, nullGs), nullGs))
       }
+      // map kinds carry the per-row window key LAST (the build peels it
+      // off as the extra partition expression)
+      case MapSumK => Seq(
+        kept(routed(f, mapExecContrib, lit(false)), lit(false)),
+        kept(routed(f, mapDeltaContrib, lit(0.0)), lit(0.0)),
+        mapPreKey(f))
+      case MapLastK => Seq(
+        kept(routed(f, preMapLastNumContrib, nullGn), nullGn),
+        mapPreKey(f))
     }
     // Circularity gate: a READ field's own per-row contribution must
     // never itself depend on a pre-state column — directly or through a
@@ -3724,6 +3851,25 @@ private[js] object JsColumnCompiler {
                 coalesce(site.getField("s"), lit(s0))
               case _ => lit(null) // unreachable: gate validated the init
             }
+          // dynamic-key map reads window over (partition, key) — the
+          // same two-level key the map aggregation groups by — with SQL
+          // NULL = key never written = undefined. Counter maps are the
+          // running sum of preceding exec-guarded deltas ONCE any
+          // preceding site executed (a key written only by 0-deltas
+          // reads 0, not undefined — the interpreter creates the key);
+          // overwrite maps the latest preceding executed site's raw.
+          case MapSumK =>
+            val w2 = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(KeyCol), ins(2)).orderBy(col("log_position"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+            when(count(when(ins(0), lit(1))).over(w2) > 0,
+              coalesce(sum(ins(1).cast(LongType)).over(w2), lit(0L))
+                .cast(DoubleType))
+          case MapLastK =>
+            val w2 = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(KeyCol), ins(1)).orderBy(col("log_position"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+            last(ins.head, ignoreNulls = true).over(w2).getField("d")
         }
         d.withColumn(PreColPrefix + f, pre)
       }

@@ -111,6 +111,58 @@ fromAll()
       .orderBy(col("partition"), col("etype"))
   }
 
+  /** js dynamic-key MAP pre-state reads (r12): handlers gating on map
+    * state — `if (s.seen[e.k])` membership and `if ((s.seen[e.k]||0) >=
+    * t)` threshold guards — compile to a window over the fold-order-
+    * preceding rows of (partition, key), the same two-level key the map
+    * aggregation groups by. repeat_cents sums cents of every event whose
+    * type already appeared under the correlation key; bursts counts
+    * third-or-later occurrences. */
+  private val mapGuardSource = """
+fromAll()
+    .partitionBy(function(e) {
+        return e.body && e.body.k != null ? e.body.k : null;
+    })
+    .when({
+        $init: function() { return { seen: {}, repeat_cents: 0, bursts: 0 } },
+        $any: function(s, e) {
+            if (s.seen[e.eventType]) { s.repeat_cents += Math.round(e.value * 100); }
+            if ((s.seen[e.eventType] || 0) >= 2) { s.bursts += 1; }
+            s.seen[e.eventType] = (s.seen[e.eventType] || 0) + 1;
+            return s;
+        }
+    })"""
+
+  private def jsMapGuard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    JsProjection.compile(mapGuardSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.repeat_cents").cast("long").as("repeat_cents"),
+        get_json_object(col("state"), "$.bursts").cast("long").as("bursts"),
+        explode(from_json(get_json_object(col("state"), "$.seen"),
+          MapType(StringType, LongType))).as(Seq("etype", "cnt")))
+      .orderBy(col("partition"), col("etype"))
+  }
+
+  /** Corpus-only sibling: a pre-state read of an OVERWRITE map (latest
+    * preceding per-key value; undefined before the first write, so the
+    * first occurrence's comparison is false like the interpreter's
+    * NaN-compare). Equivalence-swept by JsEngineSpec; no oracle. */
+  private[js] val mapLastGuardSource = """
+fromAll()
+    .partitionBy(function(e) {
+        return e.body && e.body.k != null ? e.body.k : null;
+    })
+    .when({
+        $init: function() { return { last_cents: {}, drops: 0 } },
+        $any: function(s, e) {
+            var c = Math.round(e.value * 100);
+            if (c < s.last_cents[e.eventType]) { s.drops += 1; }
+            s.last_cents[e.eventType] = c;
+            return s;
+        }
+    })"""
+
   /** js sibling of p13_emit (conditional emit with an object body). */
   private val emitSource = """
 fromCategory("purchase")
@@ -602,6 +654,8 @@ fromCategory("purchase")
     "js_partition_by" -> partitionSource,
     "js_count_by_type" -> countByTypeSource,
     "js_last_by_type" -> lastByTypeSource,
+    "js_map_guard" -> mapGuardSource,
+    "js_map_last_guard" -> mapLastGuardSource,
     "js_emit" -> emitSource,
     "js_linkto" -> linkSource,
     "js_transform_filter" -> transformSource,
@@ -618,6 +672,7 @@ fromCategory("purchase")
     "js_partition_by" -> (jsPartitionBy _),
     "js_count_by_type" -> (jsCountByType _),
     "js_last_by_type" -> (jsLastByType _),
+    "js_map_guard" -> (jsMapGuard _),
     "js_emit" -> (jsEmit _),
     "js_linkto" -> (jsLinkTo _),
     "js_transform_filter" -> (jsTransformFilter _),
@@ -812,6 +867,28 @@ fromCategory("purchase")
       |       arg_max(CAST(round(value * 100) AS BIGINT), log_position) AS last_cents
       |FROM log WHERE correlation_id IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // prev_n = writes to this (partition, type) key BEFORE this event —
+    // exactly the pre-state window the compiled read reconstructs:
+    // membership guard counts cents where prev_n >= 1, the threshold
+    // guard fires from the third occurrence (prev count >= 2)
+    "js_map_guard" -> s"""$L,
+      |w AS (
+      |  SELECT correlation_id, event_type, log_position,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         count(*) OVER (PARTITION BY correlation_id, event_type
+      |           ORDER BY log_position
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_n
+      |  FROM log WHERE correlation_id IS NOT NULL),
+      |t AS (
+      |  SELECT correlation_id,
+      |         CAST(coalesce(sum(cents) FILTER (WHERE prev_n >= 1), 0) AS BIGINT)
+      |           AS repeat_cents,
+      |         CAST(count(*) FILTER (WHERE prev_n >= 2) AS BIGINT) AS bursts
+      |  FROM w GROUP BY 1)
+      |SELECT w.correlation_id AS partition, t.repeat_cents, t.bursts,
+      |       w.event_type AS etype, CAST(count(*) AS BIGINT) AS cnt
+      |FROM w JOIN t ON t.correlation_id = w.correlation_id
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1, 4""".stripMargin,
     "js_emit" -> s"""$L
       |SELECT 'receipt-' || split_part(log.stream_id, '-', 2) AS stream_id,
       |       'ReceiptIssued' AS event_type,

@@ -134,21 +134,38 @@ class JsCompilerPropertySpec extends SparkTestBase {
 
   /** One dynamic-key map statement — at most ONE site per handler and one
     * map field per definition, the compilable contract. The kind (counter
-    * vs overwrite) is fixed per definition so handlers never mix. */
+    * vs overwrite) is fixed per definition so handlers never mix.
+    * `withRead` (the r12 arm) prepends a PRE-STATE read guard keyed by
+    * the SAME expression as the write — membership truthiness, `||0`
+    * threshold, or (overwrite maps) a latest-value comparison whose
+    * first occurrence is an undefined NaN-compare — bumping the `mr`
+    * sum; overwrite values then stay numeric (fractional ones exercise
+    * the integral-claim demotion retry). */
   private def genMapStmt(r: Random, f: String, counter: Boolean,
-      base: String = "s"): String = {
+      base: String = "s", withRead: Boolean = false): String = {
     val (keyE, guard) = r.nextInt(3) match {
       case 0 => ("e.eventType", None)
       case 1 => (s""""g" + (e.value > ${r.nextInt(100)} ? "hi" : "lo")""", None)
       case _ => ("e.body.k", Some("e.body")) // body keys guard the read
     }
+    val read =
+      if (!withRead) ""
+      else if (counter) r.nextInt(3) match {
+        case 0 => s"if ($base.$f[$keyE]) { s.mr += ${genIntExpr(r, 1)}; } "
+        case 1 => s"if (($base.$f[$keyE] || 0) >= ${1 + r.nextInt(2)}) { s.mr += ${genIntExpr(r, 1)}; } "
+        case _ => s"s.mr += ($base.$f[$keyE] || 0); "
+      }
+      else s"if ($base.$f[$keyE] > ${r.nextInt(50)}) { s.mr += ${genIntExpr(r, 1)}; } "
     val upd =
       if (counter) s"$base.$f[$keyE] = ($base.$f[$keyE] || 0) + ${genIntExpr(r, 1)};"
+      else if (withRead)
+        s"$base.$f[$keyE] = ${if (r.nextBoolean()) genIntExpr(r, 1) else genNumExpr(r)};"
       else s"$base.$f[$keyE] = ${genValExpr(r)};"
     guard match {
-      case Some(g) => s"if ($g) { $upd }"
+      case Some(g) => s"if ($g) { $read$upd }"
       case None =>
-        if (r.nextInt(3) == 0) s"if (${genCond(r, 1)}) { $upd }" else upd
+        if (!withRead && r.nextInt(3) == 0) s"if (${genCond(r, 1)}) { $upd }"
+        else s"$read$upd"
     }
   }
 
@@ -170,13 +187,17 @@ class JsCompilerPropertySpec extends SparkTestBase {
     val preState = !nested && r.nextInt(3) == 0
     // r11 non-sum pre-state idioms (guard bodies generated below)
     val pre2 = !nested && r.nextInt(3) == 0
+    // r12 dynamic-key map pre-state read arm (nested map paths refuse,
+    // so the arm keeps to flat definitions like the other read idioms)
+    val mapRead = !nested && mapField.isDefined && r.nextInt(2) == 0
     val pre2Init: Seq[String] =
       if (!pre2) Nil
       else Seq(s"peak: ${Seq("0", "0.5", "-1e308")(r.nextInt(3))}", "pr: 0",
         "lastT: ''", "rp: 0",
         s"nlow: ${Seq("Infinity", "1e308", "100")(r.nextInt(3))}")
     val initFields = ((if (preState)
-      Seq(s"cnt: ${r.nextInt(3)}", "pg: 0") else Nil) ++ pre2Init ++
+      Seq(s"cnt: ${r.nextInt(3)}", "pg: 0") else Nil) ++
+      (if (mapRead) Seq("mr: 0") else Nil) ++ pre2Init ++
       kinds.map { case (f, k) =>
       val v = k match {
         case 'S' => r.nextInt(10).toString
@@ -211,7 +232,8 @@ class JsCompilerPropertySpec extends SparkTestBase {
       case _ => ".foreachStream()"
     }
     def mapStmt: String =
-      mapField.map { case (f, c) => "\n            " + genMapStmt(r, f, c, base) }
+      mapField.map { case (f, c) =>
+        "\n            " + genMapStmt(r, f, c, base, withRead = mapRead) }
         .getOrElse("")
     // the in-handler filter idiom: an event-condition early return ahead
     // of the fold statements (everything after compiles under ¬cond)

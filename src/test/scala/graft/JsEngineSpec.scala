@@ -1107,6 +1107,8 @@ fromCategory("idx")
       "js_array_collect" -> true,
       "js_count_by_type" -> true,
       "js_last_by_type" -> true,
+      "js_map_guard" -> true,
+      "js_map_last_guard" -> true,
       "js_minmax" -> true,
       "js_last_value" -> true,
       "js_date_bucket" -> true,
@@ -1231,6 +1233,57 @@ fromAll().foreachStream().when({
     $init: function() { return { n: 0 }; },
     $any: function(s, e) { s.n += 1; return s; } })""")
     assert(plain.fastStatesStream(log).isDefined)
+  }
+
+  test("column fast path: dynamic-key map pre-state reads — guards, " +
+    "undefined-before-first-write, refusal edges, streaming refusal") {
+    val log = hostileLog
+    // the canonical read-then-update threshold guard compiles and
+    // matches the interpreter (including first-occurrence undefined:
+    // `s.m[k]` is falsy and `(s.m[k]||0)` is 0 before any write)
+    assert(fastEqualsInterp(
+      JsProjectionQueries.handlerCorpus.toMap.apply("js_map_guard"), log))
+    // overwrite-map read: undefined compares false (NaN-compare), later
+    // reads see the latest preceding per-key value
+    assert(fastEqualsInterp(
+      JsProjectionQueries.handlerCorpus.toMap.apply("js_map_last_guard"), log))
+    // a read keyed DIFFERENTLY from the same handler's write site cannot
+    // share the window partition key — fall back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { m: {}, n: 0 }; },
+    $any: function(s, e) {
+        if (s.m[e.eventType]) { s.n += 1; }
+        s.m[e.streamId] = (s.m[e.streamId] || 0) + 1;
+        return s;
+    } })""").compilesToColumns)
+    // a read AFTER the same-handler write sees the mutated value in the
+    // interpreter — fall back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { m: {}, n: 0 }; },
+    $any: function(s, e) {
+        s.m[e.eventType] = (s.m[e.eventType] || 0) + 1;
+        if (s.m[e.eventType]) { s.n += 1; }
+        return s;
+    } })""").compilesToColumns)
+    // a string-valued overwrite map has no numeric raw to reconstruct —
+    // fall back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { m: {}, n: 0 }; },
+    $any: function(s, e) {
+        if (s.m[e.eventType]) { s.n += 1; }
+        s.m[e.eventType] = e.streamId;
+        return s;
+    } })""").compilesToColumns)
+    // map pre-state plans refuse the streaming fast path like every
+    // windowed pre-state read
+    val pre = JsProjection.compile(
+      JsProjectionQueries.handlerCorpus.toMap.apply("js_map_guard"))
+    assert(pre.compilesToColumns)
+    assert(pre.fastStatesStream(log).isEmpty,
+      "map pre-state plans must not take the streaming fast path")
   }
 
   test("column fast path: early returns — filter idiom, pre-return " +

@@ -315,6 +315,32 @@ fromAll().foreachStream().when({
     assert(!qplan.contains("FlatMapGroups"), qplan.take(1500))
   }
 
+  test("compiled map pre-state fold: the per-key window partitions by " +
+    "(fold key, map key) — never one global task — and no interpreter node") {
+    val s = spark; import s.implicits._
+    val log = Seq.tabulate(60)(i =>
+      (s"acct-${i % 7}", (i / 7).toLong, if (i % 3 == 0) "A" else "B",
+        i.toLong, """{"v":1}""", (i % 11).toDouble))
+      .toDF("stream_id", "event_number", "event_type", "log_position", "data", "value")
+      .withColumn("timestamp", expr("timestamp_millis(1700000000000 + log_position)"))
+      .withColumn("correlation_id", lit(null).cast("string"))
+    val p = graft.projections.js.JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { seen: {}, rep: 0 }; },
+    $any: function(s, e) {
+        if (s.seen[e.eventType]) { s.rep += 1; }
+        s.seen[e.eventType] = (s.seen[e.eventType] || 0) + 1;
+        return s;
+    } })""")
+    assert(p.compilesToColumns)
+    val plan = executedPlan(p.states(log))
+    // the (fold key, map key) window shuffles on a composite hash
+    // partitioning; a global window would read SinglePartition
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+    assert(!plan.contains("FlatMapGroups"), plan.take(1500))
+  }
+
   test("substring-dedup census joins are equi-joins, never cartesian") {
     val s = spark; import s.implicits._
     val docs = Seq.tabulate(40)(i =>
