@@ -87,6 +87,65 @@ object Bpe {
         p => size(pieceTokens(p, merges))),
       lit(0L), (acc, x) => acc + x)
 
+  /** Greedy token-budget chunking on PIECE boundaries, measured in
+    * TRAINED-BPE tokens: pieces fill the current chunk while its token
+    * total stays within `chunkTokens`; a piece that would overflow a
+    * non-empty chunk starts the next one (an oversized single piece
+    * occupies its own chunk whole — pieces never split, so concatenating
+    * the chunks reproduces the Sep-stripped text). The whole assignment
+    * is ONE `aggregate` fold per document over (piece weight, index) —
+    * no shuffle, no window, stateless corpus scan at any scale; each
+    * piece is tokenized exactly once. Empty texts yield chunk 0 with
+    * zero tokens (the [[Corpus.chunkByTokens]] convention). Returns one
+    * row per chunk: (id, chunk_id, n_pieces, n_tokens, chunk). */
+  def chunkByTokens(docs: DataFrame, chunkTokens: Int,
+      merges: Seq[(String, String)] = FixedMerges,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val emptyIdx = array().cast("array<struct<w:bigint,i:int>>")
+    val emptyChunks = array().cast("array<struct<s:int,n:int,t:bigint>>")
+    // per-piece (trained token count, index); the sequence guard dodges
+    // Spark's DESCENDING sequence(0, -1) on empty docs
+    def idxd(p: Column): Column =
+      when(size(p) > 0,
+        transform(sequence(lit(0), size(p) - 1), i =>
+          struct(size(pieceTokens(element_at(p, i + 1), merges))
+            .cast("long").as("w"), i.as("i"))))
+        .otherwise(emptyIdx)
+    // greedy fold: close the open chunk [s, i) when piece i would push a
+    // NON-EMPTY chunk (i > s) past the budget; finish closes the tail —
+    // which for an empty doc is exactly the conventional empty chunk 0
+    def folded(p: Column): Column = aggregate(
+      idxd(p),
+      struct(emptyChunks.as("cs"), lit(0).as("s"), lit(0L).as("t")),
+      (a, x) => {
+        val close = x.getField("i") > a.getField("s") &&
+          a.getField("t") + x.getField("w") > chunkTokens
+        when(close, struct(
+            concat(a.getField("cs"), array(struct(
+              a.getField("s").as("s"),
+              (x.getField("i") - a.getField("s")).as("n"),
+              a.getField("t").as("t")))).as("cs"),
+            x.getField("i").as("s"),
+            x.getField("w").as("t")))
+          .otherwise(struct(a.getField("cs").as("cs"), a.getField("s").as("s"),
+            (a.getField("t") + x.getField("w")).as("t")))
+      },
+      a => concat(a.getField("cs"), array(struct(
+        a.getField("s").as("s"),
+        (size(p) - a.getField("s")).as("n"),
+        a.getField("t").as("t")))))
+    docs
+      .select(col(idCol).as("id"),
+        TextFunctions.bpePieces(stripSep(col(textCol))).as("_p"))
+      .select(col("id"), col("_p"), posexplode(folded(col("_p"))).as(Seq("chunk_id", "_c")))
+      .select(col("id"), col("chunk_id"),
+        col("_c").getField("n").as("n_pieces"),
+        col("_c").getField("t").as("n_tokens"),
+        array_join(slice(col("_p"), col("_c").getField("s") + 1,
+          col("_c").getField("n")), "").as("chunk"))
+  }
+
   // ------------------------------------------------------------ training
 
   /** Train a merge table: distributed piece counts capped at the top
@@ -99,7 +158,9 @@ object Bpe {
       minPairCount: Long = 2, textCol: String = "text"): Seq[(String, String)] = {
     val words = docs
       .select(explode(TextFunctions.bpePieces(stripSep(col(textCol)))).as("w"))
-      .where(trim(col("w")) =!= "")
+      // all-whitespace pieces (Spark trim strips only ' ' — newline/tab
+      // runs need the regex class) carry no useful merges
+      .where(!col("w").rlike("^\\s+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w"))
       .limit(vocabCap)

@@ -940,16 +940,31 @@ object Corpus {
     * pipeline with the gram-hash pass paid ONCE instead of twice (the
     * DSIR shared-exchange pattern). Output matches
     * train-then-classify exactly; the persisted feature column is
-    * dropped from the result. */
+    * dropped from the result.
+    *
+    * Cache lifetime: the features persist is load-bearing — releasing it
+    * before the caller executes the returned plan would force the
+    * scoring scan to re-hash, defeating the sharing — so it lives until
+    * the NEXT call here releases it (one corpus-sized cache at most,
+    * regardless of call count; a caller wanting it gone sooner can
+    * `spark.sharedState.cacheManager.clearCache()` after consuming the
+    * result). */
   def naiveBayesTrainClassify(docs: DataFrame, labelCol: String,
       isTrain: Column, textCol: String = "text",
       buckets: Int = 4096): DataFrame = {
     val featDocs = docs
       .withColumn("_nbf", hashedGramBuckets(col(textCol), buckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastNbFeatures.getAndSet(featDocs)
+    if (prev != null && (prev ne featDocs)) prev.unpersist(blocking = false)
     val model = naiveBayesTrainFeatures(featDocs.where(isTrain), labelCol, "_nbf", buckets)
     naiveBayesClassifyFeatures(featDocs, model, buckets, "_nbf").drop("_nbf")
   }
+
+  /** One-slot registry bounding [[naiveBayesTrainClassify]]'s feature
+    * cache to the latest call (see its scaladoc). */
+  private val lastNbFeatures =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   private def naiveBayesScore(docs: DataFrame, model: DataFrame,
       buckets: Int, feats: Column, scoreable: Column): DataFrame = {

@@ -70,6 +70,14 @@ object CorpusQueries extends QueryModule {
         min(col("id")).as("first_doc"))
       .orderBy(col("shard"), col("seq"))
 
+  /** Greedy trained-BPE chunking (budget 64 real tokens, piece
+    * boundaries): every chunk's content md5-pinned. */
+  private def chunkBpeQ(s: SparkSession, d: String): DataFrame =
+    Bpe.chunkByTokens(Tables.documents(s, d), chunkTokens = 64)
+      .select(col("id"), col("chunk_id"), col("n_pieces"), col("n_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("id"), col("chunk_id"))
+
   private def chunkQ(s: SparkSession, d: String): DataFrame =
     Corpus.chunkDocuments(Tables.documents(s, d), chunkSize = 120, stride = 90)
       .select(col("id"), col("chunk_id"), col("start"),
@@ -354,6 +362,7 @@ object CorpusQueries extends QueryModule {
     "pack_sequences" -> (packQ _),
     "bpe_tokenize" -> (bpeQ _),
     "pack_sequences_bpe" -> (packBpeQ _),
+    "chunk_by_tokens_bpe" -> (chunkBpeQ _),
     "chunk_documents" -> (chunkQ _),
     "chunk_by_tokens" -> (chunkTokQ _),
     "text_clean" -> (cleanQ _),
@@ -570,6 +579,40 @@ object CorpusQueries extends QueryModule {
         |SELECT shard, CAST(start // 256 AS BIGINT) AS seq, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(id) AS first_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // greedy trained-BPE chunking replayed as a RECURSIVE CTE: the
+    // per-doc sequential fold (chunk breaks where the running trained-
+    // token total would pass the budget) steps piece-by-piece across all
+    // docs in lockstep; per-piece weights re-apply the same FixedMerges
+    // fold as bpe_tokenize. Piece 1 always opens chunk 0 (an oversized
+    // first piece occupies it whole), matching the Spark fold's
+    // non-empty-chunk close condition.
+    "chunk_by_tokens_bpe" ->
+      s"""WITH RECURSIVE d AS (
+        |  SELECT doc_id AS id,
+        |    regexp_extract_all(replace(text, chr(1), ''),
+        |      '${graft.functions.TextFunctions.BpePattern}') AS pieces
+        |  FROM documents),
+        |w AS (
+        |  SELECT id, i, pieces[CAST(i AS INT)] AS piece,
+        |    CAST(len(${Bpe.pieceTokensSql("pieces[CAST(i AS INT)]")}) AS BIGINT) AS w
+        |  FROM (SELECT id, pieces, unnest(range(1, len(pieces) + 1)) AS i FROM d)),
+        |r AS (
+        |  SELECT id, i, piece, w, CAST(0 AS BIGINT) AS chunk_id, w AS cum
+        |  FROM w WHERE i = 1
+        |  UNION ALL
+        |  SELECT w.id, w.i, w.piece, w.w,
+        |    CASE WHEN r.cum + w.w > 64 THEN r.chunk_id + 1 ELSE r.chunk_id END,
+        |    CASE WHEN r.cum + w.w > 64 THEN w.w ELSE r.cum + w.w END
+        |  FROM r JOIN w ON w.id = r.id AND w.i = r.i + 1),
+        |chunks AS (
+        |  SELECT id, CAST(chunk_id AS INT) AS chunk_id,
+        |    CAST(count(*) AS INT) AS n_pieces, CAST(sum(w) AS BIGINT) AS n_tokens,
+        |    md5(string_agg(piece, '' ORDER BY i)) AS chunk_md5
+        |  FROM r GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT id, 0, 0, 0, md5('') FROM d WHERE len(pieces) = 0)
+        |SELECT id, chunk_id, n_pieces, n_tokens, chunk_md5
+        |FROM chunks ORDER BY id, chunk_id""".stripMargin,
     "chunk_documents" ->
       """WITH starts AS (
         |  SELECT doc_id AS id, text,

@@ -185,7 +185,16 @@ object DedupStream {
     * per-batch state partitions into sorted snapshots every that many
     * batches ([[compactState]]) — the cadence that keeps both the probe
     * scan and the state-file count bounded on a long-lived stream; 0
-    * leaves compaction entirely to explicit maintenance calls. */
+    * leaves compaction entirely to explicit maintenance calls.
+    *
+    * Reader contract: like every file-listing-based view, a
+    * [[resolvedCorpus]] DataFrame built BEFORE a compaction may list
+    * per-batch partitions the fold then deletes — executing it after the
+    * fold fails on missing files (or, under ignoreMissingFiles, silently
+    * resurrects dropped ids). Treat resolved views as snapshots: rebuild
+    * them after maintenance, or consume the stable [[compactResolved]]
+    * materialization; the in-stream cadence itself is single-writer-safe
+    * (the fold runs inside the micro-batch, after the state writes). */
   def resolveNearDupsStream(docs: DataFrame, stateDir: String, checkpoint: String,
       indexer: BandIndexer, idCol: String = "doc_id",
       compactEvery: Int = 16): StreamingQuery =
@@ -331,6 +340,71 @@ object DedupStream {
       compactState(spark, stateDir)
   }
 
+  /** Point-lookup SERVING path against the accumulated near-dup state:
+    * which already-indexed documents are near-duplicates of each query
+    * document? The query docs are indexed locally (nothing is written),
+    * their band keys probe the compacted posting snapshot through the
+    * same bounded eq-list pushdown the ingest batch uses — bytes scale
+    * with |queries| × bands × page granule, never with corpus size — and
+    * exact verification fetches only the candidate matches' sketches by
+    * id pushdown. Returns (query_id, match_id, score); `resolvedOnly`
+    * restricts matches to current component representatives (docs ∖
+    * drops). This is the contamination-check / "is this document already
+    * in the corpus" lookup, served from plain parquet state. Query ids
+    * only label output rows — an id equal to an indexed id is treated as
+    * a different document (no self-suppression beyond id inequality). */
+  def findNearDups(spark: SparkSession, stateDir: String, queryDocs: DataFrame,
+      indexer: BandIndexer, resolvedOnly: Boolean = false): DataFrame = {
+    def tableOr(path: String, schema: StructType): DataFrame =
+      if (hasParquetFiles(path)) spark.read.schema(schema).parquet(path)
+      else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    val idx = indexer.index(queryDocs).localCheckpoint(true)
+    val postingsQ = idx
+      .select(col("id"), posexplode(col("band_keys")).as(Seq("band", "band_key")))
+      .select(col("id"), xxhash64(col("band"), col("band_key")).as("bk"))
+    val (idxUpto, idxSnap) = readSnapshot(spark, s"$stateDir/indexc", indexDataSchema)
+    val tailPostings = tableOr(s"$stateDir/index", indexDataSchema.add("_batch", LongType))
+      .where(col("_batch") > idxUpto).drop("_batch")
+    val bkCapped = postingsQ.select(col("bk")).distinct()
+      .limit(PushdownMaxKeys.toInt + 1).collect().map(_.getLong(0)).toSeq
+    val idxSnapPruned =
+      if (bkCapped.size <= PushdownMaxKeys)
+        ParquetPushdown.inSorted(idxSnap, "bk", bkCapped)
+      else idxSnap
+    val allPostings = idxSnapPruned.unionAll(tailPostings)
+    val candQ = postingsQ.as("q").join(allPostings.as("m"),
+        col("q.bk") === col("m.bk") && col("q.id") =!= col("m.id"))
+      .select(col("q.id").as("query_id"), col("m.id").as("match_id"))
+      .distinct()
+      .localCheckpoint(true)
+    val skData = StructType(idx.select(col("id"), col("sk")).schema)
+    val (skUpto, skSnap) = readSnapshot(spark, s"$stateDir/sketchc", skData)
+    val skAll = skSnap.unionAll(
+      tableOr(s"$stateDir/sketch", skData.add("_batch", LongType))
+        .where(col("_batch") > skUpto).drop("_batch"))
+    val matchIds = candQ.select(col("match_id").as("id")).distinct()
+    val matchesCapped = matchIds.limit(PushdownMaxIds.toInt + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val skM =
+      if (matchesCapped.size <= PushdownMaxIds)
+        ParquetPushdown.inSorted(skAll, "id", matchesCapped)
+      else skAll.join(matchIds, "id")
+    val verified = candQ
+      .join(idx.select(col("id").as("query_id"), col("sk").as("sk_q")), "query_id")
+      .join(skM.select(col("id").as("match_id"), col("sk").as("sk_m")), "match_id")
+      .withColumn("score", indexer.score(col("sk_q"), col("sk_m")))
+      .where(col("score") >= indexer.threshold)
+      .select(col("query_id"), col("match_id"), col("score"))
+    if (!resolvedOnly) verified
+    else {
+      val (dUpto, dSnap) = readSnapshot(spark, s"$stateDir/dropsc", dropsDataSchema)
+      val dTail = tableOr(s"$stateDir/drops", dropsSchema)
+        .where(col("_batch") > dUpto).drop("_batch")
+      verified.join(dSnap.unionAll(dTail).select(col("id").as("match_id")),
+        Seq("match_id"), "left_anti")
+    }
+  }
+
   /** Fold the accumulated per-batch `index/`, `sketch/` and `drops/`
     * partitions into single SORTED snapshots (`indexc/` by bk, `sketchc/`
     * and `dropsc/` by id) and delete the folded per-batch partitions —
@@ -349,7 +423,9 @@ object DedupStream {
       compactTable(spark, s"$stateDir/drops", s"$stateDir/dropsc", "id", upto)
     }
 
-  private def hasParquetFiles(dir: String): Boolean = {
+  /** Whether a state dir holds any parquet data file (shared with
+    * [[SimilarityIndex]] — one source of truth for the idiom). */
+  private[analytics] def hasParquetFiles(dir: String): Boolean = {
     val p = Paths.get(dir)
     Files.exists(p) && {
       val w = Files.walk(p)
@@ -505,7 +581,7 @@ object DedupStream {
     } finally s.close()
   }
 
-  private def deleteRec(p: java.nio.file.Path): Unit = {
+  private[analytics] def deleteRec(p: java.nio.file.Path): Unit = {
     val s = Files.walk(p)
     try s.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
     finally s.close()

@@ -59,14 +59,8 @@ object SimilarityIndex {
   private def meta(spark: SparkSession, path: String): org.apache.spark.sql.Row =
     spark.read.parquet(s"$path/meta").first()
 
-  private def hasParquetFiles(dir: String): Boolean = {
-    val p = Paths.get(dir)
-    Files.exists(p) && {
-      val w = Files.walk(p)
-      try w.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-      finally w.close()
-    }
-  }
+  private def hasParquetFiles(dir: String): Boolean =
+    DedupStream.hasParquetFiles(dir)
 
   /** A stored corpus table plus its streaming-add overlay (`<sub>_add/`,
     * written by [[addIvfStream]] with per-batch dynamic overwrite) — the
@@ -310,19 +304,26 @@ object SimilarityIndex {
     * very files it would otherwise still be reading), re-runs [[saveIvf]]
     * at the given (or auto-sized) geometry, and clears the overlay. Lloyd
     * iterations default to 1 so the retrained centroids come from the
-    * CURRENT distribution rather than requiring low ids to exist. */
+    * CURRENT distribution rather than requiring low ids to exist.
+    *
+    * Contract: QUIESCE [[addIvfStream]] before retraining — a running
+    * stream holds the PRE-retrain centroids it collected at start (its
+    * assignments would mis-list under the new geometry), and a batch
+    * landing between the corpus materialization and the overlay clear
+    * would be silently folded away. The fold-then-delete is NOT
+    * crash-atomic; a crash between the save and the overlay clear leaves
+    * overlay rows duplicated in the base — the id-dedup below makes
+    * RE-RUNNING retrainIvf after a crash converge (duplicates collapse),
+    * which is the recovery procedure. */
   def retrainIvf(spark: SparkSession, path: String, nlist: Int = 0,
       iters: Int = 1): Unit = {
     val corpus = readWithAdds(spark, path, "vectors")
       .select(col("id").as("vec_id"), col("v").as("embedding"))
+      .dropDuplicates("vec_id") // crash-recovery: base ∪ stale overlay collapses
       .localCheckpoint(true)
     saveIvf(corpus, path, nlist, iters)
     val addDir = Paths.get(s"$path/vectors_add")
-    if (Files.exists(addDir)) {
-      val s = Files.walk(addDir)
-      try s.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+    if (Files.exists(addDir)) DedupStream.deleteRec(addDir)
   }
 
   /** Streaming face of [[addIvf]]: every arriving micro-batch is assigned

@@ -50,22 +50,35 @@ object AnnIndexProbe {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
+    def phase(name: String): Unit = println(s"[annprobe] $name")
+
     // warm: plans + codegen for both sides at the same shapes
+    phase("warm inline ivf")
     Similarity.ivfTopK(queries, corpus, 10, nlist, nprobe)
       .write.mode("overwrite").format("noop").save()
 
+    phase("build ivf")
     val bIvf = timeU(SimilarityIndex.saveIvf(corpus, s"$root/ivf", nlist))
+    phase("query ivf")
     val qIvf = time(SimilarityIndex.ivfTopK(spark, queries, s"$root/ivf", 10, nprobe))
+    phase("inline ivf")
     val iIvf = time(Similarity.ivfTopK(queries, corpus, 10, nlist, nprobe))
 
     val (m, kcent) = (16, 256)
+    phase("build ivfpq")
     val bPq = timeU(SimilarityIndex.saveIvfPq(corpus, s"$root/ivfpq", nlist, m, kcent))
+    phase("query ivfpq")
     val qPq = time(SimilarityIndex.ivfPqTopK(spark, queries, s"$root/ivfpq", 10, nprobe))
+    phase("inline ivfpq")
     val iPq = time(Similarity.ivfPqTopK(queries, corpus, 10, nlist, nprobe, m, kcent))
 
+    phase("build sq8")
     val bSq = timeU(SimilarityIndex.saveSq8(corpus, s"$root/sq8"))
+    phase("query sq8")
     val qSq = time(SimilarityIndex.sq8TopK(spark, queries, s"$root/sq8", 10))
+    phase("inline sq8")
     val iSq = time(Similarity.sq8TopK(queries, corpus, 10))
+    phase("add")
 
     // incremental add (after all base measurements, so it can't disturb
     // them): a 1/mult slice arrives with fresh ids — assign/encode with

@@ -55,7 +55,9 @@ object ScaleProbe {
     "multimodal_image_real", "multimodal_audio_decode",
     "perplexity_bucket", "dsir_weights", "classify_naive_bayes",
     "sample_diversity", "js_branch_fold",
-    "js_streams_matching", "js_first_event")
+    "js_streams_matching", "js_first_event",
+    // r12 additions
+    "bpe_tokenize", "pack_sequences_bpe", "js_map_guard")
 
   private val srcDir = "/root/testdata/sf0.1"
   private val scaleRoot = "/tmp/graft_scale"

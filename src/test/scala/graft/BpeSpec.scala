@@ -91,4 +91,52 @@ class BpeSpec extends SparkTestBase {
       .agg(sum(col("n"))).first().getLong(0)
     assert(total == direct && total > 0)
   }
+
+  /** JVM reference of the greedy chunk fold: (start, n, tokens) per chunk. */
+  private def chunkRef(text: String, budget: Int): Seq[(Int, Int, Long)] = {
+    val m = pat.matcher(text)
+    val pieces = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toArray
+    val ws = pieces.map(p => Bpe.tokenizePieceJvm(p, Bpe.FixedMerges).size.toLong)
+    val out = Seq.newBuilder[(Int, Int, Long)]
+    var s = 0; var t = 0L
+    for (i <- ws.indices) {
+      if (i > s && t + ws(i) > budget) { out += ((s, i - s, t)); s = i; t = ws(i) }
+      else t += ws(i)
+    }
+    out += ((s, pieces.length - s, t))
+    out.result()
+  }
+
+  test("chunkByTokens: greedy fill == JVM reference; oversized pieces own a " +
+    "chunk; empty docs yield the empty chunk; chunks reassemble the text") {
+    val s = spark; import s.implicits._
+    val texts = Seq(
+      "the cat and the hat went over there and sat",
+      "a", "",
+      "supercalifragilisticexpialidocious is quite long",
+      ("x " * 30).trim,
+      "line one\n\nline two\tand three")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (budget <- Seq(1, 3, 8, 1000)) {
+      val got = Bpe.chunkByTokens(df, budget).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))
+        .sortBy(r => (r._1, r._2))
+      for ((text, id) <- texts.zipWithIndex) {
+        val mine = got.filter(_._1 == id).sortBy(_._2)
+        val ref = chunkRef(text, budget)
+        assert(mine.length == ref.length, s"chunk count for '$text' at $budget")
+        // chunk ids are dense from 0; counts match the reference fold
+        mine.zip(ref).zipWithIndex.foreach { case (((_, cid, np, nt, _), (_, rn, rt)), k) =>
+          assert(cid == k && np == rn && nt == rt,
+            s"chunk $k of '$text' at $budget: got ($np, $nt) want ($rn, $rt)")
+        }
+        // round-trip: concatenated chunks reproduce the text
+        assert(mine.map(_._5).mkString("") == text, s"round-trip of '$text'")
+        // budget honored except single-piece overflows
+        mine.foreach { case (_, _, np, nt, _) =>
+          assert(nt <= budget || np == 1, s"overfull multi-piece chunk in '$text'")
+        }
+      }
+    }
+  }
 }

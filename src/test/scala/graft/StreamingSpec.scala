@@ -1257,6 +1257,43 @@ fromCategory("acct")
       .select("doc_id").as[Long].collect().toSet == drops0)
   }
 
+  test("findNearDups serving path: matches indexed near-dups through the compacted " +
+    "snapshot; novel queries match nothing; resolvedOnly excludes dropped members") {
+    val s = spark; import s.implicits._
+    import graft.analytics.DedupStream
+    val stateDir = Files.createTempDirectory("ndquery").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    val ix = DedupStream.MinHashIndexer(threshold = 0.5, k = 16, bands = 8,
+      textCol = "text", idCol = "doc_id", n = 3)
+    DedupStream.processBatch(Seq(
+      (1L, base + " alpha"), (2L, base + " beta"),
+      (3L, "completely different text about spark catalyst optimizer internals and codegen"))
+      .toDF("doc_id", "text"), 0L, stateDir, ix, "doc_id")
+    // fold everything into the snapshots so the lookup exercises the
+    // compacted pushdown path, not just the per-batch tail
+    DedupStream.compactState(spark, stateDir)
+    val queries = Seq(
+      (100L, base + " gamma"),
+      (101L, "a wholly novel sentence with no counterpart in the indexed corpus at all"))
+      .toDF("doc_id", "text")
+    def matches(resolvedOnly: Boolean): Map[Long, Set[Long]] =
+      DedupStream.findNearDups(spark, stateDir, queries, ix, resolvedOnly)
+        .select("query_id", "match_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val all = matches(resolvedOnly = false)
+    assert(all.getOrElse(100L, Set.empty) == Set(1L, 2L),
+      s"query 100 should match both indexed near-dups, got $all")
+    assert(!all.contains(101L), "novel text must match nothing")
+    // component {1,2} resolved to representative 1 — with resolvedOnly
+    // the dropped member 2 is excluded
+    val res = matches(resolvedOnly = true)
+    assert(res.getOrElse(100L, Set.empty) == Set(1L), s"resolvedOnly got $res")
+    // scores pass the indexer threshold
+    val scores = DedupStream.findNearDups(spark, stateDir, queries, ix)
+      .select("score").as[Double].collect()
+    assert(scores.nonEmpty && scores.forall(_ >= 0.5))
+  }
+
   test("streaming near-dup: schema marker gives the all-empty resolved view the real shape") {
     val s = spark; import s.implicits._
     import graft.analytics.DedupStream
