@@ -948,7 +948,17 @@ object Corpus {
     * the NEXT call here releases it (one corpus-sized cache at most,
     * regardless of call count; a caller wanting it gone sooner can
     * `spark.sharedState.cacheManager.clearCache()` after consuming the
-    * result). */
+    * result).
+    *
+    * Memory contract: the cache is corpus-sized (text + feature arrays)
+    * and canNOT degrade gracefully once executors are memory-starved —
+    * tasks iterating cached blocks pin them against eviction, so
+    * execution memory fails before the cache spills (measured:
+    * IoBoundProbe ×1000 at 8g dies with UNABLE_TO_ACQUIRE_MEMORY, where
+    * the split [[naiveBayesTrain]]+[[naiveBayesClassify]] form — two
+    * scans, hashing twice, no cache — completes; BASELINE.md r12). Use
+    * this form when corpus×features fits cluster storage memory (~1.5×
+    * faster); use the split form otherwise. */
   def naiveBayesTrainClassify(docs: DataFrame, labelCol: String,
       isTrain: Column, textCol: String = "text",
       buckets: Int = 4096): DataFrame = {

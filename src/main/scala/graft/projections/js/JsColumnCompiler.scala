@@ -269,7 +269,11 @@ private[js] object JsColumnCompiler {
         * the first walk's claim turned out unsupported by the field's
         * actual contributions (e.g. `peak: 0` updated with fractional
         * values). */
-      val preReadNonIntegral: Set[String] = Set.empty) {
+      val preReadNonIntegral: Set[String] = Set.empty,
+      /** Map fields whose dynamic-key pre-state reads claim STRING —
+        * set by the MapStrRetry pass when every site of the overwrite
+        * map carries a string raw. */
+      val preReadMapStr: Set[String] = Set.empty) {
     /** Fields a statement already mutated EARLIER in this handler walk:
       * a pre-state read compiled after a same-handler mutation of the
       * same field would see the stale pre-event value where the
@@ -785,9 +789,13 @@ private[js] object JsColumnCompiler {
                   ctx.foldMapReads.getOrElseUpdate(f, (kExpr, kCol))
                   ctx.foldStateReads += f
                   ctx.refs += "log_position"
-                  Some(TC(col(PreColPrefix + f),
-                    TNum(integral = !ctx.preReadNonIntegral(f)), NullIsUndef,
-                    err = kTC.err))
+                  Some(
+                    if (ctx.preReadMapStr(f))
+                      TC(col(PreColPrefix + f), TStr(ascii = false), NullIsUndef,
+                        err = kTC.err)
+                    else TC(col(PreColPrefix + f),
+                      TNum(integral = !ctx.preReadNonIntegral(f)), NullIsUndef,
+                      err = kTC.err))
               }
             }
           }
@@ -1815,11 +1823,14 @@ private[js] object JsColumnCompiler {
     * consumed by the first write — is preserved for reinserted keys,
     * matching the interpreter's LinkedHashMap). */
   private final case class MapLastTerm(exec: Column, key: Column, frag: Column,
-      /** The site's RAW value when provably a plain number (NoNull, no
-        * error channel) — what a dynamic-key pre-state READ of the field
-        * reconstructs via a latest-preceding-site window over
-        * (partition, key); sites without one refuse such reads. */
-      rawNum: Option[Column] = None, rawNumIntegral: Boolean = false) extends FieldOp
+      /** The site's RAW value when provably a plain number / string
+        * (NoNull, no error channel) — what a dynamic-key pre-state READ
+        * of the field reconstructs via a latest-preceding-site window
+        * over (partition, key); sites without a raw in the claimed class
+        * refuse such reads (all-string sites flip the claim through the
+        * MapStrRetry pass). */
+      rawNum: Option[Column] = None, rawNumIntegral: Boolean = false,
+      rawStr: Option[Column] = None) extends FieldOp
 
   /** Guarded per-event contribution terms per state field. */
   private type FieldTerms = List[(String, FieldOp)]
@@ -1992,13 +2003,14 @@ private[js] object JsColumnCompiler {
       lets: mutable.LinkedHashMap[String, Column],
       stateReads: mutable.Set[String] = null,
       initFields: Map[String, JsVal] = Map.empty,
-      preReadNonIntegral: Set[String] = Set.empty): Option[HandlerFold] =
+      preReadNonIntegral: Set[String] = Set.empty,
+      preReadMapStr: Set[String] = Set.empty): Option[HandlerFold] =
     fn match {
       case JsFunc(params, body, _) =>
         val ctx = new Ctx(cp, partitionCol, refs,
           envParam = params.lift(1), stateParam = params.headOption,
           lets = lets, foldStateReads = stateReads, initFields = initFields,
-          preReadNonIntegral = preReadNonIntegral)
+          preReadNonIntegral = preReadNonIntegral, preReadMapStr = preReadMapStr)
         walkStmts(body, None, Map.empty, topLevel = true, ctx)
           .map { case (_, fields, emits, raises) =>
             HandlerFold(fields, emits, raises,
@@ -2256,8 +2268,12 @@ private[js] object JsColumnCompiler {
         case _: TNum if vTC.nullAs == NoNull && vTC.err.isEmpty => Some(vTC.col)
         case _ => None
       }
+      val rawStr = vTC.ty match {
+        case _: TStr if vTC.nullAs == NoNull && vTC.err.isEmpty => Some(vTC.col)
+        case _ => None
+      }
       acc += f -> MapLastTerm(g.getOrElse(lit(true)), kCol, frag,
-        rawNum, integralClaim(vTC))
+        rawNum, integralClaim(vTC), rawStr)
       true
     }
     // `s.f.push(e, …)` in statement position (result unused): one site,
@@ -2956,19 +2972,30 @@ private[js] object JsColumnCompiler {
     * demoted to integral=false. Monotone set, so one retry gathers all. */
   private final case class NonIntegralRetry(fields: Set[String])
     extends Exception with scala.util.control.NoStackTrace
+  /** Sibling signal for dynamic-key map reads: the walk claimed NUMBER
+    * (the only claim available from a `{}` init) but every site of the
+    * overwrite map carries a provable STRING raw — recompile with those
+    * reads claiming string. Monotone like the integral demotion. */
+  private final case class MapStrRetry(fields: Set[String])
+    extends Exception with scala.util.control.NoStackTrace
 
   def compile(cp: CompiledJsProjection): Option[Plan] = {
     var force = Set.empty[String]
+    var forceStr = Set.empty[String]
     var attempts = 0
-    while (attempts < 3) {
-      try return compileOnce(cp, force)
-      catch { case NonIntegralRetry(fs) => force ++= fs; attempts += 1 }
+    while (attempts < 4) {
+      try return compileOnce(cp, force, forceStr)
+      catch {
+        case NonIntegralRetry(fs) => force ++= fs; attempts += 1
+        case MapStrRetry(fs) => forceStr ++= fs; attempts += 1
+      }
     }
     None
   }
 
   private def compileOnce(cp: CompiledJsProjection,
-      forceNonIntegral: Set[String]): Option[Plan] = {
+      forceNonIntegral: Set[String],
+      forceMapStr: Set[String] = Set.empty): Option[Plan] = {
     val spec = cp.spec
     if (spec.isBiState || spec.hasCreated || cp.deletedFnOpt.isDefined) return None
 
@@ -2999,14 +3026,14 @@ private[js] object JsColumnCompiler {
     val typedHandlers: Seq[(String, HandlerFold)] =
       cp.handlersMap.toSeq.map { case (t, fn) =>
         compileHandler(fn, cp, handlerCtx, refs, lets, stateReadsAcc,
-            initTop, forceNonIntegral) match {
+            initTop, forceNonIntegral, forceMapStr) match {
           case Some(h) => t -> h
           case None => return None
         }
       }
     val anyHandler: Option[HandlerFold] = cp.anyFnOpt match {
       case Some(fn) => compileHandler(fn, cp, handlerCtx, refs, lets,
-          stateReadsAcc, initTop, forceNonIntegral) match {
+          stateReadsAcc, initTop, forceNonIntegral, forceMapStr) match {
         case Some(h) => Some(h)
         case None => return None
       }
@@ -3148,7 +3175,9 @@ private[js] object JsColumnCompiler {
     val preReads: Seq[String] = stateReadsAcc.toSeq.sorted
     // claims that turned out unsupported by the actual contributions:
     // gathered in full, then ONE recompile with those reads demoted
+    // (integral → non-integral) or re-claimed (map number → string)
     val demote = Set.newBuilder[String]
+    val strClaim = Set.newBuilder[String]
     for (f <- preReads) {
       if (!assignedSet(f)) return None
       val claimIntegral = (flatInit.get(f) match {
@@ -3176,18 +3205,28 @@ private[js] object JsColumnCompiler {
               if (sites.exists(_.rawStr.isEmpty)) return None
             case _ => return None
           }
-        // dynamic-key map reads claim NUMBER with integral unless the
-        // retry pass demoted (the {} init carries no value type to claim
-        // from): counter maps are integral longs by construction;
-        // overwrite maps verify their sites' raws like LastTerm
+        // dynamic-key map reads claim NUMBER with integral unless a
+        // retry pass re-claimed (the {} init carries no value type to
+        // claim from): counter maps are integral longs by construction;
+        // overwrite maps verify their sites' raws like LastTerm —
+        // all-numeric sites keep the number claim (demoting integral if
+        // needed), all-STRING sites flip the claim via MapStrRetry,
+        // mixed or rawless sites fall back
         case MapSumK => ()
         case MapLastK =>
           val sites = allOps.collect { case (`f`, m: MapLastTerm) => m }
-          if (sites.exists(_.rawNum.isEmpty)) return None
-          if (!forceNonIntegral(f) && sites.exists(!_.rawNumIntegral)) demote += f
+          if (forceMapStr(f)) {
+            if (sites.exists(_.rawStr.isEmpty)) return None
+          } else if (sites.forall(_.rawNum.isDefined)) {
+            if (!forceNonIntegral(f) && sites.exists(!_.rawNumIntegral)) demote += f
+          } else if (sites.nonEmpty && sites.forall(_.rawStr.isDefined))
+            strClaim += f
+          else return None
         case _ => return None
       }
     }
+    val strClaimed = strClaim.result()
+    if (strClaimed.nonEmpty) throw MapStrRetry(strClaimed)
     val demoted = demote.result()
     if (demoted.nonEmpty) throw NonIntegralRetry(demoted)
     if (preReads.nonEmpty) refs += "log_position"
@@ -3376,14 +3415,21 @@ private[js] object JsColumnCompiler {
         case Some(m) => when(m.exec, struct(m.frag.as("v"))).otherwise(nullMapSite)
       }
     // latest-preceding-site window input for dynamic-key pre-state reads
-    // of an overwrite map: the site's RAW number under its exec guard —
-    // the preLastNumContrib contract, per (partition, key). Only built
-    // for read fields, whose sites all verified a rawNum.
+    // of an overwrite map: the site's RAW number/string under its exec
+    // guard — the preLastNumContrib contract, per (partition, key). Only
+    // built for read fields, whose sites all verified a raw in the
+    // claimed class.
     def preMapLastNumContrib(terms: FieldTerms, f: String): Column =
       terms.collectFirst { case (`f`, m: MapLastTerm) => m } match {
         case None => nullGn
         case Some(m) => when(m.exec,
           struct(m.rawNum.get.cast(DoubleType).as("d"))).otherwise(nullGn)
+      }
+    def preMapLastStrContrib(terms: FieldTerms, f: String): Column =
+      terms.collectFirst { case (`f`, m: MapLastTerm) => m } match {
+        case None => nullGs
+        case Some(m) => when(m.exec,
+          struct(m.rawStr.get.as("s"))).otherwise(nullGs)
       }
     def routed(f: String, mk: (FieldTerms, String) => Column, dflt: Column): Column = {
       val fallback = anyFold.map(mk(_, f)).getOrElse(dflt)
@@ -3504,8 +3550,17 @@ private[js] object JsColumnCompiler {
     // that level 2 drops via __graft_mx)
     val mapKeyCols: Seq[(String, Column)] = mapFields.map { f =>
       val execC = kept(routed(f, mapExecContrib, lit(false)), lit(false))
-      s"__graft_mk_$f" ->
-        when(execC, routed(f, mapKeyContrib, nullStr)).otherwise(nullStr)
+      s"__graft_mk_$f" -> (
+        if (stateReadsAcc.contains(f))
+          // a READ map field aligns the level-1 grouping key with the
+          // pre-state window's partition key, so the groupBy reuses the
+          // window's (fold key, raw key) exchange — one shuffle saved.
+          // Value-identical: every level-1 aggregate is exec-guarded, so
+          // non-executing rows land in junk groups whose mx=false drops
+          // them at level 2, and for executing rows the raw key equals
+          // the guarded site key by the per-handler key-equality rule.
+          mapPreKey(f)
+        else when(execC, routed(f, mapKeyContrib, nullStr)).otherwise(nullStr))
     }
 
     def overflowMsg(k: String) =
@@ -3779,9 +3834,11 @@ private[js] object JsColumnCompiler {
         kept(routed(f, mapExecContrib, lit(false)), lit(false)),
         kept(routed(f, mapDeltaContrib, lit(0.0)), lit(0.0)),
         mapPreKey(f))
-      case MapLastK => Seq(
-        kept(routed(f, preMapLastNumContrib, nullGn), nullGn),
-        mapPreKey(f))
+      case MapLastK =>
+        if (forceMapStr(f))
+          Seq(kept(routed(f, preMapLastStrContrib, nullGs), nullGs), mapPreKey(f))
+        else
+          Seq(kept(routed(f, preMapLastNumContrib, nullGn), nullGn), mapPreKey(f))
     }
     // Circularity gate: a READ field's own per-row contribution must
     // never itself depend on a pre-state column — directly or through a
@@ -3869,7 +3926,8 @@ private[js] object JsColumnCompiler {
             val w2 = org.apache.spark.sql.expressions.Window
               .partitionBy(col(KeyCol), ins(1)).orderBy(col("log_position"))
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-            last(ins.head, ignoreNulls = true).over(w2).getField("d")
+            last(ins.head, ignoreNulls = true).over(w2)
+              .getField(if (forceMapStr(f)) "s" else "d")
         }
         d.withColumn(PreColPrefix + f, pre)
       }

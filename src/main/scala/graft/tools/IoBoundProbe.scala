@@ -36,9 +36,24 @@ import graft.SparkEntry
 object IoBoundProbe {
 
   private val defaults = Seq(
-    "classify_naive_bayes", "perplexity_bucket", "dsir_weights",
-    "quality_gopher", "text_winnow_fp", "pii_redact", "bpe_tokenize",
-    "window_sliding_agg", "session_window_agg", "ann_sq8_topk")
+    "classify_naive_bayes", "classify_naive_bayes_split", "perplexity_bucket",
+    "dsir_weights", "quality_gopher", "text_winnow_fp", "pii_redact",
+    "bpe_tokenize", "window_sliding_agg", "session_window_agg", "ann_sq8_topk")
+
+  /** The registered queries, plus the SPLIT-form NB classifier: the
+    * shared-hash pipeline's corpus-sized feature cache cannot degrade to
+    * disk under memory pressure (tasks iterating cached blocks pin them
+    * against eviction — this probe FOUND that at ×1000/8g), so the
+    * memory-constrained deployment runs train+classify as two scans with
+    * no cache; this variant measures that alternative. */
+  private def queryFn(q: String): (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame =
+    if (q == "classify_naive_bayes_split") { (s, dir) =>
+      val docs = graft.sources.Tables.documents(s, dir)
+      val model = graft.analytics.Corpus.naiveBayesTrain(
+        docs.where(col("doc_id") % 5 =!= 0), "lang", "text")
+      graft.analytics.Corpus.naiveBayesClassify(docs, model)
+    } else SparkEntry.queries(q)
 
   private val x100 = "/tmp/graft_scale/x100"
   private val x1000 = "/tmp/graft_scale/x1000"
@@ -91,7 +106,7 @@ object IoBoundProbe {
     // one untimed pass at base scale pays codegen/JIT; the event-log
     // ingest materialization is untimed at x1000 (Bench's contract)
     queries.foreach { q =>
-      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+      try queryFn(q)(spark, "/root/testdata/sf0.1")
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"warm $q: ${e.getMessage}") }
     }
@@ -104,7 +119,7 @@ object IoBoundProbe {
       val (i0, m0, d0) = (input.get, spillMem.get, spillDisk.get)
       val t0 = System.nanoTime()
       val ok = try {
-        SparkEntry.queries(q)(spark, x1000).write.mode("overwrite").format("noop").save()
+        queryFn(q)(spark, x1000).write.mode("overwrite").format("noop").save()
         true
       } catch { case e: Throwable =>
         System.err.println(s"$q FAILED: ${e.getMessage}"); false

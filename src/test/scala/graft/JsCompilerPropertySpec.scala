@@ -148,6 +148,7 @@ class JsCompilerPropertySpec extends SparkTestBase {
       case 1 => (s""""g" + (e.value > ${r.nextInt(100)} ? "hi" : "lo")""", None)
       case _ => ("e.body.k", Some("e.body")) // body keys guard the read
     }
+    val strMap = withRead && !counter && r.nextInt(3) == 0
     val read =
       if (!withRead) ""
       else if (counter) r.nextInt(3) match {
@@ -155,9 +156,16 @@ class JsCompilerPropertySpec extends SparkTestBase {
         case 1 => s"if (($base.$f[$keyE] || 0) >= ${1 + r.nextInt(2)}) { s.mr += ${genIntExpr(r, 1)}; } "
         case _ => s"s.mr += ($base.$f[$keyE] || 0); "
       }
+      else if (strMap) r.nextInt(2) match {
+        // string-claimed reads (the MapStrRetry arm): membership
+        // truthiness and strict equality against the latest value
+        case 0 => s"if ($base.$f[$keyE]) { s.mr += ${genIntExpr(r, 1)}; } "
+        case _ => s"if ($base.$f[$keyE] === ${genStrExpr(r)}) { s.mr += ${genIntExpr(r, 1)}; } "
+      }
       else s"if ($base.$f[$keyE] > ${r.nextInt(50)}) { s.mr += ${genIntExpr(r, 1)}; } "
     val upd =
       if (counter) s"$base.$f[$keyE] = ($base.$f[$keyE] || 0) + ${genIntExpr(r, 1)};"
+      else if (strMap) s"$base.$f[$keyE] = ${genStrExpr(r)};"
       else if (withRead)
         s"$base.$f[$keyE] = ${if (r.nextBoolean()) genIntExpr(r, 1) else genNumExpr(r)};"
       else s"$base.$f[$keyE] = ${genValExpr(r)};"

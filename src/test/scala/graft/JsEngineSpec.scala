@@ -1267,14 +1267,32 @@ fromAll().foreachStream().when({
         if (s.m[e.eventType]) { s.n += 1; }
         return s;
     } })""").compilesToColumns)
-    // a string-valued overwrite map has no numeric raw to reconstruct —
-    // fall back
-    assert(!JsProjection.compile("""
+    // a string-valued overwrite map compiles through the string-claim
+    // retry: membership truthiness ("" falsy like JS), and strict
+    // equality against the latest preceding per-key string
+    assert(fastEqualsInterp("""
 fromAll().foreachStream().when({
     $init: function() { return { m: {}, n: 0 }; },
     $any: function(s, e) {
         if (s.m[e.eventType]) { s.n += 1; }
         s.m[e.eventType] = e.streamId;
+        return s;
+    } })""", log))
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { last: {}, rep: 0 }; },
+    $any: function(s, e) {
+        if (s.last[e.eventType] === e.streamId) { s.rep += 1; }
+        s.last[e.eventType] = e.streamId;
+        return s;
+    } })""", log))
+    // MIXED number/string site values have no single raw class — fall back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { m: {}, n: 0 }; },
+    $any: function(s, e) {
+        if (s.m[e.eventType]) { s.n += 1; }
+        s.m[e.eventType] = e.value > 50 ? e.streamId : 7;
         return s;
     } })""").compilesToColumns)
     // map pre-state plans refuse the streaming fast path like every
