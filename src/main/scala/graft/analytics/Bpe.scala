@@ -59,13 +59,18 @@ object Bpe {
   private def wrap(piece: Column): Column =
     regexp_replace(piece, lit("(?s)(.)"), lit(Sep + "$1" + Sep))
 
-  private def fold(wrapped: Column, merges: Seq[(String, String)]): Column = {
-    val tbl = array(merges.map { case (a, b) =>
-      struct(lit(Sep + a + Sep + Sep + b + Sep).as("pat"),
-        lit(Sep + a + b + Sep).as("rep"))
-    }: _*)
-    aggregate(tbl, wrapped, (s, m) => replace(s, m.getField("pat"), m.getField("rep")))
-  }
+  private def fold(wrapped: Column, merges: Seq[(String, String)]): Column =
+    // Empty table short-circuit: `array()` with zero elements types as
+    // array<void>, so `m.getField("pat")` would fail analysis
+    // (INVALID_EXTRACT_BASE_FIELD_TYPE). No merges = per-character tokens.
+    if (merges.isEmpty) wrapped
+    else {
+      val tbl = array(merges.map { case (a, b) =>
+        struct(lit(Sep + a + Sep + Sep + b + Sep).as("pat"),
+          lit(Sep + a + b + Sep).as("rep"))
+      }: _*)
+      aggregate(tbl, wrapped, (s, m) => replace(s, m.getField("pat"), m.getField("rep")))
+    }
 
   private def pieceTokens(p: Column, merges: Seq[(String, String)]): Column =
     split(btrim(fold(wrap(p), merges), lit(Sep)), lit(Sep + Sep))

@@ -40,6 +40,7 @@ class BpeSpec extends SparkTestBase {
     "(runs, rebuilt products, unicode)") {
     val s = spark; import s.implicits._
     val tables = Seq(
+      Seq.empty[(String, String)],                     // no merges: per-char tokens
       Seq("a" -> "a"),                                 // overlapping runs
       Seq("a" -> "a", "aa" -> "a"),                    // product rebuilt on product
       Seq("a" -> "a", "aa" -> "aa"),                   // product pairs
@@ -66,6 +67,14 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.train(docs, 2, minPairCount = 1) == Seq("a" -> "a", "a" -> "b"))
     // early stop: all remaining pairs below minPairCount
     assert(Bpe.train(docs, 50, minPairCount = 7) == Seq.empty)
+    // a trained-then-empty table must DEGRADE (per-character tokens), not
+    // crash analysis (empty array() types as array<void>)
+    val perChar = docs.select(Bpe.tokenize(col("text"), Seq.empty).as("toks"),
+        Bpe.tokenCount(col("text"), Seq.empty).as("n")).collect()
+    perChar.foreach { r =>
+      assert(r.getSeq[String](0).forall(_.length == 1) && r.getLong(1) > 0)
+    }
+    assert(Bpe.chunkByTokens(docs, 4, Seq.empty).count() > 0)
     // a trained table on richer text still round-trips everything
     val rich = Seq((0L, "the northern lights shine over the northern town"),
       (1L, "a runner running north"), (2L, "shine on, shine on")).toDF("doc_id", "text")
