@@ -164,14 +164,27 @@ object DedupStream {
   private val dropsDataSchema = StructType.fromDDL("id LONG")
   private val dropsSchema = StructType.fromDDL("id LONG, _batch LONG")
 
-  /** Per-batch disk-read telemetry for the LAST processed micro-batch — a
-    * LOCAL-MODE probe aid: in `local[*]` the hadoop `file`-scheme
-    * statistics aggregate every task's reads in this JVM, so the deltas
-    * around the probe/verify actions are exactly their bytes read. On a
-    * real cluster executor reads are invisible to the driver's counters,
-    * so this stays a test/probe instrument, not an API. */
+  /** Per-batch disk-read telemetry, keyed by stateDir — a LOCAL-MODE
+    * probe aid: in `local[*]` the hadoop `file`-scheme statistics
+    * aggregate every task's reads in this JVM, so the deltas around the
+    * probe/verify actions are exactly their bytes read. On a real cluster
+    * executor reads are invisible to the driver's counters, so this stays
+    * a test/probe instrument, not an API. OFF by default: probes opt in
+    * via [[ioStatsEnabled]], so the production batch path does no
+    * JVM-global counter reads — and note the counters are still JVM-wide,
+    * so a probe run must not share the JVM with other file-reading jobs
+    * (the per-stateDir keying isolates concurrent STREAMS' results, not
+    * their reads). */
   final case class BatchIoStats(batchId: Long, probeBytes: Long, verifyBytes: Long)
-  @volatile private[graft] var lastIoStats: Option[BatchIoStats] = None
+  @volatile private[graft] var ioStatsEnabled: Boolean = false
+  private val ioStats =
+    new java.util.concurrent.ConcurrentHashMap[String, BatchIoStats]()
+  private[graft] def lastIoStats(stateDir: String): Option[BatchIoStats] =
+    Option(ioStats.get(stateDir))
+
+  /** Raw `file`-scheme bytes-read counter, for probes measuring a phase
+    * that has no built-in instrumentation (e.g. the serving path). */
+  private[graft] def fsBytesReadNow(): Long = fsBytesRead()
 
   private def fsBytesRead(): Long = {
     val s = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
@@ -184,20 +197,24 @@ object DedupStream {
   /** Start the incremental resolver. `compactEvery` > 0 folds the
     * per-batch state partitions into sorted snapshots every that many
     * batches ([[compactState]]) — the cadence that keeps both the probe
-    * scan and the state-file count bounded on a long-lived stream; 0
-    * leaves compaction entirely to explicit maintenance calls.
+    * scan and the state-file count bounded on a long-lived stream (set it,
+    * e.g. 16, on any stream expected to outlive a few dozen batches). The
+    * default is 0 — compaction left to explicit maintenance calls —
+    * because the cadence activates the reader contract below, which
+    * existing callers must OPT INTO, not trip over.
     *
-    * Reader contract: like every file-listing-based view, a
-    * [[resolvedCorpus]] DataFrame built BEFORE a compaction may list
-    * per-batch partitions the fold then deletes — executing it after the
-    * fold fails on missing files (or, under ignoreMissingFiles, silently
-    * resurrects dropped ids). Treat resolved views as snapshots: rebuild
-    * them after maintenance, or consume the stable [[compactResolved]]
-    * materialization; the in-stream cadence itself is single-writer-safe
-    * (the fold runs inside the micro-batch, after the state writes). */
+    * Reader contract (when compaction runs, in-stream or explicit): like
+    * every file-listing-based view, a [[resolvedCorpus]] DataFrame built
+    * BEFORE a compaction may list per-batch partitions the fold then
+    * deletes — executing it after the fold fails on missing files (or,
+    * under ignoreMissingFiles, silently resurrects dropped ids). Treat
+    * resolved views as snapshots: rebuild them after maintenance, or
+    * consume the stable [[compactResolved]] materialization; the
+    * in-stream cadence itself is single-writer-safe (the fold runs inside
+    * the micro-batch, after the state writes). */
   def resolveNearDupsStream(docs: DataFrame, stateDir: String, checkpoint: String,
       indexer: BandIndexer, idCol: String = "doc_id",
-      compactEvery: Int = 16): StreamingQuery =
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -278,14 +295,14 @@ object DedupStream {
         ParquetPushdown.inSorted(idxSnap, "bk", bkCapped)
       else idxSnap // cap-gated fallback: the equi-join itself still filters
     val allPostings = idxSnapPruned.unionAll(tailPostings)
-    val ioProbe0 = fsBytesRead()
+    val ioProbe0 = if (ioStatsEnabled) fsBytesRead() else 0L
     val cands = postingsNew.as("a").join(allPostings.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
       .localCheckpoint(true)
-    val ioProbe1 = fsBytesRead()
+    val ioProbe1 = if (ioStatsEnabled) fsBytesRead() else 0L
 
     // 4. exact verification, fetching sketches for pair PARTICIPANTS only
     //    — from the id-sorted compacted sketch snapshot ∪ the tail, with
@@ -310,7 +327,8 @@ object DedupStream {
       .where(indexer.score(col("sk_a"), col("sk_b")) >= indexer.threshold)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
-    lastIoStats = Some(BatchIoStats(batchId, ioProbe1 - ioProbe0, fsBytesRead() - ioProbe1))
+    if (ioStatsEnabled) ioStats.put(stateDir,
+      BatchIoStats(batchId, ioProbe1 - ioProbe0, fsBytesRead() - ioProbe1))
     idx.unpersist()
 
     // 5. incremental components: prior labels are a spanning contraction

@@ -28,6 +28,13 @@ import graft.sources.Tables
   * scan growing with history. `compactEvery` (default 4) exercises the
   * in-stream compaction cadence.
   *
+  * The probe also measures the SERVING path ([[DedupStream.findNearDups]],
+  * the contamination-check lookup): a FIXED query batch runs against the
+  * state at half history and again at full history, reporting wall time
+  * and total bytes read (same FS-counter instrument). The claim under
+  * test: serving bytes scale with |queries| × bands × page granule, NOT
+  * with accumulated history — flat serving bytes while history doubles.
+  *
   * Usage: DedupStreamProbe [mult] [nBatches] [compactEvery] (default 30 10 4)
   * Prints per-batch seconds plus one JSON line, also written to
   * /tmp/dedup_stream_probe.json. */
@@ -39,6 +46,7 @@ object DedupStreamProbe {
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(4)
     val spark = graft.GraftSession.create(master = "local[32]", shufflePartitions = 32)
     spark.sparkContext.setLogLevel("WARN")
+    DedupStream.ioStatsEnabled = true // probe-only FS-counter telemetry
 
     val root = Files.createTempDirectory("ndprobe").toString
     val srcDir = s"$root/src"
@@ -62,6 +70,24 @@ object DedupStreamProbe {
 
     val ix = DedupStream.MinHashIndexer(threshold = 0.5, k = 16, bands = 8,
       textCol = "text", idCol = "doc_id", n = 3)
+
+    // fixed serving query batch: 1000 replica-0 docs re-id'd into a query
+    // range — near-dups of indexed docs by construction, identical at both
+    // measurement points so the ONLY variable is the history size
+    val queryDocs = base.orderBy(col("doc_id")).limit(1000)
+      .select((col("doc_id") + 9000000000L).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    def serve(label: String): (Double, Long, Long) = {
+      val b0 = DedupStream.fsBytesReadNow()
+      val t0 = System.nanoTime()
+      val hits = DedupStream.findNearDups(spark, stateDir, queryDocs, ix).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      val b = DedupStream.fsBytesReadNow() - b0
+      println(f"serve[$label]  $t%7.2f s  ${b / 1048576.0}%8.2f MiB read  $hits hits")
+      (t, b, hits)
+    }
+
+    var serveHalf: Option[(Double, Long, Long)] = None
     val stats = (0 until nBatches).map { i =>
       corpus.where(col("chunk") === i).select(col("doc_id"), col("text"))
         .coalesce(4).write.mode("append").parquet(srcDir)
@@ -73,12 +99,14 @@ object DedupStreamProbe {
         stateDir, ck, ix, compactEvery = compactEvery)
       q.awaitTermination(600000)
       val t = (System.nanoTime() - t0) / 1e9
-      val io = DedupStream.lastIoStats.filter(_.batchId == i)
+      val io = DedupStream.lastIoStats(stateDir).filter(_.batchId == i)
       val (pb, vb) = io.map(s => (s.probeBytes, s.verifyBytes)).getOrElse((-1L, -1L))
       println(f"batch $i%2d  $t%7.2f s  probe ${pb / 1048576.0}%8.2f MiB  " +
         f"verify ${vb / 1048576.0}%8.2f MiB  (history ${(i + 1) * total / nBatches} docs)")
+      if (i == nBatches / 2 - 1) serveHalf = Some(serve(s"half, ${i + 1} batches"))
       (t, pb, vb)
     }
+    val serveFull = serve(s"full, $nBatches batches")
     val times = stats.map(_._1)
     corpus.unpersist()
     val tc0 = System.nanoTime()
@@ -90,12 +118,17 @@ object DedupStreamProbe {
     val ratio = if (nBatches >= 2) times(nBatches - 1) / times(1) else 1.0
     val probeRatio = if (nBatches >= 2 && stats(1)._2 > 0)
       stats(nBatches - 1)._2.toDouble / stats(1)._2 else 1.0
+    def serveJson(s: Option[(Double, Long, Long)]): String = s match {
+      case Some((t, b, h)) => f"""{"sec":$t%.2f,"mib":${b / 1048576.0}%.2f,"hits":$h}"""
+      case None => "null"
+    }
     val json = s"""{"mult":$mult,"n_batches":$nBatches,"compact_every":$compactEvery,""" +
       s""""docs":$total,""" +
       s""""resolved":$resolved,"batch_sec":[${times.map(t => f"$t%.2f").mkString(",")}],""" +
       s""""probe_mib":[${stats.map(s => f"${s._2 / 1048576.0}%.2f").mkString(",")}],""" +
       s""""verify_mib":[${stats.map(s => f"${s._3 / 1048576.0}%.2f").mkString(",")}],""" +
       f""""last_over_second":$ratio%.2f,"probe_bytes_last_over_second":$probeRatio%.2f,""" +
+      s""""serve_half":${serveJson(serveHalf)},"serve_full":${serveJson(Some(serveFull))},""" +
       f""""compact_sec":$compactSec%.2f}"""
     println(json)
     Files.write(Paths.get("/tmp/dedup_stream_probe.json"),
