@@ -30,7 +30,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
-      }
+      } finally
+        // a lingering corpus-sized NB feature cache makes LATER queries'
+        // numbers depend on run order/storage pressure (r12 finding): each
+        // query pays its own cache population and leaves nothing behind
+        graft.analytics.Corpus.releaseNbFeatureCache()
       (System.nanoTime() - t0) / 1e9
     }
 

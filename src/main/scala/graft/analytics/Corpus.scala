@@ -153,12 +153,18 @@ object Corpus {
     *
     * keep ⇔ bucketPrefix + withinBucketCumulative <= budget — one uniform
     * predicate: fully-selected buckets satisfy it for every doc, the
-    * cutoff bucket truncates mid-bucket, later buckets fail outright. */
+    * cutoff bucket truncates mid-bucket, later buckets fail outright.
+    *
+    * `tokenCounter` sets the budget's unit — default whitespace tokens;
+    * pass `Bpe.tokenCount(_)` (or a trained table's curried form) to
+    * budget in the tokens the actual tokenizer emits (the
+    * [[packSequences]] seam). */
   def selectToTokenBudget(docs: DataFrame, budget: Long,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      tokenCounter: Column => Column = TextFunctions.tokenCount(_)): DataFrame = {
     val scored = docs.select(col(idCol).as("id"),
       TextFunctions.qualityScore(col(textCol)).as("quality"),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      tokenCounter(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("qb", floor(col("quality") * 1000).cast("long"))
     val buckets = scored.groupBy(col("qb")).agg(sum(col("n_tokens")).as("_bt"))
     val wb = Window.orderBy(col("qb").desc) // ≤1001 rows: tiny by construction
@@ -956,19 +962,70 @@ object Corpus {
     * execution memory fails before the cache spills (measured:
     * IoBoundProbe ×1000 at 8g dies with UNABLE_TO_ACQUIRE_MEMORY, where
     * the split [[naiveBayesTrain]]+[[naiveBayesClassify]] form — two
-    * scans, hashing twice, no cache — completes; BASELINE.md r12). Use
-    * this form when corpus×features fits cluster storage memory (~1.5×
-    * faster); use the split form otherwise. */
+    * scans, hashing twice, no cache — completes; BASELINE.md r12). The
+    * choice is therefore SIZE-GATED like the repo's other
+    * scale-conditional strategies (`maxBloomDocs`, `PushdownMaxLists`,
+    * `PushdownMaxKeys`): with `shareFeatures = None` (the default) the
+    * shared-cache form runs only when the estimated cache size —
+    * Catalyst's plan-stats estimate of `docs` times
+    * [[NbCacheExpansion]] — fits within `spark.graft.nb.cacheFraction`
+    * (default 0.5) of the cluster's storage memory
+    * (`getExecutorMemoryStatus`); otherwise the split two-scan no-cache
+    * form runs (same rows, ~1.5× wall, survives any corpus size).
+    * `Some(true)`/`Some(false)` force a path. Both estimate inputs are
+    * driver-side plan/conf reads — the gate costs no job.
+    *
+    * Cache release: the winning shared-path cache stays alive until the
+    * next call here (the returned plan must still read it) — callers
+    * wanting the storage memory back after consuming the result call
+    * [[releaseNbFeatureCache]] (Bench does, so official numbers don't
+    * depend on suite cache pressure). */
   def naiveBayesTrainClassify(docs: DataFrame, labelCol: String,
       isTrain: Column, textCol: String = "text",
-      buckets: Int = 4096): DataFrame = {
-    val featDocs = docs
-      .withColumn("_nbf", hashedGramBuckets(col(textCol), buckets))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = lastNbFeatures.getAndSet(featDocs)
-    if (prev != null && (prev ne featDocs)) prev.unpersist(blocking = false)
-    val model = naiveBayesTrainFeatures(featDocs.where(isTrain), labelCol, "_nbf", buckets)
-    naiveBayesClassifyFeatures(featDocs, model, buckets, "_nbf").drop("_nbf")
+      buckets: Int = 4096, shareFeatures: Option[Boolean] = None): DataFrame = {
+    val share = shareFeatures.getOrElse(nbShareDecision(docs)._1)
+    if (!share) {
+      val model = naiveBayesTrain(docs.where(isTrain), labelCol, textCol, buckets)
+      naiveBayesClassify(docs, model, buckets, textCol)
+    } else {
+      val featDocs = docs
+        .withColumn("_nbf", hashedGramBuckets(col(textCol), buckets))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prev = lastNbFeatures.getAndSet(featDocs)
+      if (prev != null && (prev ne featDocs)) prev.unpersist(blocking = false)
+      val model = naiveBayesTrainFeatures(featDocs.where(isTrain), labelCol, "_nbf", buckets)
+      naiveBayesClassifyFeatures(featDocs, model, buckets, "_nbf").drop("_nbf")
+    }
+  }
+
+  /** Deserialized-cache bytes per parquet-estimated input byte: snappy
+    * text decompresses ~2–3×, the int-per-gram feature array roughly
+    * matches the text again, and cached-row overhead pads the rest.
+    * Deliberately conservative — overestimating flips to the split form,
+    * which is merely ~1.5× slower; underestimating reproduces the
+    * measured ×1000/8g UNABLE_TO_ACQUIRE_MEMORY failure. */
+  private[graft] val NbCacheExpansion = 3.0
+
+  /** The [[naiveBayesTrainClassify]] size gate: (share?, estimated cache
+    * bytes, cluster storage-memory bytes). Exposed package-private so
+    * probes can report which path the gate picked. */
+  private[graft] def nbShareDecision(docs: DataFrame): (Boolean, Long, Long) = {
+    val est = (docs.queryExecution.optimizedPlan.stats.sizeInBytes *
+      BigInt((NbCacheExpansion * 100).toLong) / 100)
+      .min(BigInt(Long.MaxValue)).toLong
+    val storage = docs.sparkSession.sparkContext
+      .getExecutorMemoryStatus.values.map(_._1).sum
+    val frac = docs.sparkSession.conf
+      .get("spark.graft.nb.cacheFraction", "0.5").toDouble
+    (est <= (storage * frac).toLong, est, storage)
+  }
+
+  /** Unpersist [[naiveBayesTrainClassify]]'s feature cache NOW instead of
+    * at the next call — for callers done consuming the returned plan
+    * (re-executing it afterwards still works; it just re-hashes). */
+  def releaseNbFeatureCache(): Unit = {
+    val prev = lastNbFeatures.getAndSet(null)
+    if (prev != null) prev.unpersist(blocking = false)
   }
 
   /** One-slot registry bounding [[naiveBayesTrainClassify]]'s feature

@@ -206,6 +206,15 @@ object CorpusQueries extends QueryModule {
       .select(col("id"), round(col("quality"), 6).as("quality"), col("n_tokens"))
       .orderBy(col("id"))
 
+  /** [[budgetQ]] budgeted in TRAINED-BPE tokens (r13): the same
+    * two-level bucket selection, its unit switched through the
+    * tokenCounter seam — selection set and n_tokens both move. */
+  private def budgetBpeQ(s: SparkSession, d: String): DataFrame =
+    Corpus.selectToTokenBudget(Tables.documents(s, d), budget = 8000,
+        tokenCounter = Bpe.tokenCount(_))
+      .select(col("id"), round(col("quality"), 6).as("quality"), col("n_tokens"))
+      .orderBy(col("id"))
+
   private def quotaQ(s: SparkSession, d: String): DataFrame =
     Corpus.quotaSample(Tables.documents(s, d), perSourceCap = 20)
       .groupBy(col("source"))
@@ -373,6 +382,7 @@ object CorpusQueries extends QueryModule {
     "decontaminate" -> (decontamQ _),
     "text_repetition" -> (repetitionQ _),
     "select_token_budget" -> (budgetQ _),
+    "select_token_budget_bpe" -> (budgetBpeQ _),
     "mix_sources" -> (mixQ _),
     "quality_gopher" -> (gopherQ _),
     "sample_temperature" -> (temperatureQ _),
@@ -773,6 +783,33 @@ object CorpusQueries extends QueryModule {
         |    + greatest(1.0 - abs(CAST(list_sum(list_transform($W, w -> length(w))) AS DOUBLE) / len($W) - 5.0) / 5.0, 0.0) * 0.2
         |    AS quality,
         |    CAST(len($W) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT *, CAST(floor(quality * 1000) AS BIGINT) AS qb FROM scored),
+        |buckets AS (SELECT qb, CAST(sum(n_tokens) AS BIGINT) AS bt FROM b GROUP BY 1),
+        |prefixes AS (
+        |  SELECT qb, CAST(coalesce(sum(bt) OVER (ORDER BY qb DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+        |  FROM buckets),
+        |cum AS (
+        |  SELECT b.id, b.quality, b.n_tokens, p.prefix,
+        |    CAST(sum(b.n_tokens) OVER (PARTITION BY b.qb ORDER BY b.quality DESC, b.id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM b JOIN prefixes p ON b.qb = p.qb)
+        |SELECT id, round(quality, 6) AS quality, n_tokens
+        |FROM cum WHERE prefix + c <= 8000 ORDER BY id""".stripMargin,
+    // the BPE-budgeted twin: identical selection machinery, n_tokens
+    // replayed as the trained-BPE fold (nested literal replaces from the
+    // SAME FixedMerges table the Spark side folds over)
+    "select_token_budget_bpe" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id AS id,
+        |    least(CAST(len($W) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |    + greatest(1.0 - (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 10.0, 0.0) * 0.3
+        |    + least((CAST(len(list_filter($W, t -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','it','that'], t))) AS DOUBLE) / len($W)) * 5.0, 1.0) * 0.2
+        |    + greatest(1.0 - abs(CAST(list_sum(list_transform($W, w -> length(w))) AS DOUBLE) / len($W) - 5.0) / 5.0, 0.0) * 0.2
+        |    AS quality,
+        |    ${Bpe.tokenCountSql("text")} AS n_tokens
         |  FROM documents),
         |b AS (SELECT *, CAST(floor(quality * 1000) AS BIGINT) AS qb FROM scored),
         |buckets AS (SELECT qb, CAST(sum(n_tokens) AS BIGINT) AS bt FROM b GROUP BY 1),

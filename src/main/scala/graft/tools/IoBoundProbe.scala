@@ -103,6 +103,13 @@ object IoBoundProbe {
 
     synthesize(spark)
 
+    // which path the r13 size gate picks for the DEFAULT NB entry point
+    // at this scale/heap (the r12 weak: shared-cache form dies at ×1000/8g)
+    val (nbShare, nbEst, nbStor) = graft.analytics.Corpus.nbShareDecision(
+      graft.sources.Tables.documents(spark, x1000))
+    println(s"nb gate at x1000: share=$nbShare est=${nbEst / 1048576}MiB " +
+      s"storage=${nbStor / 1048576}MiB")
+
     // one untimed pass at base scale pays codegen/JIT; the event-log
     // ingest materialization is untimed at x1000 (Bench's contract)
     queries.foreach { q =>

@@ -57,7 +57,10 @@ object ScaleProbe {
     "sample_diversity", "js_branch_fold",
     "js_streams_matching", "js_first_event",
     // r12 additions
-    "bpe_tokenize", "pack_sequences_bpe", "js_map_guard")
+    "bpe_tokenize", "pack_sequences_bpe", "js_map_guard",
+    // r13 registry delta (soak hygiene): every new oracle query gets a
+    // soak row the round it lands
+    "chunk_by_tokens_bpe", "select_token_budget_bpe", "js_array_guard")
 
   private val srcDir = "/root/testdata/sf0.1"
   private val scaleRoot = "/tmp/graft_scale"

@@ -147,6 +147,24 @@ class CorpusSpec extends SparkTestBase {
     val expect = naive.takeWhile { case (_, _, n) => { cum += n; cum <= budget } }
       .map(_._1).toSet
     assert(selected.map(_._1).toSet == expect)
+    // trained-BPE counter through the tokenCounter seam: same property
+    // at the new unit (selection set AND n_tokens move together)
+    val selBpe = Corpus.selectToTokenBudget(docs, budget,
+        tokenCounter = graft.analytics.Bpe.tokenCount(_))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(selBpe.map(_._2).sum <= budget)
+    val naiveBpe = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.analytics.Bpe.tokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cumB = 0L
+    val expectBpe = naiveBpe.takeWhile { case (_, _, n) => { cumB += n; cumB <= budget } }
+      .map(_._1).toSet
+    assert(selBpe.map(_._1).toSet == expectBpe)
+    assert(selBpe.map(_._1).toSet != selected.map(_._1).toSet ||
+      selBpe.map(_._2).sum != selected.map(_._2).sum,
+      "BPE counter must actually change the unit (token counts differ)")
   }
 
   test("decontaminate flags eval copies, not unrelated docs") {
@@ -383,5 +401,37 @@ class CorpusSpec extends SparkTestBase {
     val emptyModel = Corpus.naiveBayesTrain(
       Seq(("", "a")).toDF("text", "label"), "label", "text", buckets = 512)
     assert(Corpus.naiveBayesClassify(docs, emptyModel, buckets = 512).count() == 0)
+  }
+
+  test("naiveBayesTrainClassify: shared-cache and split paths return " +
+    "identical rows; the size gate picks shared for small inputs and " +
+    "split past the configured fraction") {
+    val s = spark; import s.implicits._
+    val docs = (
+      (0 until 12).map(i => (i.toLong * 2, s"spark shuffle partition exchange plan $i", "systems")) ++
+      (0 until 12).map(i => (i.toLong * 2 + 1, s"sonnet meter rhyme stanza verse $i", "poetry"))
+    ).toDF("doc_id", "text", "label")
+    val isTrain = col("doc_id") % 3 =!= 0
+    def rows(share: Option[Boolean]) =
+      Corpus.naiveBayesTrainClassify(docs, "label", isTrain, buckets = 512,
+          shareFeatures = share)
+        .collect().map(r => (r.getLong(0), r.getAs[String]("pred_label"),
+          r.getAs[Double]("log_score"))).sortBy(_._1).toSeq
+    val shared = rows(Some(true))
+    val split = rows(Some(false))
+    assert(shared == split, "gate paths must be result-invisible")
+    assert(rows(None) == shared)
+    Corpus.releaseNbFeatureCache()
+    // the gate: tiny corpus → shared; with the allowed fraction forced to
+    // ~zero the SAME corpus flips to split (decision only — rows pinned
+    // equal above)
+    assert(Corpus.nbShareDecision(docs)._1)
+    spark.conf.set("spark.graft.nb.cacheFraction", "1e-12")
+    try assert(!Corpus.nbShareDecision(docs)._1)
+    finally spark.conf.unset("spark.graft.nb.cacheFraction")
+    // release is idempotent and re-execution after release still works
+    Corpus.releaseNbFeatureCache()
+    assert(rows(Some(true)) == shared)
+    Corpus.releaseNbFeatureCache()
   }
 }
