@@ -68,6 +68,12 @@ private[js] object JsColumnCompiler {
 
   /** Working name of the partition-key column inside the compiled plan. */
   private val KeyCol = "__graft_js_k"
+  /** Pre-state column suffixes for ARRAY (push-field) reads — one field
+    * can carry BOTH a length window and a membership window. The
+    * \u0001 separator keeps a sibling field literally named `f + "len"`
+    * from aliasing the column (the [[PathSep]] encoding trick). */
+  private val ArrLenSfx = "\u0001len"
+  private val ArrHasSfx = "\u0001has"
   /** Prefix of the per-field PRE-EVENT state columns (running sum over
     * the fold-order-preceding rows of the partition) that compiled
     * state reads resolve to; the build adds one per read field. */
@@ -289,6 +295,16 @@ private[js] object JsColumnCompiler {
       * (the canonical read-then-update guard idiom); a second key shape
       * refuses. Per-handler by construction (one Ctx per handler). */
     val foldMapReads: mutable.Map[String, (Expr, Column)] = mutable.Map.empty
+    /** ARRAY (push-field) pre-state MEMBERSHIP reads compiled in THIS
+      * handler: field → (the probe Expr, its raw string column). The
+      * membership window partitions by ONE per-row value column, so
+      * every membership read of f in a handler — and the handler's push
+      * site elements, if any — must use a STRUCTURALLY identical value
+      * expression (the foldMapReads one-key rule); a second probe shape
+      * refuses. */
+    val foldArrHas: mutable.Map[String, (Expr, Column)] = mutable.Map.empty
+    /** ARRAY pre-state LENGTH reads compiled in THIS handler. */
+    val foldArrLen: mutable.Set[String] = mutable.Set.empty
     /** Set while compiling the body of a `try` — expression forms whose
       * runtime errors CANNOT ride the err channel (regex budget guards
       * throw from inside codegen'd statics, uncatchably) must refuse to
@@ -633,6 +649,29 @@ private[js] object JsColumnCompiler {
       locals.get(n).orElse {
         if (ctx.envParam.contains(n) || ctx.stateParam.contains(n)) None
         else ctx.cp.interp.globals.lookup(n).flatMap(constTC)
+      }
+
+    // ARRAY-state LENGTH pre-state read `s.xs.length` inside a states()-
+    // fold handler (`if (s.xs.length >= 3) …`): the value the
+    // interpreter's array holds as this event's handler starts is the
+    // count of fold-order-PRECEDING executed pushed elements (push
+    // fields start from [] — enforced at compile()) — a running-sum
+    // window over the same partition key every other pre-state read
+    // uses, so it shares their exchange. Always integral. The guard
+    // pins the init to an EMPTY ARRAY so `.length` of string/other
+    // state fields still flows to the generic member path below.
+    case Member(m: Member, "length") if ctx.foldStateReads != null &&
+        statePathOf(m, ctx, locals).exists(f => ctx.initFields.get(f).exists {
+          case JsArr(items) => items.isEmpty
+          case _ => false
+        }) =>
+      val f = statePathOf(m, ctx, locals).get
+      if (ctx.foldMutated.contains(f)) None
+      else {
+        ctx.foldArrLen += f
+        ctx.foldStateReads += f
+        ctx.refs += "log_position"
+        Some(TC(col(PreColPrefix + f + ArrLenSfx), TNum(integral = true), NoNull))
       }
 
     case Member(o, p) => o match {
@@ -1105,6 +1144,10 @@ private[js] object JsColumnCompiler {
             .otherwise(ln % rn),
           _ && _)
       case "<" | ">" | "<=" | ">=" =>
+        // the array-state `indexOf(V) >= 0` membership idiom compiles
+        // FIRST (the indexOf value alone never compiles, so the generic
+        // relational form below cannot claim it)
+        arrIndexOfRel(op, l, r, ctx, locals).orElse {
         // ES relational: ToPrimitive both sides; only when BOTH come out
         // strings is it code-unit string order (which SQL binary order
         // does not match beyond the BMP) — so compile the NUMERIC form
@@ -1128,7 +1171,10 @@ private[js] object JsColumnCompiler {
           TC(when(isnan(ln) || isnan(rn), lit(false)).otherwise(cmp), TBool,
             NoNull, err = errJoin(lt.err, rt.err))
         }
-      case "==" | "!=" | "===" | "!==" => equality(op, l, r, ctx, locals)
+        }
+      case "==" | "!=" | "===" | "!==" =>
+        arrIndexOfEq(op, l, r, ctx, locals)
+          .orElse(equality(op, l, r, ctx, locals))
       case _ => None
     }
   }
@@ -1321,6 +1367,149 @@ private[js] object JsColumnCompiler {
 
   // ----------------------------------------------------------- calls
 
+  // ------------------------------------------ array-state pre-state reads
+
+  /** `s.f` receiver of an array-state read, when f is a push-shaped
+    * field ($init: []) and fold pre-state reads are enabled. */
+  private def arrStateReceiver(m: Member, ctx: Ctx,
+      locals: Map[String, TC]): Option[String] =
+    if (ctx.foldStateReads == null) None
+    else statePathOf(m, ctx, locals).filter(f => ctx.initFields.get(f).exists {
+      case JsArr(items) => items.isEmpty
+      case _ => false
+    })
+
+  /** The `s.f.indexOf(V)` shape. The index VALUE itself is not
+    * compilable — the membership window cannot reconstruct a first-match
+    * position — so only its sign tests compile ([[arrIndexOfRel]] /
+    * [[arrIndexOfEq]]); any other use falls back whole-definition. */
+  private def arrIndexOfShape(e: Expr, ctx: Ctx,
+      locals: Map[String, TC]): Option[(Member, Expr)] = e match {
+    case Call(Member(m: Member, "indexOf"), Seq(v))
+        if arrStateReceiver(m, ctx, locals).isDefined => Some((m, v))
+    case _ => None
+  }
+
+  /** A possibly-negated numeric literal (the parser renders `-1` as
+    * unary minus over `1`). */
+  private def numConst(e: Expr): Option[Double] = e match {
+    case NumLit(d) => Some(d)
+    case Unary("-", NumLit(d)) => Some(-d)
+    case _ => None
+  }
+
+  /** Compile an array-state MEMBERSHIP pre-state read — "is V in s.f as
+    * this event's handler starts": a count-of-preceding-executed-pushes
+    * window over (partition, V) — rows carrying the same probe/pushed
+    * value share a window partition, so the count is exactly "some
+    * preceding event pushed THIS value" (the foldMapReads construction
+    * with the pushed element as the dynamic key). Exactness requires
+    * value equality to BE JS strict equality, so the probe must be a
+    * provably-plain string (NoNull, err-free — the column doubles as the
+    * raise-free window partition key) and compile() verifies every push
+    * site's element likewise carries a raw string; numbers (NaN and
+    * ±Infinity collapse in any rendering) and dynamics refuse. One
+    * structural probe per field per handler, matching the handler's push
+    * element (the foldMapReads one-key rule; addPush enforces its side). */
+  private def arrMembershipRead(m: Member, vExpr: Expr, ctx: Ctx,
+      locals: Map[String, TC]): Option[TC] = {
+    val f = arrStateReceiver(m, ctx, locals) match {
+      case Some(p) => p
+      case None => return None
+    }
+    if (ctx.foldMutated.contains(f)) return None
+    if (ctx.foldArrHas.get(f).exists(_._1 != vExpr)) return None // two probe shapes
+    compileExpr(vExpr, ctx, locals).flatMap { vTC =>
+      vTC.ty match {
+        case TStr(_) if vTC.nullAs == NoNull && vTC.err.isEmpty =>
+          ctx.foldArrHas.getOrElseUpdate(f, (vExpr, vTC.col))
+          ctx.foldStateReads += f
+          ctx.refs += "log_position"
+          Some(TC(col(PreColPrefix + f + ArrHasSfx), TBool, NoNull))
+        case _ => None
+      }
+    }
+  }
+
+  /** `s.f.indexOf(V) <cmp> 0/-1` membership idiom, relational forms
+    * (either operand order). */
+  private def arrIndexOfRel(op: String, l: Expr, r: Expr, ctx: Ctx,
+      locals: Map[String, TC]): Option[TC] = {
+    def mk(m: Member, v: Expr, negated: Boolean): Option[TC] =
+      arrMembershipRead(m, v, ctx, locals).map(tc =>
+        if (negated) tc.copy(col = !tc.col) else tc)
+    (arrIndexOfShape(l, ctx, locals), numConst(r)) match {
+      case (Some((m, v)), Some(d)) =>
+        if ((op == ">=" && d == 0) || (op == ">" && d == -1)) mk(m, v, negated = false)
+        else if ((op == "<" && d == 0) || (op == "<=" && d == -1)) mk(m, v, negated = true)
+        else None
+      case _ => (numConst(l), arrIndexOfShape(r, ctx, locals)) match {
+        case (Some(d), Some((m, v))) =>
+          if ((op == "<=" && d == 0) || (op == "<" && d == -1)) mk(m, v, negated = false)
+          else if ((op == ">" && d == 0) || (op == ">=" && d == -1)) mk(m, v, negated = true)
+          else None
+        case _ => None
+      }
+    }
+  }
+
+  /** Negated-membership conjuncts of an if condition, each paired with
+    * the condition REBUILT with that conjunct replaced by `true` — the
+    * OFFER guard of a self-deduplicating push in the then branch (see
+    * PushTerm.offer). Fields with two such conjuncts are skipped (every
+    * rebuild would keep a membership column and the circularity gate
+    * rejects it anyway) — this recognition only widens compilability,
+    * never correctness. */
+  private def arrDedupRebuilds(c: Expr, ctx: Ctx,
+      locals: Map[String, TC]): Seq[(String, Expr)] = {
+    def negShape(e: Expr): Option[String] = e match {
+      case Unary("!", Call(Member(m: Member, "includes"), Seq(_))) =>
+        arrStateReceiver(m, ctx, locals)
+      case Binary(op, l, r) =>
+        (arrIndexOfShape(l, ctx, locals), numConst(r)) match {
+          case (Some((m, _)), Some(d))
+              if (op == "<" && d == 0) || (op == "<=" && d == -1) ||
+                ((op == "===" || op == "==") && d == -1) =>
+            arrStateReceiver(m, ctx, locals)
+          case _ => (numConst(l), arrIndexOfShape(r, ctx, locals)) match {
+            case (Some(d), Some((m, _)))
+                if (op == ">" && d == 0) || (op == ">=" && d == -1) ||
+                  ((op == "===" || op == "==") && d == -1) =>
+              arrStateReceiver(m, ctx, locals)
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+    def conjuncts(e: Expr): List[Expr] = e match {
+      case Logical("&&", a, b) => conjuncts(a) ::: conjuncts(b)
+      case x => List(x)
+    }
+    conjuncts(c).flatMap(cj => negShape(cj).map(f => (f, cj)))
+      .groupBy(_._1).toSeq.collect { case (f, Seq((_, target))) =>
+        def rebuild(e: Expr): Expr = e match {
+          case Logical("&&", a, b) => Logical("&&", rebuild(a), rebuild(b))
+          case x if x eq target => BoolLit(true)
+          case x => x
+        }
+        (f, rebuild(c))
+      }
+  }
+
+  /** `s.f.indexOf(V) ===/==/!==/!= -1` membership idiom. */
+  private def arrIndexOfEq(op: String, l: Expr, r: Expr, ctx: Ctx,
+      locals: Map[String, TC]): Option[TC] = {
+    val shape = arrIndexOfShape(l, ctx, locals)
+      .filter(_ => numConst(r).contains(-1.0))
+      .orElse(arrIndexOfShape(r, ctx, locals).filter(_ => numConst(l).contains(-1.0)))
+    shape.flatMap { case (m, v) =>
+      arrMembershipRead(m, v, ctx, locals).map { tc =>
+        val absent = !tc.col
+        tc.copy(col = if (op.startsWith("!")) !absent else absent)
+      }
+    }
+  }
+
   private def call(callee: Expr, args: Seq[Expr], ctx: Ctx,
       locals: Map[String, TC]): Option[TC] = callee match {
     case Ident("Date") if unshadowedNative(ctx, locals, "Date") => dateCtor(args, ctx, locals)
@@ -1412,6 +1601,16 @@ private[js] object JsColumnCompiler {
             }
           }
         }
+        case _ => None
+      }
+    // array-state membership read `s.f.includes(V)` — SameValueZero is
+    // strict equality on the provably-string values the compile is
+    // limited to. The receiver guard pins f's $init to []; string-state
+    // `.includes` flows to the generic member dispatch below.
+    case Member(m: Member, "includes")
+        if arrStateReceiver(m, ctx, locals).isDefined =>
+      args match {
+        case Seq(v) => arrMembershipRead(m, v, ctx, locals)
         case _ => None
       }
     case Member(obj, m) =>
@@ -1787,7 +1986,22 @@ private[js] object JsColumnCompiler {
     * fragments in argument order, already coalesced to "null"
     * (JSON.stringify renders undefined array ELEMENTS as null, unlike
     * object values, which drop the key). */
-  private final case class PushTerm(exec: Column, frags: Seq[Column]) extends FieldOp
+  private final case class PushTerm(exec: Column, frags: Seq[Column],
+      /** Per-element RAW value column when provably a plain string
+        * (NoNull, err-free) — what membership pre-state reads of the
+        * field compare; siteless elements refuse such reads. */
+      rawStrs: Seq[Option[Column]] = Seq.empty,
+      /** Self-dedup OFFER guard: set when the push is guarded by the
+        * negated membership of ITS OWN field (`if (!s.f.includes(V))
+        * s.f.push(V)`) — the guard with that conjunct replaced by true.
+        * The membership window counts OFFERS, not executions: exact,
+        * because the FIRST offered occurrence of a value always executes
+        * the push (no earlier execution exists to have made it a
+        * member), so "some preceding offer of V" ⟺ "V is a member as
+        * this row's handler starts". Without the offer the window input
+        * would reference the window's own output — the circularity gate
+        * falls the definition back. */
+      offer: Option[Column] = None) extends FieldOp
   /** String accumulator `s.f += <state-free STATICALLY-STRING expr>` (a
     * string rhs makes JS += concatenation whatever the accumulator
     * currently holds): each executed site's appended fragment is
@@ -1996,7 +2210,13 @@ private[js] object JsColumnCompiler {
         * handler processes (raise-free: errors ride the read's err
         * channel). Handlers that only WRITE the field route their
         * guarded site key instead; see mapPreKey. */
-      mapReadKeys: Map[String, Column] = Map.empty)
+      mapReadKeys: Map[String, Column] = Map.empty,
+      /** Per array-membership-read field, THIS handler's unguarded probe
+        * value column — the per-row partition value of the membership
+        * window (mapReadKeys' mirror; see arrPreVal). */
+      arrHasVals: Map[String, Column] = Map.empty,
+      /** Array fields THIS handler length-reads. */
+      arrLenReads: Set[String] = Set.empty)
 
   private def compileHandler(fn: JsVal, cp: CompiledJsProjection,
       partitionCol: Column, refs: mutable.Set[String],
@@ -2014,7 +2234,9 @@ private[js] object JsColumnCompiler {
         walkStmts(body, None, Map.empty, topLevel = true, ctx)
           .map { case (_, fields, emits, raises) =>
             HandlerFold(fields, emits, raises,
-              ctx.foldMapReads.view.mapValues(_._2).toMap) }
+              ctx.foldMapReads.view.mapValues(_._2).toMap,
+              ctx.foldArrHas.view.mapValues(_._2).toMap,
+              ctx.foldArrLen.toSet) }
       case _ => None
     }
 
@@ -2027,7 +2249,13 @@ private[js] object JsColumnCompiler {
     * then an optional final `return s`. Anything else → None. */
   private def walkStmts(stmts: Seq[Stmt], guard: Option[Column],
       locals0: Map[String, TC], topLevel: Boolean, ctx: Ctx,
-      tryAcc: Option[TryAcc] = None): Option[(Map[String, TC], FieldTerms, List[EmitSite], List[Column])] = {
+      tryAcc: Option[TryAcc] = None,
+      /** Per-field self-dedup OFFER guards for pushes at THIS level —
+        * set by the enclosing If whose condition carried the field's
+        * negated-membership conjunct (see PushTerm.offer). Never
+        * propagated into nested walks: a deeper push runs under extra
+        * conditions the offer would not carry. */
+      arrOffer: Map[String, Column] = Map.empty): Option[(Map[String, TC], FieldTerms, List[EmitSite], List[Column])] = {
     var locals = locals0
     val acc = List.newBuilder[(String, FieldOp)]
     val emitAcc = List.newBuilder[EmitSite]
@@ -2280,13 +2508,24 @@ private[js] object JsColumnCompiler {
     // all elements state-free. JS evaluates every argument BEFORE the
     // push runs, so a throwing later argument suppresses the whole
     // site's append — one combined exec guard is exact.
-    def addPush(f: String, args: Seq[Expr], g0: Option[Column]): Boolean = {
+    def addPush(f: String, args: Seq[Expr], g0: Option[Column],
+        offer: Option[Column] = None): Boolean = {
+      // one-shared-value rule: a handler that membership-READS f must
+      // push the structurally identical expression — the membership
+      // window partitions by ONE per-row value column (see addMapSum)
+      if (ctx.foldArrHas.contains(f) &&
+          (args.size != 1 || ctx.foldArrHas(f)._1 != args.head)) return false
       var g = g0
+      val rawStrs = Seq.newBuilder[Option[Column]]
       val frags = args.map { a =>
         val tc = compileExpr(a, ctx, locals) match {
           case Some(v) => v
           case None => return false
         }
+        rawStrs += (tc.ty match {
+          case TStr(_) if tc.nullAs == NoNull && tc.err.isEmpty => Some(tc.col)
+          case _ => None
+        })
         val frag0 = fragOf(tc) match {
           case Some(c) => c
           case None => return false
@@ -2298,7 +2537,7 @@ private[js] object JsColumnCompiler {
         g = andOk(g, ok)
         coalesce(frag, lit("null")) // undefined element renders as null
       }
-      acc += f -> PushTerm(g.getOrElse(lit(true)), frags)
+      acc += f -> PushTerm(g.getOrElse(lit(true)), frags, rawStrs.result(), offer)
       true
     }
 
@@ -2384,7 +2623,12 @@ private[js] object JsColumnCompiler {
           return None
       case ExprStmt(Call(Member(tgt: Member, "push"), args))
           if statePathOf(tgt, ctx, locals).isDefined && args.nonEmpty =>
-        if (!addPush(statePathOf(tgt, ctx, locals).get, args, effGuard))
+        val f = statePathOf(tgt, ctx, locals).get
+        // the offer is valid only while this level's guard is still
+        // exactly the body-entry guard — an earlier early-return added a
+        // conjunct the offer would not carry
+        val off = if (retGuard.isEmpty) arrOffer.get(f) else None
+        if (!addPush(f, args, effGuard, off))
           return None
       case ExprStmt(Call(Ident(fn @ ("emit" | "linkTo" | "linkStreamTo")), args))
           if unshadowedNative(ctx, locals, fn) =>
@@ -2512,7 +2756,23 @@ private[js] object JsColumnCompiler {
         def nest(cond: Column): Column =
           base.map(g => intern(ctx, when(g, cond).otherwise(lit(false))))
             .getOrElse(cond)
-        walkStmts(t, Some(nest(cc)), locals, topLevel = false, ctx, tryAcc) match {
+        // self-deduplicating list append: a negated-membership conjunct
+        // of field f makes a then-branch push of f execution-guarded by
+        // f's OWN pre-state window — circular. The membership window
+        // instead counts OFFERS: the condition with that conjunct
+        // replaced by `true` (see PushTerm.offer). Built only when the
+        // rebuilt condition is err-free (the offer column is a window
+        // input — it must be raise-free on every row) and outside try.
+        val arrOffers: Map[String, Column] =
+          if (tryAcc.nonEmpty || ctx.foldStateReads == null) Map.empty
+          else arrDedupRebuilds(c, ctx, locals).flatMap { case (f, rebuilt) =>
+            truthyExpr(rebuilt, ctx, locals) match {
+              case Some(oc) if oc.err.isEmpty => Some(f -> nest(oc.col))
+              case _ => None
+            }
+          }.toMap
+        walkStmts(t, Some(nest(cc)), locals, topLevel = false, ctx, tryAcc,
+            arrOffers) match {
           case Some((_, ts, es2, rs2)) => acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
           case None => return None
         }
@@ -3042,6 +3302,11 @@ private[js] object JsColumnCompiler {
     val typedFolds: Seq[(String, FieldTerms)] =
       typedHandlers.map { case (t, h) => t -> h.fields }
     val anyFold: Option[FieldTerms] = anyHandler.map(_.fields)
+    // which array pre-read flavors were compiled, per field (a push field
+    // can carry BOTH a length and a membership window)
+    val allHandlerFolds: Seq[HandlerFold] = typedHandlers.map(_._2) ++ anyHandler.toList
+    val arrLenFields: Set[String] = allHandlerFolds.flatMap(_.arrLenReads).toSet
+    val arrHasFields: Set[String] = allHandlerFolds.flatMap(_.arrHasVals.keys).toSet
     val rowRaise: Option[Column] = raiseRouted(typedHandlers, anyHandler)
 
     // assigned fields must exist in $init (JS += onto a missing field is
@@ -3222,6 +3487,19 @@ private[js] object JsColumnCompiler {
           } else if (sites.nonEmpty && sites.forall(_.rawStr.isDefined))
             strClaim += f
           else return None
+        // array reads. Length: exact for any push field (init [] is
+        // enforced above — the pre length is the count of preceding
+        // executed pushed elements). Membership: every site must push
+        // exactly ONE provably-string element (raw string equality IS
+        // JS strict equality; the walk enforced the shared structural
+        // value within each reading handler).
+        case PushK =>
+          if (!arrLenFields(f) && !arrHasFields(f)) return None
+          if (arrHasFields(f) && allOps.exists {
+            case (`f`, p: PushTerm) =>
+              p.frags.size != 1 || p.rawStrs.headOption.flatten.isEmpty
+            case _ => false
+          }) return None
         case _ => return None
       }
     }
@@ -3465,6 +3743,41 @@ private[js] object JsColumnCompiler {
       if (typedHandlers.isEmpty) fallback
       else typedHandlers.foldLeft(Option.empty[Column]) { case (acc, (t, h)) =>
         val c = keyOf(h)
+        Some(acc match {
+          case None => when(col("event_type") === t, c)
+          case Some(w) => w.when(col("event_type") === t, c)
+        })
+      }.get.otherwise(fallback)
+    }
+    // array-field pre-read window inputs: the per-event executed
+    // pushed-element count (length window), whether any site OFFERED —
+    // or, outside the self-dedup idiom, executed — a push (membership
+    // window; see PushTerm.offer), and the per-row membership value
+    // column (mapPreKey's mirror: readers route their unguarded probe,
+    // write-only handlers their offer/exec-guarded element raw)
+    def arrCntContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, p: PushTerm) => p } match {
+        case Nil => lit(0.0)
+        case sites => sites.map(p =>
+          when(p.exec, lit(p.frags.size.toDouble)).otherwise(lit(0.0)))
+          .reduce(_ + _)
+      }
+    def arrHasOfferContrib(terms: FieldTerms, f: String): Column =
+      terms.collect { case (`f`, p: PushTerm) => p } match {
+        case Nil => lit(false)
+        case sites => sites.map(p => p.offer.getOrElse(p.exec)).reduce(_ || _)
+      }
+    def arrPreVal(f: String): Column = {
+      def valOf(h: HandlerFold): Column =
+        h.arrHasVals.getOrElse(f,
+          h.fields.collectFirst {
+            case (`f`, p: PushTerm) if p.rawStrs.headOption.flatten.isDefined =>
+              when(p.offer.getOrElse(p.exec), p.rawStrs.head.get)
+          }.getOrElse(nullStr))
+      val fallback = anyHandler.map(valOf).getOrElse(nullStr)
+      if (typedHandlers.isEmpty) fallback
+      else typedHandlers.foldLeft(Option.empty[Column]) { case (acc, (t, h)) =>
+        val c = valOf(h)
         Some(acc match {
           case None => when(col("event_type") === t, c)
           case Some(w) => w.when(col("event_type") === t, c)
@@ -3798,22 +4111,26 @@ private[js] object JsColumnCompiler {
         org.apache.spark.sql.graftbridge.Bridge.expression(c)
           .canonicalized.toString)
         .map(_.group(1)).toSet
-    val taintedLets: Set[String] =
-      if (preReads.isEmpty) Set.empty
-      else {
-        var tainted = Set.empty[String]
-        var grown = true
-        while (grown) {
-          grown = false
-          for ((n, c) <- letSeq if !tainted(n)) {
-            val rs = attrRefs(c)
-            if (rs.exists(r => r.startsWith(PreColPrefix) || tainted(r))) {
-              tainted += n; grown = true
-            }
+    // lets transitively referencing a pre-state column, with `allowed`
+    // pre columns treated as clean (the PushK length/membership DAG
+    // exemption below)
+    def taintedWith(allowed: Set[String]): Set[String] = {
+      var tainted = Set.empty[String]
+      var grown = true
+      while (grown) {
+        grown = false
+        for ((n, c) <- letSeq if !tainted(n)) {
+          val rs = attrRefs(c)
+          if (rs.exists(r => (r.startsWith(PreColPrefix) && !allowed(r)) ||
+              tainted(r))) {
+            tainted += n; grown = true
           }
         }
-        tainted
       }
+      tainted
+    }
+    val taintedLets: Set[String] =
+      if (preReads.isEmpty) Set.empty else taintedWith(Set.empty)
     // Per-read-field window inputs — the kind-appropriate per-event
     // contribution columns the pre-state window aggregates (shared by
     // the circularity gate below and the build's window binder)
@@ -3839,6 +4156,19 @@ private[js] object JsColumnCompiler {
           Seq(kept(routed(f, preMapLastStrContrib, nullGs), nullGs), mapPreKey(f))
         else
           Seq(kept(routed(f, preMapLastNumContrib, nullGn), nullGn), mapPreKey(f))
+      // array reads: up to TWO windows' inputs (length count; membership
+      // offer flag + per-row value). A push whose own exec references
+      // the field's pre column without an offer (a length-bounded push,
+      // or a self-dedup shape the idiom recognition missed) is exactly
+      // what the circularity gate below rejects.
+      case PushK =>
+        (if (arrLenFields(f))
+          Seq(kept(routed(f, arrCntContrib, lit(0.0)), lit(0.0)))
+        else Seq.empty) ++
+        (if (arrHasFields(f))
+          Seq(kept(routed(f, arrHasOfferContrib, lit(false)), lit(false)),
+            arrPreVal(f))
+        else Seq.empty)
     }
     // Circularity gate: a READ field's own per-row contribution must
     // never itself depend on a pre-state column — directly or through a
@@ -3846,10 +4176,32 @@ private[js] object JsColumnCompiler {
     // output. Other (unread) fields MAY reference pre columns freely:
     // those references live in agg inputs computed after the windows.
     if (preReads.nonEmpty) {
-      for (f <- preReads; c <- preWindowInputs(f)) {
-        val rs = attrRefs(c)
-        if (rs.exists(r => r.startsWith(PreColPrefix) || taintedLets(r)))
-          return None
+      for (f <- preReads) {
+        val ins = preWindowInputs(f)
+        // PushK DAG exemption: the LENGTH window's input may reference
+        // the SAME field's membership pre column (a distinct-type list's
+        // push is guarded by its own membership — offer-compiled, so the
+        // membership input below stays strictly pre-free, and the build
+        // adds the membership column before the length column). Every
+        // other window input must be strictly pre-free.
+        val (relaxedIns, strictIns) = fieldKind(f) match {
+          case PushK => ins.splitAt(if (arrLenFields(f)) 1 else 0)
+          case _ => (Seq.empty, ins)
+        }
+        for (c <- strictIns) {
+          val rs = attrRefs(c)
+          if (rs.exists(r => r.startsWith(PreColPrefix) || taintedLets(r)))
+            return None
+        }
+        if (relaxedIns.nonEmpty) {
+          val allowed = Set(PreColPrefix + f + ArrHasSfx)
+          val relaxedTaint = taintedWith(allowed)
+          for (c <- relaxedIns) {
+            val rs = attrRefs(c)
+            if (rs.exists(r => (r.startsWith(PreColPrefix) && !allowed(r)) ||
+                relaxedTaint(r))) return None
+          }
+        }
       }
       // the partition key itself must be pre-free (it compiles before
       // any handler walk, so this can only trip on pathological reuse)
@@ -3874,10 +4226,49 @@ private[js] object JsColumnCompiler {
       // path's per-key sort already makes. Sums are integral longs
       // rendered as doubles (exact below 2^53, like the aggregate);
       // extrema/overwrites carry exact doubles / raw strings.
-      val keyedPre = preReads.foldLeft(keyed0) { (d, f) =>
+      val (keyedPre, boundMid) = preReads
+          .foldLeft((keyed0, Set.empty[String])) { case ((d, bound), f) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(KeyCol)).orderBy(col("log_position"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        if (fieldKind(f) == PushK) {
+          // array reads get up to TWO pre columns: the membership
+          // offer-count over (partition, value) — non-null boolean:
+          // count over an empty preceding frame is 0 = absent — added
+          // FIRST because the length input may reference it (the
+          // distinct-list shape's gate exemption), then the length
+          // running count over the shared partition-key exchange
+          val d1 =
+            if (!arrHasFields(f)) d
+            else {
+              val w2 = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(KeyCol), arrPreVal(f))
+                .orderBy(col("log_position"))
+                .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+              d.withColumn(PreColPrefix + f + ArrHasSfx,
+                count(when(kept(routed(f, arrHasOfferContrib, lit(false)),
+                  lit(false)), lit(1))).over(w2) > 0)
+            }
+          // mid-fold let binding (the gate exemption's other half): the
+          // length input typically references the push guard — a let
+          // tainted ONLY through this field's membership column, which
+          // now exists — so such lets bind here, before the length window
+          val (d2, bound2) =
+            if (!arrLenFields(f) || !arrHasFields(f)) (d1, bound)
+            else {
+              val mid = taintedWith(Set(PreColPrefix + f + ArrHasSfx))
+              letsPost.filter { case (n, _) => !mid(n) && !bound(n) }
+                .foldLeft((d1, bound)) { case ((dd, bb), (n, c)) =>
+                  (dd.withColumn(n, c), bb + n)
+                }
+            }
+          val d3 =
+            if (!arrLenFields(f)) d2
+            else d2.withColumn(PreColPrefix + f + ArrLenSfx,
+              coalesce(sum(kept(routed(f, arrCntContrib, lit(0.0)), lit(0.0))
+                .cast(LongType)).over(w), lit(0L)).cast(DoubleType))
+          (d3, bound2)
+        } else {
         val ins = preWindowInputs(f)
         val pre: Column = fieldKind(f) match {
           case SumK =>
@@ -3929,11 +4320,12 @@ private[js] object JsColumnCompiler {
             last(ins.head, ignoreNulls = true).over(w2)
               .getField(if (forceMapStr(f)) "s" else "d")
         }
-        d.withColumn(PreColPrefix + f, pre)
+        (d.withColumn(PreColPrefix + f, pre), bound)
+        }
       }
       // lets that READ pre-state bind only now, after the windows
       val keyed = letsPost.foldLeft(keyedPre) {
-        case (d, (n, c)) => d.withColumn(n, c)
+        case (d, (n, c)) => if (boundMid(n)) d else d.withColumn(n, c)
       }
       val grouped =
         if (mapFields.nonEmpty) {

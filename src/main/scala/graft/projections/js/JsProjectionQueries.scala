@@ -144,6 +144,39 @@ fromAll()
       .orderBy(col("partition"), col("etype"))
   }
 
+  /** js ARRAY pre-state reads (r13): handlers gating on array state —
+    * `s.types.includes(V)` membership, `s.types.length >= k`, and the
+    * self-deduplicating `if (s.types.indexOf(V) === -1) s.types.push(V)`
+    * idiom. Membership compiles to a count-of-preceding-offers window
+    * over (partition, value); length to a running count over the shared
+    * partition window; the distinct-type list itself stays the ordinary
+    * push fold. `types` accumulates DISTINCT event types in first-seen
+    * order per correlation key; repeat_cents sums cents of events whose
+    * type already appeared; breadth2 counts events arriving once ≥2
+    * distinct types were already seen. */
+  private val arrayGuardSource = """
+fromAll()
+    .partitionBy(function(e) {
+        return e.body && e.body.k != null ? e.body.k : null;
+    })
+    .when({
+        $init: function() { return { types: [], repeat_cents: 0, breadth2: 0 } },
+        $any: function(s, e) {
+            if (s.types.includes(e.eventType)) { s.repeat_cents += Math.round(e.value * 100); }
+            if (s.types.length >= 2) { s.breadth2 += 1; }
+            if (s.types.indexOf(e.eventType) === -1) { s.types.push(e.eventType); }
+            return s;
+        }
+    })"""
+
+  private def jsArrayGuard(s: SparkSession, d: String): DataFrame =
+    JsProjection.compile(arrayGuardSource).states(log(s, d))
+      .select(col("partition"),
+        get_json_object(col("state"), "$.repeat_cents").cast("long").as("repeat_cents"),
+        get_json_object(col("state"), "$.breadth2").cast("long").as("breadth2"),
+        get_json_object(col("state"), "$.types").as("types"))
+      .orderBy(col("partition"))
+
   /** Corpus-only sibling: a pre-state read of an OVERWRITE map (latest
     * preceding per-key value; undefined before the first write, so the
     * first occurrence's comparison is false like the interpreter's
@@ -656,6 +689,7 @@ fromCategory("purchase")
     "js_last_by_type" -> lastByTypeSource,
     "js_map_guard" -> mapGuardSource,
     "js_map_last_guard" -> mapLastGuardSource,
+    "js_array_guard" -> arrayGuardSource,
     "js_emit" -> emitSource,
     "js_linkto" -> linkSource,
     "js_transform_filter" -> transformSource,
@@ -673,6 +707,7 @@ fromCategory("purchase")
     "js_count_by_type" -> (jsCountByType _),
     "js_last_by_type" -> (jsLastByType _),
     "js_map_guard" -> (jsMapGuard _),
+    "js_array_guard" -> (jsArrayGuard _),
     "js_emit" -> (jsEmit _),
     "js_linkto" -> (jsLinkTo _),
     "js_transform_filter" -> (jsTransformFilter _),
@@ -889,6 +924,42 @@ fromCategory("purchase")
       |       w.event_type AS etype, CAST(count(*) AS BIGINT) AS cnt
       |FROM w JOIN t ON t.correlation_id = w.correlation_id
       |GROUP BY 1, 2, 3, 4 ORDER BY 1, 4""".stripMargin,
+    // prev_same = prior events of this (partition, type) — the membership
+    // window (every row offers its type under the self-dedup idiom);
+    // types_before = DISTINCT types among strictly-preceding rows via the
+    // first-occurrence flag (prev_same = 0) running-summed — the length
+    // window; types = first-seen-ordered distinct list, the push fold
+    "js_array_guard" -> s"""$L,
+      |w AS (
+      |  SELECT correlation_id, event_type, log_position,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         count(*) OVER (PARTITION BY correlation_id, event_type
+      |           ORDER BY log_position
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_same
+      |  FROM log WHERE correlation_id IS NOT NULL),
+      |w2 AS (
+      |  SELECT w.*,
+      |         coalesce(sum(CASE WHEN prev_same = 0 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY correlation_id ORDER BY log_position
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS types_before
+      |  FROM w),
+      |t AS (
+      |  SELECT correlation_id,
+      |         CAST(coalesce(sum(cents) FILTER (WHERE prev_same >= 1), 0)
+      |           AS BIGINT) AS repeat_cents,
+      |         CAST(count(*) FILTER (WHERE types_before >= 2) AS BIGINT)
+      |           AS breadth2
+      |  FROM w2 GROUP BY 1),
+      |ty AS (
+      |  SELECT correlation_id,
+      |         '[' || string_agg('"' || event_type || '"', ',' ORDER BY first_lp)
+      |           || ']' AS types
+      |  FROM (SELECT correlation_id, event_type, min(log_position) AS first_lp
+      |        FROM w GROUP BY 1, 2) GROUP BY 1)
+      |SELECT t.correlation_id AS partition, t.repeat_cents, t.breadth2, ty.types
+      |FROM t JOIN ty ON ty.correlation_id = t.correlation_id
+      |ORDER BY 1""".stripMargin,
     "js_emit" -> s"""$L
       |SELECT 'receipt-' || split_part(log.stream_id, '-', 2) AS stream_id,
       |       'ReceiptIssued' AS event_type,

@@ -198,6 +198,10 @@ class JsCompilerPropertySpec extends SparkTestBase {
     // r12 dynamic-key map pre-state read arm (nested map paths refuse,
     // so the arm keeps to flat definitions like the other read idioms)
     val mapRead = !nested && mapField.isDefined && r.nextInt(2) == 0
+    // r13 array pre-state read arm: membership/length guards over a
+    // distinct-or-plain push list, ONE structural probe per definition
+    // (the compiled contract), reads before the push
+    val arrRead = !nested && r.nextInt(3) == 0
     val pre2Init: Seq[String] =
       if (!pre2) Nil
       else Seq(s"peak: ${Seq("0", "0.5", "-1e308")(r.nextInt(3))}", "pr: 0",
@@ -205,7 +209,8 @@ class JsCompilerPropertySpec extends SparkTestBase {
         s"nlow: ${Seq("Infinity", "1e308", "100")(r.nextInt(3))}")
     val initFields = ((if (preState)
       Seq(s"cnt: ${r.nextInt(3)}", "pg: 0") else Nil) ++
-      (if (mapRead) Seq("mr: 0") else Nil) ++ pre2Init ++
+      (if (mapRead) Seq("mr: 0") else Nil) ++
+      (if (arrRead) Seq("ar: []", "am: 0") else Nil) ++ pre2Init ++
       kinds.map { case (f, k) =>
       val v = k match {
         case 'S' => r.nextInt(10).toString
@@ -281,12 +286,31 @@ class JsCompilerPropertySpec extends SparkTestBase {
            |            if ($low < s.nlow) { s.nlow = $low; }
            |            """.stripMargin
       }
+    // r13 array reads: membership (includes / indexOf sign tests) and
+    // length guards bump `am`; the push is self-dedup'd (either
+    // spelling, exercising the offer compilation) or unconditional —
+    // ONE probe expression shared by every read and the push element
+    def arrGuard: String =
+      if (!arrRead) "" else {
+        val probe = if (r.nextBoolean()) "e.eventType" else "e.streamId"
+        val read = r.nextInt(3) match {
+          case 0 => s"if (s.ar.includes($probe)) { s.am += ${genIntExpr(r, 1)}; }"
+          case 1 => s"if (s.ar.indexOf($probe) >= 0) { s.am += ${genIntExpr(r, 1)}; }"
+          case _ => s"if (s.ar.length >= ${1 + r.nextInt(3)}) { s.am += ${genIntExpr(r, 1)}; }"
+        }
+        val push = r.nextInt(3) match {
+          case 0 => s"if (s.ar.indexOf($probe) === -1) { s.ar.push($probe); }"
+          case 1 => s"if (!s.ar.includes($probe)) { s.ar.push($probe); }"
+          case _ => s"s.ar.push($probe);"
+        }
+        s"$read\n            $push\n            "
+      }
     val typed =
       if (r.nextBoolean())
         s"""
            |        t${1 + r.nextInt(3)}: function(s, e) {
            |            var d = new Date(e.timestamp);
-           |            ${earlyRet}${preGuard}${pre2Guard}${genStmts(r, kinds, 2, base)}$mapStmt
+           |            ${earlyRet}${preGuard}${pre2Guard}${arrGuard}${genStmts(r, kinds, 2, base)}$mapStmt
            |            ${cntInc}return s;
            |        },""".stripMargin
       else ""
@@ -314,7 +338,7 @@ class JsCompilerPropertySpec extends SparkTestBase {
        |        ${"$"}init: function() { return { $init }; },$typed
        |        ${"$"}any: function(s, e) {
        |            var d = new Date(e.timestamp);
-       |            ${earlyRet}${preGuard}${pre2Guard}${genStmts(r, kinds, 2, base)}$mapStmt
+       |            ${earlyRet}${preGuard}${pre2Guard}${arrGuard}${genStmts(r, kinds, 2, base)}$mapStmt
        |            ${cntInc}return s;
        |        }
        |    })$chain""".stripMargin

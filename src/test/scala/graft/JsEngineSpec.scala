@@ -1109,6 +1109,7 @@ fromCategory("idx")
       "js_last_by_type" -> true,
       "js_map_guard" -> true,
       "js_map_last_guard" -> true,
+      "js_array_guard" -> true,
       "js_minmax" -> true,
       "js_last_value" -> true,
       "js_date_bucket" -> true,
@@ -1302,6 +1303,98 @@ fromAll().foreachStream().when({
     assert(pre.compilesToColumns)
     assert(pre.fastStatesStream(log).isEmpty,
       "map pre-state plans must not take the streaming fast path")
+  }
+
+  test("column fast path: array pre-state reads — membership/length " +
+    "guards, self-dedup push idiom, refusal edges, streaming refusal") {
+    val log = hostileLog
+    // the registered oracle shape: includes + length guards + the
+    // self-dedup indexOf push — compiles and matches the interpreter
+    assert(fastEqualsInterp(
+      JsProjectionQueries.handlerCorpus.toMap.apply("js_array_guard"), log))
+    // membership guarding another field over an UNCONDITIONAL push
+    // (duplicates accumulate; membership still = "offered before")
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { xs: [], rep: 0 }; },
+    $any: function(s, e) {
+        if (s.xs.indexOf(e.eventType) >= 0) { s.rep += 1; }
+        s.xs.push(e.eventType);
+        return s;
+    } })""", log))
+    // length guard over an unconditional push (plain running count)
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { xs: [], deep: 0 }; },
+    $any: function(s, e) {
+        if (s.xs.length >= 3) { s.deep += 1; }
+        s.xs.push(e.eventType);
+        return s;
+    } })""", log))
+    // !includes spelling of the self-dedup idiom, with an extra conjunct
+    // (the offer strips ONLY the membership conjunct)
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { xs: [], n: 0 }; },
+    $any: function(s, e) {
+        if (!s.xs.includes(e.eventType) && e.value > 50) { s.xs.push(e.eventType); s.n += 1; }
+        return s;
+    } })""", log))
+    // a read AFTER the same-handler push sees live state the window
+    // cannot reconstruct — fall back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { xs: [], n: 0 }; },
+    $any: function(s, e) {
+        s.xs.push(e.eventType);
+        if (s.xs.includes(e.eventType)) { s.n += 1; }
+        return s;
+    } })""").compilesToColumns)
+    // a probe structurally different from the push element cannot share
+    // the window's per-row value column — fall back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { xs: [], n: 0 }; },
+    $any: function(s, e) {
+        if (s.xs.includes(e.eventType)) { s.n += 1; }
+        s.xs.push(e.streamId);
+        return s;
+    } })""").compilesToColumns)
+    // a NUMERIC probe has no exact raw-equality class (NaN/±Infinity
+    // collapse in any rendering) — fall back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { xs: [], n: 0 }; },
+    $any: function(s, e) {
+        if (s.xs.includes(e.value)) { s.n += 1; }
+        s.xs.push(e.value);
+        return s;
+    } })""").compilesToColumns)
+    // a length-BOUNDED push is execution-guarded by its own length
+    // window — genuinely sequential; the circularity gate falls back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { xs: [] }; },
+    $any: function(s, e) {
+        if (s.xs.length < 3) { s.xs.push(e.eventType); }
+        return s;
+    } })""").compilesToColumns)
+    // the indexOf VALUE (not a sign test) would need a first-match
+    // position the window cannot reconstruct — fall back
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { xs: [], n: 0 }; },
+    $any: function(s, e) {
+        s.n += s.xs.indexOf(e.eventType);
+        if (s.xs.indexOf(e.eventType) === -1) { s.xs.push(e.eventType); }
+        return s;
+    } })""").compilesToColumns)
+    // array pre-state plans refuse the streaming fast path
+    val pre2 = JsProjection.compile(
+      JsProjectionQueries.handlerCorpus.toMap.apply("js_array_guard"))
+    assert(pre2.compilesToColumns)
+    assert(pre2.fastStatesStream(log).isEmpty,
+      "array pre-state plans must not take the streaming fast path")
   }
 
   test("column fast path: early returns — filter idiom, pre-return " +

@@ -341,6 +341,32 @@ fromAll().foreachStream().when({
     assert(!plan.contains("FlatMapGroups"), plan.take(1500))
   }
 
+  test("compiled array pre-state fold: the membership window partitions " +
+    "by (fold key, value), the length window by the fold key — never one " +
+    "global task — and no interpreter node") {
+    val s = spark; import s.implicits._
+    val log = Seq.tabulate(60)(i =>
+      (s"acct-${i % 7}", (i / 7).toLong, if (i % 3 == 0) "A" else "B",
+        i.toLong, """{"v":1}""", (i % 11).toDouble))
+      .toDF("stream_id", "event_number", "event_type", "log_position", "data", "value")
+      .withColumn("timestamp", expr("timestamp_millis(1700000000000 + log_position)"))
+      .withColumn("correlation_id", lit(null).cast("string"))
+    val p = graft.projections.js.JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { types: [], rep: 0, deep: 0 }; },
+    $any: function(s, e) {
+        if (s.types.includes(e.eventType)) { s.rep += 1; }
+        if (s.types.length >= 2) { s.deep += 1; }
+        if (s.types.indexOf(e.eventType) === -1) { s.types.push(e.eventType); }
+        return s;
+    } })""")
+    assert(p.compilesToColumns)
+    val plan = executedPlan(p.states(log))
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+    assert(!plan.contains("FlatMapGroups"), plan.take(1500))
+  }
+
   test("substring-dedup census joins are equi-joins, never cartesian") {
     val s = spark; import s.implicits._
     val docs = Seq.tabulate(40)(i =>
