@@ -246,7 +246,9 @@ object SimilarityIndex {
 
   /** Append new vectors to a saved IVF-PQ index: nearest SAVED coarse
     * centroid + PQ codes under the SAVED codebook, appended list-sorted.
-    * Same parity contract and skew return as [[addIvf]]. */
+    * Same parity contract and skew return as [[addIvf]]; past-threshold
+    * drift re-fits via [[retrainIvfPq]] (which needs the raw corpus —
+    * PQ codes are lossy). */
   def addIvfPq(newVectors: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
     import Similarity._
@@ -263,7 +265,8 @@ object SimilarityIndex {
   /** Append new vectors to a saved SQ8 codec, encoded under the SAVED
     * per-dimension [min,max] (the frozen-codec contract: stats are the
     * geometry; re-deriving them from new data would silently re-scale
-    * every existing code). */
+    * every existing code). Out-of-range drift (new data outside the
+    * saved [min,max] clamps) re-fits via [[retrainSq8]]. */
   def addSq8(newVectors: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     import Similarity._
@@ -325,6 +328,45 @@ object SimilarityIndex {
     val addDir = Paths.get(s"$path/vectors_add")
     if (Files.exists(addDir)) DedupStream.deleteRec(addDir)
   }
+
+  /** Re-fit the IVF-PQ geometry in place — [[retrainIvf]]'s sibling for
+    * the PQ codec, with one honest difference: PQ codes are LOSSY, so
+    * the stored index cannot reproduce the raw vectors it was built from
+    * and the caller supplies the raw corpus (the system-of-record
+    * embeddings table — typically base ∪ everything added; ids dedup
+    * here so a crash-recovery re-pass converges like [[retrainIvf]]).
+    * Geometry arguments default (≤ 0) to the saved meta's. Re-runs
+    * [[saveIvfPq]] — coarse centroids, codebook, and every code row
+    * re-derive from the CURRENT corpus — and clears the add overlay.
+    * Same contract as [[retrainIvf]]: quiesce concurrent adds first;
+    * re-running after a crash converges (the save is a full overwrite
+    * keyed only on the provided corpus). Retrained == fresh-saved at the
+    * same geometry by construction (spec-pinned). */
+  def retrainIvfPq(corpus: DataFrame, path: String, nlist: Int = 0,
+      m: Int = 0, kcent: Int = 0, iters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val mr = meta(spark, path)
+    saveIvfPq(corpus.dropDuplicates(idCol).localCheckpoint(true), path,
+      if (nlist > 0) nlist else mr.getAs[Int]("nlist"),
+      if (m > 0) m else mr.getAs[Int]("m"),
+      if (kcent > 0) kcent else mr.getAs[Int]("kcent"),
+      iters, idCol, vecCol)
+    val addDir = Paths.get(s"$path/codes_add")
+    if (Files.exists(addDir)) DedupStream.deleteRec(addDir)
+  }
+
+  /** Re-fit the SQ8 codec in place from the caller-supplied raw corpus
+    * (lossy codes — same reasoning as [[retrainIvfPq]]): stats re-derive
+    * from the CURRENT per-dimension [min,max] and every vector
+    * re-encodes under them, atomically replacing base AND appended code
+    * files (stats are the geometry — new stats must never decode old
+    * codes, so a partial re-encode is never readable). Retrained ==
+    * fresh-saved by construction (spec-pinned). */
+  def retrainSq8(corpus: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    saveSq8(corpus.dropDuplicates(idCol).localCheckpoint(true), path,
+      idCol, vecCol)
 
   /** Streaming face of [[addIvf]]: every arriving micro-batch is assigned
     * with the SAVED centroids (collected to driver-side literals once —

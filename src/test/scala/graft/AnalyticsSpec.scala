@@ -810,6 +810,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/ivfs/vectors").count() == 260)
     assert(rows(SimilarityIndex.ivfTopK(spark, queries, s"$dir/ivfs", k = 3, nprobe = 6))
       .nonEmpty)
+
+    // retrainIvfPq/retrainSq8 (r13): the lossy codecs re-fit from the
+    // caller-supplied raw corpus — retrained == fresh-saved at the same
+    // geometry, row for row, and re-running converges (crash recovery)
+    SimilarityIndex.retrainIvfPq(all, s"$dir/pq") // geometry from meta
+    assert(tbl(s"$dir/pq/codes", "id", "list_id", "codes") ==
+      tbl(s"$dir/pqall/codes", "id", "list_id", "codes"))
+    SimilarityIndex.retrainIvfPq(all, s"$dir/pq")
+    assert(tbl(s"$dir/pq/codes", "id", "list_id", "codes") ==
+      tbl(s"$dir/pqall/codes", "id", "list_id", "codes"))
+    SimilarityIndex.retrainSq8(all, s"$dir/sq8")
+    assert(tbl(s"$dir/sq8/sq8codes", "id", "codes") ==
+      tbl(s"$dir/sq8all/sq8codes", "id", "codes"))
   }
 
   test("clusterBalancedSample: every cluster keeps min(quota, size); the " +
