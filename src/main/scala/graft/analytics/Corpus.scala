@@ -998,13 +998,15 @@ object Corpus {
     }
   }
 
-  /** Deserialized-cache bytes per parquet-estimated input byte: snappy
-    * text decompresses ~2–3×, the int-per-gram feature array roughly
-    * matches the text again, and cached-row overhead pads the rest.
-    * Deliberately conservative — overestimating flips to the split form,
-    * which is merely ~1.5× slower; underestimating reproduces the
-    * measured ×1000/8g UNABLE_TO_ACQUIRE_MEMORY failure. */
-  private[graft] val NbCacheExpansion = 3.0
+  /** Deserialized-cache bytes per parquet-estimated input byte,
+    * CALIBRATED against the measured failure: the ×1000 corpus (556 MB
+    * parquet) could not hold its shared cache inside a 4.7 GiB unified
+    * region (UNABLE_TO_ACQUIRE_MEMORY at 8g, r12/r13 IoBoundProbe), so
+    * the true text+gram-array+row-overhead expansion is ≥ ~8×; 12×
+    * flips that deployment to split with margin. Deliberately
+    * conservative — an overestimate costs the split form's ~1.5× wall,
+    * an underestimate is a measured JOB FAILURE. */
+  private[graft] val NbCacheExpansion = 12.0
 
   /** The [[naiveBayesTrainClassify]] size gate: (share?, estimated cache
     * bytes, cluster storage-memory bytes). Exposed package-private so

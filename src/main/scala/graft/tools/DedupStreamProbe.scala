@@ -71,16 +71,25 @@ object DedupStreamProbe {
     val ix = DedupStream.MinHashIndexer(threshold = 0.5, k = 16, bands = 8,
       textCol = "text", idCol = "doc_id", n = 3)
 
-    // fixed serving query batch: 1000 replica-0 docs re-id'd into a query
-    // range — near-dups of indexed docs by construction, identical at both
-    // measurement points so the ONLY variable is the history size
+    // fixed serving query batches, identical at both measurement points:
+    // (a) 1000 replica-0 docs re-id'd into a query range — their match
+    // count grows with how many of their near-dups are ingested yet, so
+    // bytes ∝ hits is the EXPECTED (output-proportional) shape there;
+    // (b) 1000 novel documents matching nothing — the zero-match control
+    // whose bytes are the pure probe cost, which must stay FLAT as
+    // history grows (the corpus-independence claim)
     val queryDocs = base.orderBy(col("doc_id")).limit(1000)
       .select((col("doc_id") + 9000000000L).as("doc_id"), col("text"))
       .localCheckpoint(true)
-    def serve(label: String): (Double, Long, Long) = {
+    val novelDocs = spark.range(1000)
+      .select((col("id") + 9500000000L).as("doc_id"),
+        concat_ws(" ", (0 until 40).map(j =>
+          sha2(concat(col("id"), lit(s"novel$j")), 256)): _*).as("text"))
+      .localCheckpoint(true)
+    def serve(label: String, q: org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
       val b0 = DedupStream.fsBytesReadNow()
       val t0 = System.nanoTime()
-      val hits = DedupStream.findNearDups(spark, stateDir, queryDocs, ix).count()
+      val hits = DedupStream.findNearDups(spark, stateDir, q, ix).count()
       val t = (System.nanoTime() - t0) / 1e9
       val b = DedupStream.fsBytesReadNow() - b0
       println(f"serve[$label]  $t%7.2f s  ${b / 1048576.0}%8.2f MiB read  $hits hits")
@@ -88,6 +97,7 @@ object DedupStreamProbe {
     }
 
     var serveHalf: Option[(Double, Long, Long)] = None
+    var serveHalfNovel: Option[(Double, Long, Long)] = None
     val stats = (0 until nBatches).map { i =>
       corpus.where(col("chunk") === i).select(col("doc_id"), col("text"))
         .coalesce(4).write.mode("append").parquet(srcDir)
@@ -103,10 +113,14 @@ object DedupStreamProbe {
       val (pb, vb) = io.map(s => (s.probeBytes, s.verifyBytes)).getOrElse((-1L, -1L))
       println(f"batch $i%2d  $t%7.2f s  probe ${pb / 1048576.0}%8.2f MiB  " +
         f"verify ${vb / 1048576.0}%8.2f MiB  (history ${(i + 1) * total / nBatches} docs)")
-      if (i == nBatches / 2 - 1) serveHalf = Some(serve(s"half, ${i + 1} batches"))
+      if (i == nBatches / 2 - 1) {
+        serveHalf = Some(serve(s"half, ${i + 1} batches", queryDocs))
+        serveHalfNovel = Some(serve(s"half novel, ${i + 1} batches", novelDocs))
+      }
       (t, pb, vb)
     }
-    val serveFull = serve(s"full, $nBatches batches")
+    val serveFull = serve(s"full, $nBatches batches", queryDocs)
+    val serveFullNovel = serve(s"full novel, $nBatches batches", novelDocs)
     val times = stats.map(_._1)
     corpus.unpersist()
     val tc0 = System.nanoTime()
@@ -129,6 +143,8 @@ object DedupStreamProbe {
       s""""verify_mib":[${stats.map(s => f"${s._3 / 1048576.0}%.2f").mkString(",")}],""" +
       f""""last_over_second":$ratio%.2f,"probe_bytes_last_over_second":$probeRatio%.2f,""" +
       s""""serve_half":${serveJson(serveHalf)},"serve_full":${serveJson(Some(serveFull))},""" +
+      s""""serve_half_novel":${serveJson(serveHalfNovel)},""" +
+      s""""serve_full_novel":${serveJson(Some(serveFullNovel))},""" +
       f""""compact_sec":$compactSec%.2f}"""
     println(json)
     Files.write(Paths.get("/tmp/dedup_stream_probe.json"),
