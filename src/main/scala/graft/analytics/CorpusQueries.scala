@@ -53,12 +53,22 @@ object CorpusQueries extends QueryModule {
   /** Trained-BPE tokenization under the FIXED oracle merge table: per-doc
     * piece count, real token count, and the md5 of the full token list
     * (every token in every doc pinned, not just the count). */
-  private def bpeQ(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"),
-      size(graft.functions.TextFunctions.bpePieces(col("text"))).as("n_pieces"),
-      Bpe.tokenCount(col("text")).as("n_bpe_trained"),
-      md5(concat_ws("\u0002", Bpe.tokenize(col("text")))).as("tok_md5"))
+  private def bpeQ(s: SparkSession, d: String): DataFrame = {
+    // sentinel-stripped pieces (what tokenize operates on), and ONE
+    // tokenize fold feeding both the count and the md5 — CollapseProject
+    // keeps the non-cheap _t in its own projection, so the corpus is
+    // folded once, not twice
+    val clean = replace(replace(col("text"), lit(Bpe.Sep), lit("")),
+      lit(Bpe.PieceSep), lit(""))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.bpePieces(clean)).as("n_pieces"),
+        Bpe.tokenize(col("text")).as("_t"))
+      .select(col("doc_id"), col("n_pieces"),
+        size(col("_t")).cast("long").as("n_bpe_trained"),
+        md5(concat_ws(Bpe.PieceSep, col("_t"))).as("tok_md5"))
       .orderBy(col("doc_id"))
+  }
 
   /** [[packQ]] measured in trained-BPE tokens instead of whitespace
     * tokens — the budget unit a real pipeline packs by. */
@@ -565,7 +575,7 @@ object CorpusQueries extends QueryModule {
     "bpe_tokenize" ->
       s"""WITH p AS (
         |  SELECT doc_id,
-        |    regexp_extract_all(replace(text, chr(1), ''),
+        |    regexp_extract_all(replace(replace(text, chr(1), ''), chr(2), ''),
         |      '${graft.functions.TextFunctions.BpePattern}') AS pieces
         |  FROM documents),
         |t AS (
@@ -599,7 +609,7 @@ object CorpusQueries extends QueryModule {
     "chunk_by_tokens_bpe" ->
       s"""WITH RECURSIVE d AS (
         |  SELECT doc_id AS id,
-        |    regexp_extract_all(replace(text, chr(1), ''),
+        |    regexp_extract_all(replace(replace(text, chr(1), ''), chr(2), ''),
         |      '${graft.functions.TextFunctions.BpePattern}') AS pieces
         |  FROM documents),
         |w AS (

@@ -10,8 +10,13 @@ class BpeSpec extends SparkTestBase {
 
   private val pat = java.util.regex.Pattern.compile(graft.functions.TextFunctions.BpePattern)
 
+  /** Both sentinels are stripped before tokenization (the column fold
+    * uses them as token envelope / piece barrier). */
+  private def strip(text: String): String =
+    text.replace("\u0001", "").replace("\u0002", "")
+
   private def expected(text: String, ms: Seq[(String, String)]): Seq[String] = {
-    val m = pat.matcher(text)
+    val m = pat.matcher(strip(text))
     val out = Seq.newBuilder[String]
     while (m.find()) out ++= Bpe.tokenizePieceJvm(m.group(), ms)
     out.result()
@@ -21,13 +26,16 @@ class BpeSpec extends SparkTestBase {
     val s = spark; import s.implicits._
     val texts = Seq(
       "the thing", "running in the north", "a  b\n\nc!", "", "th",
-      "aaa", "... the end.", "tab\tand  spaces", "Mixed CASE Words")
+      "aaa", "... the end.", "tab\tand  spaces", "Mixed CASE Words",
+      // sentinel-bearing hostile text: both U+0001 and U+0002 are
+      // stripped before tokenization (round-trip is vs the stripped text)
+      "a\u0001b \u0002the\u0001\u0002", "\u0001\u0002")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val got = df.select(col("id"), Bpe.tokenize(col("text")).as("toks"),
         Bpe.tokenCount(col("text")).as("n")).collect()
       .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2))).sortBy(_._1)
     got.foreach { case (i, toks, n) =>
-      assert(toks.mkString("") == texts(i.toInt),
+      assert(toks.mkString("") == strip(texts(i.toInt)),
         s"round-trip failed for '${texts(i.toInt)}'")
       assert(n == toks.size)
       assert(toks == expected(texts(i.toInt), Bpe.FixedMerges))
@@ -47,7 +55,8 @@ class BpeSpec extends SparkTestBase {
       Seq("l" -> "l", "h" -> "e", "he" -> "ll"),       // chained products
       Bpe.FixedMerges)
     val texts = Seq("aaaa", "aaa", "aaaaa", "hello", "llll", "ab", "héllo",
-      "😀😀a", "the cat and the hat", "  ", "a a a")
+      "😀😀a", "the cat and the hat", "  ", "a a a",
+      "a\u0001a\u0002aa", "\u0002\u0001")
     for (ms <- tables) {
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
       val got = df.select(col("id"), Bpe.tokenize(col("text"), ms).as("toks")).collect()
@@ -103,7 +112,7 @@ class BpeSpec extends SparkTestBase {
 
   /** JVM reference of the greedy chunk fold: (start, n, tokens) per chunk. */
   private def chunkRef(text: String, budget: Int): Seq[(Int, Int, Long)] = {
-    val m = pat.matcher(text)
+    val m = pat.matcher(strip(text))
     val pieces = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toArray
     val ws = pieces.map(p => Bpe.tokenizePieceJvm(p, Bpe.FixedMerges).size.toLong)
     val out = Seq.newBuilder[(Int, Int, Long)]
@@ -124,7 +133,8 @@ class BpeSpec extends SparkTestBase {
       "a", "",
       "supercalifragilisticexpialidocious is quite long",
       ("x " * 30).trim,
-      "line one\n\nline two\tand three")
+      "line one\n\nline two\tand three",
+      "chunk\u0001 with \u0002sentinels inside")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     for (budget <- Seq(1, 3, 8, 1000)) {
       val got = Bpe.chunkByTokens(df, budget).collect()
@@ -139,8 +149,8 @@ class BpeSpec extends SparkTestBase {
           assert(cid == k && np == rn && nt == rt,
             s"chunk $k of '$text' at $budget: got ($np, $nt) want ($rn, $rt)")
         }
-        // round-trip: concatenated chunks reproduce the text
-        assert(mine.map(_._5).mkString("") == text, s"round-trip of '$text'")
+        // round-trip: concatenated chunks reproduce the stripped text
+        assert(mine.map(_._5).mkString("") == strip(text), s"round-trip of '$text'")
         // budget honored except single-piece overflows
         mine.foreach { case (_, _, np, nt, _) =>
           assert(nt <= budget || np == 1, s"overfull multi-piece chunk in '$text'")
