@@ -144,6 +144,85 @@ object DedupStream {
     }
   }
 
+  /** SimHash instance: 60-bit token-weighted signature, band keys =
+    * `bands` equal bit-slices (pigeonhole: any pair at hamming ≤ bands−1
+    * shares an unchanged slice, so recall to that radius is EXACT — same
+    * guarantee as [[Dedup.simhashNearDupPairs]], whose geometry this
+    * mirrors), sketch = the signature itself (8 bytes/doc — the cheapest
+    * sketch of the three families). Hamming verification is expressed on
+    * the score-is-similarity axis the resolver contract wants:
+    * score = (60 − hamming)/60, threshold = (60 − maxHamming)/60 — both
+    * sides divide the same small-int numerator by 60, so the ≥ compare is
+    * exactly hamming ≤ maxHamming (no float-boundary slack). */
+  final case class SimHashIndexer(maxHamming: Int, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id") extends BandIndexer {
+    require(60 % bands == 0, "bands must divide 60")
+    require(maxHamming <= bands - 1,
+      s"banding with $bands bands only guarantees recall to hamming ${bands - 1}")
+    def index(docs: DataFrame): DataFrame = {
+      val bandBits = 60 / bands
+      val mask = (1L << bandBits) - 1
+      val keys = array((0 until bands).map { b =>
+        call_function("shiftright", col("simhash"), lit(b * bandBits))
+          .bitwiseAND(lit(mask)).cast("string")
+      }: _*)
+      Dedup.simhash(docs, textCol, idCol)
+        .select(col("id").cast("long").as("id"), col("simhash").as("sk"),
+          keys.as("band_keys"))
+    }
+    def score(a: Column, b: Column): Column =
+      (lit(60) - bit_count(a.bitwiseXOR(b)).cast("int")).cast("double") / lit(60.0)
+    def threshold: Double = (60.0 - maxHamming) / 60.0
+  }
+
+  /** Exact-duplicate instance: band key AND sketch are both the
+    * [[graft.functions.TextFunctions.fingerprint]] (md5 of
+    * whitespace-normalized lowercased tokens — the SAME key
+    * [[Dedup.exact]] groups by, so the streaming resolution provably
+    * matches the batch exact dedup), verification is fingerprint
+    * equality (score 1 or 0). The cheapest family end to end: one
+    * narrow hash per document, candidates only on exact key collision,
+    * 32-byte sketches. */
+  final case class ExactIndexer(textCol: String = "text",
+      idCol: String = "doc_id") extends BandIndexer {
+    def index(docs: DataFrame): DataFrame = {
+      val fp = graft.functions.TextFunctions.fingerprint(col(textCol))
+      docs.select(col(idCol).cast("long").as("id"), fp.as("sk"),
+        array(fp).as("band_keys"))
+    }
+    def score(a: Column, b: Column): Column =
+      when(a === b, lit(1.0)).otherwise(lit(0.0))
+    def threshold: Double = 1.0
+  }
+
+  /** Embedding sign-LSH instance: band keys = one random-hyperplane
+    * signature per table ([[Similarity.lshSignature]]'s deterministic ±1
+    * planes — table t is an independent plane set, so candidates collide
+    * in ANY table, the OR-construction recall repair), sketch = the
+    * full-precision vector, verification = exact cosine. Dims are read
+    * from each incoming frame's first row (an empty batch indexes empty
+    * with a placeholder geometry — no rows, no postings); mixed-dims
+    * corpora are a caller error. NaN cosine (zero-norm vectors from
+    * failed encoders) maps to −1 so Spark's NaN-is-largest ordering can
+    * never verify a degenerate pair. */
+  final case class CosineLshIndexer(threshold: Double, planes: Int = 8,
+      tables: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding") extends BandIndexer {
+    def index(vectors: DataFrame): DataFrame = {
+      val dims = vectors.select(size(col(vecCol)).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
+      vectors
+        .select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("sk"))
+        .select(col("id"), col("sk"), array((0 until tables).map(t =>
+          Similarity.lshSignature(col("sk"), dims, planes, t)): _*).as("band_keys"))
+    }
+    def score(a: Column, b: Column): Column = {
+      val c = Similarity.cosine(a, b)
+      when(isnan(c), lit(-1.0)).otherwise(c)
+    }
+  }
+
   /** Above this many ids, point lookups switch from a driver-collected
     * parquet-pushdown read (chunked eq-lists with row-group pruning on
     * the sorted state files, [[ParquetPushdown.inSorted]]) to a

@@ -60,7 +60,9 @@ object ScaleProbe {
     "bpe_tokenize", "pack_sequences_bpe", "js_map_guard",
     // r13 registry delta (soak hygiene): every new oracle query gets a
     // soak row the round it lands
-    "chunk_by_tokens_bpe", "select_token_budget_bpe", "js_array_guard")
+    "chunk_by_tokens_bpe", "select_token_budget_bpe", "js_array_guard",
+    "find_near_dups", "find_near_dups_simhash", "find_near_dups_emb",
+    "find_exact_dups")
 
   private val srcDir = "/root/testdata/sf0.1"
   private val scaleRoot = "/tmp/graft_scale"

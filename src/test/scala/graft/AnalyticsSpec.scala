@@ -862,4 +862,101 @@ class AnalyticsSpec extends SparkTestBase {
     assert(auto.length == 75 && auto.filter(_.getAs[Boolean]("selected"))
       .groupBy(_.getAs[Int]("list_id")).forall(_._2.length <= 5))
   }
+
+  test("find_near_dups registered query: serving from incremental state == batch " +
+    "LSH pairs over corpus ∪ queries; identical originals score 1.0") {
+    val out = SparkEntry.queries("find_near_dups")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"),
+      r.getAs[Double]("score"))).toSet
+    // all query ids live in the +500000 band, all matches below it
+    assert(got.forall { case (q, m, _) => q >= 500000L && q < 500100L && m < 500000L })
+    // every re-id'd query matches its identical original exactly
+    (0L until 100L).foreach { i =>
+      assert(got.contains((i + 500000L, i, 1.0)),
+        s"query ${i + 500000} must match original $i at score 1.0")
+    }
+    // the serving lookup over accumulated streaming state returns EXACTLY
+    // the batch LSH verification over the same documents, restricted to
+    // (query, indexed) pairs — the streaming==batch contract at the API
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"), col("text"))
+    val corpus = base.unionAll(base.where(col("id") < 100)
+      .select((col("id") + 100000).as("id"),
+        concat(col("text"), lit(" zzz9")).as("text")))
+    val queries = base.where(col("id") < 100)
+      .select((col("id") + 500000).as("id"), col("text"))
+    val expected = Dedup.minhashLshPairs(corpus.unionAll(queries), 0.5,
+        k = 16, bands = 4, "text", "id")
+      .where(col("id_b") >= 500000 && col("id_a") < 500000)
+      .collect()
+      .map(r => (r.getAs[Long]("id_b"), r.getAs[Long]("id_a"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got == expected,
+      s"serving != batch: missing=${expected -- got}, extra=${got -- expected}")
+  }
+
+  test("find_near_dups_simhash registered query == batch simhash pairs over " +
+    "corpus ∪ queries; identical originals score 1.0") {
+    val out = SparkEntry.queries("find_near_dups_simhash")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"),
+      r.getAs[Double]("score"))).toSet
+    (0L until 100L).foreach { i =>
+      assert(got.contains((i + 500000L, i, 1.0)),
+        s"query ${i + 500000} must match original $i at score 1.0")
+    }
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"), col("text"))
+    val corpus = base.unionAll(base.where(col("id") < 100)
+      .select((col("id") + 100000).as("id"),
+        concat(col("text"), lit(" zzz9")).as("text")))
+    val queries = base.where(col("id") < 100)
+      .select((col("id") + 500000).as("id"), col("text"))
+    val expected = Dedup.simhashNearDupPairs(corpus.unionAll(queries),
+        maxHamming = 3, bands = 4, "text", "id")
+      .where(col("id_b") >= 500000 && col("id_a") < 500000)
+      .collect()
+      .map(r => (r.getAs[Long]("id_b"), r.getAs[Long]("id_a"),
+        (60.0 - r.getAs[Int]("hamming")) / 60.0)).toSet
+    assert(got == expected,
+      s"serving != batch: missing=${expected -- got}, extra=${got -- expected}")
+  }
+
+  test("find_exact_dups registered query: each query hits exactly its identical " +
+    "original and the verbatim copy, score 1.0, nothing else") {
+    val out = SparkEntry.queries("find_exact_dups")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"),
+      r.getAs[Double]("score"))).toSet
+    val expected = (0L until 100L).flatMap(i =>
+      Seq((i + 500000L, i, 1.0), (i + 500000L, i + 100000L, 1.0))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got}, extra=${got -- expected}")
+  }
+
+  test("find_near_dups_emb registered query == batch banded sign-LSH pairs " +
+    "(query × corpus), exact-cosine verified") {
+    val out = SparkEntry.queries("find_near_dups_emb")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"),
+      r.getAs[Double]("score"))).toSet
+    (0L until 50L).foreach { i =>
+      assert(got.contains((i + 500000L, i, 1.0)),
+        s"query ${i + 500000} must match its identical original vector $i")
+    }
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val all = emb.unionAll(emb.where(col("id") < 50)
+      .select((col("id") + 500000).as("id"), col("embedding")))
+    val expected = Similarity.lshNearDupPairsBanded(all, 0.4, planes = 4,
+        tables = 2, "id", "embedding")
+      .where(col("id_b") >= 500000 && col("id_a") < 500000)
+      .withColumn("sim", round(col("sim"), 6))
+      .collect()
+      .map(r => (r.getAs[Long]("id_b"), r.getAs[Long]("id_a"),
+        r.getAs[Double]("sim"))).toSet
+    assert(got == expected,
+      s"serving != batch: missing=${expected -- got}, extra=${got -- expected}")
+  }
 }

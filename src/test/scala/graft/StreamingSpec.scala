@@ -1294,6 +1294,57 @@ fromCategory("acct")
     assert(scores.nonEmpty && scores.forall(_ >= 0.5))
   }
 
+  test("incremental near-dup resolution is indexer-generic: SimHash and " +
+    "embedding sign-LSH families stream == one-shot batch") {
+    val s = spark; import s.implicits._
+    import graft.analytics.{Dedup, DedupStream, Similarity}
+    // --- SimHash family over documents ---
+    val base = "the quick brown fox jumps over the lazy dog and then naps in warm afternoon sun"
+    val docsAll = Seq(
+      (1L, base), (2L, base + " extra"), (5L, base),
+      (3L, "a wholly different text about catalyst expression codegen internals"),
+      (4L, "yet another unrelated document describing parquet column chunk layout"))
+    val shIx = DedupStream.SimHashIndexer(maxHamming = 3, bands = 4,
+      textCol = "text", idCol = "doc_id")
+    val shState = Files.createTempDirectory("ndsh").toString
+    DedupStream.processBatch(docsAll.take(2).toDF("doc_id", "text"), 0L, shState, shIx, "doc_id")
+    DedupStream.compactState(spark, shState)
+    DedupStream.processBatch(docsAll.drop(2).toDF("doc_id", "text"), 1L, shState, shIx, "doc_id")
+    val shStreamed = DedupStream.resolvedCorpus(spark, shState)
+      .select("doc_id").as[Long].collect().toSet
+    val allDf = docsAll.toDF("doc_id", "text")
+    val shPairs = Dedup.simhashNearDupPairs(allDf, maxHamming = 3, bands = 4,
+      "text", "doc_id").select("id_a", "id_b")
+    val shBatch = Dedup.resolveNearDups(allDf, shPairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shStreamed == shBatch, s"simhash stream=$shStreamed batch=$shBatch")
+    assert(shStreamed.contains(1L) && !shStreamed.contains(5L),
+      "identical doc 5 must resolve away to representative 1")
+    // --- embedding sign-LSH family ---
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(d => math.sin(seed * 17 + d).toFloat)
+    val vecsAll = Seq(
+      (1L, vec(1)), (2L, vec(1)), (3L, vec(2)), (4L, vec(3)), (5L, vec(2)))
+    val embIx = DedupStream.CosineLshIndexer(threshold = 0.9, planes = 4,
+      tables = 2, idCol = "vec_id", vecCol = "embedding")
+    val embState = Files.createTempDirectory("ndemb").toString
+    DedupStream.processBatch(vecsAll.take(3).toDF("vec_id", "embedding"), 0L,
+      embState, embIx, "vec_id")
+    DedupStream.compactState(spark, embState)
+    DedupStream.processBatch(vecsAll.drop(3).toDF("vec_id", "embedding"), 1L,
+      embState, embIx, "vec_id")
+    val embStreamed = DedupStream.resolvedCorpus(spark, embState, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    val vecsDf = vecsAll.toDF("vec_id", "embedding")
+    val embPairs = Similarity.lshNearDupPairsBanded(vecsDf, 0.9, planes = 4,
+      tables = 2, "vec_id", "embedding").select("id_a", "id_b")
+    val embBatch = Dedup.resolveNearDups(vecsDf, embPairs, idCol = "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(embStreamed == embBatch, s"emb stream=$embStreamed batch=$embBatch")
+    assert(!embStreamed.contains(2L) && !embStreamed.contains(5L),
+      "identical vectors 2 and 5 must resolve away")
+  }
+
   test("streaming near-dup: schema marker gives the all-empty resolved view the real shape") {
     val s = spark; import s.implicits._
     import graft.analytics.DedupStream
