@@ -50,6 +50,18 @@ object CorpusQueries extends QueryModule {
         min(col("id")).as("first_doc"))
       .orderBy(col("shard"), col("seq"))
 
+  /** Unigram-LM tokenization under the FIXED oracle vocabulary: per-doc
+    * token count plus the md5 of the full Viterbi token list — every
+    * max-likelihood segmentation decision of every word pinned against
+    * the oracle's recursive-CTE replay of the same recurrence. */
+  private def unigramQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Unigram.tokenize(col("text")).as("_t"))
+      .select(col("doc_id"),
+        size(col("_t")).cast("long").as("n_unigram"),
+        md5(concat_ws(" ", col("_t"))).as("tok_md5"))
+      .orderBy(col("doc_id"))
+
   /** Trained-BPE tokenization under the FIXED oracle merge table: per-doc
     * piece count, real token count, and the md5 of the full token list
     * (every token in every doc pinned, not just the count). */
@@ -380,6 +392,7 @@ object CorpusQueries extends QueryModule {
     "text_rarity" -> (rarityQ _),
     "pack_sequences" -> (packQ _),
     "bpe_tokenize" -> (bpeQ _),
+    "unigram_tokenize" -> (unigramQ _),
     "pack_sequences_bpe" -> (packBpeQ _),
     "chunk_by_tokens_bpe" -> (chunkBpeQ _),
     "chunk_documents" -> (chunkQ _),
@@ -586,6 +599,51 @@ object CorpusQueries extends QueryModule {
         |  CAST(coalesce(len(toks), 0) AS BIGINT) AS n_bpe_trained,
         |  md5(array_to_string(toks, chr(2))) AS tok_md5
         |FROM t ORDER BY doc_id""".stripMargin,
+    // the unigram Viterbi replayed as TWO recursive CTEs — the forward
+    // DP (dp/bp lists carried per word, candidates k=1..min(pos,maxLen)
+    // scored dp[pos-k] + lp(piece), smallest k on ties) and the
+    // backtrace — against the SAME FixedVocab literal map (one source of
+    // truth, Unigram.vocabMapSql) and the same derived UNK penalty
+    "unigram_tokenize" ->
+      s"""WITH RECURSIVE
+        |words AS (
+        |  SELECT id, wpos, w FROM (
+        |    SELECT id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS w
+        |    FROM (SELECT doc_id AS id, $W AS ws FROM documents))
+        |  WHERE len(w) > 0),
+        |vit AS (
+        |  SELECT id, wpos, w, 0 AS i, [CAST(0.0 AS DOUBLE)] AS dp, [0] AS bp
+        |  FROM words
+        |  UNION ALL
+        |  SELECT id, wpos, w, i + 1,
+        |    list_append(dp, list_max(list_transform(cands, c -> c.s))),
+        |    list_append(bp, list_min(list_transform(
+        |      list_filter(cands, c -> c.s = list_max(list_transform(cands, x -> x.s))),
+        |      c -> c.k)))
+        |  FROM (
+        |    SELECT id, wpos, w, i, dp, bp,
+        |      list_filter(
+        |        list_transform(range(1, least(i + 1, ${Unigram.FixedModel.maxPieceLen}) + 1), k -> {
+        |          's': dp[i + 2 - k] + coalesce(
+        |                 map_extract(${Unigram.vocabMapSql}, substr(w, i + 2 - k, CAST(k AS INT)))[1],
+        |                 CASE WHEN k = 1 THEN CAST(${Unigram.FixedModel.unkScore} AS DOUBLE) END),
+        |          'k': k})::STRUCT(s DOUBLE, k BIGINT)[],
+        |        c -> c.s IS NOT NULL) AS cands
+        |    FROM vit WHERE i < len(w))),
+        |bt AS (
+        |  SELECT id, wpos, w, len(w) AS pos, bp, CAST([] AS VARCHAR[]) AS toks
+        |  FROM vit WHERE i = len(w)
+        |  UNION ALL
+        |  SELECT id, wpos, w, pos - CAST(bp[pos + 1] AS INT), bp,
+        |    list_prepend(substr(w, pos - CAST(bp[pos + 1] AS INT) + 1,
+        |      CAST(bp[pos + 1] AS INT)), toks)
+        |  FROM bt WHERE pos > 0),
+        |toks AS (
+        |  SELECT id, wpos, generate_subscripts(toks, 1) AS tpos, unnest(toks) AS tok
+        |  FROM bt WHERE pos = 0)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_unigram,
+        |       md5(string_agg(tok, ' ' ORDER BY wpos, tpos)) AS tok_md5
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
     "pack_sequences_bpe" ->
       s"""WITH d AS (
         |  SELECT doc_id AS id, ${Bpe.tokenCountSql("text")} AS n_tokens,
