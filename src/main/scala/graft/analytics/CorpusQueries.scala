@@ -62,6 +62,22 @@ object CorpusQueries extends QueryModule {
         md5(concat_ws(" ", col("_t"))).as("tok_md5"))
       .orderBy(col("doc_id"))
 
+  /** WordPiece tokenization under the FIXED oracle vocabulary: per-doc
+    * token count, `[UNK]`-word count, and the md5 of the full
+    * maximal-munch token list — every longest-match decision of every
+    * word (including the whole-word-[UNK] collapses the vocabulary's
+    * missing `##y` forces on `key`/`query`) pinned against the oracle's
+    * recursive-CTE replay of the same greedy scan. */
+  private def wordpieceQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), WordPiece.tokenize(col("text")).as("_t"))
+      .select(col("doc_id"),
+        size(col("_t")).cast("long").as("n_wordpiece"),
+        size(filter(col("_t"), t => t === WordPiece.FixedModel.unkToken))
+          .cast("long").as("n_unk"),
+        md5(concat_ws(" ", col("_t"))).as("tok_md5"))
+      .orderBy(col("doc_id"))
+
   /** Trained-BPE tokenization under the FIXED oracle merge table: per-doc
     * piece count, real token count, and the md5 of the full token list
     * (every token in every doc pinned, not just the count). */
@@ -393,6 +409,7 @@ object CorpusQueries extends QueryModule {
     "pack_sequences" -> (packQ _),
     "bpe_tokenize" -> (bpeQ _),
     "unigram_tokenize" -> (unigramQ _),
+    "wordpiece_tokenize" -> (wordpieceQ _),
     "pack_sequences_bpe" -> (packBpeQ _),
     "chunk_by_tokens_bpe" -> (chunkBpeQ _),
     "chunk_documents" -> (chunkQ _),
@@ -642,6 +659,46 @@ object CorpusQueries extends QueryModule {
         |  SELECT id, wpos, generate_subscripts(toks, 1) AS tpos, unnest(toks) AS tok
         |  FROM bt WHERE pos = 0)
         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_unigram,
+        |       md5(string_agg(tok, ' ' ORDER BY wpos, tpos)) AS tok_md5
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the WordPiece maximal munch replayed as ONE recursive CTE: at each
+    // position the surviving candidate spans are k = 1..min(remaining,
+    // maxPieceLen) whose piece (##-prefixed when non-initial) is in the
+    // SAME FixedVocab literal map (one source of truth,
+    // WordPiece.vocabMapSql); list_max picks the longest = the greedy
+    // choice; an empty candidate list collapses the WHOLE word to [UNK]
+    "wordpiece_tokenize" ->
+      s"""WITH RECURSIVE
+        |words AS (
+        |  SELECT id, wpos, w FROM (
+        |    SELECT id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS w
+        |    FROM (SELECT doc_id AS id, $W AS ws FROM documents))
+        |  WHERE len(w) > 0),
+        |seg AS (
+        |  SELECT id, wpos, w, CAST(0 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS toks
+        |  FROM words
+        |  UNION ALL
+        |  SELECT id, wpos, w,
+        |    CASE WHEN best IS NULL THEN len(w) ELSE pos + best END AS pos,
+        |    CASE WHEN best IS NULL THEN ['${WordPiece.FixedModel.unkToken}']
+        |         WHEN pos = 0 THEN list_append(toks, substr(w, 1, CAST(best AS INT)))
+        |         ELSE list_append(toks,
+        |           '${WordPiece.ContPrefix}' || substr(w, CAST(pos + 1 AS INT), CAST(best AS INT)))
+        |    END AS toks
+        |  FROM (
+        |    SELECT id, wpos, w, pos, toks,
+        |      list_max(list_filter(
+        |        range(1, least(len(w) - pos, ${WordPiece.FixedModel.maxPieceLen}) + 1),
+        |        k -> len(map_extract(${WordPiece.vocabMapSql},
+        |          CASE WHEN pos = 0 THEN substr(w, 1, CAST(k AS INT))
+        |               ELSE '${WordPiece.ContPrefix}' || substr(w, CAST(pos + 1 AS INT), CAST(k AS INT))
+        |          END)) > 0)) AS best
+        |    FROM seg WHERE pos < len(w))),
+        |toks AS (
+        |  SELECT id, wpos, generate_subscripts(toks, 1) AS tpos, unnest(toks) AS tok
+        |  FROM seg WHERE pos = len(w))
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_wordpiece,
+        |       CAST(count(*) FILTER (WHERE tok = '${WordPiece.FixedModel.unkToken}') AS BIGINT) AS n_unk,
         |       md5(string_agg(tok, ' ' ORDER BY wpos, tpos)) AS tok_md5
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
     "pack_sequences_bpe" ->

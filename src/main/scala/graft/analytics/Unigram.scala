@@ -92,12 +92,29 @@ object Unigram {
 
   // -------------------------------------------------------------- kernel
 
+  /** Code-point boundary offsets of `w`: bounds(i) is the char index
+    * where code point i starts, bounds(n) = length. Pieces are CODE
+    * POINT sequences, never surrogate halves — a lone half has no UTF-8
+    * encoding (it would round-trip through the engine as `?`), and the
+    * DuckDB oracle's `substr` counts code points, so char-indexed pieces
+    * would desynchronize the two engines on astral-plane text. */
+  private[analytics] def cpBounds(w: String): Array[Int] = {
+    val n = w.codePointCount(0, w.length)
+    val b = new Array[Int](n + 1)
+    var i = 0; var cp = 0
+    while (cp < n) { b(cp) = i; i = w.offsetByCodePoints(i, 1); cp += 1 }
+    b(n) = w.length
+    b
+  }
+
   /** Viterbi segmentation of ONE word — the single JVM kernel shared by
     * the expression's interpreted eval, its generated code, and the spec
-    * twins, so the recurrence can never desynchronize between them. */
+    * twins, so the recurrence can never desynchronize between them.
+    * Positions and piece lengths count CODE POINTS ([[cpBounds]]). */
   def segmentWord(w: String, model: UnigramModel): Array[String] = {
-    val n = w.length
-    if (n == 0) return Array.empty
+    if (w.isEmpty) return Array.empty
+    val b = cpBounds(w)
+    val n = b.length - 1
     val maxK = model.maxPieceLen
     val dp = new Array[Double](n + 1)
     val bp = new Array[Int](n + 1)
@@ -108,7 +125,7 @@ object Unigram {
       var k = 1
       val kMax = math.min(j, maxK)
       while (k <= kMax) {
-        val piece = w.substring(j - k, j)
+        val piece = w.substring(b(j - k), b(j))
         val lp = model.lookup.get(piece)
         val s =
           if (lp != null) dp(j - k) + lp.doubleValue()
@@ -131,7 +148,7 @@ object Unigram {
     pos = n
     var i = cnt - 1
     while (pos > 0) {
-      out(i) = w.substring(pos - bp(pos), pos)
+      out(i) = w.substring(b(pos - bp(pos)), b(pos))
       pos -= bp(pos)
       i -= 1
     }
@@ -232,20 +249,23 @@ object Unigram {
     // ---- seed vocabulary
     val subScore = scala.collection.mutable.HashMap.empty[String, Long]
     words.foreach { case (w, c) =>
+      val b = cpBounds(w)
+      val n = b.length - 1
       var i = 0
-      while (i < w.length) {
+      while (i < n) {
         var k = 1
-        val kMax = math.min(maxPieceLen, w.length - i)
+        val kMax = math.min(maxPieceLen, n - i)
         while (k <= kMax) {
-          val p = w.substring(i, i + k)
+          val p = w.substring(b(i), b(i + k))
           subScore.update(p, subScore.getOrElse(p, 0L) + c * k)
           k += 1
         }
         i += 1
       }
     }
-    val singles = subScore.keysIterator.filter(_.length == 1).toVector.sorted
-    val multiSeeds = subScore.iterator.filter(_._1.length > 1).toVector
+    val cpLen: String => Int = p => p.codePointCount(0, p.length)
+    val singles = subScore.keysIterator.filter(cpLen(_) == 1).toVector.sorted
+    val multiSeeds = subScore.iterator.filter(p => cpLen(p._1) > 1).toVector
       .sortBy { case (p, s) => (-s, p) }
       .take(vocabSize * seedFactor).map(_._1)
     var vocab: Vector[String] = singles ++ multiSeeds
@@ -258,7 +278,8 @@ object Unigram {
     while (round < emRounds) {
       val expected = scala.collection.mutable.HashMap.empty[String, Double]
       words.foreach { case (w, c) =>
-        val n = w.length
+        val b = cpBounds(w)
+        val n = b.length - 1
         // forward: alpha(j) = logsumexp over pieces ending at j
         val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
         alpha(0) = 0.0
@@ -267,7 +288,7 @@ object Unigram {
           var k = 1
           val kMax = math.min(j, maxPieceLen)
           while (k <= kMax) {
-            val lp = logp.get(w.substring(j - k, j))
+            val lp = logp.get(w.substring(b(j - k), b(j)))
             lp.foreach(v => alpha(j) = logAdd(alpha(j), alpha(j - k) + v))
             k += 1
           }
@@ -281,7 +302,7 @@ object Unigram {
           var k = 1
           val kMax = math.min(n - j, maxPieceLen)
           while (k <= kMax) {
-            val lp = logp.get(w.substring(j, j + k))
+            val lp = logp.get(w.substring(b(j), b(j + k)))
             lp.foreach(v => beta(j) = logAdd(beta(j), v + beta(j + k)))
             k += 1
           }
@@ -294,7 +315,7 @@ object Unigram {
             var k = 1
             val kMax = math.min(n - j, maxPieceLen)
             while (k <= kMax) {
-              val piece = w.substring(j, j + k)
+              val piece = w.substring(b(j), b(j + k))
               logp.get(piece).foreach { v =>
                 val post = math.exp(alpha(j) + v + beta(j + k) - z)
                 if (post > 0.0)
@@ -313,11 +334,11 @@ object Unigram {
       val next = scala.collection.mutable.HashMap.empty[String, Double]
       vocab.foreach { p =>
         val e = expected.getOrElse(p, 0.0)
-        if (p.length == 1 || e > 0.0)
+        if (cpLen(p) == 1 || e > 0.0)
           next(p) = math.log(math.max(e, 1e-10) / math.max(total, 1e-10))
       }
       // prune multi-char tail toward vocabSize (quarter per round)
-      val multis = next.keysIterator.filter(_.length > 1).toVector
+      val multis = next.keysIterator.filter(cpLen(_) > 1).toVector
         .sortBy(p => (-expected.getOrElse(p, 0.0), p))
       val keepTarget = math.max(vocabSize - singles.size,
         (multis.size * 3) / 4)
@@ -325,7 +346,7 @@ object Unigram {
         else keepTarget
       val kept = multis.take(math.max(keep, 0)).toSet
       vocab = singles ++ multis.filter(kept)
-      logp = next.filter { case (p, _) => p.length == 1 || kept(p) }
+      logp = next.filter { case (p, _) => cpLen(p) == 1 || kept(p) }
       round += 1
     }
     val pieces = vocab.map(p => p -> logp(p))

@@ -335,6 +335,48 @@ class FuzzSpec extends SparkTestBase {
     assert(out.length == ids.size, "exactly one prediction per doc")
   }
 
+  test("trained tokenizer trio (BPE / Unigram / WordPiece): hostile corpus " +
+    "never throws; round-trip and vocabulary-membership invariants hold") {
+    import graft.analytics.{Bpe, Unigram, WordPiece}
+    val docs = hostileDocs(40)
+    val rows = docs.select(col("doc_id"), col("text"),
+        Bpe.tokenize(col("text")).as("bpe"),
+        Unigram.tokenize(col("text")).as("uni"),
+        WordPiece.tokenize(col("text")).as("wp"))
+      .collect()
+    assert(rows.nonEmpty)
+    val wpVocab = WordPiece.FixedModel.vocab.toSet
+    rows.foreach { r =>
+      // compare against the Spark-round-tripped text (see class scaladoc)
+      Option(r.getAs[String]("text")).foreach { text =>
+        val bpe = r.getAs[scala.collection.Seq[String]]("bpe")
+        val uni = r.getAs[scala.collection.Seq[String]]("uni")
+        val wp = r.getAs[scala.collection.Seq[String]]("wp")
+        // BPE pieces tile the ENTIRE sentinel-stripped text
+        val stripped = text.replace(Bpe.Sep, "").replace(Bpe.PieceSep, "")
+        assert(bpe.mkString == stripped, s"BPE round-trip broke on doc ${r.getLong(0)}")
+        // unigram tokens tile the whitespace-dropped text
+        assert(uni.mkString == text.split("\\s+").filter(_.nonEmpty).mkString,
+          s"unigram round-trip broke on doc ${r.getLong(0)}")
+        // every WordPiece token is a vocabulary member or [UNK]; non-UNK
+        // words round-trip with ## stripped
+        wp.foreach(t => assert(t == "[UNK]" || wpVocab.contains(t),
+          s"WordPiece emitted non-vocab token '$t'"))
+        text.split("\\s+").filter(_.nonEmpty).foreach { w =>
+          val toks = WordPiece.segmentWord(w, WordPiece.FixedModel)
+          if (!toks.contains("[UNK]"))
+            assert(toks.map(_.stripPrefix("##")).mkString == w)
+          else assert(toks.length == 1, s"[UNK] must collapse the whole word '$w'")
+        }
+      }
+    }
+    // null text stays null through all three
+    val nullRow = docs.where(col("doc_id") === 9000L)
+      .select(Bpe.tokenize(col("text")), Unigram.tokenize(col("text")),
+        WordPiece.tokenize(col("text"))).collect().head
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1) && nullRow.isNullAt(2))
+  }
+
   test("clusterBalancedSample: degenerate embeddings (zero/NaN cosine) " +
     "never throw and every vector lands in exactly one cluster") {
     val s = spark; import s.implicits._
