@@ -52,11 +52,14 @@ object GraftSession {
     else b
   }
 
-  /** Create the session and register graft SQL functions
-    * (`cosine_similarity`). */
+  /** Create the session and register the graft SQL surface: the full
+    * `graft_*` function set ([[GraftFunctions]]; also available
+    * config-driven via `spark.sql.extensions=graft.GraftExtensions`)
+    * plus the legacy `cosine_similarity` alias. */
   def create(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
     graft.functions.CosineSimilarity.register(spark)
+    GraftFunctions.register(spark)
     spark
   }
 }

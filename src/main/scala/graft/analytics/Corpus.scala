@@ -71,6 +71,50 @@ object Corpus {
       .toDF("id", "shard", "seq", "n_tokens")
   }
 
+  /** First-fit-decreasing sequence packing (Johnson 1973's classic
+    * 11/9·OPT bin-packing approximation; Krell et al. 2021 apply it to
+    * LLM sequence packing): within each shard, documents are taken in
+    * DESCENDING token order and each goes into the FIRST already-open
+    * sequence with room; no fit opens a new sequence (an oversized
+    * document gets its own). Compared to the arrival-order greedy
+    * ([[packGreedyNoSplit]]) this trades the id-contiguous window layout
+    * for measurably fewer sequences — less padding waste per training
+    * batch at the same budget.
+    *
+    * Same scale shape as the greedy form: repartition-by-shard +
+    * sort-within-partitions + ONE streaming pass; the open-bin state is
+    * bounded by `shardSize`, so memory per shard is constant and the
+    * operator survives any corpus width. Ties (equal token counts) break
+    * by ascending id — deterministic on both engines. Returns
+    * (id, shard, seq, n_tokens); `tokenCounter` picks the budget unit
+    * exactly like [[packSequences]]. */
+  def packFfd(docs: DataFrame, budget: Int, shardSize: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      tokenCounter: Column => Column = TextFunctions.tokenCount): DataFrame = {
+    require(budget > 0 && shardSize > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("id"),
+        tokenCounter(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"id div $shardSize"))
+      .as[(Long, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("id"))
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { case (id, n, shard) =>
+          if (shard != curShard) { curShard = shard; rem.clear() }
+          val idx = rem.indexWhere(_ >= n)
+          val seq =
+            if (idx >= 0) { rem(idx) -= n; idx.toLong }
+            else { rem += (budget.toLong - n); (rem.size - 1).toLong }
+          (id, shard, seq, n)
+        }
+      }
+      .toDF("id", "shard", "seq", "n_tokens")
+  }
+
   /** RAG-style overlapping chunking: chunks of `chunkSize` characters every
     * `stride` characters (overlap = chunkSize − stride). One narrow
     * explode per document — chunk_id = start/stride is deterministic.

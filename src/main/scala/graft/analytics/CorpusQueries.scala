@@ -62,6 +62,17 @@ object CorpusQueries extends QueryModule {
         md5(concat_ws(" ", col("_t"))).as("tok_md5"))
       .orderBy(col("doc_id"))
 
+  /** First-fit-decreasing packing summary at the same geometry as
+    * `pack_sequences` (budget 256, shard 100): every bin's membership is
+    * pinned — the oracle replays the exact FFD loop (descending token
+    * order, first open bin with room, id tie-break) per shard. */
+  private def packFfdQ(s: SparkSession, d: String): DataFrame =
+    Corpus.packFfd(Tables.documents(s, d), budget = 256, shardSize = 100)
+      .groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("id")).as("first_doc"))
+      .orderBy(col("shard"), col("seq"))
+
   /** WordPiece tokenization under the FIXED oracle vocabulary: per-doc
     * token count, `[UNK]`-word count, and the md5 of the full
     * maximal-munch token list — every longest-match decision of every
@@ -407,6 +418,7 @@ object CorpusQueries extends QueryModule {
     "vocab_heavy_hitters" -> (heavyHittersQ _),
     "text_rarity" -> (rarityQ _),
     "pack_sequences" -> (packQ _),
+    "pack_sequences_ffd" -> (packFfdQ _),
     "bpe_tokenize" -> (bpeQ _),
     "unigram_tokenize" -> (unigramQ _),
     "wordpiece_tokenize" -> (wordpieceQ _),
@@ -598,6 +610,43 @@ object CorpusQueries extends QueryModule {
         |SELECT shard, CAST(start // 256 AS BIGINT) AS seq, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(id) AS first_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // first-fit-decreasing replayed as ONE recursive CTE per shard: docs
+    // in (tokens DESC, id) order; `fit` = smallest open-bin index with
+    // room (NULL opens bin len(rem), 0-based); bins update in place
+    "pack_sequences_ffd" ->
+      s"""WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id AS id, CAST(len($W) AS BIGINT) AS n_tokens,
+        |         doc_id // 100 AS shard
+        |  FROM documents),
+        |s AS (
+        |  SELECT shard, list({'id': id, 'n': n_tokens}
+        |           ORDER BY n_tokens DESC, id) AS ds
+        |  FROM d GROUP BY shard),
+        |rec AS (
+        |  SELECT shard, ds, 1 AS i, CAST([] AS BIGINT[]) AS rem,
+        |         CAST([] AS STRUCT(id BIGINT, seq BIGINT, n BIGINT)[]) AS asg
+        |  FROM s
+        |  UNION ALL
+        |  SELECT shard, ds, i + 1,
+        |    CASE WHEN fit IS NULL THEN list_append(rem, 256 - ds[i].n)
+        |         ELSE list_transform(range(1, len(rem) + 1),
+        |                j -> CASE WHEN j = fit THEN rem[j] - ds[i].n ELSE rem[j] END)
+        |    END,
+        |    list_append(asg, {'id': ds[i].id,
+        |                      'seq': coalesce(fit, len(rem) + 1) - 1,
+        |                      'n': ds[i].n})
+        |  FROM (
+        |    SELECT shard, ds, i, rem, asg,
+        |      list_min(list_filter(range(1, len(rem) + 1),
+        |        j -> rem[j] >= ds[i].n)) AS fit
+        |    FROM rec WHERE i <= len(ds))),
+        |a AS (
+        |  SELECT shard, unnest(asg, recursive := true)
+        |  FROM rec WHERE i > len(ds))
+        |SELECT shard, CAST(seq AS BIGINT) AS seq, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens, min(id) AS first_doc
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the trained-BPE fold replayed as literal nested replaces generated
     // from the SAME FixedMerges list the Spark side applies (one source
     // of truth, Bpe.foldSql) — every token of every doc pinned via the

@@ -1,0 +1,117 @@
+package graft.analytics
+
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Training-shard export: the last step of the data pipeline —
+  * materialize a packed corpus as deterministic, size-targeted shards a
+  * training job can consume, with a per-shard manifest and a crash-safe,
+  * RESUMABLE commit.
+  *
+  * Layout under `outDir`:
+  * {{{
+  * data/shard=N/part-*.parquet   one file per shard, rows (seq, pos, id,
+  *                               n_tokens, text) sorted (seq, id)
+  * manifest/                     one row per shard:
+  *                               (shard, n_seqs, n_docs, n_tokens, content_md5)
+  * _SHARDS_OK                    marker: the corpus digest (md5 over the
+  *                               sorted per-shard md5s), written LAST
+  * }}}
+  *
+  * Determinism: shard membership comes from the deterministic packer
+  * ([[Corpus.packFfd]] by default), in-file order is (seq, id), and
+  * `content_md5` digests the ordered (seq, id, n_tokens, md5(text))
+  * rows — two exports of the same corpus produce byte-equal manifests.
+  *
+  * Resume: the marker carries the corpus digest. A re-run first computes
+  * the digest of its INPUT (one aggregation job, no data movement) and,
+  * if the committed marker matches, returns the existing manifest
+  * without writing — so a nightly pipeline replayed after a crash (or
+  * re-pointed at unchanged input) is a no-op. A crash mid-write leaves
+  * data without a marker; the next run rewrites everything (dynamic
+  * overwrite by shard directory). Digest mismatch (input changed)
+  * likewise rewrites.
+  *
+  * Scale shape: one equi-join of the pack assignment back to the text
+  * (co-shuffled on id), one repartition by shard (each shard lands
+  * wholly in one task → exactly one file per shard directory), and one
+  * bounded aggregation for the manifest (`collect_list` per shard is
+  * capped by `shardSize` — the same bound the packer's bin state
+  * relies on). No driver-side loops over shards. */
+object ShardExport {
+
+  private val Marker = "_SHARDS_OK"
+
+  /** Export `docs` packed at (`budget`, `shardSize`) into `outDir`.
+    * Returns the manifest (shard, n_seqs, n_docs, n_tokens, content_md5)
+    * read back from the committed export. */
+  def exportShards(docs: DataFrame, outDir: String, budget: Int,
+      shardSize: Int, textCol: String = "text", idCol: String = "doc_id",
+      packer: (DataFrame, Int, Int) => DataFrame =
+        Corpus.packFfd(_, _, _)): DataFrame = {
+    val spark = docs.sparkSession
+    val packed = packer(docs, budget, shardSize)
+    val rows = packed.join(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")), "id")
+      .select(col("shard"), col("seq"), col("id"), col("n_tokens"), col("text"))
+
+    val manifest = manifestOf(rows)
+    val digest = digestOf(manifest)
+
+    val committed = readMarker(outDir)
+    if (committed.contains(digest))
+      return spark.read.parquet(s"$outDir/manifest")
+
+    // (seq, id) order inside each shard file; `pos` = position within the
+    // shard's serialized order, so a reader can verify completeness
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("seq"), col("id"))
+    rows.withColumn("pos", row_number().over(w).cast("long"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"), col("id"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/data")
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    writeMarker(outDir, digest)
+    spark.read.parquet(s"$outDir/manifest")
+  }
+
+  /** Per-shard manifest of a (shard, seq, id, n_tokens, text) frame:
+    * `content_md5` digests the (seq, id)-ordered rows, each row reduced
+    * to (seq, id, n_tokens, md5(text)) so the shuffled payload stays
+    * narrow. */
+  private def manifestOf(rows: DataFrame): DataFrame =
+    rows.groupBy(col("shard")).agg(
+        countDistinct(col("seq")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(to_json(array_sort(collect_list(struct(
+          col("seq"), col("id"), col("n_tokens"),
+          md5(col("text")).as("text_md5")))))).as("content_md5"))
+      .orderBy(col("shard"))
+
+  /** Corpus digest = md5 over the shard-sorted per-shard digests. */
+  private def digestOf(manifest: DataFrame): String =
+    manifest.agg(md5(to_json(array_sort(collect_list(struct(
+        col("shard"), col("content_md5")))))).as("d"))
+      .collect().head.getString(0)
+
+  private def readMarker(outDir: String): Option[String] = {
+    val p = Paths.get(outDir, Marker)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  /** Atomic marker write (temp + move) — a crash mid-write can never
+    * leave a half-written digest that accidentally matches. */
+  private def writeMarker(outDir: String, digest: String): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    val tmp = Paths.get(outDir, Marker + ".tmp")
+    Files.write(tmp, digest.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(outDir, Marker),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -66,7 +66,7 @@ object ScaleProbe {
     // the same documented oracle-fixed-geometry class as ann_lsh_banded;
     // the library default auto-sizes planes (autoPlanes) at scale
     "find_near_dups", "find_near_dups_simhash", "find_exact_dups",
-    "unigram_tokenize", "wordpiece_tokenize")
+    "unigram_tokenize", "wordpiece_tokenize", "pack_sequences_ffd")
 
   private val srcDir = "/root/testdata/sf0.1"
   private val scaleRoot = "/tmp/graft_scale"

@@ -42,6 +42,39 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("packFfd: JVM-twin equality, budget invariant, and never more " +
+    "sequences than the arrival-order greedy") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 256
+    val packed = Corpus.packFfd(docs, budget, shardSize = 100)
+    assert(packed.count() == docs.count()) // every doc packed exactly once
+    val bad = packed.groupBy("shard", "seq")
+      .agg(sum("n_tokens").as("total"), count(lit(1)).as("n"))
+      .where(col("total") > budget && col("n") > 1) // single long docs exempt
+    assert(bad.count() == 0)
+    // exact FFD twin: replay the loop per shard from the same (n, id) set
+    val rows = packed.collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("seq")))
+    rows.groupBy(_._1).foreach { case (_, ds) =>
+      val sorted = ds.sortBy { case (_, id, n, _) => (-n, id) }
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sorted.foreach { case (_, id, n, gotSeq) =>
+        val idx = rem.indexWhere(_ >= n)
+        val want =
+          if (idx >= 0) { rem(idx) -= n; idx.toLong }
+          else { rem += (budget.toLong - n); (rem.size - 1).toLong }
+        assert(gotSeq == want, s"doc $id: seq $gotSeq, twin expects $want")
+      }
+    }
+    // FFD never opens more bins than the greedy arrival-order packer
+    def bins(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("shard", "seq").distinct().count()
+    val greedy = Corpus.packGreedyNoSplit(docs, budget, shardSize = 100)
+    assert(bins(packed) <= bins(greedy),
+      s"FFD used ${bins(packed)} bins, greedy ${bins(greedy)}")
+  }
+
   test("chunkDocuments: strided chunks reconstruct the original text") {
     val docs = Tables.documents(spark, sf).where(col("doc_id") < 10)
     val chunks = Corpus.chunkDocuments(docs, chunkSize = 120, stride = 90)

@@ -105,6 +105,19 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"), plan.take(1200))
   }
 
+  test("packFfd repartitions by shard with per-partition sort, never a " +
+    "single global sort") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(
+      graft.analytics.Corpus.packFfd(docs, budget = 256, shardSize = 100))
+    // repartition(shard) -> hashpartitioning(shard); the FFD pass is a
+    // streaming mapPartitions over a WITHIN-partition sort — a global
+    // orderBy would show a SinglePartition/rangepartitioning exchange
+    assert(plan.contains("hashpartitioning(shard"), plan.take(1200))
+    assert(!plan.contains("SinglePartition"), plan.take(1200))
+    assert(!plan.contains("rangepartitioning"), plan.take(1200))
+  }
+
   test("quota_sample top-k windows per source, no global sort of the corpus") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = executedPlan(graft.analytics.Corpus.quotaSample(docs, 5))
