@@ -46,7 +46,14 @@ object ShardExport {
 
   /** Export `docs` packed at (`budget`, `shardSize`) into `outDir`.
     * Returns the manifest (shard, n_seqs, n_docs, n_tokens, content_md5)
-    * read back from the committed export. */
+    * read back from the committed export.
+    *
+    * Scan economics: the manifest is computed ONCE (one corpus scan,
+    * text read only for its md5 — column-pruned narrow) and STAGED to
+    * parquet; the corpus digest then derives from the tiny staged file,
+    * never from a second corpus scan. A replay against an unchanged
+    * corpus therefore costs exactly one narrow scan + a shard-count-sized
+    * write; a real export costs that plus the data write's scan. */
   def exportShards(docs: DataFrame, outDir: String, budget: Int,
       shardSize: Int, textCol: String = "text", idCol: String = "doc_id",
       packer: (DataFrame, Int, Int) => DataFrame =
@@ -57,12 +64,15 @@ object ShardExport {
         docs.select(col(idCol).as("id"), col(textCol).as("text")), "id")
       .select(col("shard"), col("seq"), col("id"), col("n_tokens"), col("text"))
 
-    val manifest = manifestOf(rows)
-    val digest = digestOf(manifest)
+    val stage = s"$outDir/manifest_tmp"
+    manifestOf(rows).coalesce(1).write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val digest = digestOf(staged)
 
-    val committed = readMarker(outDir)
-    if (committed.contains(digest))
+    if (readMarker(outDir).contains(digest)) {
+      deleteRecursively(stage) // replay no-op: committed export stands
       return spark.read.parquet(s"$outDir/manifest")
+    }
 
     // (seq, id) order inside each shard file; `pos` = position within the
     // shard's serialized order, so a reader can verify completeness
@@ -73,9 +83,20 @@ object ShardExport {
       .sortWithinPartitions(col("shard"), col("seq"), col("id"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$outDir/data")
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    // promote the staged manifest, then commit: a crash anywhere before
+    // the marker leaves no marker -> the next run rewrites everything
+    deleteRecursively(s"$outDir/manifest")
+    Files.move(Paths.get(stage), Paths.get(s"$outDir/manifest"))
     writeMarker(outDir, digest)
     spark.read.parquet(s"$outDir/manifest")
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
   }
 
   /** Per-shard manifest of a (shard, seq, id, n_tokens, text) frame:

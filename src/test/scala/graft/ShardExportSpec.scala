@@ -65,6 +65,8 @@ class ShardExportSpec extends SparkTestBase {
     stamps.foreach { case (p, t) =>
       assert(new java.io.File(p).lastModified == t, s"replay rewrote $p")
     }
+    assert(!Files.exists(Paths.get(out, "manifest_tmp")),
+      "replay must clean up its staged manifest")
     // crash resume: marker lost -> full rewrite, manifest identical
     Files.delete(Paths.get(out, "_SHARDS_OK"))
     val m3 = ShardExport.exportShards(docs, out, 256, 20).collect().toSeq
