@@ -257,17 +257,21 @@ object WordPiece {
         }
         wi += 1
       }
-      // best admissible pair by likelihood score; iterate in sorted key
-      // order so ties resolve lexicographically regardless of hash order
+      // best admissible pair by likelihood score — ONE linear scan with a
+      // TOTAL comparison (score, then lexicographic pair), so the winner
+      // is hash-iteration-order independent without sorting the pair
+      // table every round (that sort made large vocabs O(merges · pairs
+      // log pairs) on the driver)
       var best: (String, String) = null
       var bestN = 0L
-      pairCount.toVector.sortBy(_._1).foreach { case (p @ (a, b), nAb) =>
+      pairCount.foreach { case (p @ (a, b), nAb) =>
         if (rawLen(a) + rawLen(b) <= maxPieceLen && nAb >= minPairCount) {
           val better = best == null || {
             // score(p) > score(best) ⇔ nAb·c(bestA)·c(bestB) > nBest·c(a)·c(b)
             val l = BigInt(nAb) * BigInt(pieceCount(best._1)) * BigInt(pieceCount(best._2))
             val r = BigInt(bestN) * BigInt(pieceCount(a)) * BigInt(pieceCount(b))
-            l > r // equal scores keep the earlier (lexicographically smaller) pair
+            val cmp = l.compare(r)
+            cmp > 0 || (cmp == 0 && Ordering[(String, String)].lt(p, best))
           }
           if (better) { best = p; bestN = nAb }
         }
