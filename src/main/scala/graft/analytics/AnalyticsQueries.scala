@@ -208,9 +208,16 @@ object AnalyticsQueries extends QueryModule {
   /** And over the embedding sign-LSH family (third instance): the
     * contamination lookup for VECTOR near-duplicates — query embeddings
     * probed against incrementally-indexed corpus embeddings, exact-cosine
-    * verified. */
+    * verified. The indexed corpus is BOUNDED to original ids
+    * (vec_id < 500000 — a no-op at every oracle SF, mirrored in the
+    * oracle SQL): this query's fixed 4-plane oracle geometry is
+    * quadratic in the INGEST past ~10⁴ vectors (the documented
+    * oracle-fixed-geometry class — the x100 synthetic corpus OOMs it),
+    * and the scale path for big corpora is the streaming face with
+    * `autoPlanes`, probed flat in `DedupStreamProbe`. */
   private def findNearDupsEmbQ(s: SparkSession, d: String): DataFrame = {
     val corpus = Tables.embeddings(s, d)
+      .where(col("vec_id") < 500000)
       .select(col("vec_id").as("id"), col("embedding"))
     val stateDir = servedState(s, d, "emb", corpus, ndServeEmbIx)
     val queryVecs = corpus.where(col("id") < 50)
@@ -895,6 +902,7 @@ object AnalyticsQueries extends QueryModule {
         }.mkString(" || ")
       s"""WITH e AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 500000
         |  UNION ALL
         |  SELECT vec_id + 500000, CAST(embedding AS DOUBLE[]) FROM embeddings
         |  WHERE vec_id < 50),
