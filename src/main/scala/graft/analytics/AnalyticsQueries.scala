@@ -185,9 +185,18 @@ object AnalyticsQueries extends QueryModule {
 
   /** The same serving lookup over the SimHash family — the second
     * [[DedupStream.BandIndexer]] instance, proving the incremental
-    * resolver + serving machinery is indexer-generic in practice. */
+    * resolver + serving machinery is indexer-generic in practice. The
+    * served corpus is BOUNDED to original ids (id < 200000 — a no-op at
+    * every oracle SF, mirrored in the oracle SQL): simhash band keys
+    * PIGEONHOLE-CLUSTER on a low-diversity corpus (near-identical token
+    * distributions share 15-bit slices), so fixed-geometry ingest pair
+    * generation grows superlinearly — at the x100 synthetic corpus the
+    * ingest aggregate exhausted execution memory in the shared bench JVM
+    * (the batch sibling guards the same blowup with `maxBucket`). Scale
+    * corpora belong on the streaming face with caller-sized geometry. */
   private def findNearDupsSimhashQ(s: SparkSession, d: String): DataFrame = {
-    val stateDir = servedState(s, d, "simhash", nearCorpus(s, d), ndServeSimhashIx)
+    val stateDir = servedState(s, d, "simhash",
+      nearCorpus(s, d).where(col("id") < 200000), ndServeSimhashIx)
     val queryDocs = docs(s, d).where(col("id") < 100)
       .select((col("id") + 500000).as("id"), col("text"))
     DedupStream.findNearDups(s, stateDir, queryDocs, ndServeSimhashIx)
@@ -862,7 +871,7 @@ object AnalyticsQueries extends QueryModule {
     // hamming expressed on the score axis (60 − h)/60
     "find_near_dups_simhash" ->
       s"""WITH corpus AS (
-        |  SELECT doc_id AS id, text FROM documents
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 200000
         |  UNION ALL
         |  SELECT doc_id + 100000, text || ' zzz9' FROM documents WHERE doc_id < 100
         |  UNION ALL
