@@ -152,7 +152,8 @@ object AnalyticsQueries extends QueryModule {
   private val ndServeSimhashIx = DedupStream.SimHashIndexer(maxHamming = 3,
     bands = 4, textCol = "text", idCol = "id")
   private val ndServeEmbIx = DedupStream.CosineLshIndexer(threshold = 0.4,
-    planes = 4, tables = 2, idCol = "id", vecCol = "embedding")
+    planes = 4, tables = 2, idCol = "id", vecCol = "embedding",
+    dims = 64) // the oracle's literal plane geometry; no per-call infer job
   private val ndServeExactIx = DedupStream.ExactIndexer(idCol = "id")
 
   /** One ingested state dir per (session, sfDir, family): the registered
@@ -162,18 +163,25 @@ object AnalyticsQueries extends QueryModule {
     * Each family ingests its corpus as two incremental batches with the
     * FIRST folded into the sorted compacted snapshot, so every lookup
     * exercises both serving reads (bk-pushdown-pruned snapshot + tail). */
+  // keyed by the session's identity hash, not the session object — a
+  // stopped session must not stay strongly pinned for the JVM lifetime;
+  // the synchronized block keeps a concurrent first call from double-
+  // ingesting into two orphaned temp dirs (TrieMap.getOrElseUpdate may
+  // evaluate the body twice under a race)
   private val ndServeState =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+    scala.collection.mutable.HashMap.empty[(Int, String, String), String]
 
   private def servedState(s: SparkSession, d: String, family: String,
       corpus: DataFrame, ix: DedupStream.BandIndexer): String =
-    ndServeState.getOrElseUpdate((s, d, family), {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_nd_$family").toString
-      DedupStream.processBatch(corpus.where(col("id") % 2 === 0), 0L, dir, ix, "id")
-      DedupStream.compactState(s, dir)
-      DedupStream.processBatch(corpus.where(col("id") % 2 === 1), 1L, dir, ix, "id")
-      dir
-    })
+    ndServeState.synchronized {
+      ndServeState.getOrElseUpdate((System.identityHashCode(s), d, family), {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_nd_$family").toString
+        DedupStream.processBatch(corpus.where(col("id") % 2 === 0), 0L, dir, ix, "id")
+        DedupStream.compactState(s, dir)
+        DedupStream.processBatch(corpus.where(col("id") % 2 === 1), 1L, dir, ix, "id")
+        dir
+      })
+    }
 
   private def findNearDupsQ(s: SparkSession, d: String): DataFrame = {
     val stateDir = servedState(s, d, "minhash", nearCorpus(s, d), ndServeIx)

@@ -69,7 +69,7 @@ object Bpe {
     "s" -> "t", "e" -> "n", "o" -> "r", "e" -> "s", "in" -> "g",
     "a" -> "t")
 
-  private def stripSep(text: Column): Column =
+  private[analytics] def stripSep(text: Column): Column =
     replace(replace(text, lit(Sep), lit("")), lit(PieceSep), lit(""))
 
   /** `␁c₁␁␁c₂␁…` envelope of a piece ((?s): whitespace pieces carry

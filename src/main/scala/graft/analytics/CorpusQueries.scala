@@ -93,12 +93,11 @@ object CorpusQueries extends QueryModule {
     * piece count, real token count, and the md5 of the full token list
     * (every token in every doc pinned, not just the count). */
   private def bpeQ(s: SparkSession, d: String): DataFrame = {
-    // sentinel-stripped pieces (what tokenize operates on), and ONE
-    // tokenize fold feeding both the count and the md5 — CollapseProject
-    // keeps the non-cheap _t in its own projection, so the corpus is
-    // folded once, not twice
-    val clean = replace(replace(col("text"), lit(Bpe.Sep), lit("")),
-      lit(Bpe.PieceSep), lit(""))
+    // sentinel-stripped pieces (what tokenize operates on — Bpe's OWN
+    // strip, so the two can never drift), and ONE tokenize fold feeding
+    // both the count and the md5 — CollapseProject keeps the non-cheap
+    // _t in its own projection, so the corpus is folded once, not twice
+    val clean = Bpe.stripSep(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(graft.functions.TextFunctions.bpePieces(clean)).as("n_pieces"),
@@ -706,10 +705,18 @@ object CorpusQueries extends QueryModule {
         |  FROM bt WHERE pos > 0),
         |toks AS (
         |  SELECT id, wpos, generate_subscripts(toks, 1) AS tpos, unnest(toks) AS tok
-        |  FROM bt WHERE pos = 0)
-        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_unigram,
-        |       md5(string_agg(tok, ' ' ORDER BY wpos, tpos)) AS tok_md5
-        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM bt WHERE pos = 0),
+        |agg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n,
+        |         md5(string_agg(tok, ' ' ORDER BY wpos, tpos)) AS m
+        |  FROM toks GROUP BY 1)
+        |-- every doc row survives (zero-word docs tokenize to []; a NULL
+        |-- text stays NULL through size() but md5's concat_ws skips it)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE coalesce(a.n, 0) END AS n_unigram,
+        |  coalesce(a.m, md5('')) AS tok_md5
+        |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id ORDER BY 1""".stripMargin,
     // the WordPiece maximal munch replayed as ONE recursive CTE: at each
     // position the surviving candidate spans are k = 1..min(remaining,
     // maxPieceLen) whose piece (##-prefixed when non-initial) is in the
@@ -745,11 +752,19 @@ object CorpusQueries extends QueryModule {
         |    FROM seg WHERE pos < len(w))),
         |toks AS (
         |  SELECT id, wpos, generate_subscripts(toks, 1) AS tpos, unnest(toks) AS tok
-        |  FROM seg WHERE pos = len(w))
-        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_wordpiece,
-        |       CAST(count(*) FILTER (WHERE tok = '${WordPiece.FixedModel.unkToken}') AS BIGINT) AS n_unk,
-        |       md5(string_agg(tok, ' ' ORDER BY wpos, tpos)) AS tok_md5
-        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM seg WHERE pos = len(w)),
+        |agg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (WHERE tok = '${WordPiece.FixedModel.unkToken}') AS BIGINT) AS u,
+        |       md5(string_agg(tok, ' ' ORDER BY wpos, tpos)) AS m
+        |  FROM toks GROUP BY 1)
+        |-- every doc row survives (zero-word docs tokenize to []; a NULL
+        |-- text stays NULL through size() but md5's concat_ws skips it)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.n, 0) END AS n_wordpiece,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.u, 0) END AS n_unk,
+        |  coalesce(a.m, md5('')) AS tok_md5
+        |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id ORDER BY 1""".stripMargin,
     "pack_sequences_bpe" ->
       s"""WITH d AS (
         |  SELECT doc_id AS id, ${Bpe.tokenCountSql("text")} AS n_tokens,

@@ -199,23 +199,28 @@ object DedupStream {
     * signature per table ([[Similarity.lshSignature]]'s deterministic ±1
     * planes — table t is an independent plane set, so candidates collide
     * in ANY table, the OR-construction recall repair), sketch = the
-    * full-precision vector, verification = exact cosine. Dims are read
-    * from each incoming frame's first row (an empty batch indexes empty
-    * with a placeholder geometry — no rows, no postings); mixed-dims
-    * corpora are a caller error. NaN cosine (zero-norm vectors from
-    * failed encoders) maps to −1 so Spark's NaN-is-largest ordering can
-    * never verify a degenerate pair. */
+    * full-precision vector, verification = exact cosine. `dims` > 0
+    * fixes the plane geometry up front (the serving/streaming path —
+    * zero per-call driver work); `dims` = 0 infers it from each incoming
+    * frame's first non-null vector, at the cost of ONE bounded driver
+    * job per index() call (an empty batch indexes empty with a
+    * placeholder geometry — no rows, no postings). Mixed-dims corpora
+    * are a caller error. NaN cosine (zero-norm vectors from failed
+    * encoders) maps to −1 so Spark's NaN-is-largest ordering can never
+    * verify a degenerate pair. */
   final case class CosineLshIndexer(threshold: Double, planes: Int = 8,
       tables: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding") extends BandIndexer {
+      vecCol: String = "embedding", dims: Int = 0) extends BandIndexer {
     def index(vectors: DataFrame): DataFrame = {
-      val dims = vectors.select(size(col(vecCol)).as("d")).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(1)
+      val d = if (dims > 0) dims
+        else vectors.where(col(vecCol).isNotNull)
+          .select(size(col(vecCol)).as("d")).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(1)
       vectors
         .select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<double>").as("sk"))
         .select(col("id"), col("sk"), array((0 until tables).map(t =>
-          Similarity.lshSignature(col("sk"), dims, planes, t)): _*).as("band_keys"))
+          Similarity.lshSignature(col("sk"), d, planes, t)): _*).as("band_keys"))
     }
     def score(a: Column, b: Column): Column = {
       val c = Similarity.cosine(a, b)

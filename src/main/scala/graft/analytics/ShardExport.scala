@@ -74,6 +74,13 @@ object ShardExport {
       return spark.read.parquet(s"$outDir/manifest")
     }
 
+    // INVALIDATE the committed marker before the first destructive
+    // write: a crash mid-re-export must leave NO marker, never a stale
+    // one that vouches for clobbered data (a later replay against the
+    // old corpus would otherwise match the stale digest and return the
+    // old manifest over the new/partial shards)
+    Files.deleteIfExists(Paths.get(outDir, Marker))
+
     // (seq, id) order inside each shard file; `pos` = position within the
     // shard's serialized order, so a reader can verify completeness
     val w = org.apache.spark.sql.expressions.Window

@@ -358,16 +358,24 @@ object Unigram {
     else if (b.isNegInfinity) a
     else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
 
-  /** Persist a model as (piece, logprob, max_piece_len) parquet. */
+  /** Persist a model as (ord, piece, logprob, max_piece_len) parquet;
+    * `ord` preserves the fitted piece order, so a save/load round-trip
+    * reproduces the model EXACTLY — including case-class equality, which
+    * Catalyst uses to compare expressions built from it structurally. */
   def save(spark: SparkSession, model: UnigramModel, path: String): Unit = {
     import spark.implicits._
-    model.pieces.map { case (p, lp) => (p, lp, model.maxPieceLen) }
-      .toDF("piece", "logprob", "max_piece_len")
+    model.pieces.zipWithIndex.map { case ((p, lp), i) =>
+      (i, p, lp, model.maxPieceLen)
+    }.toDF("ord", "piece", "logprob", "max_piece_len")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   def load(spark: SparkSession, path: String): UnigramModel = {
-    val rows = spark.read.parquet(path).orderBy(col("piece")).collect()
+    val df = spark.read.parquet(path)
+    // pre-r13 saves carried no ord column; fall back to piece order
+    val rows = (if (df.columns.contains("ord")) df.orderBy(col("ord"))
+      else df.orderBy(col("piece"))).collect()
+    require(rows.nonEmpty, s"unigram model at $path is empty")
     UnigramModel(
       rows.map(r => (r.getAs[String]("piece"), r.getAs[Double]("logprob"))).toVector,
       rows.head.getAs[Int]("max_piece_len"))

@@ -319,6 +319,7 @@ object WordPiece {
 
   def load(spark: SparkSession, path: String): WordPieceModel = {
     val rows = spark.read.parquet(path).orderBy(col("ord")).collect()
+    require(rows.nonEmpty, s"wordpiece model at $path is empty")
     WordPieceModel(
       rows.map(_.getAs[String]("piece")).toVector,
       rows.head.getAs[Int]("max_piece_len"),

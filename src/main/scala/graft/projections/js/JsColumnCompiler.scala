@@ -3500,6 +3500,19 @@ private[js] object JsColumnCompiler {
               p.frags.size != 1 || p.rawStrs.headOption.flatten.isEmpty
             case _ => false
           }) return None
+          // membership window: at most ONE push site per HANDLER —
+          // arrPreVal carries a single per-row value column (the first
+          // site's), so a second site in the same handler would
+          // contribute its execution to the count window under the
+          // first site's partition value (or NULL when only it runs),
+          // silently diverging from the interpreter. The one-shared-
+          // value rule (addPush) only covers handlers that also READ f;
+          // write-only handlers land here. Refuse to the interpreter.
+          if (arrHasFields(f) && allHandlerFolds.exists(h =>
+            h.fields.count {
+              case (ff, _: PushTerm) => ff == f
+              case _ => false
+            } > 1)) return None
         case _ => return None
       }
     }

@@ -1370,6 +1370,36 @@ fromAll().foreachStream().when({
         s.xs.push(e.value);
         return s;
     } })""").compilesToColumns)
+    // TWO push sites in one handler with a membership read elsewhere:
+    // arrPreVal carries a single per-row value column, so the second
+    // site's value could never partition the window — fall back (the
+    // one-shared-value rule only covers handlers that also READ)
+    assert(!JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { xs: [], n: 0 }; },
+    t1: function(s, e) {
+        s.xs.push(e.eventType);
+        s.xs.push(e.streamId);
+        return s;
+    },
+    $any: function(s, e) {
+        if (s.xs.includes(e.streamId)) { s.n += 1; }
+        return s;
+    } })""").compilesToColumns)
+    // ... while a LENGTH-only read tolerates multiple sites per handler
+    // (the count window sums every site's executed element count)
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { xs: [], deep: 0 }; },
+    t1: function(s, e) {
+        s.xs.push(e.eventType);
+        s.xs.push(e.streamId);
+        return s;
+    },
+    $any: function(s, e) {
+        if (s.xs.length >= 4) { s.deep += 1; }
+        return s;
+    } })""", log))
     // a length-BOUNDED push is execution-guarded by its own length
     // window — genuinely sequential; the circularity gate falls back
     assert(!JsProjection.compile("""
