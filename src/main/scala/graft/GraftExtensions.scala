@@ -53,7 +53,12 @@ object GraftFunctions {
 
   private def litInt(name: String, arg: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      // refuse silent wrap-around (e.g. 4294967299 -> 3) at analysis,
+      // matching the "bad geometry fails at analysis" contract
+      if (!v.isValidInt) throw new IllegalArgumentException(
+        s"$name: $arg must fit in Int, got $v")
+      else v.toInt
     case _ => throw new IllegalArgumentException(
       s"$name: $arg must be an integer literal")
   }

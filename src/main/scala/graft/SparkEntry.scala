@@ -27,6 +27,7 @@ object Registry {
     graft.operators.EventAnalytics,
     graft.operators.ReadQueries,
     graft.operators.RetentionQueries,
+    graft.operators.RedactionQueries,
     graft.operators.SystemProjectionQueries,
     graft.projections.ProjectionQueries,
     graft.projections.js.JsProjectionQueries,

@@ -163,19 +163,27 @@ object AnalyticsQueries extends QueryModule {
     * Each family ingests its corpus as two incremental batches with the
     * FIRST folded into the sorted compacted snapshot, so every lookup
     * exercises both serving reads (bk-pushdown-pruned snapshot + tail). */
-  // keyed by the session's identity hash, not the session object — a
-  // stopped session must not stay strongly pinned for the JVM lifetime;
-  // the synchronized block keeps a concurrent first call from double-
-  // ingesting into two orphaned temp dirs (TrieMap.getOrElseUpdate may
-  // evaluate the body twice under a race)
-  private val ndServeState =
-    scala.collection.mutable.HashMap.empty[(Int, String, String), String]
+  // weak-keyed by the session object: identity alone is ambiguous (a
+  // GC'd session's identityHashCode can be reused by a new one, which
+  // would silently hand the new session state ingested under the old),
+  // and a strong key would pin a stopped session for the JVM lifetime.
+  // WeakHashMap drops the entry when the session is collected; the
+  // synchronized block keeps a concurrent first call from double-
+  // ingesting into two orphaned temp dirs, and deleteOnExit bounds the
+  // dir accumulation to the JVM run
+  private val ndServeState = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.HashMap[(String, String), String]]()
 
   private def servedState(s: SparkSession, d: String, family: String,
       corpus: DataFrame, ix: DedupStream.BandIndexer): String =
     ndServeState.synchronized {
-      ndServeState.getOrElseUpdate((System.identityHashCode(s), d, family), {
+      val perSession = Option(ndServeState.get(s)).getOrElse {
+        val m = scala.collection.mutable.HashMap.empty[(String, String), String]
+        ndServeState.put(s, m); m
+      }
+      perSession.getOrElseUpdate((d, family), {
         val dir = java.nio.file.Files.createTempDirectory(s"graft_nd_$family").toString
+        new java.io.File(dir).deleteOnExit()
         DedupStream.processBatch(corpus.where(col("id") % 2 === 0), 0L, dir, ix, "id")
         DedupStream.compactState(s, dir)
         DedupStream.processBatch(corpus.where(col("id") % 2 === 1), 1L, dir, ix, "id")

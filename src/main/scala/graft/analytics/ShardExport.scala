@@ -30,9 +30,11 @@ import graft.functions.TextFunctions
   * if the committed marker matches, returns the existing manifest
   * without writing — so a nightly pipeline replayed after a crash (or
   * re-pointed at unchanged input) is a no-op. A crash mid-write leaves
-  * data without a marker; the next run rewrites everything (dynamic
-  * overwrite by shard directory). Digest mismatch (input changed)
-  * likewise rewrites.
+  * data without a marker; the next run rewrites everything (static
+  * full-truncate overwrite of `data/`, pinned per-write so a session
+  * configured with dynamic partition overwrite cannot leave stale
+  * shard directories behind a shrinking input). Digest mismatch
+  * (input changed) likewise rewrites.
   *
   * Scale shape: one equi-join of the pack assignment back to the text
   * (co-shuffled on id), one repartition by shard (each shard lands
@@ -89,6 +91,11 @@ object ShardExport {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("seq"), col("id"))
       .write.mode("overwrite").partitionBy("shard")
+      // the resume contract needs a FULL truncate of data/: under
+      // session-level partitionOverwriteMode=dynamic, a re-export after
+      // the input shrinks would leave stale shard=N dirs that the fresh
+      // marker then vouches for
+      .option("partitionOverwriteMode", "static")
       .parquet(s"$outDir/data")
     // promote the staged manifest, then commit: a crash anywhere before
     // the marker leaves no marker -> the next run rewrites everything

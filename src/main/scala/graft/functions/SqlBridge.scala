@@ -43,11 +43,16 @@ object Bridge {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     configure(ext)
     // the full constructor is Scala-private but bytecode-public (the
-    // same signature Builder.getOrCreate invokes)
+    // same signature Builder.getOrCreate invokes); resolve it by the
+    // FULL parameter-type signature so a Spark upgrade that reshuffles
+    // overloads fails loudly here instead of binding the wrong one
     val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
-      .getDeclaredConstructors.find(_.getParameterCount == 6)
-      .getOrElse(throw new IllegalStateException(
-        "classic.SparkSession 6-arg constructor not found"))
+      .getDeclaredConstructor(
+        classOf[org.apache.spark.SparkContext],
+        classOf[Option[_]], classOf[Option[_]],
+        classOf[org.apache.spark.sql.SparkSessionExtensions],
+        classOf[scala.collection.immutable.Map[_, _]],
+        classOf[scala.collection.immutable.Map[_, _]])
     ctor.newInstance(sc, None, None, ext,
       Map.empty[String, String], Map.empty[String, String])
       .asInstanceOf[org.apache.spark.sql.SparkSession]

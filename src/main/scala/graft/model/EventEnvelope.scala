@@ -24,7 +24,8 @@ final case class EventEnvelope(
     correlation_id: String,
     is_json: Boolean,
     data: String,
-    metadata: String)
+    metadata: String,
+    is_redacted: Boolean = false)
 
 object EventEnvelope {
   val schema: StructType = StructType(Seq(
@@ -37,7 +38,11 @@ object EventEnvelope {
     StructField("correlation_id", StringType, nullable = true),
     StructField("is_json", BooleanType, nullable = false),
     StructField("data", StringType, nullable = true),
-    StructField("metadata", StringType, nullable = true)
+    StructField("metadata", StringType, nullable = true),
+    // PrepareFlags.IsRedacted (PrepareLogRecord.cs:30): readers return
+    // empty data for flagged events (PrepareLogRecord.cs:65) and surface
+    // the flag (Convert.cs:349) — see graft.operators.Redaction
+    StructField("is_redacted", BooleanType, nullable = false)
   ))
 
   /** Event type of a link event (reference: `$>` — ResolvedEvent.cs:8-29). */

@@ -23,7 +23,8 @@ object Reads {
   /** S2: read one stream forwards from `from` (inclusive), up to `maxCount`. */
   def readStreamForwards(log: DataFrame, streamId: String, from: Long = 0L,
       maxCount: Long = Long.MaxValue): DataFrame = {
-    val base = log.where(col("stream_id") === streamId && col("event_number") >= from)
+    val base = Redaction.scrub(log)
+      .where(col("stream_id") === streamId && col("event_number") >= from)
       .orderBy(col("event_number"))
     if (maxCount == Long.MaxValue) base else base.limit(clampInt(maxCount))
   }
@@ -31,8 +32,9 @@ object Reads {
   /** S2: read one stream backwards from `from` (inclusive; -1 = from end). */
   def readStreamBackwards(log: DataFrame, streamId: String, from: Long = -1L,
       maxCount: Long = Long.MaxValue): DataFrame = {
-    val bounded = if (from < 0) log.where(col("stream_id") === streamId)
-      else log.where(col("stream_id") === streamId && col("event_number") <= from)
+    val src = Redaction.scrub(log)
+    val bounded = if (from < 0) src.where(col("stream_id") === streamId)
+      else src.where(col("stream_id") === streamId && col("event_number") <= from)
     val base = bounded.orderBy(col("event_number").desc)
     if (maxCount == Long.MaxValue) base else base.limit(clampInt(maxCount))
   }
@@ -40,7 +42,8 @@ object Reads {
   /** S3: read the whole log forwards from a global position (inclusive). */
   def readAllForwards(log: DataFrame, fromPosition: Long = 0L,
       maxCount: Long = Long.MaxValue, filter: Column = lit(true)): DataFrame = {
-    val base = log.where(col("log_position") >= fromPosition && filter)
+    val base = Redaction.scrub(log)
+      .where(col("log_position") >= fromPosition && filter)
       .orderBy(col("log_position"))
     if (maxCount == Long.MaxValue) base else base.limit(clampInt(maxCount))
   }
@@ -48,7 +51,8 @@ object Reads {
   /** S3: read the whole log backwards from a global position (inclusive). */
   def readAllBackwards(log: DataFrame, fromPosition: Long = Long.MaxValue,
       maxCount: Long = Long.MaxValue, filter: Column = lit(true)): DataFrame = {
-    val base = log.where(col("log_position") <= fromPosition && filter)
+    val base = Redaction.scrub(log)
+      .where(col("log_position") <= fromPosition && filter)
       .orderBy(col("log_position").desc)
     if (maxCount == Long.MaxValue) base else base.limit(clampInt(maxCount))
   }

@@ -84,9 +84,10 @@ object Retention {
       col("event_number") >= coalesce(col("_min_event_number"), lit(0L)) &&
       (col("_cutoff_ts").isNull || col("timestamp") >= col("_cutoff_ts"))
 
-  /** Apply a precomputed bounds table to a log slice. */
+  /** Apply a precomputed bounds table to a log slice (redaction-scrubbed:
+    * retained reads are reads — PrepareLogRecord.cs:65). */
   def applyBounds(slice: DataFrame, bounds: DataFrame): DataFrame =
-    slice.join(broadcast(bounds), Seq("stream_id"), "left")
+    Redaction.scrub(slice).join(broadcast(bounds), Seq("stream_id"), "left")
       .where(keepCondition)
       .drop("_min_event_number", "_cutoff_ts", "_deleted")
 

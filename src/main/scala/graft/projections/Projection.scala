@@ -105,8 +105,12 @@ object Projections {
     * columns, so folds that never look at them pay no IO for them. */
   def toLogEvents(log: DataFrame, withMeta: Boolean = false): Dataset[LogEvent] = {
     import log.sparkSession.implicits._
+    // projections are readers: redacted events fold with empty data
+    // (PrepareLogRecord.cs:65; graft.operators.Redaction)
+    val scrubbed = graft.operators.Redaction.scrub(log)
     val withValue =
-      if (log.columns.contains("value")) log else log.withColumn("value", lit(0.0))
+      if (scrubbed.columns.contains("value")) scrubbed
+      else scrubbed.withColumn("value", lit(0.0))
     def optCol(name: String): Column =
       if (withMeta && withValue.columns.contains(name)) col(name)
       else lit(null).cast("string")

@@ -99,8 +99,15 @@ final class JsProjection(val source: String) extends Serializable {
   /** options({$includeLinks: true}): read through `$>` links — handlers
     * see the TARGET events (with the link's metadata as linkMetadata) in
     * link-stream order. Applied before every execution path. */
-  private def prepared(log: DataFrame): DataFrame =
-    if (spec.includeLinks) graft.operators.Links.resolveInline(log) else log
+  private def prepared(log: DataFrame): DataFrame = {
+    // JS projections are readers: redacted events fold with empty data
+    // (PrepareLogRecord.cs:65; graft.operators.Redaction). The compiled
+    // fast paths consume this frame directly, so scrub here — the
+    // interpreter path re-scrubs in toLogEvents (idempotent)
+    val scrubbed = graft.operators.Redaction.scrub(log)
+    if (spec.includeLinks) graft.operators.Links.resolveInline(scrubbed)
+    else scrubbed
+  }
 
   /** The fold, compiled onto the Scala DSL. */
   def foldBuilder: FoldBuilder[JsVal] = {
@@ -406,7 +413,8 @@ final class JsProjection(val source: String) extends Serializable {
         (!p.usesTimestamp || (have("timestamp") &&
           events.schema("timestamp").dataType ==
             org.apache.spark.sql.types.TimestampType))
-      if (ok) Some(p.build(events.where(p.selector)).as[Emitted]) else None
+      if (ok) Some(p.build(graft.operators.Redaction.scrub(events)
+        .where(p.selector)).as[Emitted]) else None
     }
   }
 

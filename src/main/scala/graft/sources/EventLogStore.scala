@@ -156,13 +156,23 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
 
   def exists: Boolean = new java.io.File(logDir).exists()
 
-  /** The whole log in envelope form. */
+  /** The whole log in envelope form, redaction-scrubbed: flagged events
+    * read with empty `data` no matter what is on disk — the analog of the
+    * reference scrubbing at the prepare-record layer
+    * (PrepareLogRecord.cs:65), so EVERY downstream reader (retained
+    * reads, subscriptions, projections, scavenge) inherits the contract.
+    * Logs written before the flag existed read as `is_redacted = false`. */
   def read(): DataFrame =
     if (!exists) {
       val base = EventEnvelope.schema.add("p_date", "date")
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         if (bucketed) base.add("p_bucket", "int") else base)
-    } else spark.read.parquet(logDir)
+    } else {
+      val df = spark.read.parquet(logDir)
+      graft.operators.Redaction.scrub(
+        if (df.columns.contains(graft.operators.Redaction.Flag)) df
+        else df.withColumn(graft.operators.Redaction.Flag, lit(false)))
+    }
 
   /** Single-stream positional read with retention applied AND bucket
     * partition pruning: on a bucketed log the scan touches only the
@@ -470,11 +480,12 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
       if (e.event_type == EventEnvelope.StreamDeletedEventType) nowTomb += e.stream_id
       (e.stream_id, next, e.event_id, e.event_type,
         Option(e.timestamp).getOrElse(now), pos, e.correlation_id,
-        true, e.data, e.metadata)
+        true, e.data, e.metadata, false)
     }
     val df = withPartitionCols(
       rows.toDF("stream_id", "event_number", "event_id", "event_type",
-        "timestamp", "log_position", "correlation_id", "is_json", "data", "metadata"))
+        "timestamp", "log_position", "correlation_id", "is_json", "data",
+        "metadata", "is_redacted"))
     writeLayoutMarker()
     armAppendMarker()
     df.repartition(1)
@@ -517,8 +528,10 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
       .drop("_sid", "_last")
       .withColumn("timestamp", coalesce(col("timestamp"), current_timestamp()))
       .withColumn("is_json", lit(true))
+      .withColumn("is_redacted", lit(false))
       .select("stream_id", "event_number", "event_id", "event_type", "timestamp",
-        "log_position", "correlation_id", "is_json", "data", "metadata"))
+        "log_position", "correlation_id", "is_json", "data", "metadata",
+        "is_redacted"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = out.count()
@@ -695,16 +708,7 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
         .distinct().as[String].collect().sorted
       affected.foreach { suffix =>
         // row-level keep: metastreams + tombstones + bounds-retained rows
-        // typed predicates so partition pruning applies at the scan
-        val partPred = suffix.split("/").map { kv =>
-          val Array(k, v) = kv.split("=", 2)
-          k match {
-            case "p_date" => col(k) === to_date(lit(v))
-            case "p_bucket" => col(k) === v.toInt
-            case _ => col(k).cast("string") === v
-          }
-        }.reduce(_ && _)
-        val slice = log.where(partPred)
+        val slice = log.where(partitionPredicate(suffix))
         val keepRows = graft.operators.Retention
           .applyBounds(slice.where(!col("stream_id").startsWith(EventEnvelope.MetastreamPrefix) &&
             col("event_type") =!= EventEnvelope.StreamDeletedEventType), bounds)
@@ -744,18 +748,63 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
     walk(root)
     val affected = partitions.filter(_._2 > maxFilesPerPartition).toSeq.sortBy(_._1)
     affected.foreach { case (suffix, _, bytes) =>
-      val partPred = suffix.split("/").map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        k match {
-          case "p_date" => col(k) === to_date(lit(v))
-          case "p_bucket" => col(k) === v.toInt
-          case _ => col(k).cast("string") === v
-        }
-      }.reduce(_ && _)
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      rewritePartition(suffix, read().where(partPred).coalesce(nFiles))
+      rewritePartition(suffix, read().where(partitionPredicate(suffix)).coalesce(nFiles))
     }
     affected.map(_._1)
+  }
+
+  /** Typed predicate selecting one partition dir by its path suffix
+    * (`p_date=…[/p_bucket=…]`) — typed so partition pruning applies at
+    * the scan. */
+  private def partitionPredicate(suffix: String): Column =
+    suffix.split("/").map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k match {
+        case "p_date" => col(k) === to_date(lit(v))
+        case "p_bucket" => col(k) === v.toInt
+        case _ => col(k).cast("string") === v
+      }
+    }.reduce(_ && _)
+
+  /** Redact one event in place (PrepareFlags.IsRedacted — SURVEY.md §2.1):
+    * sets the `is_redacted` flag AND physically blanks the payload bytes,
+    * rewriting only the partition dir(s) holding the event through the
+    * same crash-safe marker+swap machinery as incremental scavenge. The
+    * reference performs this as an out-of-band chunk switch
+    * (Services/RedactionService.cs:150-210 SwitchChunk +
+    * Services/Transport/Grpc/Redaction.SwitchChunks.cs) — payload gone at
+    * rest, flag set, envelope intact; readers additionally honor the flag
+    * defensively at read (PrepareLogRecord.cs:65; [[read]] here).
+    *
+    * The envelope (event type, metadata, correlation id, positions)
+    * survives — a GDPR-style erasure removes the payload, not history.
+    * Returns the number of redacted rows (0 = no such event). */
+  def redact(streamId: String, eventNumber: Long): Long = {
+    if (!exists) return 0L
+    EventLogStore.appendLockFor(path).synchronized {
+      val target = col("stream_id") === streamId &&
+        col("event_number") === eventNumber
+      val hitBase = read().where(target)
+      val hit = if (bucketed)
+        hitBase.where(col("p_bucket") === bucketFor(streamId)) else hitBase
+      // point lookup: stream + bucket pruned, parquet stats bound it
+      val parts = hit.select(concat_ws("/",
+          partitionCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*))
+        .distinct().as[String].collect().sorted
+      if (parts.isEmpty) return 0L
+      var n = 0L
+      parts.foreach { suffix =>
+        val slice = read().where(partitionPredicate(suffix))
+        n += slice.where(target).count()
+        rewritePartition(suffix, slice
+          .withColumn("is_redacted",
+            when(target, lit(true)).otherwise(col("is_redacted")))
+          .withColumn("data",
+            when(target, lit("")).otherwise(col("data"))))
+      }
+      n
+    }
   }
 
   /** Rewrite one partition dir crash-safely: write the kept rows to a

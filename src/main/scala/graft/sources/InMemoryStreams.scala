@@ -168,7 +168,8 @@ final class InMemoryStreams(val memLog: InMemoryLog = new InMemoryLog) {
   def toDF(spark: SparkSession, read: MemRead): DataFrame = {
     val rows = read.events.map(e => Row(
       e.stream_id, e.event_number, e.event_id, e.event_type, e.timestamp,
-      e.log_position, e.correlation_id, e.is_json, e.data, e.metadata))
+      e.log_position, e.correlation_id, e.is_json, e.data, e.metadata,
+      e.is_redacted))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toList, 1), EventEnvelope.schema)
   }

@@ -63,10 +63,10 @@ object Subscriptions {
     * distinct from checkpoint-restart which streaming offsets cover). */
   def subscribeAll(spark: SparkSession, logDir: String,
       filter: Column = lit(true), fromPosition: Long = -1L): DataFrame =
-    spark.readStream
+    graft.operators.Redaction.scrub(spark.readStream
       .schema(logSchema(spark, logDir))
       .parquet(logDir)
-      .where(filter && col("log_position") > fromPosition)
+      .where(filter && col("log_position") > fromPosition))
 
   /** SUB1: subscribe to one stream from a given event number. */
   def subscribeStream(spark: SparkSession, logDir: String, streamId: String,
