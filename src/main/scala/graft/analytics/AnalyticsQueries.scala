@@ -151,9 +151,26 @@ object AnalyticsQueries extends QueryModule {
     bands = 4, textCol = "text", idCol = "id", n = 3)
   private val ndServeSimhashIx = DedupStream.SimHashIndexer(maxHamming = 3,
     bands = 4, textCol = "text", idCol = "id")
-  private val ndServeEmbIx = DedupStream.CosineLshIndexer(threshold = 0.4,
-    planes = 4, tables = 2, idCol = "id", vecCol = "embedding",
-    dims = 64) // the oracle's literal plane geometry; no per-call infer job
+  /** Corpus-size-aware plane count per sf dir ([[Similarity.autoPlanes]]
+    * of the embeddings count) — one cheap count job, memoized; a pure
+    * function of N the DuckDB oracle recomputes from its own count(*)
+    * (the oracle embeds the 30-plane sign matrix and prefixes it to p,
+    * valid because lshPlaneSigns(p) is a prefix of lshPlaneSigns(30)). */
+  private val embPlanesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def embPlanes(s: SparkSession, d: String): Int =
+    embPlanesCache.getOrElseUpdate(d,
+      Similarity.autoPlanes(Tables.embeddings(s, d).count()))
+
+  /** The serving indexer at the geometry a growing corpus actually needs
+    * — autoPlanes keeps expected bucket size ~constant, so ingest pair
+    * generation stays subquadratic however large the indexed corpus
+    * grows (the former fixed 4-plane oracle geometry was quadratic past
+    * ~10⁴ vectors and needed an id clamp at ×100; the clamp is gone). */
+  private def ndServeEmbIx(s: SparkSession, d: String): DedupStream.CosineLshIndexer =
+    DedupStream.CosineLshIndexer(threshold = 0.4,
+      planes = embPlanes(s, d), tables = 2, idCol = "id",
+      vecCol = "embedding", dims = 64)
   private val ndServeExactIx = DedupStream.ExactIndexer(idCol = "id")
 
   /** One ingested state dir per (session, sfDir, family): the registered
@@ -233,21 +250,21 @@ object AnalyticsQueries extends QueryModule {
   /** And over the embedding sign-LSH family (third instance): the
     * contamination lookup for VECTOR near-duplicates — query embeddings
     * probed against incrementally-indexed corpus embeddings, exact-cosine
-    * verified. The indexed corpus is BOUNDED to original ids
-    * (vec_id < 500000 — a no-op at every oracle SF, mirrored in the
-    * oracle SQL): this query's fixed 4-plane oracle geometry is
-    * quadratic in the INGEST past ~10⁴ vectors (the documented
-    * oracle-fixed-geometry class — the x100 synthetic corpus OOMs it),
-    * and the scale path for big corpora is the streaming face with
-    * `autoPlanes`, probed flat in `DedupStreamProbe`. */
+    * verified. The WHOLE corpus is ingested, unclamped, at
+    * [[Similarity.autoPlanes]] geometry: expected bucket size stays
+    * ~constant in N, so the ingest's candidate-pair join is subquadratic
+    * by construction (the r13 `vec_id < 500000` bound existed only to
+    * keep the former fixed 4-plane geometry alive at ×100 — gone).
+    * Query ids are offset by 10⁹ so they can never collide with corpus
+    * ids at any conceivable shard size. */
   private def findNearDupsEmbQ(s: SparkSession, d: String): DataFrame = {
     val corpus = Tables.embeddings(s, d)
-      .where(col("vec_id") < 500000)
       .select(col("vec_id").as("id"), col("embedding"))
-    val stateDir = servedState(s, d, "emb", corpus, ndServeEmbIx)
+    val ix = ndServeEmbIx(s, d)
+    val stateDir = servedState(s, d, "emb", corpus, ix)
     val queryVecs = corpus.where(col("id") < 50)
-      .select((col("id") + 500000).as("id"), col("embedding"))
-    DedupStream.findNearDups(s, stateDir, queryVecs, ndServeEmbIx)
+      .select((col("id") + 1000000000L).as("id"), col("embedding"))
+    DedupStream.findNearDups(s, stateDir, queryVecs, ix)
       .withColumn("score", round(col("score"), 6))
       .orderBy(col("query_id"), col("match_id"))
   }
@@ -293,8 +310,14 @@ object AnalyticsQueries extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact all-pairs cosine — the RECALL BASELINE the LSH families are
+    * judged against, O(N²) by construction. Benched on a bounded slice
+    * (vec_id < 20000 — the full sf0.1 corpus, a no-op at every oracle
+    * SF, mirrored in the oracle SQL) so the documented quadratic
+    * baseline can't dominate a scale bench; the scalable near-dup paths
+    * are ann_lsh_banded_auto / ann_lsh_neardup / dedup_semantic_auto. */
   private def embNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)
+    Similarity.nearDupPairs(Tables.embeddings(s, d).where(col("vec_id") < 20000), 0.4)
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -351,6 +374,26 @@ object AnalyticsQueries extends QueryModule {
         planes = 4, tables = 2)
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** The library DEFAULT geometry — what a caller who passes no planes
+    * gets: planes = autoPlanes(N) (expected bucket ~4096 however large N
+    * grows), tables = 4. This is the row that grades the plan a 100×
+    * user actually runs; the fixed-geometry sibling above stays for
+    * small-corpus parity. The oracle recomputes planes from count(*)
+    * and prefixes an embedded 30-plane sign matrix. */
+  private def annLshBandedAuto(s: SparkSession, d: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SemDeDup at the library-default auto nlist (N/1024 lists — fixed
+    * expected list length, so within-list pair work stays linear in N);
+    * the fixed-nlist sibling stays for parity. The oracle recomputes
+    * nlist from count(*). */
+  private def dedupSemanticAuto(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d), nlist = 0, threshold = 0.4)
+      .withColumn("max_prior_sim", round(col("max_prior_sim"), 6))
+      .orderBy(col("id"))
 
   /** End-to-end training-data pipeline — the composed 100 TB use case:
     * quality gate → language select → exact dedup (min id per fingerprint)
@@ -419,12 +462,14 @@ object AnalyticsQueries extends QueryModule {
     "dedup_simhash" -> (simhashQ _),
     "dedup_simhash_pairs" -> (simhashPairsQ _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_semantic_auto" -> (dedupSemanticAuto _),
     "ann_cosine_topk" -> (annTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_lsh_neardup" -> (annLshNearDup _),
     "ann_lsh_banded" -> (annLshBanded _),
+    "ann_lsh_banded_auto" -> (annLshBandedAuto _),
     "emb_near_dup" -> (embNearDup _),
     "emb_quantize_sq8" -> (sq8Q _),
     "ann_sq8_topk" -> (annSq8TopK _),
@@ -544,6 +589,33 @@ object AnalyticsQueries extends QueryModule {
       |            JOIN sizes sb ON sb.id = common.id_b
       |WHERE CAST(common.c AS DOUBLE) / (sa.sz + sb.sz - common.c) >= 0.5
       |ORDER BY 1, 2""".stripMargin
+
+  /** CTEs recomputing [[Similarity.autoPlanes]] from the live corpus
+    * count — `pp.p` is the dynamic plane count (clamp(ceil(log2(N/4096)),
+    * 8, 30), identical arithmetic to the Scala side). */
+  private val autoPlanesSql =
+    """nn AS (SELECT count(*) AS c FROM embeddings),
+      |pp AS (SELECT least(30, greatest(8,
+      |         CAST(ceil(log2(c / 4096.0)) AS INT))) AS p FROM nn)""".stripMargin
+
+  /** The FULL 30-plane ±1 sign matrix for `table` as a DuckDB list
+    * literal. [[Similarity.lshPlaneSigns]](p) is a PREFIX of
+    * lshPlaneSigns(30) (the derivation hashes "p:d" independent of the
+    * total plane count), so slicing the first `pp.p` rows reproduces the
+    * auto-geometry signature at any corpus size. */
+  private def planes30Lit(table: Int): String =
+    "[" + Similarity.lshPlaneSigns(planes = 30, dims = 64, table).map(plane =>
+      "[" + plane.map(s => s"$s.0").mkString(",") + "]").mkString(",") + "]"
+
+  /** Dynamic-geometry sign-LSH bucket of `v` against plane table
+    * `table`, using the first `pp.p` planes. list_dot_product matches
+    * Spark's index-ascending aggregate fold (the same identity every
+    * cosine-verification oracle already relies on). */
+  private def bucketAuto(table: Int): String =
+    s"""array_to_string(list_transform(
+      |      list_slice(${planes30Lit(table)}, 1, pp.p),
+      |      pl -> CASE WHEN list_dot_product(v, pl) >= 0
+      |                 THEN '1' ELSE '0' END), '')""".stripMargin
 
   def oracles: Seq[(String, String)] = Seq(
     "text_stats" ->
@@ -914,36 +986,33 @@ object AnalyticsQueries extends QueryModule {
         |SELECT query_id, match_id,
         |       CAST(60 - bit_count(xor(hq, hm)) AS DOUBLE) / 60 AS score
         |FROM cands WHERE bit_count(xor(hq, hm)) <= 3 ORDER BY 1, 2""".stripMargin,
-    // the embedding sign-LSH serving face: both plane tables' ±1 signs
-    // embedded (the ann_lsh_banded replay), candidates collide in EITHER
+    // the embedding sign-LSH serving face at the library's AUTO plane
+    // geometry: the plane count is recomputed from count(*) (the same
+    // clamp(ceil(log2(N/4096)), 8, 30) formula as Similarity.autoPlanes)
+    // and applied as a PREFIX of the embedded 30-plane sign matrix —
+    // lshPlaneSigns(p) is a prefix of lshPlaneSigns(30), so the dynamic
+    // bucket equals Spark's at every N. Candidates collide in EITHER
     // table, exact cosine ≥ 0.4 verification
-    "find_near_dups_emb" -> {
-      def bucketExpr(table: Int) =
-        Similarity.lshPlaneSigns(planes = 4, dims = 64, table).map { plane =>
-          val dot = plane.zipWithIndex.map { case (sign, dd) =>
-            s"(v[${dd + 1}] * $sign)"
-          }.mkString(" + ")
-          s"(CASE WHEN ($dot) >= 0 THEN '1' ELSE '0' END)"
-        }.mkString(" || ")
-      s"""WITH e AS (
+    "find_near_dups_emb" ->
+      s"""WITH $autoPlanesSql,
+        |e AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  WHERE vec_id < 500000
         |  UNION ALL
-        |  SELECT vec_id + 500000, CAST(embedding AS DOUBLE[]) FROM embeddings
+        |  SELECT vec_id + 1000000000, CAST(embedding AS DOUBLE[]) FROM embeddings
         |  WHERE vec_id < 50),
-        |bkt AS (SELECT id, v, ${bucketExpr(0)} AS b0, ${bucketExpr(1)} AS b1 FROM e),
+        |bkt AS (SELECT id, v, ${bucketAuto(0)} AS b0, ${bucketAuto(1)} AS b1
+        |        FROM e, pp),
         |cands AS (
         |  SELECT DISTINCT q.id AS query_id, m.id AS match_id, q.v AS qv, m.v AS mv
         |  FROM bkt q JOIN bkt m ON (q.b0 = m.b0 OR q.b1 = m.b1)
-        |   AND q.id >= 500000 AND m.id < 500000),
+        |   AND q.id >= 1000000000 AND m.id < 1000000000),
         |scored AS (
         |  SELECT query_id, match_id,
         |    list_dot_product(qv, mv)
         |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv))) AS score
         |  FROM cands)
         |SELECT query_id, match_id, round(score, 6) AS score
-        |FROM scored WHERE score >= 0.4 ORDER BY 1, 2""".stripMargin
-    },
+        |FROM scored WHERE score >= 0.4 ORDER BY 1, 2""".stripMargin,
     // components = transitive closure (recursive CTE; the graph is small
     // at oracle SF) over the SAME verified LSH pair set
     "dedup_components" ->
@@ -1044,6 +1113,33 @@ object AnalyticsQueries extends QueryModule {
     "dedup_semantic" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id AS id, v, cid AS list_id FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |prior AS (
+        |  SELECT b.id AS id,
+        |    max(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) AS mps
+        |  FROM assigned a JOIN assigned b ON a.list_id = b.list_id AND a.id < b.id
+        |  GROUP BY 1)
+        |SELECT assigned.id AS id, list_id, round(coalesce(mps, -1.0), 6) AS max_prior_sim,
+        |  coalesce(mps, -1.0) < 0.4 AS kept
+        |FROM assigned LEFT JOIN prior ON prior.id = assigned.id
+        |ORDER BY assigned.id""".stripMargin,
+    // the library-default AUTO nlist: recomputed from count(*) with the
+    // same clamp(N/1024, 16, 2^18) arithmetic as autoSemanticNlist; the
+    // body is the pinned oracle with the centroid bound made dynamic
+    "dedup_semantic_auto" ->
+      """WITH nn AS (SELECT count(*) AS c FROM embeddings),
+        |nl AS (SELECT greatest(16, least(262144, c // 1024)) AS n FROM nn),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+        |         WHERE vec_id < (SELECT n FROM nl)),
         |assigned AS (
         |  SELECT vec_id AS id, v, cid AS list_id FROM (
         |    SELECT e.vec_id, e.v, c.cid,
@@ -1247,7 +1343,8 @@ object AnalyticsQueries extends QueryModule {
         |FROM sims WHERE sim >= 0.4 ORDER BY 1, 2""".stripMargin
     },
     "emb_near_dup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           WHERE vec_id < 20000),
         |sims AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_dot_product(a.v, b.v)
@@ -1255,6 +1352,32 @@ object AnalyticsQueries extends QueryModule {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(sim, 6) AS sim
         |FROM sims WHERE sim >= 0.4 ORDER BY 1, 2""".stripMargin,
+    // the library-default AUTO geometry: planes recomputed from count(*)
+    // (prefix of the embedded 30-plane matrices), 4 independent tables,
+    // pair candidates = collide in ANY table, max() dedup like the
+    // Spark side's (id_a, id_b) aggregate
+    "ann_lsh_banded_auto" -> {
+      val tableJoins = (0 until 4).map(t =>
+        s"""  SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+           |  FROM bkt a JOIN bkt b ON a.b$t = b.b$t AND a.id < b.id""".stripMargin)
+        .mkString("\n  UNION\n")
+      val buckets = (0 until 4).map(t => s"${bucketAuto(t)} AS b$t").mkString(",\n")
+      s"""WITH $autoPlanesSql,
+        |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bkt AS (SELECT id, v,
+        |$buckets
+        |FROM e, pp),
+        |cand AS (
+        |$tableJoins),
+        |sims AS (
+        |  SELECT id_a, id_b,
+        |    list_dot_product(va, vb)
+        |      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS sim
+        |  FROM cand)
+        |SELECT id_a, id_b, round(max(sim), 6) AS sim
+        |FROM sims WHERE sim >= 0.4 AND NOT isnan(sim)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "emb_quantize_sq8" ->
       // mirrors Similarity.sq8's non-finite semantics: stats train on
       // FINITE components only, non-finite components code to NULL

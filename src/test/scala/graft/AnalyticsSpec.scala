@@ -941,17 +941,21 @@ class AnalyticsSpec extends SparkTestBase {
       .collect()
     val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"),
       r.getAs[Double]("score"))).toSet
+    val off = 1000000000L
     (0L until 50L).foreach { i =>
-      assert(got.contains((i + 500000L, i, 1.0)),
-        s"query ${i + 500000} must match its identical original vector $i")
+      assert(got.contains((i + off, i, 1.0)),
+        s"query ${i + off} must match its identical original vector $i")
     }
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id").as("id"), col("embedding"))
     val all = emb.unionAll(emb.where(col("id") < 50)
-      .select((col("id") + 500000).as("id"), col("embedding")))
-    val expected = Similarity.lshNearDupPairsBanded(all, 0.4, planes = 4,
+      .select((col("id") + off).as("id"), col("embedding")))
+    // the registered serving ingest runs at the library-default auto
+    // geometry (autoPlanes of the corpus count), 2 tables
+    val expected = Similarity.lshNearDupPairsBanded(all, 0.4,
+        planes = Similarity.autoPlanes(emb.count()),
         tables = 2, "id", "embedding")
-      .where(col("id_b") >= 500000 && col("id_a") < 500000)
+      .where(col("id_b") >= off && col("id_a") < off)
       .withColumn("sim", round(col("sim"), 6))
       .collect()
       .map(r => (r.getAs[Long]("id_b"), r.getAs[Long]("id_a"),
