@@ -58,3 +58,69 @@ object Bridge {
       .asInstanceOf[org.apache.spark.sql.SparkSession]
   }
 }
+
+/** Per-row evaluation of compiled Columns OUTSIDE a plan — the streaming
+  * pre-state stepper's engine (graft.projections.js.JsStreamStepper): the
+  * same Catalyst expressions the batch plan aggregates are resolved once
+  * against an explicit input schema, bound by ordinal, and evaluated per
+  * event with the pre-state slots filled from typed stream state. Lives
+  * in the bridge package for the private[sql] resolution surfaces. */
+object RowExec {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.types.StructType
+
+  /** Resolve `cols` against `schema` (no data touched) and bind them by
+    * ordinal to rows of that schema. Resolution runs the full analyzer +
+    * optimizer over a Project on an RDD-backed empty frame — the
+    * optimizer pass matters: it rewrites RuntimeReplaceable functions
+    * into their evaluable forms (an analyzed-only tree can carry
+    * placeholders `eval` refuses). The LogicalRDD relation is opaque to
+    * PropagateEmptyRelation, so the Project survives. Returns
+    * (bound expressions, their data types). */
+  def bind(spark: org.apache.spark.sql.SparkSession, schema: StructType,
+      cols: Seq[Column]): Seq[Expression] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val empty = classic.createDataFrame(
+      classic.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val plan = empty.select(cols.zipWithIndex.map {
+      case (c, i) => c.as(s"__graft_rowexec_$i")
+    }: _*).queryExecution.optimizedPlan
+    val (exprs, input) = plan match {
+      case p: Project => (p.projectList.map {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case e => e
+      }, p.child.output)
+      case other =>
+        // fully pruned (constant-only projection collapsed differently):
+        // fall back to the analyzed tree
+        val a = empty.select(cols.zipWithIndex.map {
+          case (c, i) => c.as(s"__graft_rowexec_$i")
+        }: _*).queryExecution.analyzed.asInstanceOf[Project]
+        (a.projectList.map {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias => al.child
+          case e => e
+        }, a.child.output)
+    }
+    exprs.map(e => BindReferences.bindReference(e, input.asInstanceOf[Seq[Attribute]]))
+  }
+
+  /** A serializable row function over bound expressions: the projection
+    * is built lazily ON THE EXECUTOR (codegen with interpreted
+    * fallback — SafeProjection — so custom expressions without an
+    * interpreted eval still run compiled). Output values are COPIED out
+    * of the projection's reused buffer. */
+  final class RowFn(exprs: Seq[Expression]) extends Serializable {
+    @transient private lazy val proj =
+      org.apache.spark.sql.catalyst.expressions.SafeProjection.create(exprs)
+    def apply(row: InternalRow): InternalRow = proj(row).copy()
+  }
+
+  /** Converter: external Row (fMGWS input) → InternalRow. */
+  def toInternal(schema: StructType): org.apache.spark.sql.Row => InternalRow = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    (r: org.apache.spark.sql.Row) => conv(r).asInstanceOf[InternalRow]
+  }
+}

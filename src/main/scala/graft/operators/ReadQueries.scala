@@ -77,8 +77,12 @@ object ReadQueries extends QueryModule {
 
   /** Dynamic JSON body parsing (SURVEY §1.2: payloads are schemaless JSON
     * parsed lazily, JintProjectionStateHandler.cs:868-880). The body field
-    * `k` is extracted on demand with get_json_object — no schema migration
-    * needed when bodies evolve — and aggregated per event type. */
+    * `k` is extracted on demand with get_json_object — measured the right
+    * tool for a SINGLE field (×3 sf0.1: 0.56 s vs 0.69 s through
+    * parse_json+variant_get, which pays the full variant encode for one
+    * get — BASELINE.md r14). The variant-native sibling
+    * [[jsonBodyVariant]] covers the multi-get shape where the one-time
+    * parse amortizes. No schema migration needed when bodies evolve. */
   private def jsonBodyAgg(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.eventLogScan(s, d) // narrow: event_type + data only
       .select(col("event_type"),
@@ -88,8 +92,28 @@ object ReadQueries extends QueryModule {
         count_distinct(col("k")).as("n_distinct_k"))
       .orderBy(col("event_type"))
 
+  /** The same schemaless body through Spark 4's native VariantType
+    * (SURVEY §1.3): `try_parse_json` builds the binary variant ONCE per
+    * row and every typed `try_variant_get` reads from it — the dispatch
+    * the JS column compiler already uses for `e.body`, and the right
+    * shape once handlers touch several fields (get_json_object re-scans
+    * the text per field). Extracts `k` three typed ways from one parse:
+    * as a long, as a string (digit length), and as a top-level typeof. */
+  private def jsonBodyVariant(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.eventLogScan(s, d) // narrow: event_type + data only
+      .select(col("event_type"), try_parse_json(col("data")).as("v"))
+      .select(col("event_type"),
+        try_variant_get(col("v"), "$.k", "long").as("k"),
+        length(try_variant_get(col("v"), "$.k", "string")).as("k_digits"),
+        schema_of_variant(try_variant_get(col("v"), "$.k", "variant")).as("k_type"))
+      .groupBy(col("event_type"), col("k_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(col("k_digits")).cast("long").as("sum_digits"))
+      .orderBy(col("event_type"), col("k_type"))
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "json_body_agg" -> (jsonBodyAgg _),
+    "json_body_variant" -> (jsonBodyVariant _),
     "s2_read_stream_forwards" -> (s2Fwd _),
     "s2_read_stream_backwards" -> (s2Bwd _),
     "s3_read_all_forwards" -> (s3Fwd _),
@@ -109,6 +133,13 @@ object ReadQueries extends QueryModule {
       |  CAST(sum(CAST(json_extract_string(data, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(count(DISTINCT CAST(json_extract_string(data, '$$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
       |FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
+    // k is a JSON number at every SF (schema_of_variant → BIGINT);
+    // digits = length of its decimal rendering
+    "json_body_variant" -> s"""$L
+      |SELECT event_type, 'BIGINT' AS k_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(json_extract_string(data, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(sum(len(json_extract_string(data, '$$.k'))) AS BIGINT) AS sum_digits
+      |FROM log GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s2_read_stream_forwards" -> s"""$L
       |SELECT stream_id, event_number, event_type, log_position, correlation_id, value,
       |       CAST(epoch_us(timestamp) AS BIGINT) AS ts_us

@@ -67,17 +67,17 @@ import graft.functions.JsNumberString
 private[js] object JsColumnCompiler {
 
   /** Working name of the partition-key column inside the compiled plan. */
-  private val KeyCol = "__graft_js_k"
+  private[js] val KeyCol = "__graft_js_k"
   /** Pre-state column suffixes for ARRAY (push-field) reads — one field
     * can carry BOTH a length window and a membership window. The
     * \u0001 separator keeps a sibling field literally named `f + "len"`
     * from aliasing the column (the [[PathSep]] encoding trick). */
-  private val ArrLenSfx = "\u0001len"
-  private val ArrHasSfx = "\u0001has"
+  private[js] val ArrLenSfx = "\u0001len"
+  private[js] val ArrHasSfx = "\u0001has"
   /** Prefix of the per-field PRE-EVENT state columns (running sum over
     * the fold-order-preceding rows of the partition) that compiled
     * state reads resolve to; the build adds one per read field. */
-  private val PreColPrefix = "__graft_jspre_"
+  private[js] val PreColPrefix = "__graft_jspre_"
   /** 2^53 — beyond it integral doubles lose exactness; the compiled
     * render raises rather than silently diverging from ES. */
   private val MaxExact = 9007199254740992L
@@ -106,9 +106,64 @@ private[js] object JsColumnCompiler {
       /** True when the build adds pre-state running-sum WINDOW columns
         * (compiled `if (s.count === 0)`-style reads): windows neither
         * run on streaming DataFrames nor see prior micro-batches'
-        * state, so fastStatesStream must refuse such plans (the
-        * interpreter's state-store path keeps streaming exact). */
-      usesPreState: Boolean = false)
+        * state. Streaming serves such plans through [[stepSpec]] (the
+        * typed per-key stepper) instead of the native aggregation. */
+      usesPreState: Boolean = false,
+      /** Streaming-native serving of pre-state plans: the per-field
+        * recurrences the batch windows reconstruct, packaged for
+        * [[JsStreamStepper]] to run as typed per-key running values in
+        * flatMapGroupsWithState — same compiled Column expressions, no
+        * interpreter, no window. Present iff usesPreState and the
+        * definition has no transform chain. */
+      stepSpec: Option[StepSpec] = None)
+
+  /** Field update kinds, shared between the batch aggregation and the
+    * streaming stepper (values are compileOnce's historical constants). */
+  private[js] object StepKinds {
+    val Sum = 0; val Max = 1; val Min = 2; val Last = 3; val Push = 4
+    val MapSum = 5; val MapLast = 6; val Concat = 7; val Prepend = 8
+    val GMax = 9; val GMin = 10
+  }
+
+  /** One assigned state field, as the streaming stepper folds it:
+    * `inputs` are the batch aggregation's per-event CHILD expressions
+    * (everything under the agg function), `preInputs` the pre-state
+    * window's per-event inputs ([[preWindowInputs]] order) when the
+    * field is read. All Columns may reference the pre columns, which the
+    * stepper binds from its typed state before evaluating. */
+  private[js] final case class StepField(
+      name: String,
+      kind: Int,
+      inputs: Seq[Column],
+      preInputs: Seq[Column],
+      read: Boolean,
+      initNum: Double,
+      initIsNum: Boolean,
+      initFrag: Option[String],
+      /** Raw $init string of a string-initialized overwrite field (the
+        * pre read's coalesce fallback). */
+      initStr: String,
+      arrLen: Boolean,
+      arrHas: Boolean,
+      /** MapLast fields: string-claimed raws (MapStrRetry) — selects the
+        * `s` vs `d` branch of the pre read, like the window's getField. */
+      mapStr: Boolean = false)
+
+  /** Everything [[JsStreamStepper]] needs to run a pre-state definition
+    * as a streaming-native stateful fold (driver-side recipe; the
+    * stepper resolves and binds the Columns at query start). */
+  private[js] final case class StepSpec(
+      required: Set[String],
+      keyCol: Column,
+      keyNullable: Boolean,
+      letsPre: Seq[(String, Column)],
+      letsPost: Seq[(String, Column)],
+      fields: Seq[StepField],
+      raiseCol: Option[Column],
+      aggCols: Seq[Column],
+      mapKeyCols: Seq[(String, Column)],
+      level2Cols: Seq[Column],
+      render: Column)
 
   // ------------------------------------------------- typed column model
 
@@ -3213,7 +3268,7 @@ private[js] object JsColumnCompiler {
 
   /** Default the optional meta/resolved columns exactly like
     * Projections.toLogEvents does for withMeta=false inputs. */
-  private def withDefaults(log: DataFrame, required: Set[String]): DataFrame = {
+  private[js] def withDefaults(log: DataFrame, required: Set[String]): DataFrame = {
     var df = log
     if (!df.columns.contains("value") && required.contains("value"))
       df = df.withColumn("value", lit(0.0))
@@ -3343,9 +3398,9 @@ private[js] object JsColumnCompiler {
       flatInit.keys.filter(assignedPaths).toSeq // in flattened $init order
     val assignedSet = assigned.toSet
     if (allOps.exists(o => !flatInit.contains(o._1))) return None
-    val SumK = 0; val MaxK = 1; val MinK = 2; val LastK = 3; val PushK = 4
-    val MapSumK = 5; val MapLastK = 6; val ConcatK = 7; val PrependK = 8
-    val GMaxK = 9; val GMinK = 10
+    import StepKinds.{Sum => SumK, Max => MaxK, Min => MinK, Last => LastK,
+      Push => PushK, MapSum => MapSumK, MapLast => MapLastK,
+      Concat => ConcatK, Prepend => PrependK, GMax => GMaxK, GMin => GMinK}
     def kindOf(op: FieldOp): Int = op match {
       case _: SumTerm => SumK
       case _: MaxTerm => MaxK
@@ -4222,6 +4277,87 @@ private[js] object JsColumnCompiler {
           taintedLets(r))) return None
     }
 
+    // Streaming stepper recipe (pre-state plans only): the per-event
+    // CHILD expressions of every batch aggregate, the pre-window inputs,
+    // and the final JSON render — JsStreamStepper folds these as typed
+    // per-key running values in flatMapGroupsWithState, evaluating the
+    // SAME compiled Columns the batch plan aggregates (pre columns bound
+    // from state instead of a window). Transform chains stay refused:
+    // the interpreter streaming path emits raw fold state, so must we.
+    val stepSpec: Option[StepSpec] =
+      if (preReads.isEmpty || cp.transformsList.nonEmpty) None
+      else {
+        val readSet = preReads.toSet
+        def stepInputs(f: String): Seq[Column] = fieldKind(f) match {
+          case SumK =>
+            Seq(kept(routed(f, sumContrib, lit(0.0)), lit(0.0)).cast(LongType))
+          case MaxK => Seq(kept(routed(f, maxContrib, nullD), nullD))
+          case MinK => Seq(kept(routed(f, minContrib, nullD), nullD),
+            kept(routed(f, nanContrib, lit(false)), lit(false)))
+          case GMaxK => Seq(kept(routed(f, gmaxContrib, nullGm), nullGm))
+          case GMinK => Seq(kept(routed(f, gminContrib, nullGm), nullGm))
+          case LastK =>
+            val site = kept(routed(f, lastContrib, nullSite), nullSite)
+            Seq(when(site.isNotNull,
+              struct(col("log_position").as("p"), site.getField("v").as("v"))))
+          case PushK =>
+            val ev = kept(routed(f, pushContrib, nullStrArr), nullStrArr)
+            Seq(when(coalesce(size(ev), lit(0)) > 0,
+              struct(col("log_position").as("p"), ev.as("a"))))
+          case ConcatK =>
+            val ev = kept(routed(f, concatContrib, nullStr), nullStr)
+            Seq(when(ev.isNotNull,
+              struct(col("log_position").as("p"), ev.as("s"))))
+          case PrependK =>
+            val ev = kept(routed(f, prependContrib, nullStr), nullStr)
+            Seq(when(ev.isNotNull,
+              struct(col("log_position").as("p"), ev.as("s"))))
+          case MapSumK =>
+            val execC = kept(routed(f, mapExecContrib, lit(false)), lit(false))
+            val keyC =
+              if (readSet(f)) mapPreKey(f)
+              else when(execC, routed(f, mapKeyContrib, nullStr)).otherwise(nullStr)
+            Seq(execC, keyC,
+              when(execC, routed(f, mapDeltaContrib, lit(0.0)))
+                .otherwise(lit(0.0)).cast(LongType))
+          case MapLastK =>
+            val execC = kept(routed(f, mapExecContrib, lit(false)), lit(false))
+            val keyC =
+              if (readSet(f)) mapPreKey(f)
+              else when(execC, routed(f, mapKeyContrib, nullStr)).otherwise(nullStr)
+            val site = kept(routed(f, mapLastContrib, nullMapSite), nullMapSite)
+            Seq(execC, keyC,
+              when(execC && site.isNotNull, struct(site.getField("v").as("v"))))
+        }
+        val sFields = assigned.map { f =>
+          StepField(f, fieldKind(f), stepInputs(f),
+            if (readSet(f)) preWindowInputs(f) else Nil,
+            readSet(f),
+            flatInit.get(f) match {
+              case Some(JsNum(d)) => d
+              case _ => initNum.getOrElse(f, 0.0)
+            },
+            flatInit.get(f).exists(_.isInstanceOf[JsNum]),
+            initFrag.getOrElse(f, None),
+            flatInit.get(f) match {
+              case Some(JsStr(s)) => s
+              case _ => null
+            },
+            arrLenFields(f), arrHasFields(f),
+            mapStr = forceMapStr(f))
+        }
+        val raiseC = rowRaise.map { r0 =>
+          val r = kept(r0, nullStr)
+          when(r.isNotNull, raise_error(r).cast(StringType)).otherwise(nullStr)
+        }
+        val fieldL2 =
+          level2Aggs.dropRight(rowRaise.size + (if (keyNullable) 1 else 0))
+        val (letsPreS, letsPostS) =
+          letSeq.partition { case (n, _) => !taintedLets(n) }
+        Some(StepSpec(required, keyCol, keyNullable, letsPreS, letsPostS,
+          sFields, raiseC, aggExprs, mapKeyCols, fieldL2, plainStateJson))
+      }
+
     Some(Plan(required, usesTs, selector, (log: DataFrame) => {
       val (letsPre, letsPost) = letSeq.partition { case (n, _) => !taintedLets(n) }
       val df = letsPre.foldLeft(withDefaults(log, required)) {
@@ -4364,7 +4500,7 @@ private[js] object JsColumnCompiler {
         if (filterConds.isEmpty) dropNullKey
         else dropNullKey.where(filterConds.reduce(_ && _))
       filtered.select(col(KeyCol).as("partition"), stateOut.as("state"))
-    }, usesPreState = preReads.nonEmpty))
+    }, usesPreState = preReads.nonEmpty, stepSpec = stepSpec))
   }
 
   /** Compile the emitted() path: every emit/linkTo call site becomes a

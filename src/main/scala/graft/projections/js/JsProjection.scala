@@ -296,11 +296,7 @@ final class JsProjection(val source: String) extends Serializable {
     // streaming path emits raw fold state, so the fast path must too
     if (!enabled || spec.reorderEvents || spec.includeLinks ||
       CompiledJsProjection.get(source).transformsList.nonEmpty) None
-    else CompiledJsProjection.get(source).fastPlan.filter(!_.usesPreState)
-      .flatMap { p =>
-      // pre-state reads compile to per-batch window columns — a window
-      // neither runs in a streaming aggregation nor sees earlier
-      // micro-batches' state; the interpreter state-store path stays
+    else CompiledJsProjection.get(source).fastPlan.flatMap { p =>
       val optional = Set("event_id", "metadata", "link_metadata",
         "resolved_stream_id", "resolved_event_number", "value")
       val have = events.columns.toSet
@@ -308,11 +304,23 @@ final class JsProjection(val source: String) extends Serializable {
         (!p.usesTimestamp || (have("timestamp") &&
           events.schema("timestamp").dataType ==
             org.apache.spark.sql.types.TimestampType))
-      if (ok)
+      if (!ok) None
+      else if (!p.usesPreState)
         Some(p.build(events)
           .select(col("partition").as("_1"), col("state").as("_2"))
           .as[(String, String)])
-      else None
+      else
+        // pre-state reads compile to per-batch window columns — a window
+        // neither runs in a streaming aggregation nor sees earlier
+        // micro-batches' state. JsStreamStepper serves them streaming-
+        // native instead: the per-key running values those windows
+        // reconstruct live as TYPED flatMapGroupsWithState state, stepped
+        // per event by the same compiled expressions — no interpreter
+        // node, no window. spark.graft.js.streamStepper=false forces the
+        // interpreter state-store path.
+        p.stepSpec.filter(_ => spark.conf
+            .getOption("spark.graft.js.streamStepper").forall(_.toBoolean))
+          .map(ss => JsStreamStepper.stream(ss, events))
     }
   }
 

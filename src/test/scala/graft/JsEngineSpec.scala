@@ -1216,8 +1216,8 @@ fromAll().foreachStream().when({
         return s;
     } })""").compilesToColumns)
     // streaming: the window neither runs on a stream nor sees earlier
-    // batches — the fast streaming path must refuse pre-state plans
-    // (while still engaging for plain folds)
+    // batches — the fast streaming path serves pre-state plans through
+    // the typed stepper (r14), refusing only when it is disabled
     val pre = JsProjection.compile("""
 fromAll().foreachStream().when({
     $init: function() { return { count: 0, first: 0 }; },
@@ -1227,8 +1227,12 @@ fromAll().foreachStream().when({
         return s;
     } })""")
     assert(pre.compilesToColumns)
-    assert(pre.fastStatesStream(log).isEmpty,
-      "pre-state plans must not take the streaming fast path")
+    assert(pre.fastStatesStream(log).isDefined,
+      "pre-state plans must take the typed stepper streaming path")
+    spark.conf.set("spark.graft.js.streamStepper", "false")
+    try assert(pre.fastStatesStream(log).isEmpty,
+      "disabling the stepper must fall back to the interpreter store")
+    finally spark.conf.unset("spark.graft.js.streamStepper")
     val plain = JsProjection.compile("""
 fromAll().foreachStream().when({
     $init: function() { return { n: 0 }; },
@@ -1237,7 +1241,7 @@ fromAll().foreachStream().when({
   }
 
   test("column fast path: dynamic-key map pre-state reads — guards, " +
-    "undefined-before-first-write, refusal edges, streaming refusal") {
+    "undefined-before-first-write, refusal edges, streaming stepper") {
     val log = hostileLog
     // the canonical read-then-update threshold guard compiles and
     // matches the interpreter (including first-occurrence undefined:
@@ -1296,17 +1300,16 @@ fromAll().foreachStream().when({
         s.m[e.eventType] = e.value > 50 ? e.streamId : 7;
         return s;
     } })""").compilesToColumns)
-    // map pre-state plans refuse the streaming fast path like every
-    // windowed pre-state read
+    // map pre-state plans stream through the typed stepper (r14)
     val pre = JsProjection.compile(
       JsProjectionQueries.handlerCorpus.toMap.apply("js_map_guard"))
     assert(pre.compilesToColumns)
-    assert(pre.fastStatesStream(log).isEmpty,
-      "map pre-state plans must not take the streaming fast path")
+    assert(pre.fastStatesStream(log).isDefined,
+      "map pre-state plans must take the typed stepper streaming path")
   }
 
   test("column fast path: array pre-state reads — membership/length " +
-    "guards, self-dedup push idiom, refusal edges, streaming refusal") {
+    "guards, self-dedup push idiom, refusal edges, streaming stepper") {
     val log = hostileLog
     // the registered oracle shape: includes + length guards + the
     // self-dedup indexOf push — compiles and matches the interpreter
@@ -1419,12 +1422,12 @@ fromAll().foreachStream().when({
         if (s.xs.indexOf(e.eventType) === -1) { s.xs.push(e.eventType); }
         return s;
     } })""").compilesToColumns)
-    // array pre-state plans refuse the streaming fast path
+    // array pre-state plans stream through the typed stepper (r14)
     val pre2 = JsProjection.compile(
       JsProjectionQueries.handlerCorpus.toMap.apply("js_array_guard"))
     assert(pre2.compilesToColumns)
-    assert(pre2.fastStatesStream(log).isEmpty,
-      "array pre-state plans must not take the streaming fast path")
+    assert(pre2.fastStatesStream(log).isDefined,
+      "array pre-state plans must take the typed stepper streaming path")
   }
 
   test("column fast path: early returns — filter idiom, pre-return " +
@@ -2556,6 +2559,35 @@ fromAll()
       assert(compiled == interpreted,
         s"$name: compiled rows=$compiled, interpreted rows=$interpreted")
       assert(compiled > 0, s"$name: zero rows from both paths at sf0.001")
+    }
+  }
+
+  test("streaming stepper == batch plan on hostile data, every pre-state " +
+    "definition (batch flatMapGroupsWithState run)") {
+    // The stepper's per-event transition and render evaluate the SAME
+    // compiled expressions as the batch windows/aggregates — this sweeps
+    // that identity over the hostile fixture (nulls, NaN, -0, non-JSON
+    // bodies, 1e21 keys) for every pre-state definition in the corpus.
+    // fastStatesStream on a batch frame runs flatMapGroupsWithState in
+    // batch mode, so the comparison needs no streaming query.
+    val defs = JsProjectionQueries.handlerCorpus.toMap
+    val log = hostileLog
+    for (name <- Seq("js_first_event", "js_high_water", "js_map_guard",
+        "js_map_last_guard", "js_array_guard")) {
+      val p = JsProjection.compile(defs(name))
+      assert(p.compilesToColumns, name)
+      // statesStream folds the caller's slice (no selector); the batch
+      // states() applies the definition's selector — pre-slice to match
+      val sliced =
+        if (defs(name).contains("fromCategory(\"purchase\")"))
+          log.where(col("stream_id").startsWith("purchase-"))
+        else log
+      val steppedDs = p.fastStatesStream(sliced)
+      assert(steppedDs.isDefined, s"$name must take the stepper path")
+      val stepped = steppedDs.get.collect().toMap
+      val batch = p.states(log).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(stepped == batch, s"$name: stepper != batch plan")
     }
   }
 }

@@ -285,8 +285,8 @@ fromAll()
     assert(second("acct-3") == batch2("acct-3"))
   }
 
-  test("P20 JS pre-state guards: statesStream refuses the window plan, " +
-    "the interpreter state store keeps first-event semantics across batches") {
+  test("P20 JS pre-state guards: statesStream serves the window plan " +
+    "through the typed stepper, first-event semantics hold across batches") {
     val (store, dir) = newStore()
     seed(store)
     val p = graft.projections.js.JsProjection.compile("""
@@ -302,11 +302,18 @@ fromAll()
     })""")
     // batch compiles (the r10 pre-state window)…
     assert(p.compilesToColumns)
-    // …but the streaming fast path must refuse it: a per-batch window
-    // would re-flag "first" in every micro-batch
+    // …and the streaming fast path serves it NATIVELY (r14): the typed
+    // stepper folds the running value the window reconstructs as
+    // flatMapGroupsWithState state — a per-batch window would have
+    // re-flagged "first" in every micro-batch
     val src = Subscriptions.subscribeAll(spark, s"$dir/log")
       .where(col("stream_id").startsWith("acct-"))
-    assert(p.fastStatesStream(src).isEmpty)
+    assert(p.fastStatesStream(src).isDefined,
+      "pre-state plan must take the stepper path")
+    // …unless the stepper is disabled — then the interpreter state store
+    spark.conf.set("spark.graft.js.streamStepper", "false")
+    try assert(p.fastStatesStream(src).isEmpty)
+    finally spark.conf.unset("spark.graft.js.streamStepper")
 
     val ck = Files.createTempDirectory("jspreck").toString
     def runPass(): Map[String, String] = {
@@ -335,6 +342,62 @@ fromAll()
     val batch2 = p.states(store.read().where(col("stream_id").startsWith("acct-")))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(second("acct-1") == batch2("acct-1"))
+  }
+
+  test("P20 JS pre-state oracles stream == batch across micro-batches, " +
+    "stepper path (js_first_event / js_high_water / js_map_guard / js_array_guard)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def le(stream: String, num: Long, tpe: String, pos: Long, v: Double,
+        k: String) = graft.projections.LogEvent(
+      stream, num, tpe, pos, new java.sql.Timestamp(pos * 1000), null,
+      s"""{"k":"$k"}""", v)
+    // two arrival batches; every pre-state guard crosses the boundary:
+    // first-event (purchase-1's first purchase is in batch 1), high-water
+    // rises + consecutive-type repeats + new low, map burst counts, and
+    // the distinct-type array breadth — all continue in batch 2
+    val batchA = Seq(
+      le("purchase-1", 0, "purchase", 0, 1.50, "a"),
+      le("purchase-1", 1, "click", 1, 2.00, "a"),
+      le("purchase-1", 2, "purchase", 2, 0.75, "b"),
+      le("purchase-2", 0, "purchase", 3, 9.99, "a"))
+    val batchB = Seq(
+      le("purchase-1", 3, "purchase", 4, 5.00, "a"),
+      le("purchase-1", 4, "click", 5, 1.25, "b"),
+      le("purchase-1", 5, "click", 6, 0.10, "b"),
+      le("purchase-2", 1, "view", 7, 2.50, "a"),
+      le("purchase-2", 2, "purchase", 8, 0.05, "a"))
+    val defs = graft.projections.js.JsProjectionQueries.handlerCorpus.toMap
+    for (name <- Seq("js_first_event", "js_high_water", "js_map_guard",
+        "js_array_guard")) {
+      val p = graft.projections.js.JsProjection.compile(defs(name))
+      assert(p.compilesToColumns, s"$name must compile")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[graft.projections.LogEvent]
+      // the stepper path must engage: no interpreter node in the plan
+      assert(p.fastStatesStream(input.toDF()).isDefined,
+        s"$name must take the typed stepper path")
+      val ck = Files.createTempDirectory(s"jsstep_$name").toString
+      val captured = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      def runPass(): Map[String, String] = {
+        val q = p.statesStream(input.toDF()).writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, String)], _: Long) =>
+            b.collect().foreach { case (k, v) => captured.put(k, v) }: Unit
+          }
+          .option("checkpointLocation", ck)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        captured.asScala.toMap
+      }
+      def batchStates(rows: Seq[graft.projections.LogEvent]): Map[String, String] =
+        p.states(rows.toDF()).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      input.addData(batchA: _*)
+      assert(runPass() == batchStates(batchA), s"$name pass 1")
+      input.addData(batchB: _*)
+      assert(runPass() == batchStates(batchA ++ batchB),
+        s"$name pass 2 (state must continue across micro-batches)")
+    }
   }
 
   test("P20 JS compiled streaming: nested-state definition takes the agg " +
