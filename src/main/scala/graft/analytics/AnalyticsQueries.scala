@@ -155,12 +155,22 @@ object AnalyticsQueries extends QueryModule {
     * of the embeddings count) — one cheap count job, memoized; a pure
     * function of N the DuckDB oracle recomputes from its own count(*)
     * (the oracle embeds the 30-plane sign matrix and prefixes it to p,
-    * valid because lshPlaneSigns(p) is a prefix of lshPlaneSigns(30)). */
+    * valid because lshPlaneSigns(p) is a prefix of lshPlaneSigns(30)).
+    *
+    * targetBucket = 256, tighter than the pair-generation default
+    * (4096): the SERVING ingest resolves near-dups incrementally, so its
+    * binding constraint is the probe self-join's candidate volume
+    * (~N × bucket × tables, materialized through the resolver's pair
+    * checkpoint) — measured at ×100 (200k vectors): 8 planes ⇒ 3.8·10⁸
+    * candidates blew the 8g bench heap, 10 planes ⇒ ~7·10⁷ runs clean.
+    * Near-identical lookups (the contamination checks this index
+    * serves) collide at ANY plane count — identical vectors share every
+    * signature — so the tighter buckets cost nothing where it matters. */
   private val embPlanesCache =
     scala.collection.concurrent.TrieMap.empty[String, Int]
   private def embPlanes(s: SparkSession, d: String): Int =
     embPlanesCache.getOrElseUpdate(d,
-      Similarity.autoPlanes(Tables.embeddings(s, d).count()))
+      Similarity.autoPlanes(Tables.embeddings(s, d).count(), targetBucket = 256L))
 
   /** The serving indexer at the geometry a growing corpus actually needs
     * — autoPlanes keeps expected bucket size ~constant, so ingest pair
@@ -598,6 +608,12 @@ object AnalyticsQueries extends QueryModule {
       |pp AS (SELECT least(30, greatest(8,
       |         CAST(ceil(log2(c / 4096.0)) AS INT))) AS p FROM nn)""".stripMargin
 
+  /** The serving-ingest variant: targetBucket 256 (see [[embPlanes]]). */
+  private val servePlanesSql =
+    """nn AS (SELECT count(*) AS c FROM embeddings),
+      |pp AS (SELECT least(30, greatest(8,
+      |         CAST(ceil(log2(c / 256.0)) AS INT))) AS p FROM nn)""".stripMargin
+
   /** The FULL 30-plane ±1 sign matrix for `table` as a DuckDB list
     * literal. [[Similarity.lshPlaneSigns]](p) is a PREFIX of
     * lshPlaneSigns(30) (the derivation hashes "p:d" independent of the
@@ -986,15 +1002,16 @@ object AnalyticsQueries extends QueryModule {
         |SELECT query_id, match_id,
         |       CAST(60 - bit_count(xor(hq, hm)) AS DOUBLE) / 60 AS score
         |FROM cands WHERE bit_count(xor(hq, hm)) <= 3 ORDER BY 1, 2""".stripMargin,
-    // the embedding sign-LSH serving face at the library's AUTO plane
-    // geometry: the plane count is recomputed from count(*) (the same
-    // clamp(ceil(log2(N/4096)), 8, 30) formula as Similarity.autoPlanes)
-    // and applied as a PREFIX of the embedded 30-plane sign matrix —
-    // lshPlaneSigns(p) is a prefix of lshPlaneSigns(30), so the dynamic
-    // bucket equals Spark's at every N. Candidates collide in EITHER
-    // table, exact cosine ≥ 0.4 verification
+    // the embedding sign-LSH serving face at the AUTO plane geometry
+    // with the serving-ingest bucket target (256 — see embPlanes): the
+    // plane count is recomputed from count(*) with the same
+    // clamp(ceil(log2(N/256)), 8, 30) arithmetic and applied as a PREFIX
+    // of the embedded 30-plane sign matrix — lshPlaneSigns(p) is a
+    // prefix of lshPlaneSigns(30), so the dynamic bucket equals Spark's
+    // at every N. Candidates collide in EITHER table, exact cosine
+    // ≥ 0.4 verification
     "find_near_dups_emb" ->
-      s"""WITH $autoPlanesSql,
+      s"""WITH $servePlanesSql,
         |e AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  UNION ALL

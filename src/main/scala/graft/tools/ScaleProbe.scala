@@ -61,12 +61,14 @@ object ScaleProbe {
     // r13 registry delta (soak hygiene): every new oracle query gets a
     // soak row the round it lands
     "chunk_by_tokens_bpe", "select_token_budget_bpe", "js_array_guard",
-    // find_near_dups_emb is NOT soaked: its oracle-embeddable fixed
-    // 4-plane geometry (16 buckets/table) is quadratic past ~10⁴ vectors —
-    // the same documented oracle-fixed-geometry class as ann_lsh_banded;
-    // the library default auto-sizes planes (autoPlanes) at scale
     "find_near_dups", "find_near_dups_simhash", "find_exact_dups",
-    "unigram_tokenize", "wordpiece_tokenize", "pack_sequences_ffd")
+    "unigram_tokenize", "wordpiece_tokenize", "pack_sequences_ffd",
+    // r14 registry delta: the serving emb lookup now ingests unclamped
+    // at autoPlanes geometry (subquadratic by construction — soakable);
+    // the auto-geometry LSH/semantic rows grade the library defaults;
+    // redaction round-trip + the variant body row
+    "find_near_dups_emb", "ann_lsh_banded_auto", "dedup_semantic_auto",
+    "s5_redacted_read", "json_body_variant")
 
   private val srcDir = "/root/testdata/sf0.1"
   private val scaleRoot = "/tmp/graft_scale"

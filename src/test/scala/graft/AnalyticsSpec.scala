@@ -950,10 +950,10 @@ class AnalyticsSpec extends SparkTestBase {
       .select(col("vec_id").as("id"), col("embedding"))
     val all = emb.unionAll(emb.where(col("id") < 50)
       .select((col("id") + off).as("id"), col("embedding")))
-    // the registered serving ingest runs at the library-default auto
-    // geometry (autoPlanes of the corpus count), 2 tables
+    // the registered serving ingest runs at auto geometry with the
+    // serving-ingest bucket target (autoPlanes targetBucket=256), 2 tables
     val expected = Similarity.lshNearDupPairsBanded(all, 0.4,
-        planes = Similarity.autoPlanes(emb.count()),
+        planes = Similarity.autoPlanes(emb.count(), targetBucket = 256L),
         tables = 2, "id", "embedding")
       .where(col("id_b") >= off && col("id_a") < off)
       .withColumn("sim", round(col("sim"), 6))
