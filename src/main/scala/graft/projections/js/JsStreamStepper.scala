@@ -116,9 +116,9 @@ object JsStreamStepper {
       val letStages: Array[(Int, Slot)], // (ext slot, bound let)
       val preRowFns: Array[(Int, RowExec.RowFn)], // field idx -> key/value row fn
       val updateFn: RowExec.RowFn, // all update inputs, one projection
+      // (the raise channel rides at the end of updateFn's output —
+      // EVALUATING it throws like the batch agg's raise_error child)
       val updOffsets: Array[Int], // per-field offset into updateFn output
-      val updDts: Array[DataType],
-      val raiseAt: Int, // index in updateFn output, -1 = none
       val renderFn: RowExec.RowFn,
       val aggIdx: Map[String, Int], // agg column name -> render-row slot
       val aggDts: Array[DataType],
@@ -511,10 +511,7 @@ object JsStreamStepper {
         case _ => ()
       }
     }
-    val raiseAt = spec.raiseCol match {
-      case Some(r) => updCols += r; updCols.length - 1
-      case None => -1
-    }
+    spec.raiseCol.foreach(updCols += _)
     val updBound = RowExec.bind(spark, schema, updCols.toSeq)
     val updateFn = new RowExec.RowFn(updBound)
 
@@ -541,8 +538,7 @@ object JsStreamStepper {
 
     val rt = new Runtime(fields.map(metaOf), preSlots, preHasSlots, preLenSlots, extSize,
       letStages.toArray, preRowFns.toArray, updateFn, updOffsets,
-      updBound.map(_.dataType).toArray, raiseAt, renderFn, aggIdx,
-      aggSchema.map(_.dataType).toArray,
+      renderFn, aggIdx, aggSchema.map(_.dataType).toArray,
       prepSchema.fieldIndex("log_position"), RowExec.toInternal(prepSchema))
 
     val keyIdx = prepSchema.fieldIndex(Key)

@@ -380,6 +380,34 @@ fromAll().foreachStream().when({
     assert(!plan.contains("FlatMapGroups"), plan.take(1500))
   }
 
+  test("streaming stepper plan: typed flatMapGroupsWithState, no window, " +
+    "no JSON-interpreter serialization in the fold") {
+    val s = spark; import s.implicits._
+    val log = Seq.tabulate(30)(i =>
+      (s"acct-${i % 3}", (i / 3).toLong, "E", i.toLong, """{"v":1}""", i.toDouble))
+      .toDF("stream_id", "event_number", "event_type", "log_position", "data", "value")
+      .withColumn("timestamp", expr("timestamp_millis(1700000000000 + log_position)"))
+      .withColumn("correlation_id", lit(null).cast("string"))
+    val p = graft.projections.js.JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { count: 0, first: 0 }; },
+    $any: function(s, e) {
+        if (s.count === 0) { s.first += 1; }
+        s.count += 1;
+        return s;
+    } })""")
+    assert(p.compilesToColumns)
+    val ds = p.fastStatesStream(log)
+    assert(ds.isDefined, "pre-state plan must take the stepper path")
+    val plan = executedPlan(ds.get.toDF())
+    // the whole point: per-key TYPED state, not a per-batch window
+    // (batch execution lowers flatMapGroupsWithState to MapGroups; the
+    // streaming run uses FlatMapGroupsWithStateExec — both print
+    // "MapGroups")
+    assert(plan.contains("MapGroups"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("substring-dedup census joins are equi-joins, never cartesian") {
     val s = spark; import s.implicits._
     val docs = Seq.tabulate(40)(i =>
