@@ -355,8 +355,12 @@ object AnalyticsQueries extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Fixed-nlist PARITY form (per-list work grows N²/16 — the geometry
+    * exists for the oracle); benched on the sf0.1-sized bound like every
+    * pinned parity row, the auto sibling grades the scale path. */
   private def dedupSemantic(s: SparkSession, d: String): DataFrame =
-    Similarity.semanticDedup(Tables.embeddings(s, d), nlist = 16, threshold = 0.4)
+    Similarity.semanticDedup(Tables.embeddings(s, d).where(col("vec_id") < 20000),
+        nlist = 16, threshold = 0.4)
       .withColumn("max_prior_sim", round(col("max_prior_sim"), 6))
       .orderBy(col("id"))
 
@@ -367,11 +371,16 @@ object AnalyticsQueries extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed near-dup. Oracle-checked: the hyperplane coefficients are
-    * deterministic ±1 literals (Similarity.lshPlaneSigns), so the oracle SQL
-    * embeds the same planes and computes the identical bucket signatures. */
+  /** LSH-bucketed near-dup, fixed-geometry PARITY form. Oracle-checked:
+    * the hyperplane coefficients are deterministic ±1 literals
+    * (Similarity.lshPlaneSigns), so the oracle SQL embeds the same planes
+    * and computes the identical bucket signatures. Bounded to the sf0.1
+    * corpus size (oracle-mirrored no-op at every oracle SF): 4 fixed
+    * planes = 16 buckets is quadratic past ~10⁴ vectors by construction —
+    * ann_lsh_banded_auto grades the geometry a scaled corpus gets. */
   private def annLshNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4, planes = 4)
+    Similarity.lshNearDupPairs(Tables.embeddings(s, d).where(col("vec_id") < 20000),
+        0.4, planes = 4)
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -380,8 +389,8 @@ object AnalyticsQueries extends QueryModule {
     * the oracle embeds both tables' sign literals and unions the two
     * bucket joins. */
   private def annLshBanded(s: SparkSession, d: String): DataFrame =
-    Similarity.lshNearDupPairsBanded(Tables.embeddings(s, d), 0.4,
-        planes = 4, tables = 2)
+    Similarity.lshNearDupPairsBanded(Tables.embeddings(s, d).where(col("vec_id") < 20000),
+        0.4, planes = 4, tables = 2)
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -1128,7 +1137,8 @@ object AnalyticsQueries extends QueryModule {
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "dedup_semantic" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |       WHERE vec_id < 20000),
         |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
         |assigned AS (
         |  SELECT vec_id AS id, v, cid AS list_id FROM (
@@ -1321,7 +1331,8 @@ object AnalyticsQueries extends QueryModule {
         }.mkString(" + ")
         s"(CASE WHEN ($dot) >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
-      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |       WHERE vec_id < 20000),
         |bkt AS (SELECT id, v, $bucketExpr AS bucket FROM e),
         |sims AS (
         |  SELECT a.id AS id_a, b.id AS id_b,
@@ -1343,7 +1354,8 @@ object AnalyticsQueries extends QueryModule {
           }.mkString(" + ")
           s"(CASE WHEN ($dot) >= 0 THEN '1' ELSE '0' END)"
         }.mkString(" || ")
-      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |       WHERE vec_id < 20000),
         |bkt AS (SELECT id, v, ${bucketExpr(0)} AS b0, ${bucketExpr(1)} AS b1 FROM e),
         |cand AS (
         |  SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb

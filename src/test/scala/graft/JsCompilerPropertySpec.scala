@@ -454,4 +454,44 @@ class JsCompilerPropertySpec extends SparkTestBase {
       s"compiled ${80 - refusedSeeds.size}/80 — generator/compiler subset " +
         s"drift; refused seeds: $refusedSeeds")
   }
+
+  test("generated definitions: streaming fast path (stepper or native agg) " +
+    "== batch plan on a generated hostile log (80 seeds)") {
+    // The stepper's contract is bit-identity with the batch plan; this
+    // sweeps it over the generator's pre-state idioms (first-event sums,
+    // extremum/overwrite reads, map guards, array guards) × the hostile
+    // log. statesStream folds the caller's slice without the selector
+    // and emits RAW fold state, so the comparison pre-slices by the
+    // generated selector and skips transform-chain definitions.
+    val log = genLog(new Random(13)).cache()
+    log.count()
+    var stepperSeeds = 0
+    for (seed <- 1 to 80) {
+      val r = new Random(seed)
+      val src = genDefinition(r)
+      if (!src.contains(".transformBy(") && !src.contains(".filterBy(")) {
+        val p = JsProjection.compile(src)
+        if (p.compilesToColumns) {
+          val sliced = "fromCategory\\('(\\w+)'\\)".r.findFirstMatchIn(src) match {
+            case Some(m) => log.where(col("stream_id").startsWith(m.group(1) + "-"))
+            case None => log
+          }
+          val streamed = p.fastStatesStream(sliced)
+          assert(streamed.isDefined, s"seed $seed: no streaming fast path:\n$src")
+          val plan = streamed.get.queryExecution.executedPlan.toString
+          if (plan.contains("MapGroups")) stepperSeeds += 1
+          val got = streamed.get.collect().toMap
+          val batch = p.states(log).collect()
+            .map(row => row.getString(0) -> row.getString(1)).toMap
+          assert(got == batch, s"seed $seed stream != batch:\n$src\n" +
+            s"missing=${(batch.keySet -- got.keySet).take(3)} " +
+            s"diff=${batch.collect { case (k, v) if got.get(k).exists(_ != v) =>
+              (k, v, got(k)) }.take(2)}")
+        }
+      }
+    }
+    // the sweep must actually exercise the stepper, not just the agg path
+    assert(stepperSeeds >= 10,
+      s"only $stepperSeeds/80 seeds took the stepper path — generator drift")
+  }
 }

@@ -128,6 +128,21 @@ class RedactionSpec extends SparkTestBase {
       Seq(("", true), ("""{"x":2}""", false)))
   }
 
+  test("streaming subscriptions scrub redacted events (SUB2 reader)") {
+    val dir = Files.createTempDirectory("graftredactsub").toString
+    val store = new EventLogStore(spark, dir)
+    store.append(Seq(pe("a-1", "e1", """{"secret":1}"""), pe("a-1", "e2", """{"ok":2}""")))
+    store.redact("a-1", 0L)
+    val q = graft.streaming.Subscriptions.subscribeAll(spark, s"$dir/log")
+      .writeStream.format("memory").queryName("redactsub")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+        "SELECT event_number, data, is_redacted FROM redactsub ORDER BY event_number")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(rows == Seq((0L, "", true), (1L, """{"ok":2}""", false)))
+  }
+
   test("envelope schema carries is_redacted and $mem- streams round-trip it") {
     assert(EventEnvelope.schema.fieldNames.contains("is_redacted"))
     val env = EventEnvelope("s", 0L, "id", "T",
