@@ -196,8 +196,8 @@ object AnalyticsQueries extends QueryModule {
   // and a strong key would pin a stopped session for the JVM lifetime.
   // WeakHashMap drops the entry when the session is collected; the
   // synchronized block keeps a concurrent first call from double-
-  // ingesting into two orphaned temp dirs, and deleteOnExit bounds the
-  // dir accumulation to the JVM run
+  // ingesting into two orphaned temp dirs, and TempDirs' shutdown hook
+  // bounds the dir accumulation to the JVM run
   private val ndServeState = new java.util.WeakHashMap[
     SparkSession, scala.collection.mutable.HashMap[(String, String), String]]()
 
@@ -209,8 +209,7 @@ object AnalyticsQueries extends QueryModule {
         ndServeState.put(s, m); m
       }
       perSession.getOrElseUpdate((d, family), {
-        val dir = java.nio.file.Files.createTempDirectory(s"graft_nd_$family").toString
-        new java.io.File(dir).deleteOnExit()
+        val dir = graft.TempDirs.create(s"graft_nd_$family")
         DedupStream.processBatch(corpus.where(col("id") % 2 === 0), 0L, dir, ix, "id")
         DedupStream.compactState(s, dir)
         DedupStream.processBatch(corpus.where(col("id") % 2 === 1), 1L, dir, ix, "id")

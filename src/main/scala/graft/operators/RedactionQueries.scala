@@ -28,15 +28,14 @@ object RedactionQueries extends QueryModule {
   /** One prepared (ingested + redacted) store dir per sf dir: the bench's
     * warmup + timed pass read the same store rather than re-ingesting.
     * Keyed by the sf dir alone — the prepared layout is a pure function
-    * of the input data, so a second session just opens it. deleteOnExit
-    * bounds the temp dirs to the JVM run. */
+    * of the input data, so a second session just opens it. TempDirs'
+    * shutdown hook bounds the temp dirs to the JVM run. */
   private val prepared = scala.collection.mutable.HashMap.empty[String, String]
 
   private def preparedDir(s: SparkSession, d: String): String =
     prepared.synchronized {
       prepared.getOrElseUpdate(d, {
-        val dir = java.nio.file.Files.createTempDirectory("graft_redact").toString
-        new java.io.File(dir).deleteOnExit()
+        val dir = graft.TempDirs.create("graft_redact")
         val store = new EventLogStore(s, dir)
         val slice = Tables.eventLog(s, d)
           .where(col("stream_id").isin(Streams: _*))

@@ -304,9 +304,13 @@ final class JsProjection(val source: String) extends Serializable {
         (!p.usesTimestamp || (have("timestamp") &&
           events.schema("timestamp").dataType ==
             org.apache.spark.sql.types.TimestampType))
+      // streaming projections are readers too: redacted events fold with
+      // empty data on the compiled paths exactly as the interpreter
+      // fallback does through toLogEvents (PrepareLogRecord.cs:65)
+      val scrubbed = graft.operators.Redaction.scrub(events)
       if (!ok) None
       else if (!p.usesPreState)
-        Some(p.build(events)
+        Some(p.build(scrubbed)
           .select(col("partition").as("_1"), col("state").as("_2"))
           .as[(String, String)])
       else
@@ -320,7 +324,7 @@ final class JsProjection(val source: String) extends Serializable {
         // interpreter state-store path.
         p.stepSpec.filter(_ => spark.conf
             .getOption("spark.graft.js.streamStepper").forall(_.toBoolean))
-          .map(ss => JsStreamStepper.stream(ss, events))
+          .map(ss => JsStreamStepper.stream(ss, scrubbed))
     }
   }
 

@@ -169,9 +169,14 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
         if (bucketed) base.add("p_bucket", "int") else base)
     } else {
       val df = spark.read.parquet(logDir)
+      val flag = graft.operators.Redaction.Flag
       graft.operators.Redaction.scrub(
-        if (df.columns.contains(graft.operators.Redaction.Flag)) df
-        else df.withColumn(graft.operators.Redaction.Flag, lit(false)))
+        if (df.columns.contains(flag))
+          // NULL flags appear mid-upgrade of a legacy log (files written
+          // before the column existed read NULL once inference samples a
+          // flagged footer) — they mean "never redacted"
+          df.withColumn(flag, coalesce(col(flag), lit(false)))
+        else df.withColumn(flag, lit(false)))
     }
 
   /** Single-stream positional read with retention applied AND bucket
@@ -788,16 +793,27 @@ class EventLogStore(spark: SparkSession, path: String, requestedBuckets: Int = 0
       val hitBase = read().where(target)
       val hit = if (bucketed)
         hitBase.where(col("p_bucket") === bucketFor(streamId)) else hitBase
-      // point lookup: stream + bucket pruned, parquet stats bound it
-      val parts = hit.select(concat_ws("/",
-          partitionCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*))
-        .distinct().as[String].collect().sorted
-      if (parts.isEmpty) return 0L
-      var n = 0L
-      parts.foreach { suffix =>
-        val slice = read().where(partitionPredicate(suffix))
-        n += slice.where(target).count()
-        rewritePartition(suffix, slice
+      // one point-lookup job answers both WHERE (partition dirs) and HOW
+      // MANY (the return value): stream + bucket pruned, stats bound it
+      val hitParts = hit.groupBy(concat_ws("/",
+          partitionCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*)
+          .as("part"))
+        .count().collect()
+      if (hitParts.isEmpty) return 0L
+      val n = hitParts.map(_.getLong(1)).sum
+      // legacy logs (written before the flag existed) get a ONE-TIME
+      // whole-log schema upgrade: rewriting only the hit partitions
+      // would mix flagged and flagless files, and non-merged parquet
+      // schema inference could then sample a flagless footer and read
+      // the redaction back as false
+      val suffixes =
+        if (spark.read.parquet(logDir).columns.contains(graft.operators.Redaction.Flag))
+          hitParts.map(_.getString(0)).sorted.toSeq
+        else read().select(concat_ws("/",
+            partitionCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*))
+          .distinct().as[String].collect().sorted.toSeq
+      suffixes.foreach { suffix =>
+        rewritePartition(suffix, read().where(partitionPredicate(suffix))
           .withColumn("is_redacted",
             when(target, lit(true)).otherwise(col("is_redacted")))
           .withColumn("data",

@@ -63,10 +63,13 @@ object Subscriptions {
     * distinct from checkpoint-restart which streaming offsets cover). */
   def subscribeAll(spark: SparkSession, logDir: String,
       filter: Column = lit(true), fromPosition: Long = -1L): DataFrame =
+    // scrub BEFORE the caller's filter — a data-referencing predicate
+    // must see what a reader sees (empty payload for redacted events),
+    // matching the batch readers' order (Reads.readAllForwards)
     graft.operators.Redaction.scrub(spark.readStream
       .schema(logSchema(spark, logDir))
-      .parquet(logDir)
-      .where(filter && col("log_position") > fromPosition))
+      .parquet(logDir))
+      .where(filter && col("log_position") > fromPosition)
 
   /** SUB1: subscribe to one stream from a given event number. */
   def subscribeStream(spark: SparkSession, logDir: String, streamId: String,

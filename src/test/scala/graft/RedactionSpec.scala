@@ -143,6 +143,104 @@ class RedactionSpec extends SparkTestBase {
     assert(rows == Seq((0L, "", true), (1L, """{"ok":2}""", false)))
   }
 
+  test("subscribeAll filters see SCRUBBED data, like the batch readers") {
+    import spark.implicits._
+    // flag set but payload still on disk (externally written log): a
+    // data-referencing subscription filter must not match the redacted
+    // payload — scrub runs before the caller's predicate
+    val dir = Files.createTempDirectory("graftredactflt").toString
+    Seq(
+      ("s-1", 0L, "id0", "E", new java.sql.Timestamp(0), 0L,
+        null.asInstanceOf[String], true, """{"secret":1}""",
+        null.asInstanceOf[String], true, java.sql.Date.valueOf("2024-01-01")),
+      ("s-1", 1L, "id1", "E", new java.sql.Timestamp(1), 1L,
+        null.asInstanceOf[String], true, """{"secret":2}""",
+        null.asInstanceOf[String], false, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("stream_id", "event_number", "event_id", "event_type", "timestamp",
+        "log_position", "correlation_id", "is_json", "data", "metadata",
+        "is_redacted", "p_date")
+      .write.partitionBy("p_date").parquet(s"$dir/log")
+    val q = graft.streaming.Subscriptions.subscribeAll(spark, s"$dir/log",
+        filter = col("data").contains("secret"))
+      .writeStream.format("memory").queryName("redactflt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT event_number FROM redactflt")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), "only the unredacted event's payload may match")
+  }
+
+  test("compiled streaming projections scrub flag-only frames " +
+    "(native agg and stepper paths)") {
+    import spark.implicits._
+    val log = Seq(
+      ("k-1", 0L, "E", 0L, """{"n":100}""", true),
+      ("k-1", 1L, "E", 1L, """{"n":100}""", false))
+      .toDF("stream_id", "event_number", "event_type", "log_position",
+        "data", "is_redacted")
+      .withColumn("timestamp", expr("timestamp_millis(log_position)"))
+      .withColumn("correlation_id", lit(null).cast("string"))
+      .withColumn("value", lit(0.0))
+    // native-agg path: a body-matching count must not see the redacted
+    // payload (both rows carry n=100 on disk; only the unredacted one
+    // may match once data is scrubbed)
+    val agg = graft.projections.js.JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { hits: 0, n: 0 }; },
+    E: function(s, e) {
+        if (e.body && e.body.n === 100) { s.hits += 1; }
+        s.n += 1;
+        return s;
+    }
+})""")
+    assert(agg.compilesToColumns)
+    val aggOut = agg.fastStatesStream(log)
+    assert(aggOut.isDefined)
+    assert(aggOut.get.collect().toMap.apply("k-1") == """{"hits":1,"n":2}""")
+    // stepper path: the same read behind a first-event pre-state guard —
+    // the FIRST event is the redacted one, so its body must read empty
+    val step = graft.projections.js.JsProjection.compile("""
+fromAll().foreachStream().when({
+    $init: function() { return { count: 0, hits: 0 }; },
+    E: function(s, e) {
+        if (s.count === 0) { if (e.body && e.body.n === 100) { s.hits += 1; } }
+        s.count += 1;
+        return s;
+    }
+})""")
+    assert(step.compilesToColumns)
+    val stepOut = step.fastStatesStream(log)
+    assert(stepOut.isDefined)
+    assert(stepOut.get.collect().toMap.apply("k-1") == """{"count":2,"hits":0}""")
+  }
+
+  test("redact on a pre-flag legacy log upgrades the WHOLE log's schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftredactlegacy").toString
+    // a log written before is_redacted existed, across TWO partitions
+    Seq(
+      ("a-1", 0L, "id0", "E", new java.sql.Timestamp(0), 0L,
+        null.asInstanceOf[String], true, """{"secret":1}""",
+        null.asInstanceOf[String], java.sql.Date.valueOf("2024-01-01")),
+      ("a-1", 1L, "id1", "E", new java.sql.Timestamp(86400000), 1L,
+        null.asInstanceOf[String], true, """{"x":2}""",
+        null.asInstanceOf[String], java.sql.Date.valueOf("2024-01-02")))
+      .toDF("stream_id", "event_number", "event_id", "event_type", "timestamp",
+        "log_position", "correlation_id", "is_json", "data", "metadata", "p_date")
+      .write.partitionBy("p_date").parquet(s"$dir/log")
+    val store = new EventLogStore(spark, dir)
+    assert(store.redact("a-1", 0L) == 1L)
+    // EVERY partition now carries the flag on disk — no mixed-schema log
+    // whose non-merged inference could sample a flagless footer
+    for (d <- Seq("2024-01-01", "2024-01-02"))
+      assert(spark.read.parquet(s"$dir/log/p_date=$d").columns.contains("is_redacted"),
+        s"partition $d must carry the flag after the upgrade")
+    val rows = store.read().orderBy("event_number")
+      .select("data", "is_redacted").collect()
+    assert(rows.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq(("", true), ("""{"x":2}""", false)))
+  }
+
   test("envelope schema carries is_redacted and $mem- streams round-trip it") {
     assert(EventEnvelope.schema.fieldNames.contains("is_redacted"))
     val env = EventEnvelope("s", 0L, "id", "T",
