@@ -370,6 +370,42 @@ object AnalyticsQueries extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The IVF library DEFAULT — what a caller who passes no geometry
+    * gets: autoIvf (nlist ≈ 4·√N FAISS sizing, nprobe = nlist/16,
+    * probed candidate set SUBLINEAR in N). The oracle recomputes both
+    * from count(*) with the same clamp arithmetic; the fixed-geometry
+    * sibling above stays for small-corpus parity. */
+  private def annIvfTopKAuto(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The production ANN SERVING shape (FAISS train/add/search lifecycle):
+    * top-k against the PERSISTED auto-geometry IVF index — the only
+    * corpus-scale work per query batch is the pruned scan of the probed
+    * lists, so serving stays sublinear where the ad-hoc sibling pays the
+    * O(N·√N) coarse assignment inline on every call. Index built once
+    * per sf dir (memoized; TempDirs-cleaned); results identical to the
+    * inline form by [[SimilarityIndex]]'s spec-pinned contract, so the
+    * oracle SQL is the same dynamic-geometry replay. */
+  private val ivfIndexDirs = scala.collection.mutable.HashMap.empty[String, String]
+  private def ivfIndexDir(s: SparkSession, d: String): String =
+    ivfIndexDirs.synchronized {
+      ivfIndexDirs.getOrElseUpdate(d, {
+        val dir = graft.TempDirs.create("graft_ivf_index")
+        SimilarityIndex.saveIvf(Tables.embeddings(s, d), dir)
+        dir
+      })
+    }
+  private def annIndexIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    SimilarityIndex.ivfTopK(s, emb.where(col("vec_id") < 10), ivfIndexDir(s, d), k = 5)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed near-dup, fixed-geometry PARITY form. Oracle-checked:
     * the hyperplane coefficients are deterministic ±1 literals
     * (Similarity.lshPlaneSigns), so the oracle SQL embeds the same planes
@@ -483,6 +519,8 @@ object AnalyticsQueries extends QueryModule {
     "dedup_semantic_auto" -> (dedupSemanticAuto _),
     "ann_cosine_topk" -> (annTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_ivf_topk_auto" -> (annIvfTopKAuto _),
+    "ann_index_ivf_topk" -> (annIndexIvfTopK _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_lsh_neardup" -> (annLshNearDup _),
@@ -1227,6 +1265,84 @@ object AnalyticsQueries extends QueryModule {
         |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
         |        DESC, c.cid) AS rn
         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    list_dot_product(p.qv, a.v)
+        |      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the library-default IVF geometry: nlist/nprobe recomputed from
+    // count(*) with autoIvf's clamp arithmetic (nlist = floor(4·√N)
+    // clamped [16, 2^18] — floor matches Scala's .toInt truncation —
+    // nprobe = max(2, nlist/16)); body identical to the pinned oracle
+    // with the two literals made dynamic
+    "ann_ivf_topk_auto" ->
+      """WITH nn AS (SELECT count(*) AS c FROM embeddings),
+        |geo AS (SELECT least(262144, greatest(16, CAST(floor(4 * sqrt(c)) AS INT))) AS nl FROM nn),
+        |geo2 AS (SELECT nl, greatest(2, nl // 16) AS np FROM geo),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT nl FROM geo2)),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, v, cid AS list_id FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, cid AS list_id FROM (
+        |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.cv)
+        |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rn
+        |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 10)
+        |  WHERE rn <= (SELECT np FROM geo2)),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    list_dot_product(p.qv, a.v)
+        |      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the persisted-index serving row: results identical to the inline
+    // auto form by SimilarityIndex's spec-pinned contract, so the oracle
+    // is the same dynamic-geometry replay
+    "ann_index_ivf_topk" ->
+      """WITH nn AS (SELECT count(*) AS c FROM embeddings),
+        |geo AS (SELECT least(262144, greatest(16, CAST(floor(4 * sqrt(c)) AS INT))) AS nl FROM nn),
+        |geo2 AS (SELECT nl, greatest(2, nl // 16) AS np FROM geo),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT nl FROM geo2)),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, v, cid AS list_id FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, cid AS list_id FROM (
+        |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.cv)
+        |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |        DESC, c.cid) AS rn
+        |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 10)
+        |  WHERE rn <= (SELECT np FROM geo2)),
         |scored AS (
         |  SELECT p.query_id, a.neighbor_id,
         |    list_dot_product(p.qv, a.v)

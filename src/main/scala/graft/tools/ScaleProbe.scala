@@ -68,7 +68,8 @@ object ScaleProbe {
     // the auto-geometry LSH/semantic rows grade the library defaults;
     // redaction round-trip + the variant body row
     "find_near_dups_emb", "ann_lsh_banded_auto", "dedup_semantic_auto",
-    "s5_redacted_read", "json_body_variant")
+    "s5_redacted_read", "json_body_variant", "ann_ivf_topk_auto",
+    "ann_index_ivf_topk")
 
   private val srcDir = "/root/testdata/sf0.1"
   private val scaleRoot = "/tmp/graft_scale"
@@ -185,7 +186,11 @@ object ScaleProbe {
       // queries time the LOOKUP against corpus-sized state (the flat-wall
       // claim under probe); their one-time corpus ingest is the resolver's
       // cost, probed separately by DedupStreamProbe
-      queries.filter(_.startsWith("find_")).foreach(runOnce(spark, _, dir))
+      // … and the persisted-index serving rows — their one-time index
+      // build (the scheduled-job side of the FAISS lifecycle) must not
+      // land in the timed lookup
+      queries.filter(q => q.startsWith("find_") || q.startsWith("ann_index_"))
+        .foreach(runOnce(spark, _, dir))
       queries.foreach { q =>
         val t = runOnce(spark, q, dir)
         times(q) = times.getOrElse(q, Vector.empty) :+ (m -> t)
