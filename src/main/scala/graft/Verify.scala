@@ -25,6 +25,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // per-query cache hygiene, same as Bench (r14 suite distortion)
+        graft.analytics.Corpus.releaseNbFeatureCache()
+        graft.QueryCaches.release()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

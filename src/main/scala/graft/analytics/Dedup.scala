@@ -71,9 +71,9 @@ object Dedup {
     // id), so no separate size table and no post-aggregation joins; persist
     // the exploded index feeding both sides of the self-join (at warehouse
     // scale this is a checkpointed intermediate table)
-    val idx0 = shingleSets(docs, textCol, idCol, n)
+    val idx0 = graft.QueryCaches.track(shingleSets(docs, textCol, idCol, n)
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val idx =
       if (maxDocFreq <= 0) idx0
       else {
@@ -121,8 +121,8 @@ object Dedup {
   def ngramJaccardPairsExact(docs: DataFrame, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = shingleSets(docs, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = graft.QueryCaches.track(shingleSets(docs, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val idx = sets.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))
     val freq = idx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -177,8 +177,8 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sig = minhashSigArrays(docs, k, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.QueryCaches.track(minhashSigArrays(docs, k, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bandKeyArr = array((0 until bands).map { b =>
       concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r)): _*)
     }: _*)
@@ -253,9 +253,9 @@ object Dedup {
   def winnowOverlapPairs(docs: DataFrame, minShared: Long, k: Int = 5, w: Int = 4,
       textCol: String = "text", idCol: String = "doc_id",
       maxDocFreq: Long = 0L): DataFrame = {
-    val idx0 = docs.select(col(idCol).as("id"),
+    val idx0 = graft.QueryCaches.track(docs.select(col(idCol).as("id"),
         explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val idx =
       if (maxDocFreq <= 0) idx0
       else {
@@ -296,8 +296,8 @@ object Dedup {
       s"banding with $bands bands only guarantees recall to hamming ${bands - 1}")
     val bandBits = 60 / bands
     val mask = (1L << bandBits) - 1
-    val sig = simhash(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.QueryCaches.track(simhash(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val slices = array((0 until bands).map { b =>
       call_function("shiftright", col("simhash"), lit(b * bandBits)).bitwiseAND(lit(mask))
     }: _*)
@@ -711,6 +711,10 @@ object Dedup {
       val s = labelSum(next)
       done = s.compareTo(prev) == 0
       prev = s
+      // `next` is materialized (eager checkpoint), so the PREVIOUS
+      // round's checkpoint blocks are dead — release them now instead
+      // of leaking one label table per round until a driver GC
+      org.apache.spark.sql.graftbridge.Bridge.dropLocalCheckpoint(labels)
       labels = next
       i += 1
     }

@@ -33,6 +33,25 @@ object Bridge {
       .sessionState.functionRegistry.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 
+  /** Release the storage blocks of an EAGER `localCheckpoint(true)`
+    * result. A local checkpoint persists its data as a plain RDD (NOT a
+    * CacheManager entry), strongly registered in the context until the
+    * ContextCleaner notices the RDD became garbage after a driver GC —
+    * in a long-lived session that is "whenever", so per-batch/per-query
+    * checkpoints accumulate in executor storage for minutes (measured:
+    * 167 MB of dead ingest checkpoints held through ~70 bench queries at
+    * sf0.1 until a GC at `pipeline_training_data` collected them —
+    * BASELINE.md "bench run hygiene"). DESTRUCTIVE: the checkpoint
+    * truncated the lineage, so the Dataset cannot be re-executed after
+    * this — only call once fully consumed. No-op for plans that are not
+    * a checkpoint root. */
+  def dropLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Build a NEW session over an existing SparkContext with the given
     * extensions applied — what `spark.sql.extensions` does at session
     * construction, callable in-process (tests exercise the REAL
