@@ -167,9 +167,13 @@ object AnalyticsQueries extends QueryModule {
     * serves) collide at ANY plane count — identical vectors share every
     * signature — so the tighter buckets cost nothing where it matters. */
   private val embPlanesCache =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Int]
   private def embPlanes(s: SparkSession, d: String): Int =
-    embPlanesCache.getOrElseUpdate(d,
+    // keyed on (dir, file fingerprint): a corpus regenerated at the same
+    // path mid-JVM re-derives its geometry instead of serving a stale
+    // plane count the oracle's live count(*) recompute would contradict
+    embPlanesCache.getOrElseUpdate(
+      (d, Tables.dirFingerprint(s"$d/embeddings.parquet")),
       Similarity.autoPlanes(Tables.embeddings(s, d).count(), targetBucket = 256L))
 
   /** The serving indexer at the geometry a growing corpus actually needs
@@ -400,14 +404,17 @@ object AnalyticsQueries extends QueryModule {
     * per sf dir (memoized; TempDirs-cleaned); results identical to the
     * inline form by [[SimilarityIndex]]'s spec-pinned contract, so the
     * oracle SQL is the same dynamic-geometry replay. */
-  private val ivfIndexDirs = scala.collection.mutable.HashMap.empty[String, String]
+  private val ivfIndexDirs =
+    scala.collection.mutable.HashMap.empty[(String, Long), String]
   private def ivfIndexDir(s: SparkSession, d: String): String =
     ivfIndexDirs.synchronized {
-      ivfIndexDirs.getOrElseUpdate(d, {
-        val dir = graft.TempDirs.create("graft_ivf_index")
-        SimilarityIndex.saveIvf(Tables.embeddings(s, d), dir)
-        dir
-      })
+      // (dir, fingerprint) key: a regenerated corpus rebuilds its index
+      ivfIndexDirs.getOrElseUpdate(
+        (d, Tables.dirFingerprint(s"$d/embeddings.parquet")), {
+          val dir = graft.TempDirs.create("graft_ivf_index")
+          SimilarityIndex.saveIvf(Tables.embeddings(s, d), dir)
+          dir
+        })
     }
   private def annIndexIvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -659,18 +666,21 @@ object AnalyticsQueries extends QueryModule {
       |ORDER BY 1, 2""".stripMargin
 
   /** CTEs recomputing [[Similarity.autoPlanes]] from the live corpus
-    * count — `pp.p` is the dynamic plane count (clamp(ceil(log2(N/4096)),
-    * 8, 30), identical arithmetic to the Scala side). */
+    * count — `pp.p` is the dynamic plane count, computed INTEGRALLY on
+    * both sides (bit-length of ceil(N/target) − 1 via `length(bin(…))`;
+    * a float ceil(log2(…)) can overshoot at exact power-of-two ratios —
+    * see autoPlanes). `q ≤ 1` yields bin(0) = '0' of length 1, absorbed
+    * by the greatest(8, …) clamp exactly like the Scala side's floor. */
   private val autoPlanesSql =
     """nn AS (SELECT count(*) AS c FROM embeddings),
       |pp AS (SELECT least(30, greatest(8,
-      |         CAST(ceil(log2(c / 4096.0)) AS INT))) AS p FROM nn)""".stripMargin
+      |         CAST(length(bin(greatest(CAST(ceil(c / 4096.0) AS BIGINT) - 1, 1))) AS INT))) AS p FROM nn)""".stripMargin
 
   /** The serving-ingest variant: targetBucket 256 (see [[embPlanes]]). */
   private val servePlanesSql =
     """nn AS (SELECT count(*) AS c FROM embeddings),
       |pp AS (SELECT least(30, greatest(8,
-      |         CAST(ceil(log2(c / 256.0)) AS INT))) AS p FROM nn)""".stripMargin
+      |         CAST(length(bin(greatest(CAST(ceil(c / 256.0) AS BIGINT) - 1, 1))) AS INT))) AS p FROM nn)""".stripMargin
 
   /** The FULL 30-plane ±1 sign matrix for `table` as a DuckDB list
     * literal. [[Similarity.lshPlaneSigns]](p) is a PREFIX of

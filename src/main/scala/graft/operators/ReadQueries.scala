@@ -133,13 +133,25 @@ object ReadQueries extends QueryModule {
       |  CAST(sum(CAST(json_extract_string(data, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(count(DISTINCT CAST(json_extract_string(data, '$$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
       |FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
-    // k is a JSON number at every SF (schema_of_variant → BIGINT);
-    // digits = length of its decimal rendering
+    // k_type DERIVED per row (json_type → schema_of_variant naming), so
+    // a future testdata row with a missing or non-numeric k produces the
+    // same extra (event_type, k_type) groups Spark sees instead of
+    // silently diverging from a hardcoded 'BIGINT'
     "json_body_variant" -> s"""$L
-      |SELECT event_type, 'BIGINT' AS k_type, CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(CAST(json_extract_string(data, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  CAST(sum(len(json_extract_string(data, '$$.k'))) AS BIGINT) AS sum_digits
-      |FROM log GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      |, typed AS (
+      |  SELECT event_type,
+      |    CASE json_type(data, '$$.k')
+      |      WHEN 'UBIGINT' THEN 'BIGINT' WHEN 'BIGINT' THEN 'BIGINT'
+      |      WHEN 'VARCHAR' THEN 'STRING' WHEN 'DOUBLE' THEN 'DOUBLE'
+      |      WHEN 'BOOLEAN' THEN 'BOOLEAN' WHEN 'NULL' THEN 'VOID'
+      |      ELSE json_type(data, '$$.k') END AS k_type,
+      |    TRY_CAST(json_extract_string(data, '$$.k') AS BIGINT) AS k,
+      |    len(json_extract_string(data, '$$.k')) AS k_digits
+      |  FROM log)
+      |SELECT event_type, k_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(sum(k_digits) AS BIGINT) AS sum_digits
+      |FROM typed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s2_read_stream_forwards" -> s"""$L
       |SELECT stream_id, event_number, event_type, log_position, correlation_id, value,
       |       CAST(epoch_us(timestamp) AS BIGINT) AS ts_us

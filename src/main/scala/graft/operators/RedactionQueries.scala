@@ -27,14 +27,17 @@ object RedactionQueries extends QueryModule {
 
   /** One prepared (ingested + redacted) store dir per sf dir: the bench's
     * warmup + timed pass read the same store rather than re-ingesting.
-    * Keyed by the sf dir alone — the prepared layout is a pure function
-    * of the input data, so a second session just opens it. TempDirs'
-    * shutdown hook bounds the temp dirs to the JVM run. */
-  private val prepared = scala.collection.mutable.HashMap.empty[String, String]
+    * Keyed by (sf dir, events fingerprint) — the prepared layout is a
+    * pure function of the input data, so a regenerated events table at
+    * the same path re-ingests instead of serving the stale store.
+    * TempDirs' shutdown hook bounds the temp dirs to the JVM run. */
+  private val prepared =
+    scala.collection.mutable.HashMap.empty[(String, Long), String]
 
   private def preparedDir(s: SparkSession, d: String): String =
     prepared.synchronized {
-      prepared.getOrElseUpdate(d, {
+      prepared.getOrElseUpdate(
+        (d, Tables.dirFingerprint(s"$d/events.parquet")), {
         val dir = graft.TempDirs.create("graft_redact")
         val store = new EventLogStore(s, dir)
         val slice = Tables.eventLog(s, d)

@@ -78,6 +78,18 @@ private[js] object JsColumnCompiler {
     * the fold-order-preceding rows of the partition) that compiled
     * state reads resolve to; the build adds one per read field. */
   private[js] val PreColPrefix = "__graft_jspre_"
+  /** Suffix of the per-field POST-EVENT state columns: the value the
+    * field holds AFTER this event's same-handler mutations — an
+    * INCLUSIVE window (unboundedPreceding..currentRow) over the same
+    * routed per-event contributions the pre window aggregates
+    * exclusively. Resolved by state reads that occur after a
+    * same-handler mutation of the field (the running-aggregate-
+    * notification emit idiom: `s.total += x; emit(..., s.total)`),
+    * valid only when NO later statement mutates the field again. Shares
+    * [[PreColPrefix]] so the let-taint machinery covers both channels;
+    * the \u0001 separator keeps a field literally named `f + "post"`
+    * from aliasing (the [[ArrLenSfx]] trick). */
+  private[js] val PostSfx = "\u0001post"
   /** 2^53 — beyond it integral doubles lose exactness; the compiled
     * render raises rather than silently diverging from ES. */
   private val MaxExact = 9007199254740992L
@@ -115,7 +127,16 @@ private[js] object JsColumnCompiler {
         * flatMapGroupsWithState — same compiled Column expressions, no
         * interpreter, no window. Present iff usesPreState and the
         * definition has no transform chain. */
-      stepSpec: Option[StepSpec] = None)
+      stepSpec: Option[StepSpec] = None,
+      /** STATEFUL emitted() compilation (r15): the emit/linkTo sites of
+        * a compilable states() definition, selected over the same
+        * per-row frame the states build constructs (lets + key + pre/
+        * post window columns) — so emissions whose arguments or guards
+        * read accumulated state (`s.total += x; emit(..., s.total)`)
+        * run interpreter-free. Only on the STATES plan of a definition
+        * with emit sites; [[compileEmitted]]'s window-free pure select
+        * stays the fast path for state-free emissions. */
+      emitVariant: Option[Plan] = None)
 
   /** Field update kinds, shared between the batch aggregation and the
     * streaming stepper (values are compileOnce's historical constants). */
@@ -163,7 +184,16 @@ private[js] object JsColumnCompiler {
       aggCols: Seq[Column],
       mapKeyCols: Seq[(String, Column)],
       level2Cols: Seq[Column],
-      render: Column)
+      render: Column,
+      /** Emit-mode extensions (r15 stateful emitted() streaming): the
+        * fields whose POST value (after this event's update) binds into
+        * an ext slot before [[emitArr]] evaluates, the lets that read
+        * those post slots (staged last), and the per-event emissions
+        * array column — [[emitArrCol]]'s output, evaluated per row by
+        * [[JsStreamStepper.streamEmits]] after the update applies. */
+      postFields: Set[String] = Set.empty,
+      letsPostTainted: Seq[(String, Column)] = Nil,
+      emitArr: Option[Column] = None)
 
   // ------------------------------------------------- typed column model
 
@@ -334,14 +364,25 @@ private[js] object JsColumnCompiler {
       /** Map fields whose dynamic-key pre-state reads claim STRING —
         * set by the MapStrRetry pass when every site of the overwrite
         * map carries a string raw. */
-      val preReadMapStr: Set[String] = Set.empty) {
+      val preReadMapStr: Set[String] = Set.empty,
+      /** Non-null alongside foldStateReads: accumulates fields read via
+        * the POST-state channel (a scalar read AFTER a same-handler
+        * mutation — the emit-running-total idiom), compiled to INCLUSIVE
+        * window columns. null disables the channel (such reads refuse,
+        * the pre-r15 behavior). */
+      val statePostReads: mutable.Set[String] = null) {
     /** Fields a statement already mutated EARLIER in this handler walk:
       * a pre-state read compiled after a same-handler mutation of the
-      * same field would see the stale pre-event value where the
-      * interpreter sees the mutated one — those reads refuse. Statement
-      * order is exactly walk order (conditions compile before bodies, so
-      * `if (s.count === 0) { s.count += 1 }` reads legally). */
+      * same field resolves through the POST channel instead (value
+      * after ALL of this handler's mutations — valid only if no LATER
+      * statement mutates the field again; the addX helpers enforce that
+      * by refusing a mutation of any field in [[foldPostReads]]).
+      * Statement order is exactly walk order (conditions compile before
+      * bodies, so `if (s.count === 0) { s.count += 1 }` reads legally). */
     val foldMutated: mutable.Set[String] = mutable.Set.empty
+    /** Fields THIS handler read through the post channel (see
+      * [[statePostReads]]); a later mutation of one refuses. */
+    val foldPostReads: mutable.Set[String] = mutable.Set.empty
     /** Dynamic-key MAP pre-state reads compiled in THIS handler:
       * field → (the read's key Expr, its unguarded ES-ToString column).
       * The window that reconstructs `s.f[K]` partitions by ONE per-row
@@ -757,10 +798,32 @@ private[js] object JsColumnCompiler {
         // verifies the claim against the actual kind and every site's
         // provable type, falling the whole definition back on any
         // mismatch. A read AFTER a same-handler mutation of the field
-        // refuses here (the interpreter would see the mutated value).
+        // resolves through the POST channel (INCLUSIVE window — the
+        // value after ALL of this handler's mutations of the field; the
+        // addX helpers refuse any LATER mutation, keeping it exact —
+        // the emit-running-total idiom). With the channel disabled
+        // (statePostReads null) such reads refuse as before.
         // Exactness: sums are integral longs under the 2^53 contract;
         // extrema/overwrites keep exact doubles / raw strings.
-        if (ctx.foldMutated.contains(p)) None
+        if (ctx.foldMutated.contains(p)) {
+          if (ctx.statePostReads == null) None
+          else ctx.initFields.get(p) match {
+            case Some(JsNum(d)) if !d.isNaN =>
+              ctx.statePostReads += p
+              ctx.foldPostReads += p
+              ctx.refs += "log_position"
+              Some(TC(col(PreColPrefix + p + PostSfx),
+                TNum(integral = !d.isInfinite && d == math.rint(d) &&
+                  !ctx.preReadNonIntegral(p)), NoNull))
+            case Some(JsStr(_)) =>
+              ctx.statePostReads += p
+              ctx.foldPostReads += p
+              ctx.refs += "log_position"
+              Some(TC(col(PreColPrefix + p + PostSfx),
+                TStr(ascii = false), NoNull))
+            case _ => None
+          }
+        }
         else ctx.initFields.get(p) match {
           // ±Infinity init (the canonical extremum seed) reads with NO
           // integral claim — the pre value is whatever candidate beat
@@ -2114,9 +2177,13 @@ private[js] object JsColumnCompiler {
     * expressions here are pure, so one compile is exact). A candidate
     * that itself mentions s.f is rejected here when it IS s.f, and by
     * the post-walk circularity gate when it merely contains a read. */
+  /** Matches `if (x OP s.f) { s.f = x; <rest…> }` — the running-extremum
+    * recurrence, optionally followed by trailing statements (the
+    * new-record-notification idiom: `{ s.peak = x; emit(…, s.peak) }`).
+    * Returns (field, candidate, isMax, rest). */
   private def extremumIdiom(c: Expr, tb: Seq[Stmt], ctx: Ctx,
-      locals: Map[String, TC]): Option[(String, Expr, Boolean)] = tb match {
-    case Seq(ExprStmt(Assign("=", tgt: Member, value))) =>
+      locals: Map[String, TC]): Option[(String, Expr, Boolean, Seq[Stmt])] = tb match {
+    case ExprStmt(Assign("=", tgt: Member, value)) +: rest =>
       statePathOf(tgt, ctx, locals).flatMap { f =>
         def self(e: Expr): Boolean = e match {
           case m: Member => statePathOf(m, ctx, locals).contains(f)
@@ -2124,13 +2191,13 @@ private[js] object JsColumnCompiler {
         }
         c match {
           case Binary(">", x, s) if self(s) && !self(x) && x == value =>
-            Some((f, x, true))
+            Some((f, x, true, rest))
           case Binary("<", s, x) if self(s) && !self(x) && x == value =>
-            Some((f, x, true))
+            Some((f, x, true, rest))
           case Binary("<", x, s) if self(s) && !self(x) && x == value =>
-            Some((f, x, false))
+            Some((f, x, false, rest))
           case Binary(">", s, x) if self(s) && !self(x) && x == value =>
-            Some((f, x, false))
+            Some((f, x, false, rest))
           case _ => None
         }
       }
@@ -2279,13 +2346,15 @@ private[js] object JsColumnCompiler {
       stateReads: mutable.Set[String] = null,
       initFields: Map[String, JsVal] = Map.empty,
       preReadNonIntegral: Set[String] = Set.empty,
-      preReadMapStr: Set[String] = Set.empty): Option[HandlerFold] =
+      preReadMapStr: Set[String] = Set.empty,
+      statePostReads: mutable.Set[String] = null): Option[HandlerFold] =
     fn match {
       case JsFunc(params, body, _) =>
         val ctx = new Ctx(cp, partitionCol, refs,
           envParam = params.lift(1), stateParam = params.headOption,
           lets = lets, foldStateReads = stateReads, initFields = initFields,
-          preReadNonIntegral = preReadNonIntegral, preReadMapStr = preReadMapStr)
+          preReadNonIntegral = preReadNonIntegral, preReadMapStr = preReadMapStr,
+          statePostReads = statePostReads)
         walkStmts(body, None, Map.empty, topLevel = true, ctx)
           .map { case (_, fields, emits, raises) =>
             HandlerFold(fields, emits, raises,
@@ -2596,7 +2665,17 @@ private[js] object JsColumnCompiler {
       true
     }
 
-    for ((st, i) <- stmts.zipWithIndex) { st match {
+    for ((st, i) <- stmts.zipWithIndex) {
+      // POST-read ordering: a post-channel read is the value after ALL
+      // of this handler's mutations of the field, so a mutation in any
+      // LATER statement would diverge — refuse to the interpreter. The
+      // snapshot is taken before the statement compiles: a read
+      // registered INSIDE this statement (mutate-then-emit in one `if`
+      // body) does not indict the statement's own mutations.
+      val postBefore: Set[String] =
+        if (ctx.statePostReads == null || ctx.foldPostReads.isEmpty) Set.empty
+        else ctx.foldPostReads.toSet
+      st match {
       // top-level var decls bind at their statement position (later
       // statements see the value; earlier references fall back on the
       // unknown-ident path). Branch-local vars stay interpreted: their
@@ -2787,8 +2866,44 @@ private[js] object JsColumnCompiler {
       // aggregate machinery).
       case If(c, tb, None) if ctx.foldStateReads != null &&
           extremumIdiom(c, tb, ctx, locals).isDefined =>
-        val (f, x, isMax) = extremumIdiom(c, tb, ctx, locals).get
+        val (f, x, isMax, rest) = extremumIdiom(c, tb, ctx, locals).get
         if (!addGuardExtremum(f, x, isMax, effGuard)) return None
+        if (rest.nonEmpty) {
+          // trailing statements (the new-record-notification idiom) run
+          // under the recurrence's condition, compiled as an ordinary
+          // guard: its read of s.f is a normal PRE-state read (the
+          // recurrence itself stayed read-free above), and reads of f
+          // INSIDE the trailing statements see the just-assigned value
+          // (post channel — foldMutated marked before the walk). A
+          // trailing re-assignment of f would break the recurrence →
+          // generic-If handling would refuse anyway; refuse here.
+          if (rest.exists(st => mutatedPathsOf(st, ctx).contains(f)))
+            return None
+          val g0 = effGuard
+          // the condition compiles BEFORE the mutation mark: the
+          // interpreter evaluates it before the assignment, so its read
+          // of s.f is a PRE-state read
+          val cc0 = truthyExpr(c, ctx, locals) match {
+            case Some(v) => v.copy(col = intern(ctx, v.col),
+              err = v.err.map(intern(ctx, _)))
+            case None => return None
+          }
+          ctx.foldMutated += f
+          val (cc, ok) = (tryAcc, cc0.err) match {
+            case (Some(_), Some(er)) =>
+              registerErr(er, g0); (cc0.col, Some(er.isNull))
+            case _ => (sealCol(cc0), None)
+          }
+          val base = andOk(g0, ok)
+          val nested = base
+            .map(g => intern(ctx, when(g, cc).otherwise(lit(false))))
+            .getOrElse(cc)
+          walkStmts(rest, Some(nested), locals, topLevel = false, ctx, tryAcc) match {
+            case Some((_, ts, es2, rs2)) =>
+              acc ++= ts; emitAcc ++= es2; raiseAcc ++= rs2
+            case None => return None
+          }
+        }
 
       case If(c, t, e) =>
         val g0 = effGuard
@@ -2989,11 +3104,15 @@ private[js] object JsColumnCompiler {
     }
     // pre-state read ordering: fields this statement may have assigned
     // (anywhere inside it — branches included) are marked so that any
-    // LATER read of them in this handler refuses. Nested walks mark
-    // their statements through the same ctx as they recurse, so the
-    // order is exactly interpreter statement order.
-    if (ctx.foldStateReads != null)
-      ctx.foldMutated ++= mutatedPathsOf(st, ctx)
+    // LATER read of them in this handler routes via the post channel.
+    // Nested walks mark their statements through the same ctx as they
+    // recurse, so the order is exactly interpreter statement order.
+    if (ctx.foldStateReads != null) {
+      val muts = mutatedPathsOf(st, ctx)
+      // post-read ordering (see the snapshot above)
+      if (postBefore.nonEmpty && muts.exists(postBefore)) return None
+      ctx.foldMutated ++= muts
+    }
     }
     Some((locals, acc.result(), emitAcc.result(), raiseAcc.result()))
   }
@@ -3337,18 +3456,20 @@ private[js] object JsColumnCompiler {
     // them — compileEmitted keeps the default null and refuses.
     val handlerCtx = col(KeyCol)
     val stateReadsAcc = mutable.Set.empty[String]
+    val statePostAcc = mutable.Set.empty[String]
     val initTop: Map[String, JsVal] = init.toMap
     val typedHandlers: Seq[(String, HandlerFold)] =
       cp.handlersMap.toSeq.map { case (t, fn) =>
         compileHandler(fn, cp, handlerCtx, refs, lets, stateReadsAcc,
-            initTop, forceNonIntegral, forceMapStr) match {
+            initTop, forceNonIntegral, forceMapStr, statePostAcc) match {
           case Some(h) => t -> h
           case None => return None
         }
       }
     val anyHandler: Option[HandlerFold] = cp.anyFnOpt match {
       case Some(fn) => compileHandler(fn, cp, handlerCtx, refs, lets,
-          stateReadsAcc, initTop, forceNonIntegral, forceMapStr) match {
+          stateReadsAcc, initTop, forceNonIntegral, forceMapStr,
+          statePostAcc) match {
         case Some(h) => Some(h)
         case None => return None
       }
@@ -3493,12 +3614,22 @@ private[js] object JsColumnCompiler {
     // integral claim falls back. Everything else (push/concat/map
     // fields, fields $init lacks, object/bool inits) falls back.
     val preReads: Seq[String] = stateReadsAcc.toSeq.sorted
+    // POST-channel reads (value after this event's same-handler
+    // mutations — the emit-running-total idiom): the same claims apply
+    // — the inclusive window aggregates the same contributions — but
+    // only the SCALAR kinds reconstruct (a post map/array/concat read
+    // cannot arise: those reads route through paths that refuse on
+    // foldMutated, and concat's JsStr init is refused below by the
+    // kind check, since ConcatK is not a readable kind).
+    val postReads: Seq[String] = statePostAcc.toSeq.sorted
+    if (postReads.exists(f => fieldKind.get(f).exists(k =>
+      k == PushK || isMapK(k)))) return None
     // claims that turned out unsupported by the actual contributions:
     // gathered in full, then ONE recompile with those reads demoted
     // (integral → non-integral) or re-claimed (map number → string)
     val demote = Set.newBuilder[String]
     val strClaim = Set.newBuilder[String]
-    for (f <- preReads) {
+    for (f <- (stateReadsAcc ++ statePostAcc).toSeq.sorted) {
       if (!assignedSet(f)) return None
       val claimIntegral = (flatInit.get(f) match {
         case Some(JsNum(d)) => d == math.rint(d) && !d.isNaN && !d.isInfinite
@@ -4198,7 +4329,29 @@ private[js] object JsColumnCompiler {
       tainted
     }
     val taintedLets: Set[String] =
-      if (preReads.isEmpty) Set.empty else taintedWith(Set.empty)
+      if (preReads.isEmpty && postReads.isEmpty) Set.empty
+      else taintedWith(Set.empty)
+    // lets transitively referencing a POST column — these bind only
+    // after the post windows (everything pre-tainted-only binds between
+    // the pre and post folds, so post-window INPUTS may reference them)
+    def isPostCol(r: String): Boolean =
+      r.startsWith(PreColPrefix) && r.endsWith(PostSfx)
+    val taintedPostLets: Set[String] =
+      if (postReads.isEmpty) Set.empty
+      else {
+        var tainted = Set.empty[String]
+        var grown = true
+        while (grown) {
+          grown = false
+          for ((n, c) <- letSeq if !tainted(n)) {
+            val rs = attrRefs(c)
+            if (rs.exists(r => isPostCol(r) || tainted(r))) {
+              tainted += n; grown = true
+            }
+          }
+        }
+        tainted
+      }
     // Per-read-field window inputs — the kind-appropriate per-event
     // contribution columns the pre-state window aggregates (shared by
     // the circularity gate below and the build's window binder)
@@ -4239,12 +4392,20 @@ private[js] object JsColumnCompiler {
         else Seq.empty)
     }
     // Circularity gate: a READ field's own per-row contribution must
-    // never itself depend on a pre-state column — directly or through a
-    // tainted let — or the window input would reference the window
-    // output. Other (unread) fields MAY reference pre columns freely:
-    // those references live in agg inputs computed after the windows.
-    if (preReads.nonEmpty) {
-      for (f <- preReads) {
+    // never itself depend on a window column the build has not yet
+    // bound when that field's window binds. PRE windows bind first (in
+    // preReads order) with strictly pre-free inputs; POST windows bind
+    // after ALL pre windows and the pre-tainted lets, so a POST-only
+    // read field's inputs MAY reference any pre column (the canonical
+    // guard-recurrence `if (x > s.peak) { s.peak = x; emit(.., s.peak) }`
+    // has exactly that shape: the exec guard reads pre(peak), the
+    // inclusive window reconstructs post(peak) — well-founded, row r's
+    // input depends on rows < r) — but never a post column. Other
+    // (unread) fields MAY reference pre columns freely: those
+    // references live in agg inputs computed after the windows.
+    val preReadSet = preReads.toSet
+    if (preReads.nonEmpty || postReads.nonEmpty) {
+      for (f <- (preReads ++ postReads).distinct) {
         val ins = preWindowInputs(f)
         // PushK DAG exemption: the LENGTH window's input may reference
         // the SAME field's membership pre column (a distinct-type list's
@@ -4258,8 +4419,16 @@ private[js] object JsColumnCompiler {
         }
         for (c <- strictIns) {
           val rs = attrRefs(c)
-          if (rs.exists(r => r.startsWith(PreColPrefix) || taintedLets(r)))
-            return None
+          if (preReadSet(f)) {
+            if (rs.exists(r => r.startsWith(PreColPrefix) || taintedLets(r)))
+              return None
+          } else {
+            // post-only read: pre columns (and lets tainted only by
+            // them) are bound before this window — refuse only post
+            // columns and post-tainted lets
+            if (rs.exists(r => isPostCol(r) || taintedPostLets(r)))
+              return None
+          }
         }
         if (relaxedIns.nonEmpty) {
           val allowed = Set(PreColPrefix + f + ArrHasSfx)
@@ -4284,10 +4453,14 @@ private[js] object JsColumnCompiler {
     // SAME compiled Columns the batch plan aggregates (pre columns bound
     // from state instead of a window). Transform chains stay refused:
     // the interpreter streaming path emits raw fold state, so must we.
-    val stepSpec: Option[StepSpec] =
-      if (preReads.isEmpty || cp.transformsList.nonEmpty) None
+    val stepPieces: Option[(Seq[StepField], Option[Column], Seq[Column])] =
+      if ((preReads.isEmpty && postReads.isEmpty) || cp.transformsList.nonEmpty)
+        None
       else {
-        val readSet = preReads.toSet
+        // post-only-read fields keep read=true: the stepper maintains
+        // their raw pre channels, and their POST value is the same
+        // recurrence read off the post-update state
+        val readSet = (preReads ++ postReads).toSet
         def stepInputs(f: String): Seq[Column] = fieldKind(f) match {
           case SumK =>
             Seq(kept(routed(f, sumContrib, lit(0.0)), lit(0.0)).cast(LongType))
@@ -4352,15 +4525,31 @@ private[js] object JsColumnCompiler {
         }
         val fieldL2 =
           level2Aggs.dropRight(rowRaise.size + (if (keyNullable) 1 else 0))
-        val (letsPreS, letsPostS) =
-          letSeq.partition { case (n, _) => !taintedLets(n) }
-        Some(StepSpec(required, keyCol, keyNullable, letsPreS, letsPostS,
-          sFields, raiseC, aggExprs, mapKeyCols, fieldL2, plainStateJson))
+        Some((sFields, raiseC, fieldL2))
       }
+    // state-mode stepper: pre-state plans only. Post-channel reads
+    // inside UPDATE inputs would need field-by-field sequencing in the
+    // stepper's one-shot update projection; such plans serve streaming
+    // states through the interpreter state store.
+    val stepSpec: Option[StepSpec] = stepPieces.flatMap {
+      case (sFields, raiseC, fieldL2) =>
+        if (postReads.nonEmpty) None
+        else {
+          val (letsPreS, letsPostS) =
+            letSeq.partition { case (n, _) => !taintedLets(n) }
+          Some(StepSpec(required, keyCol, keyNullable, letsPreS, letsPostS,
+            sFields, raiseC, aggExprs, mapKeyCols, fieldL2, plainStateJson))
+        }
+    }
 
-    Some(Plan(required, usesTs, selector, (log: DataFrame) => {
+    // The shared PER-ROW FRAME: defaults + pre-free lets + partition
+    // key + pre/post window columns + state-tainted lets — everything a
+    // per-row consumer (the states aggregation below, the stateful emit
+    // select) needs bound. `req` differs between the two consumers
+    // (the emit plan additionally requires log_position).
+    def perRowFrame(log: DataFrame, req: Set[String]): DataFrame = {
       val (letsPre, letsPost) = letSeq.partition { case (n, _) => !taintedLets(n) }
-      val df = letsPre.foldLeft(withDefaults(log, required)) {
+      val df = letsPre.foldLeft(withDefaults(log, req)) {
         case (d, (n, c)) => d.withColumn(n, c)
       }
       val keyed0 = df.withColumn(KeyCol, keyCol)
@@ -4472,10 +4661,105 @@ private[js] object JsColumnCompiler {
         (d.withColumn(PreColPrefix + f, pre), bound)
         }
       }
-      // lets that READ pre-state bind only now, after the windows
-      val keyed = letsPost.foldLeft(keyedPre) {
-        case (d, (n, c)) => if (boundMid(n)) d else d.withColumn(n, c)
+      // lets tainted only through PRE columns bind now: post-window
+      // inputs may reference them (the gate admits pre references for
+      // post-only read fields)
+      val preLetsBound = letsPost.foldLeft(keyedPre) {
+        case (d, (n, c)) =>
+          if (boundMid(n) || taintedPostLets(n)) d else d.withColumn(n, c)
       }
+      // POST-state columns: the field value AFTER this event's
+      // same-handler mutations — the SAME routed inputs, INCLUSIVE
+      // frame (…, currentRow). Scalar kinds only (gated at the read).
+      val keyedPost = postReads.foldLeft(preLetsBound) { case (d, f) =>
+        val wi = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(KeyCol)).orderBy(col("log_position"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val ins = preWindowInputs(f)
+        val post: Column = fieldKind(f) match {
+          case SumK =>
+            (lit(initNum(f).toLong) +
+              coalesce(sum(ins.head.cast(LongType)).over(wi), lit(0L)))
+              .cast(DoubleType)
+          case MaxK => greatest(lit(initNum(f)), max(ins.head).over(wi))
+          case MinK =>
+            if (initNum(f).isNaN) lit(Double.NaN)
+            else when(coalesce(max(ins(1).cast("int")).over(wi), lit(0)) > 0,
+              lit(Double.NaN))
+              .otherwise(least(lit(initNum(f)), min(ins.head).over(wi)))
+          case GMaxK =>
+            val m = max(ins.head).over(wi)
+            when(m.isNull || !(m.getField("v") > lit(initNum(f) + 0.0)),
+              lit(initNum(f))).otherwise(m.getField("raw"))
+          case GMinK =>
+            val m = min(ins.head).over(wi)
+            if (initNum(f).isNaN) lit(Double.NaN)
+            else when(m.isNull || !(m.getField("v") < lit(initNum(f) + 0.0)),
+              lit(initNum(f))).otherwise(m.getField("raw"))
+          case LastK =>
+            val site = last(ins.head, ignoreNulls = true).over(wi)
+            flatInit(f) match {
+              case JsNum(d0) => coalesce(site.getField("d"), lit(d0))
+              case JsStr(s0) => coalesce(site.getField("s"), lit(s0))
+              case _ => lit(null) // unreachable: gate validated the init
+            }
+          case _ => lit(null) // unreachable: postReads gated to scalars
+        }
+        d.withColumn(PreColPrefix + f + PostSfx, post)
+      }
+      // lets that READ post-state bind only now, after the post windows
+      letsPost.foldLeft(keyedPost) {
+        case (d, (n, c)) =>
+          if (boundMid(n) || !taintedPostLets(n)) d else d.withColumn(n, c)
+      }
+    }
+
+    // STATEFUL emitted() variant: the emit sites selected over the same
+    // per-row frame (emit args/guards may read the pre/post window
+    // columns). compileEmitted's window-free select stays the fast path
+    // for state-free emissions; this variant is its fallback, and the
+    // interpreter remains the fallback for both. Batch-only whenever
+    // windows are involved (usesPreState gates the streaming path).
+    val emitVariant: Option[Plan] = {
+      val hasEmits = typedHandlers.exists(_._2.emits.nonEmpty) ||
+        anyHandler.exists(_.emits.nonEmpty)
+      if (!hasEmits) None
+      else {
+        val arrCol = emitArrCol(typedHandlers, anyHandler, keyNullable)
+        val req = required + "log_position"
+        // emit-mode stepper (streaming): the same per-field recurrences
+        // plus the emissions array evaluated AFTER the update applies,
+        // with post slots bound from the just-updated state. Demands
+        // post-free update/pre inputs and raise (they evaluate before
+        // the update): a post reference there would need sequencing.
+        val emitStepSpec: Option[StepSpec] = stepPieces.flatMap {
+          case (sFields, raiseC, fieldL2) =>
+            def postFree(c: Column): Boolean =
+              attrRefs(c).forall(r => !isPostCol(r) && !taintedPostLets(r))
+            val ok = sFields.forall(f =>
+              (f.inputs ++ f.preInputs).forall(postFree)) &&
+              raiseC.forall(postFree)
+            if (!ok) None
+            else {
+              val letsPreS = letSeq.filter { case (n, _) => !taintedLets(n) }
+              val letsMidS = letSeq.filter { case (n, _) =>
+                taintedLets(n) && !taintedPostLets(n) }
+              val letsPostT = letSeq.filter { case (n, _) => taintedPostLets(n) }
+              Some(StepSpec(req, keyCol, keyNullable, letsPreS, letsMidS,
+                sFields, raiseC, aggExprs, mapKeyCols, fieldL2,
+                plainStateJson, postFields = postReads.toSet,
+                letsPostTainted = letsPostT, emitArr = Some(arrCol)))
+            }
+        }
+        Some(Plan(req, usesTs, selector,
+          (log: DataFrame) => emitSelect(perRowFrame(log, req), arrCol),
+          usesPreState = preReads.nonEmpty || postReads.nonEmpty,
+          stepSpec = emitStepSpec))
+      }
+    }
+
+    Some(Plan(required, usesTs, selector, (log: DataFrame) => {
+      val keyed = perRowFrame(log, required)
       val grouped =
         if (mapFields.nonEmpty) {
           // two-level: level 1 shuffles by (partition, map key) — the
@@ -4500,8 +4784,69 @@ private[js] object JsColumnCompiler {
         if (filterConds.isEmpty) dropNullKey
         else dropNullKey.where(filterConds.reduce(_ && _))
       filtered.select(col(KeyCol).as("partition"), stateOut.as("state"))
-    }, usesPreState = preReads.nonEmpty, stepSpec = stepSpec))
+    }, usesPreState = preReads.nonEmpty || postReads.nonEmpty,
+      stepSpec = stepSpec, emitVariant = emitVariant))
   }
+
+  /** The per-event emissions ARRAY column: one struct per emit/linkTo
+    * site of the routed handler (CASE over event_type, $any default),
+    * guarded sites collapsing to NULL and filtered out; an uncaught
+    * top-level throw raises before this event's emissions are
+    * considered; a NULL partition key skips the event (empty array —
+    * never a row filter on the computed key, which Catalyst would push
+    * below the let Projects; see compile()'s trap note). Shared by the
+    * state-free emitted() compile and compile()'s stateful emit
+    * variant. */
+  private def emitArrCol(typedHandlers: Seq[(String, HandlerFold)],
+      anyHandler: Option[HandlerFold], keyNullable: Boolean): Column = {
+    def siteStruct(s: EmitSite): Column = {
+      val st = struct(s.stream.as("s"), s.tpe.as("t"), s.data.as("d"),
+        s.meta.as("m"))
+      s.guard match {
+        case Some(g) => when(g, st)
+        case None => st
+      }
+    }
+    val emptyArr =
+      array().cast("array<struct<s:string,t:string,d:string,m:string>>")
+    def handlerArr(h: HandlerFold): Column =
+      if (h.emits.isEmpty) emptyArr
+      else filter(array(h.emits.map(siteStruct): _*), x => x.isNotNull)
+    val dflt = anyHandler.map(handlerArr).getOrElse(emptyArr)
+    val arrCol0 =
+      if (typedHandlers.isEmpty) dflt
+      else typedHandlers.foldLeft(Option.empty[Column]) { case (acc, (t, h)) =>
+        val c = handlerArr(h)
+        Some(acc match {
+          case None => when(col("event_type") === t, c)
+          case Some(w) => w.when(col("event_type") === t, c)
+        })
+      }.get.otherwise(dflt)
+    val arrCol1 = raiseRouted(typedHandlers, anyHandler) match {
+      case Some(r) => when(r.isNotNull, raise_error(r)
+        .cast("array<struct<s:string,t:string,d:string,m:string>>"))
+        .otherwise(arrCol0)
+      case None => arrCol0
+    }
+    if (keyNullable) when(col(KeyCol).isNotNull, arrCol1).otherwise(emptyArr)
+    else arrCol1
+  }
+
+  /** The emitted-row select over a keyed per-row frame: posexplode of
+    * [[emitArrCol]] with the interpreter's within-event emit_seq. */
+  private def emitSelect(keyed: DataFrame, arrCol: Column): DataFrame =
+    keyed
+      .select(col(KeyCol).as("partition"),
+        col("log_position").as("caused_by_position"),
+        posexplode(arrCol).as(Seq("emit_seq", "__e")))
+      .select(
+        col("__e.s").as("stream_id"),
+        col("__e.t").as("event_type"),
+        col("__e.d").as("data"),
+        col("partition"),
+        col("caused_by_position"),
+        col("emit_seq").cast("int").as("emit_seq"),
+        col("__e.m").as("metadata"))
 
   /** Compile the emitted() path: every emit/linkTo call site becomes a
     * struct in a per-event array (CASE-routed by event type, exactly
@@ -4545,44 +4890,7 @@ private[js] object JsColumnCompiler {
     if (typedHandlers.forall(_._2.emits.isEmpty) &&
       anyHandler.forall(_.emits.isEmpty)) return None // nothing ever emits
 
-    def siteStruct(s: EmitSite): Column = {
-      val st = struct(s.stream.as("s"), s.tpe.as("t"), s.data.as("d"),
-        s.meta.as("m"))
-      s.guard match {
-        case Some(g) => when(g, st)
-        case None => st
-      }
-    }
-    val emptyArr =
-      array().cast("array<struct<s:string,t:string,d:string,m:string>>")
-    def handlerArr(h: HandlerFold): Column =
-      if (h.emits.isEmpty) emptyArr
-      else filter(array(h.emits.map(siteStruct): _*), x => x.isNotNull)
-    val dflt = anyHandler.map(handlerArr).getOrElse(emptyArr)
-    val arrCol0 =
-      if (typedHandlers.isEmpty) dflt
-      else typedHandlers.foldLeft(Option.empty[Column]) { case (acc, (t, h)) =>
-        val c = handlerArr(h)
-        Some(acc match {
-          case None => when(col("event_type") === t, c)
-          case Some(w) => w.when(col("event_type") === t, c)
-        })
-      }.get.otherwise(dflt)
-    // an uncaught top-level throw faults the projection per row, before
-    // this event's emissions are considered
-    val arrCol1 = raiseRouted(typedHandlers, anyHandler) match {
-      case Some(r) => when(r.isNotNull, raise_error(r)
-        .cast("array<struct<s:string,t:string,d:string,m:string>>"))
-        .otherwise(arrCol0)
-      case None => arrCol0
-    }
-    // a NULL partition key skips the event (no emissions, no raises) —
-    // expressed as an empty array, NEVER as a row filter on the computed
-    // key, which Catalyst would push below the let Projects and inline
-    // the whole key expression into (the same trap compile() documents)
-    val arrCol =
-      if (keyNullable) when(col(KeyCol).isNotNull, arrCol1).otherwise(emptyArr)
-      else arrCol1
+    val arrCol = emitArrCol(typedHandlers, anyHandler, keyNullable)
 
     val selector = selectorCol(cp) match {
       case Some(c) => c
@@ -4596,19 +4904,7 @@ private[js] object JsColumnCompiler {
       val df = letSeq.foldLeft(withDefaults(log, required)) {
         case (d, (n, c)) => d.withColumn(n, c)
       }
-      val keyed = df.withColumn(KeyCol, keyCol)
-      keyed
-        .select(col(KeyCol).as("partition"),
-          col("log_position").as("caused_by_position"),
-          posexplode(arrCol).as(Seq("emit_seq", "__e")))
-        .select(
-          col("__e.s").as("stream_id"),
-          col("__e.t").as("event_type"),
-          col("__e.d").as("data"),
-          col("partition"),
-          col("caused_by_position"),
-          col("emit_seq").cast("int").as("emit_seq"),
-          col("__e.m").as("metadata"))
+      emitSelect(df.withColumn(KeyCol, keyCol), arrCol)
     }))
   }
 }

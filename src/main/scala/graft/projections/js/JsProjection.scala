@@ -383,7 +383,7 @@ final class JsProjection(val source: String) extends Serializable {
           "(link resolution is a batch self-join); resolve links batch-side")
     val spark = events.sparkSession
     import spark.implicits._
-    fastEmittedStream(events).getOrElse {
+    fastEmittedStream(events).orElse(stepperEmittedStream(events)).getOrElse {
       val src = source
       val base = partBuilder
         .init[String](JsVal.stringify(
@@ -417,7 +417,13 @@ final class JsProjection(val source: String) extends Serializable {
     val enabled = spark.conf
       .getOption("spark.graft.js.columnCompile").forall(_.toBoolean)
     if (!enabled || spec.reorderEvents || spec.includeLinks) None
-    else CompiledJsProjection.get(source).fastEmitPlan.flatMap { p =>
+    else CompiledJsProjection.get(source).fastEmitPlan
+      // the STATEFUL emit variant reconstructs state with window
+      // columns — not streamable as a select; such definitions serve
+      // continuous mode through the interpreter state-store fold (or
+      // the stepper once it carries emit sites)
+      .filterNot(_.usesPreState)
+      .flatMap { p =>
       val optional = Set("event_id", "metadata", "link_metadata",
         "resolved_stream_id", "resolved_event_number", "value")
       val have = events.columns.toSet
@@ -428,6 +434,38 @@ final class JsProjection(val source: String) extends Serializable {
       if (ok) Some(p.build(graft.operators.Redaction.scrub(events)
         .where(p.selector)).as[Emitted]) else None
     }
+  }
+
+  /** Continuous STATEFUL emit through the typed stepper (r15): a
+    * definition whose emissions read accumulated state serves streaming
+    * natively — the same per-key recurrences [[JsStreamStepper]] folds
+    * for states, with the compiled emissions array evaluated per event
+    * after the update applies. Rows are bit-identical to the batch
+    * [[emitted]] (same emit_seq, same rendering). Falls back to the
+    * interpreter state-store fold when the emit step spec is absent
+    * (transform chains, post-reads inside update inputs) or the stepper
+    * is disabled. */
+  def stepperEmittedStream(events: DataFrame): Option[Dataset[Emitted]] = {
+    val spark = events.sparkSession
+    val enabled = spark.conf
+      .getOption("spark.graft.js.columnCompile").forall(_.toBoolean) &&
+      spark.conf
+        .getOption("spark.graft.js.streamStepper").forall(_.toBoolean)
+    if (!enabled || spec.reorderEvents || spec.includeLinks) None
+    else for {
+      p <- CompiledJsProjection.get(source).fastEmitPlan
+      ss <- p.stepSpec
+      if ss.emitArr.isDefined && {
+        val optional = Set("event_id", "metadata", "link_metadata",
+          "resolved_stream_id", "resolved_event_number", "value")
+        val have = events.columns.toSet
+        p.requiredCols.forall(c => have(c) || optional(c)) &&
+          (!p.usesTimestamp || (have("timestamp") &&
+            events.schema("timestamp").dataType ==
+              org.apache.spark.sql.types.TimestampType))
+      }
+    } yield JsStreamStepper.streamEmits(ss,
+      graft.operators.Redaction.scrub(events).where(p.selector))
   }
 
   /** P8/P11 outputState: result events with the reference naming
@@ -537,10 +575,14 @@ final class CompiledJsProjection private (source: String) {
   private[js] lazy val fastPlan: Option[JsColumnCompiler.Plan] =
     JsColumnCompiler.compile(this)
 
-  /** Column compilation of the emitted() path (state-free emissions as a
-    * select + posexplode — JsColumnCompiler.compileEmitted). */
+  /** Column compilation of the emitted() path: state-free emissions as
+    * a pure select + posexplode (JsColumnCompiler.compileEmitted), else
+    * the STATEFUL variant riding the states() plan's per-row frame
+    * (emit args/guards reading accumulated state resolve to the pre/
+    * post window columns — r15). */
   private[js] lazy val fastEmitPlan: Option[JsColumnCompiler.Plan] =
     JsColumnCompiler.compileEmitted(this)
+      .orElse(fastPlan.flatMap(_.emitVariant))
 
   // bound per step() call, read by the emit/linkTo natives
   private var currentEmitter: Emitter = null

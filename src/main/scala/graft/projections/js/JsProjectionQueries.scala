@@ -217,6 +217,35 @@ fromCategory("purchase")
       .orderBy(col("caused_by_position"))
   }
 
+  /** STATEFUL emit — the running-aggregate-notification idiom: the
+    * handler folds state, then emits a value computed FROM that state
+    * under a state-derived guard. Compiles via the states() plan's
+    * per-row frame with POST-state window columns (r15): `s.n`/`s.cents`
+    * read after their same-handler mutations resolve to inclusive
+    * windows; no interpreter, no serial fold. */
+  private val emitStatefulSource = """
+fromCategory("purchase")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, cents: 0 } },
+        purchase: function(s, e) {
+            s.n += 1;
+            s.cents += Math.round(e.value * 100);
+            if (s.n % 5 === 0)
+                emit("milestone-" + e.streamId, "Milestone",
+                     { n: s.n, total: s.cents });
+        }
+    })"""
+
+  private def jsEmitStateful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    JsProjection.compile(emitStatefulSource).emitted(log(s, d))
+      .toDF()
+      .select(col("stream_id"), col("event_type"), col("data"),
+        col("partition"), col("caused_by_position"))
+      .orderBy(col("caused_by_position"))
+  }
+
   /** js linkTo over correlation ids — `$>` links with "n@stream" bodies.
     * partitionBy keeps the fold parallel (one serial pump per correlation
     * key, not one for the whole log). */
@@ -691,6 +720,7 @@ fromCategory("purchase")
     "js_map_last_guard" -> mapLastGuardSource,
     "js_array_guard" -> arrayGuardSource,
     "js_emit" -> emitSource,
+    "js_emit_stateful" -> emitStatefulSource,
     "js_linkto" -> linkSource,
     "js_transform_filter" -> transformSource,
     "js_output_state" -> outputSource)
@@ -709,6 +739,7 @@ fromCategory("purchase")
     "js_map_guard" -> (jsMapGuard _),
     "js_array_guard" -> (jsArrayGuard _),
     "js_emit" -> (jsEmit _),
+    "js_emit_stateful" -> (jsEmitStateful _),
     "js_linkto" -> (jsLinkTo _),
     "js_transform_filter" -> (jsTransformFilter _),
     "js_output_state" -> (jsOutputState _),
@@ -967,6 +998,24 @@ fromCategory("purchase")
       |       log.stream_id AS partition,
       |       log.log_position AS caused_by_position
       |FROM log WHERE log.event_type = 'purchase' AND log.value > 150.0
+      |ORDER BY caused_by_position""".stripMargin,
+    // running count/sum per stream in log order; a milestone row fires
+    // on every 5th purchase with the running totals AT that event —
+    // exactly the post-state the handler reads after its two updates
+    "js_emit_stateful" -> s"""$L
+      |, w AS (
+      |  SELECT stream_id, log_position,
+      |         CAST(count(*) OVER (PARTITION BY stream_id ORDER BY log_position) AS BIGINT) AS rn,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |              OVER (PARTITION BY stream_id ORDER BY log_position) AS BIGINT) AS cents
+      |  FROM log
+      |  WHERE event_type = 'purchase' AND split_part(stream_id, '-', 1) = 'purchase')
+      |SELECT 'milestone-' || stream_id AS stream_id,
+      |       'Milestone' AS event_type,
+      |       '{"n":' || CAST(rn AS VARCHAR) || ',"total":' || CAST(cents AS VARCHAR) || '}' AS data,
+      |       stream_id AS partition,
+      |       log_position AS caused_by_position
+      |FROM w WHERE rn % 5 = 0
       |ORDER BY caused_by_position""".stripMargin,
     "js_linkto" -> s"""$L
       |SELECT 'corr-' || correlation_id AS stream_id,

@@ -123,7 +123,12 @@ object JsStreamStepper {
       val aggIdx: Map[String, Int], // agg column name -> render-row slot
       val aggDts: Array[DataType],
       val posIdx: Int,
-      val toInternal: Row => InternalRow) extends Serializable {
+      val toInternal: Row => InternalRow,
+      // --- emit mode (stateful emitted() streaming, r15) ------------
+      val postSlots: Array[Int] = Array.empty, // POST-value slot (-1)
+      val letStagesPost: Array[(Int, Slot)] = Array.empty,
+      val emitFn: RowExec.RowFn = null // the emissions-array expression
+    ) extends Serializable {
 
     // --- pre values from state (the window reconstructions) ---------
 
@@ -235,6 +240,84 @@ object JsStreamStepper {
       }
       state.update(serialize(sts))
       Iterator.single((key, render(sts)))
+    }
+
+    /** Emit-mode fold: the same per-event recurrence as [[step]], but
+      * after each row's update the POST slots are bound from the
+      * just-updated state and the emissions-array expression evaluates —
+      * one [[graft.projections.Emitted]] per executed emit/linkTo site,
+      * in log order with the interpreter's within-event emit_seq. */
+    def stepEmits(key: String, rows: Iterator[Row],
+        state: GroupState[Array[Byte]]): Iterator[graft.projections.Emitted] = {
+      val sts = state.getOption.map(deserialize)
+        .getOrElse(newStates(fields.toIndexedSeq))
+      val sorted = rows.toArray.sortBy(_.getLong(posIdx))
+      val ext = new GenericInternalRow(extSize)
+      val joined = new JoinedRow()
+      val out = mutable.ArrayBuffer.empty[graft.projections.Emitted]
+      sorted.foreach { row =>
+        val ir = toInternal(row)
+        joined(ir, ext)
+        val preKeys = new Array[String](fields.length)
+        preRowFns.foreach { case (i, fn) =>
+          val o = fn(joined)
+          preKeys(i) = if (o.isNullAt(0)) null else o.getUTF8String(0).toString
+        }
+        var i = 0
+        while (i < fields.length) {
+          val f = fields(i)
+          if (f.read) {
+            if (f.kind == K.Push) {
+              val st = sts(i)
+              if (preHasSlots(i) >= 0)
+                ext.update(preHasSlots(i),
+                  if (preKeys(i) == null) st.nullOffer
+                  else st.offers.contains(preKeys(i)))
+              if (preLenSlots(i) >= 0)
+                ext.update(preLenSlots(i), st.pushLen.toDouble)
+            } else ext.update(preSlots(i), preOf(i, sts(i), preKeys(i)))
+          }
+          i += 1
+        }
+        letStages.foreach { case (slot, s) =>
+          ext.update(slot, evalSlot(s, joined))
+        }
+        val upd = updateFn(joined)
+        val pos = row.getLong(posIdx)
+        i = 0
+        while (i < fields.length) {
+          applyUpdate(i, sts(i), upd, pos, preKeys(i))
+          i += 1
+        }
+        // POST slots: the recurrence read off the just-updated state IS
+        // the value after this event's mutations (the batch plan's
+        // inclusive window)
+        i = 0
+        while (i < fields.length) {
+          if (postSlots(i) >= 0)
+            ext.update(postSlots(i), preOf(i, sts(i), preKeys(i)))
+          i += 1
+        }
+        letStagesPost.foreach { case (slot, s) =>
+          ext.update(slot, evalSlot(s, joined))
+        }
+        // evaluating the array THROWS on a routed top-level fault, like
+        // the batch plan's raise_error
+        val res = emitFn(joined)
+        if (!res.isNullAt(0)) {
+          val arr = res.getArray(0)
+          var j = 0
+          while (j < arr.numElements()) {
+            val st = arr.getStruct(j, 4)
+            def s(k: Int): String =
+              if (st.isNullAt(k)) null else st.getUTF8String(k).toString
+            out += graft.projections.Emitted(s(0), s(1), s(2), key, pos, j, s(3))
+            j += 1
+          }
+        }
+      }
+      state.update(serialize(sts))
+      out.iterator
     }
 
     private def evalSlot(s: Slot, row: InternalRow): Any = {
@@ -412,6 +495,46 @@ object JsStreamStepper {
     * log-position order per micro-batch — with the typed stepper in
     * place of the JSON interpreter. */
   def stream(spec: StepSpec, events: DataFrame): Dataset[(String, String)] = {
+    val (prep, rt, keyIdx) = build(spec, events)
+    implicit val strEnc = Encoders.STRING
+    implicit val binEnc = Encoders.BINARY
+    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    prep
+      // null partition key = the handler never runs for this event
+      // (typed filter: no Catalyst pushdown can inline the key expr)
+      .filter((r: Row) => !r.isNullAt(keyIdx))
+      .groupByKey((r: Row) => r.getString(keyIdx))
+      .flatMapGroupsWithState[Array[Byte], (String, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Row], gs: GroupState[Array[Byte]]) =>
+          rt.step(key, rows, gs)
+      }
+  }
+
+  /** Emit-mode wiring (r15): stateful emitted() as a streaming Dataset —
+    * the same typed per-key fold, emissions evaluated per event after
+    * the update applies. Rows are bit-identical to the batch emitted()
+    * (same emit_seq, same rendering), so EmittedSink dedup keys line up
+    * across engines. Requires spec.emitArr. */
+  def streamEmits(spec: StepSpec,
+      events: DataFrame): Dataset[graft.projections.Emitted] = {
+    require(spec.emitArr.isDefined, "streamEmits needs an emit-mode spec")
+    val (prep, rt, keyIdx) = build(spec, events)
+    implicit val binEnc = Encoders.BINARY
+    implicit val outEnc = Encoders.product[graft.projections.Emitted]
+    prep
+      .filter((r: Row) => !r.isNullAt(keyIdx))
+      .groupByKey((r: Row) => r.getString(keyIdx))(Encoders.STRING)
+      // Append, like the interpreter emit fold: emitted rows are
+      // append-only facts (EmittedSink.streamTo runs append queries)
+      .flatMapGroupsWithState[Array[Byte], graft.projections.Emitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Row], gs: GroupState[Array[Byte]]) =>
+          rt.stepEmits(key, rows, gs)
+      }
+  }
+
+  private def build(spec: StepSpec, events: DataFrame): (DataFrame, Runtime, Int) = {
     val spark = events.sparkSession
     val Key = JsColumnCompiler.KeyCol
     var prep = JsColumnCompiler.withDefaults(events, spec.required)
@@ -464,6 +587,26 @@ object JsStreamStepper {
     spec.letsPost.foreach { case (n, c) =>
       val bound = RowExec.bind(spark, schema, Seq(c)).head
       letStages += ((slot, Slot(bound, bound.dataType)))
+      schema = StructType(schema.fields :+ StructField(n, bound.dataType, true))
+      slot += 1
+    }
+    // emit mode: POST-value slots (the inclusive-window reconstruction,
+    // bound from the just-updated state) + the lets that read them
+    val postSlots = Array.fill(fields.length)(-1)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (spec.postFields.contains(f.name)) {
+        postSlots(i) = slot
+        schema = StructType(schema.fields :+ StructField(
+          Pre + f.name + JsColumnCompiler.PostSfx,
+          if (f.kind == K.Last && !f.initIsNum) StringType else DoubleType,
+          nullable = true))
+        slot += 1
+      }
+    }
+    val letStagesPost = mutable.ArrayBuffer.empty[(Int, Slot)]
+    spec.letsPostTainted.foreach { case (n, c) =>
+      val bound = RowExec.bind(spark, schema, Seq(c)).head
+      letStagesPost += ((slot, Slot(bound, bound.dataType)))
       schema = StructType(schema.fields :+ StructField(n, bound.dataType, true))
       slot += 1
     }
@@ -536,25 +679,18 @@ object JsStreamStepper {
       RowExec.bind(spark, aggSchema, Seq(spec.render)))
     val aggIdx = aggSchema.fieldNames.zipWithIndex.toMap
 
+    val emitFn = spec.emitArr
+      .map(c => new RowExec.RowFn(RowExec.bind(spark, schema, Seq(c))))
+      .orNull
+
     val rt = new Runtime(fields.map(metaOf), preSlots, preHasSlots, preLenSlots, extSize,
       letStages.toArray, preRowFns.toArray, updateFn, updOffsets,
       renderFn, aggIdx, aggSchema.map(_.dataType).toArray,
-      prepSchema.fieldIndex("log_position"), RowExec.toInternal(prepSchema))
+      prepSchema.fieldIndex("log_position"), RowExec.toInternal(prepSchema),
+      postSlots = postSlots, letStagesPost = letStagesPost.toArray,
+      emitFn = emitFn)
 
-    val keyIdx = prepSchema.fieldIndex(Key)
-    implicit val strEnc = Encoders.STRING
-    implicit val binEnc = Encoders.BINARY
-    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
-    prep
-      // null partition key = the handler never runs for this event
-      // (typed filter: no Catalyst pushdown can inline the key expr)
-      .filter((r: Row) => !r.isNullAt(keyIdx))
-      .groupByKey((r: Row) => r.getString(keyIdx))
-      .flatMapGroupsWithState[Array[Byte], (String, String)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[Row], gs: GroupState[Array[Byte]]) =>
-          rt.step(key, rows, gs)
-      }
+    (prep, rt, prepSchema.fieldIndex(Key))
   }
 
 }

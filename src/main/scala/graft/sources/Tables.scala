@@ -135,6 +135,33 @@ object Tables {
       col("value"))
   }
 
+  /** Cheap content fingerprint of a local table file/dir: a hash of
+    * every data file's (name, length, mtime). Memoizing caches key on
+    * (dir, fingerprint) so a table REGENERATED at the same path
+    * mid-JVM (e.g. a /tmp scale dir rewritten by a probe) invalidates
+    * derived geometry/indexes instead of silently serving stale state.
+    * Driver-side directory walk only — no Spark job. */
+  def dirFingerprint(path: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return 0L
+    val acc = new java.util.concurrent.atomic.AtomicLong(1125899906842597L)
+    def mix(s: String): Unit = {
+      var h = acc.get()
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      acc.set(h)
+    }
+    val stream = Files.walk(p)
+    try stream.sorted().forEach { f =>
+      if (Files.isRegularFile(f)) {
+        mix(f.toString); mix(Files.size(f).toString)
+        mix(Files.getLastModifiedTime(f).toMillis.toString)
+      }
+    } finally stream.close()
+    acc.get()
+  }
+
   /** DuckDB CTE equivalent of [[eventLog]] — prefix for oracle SQL. */
   val eventLogSql: String =
     """WITH log AS (

@@ -141,6 +141,11 @@ object ScaleProbe {
     catch { case e: Throwable =>
       System.err.println(s"[scale] $name@$dir failed: ${e.getMessage}")
       return -1.0
+    } finally {
+      // per-query cache hygiene, same as Bench (r15): leaked query-local
+      // caches would otherwise poison every LATER (query, mult) cell
+      graft.analytics.Corpus.releaseNbFeatureCache()
+      graft.QueryCaches.release()
     }
     (System.nanoTime() - t0) / 1e9
   }
@@ -159,7 +164,12 @@ object ScaleProbe {
     val (multArgs, queryArgs) = args.toSeq.partition(_.forall(_.isDigit))
     val mults = (if (multArgs.nonEmpty) multArgs.map(_.toInt) else Seq(1, 3, 10, 30)).sorted
     val queries = if (queryArgs.nonEmpty) queryArgs else probeQueries
-    val spark = graft.GraftSession.create(master = "local[32]", shufflePartitions = 64)
+    // a real deployment adds executors (and with them shuffle tasks) as
+    // data grows; a fixed task count makes per-task sort buffers grow
+    // with the multiplier until they spill — an instrument artifact,
+    // not a plan property. Overridable per run to separate the two.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", "64").toInt
+    val spark = graft.GraftSession.create(master = "local[32]", shufflePartitions = parts)
     spark.sparkContext.setLogLevel("WARN")
 
     mults.foreach { m =>

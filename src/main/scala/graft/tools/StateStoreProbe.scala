@@ -75,6 +75,7 @@ object StateStoreProbe {
     val logDir = s"$root/log"
     val ckScala = s"$root/ck_scala"
     val ckJs = s"$root/ck_js"
+    val ckStep = s"$root/ck_step"
 
     println(s"== synthesizing $streams streams x $k events")
     writeLog(spark, logDir, streams, k, files = 8, posBase = 0L, idBase = 0L)
@@ -123,6 +124,29 @@ fromAll()
     def jsFold(src: DataFrame) =
       graft.projections.js.JsProjection.compile(jsSource).statesStream(src)
 
+    // the TYPED STEPPER path (r14/r15): a pre-state read forces the
+    // flatMapGroupsWithState fold whose per-key state is the
+    // Java-serialized FieldState array — the serde axis this probe
+    // sizes at millions of keys (the r7 numbers above measured the
+    // JSON interpreter and native-agg paths only)
+    val jsStepperSource = """
+fromAll()
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, first: 0 }; },
+        $any: function(s, e) {
+            if (s.n === 0) { s.first += e.sequenceNumber + 1; }
+            s.n += 1;
+            return s;
+        }
+    })"""
+    def jsStepperFold(src: DataFrame) = {
+      val p = graft.projections.js.JsProjection.compile(jsStepperSource)
+      require(p.fastStatesStream(src).isDefined,
+        "probe source must take the typed stepper path")
+      p.statesStream(src)
+    }
+
     // ---- BUILD: the full corpus into the state store, several batches
     val build = runPass(ckScala, "scala_build", maxFilesPerTrigger = 2)(scalaFold)
     println(f"scala build : ${build.wallSec}%8.1f s  batches=${build.batches} " +
@@ -133,6 +157,11 @@ fromAll()
     println(f"js build    : ${jsBuild.wallSec}%8.1f s  batches=${jsBuild.batches} " +
       f"maxBatch=${jsBuild.maxBatchSec}%.1f s  stateRows=${jsBuild.stateRows} " +
       f"ckStateMB=${jsBuild.ckStateBytes / 1e6}%.0f")
+
+    val stepBuild = runPass(ckStep, "js_stepper_build", maxFilesPerTrigger = 2)(jsStepperFold)
+    println(f"stepper bld : ${stepBuild.wallSec}%8.1f s  batches=${stepBuild.batches} " +
+      f"maxBatch=${stepBuild.maxBatchSec}%.1f s  stateRows=${stepBuild.stateRows} " +
+      f"ckStateMB=${stepBuild.ckStateBytes / 1e6}%.0f")
 
     // ---- TAIL + RECOVERY: append a small tail, restart from checkpoint.
     // Wall time = state reload for every partition + one small batch —
@@ -147,6 +176,10 @@ fromAll()
     println(f"js tail     : ${jsTail.wallSec}%8.1f s  stateRows=${jsTail.stateRows} " +
       f"ckStateMB=${jsTail.ckStateBytes / 1e6}%.0f")
 
+    val stepTail = runPass(ckStep, "js_stepper_tail", maxFilesPerTrigger = 4)(jsStepperFold)
+    println(f"stepper tail: ${stepTail.wallSec}%8.1f s  stateRows=${stepTail.stateRows} " +
+      f"ckStateMB=${stepTail.ckStateBytes / 1e6}%.0f")
+
     println(
       s"""{"probe":"statestore","streams":$streams,"eventsPerStream":$k,""" +
         s""""tailStreams":$tailStreams,""" +
@@ -155,7 +188,10 @@ fromAll()
         s""""ckStateBytes":${build.ckStateBytes},"tailRecoverySec":${tail.wallSec}},""" +
         s""""js":{"buildSec":${jsBuild.wallSec},"buildBatches":${jsBuild.batches},""" +
         s""""maxBatchSec":${jsBuild.maxBatchSec},"stateRows":${jsBuild.stateRows},""" +
-        s""""ckStateBytes":${jsBuild.ckStateBytes},"tailRecoverySec":${jsTail.wallSec}}}""")
+        s""""ckStateBytes":${jsBuild.ckStateBytes},"tailRecoverySec":${jsTail.wallSec}},""" +
+        s""""stepper":{"buildSec":${stepBuild.wallSec},"buildBatches":${stepBuild.batches},""" +
+        s""""maxBatchSec":${stepBuild.maxBatchSec},"stateRows":${stepBuild.stateRows},""" +
+        s""""ckStateBytes":${stepBuild.ckStateBytes},"tailRecoverySec":${stepTail.wallSec}}}""")
     spark.stop()
   }
 }

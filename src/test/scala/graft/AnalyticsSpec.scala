@@ -80,6 +80,12 @@ class AnalyticsSpec extends SparkTestBase {
     assert(Similarity.autoPlanes(1000000000L) == 18)
     assert(Similarity.autoPlanes(Long.MaxValue) == 30)
     assert(Similarity.autoPlanes(0L) == 8)
+    // integral arithmetic at exact power-of-two ratios: the former
+    // ln-ratio double gave ceil(29.000000000000004) = 30 here, where
+    // ceil(log2(2^29)) — the oracle's arithmetic — is 29
+    assert(Similarity.autoPlanes(4096L * (1L << 29)) == 29)
+    assert(Similarity.autoPlanes(4096L * (1L << 29) + 1) == 30)
+    assert(Similarity.autoPlanes(4096L * (1L << 12)) == 12)
 
     // planted corpus: n bases + n near-dups (i, i+n) at sim ~0.9988
     def corpus(n: Int) = {
@@ -195,6 +201,28 @@ class AnalyticsSpec extends SparkTestBase {
       .select("id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     (0L until 60L).foreach { i => if (one(i)) assert(clustered(i), s"id $i lost by clustering") }
     (0L until 60L).foreach { i => if (!clustered(i)) assert(!one(i), s"id $i dropped only when clustered") }
+
+    // CLAMP-BOUND geometry (r15): past nlist = 2^18 the auto path shards
+    // each oversized list by an id hash. splits=1 is bit-identical to
+    // the public form; splits>1 can only SAVE vectors (a prior must now
+    // share the shard too, so the prior-set shrinks) — the documented
+    // recall trade, exercised here with the split forced (the public
+    // path only binds past ~2.7·10⁸ vectors)
+    val sharded1 = Similarity.semanticDedupSharded(vecs, 8, thr,
+        "vec_id", "embedding", None, splits = 1)
+      .select("id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(sharded1 == clustered, "splits=1 must equal the public path")
+    val sharded4 = Similarity.semanticDedupSharded(vecs, 8, thr,
+        "vec_id", "embedding", None, splits = 4)
+      .select("id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until 60L).foreach { i =>
+      if (clustered(i)) assert(sharded4(i), s"id $i lost by sharding") }
+    // every drop the sharded run makes is a REAL duplicate pair that
+    // happens to share (list, shard) — never a new false drop
+    (0L until 60L).foreach { i =>
+      if (!sharded4(i)) assert(!clustered(i), s"id $i dropped only when sharded") }
+    // the clamp arithmetic that picks the split factor
+    assert(Similarity.autoSemanticNlist((1L << 18) * 1024L) == (1 << 18))
   }
 
   test("IVF top-k: probing all lists equals brute force; fewer probes stay a subset") {

@@ -1119,6 +1119,7 @@ fromCategory("idx")
       "js_string_ops" -> true,
       "js_partition_by" -> true,
       "js_emit" -> true,
+      "js_emit_stateful" -> true,
       "js_linkto" -> true,
       "js_transform_filter" -> true,
       "js_output_state" -> true))
@@ -1177,14 +1178,27 @@ fromAll().foreachStream().when({
         s.count += 1;
         return s;
     } })""", log))
-    // a read AFTER a same-handler mutation sees live state the window
-    // cannot reconstruct — must fall back, never silently diverge
+    // a read AFTER a same-handler mutation resolves through the POST
+    // channel since r15 (INCLUSIVE window — the just-mutated value),
+    // provided no later statement mutates the field again: compiles
+    // and stays exact
+    assert(fastEqualsInterp("""
+fromAll().foreachStream().when({
+    $init: function() { return { count: 0, first: 0 }; },
+    $any: function(s, e) {
+        s.count += 1;
+        if (s.count === 1) { s.first += 1; }
+        return s;
+    } })""", log))
+    // ...but a post-read FOLLOWED by another mutation of the same field
+    // is mid-handler live state neither window frame holds — falls back
     assert(!JsProjection.compile("""
 fromAll().foreachStream().when({
     $init: function() { return { count: 0, first: 0 }; },
     $any: function(s, e) {
         s.count += 1;
         if (s.count === 1) { s.first += 1; }
+        s.count += 1;
         return s;
     } })""").compilesToColumns)
     // reads of numeric overwrite fields COMPILE since r11 (latest
@@ -1737,9 +1751,13 @@ fromAll().foreachStream().when({
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { xs: [1] }; },
       $any: function(s, e) { s.xs.push(e.value); return s; } })"""))
-    assert(!compiles("""fromAll().foreachStream().when({
+    // a pushed element reading the just-updated counter compiles via
+    // the r15 post channel (the element is the inclusive running n) —
+    // and must stay exact
+    assert(fastEqualsInterp("""fromAll().foreachStream().when({
       $init: function() { return { n: 0, xs: [] }; },
-      $any: function(s, e) { s.n += 1; s.xs.push(s.n); return s; } })"""))
+      $any: function(s, e) { s.n += 1; s.xs.push(s.n); return s; } })""",
+      graft.sources.Tables.eventLog(spark, "/root/testdata/sf0.001")))
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { xs: [] }; },
       $any: function(s, e) { s.xs.push(e.value); s.xs = 1; return s; } })"""))
@@ -1752,9 +1770,13 @@ fromAll().foreachStream().when({
     assert(!compiles("""fromAll().foreachStream().when({
       $init: function() { return { x: 0 }; },
       $any: function(s, e) { while (s.x < 3) s.x += 1; return s; } })"""))
-    assert(!compiles("""fromAll().foreachStream().when({
+    // early return on a POST-state condition (x just incremented)
+    // compiles since r15 — the retGuard takes the negated inclusive-
+    // window read — and must stay exact
+    assert(fastEqualsInterp("""fromAll().foreachStream().when({
       $init: function() { return { x: 0, y: 0 }; },
-      $any: function(s, e) { s.x += 1; if (s.x > 2) return s; s.y += 1; return s; } })"""))
+      $any: function(s, e) { s.x += 1; if (s.x > 2) return s; s.y += 1; return s; } })""",
+      graft.sources.Tables.eventLog(spark, "/root/testdata/sf0.001")))
     // ...but early returns on EVENT conditions compile (r8): the
     // in-handler filter idiom — subsequent statements take the negated
     // condition as a guard
@@ -2174,12 +2196,14 @@ fromAll().when({ $any: function(s, e) { emit("out", "E", { v: 1 }); } })""")
     val plan = p.fastEmitted(hostileLog).get.queryExecution.executedPlan.toString
     assert(!plan.contains("MapPartitions") && !plan.contains("Exchange"),
       "emitted fast path must be a shuffle-free select")
-    // state-DEPENDENT emission arguments cannot compile
-    assert(!JsProjection.compile("""
+    // state-DEPENDENT emission arguments compile through the states
+    // plan's per-row frame (post-state windows — r15), exact vs the
+    // interpreter on hostile data
+    emittedEqualsInterp("""
 fromAll().foreachStream().when({
       $init: function() { return { n: 0 }; },
-      $any: function(s, e) { s.n += 1; emit("out", "E", { n: s.n }); } })""")
-      .emitsToColumns)
+      $any: function(s, e) { s.n += 1; emit("out", "E", { n: s.n }); } })""",
+      hostileLog)
     // ...but state sums ALONGSIDE state-free emissions compile both ways
     val both = JsProjection.compile("""
 fromAll().foreachStream().when({
@@ -2191,6 +2215,71 @@ fromAll().foreachStream().when({
       $init: function() { return { n: 0 }; },
       $any: function(s, e) { s.n += 1; emit("out-" + e.streamId, "E", { v: e.value }); } })""",
       hostileLog)
+  }
+
+  test("column fast path: STATEFUL emitted() — post-state reads in emit " +
+    "args and guards, fast == interpreter on sf0.001 and hostile data") {
+    val log = graft.sources.Tables.eventLog(spark, "/root/testdata/sf0.001")
+    // the registry query: fold then emit running totals under a
+    // state-derived guard (the milestone-notification idiom)
+    val milestone = JsProjectionQueries.handlerCorpus.toMap.apply("js_emit_stateful")
+    emittedEqualsInterp(milestone, log)
+    emittedEqualsInterp(milestone, hostileLog)
+    // the emitted plan runs interpreter-free: windows mean an exchange
+    // on the fold key is expected, but NO object-fold node may appear
+    val plan = JsProjection.compile(milestone)
+      .fastEmitted(hostileLog).get.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapGroups") && !plan.contains("mapPartitions"),
+      "stateful emitted fast path must not fold through the interpreter")
+    // PRE-read emit (before the mutation) alongside a POST-read emit
+    // after it: the two reads resolve to different window frames
+    emittedEqualsInterp("""
+fromCategory("purchase").foreachStream().when({
+      $init: function() { return { cents: 0 }; },
+      purchase: function(s, e) {
+          emit("pre-" + e.streamId, "Before", { had: s.cents });
+          s.cents += Math.round(e.value * 100);
+          emit("post-" + e.streamId, "After", { has: s.cents });
+      } })""", hostileLog)
+    // post-read of a running extremum (guard-recurrence kind)
+    emittedEqualsInterp("""
+fromCategory("purchase").foreachStream().when({
+      $init: function() { return { peak: 0 }; },
+      purchase: function(s, e) {
+          var cents = Math.round(e.value * 100);
+          if (cents > s.peak) { s.peak = cents; emit("rec-" + e.streamId, "Record", { peak: s.peak }); }
+      } })""", hostileLog)
+    // post-read of an overwrite field (LastK): emit the latest value
+    emittedEqualsInterp("""
+fromCategory("purchase").foreachStream().when({
+      $init: function() { return { last: "" }; },
+      purchase: function(s, e) {
+          s.last = e.eventType;
+          emit("seen-" + e.streamId, "Last", { t: s.last });
+      } })""", hostileLog)
+    // mutate-emit-mutate: the post value at the emit is NOT the final
+    // value — must fall back to the interpreter and still match it
+    val reMutate = JsProjection.compile("""
+fromCategory("purchase").foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      purchase: function(s, e) {
+          s.n += 1;
+          emit("mid-" + e.streamId, "Mid", { n: s.n });
+          s.n += 1;
+      } })""")
+    assert(!reMutate.emitsToColumns,
+      "a mutation after a post-read must refuse to the interpreter")
+    // guard-only post-read (body state-free)
+    emittedEqualsInterp("""
+fromCategory("purchase").foreachStream().when({
+      $init: function() { return { n: 0 }; },
+      purchase: function(s, e) {
+          s.n += 1;
+          if (s.n === 3) emit("third-" + e.streamId, "Third", { v: e.value });
+      } })""", hostileLog)
+    // the STATES output of a stateful-emit definition is untouched by
+    // the emit machinery: fast == interpreter on the same source
+    fastEqualsInterp(milestone, log)
   }
 
   test("column fast path: running extrema and spelled-out sums compile — " +

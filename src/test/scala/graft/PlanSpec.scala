@@ -380,6 +380,31 @@ fromAll().foreachStream().when({
     assert(!plan.contains("FlatMapGroups"), plan.take(1500))
   }
 
+  test("stateful emitted() plan: post-state window partitioned by the " +
+    "fold key, posexplode select, no interpreter node (r15)") {
+    val s = spark; import s.implicits._
+    val log = Seq.tabulate(60)(i =>
+      (s"purchase-${i % 7}", (i / 7).toLong, "purchase", i.toLong,
+        """{"v":1}""", (i % 11).toDouble))
+      .toDF("stream_id", "event_number", "event_type", "log_position", "data", "value")
+      .withColumn("timestamp", expr("timestamp_millis(1700000000000 + log_position)"))
+      .withColumn("correlation_id", lit(null).cast("string"))
+    val p = graft.projections.js.JsProjection.compile(
+      graft.projections.js.JsProjectionQueries.handlerCorpus
+        .toMap.apply("js_emit_stateful"))
+    assert(p.emitsToColumns)
+    val df = p.fastEmitted(log).get.toDF()
+    val plan = executedPlan(df)
+    // the inclusive post-state window shuffles on the fold key — never
+    // one global task — and emissions explode from a pure select
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+    assert(plan.contains("Generate"), plan.take(1500))
+    // interpreter-free end to end
+    assert(!plan.contains("FlatMapGroups") && !plan.contains("MapGroups"),
+      plan.take(1500))
+  }
+
   test("streaming stepper plan: typed flatMapGroupsWithState, no window, " +
     "no JSON-interpreter serialization in the fold") {
     val s = spark; import s.implicits._

@@ -917,6 +917,59 @@ fromCategory("acct")
       outStream, "cdeps", p.emitted(srcStore.read())) == 0L)
   }
 
+  test("P13/P20 JS STATEFUL emit: emittedStream serves through the typed " +
+    "stepper — no interpreter, rows == batch, state crosses micro-batches") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val defs = graft.projections.js.JsProjectionQueries.handlerCorpus.toMap
+    val p = graft.projections.js.JsProjection.compile(defs("js_emit_stateful"))
+    assert(p.emitsToColumns, "stateful emit must compile (r15 post channel)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.projections.LogEvent]
+    // the stateless-select path refuses (windows); the stepper serves it
+    assert(p.fastEmittedStream(input.toDF()).isEmpty,
+      "a window-bearing emit plan must not stream as a select")
+    assert(p.stepperEmittedStream(input.toDF()).isDefined,
+      "stateful emit must take the typed stepper path")
+    spark.conf.set("spark.graft.js.streamStepper", "false")
+    try assert(p.stepperEmittedStream(input.toDF()).isEmpty)
+    finally spark.conf.unset("spark.graft.js.streamStepper")
+
+    def le(stream: String, num: Long, pos: Long, v: Double) =
+      graft.projections.LogEvent(stream, num, "purchase", pos,
+        new java.sql.Timestamp(pos * 1000), null, "{}", v)
+    // stream 1 reaches its 5th purchase (milestone) inside batch A;
+    // stream 2 reaches its 5th only in batch B — the running count and
+    // total must continue across the micro-batch boundary
+    val batchA = (0L until 5L).map(i => le("purchase-1", i, i, i + 1.5)) ++
+      (0L until 3L).map(i => le("purchase-2", i, 10 + i, 2.25))
+    val batchB = (5L until 7L).map(i => le("purchase-1", i, 20 + i, 0.8)) ++
+      (3L until 5L).map(i => le("purchase-2", i, 30 + i, 4.1))
+    val ck = Files.createTempDirectory("jsemitstepck").toString
+    val captured =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[graft.projections.Emitted]()
+    def runPass(): Set[graft.projections.Emitted] = {
+      val q = p.emittedStream(input.toDF()).writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.projections.Emitted], _: Long) =>
+            b.collect().foreach(e => captured.add(e)): Unit
+        }
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      captured.asScala.toSet
+    }
+    def batchEmits(rows: Seq[graft.projections.LogEvent]) =
+      p.emitted(rows.toDF()).collect().toSet
+    input.addData(batchA: _*)
+    val pass1 = runPass()
+    assert(pass1.nonEmpty, "stream 1's 5th purchase must emit in pass 1")
+    assert(pass1 == batchEmits(batchA), "pass 1 must equal batch emitted")
+    input.addData(batchB: _*)
+    assert(runPass() == batchEmits(batchA ++ batchB),
+      "pass 2 — stream 2's milestone must fold state from batch 1")
+  }
+
   test("P13 Scala DSL emittedStream: linkTo + $created parity with batch emitted") {
     val (store, dir) = newStore()
     seed(store)
