@@ -970,6 +970,57 @@ fromCategory("acct")
       "pass 2 — stream 2's milestone must fold state from batch 1")
   }
 
+  test("P21 JS STATEFUL emit: exactly-once through EmittedSink across a " +
+    "restart — stepper stream target == batch target, replay no-ops") {
+    val (srcStore, srcDir) = newStore()
+    seed(srcStore)
+    val outStream = new EventLogStore(spark,
+      Files.createTempDirectory("emitSfS").toString)
+    val outBatch = new EventLogStore(spark,
+      Files.createTempDirectory("emitSfB").toString)
+    val p = graft.projections.js.JsProjection.compile("""
+fromCategory("acct")
+    .foreachStream()
+    .when({
+        $init: function() { return { n: 0, total: 0 }; },
+        Deposited: function(s, e) {
+            s.n += 1;
+            s.total += Math.round(e.body.amt);
+            if (s.n % 2 === 0)
+                emit("milestones-" + e.streamId, "Milestone",
+                     { n: s.n, total: s.total });
+        }
+    })""")
+    assert(p.emitsToColumns)
+    assert(p.stepperEmittedStream(
+      Subscriptions.subscribeAll(spark, s"$srcDir/log")).isDefined,
+      "stateful emit must stream through the typed stepper")
+    val ck = Files.createTempDirectory("emitsfck").toString
+    def runOnce(): Unit = {
+      val q = graft.projections.EmittedSink.streamTo(outStream, "sfmil",
+        p.emittedStream(Subscriptions.subscribeAll(spark, s"$srcDir/log")), ck)
+      q.awaitTermination(60000)
+    }
+    runOnce() // catch-up: acct-1 reaches its 2nd deposit only after the tail
+    srcStore.append(Seq(
+      PendingEvent("acct-1", "e7", "Deposited", """{"amt":7}"""),
+      PendingEvent("acct-2", "e8", "Deposited", """{"amt":2}""")))
+    // restart on the same checkpoint: the milestones fire exactly once,
+    // with running state carried over from the first pass
+    runOnce()
+    graft.projections.EmittedSink.appendIdempotent(
+      outBatch, "sfmil", p.emitted(srcStore.read()))
+    def dump(st: EventLogStore) = st.read()
+      .select("stream_id", "event_number", "event_type", "data", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    val streamed = dump(outStream)
+    assert(streamed.nonEmpty, "the 2nd deposits must have emitted")
+    assert(streamed == dump(outBatch))
+    assert(graft.projections.EmittedSink.appendIdempotent(
+      outStream, "sfmil", p.emitted(srcStore.read())) == 0L)
+  }
+
   test("P13 Scala DSL emittedStream: linkTo + $created parity with batch emitted") {
     val (store, dir) = newStore()
     seed(store)
