@@ -77,14 +77,15 @@ object Bench {
       val infos = spark.sparkContext.getRDDStorageInfo
       val totalMem = infos.map(_.memSize).sum
       val totalDisk = infos.map(_.diskSize).sum
-      val log = infos.find(_.name != null)
-      val logInfo = infos
+      // RDD "names" of cached frames can be multi-line plan strings —
+      // flatten to keep each diag record one parseable JSON line
+      val top = infos
         .filter(i => i.numCachedPartitions > 0)
         .sortBy(-_.memSize).take(3)
-        .map(i => s""""${Option(i.name).getOrElse("rdd" + i.id).replace("\"", "")}":[${i.numCachedPartitions},${i.memSize},${i.diskSize}]""")
+        .map(i => s""""${Option(i.name).getOrElse("rdd" + i.id)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(80)}":[${i.numCachedPartitions},${i.memSize},${i.diskSize}]""")
         .mkString("{", ",", "}")
-      val _ = log
-      s""""cachedRdds":${infos.count(_.numCachedPartitions > 0)},"storageMem":$totalMem,"storageDisk":$totalDisk,"top":$logInfo"""
+      s""""cachedRdds":${infos.count(_.numCachedPartitions > 0)},"storageMem":$totalMem,"storageDisk":$totalDisk,"top":$top"""
     }
 
     def runOnce(name: String, record: Boolean = false): Double = {

@@ -133,25 +133,53 @@ object ReadQueries extends QueryModule {
       |  CAST(sum(CAST(json_extract_string(data, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(count(DISTINCT CAST(json_extract_string(data, '$$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
       |FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
-    // k_type DERIVED per row (json_type → schema_of_variant naming), so
-    // a future testdata row with a missing or non-numeric k produces the
-    // same extra (event_type, k_type) groups Spark sees instead of
-    // silently diverging from a hardcoded 'BIGINT'
+    // k_type DERIVED per row to match schema_of_variant's naming, with
+    // every mapping established by probing Spark 4.1 (r15): integral
+    // fits-in-long → BIGINT; oversized integral → DECIMAL(p,0) with p =
+    // digit count; fractional → DECIMAL(p,s) of the NORMALIZED literal
+    // (both engines normalize "1.50" → "1.5"); exponent-form numbers →
+    // DOUBLE (detected off the RAW event text — json_type can't tell
+    // 1e5 from 100000.0); strings/bools/null → STRING/BOOLEAN/VOID.
+    // sum_k mirrors Spark's variant→long coercions: numeric truncation
+    // toward zero (1.5 → 1, via trunc over DOUBLE), integer-literal
+    // strings cast, booleans as 1/0, everything else NULL. A future
+    // testdata row with a missing or non-numeric k thus produces the
+    // same groups AND the same sums Spark sees instead of silently
+    // diverging from a hardcoded 'BIGINT'.
     "json_body_variant" -> s"""$L
       |, typed AS (
       |  SELECT event_type,
-      |    CASE json_type(data, '$$.k')
-      |      WHEN 'UBIGINT' THEN 'BIGINT' WHEN 'BIGINT' THEN 'BIGINT'
-      |      WHEN 'VARCHAR' THEN 'STRING' WHEN 'DOUBLE' THEN 'DOUBLE'
-      |      WHEN 'BOOLEAN' THEN 'BOOLEAN' WHEN 'NULL' THEN 'VOID'
-      |      ELSE json_type(data, '$$.k') END AS k_type,
-      |    TRY_CAST(json_extract_string(data, '$$.k') AS BIGINT) AS k,
-      |    len(json_extract_string(data, '$$.k')) AS k_digits
-      |  FROM log)
+      |    json_type(data, '$$.k') AS jt,
+      |    json_extract_string(data, '$$.k') AS s,
+      |    regexp_extract(data, '"k"\\s*:\\s*([-+0-9.eE]+)', 1) AS raw
+      |  FROM log),
+      |mapped AS (
+      |  SELECT event_type,
+      |    CASE jt
+      |      WHEN 'UBIGINT' THEN
+      |        CASE WHEN TRY_CAST(s AS BIGINT) IS NOT NULL THEN 'BIGINT'
+      |             ELSE 'DECIMAL(' || len(s) || ',0)' END
+      |      WHEN 'BIGINT' THEN 'BIGINT'
+      |      WHEN 'DOUBLE' THEN
+      |        CASE WHEN raw LIKE '%e%' OR raw LIKE '%E%' THEN 'DOUBLE'
+      |             ELSE 'DECIMAL(' || len(replace(replace(s, '-', ''), '.', ''))
+      |                  || ',' || (len(s) - strpos(s, '.')) || ')' END
+      |      WHEN 'VARCHAR' THEN 'STRING' WHEN 'BOOLEAN' THEN 'BOOLEAN'
+      |      WHEN 'NULL' THEN 'VOID'
+      |      ELSE jt END AS k_type,
+      |    CASE
+      |      WHEN jt IN ('UBIGINT', 'BIGINT') THEN TRY_CAST(s AS BIGINT)
+      |      WHEN jt = 'DOUBLE' THEN TRY_CAST(trunc(TRY_CAST(s AS DOUBLE)) AS BIGINT)
+      |      WHEN jt = 'VARCHAR' AND regexp_matches(trim(s), '^[+-]?[0-9]+$$')
+      |        THEN TRY_CAST(trim(s) AS BIGINT)
+      |      WHEN jt = 'BOOLEAN' THEN CASE WHEN s = 'true' THEN 1 ELSE 0 END
+      |      ELSE NULL END AS k,
+      |    len(s) AS k_digits
+      |  FROM typed)
       |SELECT event_type, k_type, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(k) AS BIGINT) AS sum_k,
       |  CAST(sum(k_digits) AS BIGINT) AS sum_digits
-      |FROM typed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      |FROM mapped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s2_read_stream_forwards" -> s"""$L
       |SELECT stream_id, event_number, event_type, log_position, correlation_id, value,
       |       CAST(epoch_us(timestamp) AS BIGINT) AS ts_us

@@ -145,19 +145,29 @@ final class JsProjection(val source: String) extends Serializable {
     * expressible, the session allows it, and the input log carries the
     * referenced columns (TimestampType `timestamp` when Date math is
     * used). Public for plan-shape tests. */
+  /** Whether `frame` carries every column a compiled plan requires
+    * (optional envelope metas are defaulted by the build) and, when the
+    * plan does Date math, a true TimestampType `timestamp`. The single
+    * eligibility rule every fast path shares. */
+  private def columnsCompatible(p: JsColumnCompiler.Plan,
+      frame: DataFrame): Boolean = {
+    val optional = Set("event_id", "metadata", "link_metadata",
+      "resolved_stream_id", "resolved_event_number", "value")
+    val have = frame.columns.toSet
+    p.requiredCols.forall(c => have(c) || optional(c)) &&
+      (!p.usesTimestamp || (have("timestamp") &&
+        frame.schema("timestamp").dataType ==
+          org.apache.spark.sql.types.TimestampType))
+  }
+
   def fastStates(log: DataFrame): Option[DataFrame] = {
     val enabled = log.sparkSession.conf
       .getOption("spark.graft.js.columnCompile").forall(_.toBoolean)
     if (!enabled) None
     else CompiledJsProjection.get(source).fastPlan.flatMap { p =>
-      val optional = Set("event_id", "metadata", "link_metadata",
-        "resolved_stream_id", "resolved_event_number", "value")
-      val have = log.columns.toSet
-      val ok = p.requiredCols.forall(c => have(c) || optional(c)) &&
-        (!p.usesTimestamp || (have("timestamp") &&
-          log.schema("timestamp").dataType ==
-            org.apache.spark.sql.types.TimestampType))
-      if (ok) Some(p.build(prepared(log).where(p.selector))) else None
+      if (columnsCompatible(p, log))
+        Some(p.build(prepared(log).where(p.selector)))
+      else None
     }
   }
 
@@ -297,13 +307,7 @@ final class JsProjection(val source: String) extends Serializable {
     if (!enabled || spec.reorderEvents || spec.includeLinks ||
       CompiledJsProjection.get(source).transformsList.nonEmpty) None
     else CompiledJsProjection.get(source).fastPlan.flatMap { p =>
-      val optional = Set("event_id", "metadata", "link_metadata",
-        "resolved_stream_id", "resolved_event_number", "value")
-      val have = events.columns.toSet
-      val ok = p.requiredCols.forall(c => have(c) || optional(c)) &&
-        (!p.usesTimestamp || (have("timestamp") &&
-          events.schema("timestamp").dataType ==
-            org.apache.spark.sql.types.TimestampType))
+      val ok = columnsCompatible(p, events)
       // streaming projections are readers too: redacted events fold with
       // empty data on the compiled paths exactly as the interpreter
       // fallback does through toLogEvents (PrepareLogRecord.cs:65)
@@ -353,14 +357,9 @@ final class JsProjection(val source: String) extends Serializable {
       .getOption("spark.graft.js.columnCompile").forall(_.toBoolean)
     if (!enabled) None
     else CompiledJsProjection.get(source).fastEmitPlan.flatMap { p =>
-      val optional = Set("event_id", "metadata", "link_metadata",
-        "resolved_stream_id", "resolved_event_number", "value")
-      val have = log.columns.toSet
-      val ok = p.requiredCols.forall(c => have(c) || optional(c)) &&
-        (!p.usesTimestamp || (have("timestamp") &&
-          log.schema("timestamp").dataType ==
-            org.apache.spark.sql.types.TimestampType))
-      if (ok) Some(p.build(prepared(log).where(p.selector)).as[Emitted]) else None
+      if (columnsCompatible(p, log))
+        Some(p.build(prepared(log).where(p.selector)).as[Emitted])
+      else None
     }
   }
 
@@ -424,15 +423,10 @@ final class JsProjection(val source: String) extends Serializable {
       // the stepper once it carries emit sites)
       .filterNot(_.usesPreState)
       .flatMap { p =>
-      val optional = Set("event_id", "metadata", "link_metadata",
-        "resolved_stream_id", "resolved_event_number", "value")
-      val have = events.columns.toSet
-      val ok = p.requiredCols.forall(c => have(c) || optional(c)) &&
-        (!p.usesTimestamp || (have("timestamp") &&
-          events.schema("timestamp").dataType ==
-            org.apache.spark.sql.types.TimestampType))
-      if (ok) Some(p.build(graft.operators.Redaction.scrub(events)
-        .where(p.selector)).as[Emitted]) else None
+      if (columnsCompatible(p, events))
+        Some(p.build(graft.operators.Redaction.scrub(events)
+          .where(p.selector)).as[Emitted])
+      else None
     }
   }
 
@@ -455,15 +449,7 @@ final class JsProjection(val source: String) extends Serializable {
     else for {
       p <- CompiledJsProjection.get(source).fastEmitPlan
       ss <- p.stepSpec
-      if ss.emitArr.isDefined && {
-        val optional = Set("event_id", "metadata", "link_metadata",
-          "resolved_stream_id", "resolved_event_number", "value")
-        val have = events.columns.toSet
-        p.requiredCols.forall(c => have(c) || optional(c)) &&
-          (!p.usesTimestamp || (have("timestamp") &&
-            events.schema("timestamp").dataType ==
-              org.apache.spark.sql.types.TimestampType))
-      }
+      if ss.emitArr.isDefined && columnsCompatible(p, events)
     } yield JsStreamStepper.streamEmits(ss,
       graft.operators.Redaction.scrub(events).where(p.selector))
   }

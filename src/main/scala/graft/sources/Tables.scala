@@ -154,10 +154,16 @@ object Tables {
     }
     val stream = Files.walk(p)
     try stream.sorted().forEach { f =>
-      if (Files.isRegularFile(f)) {
-        mix(f.toString); mix(Files.size(f).toString)
-        mix(Files.getLastModifiedTime(f).toMillis.toString)
-      }
+      // a file may vanish between the walk and the stat (a probe
+      // rewriting the dir mid-fingerprint — the very scenario this
+      // exists for): fold a marker instead of failing the query, so the
+      // resulting fingerprint still differs from any stable snapshot
+      try {
+        if (Files.isRegularFile(f)) {
+          mix(f.toString); mix(Files.size(f).toString)
+          mix(Files.getLastModifiedTime(f).toMillis.toString)
+        }
+      } catch { case _: java.io.IOException => mix(f.toString + "gone") }
     } finally stream.close()
     acc.get()
   }

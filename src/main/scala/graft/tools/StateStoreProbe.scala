@@ -140,11 +140,11 @@ fromAll()
             return s;
         }
     })"""
+    val jsStepperProj = graft.projections.js.JsProjection.compile(jsStepperSource)
     def jsStepperFold(src: DataFrame) = {
-      val p = graft.projections.js.JsProjection.compile(jsStepperSource)
-      require(p.fastStatesStream(src).isDefined,
-        "probe source must take the typed stepper path")
-      p.statesStream(src)
+      val plan = jsStepperProj.fastStatesStream(src)
+      require(plan.isDefined, "probe source must take the typed stepper path")
+      plan.get
     }
 
     // ---- BUILD: the full corpus into the state store, several batches

@@ -223,6 +223,33 @@ class AnalyticsSpec extends SparkTestBase {
       if (!sharded4(i)) assert(!clustered(i), s"id $i dropped only when sharded") }
     // the clamp arithmetic that picks the split factor
     assert(Similarity.autoSemanticNlist((1L << 18) * 1024L) == (1 << 18))
+
+    // HIERARCHICAL assignment (r15, auto-path-only past HierAssignMin):
+    // one output row per vector regardless of path…
+    val hier = Similarity.semanticDedupSharded(vecs, 8, thr,
+        "vec_id", "embedding", None, splits = 1, hierAssign = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hier == (0L until 60L).toSet, "hier assignment must cover every vector")
+    // …including with a centroid table whose ids are NOT 0-based (the
+    // super-centroid pick is by rank, not id value — an id-value filter
+    // would silently select nothing and return an empty frame)
+    val shifted = vecs.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1000).cast("int").as("centroid_id"),
+        col("embedding").cast("array<double>").as("centv"))
+    val hierShift = Similarity.semanticDedupSharded(vecs, 8, thr,
+        "vec_id", "embedding", Some(shifted), splits = 1, hierAssign = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hierShift == (0L until 60L).toSet,
+      "non-0-based centroid ids must not empty the hier assignment")
+    // an EXPLICIT nlist keeps exact flat assignment at any size: the
+    // public call with nlist far above HierAssignMin equals the flat
+    // helper form bit-for-bit
+    val explicitBig = Similarity.semanticDedup(vecs, nlist = 300, threshold = thr)
+      .select("id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val flatBig = Similarity.semanticDedupSharded(vecs, 300, thr,
+        "vec_id", "embedding", None, splits = 1, hierAssign = false)
+      .select("id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(explicitBig == flatBig, "explicit nlist must stay on exact flat assignment")
   }
 
   test("IVF top-k: probing all lists equals brute force; fewer probes stay a subset") {
