@@ -193,6 +193,13 @@ object JsStreamStepper {
         state: GroupState[Array[Byte]]): Iterator[(String, String)] = {
       val sts = state.getOption.map(deserialize)
         .getOrElse(newStates(fields.toIndexedSeq))
+      // the per-key buffer+sort is unavoidable: flatMapGroupsWithState
+      // orders its child by the GROUPING KEY only (no sorted-groups
+      // variant exists for it), and the fold is order-sensitive. The
+      // buffer is bounded by one key's slice of ONE micro-batch — sized
+      // by trigger admission (maxFilesPerTrigger), not by corpus or
+      // state size — so a hot key costs memory proportional to its
+      // per-batch arrival rate, never its history.
       val sorted = rows.toArray.sortBy(_.getLong(posIdx))
       val ext = new GenericInternalRow(extSize)
       val joined = new JoinedRow()
