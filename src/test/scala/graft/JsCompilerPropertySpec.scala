@@ -424,6 +424,69 @@ class JsCompilerPropertySpec extends SparkTestBase {
     }
   }
 
+  /** STATEFUL emit generator (r15 post channel): fold one or two
+    * integral fields, then emit values/guards computed FROM that state —
+    * optionally a PRE-read emit before the mutations (exclusive window)
+    * alongside the post-read sites (inclusive window). */
+  private def genStatefulEmitDefinition(r: Random): String = {
+    val d1 = 1 + r.nextInt(50)
+    val preEmit =
+      if (r.nextBoolean())
+        "emit(\"pre-\" + e.streamId, \"P\", { had: s.cents });\n            "
+      else ""
+    val mut2 =
+      if (r.nextBoolean()) s"if (${genCond(r, 1)}) { s.cents += Math.round(e.value * $d1); }"
+      else s"s.cents += Math.round(e.value * $d1);"
+    val postEmit = r.nextInt(3) match {
+      case 0 => s"""emit("tot-" + e.streamId, "T${r.nextInt(2)}", { n: s.n, c: s.cents });"""
+      case 1 => s"""if (s.n % ${2 + r.nextInt(4)} === 0) emit("mile-" + e.streamId, "M", { at: s.n, total: s.cents });"""
+      case 2 => s"""if (s.cents > ${r.nextInt(5000)}) emit("big-" + e.streamId, "B", { c: s.cents });"""
+    }
+    s"""
+       |fromAll()
+       |    .foreachStream()
+       |    .when({
+       |        ${"$"}init: function() { return { n: 0, cents: 0 }; },
+       |        ${"$"}any: function(s, e) {
+       |            ${preEmit}s.n += 1;
+       |            $mut2
+       |            $postEmit
+       |        }
+       |    })""".stripMargin
+  }
+
+  test("generated STATEFUL emit definitions: fast emitted() == interpreter " +
+    "(60 seeds, post-state channel)") {
+    val log = genLog(new Random(13)).cache()
+    log.count()
+    val refused = List.newBuilder[Int]
+    for (seed <- 300 to 359) {
+      val r = new Random(seed)
+      val src = genStatefulEmitDefinition(r)
+      val p = JsProjection.compile(src)
+      if (!p.emitsToColumns) refused += seed
+      def sorted(rows: Seq[graft.projections.Emitted]) =
+        rows.sortBy(e => (e.caused_by_position, e.emit_seq, e.stream_id))
+      val fast = sorted(p.emitted(log).collect().toSeq)
+      spark.conf.set("spark.graft.js.columnCompile", "false")
+      try {
+        val interp = sorted(p.emitted(log).collect().toSeq)
+        assert(fast == interp, s"seed $seed stateful emitted diverged:\n$src")
+      } finally spark.conf.set("spark.graft.js.columnCompile", "true")
+      // the states plan must stay exact alongside the emit machinery
+      val fastS = p.states(log).orderBy("partition", "state").collect().toSeq
+      spark.conf.set("spark.graft.js.columnCompile", "false")
+      try {
+        val interpS = p.states(log).orderBy("partition", "state").collect().toSeq
+        assert(fastS == interpS, s"seed $seed states diverged:\n$src")
+      } finally spark.conf.set("spark.graft.js.columnCompile", "true")
+    }
+    val refusedSeeds = refused.result()
+    assert(refusedSeeds.size <= 4,
+      s"compiled ${60 - refusedSeeds.size}/60 stateful-emit seeds — " +
+        s"generator/compiler drift; refused: $refusedSeeds")
+  }
+
   test("generated compilable definitions: fast path == interpreter on a " +
     "generated hostile log (80 seeds)") {
     val log = genLog(new Random(7)).cache()
