@@ -36,7 +36,15 @@ object QueryCaches {
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Register a query-local persisted intermediate; returns it. */
+  /** Register a query-local persisted intermediate; returns it.
+    *
+    * The registry is JVM-GLOBAL and assumes one query at a time per
+    * session (the bench/verify/pipeline shape): release() called from
+    * one query's cleanup also drops caches tracked by a concurrently
+    * RUNNING query. That is safe — CacheManager persists recompute —
+    * but it silently defeats the persist and can double-pay an expensive
+    * intermediate; concurrent-query callers should scope their own
+    * release points accordingly. */
   def track(df: DataFrame): DataFrame = { tracked.add(df); df }
 
   /** Unpersist every tracked intermediate (non-blocking). Safe at any
@@ -45,7 +53,11 @@ object QueryCaches {
     var df = tracked.poll()
     while (df != null) {
       try df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); return
+        case scala.util.control.NonFatal(_) => ()
+      }
       df = tracked.poll()
     }
   }

@@ -15,6 +15,28 @@ object AnalyticsQueries extends QueryModule {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
 
+  /** Fanned-out documents read (Tables.fanout) for the queries whose
+    * narrow per-row CPU work dominates a serial single-row-group scan —
+    * wired ONLY where two independent full-bench runs showed a win
+    * (substring removal family, ngram/minhash pair generation,
+    * components, the BPE/classifier families); the cheap rows pay the
+    * extra exchange + AQE stage more than the parallelism returns
+    * (measured: text_fingerprint 0.30 -> 0.6-1.2 s fanned), so they stay
+    * on the plain read. */
+  private def docsF(s: SparkSession, d: String): DataFrame =
+    Tables.fanout(Tables.documents(s, d)).select(col("doc_id").as("id"), col("text"))
+
+  /** [[exactCorpus]]/[[nearCorpus]] over the fanned read. */
+  private def exactCorpusF(s: SparkSession, d: String): DataFrame =
+    docsF(s, d).unionAll(
+      docsF(s, d).where(col("id") < 100)
+        .select((col("id") + 100000).as("id"), col("text")))
+  private def nearCorpusF(s: SparkSession, d: String): DataFrame =
+    docsF(s, d).unionAll(
+      docsF(s, d).where(col("id") < 100)
+        .select((col("id") + 100000).as("id"),
+          concat(col("text"), lit(" zzz9")).as("text")))
+
   /** Corpus with exact copies of docs 0..99. */
   private def exactCorpus(s: SparkSession, d: String): DataFrame =
     docs(s, d).unionAll(
@@ -86,7 +108,7 @@ object AnalyticsQueries extends QueryModule {
   /** Full Lee-et-al substring removal over the same corpus: token spans
     * covered by any corpus-duplicated 8-gram are excised. */
   private def substringRemoveQ(s: SparkSession, d: String): DataFrame =
-    Dedup.substringDupRemove(exactCorpus(s, d), k = 8, "text", "id")
+    Dedup.substringDupRemove(exactCorpusF(s, d), k = 8, "text", "id")
       .orderBy(col("id"))
 
   /** Length-thresholded removal (the paper's >= minLen semantics via
@@ -95,7 +117,7 @@ object AnalyticsQueries extends QueryModule {
     * organic short 8-gram repeats now SURVIVE — only runs of consecutive
     * duplicated windows covering >= 20 tokens are cut. */
   private def substringSpansQ(s: SparkSession, d: String): DataFrame =
-    Dedup.substringDupRemoveSpans(exactCorpus(s, d), k = 8, minLen = 20,
+    Dedup.substringDupRemoveSpans(exactCorpusF(s, d), k = 8, minLen = 20,
       "text", "id")
       .orderBy(col("id"))
 
@@ -103,12 +125,12 @@ object AnalyticsQueries extends QueryModule {
     * when one (document, offset) partner carries its whole window chain —
     * the chimera-free audit mode. */
   private def substringStrictQ(s: SparkSession, d: String): DataFrame =
-    Dedup.substringDupRemoveSpans(exactCorpus(s, d), k = 8, minLen = 20,
+    Dedup.substringDupRemoveSpans(exactCorpusF(s, d), k = 8, minLen = 20,
       "text", "id", strict = true)
       .orderBy(col("id"))
 
   private def dedupNgram(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(nearCorpus(s, d), 0.5, "text", "id", maxDocFreq = 64)
+    Dedup.ngramJaccardPairs(nearCorpusF(s, d), 0.5, "text", "id", maxDocFreq = 64)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Incremental (batch-vs-corpus) dedup: existing = ids not ≡0 mod 10;
@@ -130,7 +152,7 @@ object AnalyticsQueries extends QueryModule {
       .orderBy(col("id"), col("seed"))
 
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLshPairs(nearCorpus(s, d), 0.5, k = 16, bands = 4, "text", "id")
+    Dedup.minhashLshPairs(nearCorpusF(s, d), 0.5, k = 16, bands = 4, "text", "id")
       .orderBy(col("id_a"), col("id_b"))
 
   /** Near-dup point-lookup SERVING against accumulated streaming dedup
@@ -287,7 +309,7 @@ object AnalyticsQueries extends QueryModule {
     * component). */
   private def dedupComponents(s: SparkSession, d: String): DataFrame =
     Dedup.connectedComponents(
-        Dedup.minhashLshPairs(nearCorpus(s, d), 0.5, k = 16, bands = 4, "text", "id"))
+        Dedup.minhashLshPairs(nearCorpusF(s, d), 0.5, k = 16, bands = 4, "text", "id"))
       .select(col("id"), col("component"))
       .orderBy(col("id"))
 
@@ -447,7 +469,7 @@ object AnalyticsQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
 
   /** The library DEFAULT geometry — what a caller who passes no planes
-    * gets: planes = autoPlanes(N) (expected bucket ~4096 however large N
+    * gets: planes = autoPlanes(N, 256) (expected bucket ~256 however large N
     * grows), tables = 4. This is the row that grades the plan a 100×
     * user actually runs; the fixed-geometry sibling above stays for
     * small-corpus parity. The oracle recomputes planes from count(*)
@@ -562,7 +584,7 @@ object AnalyticsQueries extends QueryModule {
   /** Asymmetric SQ8 search: full-precision queries against the
     * reconstructed 8-bit corpus. */
   private def annSq8TopK(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.fanout(Tables.embeddings(s, d))
     Similarity.sq8TopK(emb.where(col("vec_id") < 10), emb, 5)
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("query_id"), col("rank"))
@@ -572,7 +594,7 @@ object AnalyticsQueries extends QueryModule {
     * the floor(+0.5) chain is IEEE-correctly-rounded end to end) plus max
     * reconstruction error. */
   private def sq8Q(s: SparkSession, d: String): DataFrame =
-    Similarity.sq8(Tables.embeddings(s, d))
+    Similarity.sq8(Tables.fanout(Tables.embeddings(s, d)))
       .select(col("id").as("vec_id"), col("n_dims"),
         md5(array_join(transform(col("codes"), c => c.cast("string")), ","))
           .as("codes_md5"),
@@ -674,7 +696,7 @@ object AnalyticsQueries extends QueryModule {
   private val autoPlanesSql =
     """nn AS (SELECT count(*) AS c FROM embeddings),
       |pp AS (SELECT least(30, greatest(8,
-      |         CAST(length(bin(greatest(CAST(ceil(c / 4096.0) AS BIGINT) - 1, 1))) AS INT))) AS p FROM nn)""".stripMargin
+      |         CAST(length(bin(greatest(CAST(ceil(c / 256.0) AS BIGINT) - 1, 1))) AS INT))) AS p FROM nn)""".stripMargin
 
   /** The serving-ingest variant: targetBucket 256 (see [[embPlanes]]). */
   private val servePlanesSql =

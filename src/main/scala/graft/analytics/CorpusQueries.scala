@@ -10,6 +10,17 @@ import graft.sources.Tables
   * sampling. */
 object CorpusQueries extends QueryModule {
 
+  /** Fanned-out documents read (Tables.fanout), wired ONLY into the
+    * queries where two independent full-bench runs showed a win — the
+    * trained-tokenizer family (bpe_tokenize, chunk/pack/select in BPE
+    * units), the hashed-gram models (classify_naive_bayes, dsir_weights)
+    * and pii_redact. NOT used by perplexity_bucket (its plan re-scans
+    * the table ~50x with tiny pushed subsets; a blanket fanout measured
+    * 2.3 s -> 4.6 s there) nor the sub-second rows, where the extra
+    * exchange + AQE stage costs more than the parallelism returns. */
+  private def docsF(s: SparkSession, d: String): DataFrame =
+    Tables.fanout(Tables.documents(s, d))
+
   /** Tokenization shared with the text oracles. */
   private val W = "string_split_regex(trim(text), '\\s+')"
 
@@ -98,7 +109,7 @@ object CorpusQueries extends QueryModule {
     // both the count and the md5 — CollapseProject keeps the non-cheap
     // _t in its own projection, so the corpus is folded once, not twice
     val clean = Bpe.stripSep(col("text"))
-    Tables.documents(s, d)
+    docsF(s, d)
       .select(col("doc_id"),
         size(graft.functions.TextFunctions.bpePieces(clean)).as("n_pieces"),
         Bpe.tokenize(col("text")).as("_t"))
@@ -111,7 +122,7 @@ object CorpusQueries extends QueryModule {
   /** [[packQ]] measured in trained-BPE tokens instead of whitespace
     * tokens — the budget unit a real pipeline packs by. */
   private def packBpeQ(s: SparkSession, d: String): DataFrame =
-    Corpus.packSequences(Tables.documents(s, d), budget = 256, shardSize = 100,
+    Corpus.packSequences(docsF(s, d), budget = 256, shardSize = 100,
         tokenCounter = Bpe.tokenCount(_))
       .groupBy(col("shard"), col("seq"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
@@ -121,7 +132,7 @@ object CorpusQueries extends QueryModule {
   /** Greedy trained-BPE chunking (budget 64 real tokens, piece
     * boundaries): every chunk's content md5-pinned. */
   private def chunkBpeQ(s: SparkSession, d: String): DataFrame =
-    Bpe.chunkByTokens(Tables.documents(s, d), chunkTokens = 64)
+    Bpe.chunkByTokens(docsF(s, d), chunkTokens = 64)
       .select(col("id"), col("chunk_id"), col("n_pieces"), col("n_tokens"),
         md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("id"), col("chunk_id"))
@@ -168,7 +179,7 @@ object CorpusQueries extends QueryModule {
     ELSE text END"""
 
   private def piiQ(s: SparkSession, d: String): DataFrame = {
-    val injected = Tables.documents(s, d)
+    val injected = docsF(s, d)
       .select(col("doc_id"), expr(piiInjectSql).as("text"))
     Pii.redact(injected)
       .select(col("doc_id"),
@@ -258,7 +269,7 @@ object CorpusQueries extends QueryModule {
     * two-level bucket selection, its unit switched through the
     * tokenCounter seam — selection set and n_tokens both move. */
   private def budgetBpeQ(s: SparkSession, d: String): DataFrame =
-    Corpus.selectToTokenBudget(Tables.documents(s, d), budget = 8000,
+    Corpus.selectToTokenBudget(docsF(s, d), budget = 8000,
         tokenCounter = Bpe.tokenCount(_))
       .select(col("id"), round(col("quality"), 6).as("quality"), col("n_tokens"))
       .orderBy(col("id"))
@@ -384,7 +395,7 @@ object CorpusQueries extends QueryModule {
     * consumer needing a guaranteed quartile-sized sample must rank
     * instead. */
   private def dsirQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = docsF(s, d)
     Corpus.importanceWeights(docs, docs.where(col("doc_id") < 200))
       .orderBy(col("id"))
   }
@@ -394,7 +405,7 @@ object CorpusQueries extends QueryModule {
     * trained on the 80% split (doc_id % 5 != 0), scored over the whole
     * corpus with the train flag carried for accuracy accounting. */
   private def nbQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = docsF(s, d)
     // shared-exchange form (r12): grams hash ONCE into a persisted
     // feature column feeding BOTH the train aggregation and the scoring
     // scan — value-identical to train-then-classify, measured faster at

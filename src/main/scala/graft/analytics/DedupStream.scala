@@ -437,7 +437,15 @@ object DedupStream {
     writePart(droppedTouched.join(priorDropped, Seq("id"), "left_anti"),
       s"$stateDir/drops")
     writeSnapshot(s"$stateDir/labels", comp.repartitionByRange(col("id")), batchId, "_batch")
+    // comp is BOTH a CacheManager persist (line above) and — on the
+    // distributed path — a localCheckpoint root from connectedComponents:
+    // unpersist() releases only the former; the checkpoint RDD blocks
+    // must be dropped explicitly or they stack one per micro-batch until
+    // a driver GC (the exact class the cands/newEdges drops below fix).
+    // On the small-graph union-find path the plan is a LocalRelation and
+    // dropLocalCheckpoint is a no-op.
     comp.unpersist()
+    org.apache.spark.sql.graftbridge.Bridge.dropLocalCheckpoint(comp)
     // the per-batch candidate/edge checkpoints are fully consumed by the
     // writes above — release their blocks NOW. Left to the ContextCleaner
     // they survive until an arbitrary driver GC (measured: 167 MB of dead

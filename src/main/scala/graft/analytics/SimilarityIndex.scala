@@ -216,7 +216,7 @@ object SimilarityIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import Similarity._
     val rec = spark.read.parquet(s"$path/sq8codes")
-      .crossJoin(broadcast(spark.read.parquet(s"$path/sq8stats")))
+      .crossJoin(broadcast(mmDense(spark.read.parquet(s"$path/sq8stats"))))
       .select(col("id").as("neighbor_id"), sq8Reconstruct(col("codes")).as("cv"))
       .where(!exists(col("cv"), c => c.isNull))
     sq8Rank(rec, queries, k, idCol, vecCol)

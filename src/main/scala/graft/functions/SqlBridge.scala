@@ -43,10 +43,15 @@ object Bridge {
     * sf0.1 until a GC at `pipeline_training_data` collected them —
     * BASELINE.md "bench run hygiene"). DESTRUCTIVE: the checkpoint
     * truncated the lineage, so the Dataset cannot be re-executed after
-    * this — only call once fully consumed. No-op for plans that are not
-    * a checkpoint root. */
+    * this — only call once fully consumed. Releases ONLY when the plan
+    * itself IS the checkpoint root (a bare LogicalRDD): a composite plan
+    * embedding someone else's checkpoint as one input must not have that
+    * input's blocks ripped out from under its owner (a checkpoint has no
+    * lineage to recompute from — unlike CacheManager persists, releasing
+    * a live one means block-not-found job failures), so this is a no-op
+    * for any non-root plan. */
   def dropLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
+    df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()

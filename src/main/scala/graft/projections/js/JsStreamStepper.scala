@@ -90,6 +90,82 @@ object JsStreamStepper {
     try ois.readObject().asInstanceOf[Array[FieldState]] finally ois.close()
   }
 
+  // ------------------------------------------- bounded per-key sort
+
+  /** Log-position-ordered iteration over one key's micro-batch slice
+    * with BOUNDED executor memory (r16; VERDICT r15 #2). The fold is
+    * order-sensitive and flatMapGroupsWithState orders its child by the
+    * grouping key only, so a per-key sort is unavoidable — but the old
+    * `rows.toArray.sortBy` materialized the key's WHOLE slice: a hot
+    * stream in a large trigger held all its rows on the heap, unlike
+    * the incremental fold the state itself supports. Now: up to
+    * `maxBuffer` rows sort in memory (the common case — one key's share
+    * of one trigger); past it, sorted runs spill to the executor's temp
+    * dir (Java serialization, the same codec the state store uses for
+    * these rows' state) and a loser-tree-free k-way merge streams them
+    * back in position order. Ties (impossible for real log positions,
+    * which are unique) break toward the earlier-arrived run, matching
+    * the old stable sortBy. Spill files delete on consumption and on
+    * JVM exit. */
+  private[graft] def sortedByPos(rows: Iterator[Row], posIdx: Int,
+      maxBuffer: Int): Iterator[Row] = {
+    val ord = Ordering.by[Row, Long](_.getLong(posIdx))
+    val buf = mutable.ArrayBuffer.empty[Row]
+    var spills = Vector.empty[java.io.File]
+    def spill(): Unit = {
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr, ord)
+      val f = java.io.File.createTempFile("graft-stepper-sort", ".bin")
+      f.deleteOnExit()
+      val oos = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f)))
+      try { oos.writeInt(arr.length); arr.foreach(oos.writeObject) }
+      finally oos.close()
+      spills :+= f
+      buf.clear()
+    }
+    rows.foreach { r =>
+      buf += r
+      if (buf.length >= maxBuffer) spill()
+    }
+    if (spills.isEmpty) {
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr, ord)
+      arr.iterator
+    } else {
+      if (buf.nonEmpty) spill()
+      final class Run(f: java.io.File, val idx: Int) {
+        private val ois = new java.io.ObjectInputStream(
+          new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+        private var remaining = ois.readInt()
+        var head: Row = _
+        advance()
+        def advance(): Unit =
+          if (remaining > 0) { head = ois.readObject().asInstanceOf[Row]; remaining -= 1 }
+          else { head = null; ois.close(); f.delete() }
+      }
+      val runs = spills.zipWithIndex.map { case (f, i) => new Run(f, i) }
+      // (pos, run index): earlier run wins ties — the stable-sort order
+      val pq = new java.util.PriorityQueue[Run](runs.size,
+        Ordering.by[Run, (Long, Int)](r => (r.head.getLong(posIdx), r.idx)))
+      runs.filter(_.head != null).foreach(pq.add)
+      new Iterator[Row] {
+        def hasNext: Boolean = !pq.isEmpty
+        def next(): Row = {
+          val r = pq.poll()
+          val out = r.head
+          r.advance()
+          if (r.head != null) pq.add(r)
+          out
+        }
+      }
+    }
+  }
+
+  /** In-memory rows per key before the per-key fold spills sorted runs
+    * (~a few hundred bytes/row ⇒ tens of MB at the default). */
+  private[graft] val DefaultMaxSortBuffer = 1 << 16
+
   // ------------------------------------------------- bound runtime
 
   /** One bound per-row expression with its result type. */
@@ -127,7 +203,9 @@ object JsStreamStepper {
       // --- emit mode (stateful emitted() streaming, r15) ------------
       val postSlots: Array[Int] = Array.empty, // POST-value slot (-1)
       val letStagesPost: Array[(Int, Slot)] = Array.empty,
-      val emitFn: RowExec.RowFn = null // the emissions-array expression
+      val emitFn: RowExec.RowFn = null, // the emissions-array expression
+      // per-key in-memory sort bound before spilling runs (sortedByPos)
+      val maxSortBuffer: Int = DefaultMaxSortBuffer
     ) extends Serializable {
 
     // --- pre values from state (the window reconstructions) ---------
@@ -193,14 +271,14 @@ object JsStreamStepper {
         state: GroupState[Array[Byte]]): Iterator[(String, String)] = {
       val sts = state.getOption.map(deserialize)
         .getOrElse(newStates(fields.toIndexedSeq))
-      // the per-key buffer+sort is unavoidable: flatMapGroupsWithState
-      // orders its child by the GROUPING KEY only (no sorted-groups
-      // variant exists for it), and the fold is order-sensitive. The
-      // buffer is bounded by one key's slice of ONE micro-batch — sized
-      // by trigger admission (maxFilesPerTrigger), not by corpus or
-      // state size — so a hot key costs memory proportional to its
-      // per-batch arrival rate, never its history.
-      val sorted = rows.toArray.sortBy(_.getLong(posIdx))
+      // the per-key SORT is unavoidable: flatMapGroupsWithState orders
+      // its child by the GROUPING KEY only (no sorted-groups variant
+      // exists for it; a plan-level sortWithinPartitions is rejected on
+      // streaming frames), and the fold is order-sensitive. The BUFFER
+      // is bounded (r16): sortedByPos holds at most maxSortBuffer rows
+      // on the heap and spills sorted runs past it, so a hot key in a
+      // large trigger costs flat memory, not its per-batch arrival rate.
+      val sorted = sortedByPos(rows, posIdx, maxSortBuffer)
       val ext = new GenericInternalRow(extSize)
       val joined = new JoinedRow()
       sorted.foreach { row =>
@@ -258,7 +336,7 @@ object JsStreamStepper {
         state: GroupState[Array[Byte]]): Iterator[graft.projections.Emitted] = {
       val sts = state.getOption.map(deserialize)
         .getOrElse(newStates(fields.toIndexedSeq))
-      val sorted = rows.toArray.sortBy(_.getLong(posIdx))
+      val sorted = sortedByPos(rows, posIdx, maxSortBuffer) // bounded (r16)
       val ext = new GenericInternalRow(extSize)
       val joined = new JoinedRow()
       val out = mutable.ArrayBuffer.empty[graft.projections.Emitted]
@@ -695,7 +773,9 @@ object JsStreamStepper {
       renderFn, aggIdx, aggSchema.map(_.dataType).toArray,
       prepSchema.fieldIndex("log_position"), RowExec.toInternal(prepSchema),
       postSlots = postSlots, letStagesPost = letStagesPost.toArray,
-      emitFn = emitFn)
+      emitFn = emitFn,
+      maxSortBuffer = spark.conf
+        .get("spark.graft.stepper.maxSortBuffer", DefaultMaxSortBuffer.toString).toInt)
 
     (prep, rt, prepSchema.fieldIndex(Key))
   }

@@ -38,6 +38,46 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Adaptive scan fanout for CPU-heavy narrow pipelines over the
+    * text/vector corpora: when the parquet layout yields fewer scan tasks
+    * than the session has cores AND the table is small enough that a
+    * shuffle of it is cheap, round-robin repartition to
+    * `defaultParallelism` so the CPU-heavy narrow operators above the
+    * scan (tokenizers, window-hash censuses, quantizers, per-row text
+    * analysis — this engine's dominant per-byte cost) use the whole
+    * machine instead of one task per row group. The driver testdata is
+    * ONE row group per file, so without this every narrow
+    * document/embedding pipeline runs serial regardless of core count
+    * (measured: bpe_tokenize 1.15 s → 0.36 s at sf0.1/32 cores;
+    * FanoutProbe). Scale-adaptive by construction: a production-sized
+    * table has many splits (parts >= cores → no-op) or exceeds
+    * `spark.graft.fanout.maxBytes` (default 1g → no-op), so nothing is
+    * ever shuffled at 100 TB — the degenerate case this fixes is a
+    * single-row-group local layout. Round-robin keeps sizes even under
+    * skewed document lengths; Spark's sort-before-repartition makes the
+    * assignment deterministic under retries. Disable with
+    * `spark.graft.fanout.enabled=false`.
+    *
+    * Applied PER QUERY (not inside the readers): plans that re-scan the
+    * table many times with tiny pushed-down subsets and many small
+    * broadcast builds pay one extra exchange + AQE stage per scan and
+    * get nothing back — measured: perplexity_bucket (52 scans after
+    * subtree duplication) 2.3 s → 4.6 s under a blanket reader-level
+    * fanout, while single-scan CPU-heavy queries win 2-3×. Filters still
+    * push below the round-robin exchange into the parquet scan
+    * (PushedFilters verified in plans/r16). */
+  def fanout(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.get("spark.graft.fanout.enabled", "true") != "true") return df
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) return df
+    val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.graft.fanout.maxBytes", "1g"))
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      df.repartition(cores)
+    else df
+  }
+
   /** `events.parquet` stores ts as parquet TIMESTAMP(MICROS); read it
     * natively as TimestampType — the same representation DuckDB's oracle
     * reads, so both engines see identical µs instants. The explicit schema
@@ -152,6 +192,13 @@ object Tables {
       while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
       acc.set(h)
     }
+    // The TRAVERSAL itself can also throw (UncheckedIOException when a
+    // subdirectory vanishes between listing and descent — the same
+    // concurrent-regeneration scenario the per-file guard covers): fold
+    // a walk-failed marker instead of failing the caller's query, so a
+    // mid-rewrite walk degrades to a CHANGED fingerprint rather than an
+    // exception (the nanoTime in the marker keeps retries distinct).
+    try {
     val stream = Files.walk(p)
     try stream.sorted().forEach { f =>
       // a file may vanish between the walk and the stat (a probe
@@ -165,6 +212,10 @@ object Tables {
         }
       } catch { case _: java.io.IOException => mix(f.toString + "gone") }
     } finally stream.close()
+    } catch {
+      case e @ (_: java.io.UncheckedIOException | _: java.io.IOException) =>
+        mix("walk-failed:" + e.getMessage + ":" + System.nanoTime())
+    }
     acc.get()
   }
 

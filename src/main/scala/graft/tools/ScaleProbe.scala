@@ -171,6 +171,14 @@ object ScaleProbe {
     val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", "64").toInt
     val spark = graft.GraftSession.create(master = "local[32]", shufflePartitions = parts)
     spark.sparkContext.setLogLevel("WARN")
+    // the probe dirs are written as 8 files per table, so Tables.fanout's
+    // gate (scan parts < cores) stays true at every multiplier; holding
+    // the byte ceiling at the 1g local default would turn the fanout OFF
+    // between x100 (0.6 GB) and x300 (1.7 GB) and put a layout artifact
+    // into the fitted exponent — a real deployment's scan parallelism
+    // grows with the data. Overridable per run.
+    spark.conf.set("spark.graft.fanout.maxBytes",
+      sys.env.getOrElse("SPARK_GRAFT_FANOUT_MAX", "8g"))
 
     mults.foreach { m =>
       val t0 = System.nanoTime()
