@@ -186,10 +186,13 @@ object Bench {
     // comparison. Written only when cwd actually IS the project root
     // (build.sbt present) — run from anywhere else this must not scatter
     // stray files.
-    // ... and only for the standard sf0.1 corpus: ad-hoc runs against a
-    // scaled or synthetic dir must not masquerade as the round baseline
+    // ... and only for the standard sf0.1 corpus AT THE STANDARD 32 cores:
+    // ad-hoc runs against a scaled/synthetic dir — or the driver's
+    // reduced-core scaling passes (SPARK_GRAFT_CPUS < 32 runs are FASTER
+    // at sf0.1, overhead-bound) — must not masquerade as the round
+    // baseline
     val inRepoOut =
-      if (args.isEmpty && sfDir == "/root/testdata/sf0.1" &&
+      if (args.isEmpty && sfDir == "/root/testdata/sf0.1" && cpus == "32" &&
           java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
         Seq("BENCH_LOCAL.json")
       else Seq.empty

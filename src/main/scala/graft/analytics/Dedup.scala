@@ -173,6 +173,18 @@ object Dedup {
     * candidates iff they agree on all rows of at least one band. The
     * signature + band keys are computed per-row; the only shuffles are the
     * bucket self-join and the verification id-joins. */
+  /** 128-bit band key over a band's signature slice — two independent
+    * XXH64 passes (salt-first on the second, the [[winKey]] scheme),
+    * replacing a comma-joined decimal string: the self-join's shuffle
+    * key drops from ~40-80 variable bytes to 16 fixed, with no string
+    * rendering per (doc, band). Result-safe by construction: slice
+    * equality ⇒ key equality (no lost candidates), and a hash collision
+    * only ADDS a candidate pair that the exact-Jaccard verification
+    * filters — expected extra-surviving-pair count is ~K²/2^128 over K
+    * distinct band keys, the repo's accepted winKey trade. */
+  private def bandKey(cols: Seq[Column]): Column =
+    struct(xxhash64(cols: _*).as("h1"), xxhash64((lit(1L) +: cols): _*).as("h2"))
+
   def minhashLshPairs(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
@@ -180,7 +192,7 @@ object Dedup {
     val sig = graft.QueryCaches.track(minhashSigArrays(docs, k, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bandKeyArr = array((0 until bands).map { b =>
-      concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r)): _*)
+      bandKey((0 until rows).map(r => col("sig")(b * rows + r)))
     }: _*)
     val bandKeys = sig.select(col("id"),
       posexplode(bandKeyArr).as(Seq("band", "band_key")))
@@ -215,8 +227,10 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     def bandKeysOf(sig: DataFrame) = {
+      // same 128-bit [[bandKey]] as the one-shot self-join (exact-verified
+      // downstream, so the hashing is result-safe there too)
       val bandKeyArr = array((0 until bands).map { b =>
-        concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r)): _*)
+        bandKey((0 until rows).map(r => col("sig")(b * rows + r)))
       }: _*)
       sig.select(col("id"), posexplode(bandKeyArr).as(Seq("band", "band_key")))
     }

@@ -104,7 +104,7 @@ object ScaleProbe {
         (col("doc_id") + i * 10000000L).as("doc_id"),
         translate(col("text"), from, to).as("text"),
         col("lang"), col("source"), col("n_chars"))
-    }.repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     // embeddings: diagonal ±1 per (dim, replica) — orthogonal, norm-preserving
     val emb = Tables.embeddings(spark, srcDir)
@@ -115,7 +115,7 @@ object ScaleProbe {
           s"transform(embedding, (x, d) -> CAST(x * (1 - 2 * (abs(hash(d, $i)) % 2)) AS FLOAT))")
       b.select((col("vec_id") + i * 10000000L).as("vec_id"),
         vec.as("embedding"), col("label"))
-    }.repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }.repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
     // events: shifted user_id multiplies the stream count; shifted event_id
     // keeps the global position a total order
@@ -124,7 +124,7 @@ object ScaleProbe {
       b.select((col("event_id") + i * 10000000000L).as("event_id"),
         col("ts"), (col("user_id") + i * 1000000L).as("user_id"),
         col("event_type"), col("value"), col("props"))
-    }.repartition(8).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }.repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     copyTables.foreach { t =>
       val dst = Paths.get(s"$dir/$t.parquet")
@@ -171,14 +171,16 @@ object ScaleProbe {
     val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", "64").toInt
     val spark = graft.GraftSession.create(master = "local[32]", shufflePartitions = parts)
     spark.sparkContext.setLogLevel("WARN")
-    // the probe dirs are written as 8 files per table, so Tables.fanout's
-    // gate (scan parts < cores) stays true at every multiplier; holding
-    // the byte ceiling at the 1g local default would turn the fanout OFF
-    // between x100 (0.6 GB) and x300 (1.7 GB) and put a layout artifact
-    // into the fitted exponent — a real deployment's scan parallelism
-    // grows with the data. Overridable per run.
-    spark.conf.set("spark.graft.fanout.maxBytes",
-      sys.env.getOrElse("SPARK_GRAFT_FANOUT_MAX", "8g"))
+    // the probe dirs are written 32 files per table (the header's scale
+    // model: a real deployment's scan parallelism grows with the data),
+    // so Tables.fanout's gate (scan parts < cores) is FALSE at every
+    // multiplier and the probe measures the engine, not the small-layout
+    // rescue shuffle. The r16 first soak wrote 8 files and raised the
+    // fanout ceiling to 8g instead: at x300 that turned every fanned doc
+    // row into a 1.7 GB round-robin shuffle (plus its determinism sort
+    // over multi-KB text rows) and read as slope ~2.0 on bpe/chunk rows
+    // where the plain-read sibling (dedup_substring) measured 0.96 —
+    // an instrument artifact, not engine behavior.
 
     mults.foreach { m =>
       val t0 = System.nanoTime()
