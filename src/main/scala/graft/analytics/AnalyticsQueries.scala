@@ -188,14 +188,12 @@ object AnalyticsQueries extends QueryModule {
     * Near-identical lookups (the contamination checks this index
     * serves) collide at ANY plane count — identical vectors share every
     * signature — so the tighter buckets cost nothing where it matters. */
-  private val embPlanesCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Int]
+  private val embPlanesCache = new Tables.FingerprintMemo[Int]
   private def embPlanes(s: SparkSession, d: String): Int =
-    // keyed on (dir, file fingerprint): a corpus regenerated at the same
+    // fingerprint-invalidated per dir: a corpus regenerated at the same
     // path mid-JVM re-derives its geometry instead of serving a stale
     // plane count the oracle's live count(*) recompute would contradict
-    embPlanesCache.getOrElseUpdate(
-      (d, Tables.dirFingerprint(s"$d/embeddings.parquet")),
+    embPlanesCache.getOrElseUpdate(d, s"$d/embeddings.parquet")(
       Similarity.autoPlanes(Tables.embeddings(s, d).count(), targetBucket = 256L))
 
   /** The serving indexer at the geometry a growing corpus actually needs
@@ -426,17 +424,13 @@ object AnalyticsQueries extends QueryModule {
     * per sf dir (memoized; TempDirs-cleaned); results identical to the
     * inline form by [[SimilarityIndex]]'s spec-pinned contract, so the
     * oracle SQL is the same dynamic-geometry replay. */
-  private val ivfIndexDirs =
-    scala.collection.mutable.HashMap.empty[(String, Long), String]
+  private val ivfIndexDirs = new Tables.FingerprintMemo[String]
   private def ivfIndexDir(s: SparkSession, d: String): String =
-    ivfIndexDirs.synchronized {
-      // (dir, fingerprint) key: a regenerated corpus rebuilds its index
-      ivfIndexDirs.getOrElseUpdate(
-        (d, Tables.dirFingerprint(s"$d/embeddings.parquet")), {
-          val dir = graft.TempDirs.create("graft_ivf_index")
-          SimilarityIndex.saveIvf(Tables.embeddings(s, d), dir)
-          dir
-        })
+    // fingerprint-invalidated: a regenerated corpus rebuilds its index
+    ivfIndexDirs.getOrElseUpdate(d, s"$d/embeddings.parquet") {
+      val dir = graft.TempDirs.create("graft_ivf_index")
+      SimilarityIndex.saveIvf(Tables.embeddings(s, d), dir)
+      dir
     }
   private def annIndexIvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)

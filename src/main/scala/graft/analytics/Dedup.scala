@@ -70,9 +70,19 @@ object Dedup {
     // set sizes ride along as join/grouping keys (functionally dependent on
     // id), so no separate size table and no post-aggregation joins; persist
     // the exploded index feeding both sides of the self-join (at warehouse
-    // scale this is a checkpointed intermediate table)
+    // scale this is a checkpointed intermediate table).
+    // The raw shingle STRING (~20-40 variable bytes of n-gram text) is
+    // replaced as the index/join/grouping key by the 16-byte 128-bit
+    // [[winKey]] hash pair (r17; VERDICT r16 #4 — §2.3 shuffle narrower
+    // keys): the self-join's exchange and the cached index both shrink,
+    // and key comparisons become fixed-width integer pairs. Result-safe
+    // on the winKey trade: shingles are DISTINCT per document, so a
+    // 128-bit collision between two different shingles can only inflate
+    // one pair's `common` count, expected ~K²/2¹²⁸ over K distinct
+    // shingles — the same accepted odds as the substring census keys.
     val idx0 = graft.QueryCaches.track(shingleSets(docs, textCol, idCol, n)
-      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+      .select(col("id"), size(col("sh")).as("sz"),
+        explode(transform(col("sh"), s => winKey(s))).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val idx =
       if (maxDocFreq <= 0) idx0
@@ -410,15 +420,70 @@ object Dedup {
   private val winKeyType = "struct<h1:bigint,h2:bigint>"
   private val winKeyArrayType = s"array<$winKeyType>"
 
+  /** Scale-adaptive partition count for the census window exchange of the
+    * substring-removal family (guide §2.2 / §5; r17 — VERDICT r16 #1).
+    * The `count(*) over (partition by h)` census sorts the ENTIRE window
+    * census by h; with a fixed shuffle-partition count each task's sort
+    * state grows linearly with the corpus, and the ×300 soak measured a
+    * memory band (spill thrash, exponent 1.57) once per-task census
+    * slices outgrew execution memory. Derive the exchange width from the
+    * corpus plan's size estimate instead: one ~56-byte unsafe (id, i, h)
+    * row per ~6-char token over ~2.5×-compressed parquet ≈ 20× the scan
+    * bytes, targeted at `spark.graft.census.partitionBytes` (default 32m)
+    * per task. Returns None (leave the session default) whenever the
+    * estimate does not EXCEED the session's shuffle partitions — at bench
+    * SF the plan is bit-identical to r16 — and caps at 4096 so a
+    * mis-estimate cannot explode the task count. Disable with
+    * `spark.graft.census.scaleParts=false`. */
+  private def censusPartitions(docs: DataFrame): Option[Int] = {
+    val spark = docs.sparkSession
+    if (spark.conf.get("spark.graft.census.scaleParts", "true") != "true")
+      return None
+    val target = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.graft.census.partitionBytes", "32m"))
+    val scanBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = scanBytes * 20 / math.max(target, 1L)
+    val cur = spark.sessionState.conf.numShufflePartitions
+    if (est <= cur) None else Some(est.min(BigInt(4096)).toInt)
+  }
+
+  /** Caller-owned window-hash census — the shared intermediate of the
+    * substring family (r17; VERDICT r16 #3): one (id, i, h) row per
+    * k-token window (i = 1-based start, h = the 128-bit [[winKey]]), plus
+    * one (id, null, null) row per zero-window document (explode_outer) so
+    * short/null-text docs stay representable. [[substringDupStats]],
+    * [[substringDupRemove]] and [[substringDupRemoveSpans]] all accept it
+    * via their `census` parameter: a pipeline running several family
+    * members over one corpus builds (and typically persists +
+    * QueryCaches-tracks) the census ONCE instead of paying the scan +
+    * tokenize + window build per operator — the serving-index train-once
+    * pattern. Callers own the persist/release lifecycle, exactly like
+    * [[SimilarityIndex]] handles. */
+  def substringCensus(docs: DataFrame, k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      bindOnce(tokens(col(textCol)), { w =>
+        when(size(w) >= k,
+          transform(sequence(lit(1), size(w) - (k - 1)),
+            i => struct(i.as("i"), winKey(slice(w, i, lit(k))).as("h"))))
+          .otherwise(array().cast(s"array<struct<i:int,h:$winKeyType>>"))
+      }).as("ws"))
+      .select(col("id"), explode_outer(col("ws")).as("x"))
+      .select(col("id"), col("x.i").as("i"), col("x.h").as("h"))
+
   def substringDupStats(docs: DataFrame, k: Int = 8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      census: Option[DataFrame] = None): DataFrame = {
     // The token array is LET-BOUND (bindOnce): after projection collapse
     // a bare column reference would inline the split into the window
     // lambda and re-tokenize the text once per window — quadratic per doc.
     // explode_outer keeps zero-window docs (short or null text) in the
     // flow as a single null-h row, so no second scan of `docs` is needed
     // for the per-doc window count.
-    val occ = docs
+    // A caller-owned census (see [[substringCensus]]) substitutes for the
+    // whole scan + tokenize + window build; its null-i/null-h rows are
+    // exactly this path's explode_outer null-h rows.
+    val occ = census.map(_.select(col("id"), col("h"))).getOrElse(docs
       .select(col(idCol).as("id"),
         bindOnce(tokens(col(textCol)), { w =>
           when(size(w) >= k,
@@ -426,7 +491,7 @@ object Dedup {
               i => winKey(slice(w, i, lit(k)))))
             .otherwise(array().cast(winKeyArrayType))
         }).as("wh"))
-      .select(col("id"), explode_outer(col("wh")).as("h"))
+      .select(col("id"), explode_outer(col("wh")).as("h")))
     // Occurrences counted WITH multiplicity: a window repeated inside one
     // document is duplicated text too (the paper's within-doc case).
     //
@@ -485,27 +550,34 @@ object Dedup {
             element_at(b, j + 1) - element_at(b, j) - 1))), " ")))
 
   def substringDupRemove(docs: DataFrame, k: Int = 8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      census: Option[DataFrame] = None): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
     // Token array let-bound (bindOnce) — see substringDupStats: a bare
     // reference would re-tokenize the text once per window after
-    // projection collapse.
-    val wins = docs.select(col(idCol).as("id"),
-      bindOnce(tokens(col(textCol)), { w =>
-        when(size(w) >= k,
-          transform(sequence(lit(1), size(w) - (k - 1)),
-            i => struct(i.as("i"), winKey(slice(w, i, lit(k))).as("h"))))
-          .otherwise(array().cast(s"array<struct<i:int,h:$winKeyType>>"))
-      }).as("ws"))
+    // projection collapse. A caller-owned census substitutes for the
+    // build; dropping its null-h marker rows (zero-window docs) restores
+    // this path's plain-explode row set exactly.
+    val wins = census.map(_.where(col("h").isNotNull)).getOrElse(
+      docs.select(col(idCol).as("id"),
+        bindOnce(tokens(col(textCol)), { w =>
+          when(size(w) >= k,
+            transform(sequence(lit(1), size(w) - (k - 1)),
+              i => struct(i.as("i"), winKey(slice(w, i, lit(k))).as("h"))))
+            .otherwise(array().cast(s"array<struct<i:int,h:$winKeyType>>"))
+        }).as("ws"))
       .select(col("id"), explode(col("ws")).as("x"))
-      .select(col("id"), col("x.i").as("i"), col("x.h").as("h"))
+      .select(col("id"), col("x.i").as("i"), col("x.h").as("h")))
     // The census is a count-over-window by h, NOT a groupBy + self-join:
     // a join would evaluate the scan + window build once per side (column
     // pruning specializes the two subtrees, so the exchange cannot be
     // reused), while the window computes occurrence counts in the same
     // single pass that carries the positions — one scan, one exchange.
+    // The exchange feeding it is scale-adaptively sized (censusPartitions)
+    // so per-task sort state stays bounded as the corpus grows.
     val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val covered = wins
+    val covered = censusPartitions(docs).map(n => wins.repartition(n, col("h")))
+      .getOrElse(wins)
       .withColumn("cnt", count(lit(1)).over(byH))
       .where(col("cnt") > 1)
       .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
@@ -552,22 +624,27 @@ object Dedup {
     * fixed-k coverage. Returns (id, n_tokens, n_removed, text_clean). */
   def substringDupRemoveSpans(docs: DataFrame, k: Int = 8, minLen: Int = 20,
       textCol: String = "text", idCol: String = "doc_id",
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      census: Option[DataFrame] = None): DataFrame = {
     require(minLen >= k, s"minLen=$minLen must be >= k=$k")
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
     // same let-bound window build as substringDupRemove (see there for
-    // the inlining trap) and the same count-over-window census
-    val wins = docs.select(col(idCol).as("id"),
-      bindOnce(tokens(col(textCol)), { w =>
-        when(size(w) >= k,
-          transform(sequence(lit(1), size(w) - (k - 1)),
-            i => struct(i.as("i"), winKey(slice(w, i, lit(k))).as("h"))))
-          .otherwise(array().cast(s"array<struct<i:int,h:$winKeyType>>"))
-      }).as("ws"))
+    // the inlining trap), the same count-over-window census with the same
+    // scale-adaptive exchange sizing, and the same caller-owned census
+    // substitution
+    val wins = census.map(_.where(col("h").isNotNull)).getOrElse(
+      docs.select(col(idCol).as("id"),
+        bindOnce(tokens(col(textCol)), { w =>
+          when(size(w) >= k,
+            transform(sequence(lit(1), size(w) - (k - 1)),
+              i => struct(i.as("i"), winKey(slice(w, i, lit(k))).as("h"))))
+            .otherwise(array().cast(s"array<struct<i:int,h:$winKeyType>>"))
+        }).as("ws"))
       .select(col("id"), explode(col("ws")).as("x"))
-      .select(col("id"), col("x.i").as("i"), col("x.h").as("h"))
+      .select(col("id"), col("x.i").as("i"), col("x.h").as("h")))
     val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val dupStarts = wins
+    val dupStarts = censusPartitions(docs).map(n => wins.repartition(n, col("h")))
+      .getOrElse(wins)
       .withColumn("cnt", count(lit(1)).over(byH))
       .where(col("cnt") > 1)
       .select(col("id"), col("i"))

@@ -31,13 +31,10 @@ object RedactionQueries extends QueryModule {
     * pure function of the input data, so a regenerated events table at
     * the same path re-ingests instead of serving the stale store.
     * TempDirs' shutdown hook bounds the temp dirs to the JVM run. */
-  private val prepared =
-    scala.collection.mutable.HashMap.empty[(String, Long), String]
+  private val prepared = new Tables.FingerprintMemo[String]
 
   private def preparedDir(s: SparkSession, d: String): String =
-    prepared.synchronized {
-      prepared.getOrElseUpdate(
-        (d, Tables.dirFingerprint(s"$d/events.parquet")), {
+    prepared.getOrElseUpdate(d, s"$d/events.parquet") {
         val dir = graft.TempDirs.create("graft_redact")
         val store = new EventLogStore(s, dir)
         val slice = Tables.eventLog(s, d)
@@ -50,7 +47,6 @@ object RedactionQueries extends QueryModule {
         store.appendBulk(slice, orderBy = Seq("_seq"))
         Redactions.foreach { case (sid, en) => store.redact(sid, en) }
         dir
-      })
     }
 
   /** S5-adjacent: positional read of streams containing redacted events —

@@ -105,8 +105,22 @@ object JsStreamStepper {
     * these rows' state) and a loser-tree-free k-way merge streams them
     * back in position order. Ties (impossible for real log positions,
     * which are unique) break toward the earlier-arrived run, matching
-    * the old stable sortBy. Spill files delete on consumption and on
-    * JVM exit. */
+    * the old stable sortBy. Spill files delete on consumption, with a
+    * task-completion hook covering abandoned merges; the writer resets
+    * the object stream every [[SpillResetEvery]] rows so neither side's
+    * serialization handle table re-accumulates the slice on the heap. */
+  /** Handle-table flush cadence for spill-run object streams: the writer
+    * calls oos.reset() every this many rows. Java serialization's handle
+    * table otherwise strongly retains EVERY object written/read on the
+    * stream until close — on the read side that re-accumulated the whole
+    * key slice on the heap during the k-way merge, defeating the bounded-
+    * memory purpose exactly when it spilled (r16 ADVICE). The TC_RESET
+    * token also clears the READER's table, so merge-phase memory is
+    * O(maxBuffer + runs × ResetEvery). Kept well above 1 so shared
+    * metadata (row schemas) is still back-referenced within a block
+    * instead of re-serialized per row. */
+  private[graft] val SpillResetEvery = 512
+
   private[graft] def sortedByPos(rows: Iterator[Row], posIdx: Int,
       maxBuffer: Int): Iterator[Row] = {
     val ord = Ordering.by[Row, Long](_.getLong(posIdx))
@@ -116,11 +130,16 @@ object JsStreamStepper {
       val arr = buf.toArray
       java.util.Arrays.sort(arr, ord)
       val f = java.io.File.createTempFile("graft-stepper-sort", ".bin")
-      f.deleteOnExit()
       val oos = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(f)))
-      try { oos.writeInt(arr.length); arr.foreach(oos.writeObject) }
-      finally oos.close()
+      try {
+        oos.writeInt(arr.length)
+        var i = 0
+        while (i < arr.length) {
+          oos.writeObject(arr(i)); i += 1
+          if (i % SpillResetEvery == 0) oos.reset()
+        }
+      } finally oos.close()
       spills :+= f
       buf.clear()
     }
@@ -142,9 +161,20 @@ object JsStreamStepper {
         advance()
         def advance(): Unit =
           if (remaining > 0) { head = ois.readObject().asInstanceOf[Row]; remaining -= 1 }
-          else { head = null; ois.close(); f.delete() }
+          else { head = null; close() }
+        def close(): Unit = { try ois.close() catch { case _: Throwable => () }; f.delete() }
       }
       val runs = spills.zipWithIndex.map { case (f, i) => new Run(f, i) }
+      // An iterator abandoned mid-merge (downstream exception / early
+      // termination) must not leak open handles + spill files until JVM
+      // exit (the former deleteOnExit also pinned one registry entry per
+      // file for the JVM lifetime — r16 ADVICE): a task-completion hook
+      // closes/deletes whatever the merge has not consumed. Outside a
+      // task (unit tests) the consumed-path delete in advance() covers
+      // the normal case and abandonment is test-process-scoped.
+      Option(org.apache.spark.TaskContext.get()).foreach(tc =>
+        tc.addTaskCompletionListener[Unit](_ =>
+          runs.foreach(r => if (r.head != null) r.close())))
       // (pos, run index): earlier run wins ties — the stable-sort order
       val pq = new java.util.PriorityQueue[Run](runs.size,
         Ordering.by[Run, (Long, Int)](r => (r.head.getLong(posIdx), r.idx)))

@@ -664,6 +664,36 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out(6L) == ((12L, "q1 q2")))
   }
 
+  test("substring family: a caller-owned shared census yields bit-identical " +
+    "results to each operator's internal build (r17 shared-census handle)") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5"),
+      (2L, "x t1 t2 t3 t4 y"),
+      (3L, "z1 z2 z3 z4"),
+      (4L, "r1 r2 r3 r4 r1 r2 r3 r4"),
+      (5L, "short doc")
+    ).toDF("doc_id", "text")
+    val census = Dedup.substringCensus(docs, k = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.orderBy("id").collect().map(_.toString).toSeq
+      assert(rows(Dedup.substringDupStats(docs, k = 4, census = Some(census)))
+        == rows(Dedup.substringDupStats(docs, k = 4)))
+      assert(rows(Dedup.substringDupRemove(docs, k = 4, census = Some(census)))
+        == rows(Dedup.substringDupRemove(docs, k = 4)))
+      assert(rows(Dedup.substringDupRemoveSpans(docs, k = 4, minLen = 4,
+          census = Some(census)))
+        == rows(Dedup.substringDupRemoveSpans(docs, k = 4, minLen = 4)))
+      // strict mode consumes the census on two extra join sides
+      assert(rows(Dedup.substringDupRemoveSpans(docs, k = 4, minLen = 4,
+          strict = true, census = Some(census)))
+        == rows(Dedup.substringDupRemoveSpans(docs, k = 4, minLen = 4,
+          strict = true)))
+    } finally census.unpersist()
+  }
+
   test("substringDupRemoveSpans strict mode: a planted chimera run is kept; " +
     "single-source runs still cut") {
     val s = spark; import s.implicits._

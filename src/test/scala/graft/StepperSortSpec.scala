@@ -48,4 +48,21 @@ class StepperSortSpec extends AnyFunSuite {
       Iterator.single(row(7, "x")), 1, 1))
     assert(one == Seq((7L, "x")))
   }
+
+  test("runs longer than the reset cadence stay ordered; spill files are " +
+      "deleted on consumption (r17 stream-reset + cleanup)") {
+    // runs of 1500 rows cross the SpillResetEvery=512 boundary twice each,
+    // so the TC_RESET framing is exercised mid-run on both stream sides
+    assert(JsStreamStepper.SpillResetEvery < 1500)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def spillFiles(): Set[String] = tmp.listFiles()
+      .filter(_.getName.startsWith("graft-stepper-sort")).map(_.getName).toSet
+    val before = spillFiles()
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((0L until 12000L).toVector).map(p => row(p, s"e$p"))
+    val spilled = positions(
+      JsStreamStepper.sortedByPos(rows.iterator, 1, maxBuffer = 1500))
+    assert(spilled.map(_._1) == (0L until 12000L))
+    assert(spillFiles() == before, "spill files must be deleted once consumed")
+  }
 }
