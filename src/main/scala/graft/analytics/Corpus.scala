@@ -657,8 +657,27 @@ object Corpus {
   def perplexityScore(docs: DataFrame, train: DataFrame, vocab: Int = 2000,
       lambda: Double = 0.9, alpha: Double = 1.0,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Model-table caching is SIZE-GATED (measured r17, isolated best-of-2
+    // ×2 runs each): the persist's fixed materialization-job overhead
+    // costs ~1-2 s flat, while the 52-rescan plan it removes costs
+    // proportionally to the CORPUS (the train slice's pushdown prunes
+    // nothing on a shuffled layout, so every model-subtree rescan reads
+    // the full table). Crossover sits between ×100 and ×300 of sf0.1:
+    // ×100 uncached 13.5/15.7 s vs cached 16.5/16.8; ×300 uncached
+    // 40.9/36.7 s vs cached 27.7/30.0. Below the gate the plan is
+    // bit-identical to the un-cached r16 shape.
+    val cacheConf =
+      docs.sparkSession.conf.get("spark.graft.perplexity.cacheModel", "auto")
+    val minBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      docs.sparkSession.conf.get(
+        "spark.graft.perplexity.cacheModelMinBytes", "128m"))
+    val cacheModel = cacheConf match {
+      case "auto" =>
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+      case v => v == "true"
+    }
     val scored = perplexityScoresImpl(docs, train, vocab, lambda, alpha,
-      textCol, idCol, cacheModel = true)
+      textCol, idCol, cacheModel = cacheModel)
     // cutoffs rounded to 6 dp so both engines bucket rows against the
     // same literal (interpolated quantiles land ≥ gap/3 away from either
     // neighbouring 6-dp score, so ulp-level engine drift cannot cross a

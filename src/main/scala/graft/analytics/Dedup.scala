@@ -71,18 +71,22 @@ object Dedup {
     // id), so no separate size table and no post-aggregation joins; persist
     // the exploded index feeding both sides of the self-join (at warehouse
     // scale this is a checkpointed intermediate table).
-    // The raw shingle STRING (~20-40 variable bytes of n-gram text) is
-    // replaced as the index/join/grouping key by the 16-byte 128-bit
-    // [[winKey]] hash pair (r17; VERDICT r16 #4 — §2.3 shuffle narrower
-    // keys): the self-join's exchange and the cached index both shrink,
-    // and key comparisons become fixed-width integer pairs. Result-safe
-    // on the winKey trade: shingles are DISTINCT per document, so a
-    // 128-bit collision between two different shingles can only inflate
-    // one pair's `common` count, expected ~K²/2¹²⁸ over K distinct
-    // shingles — the same accepted odds as the substring census keys.
+    //
+    // MEASURED NEGATIVE (r17; VERDICT r16 #4): replacing the shingle
+    // STRING key with the 16-byte 128-bit winKey hash pair — the trade
+    // that won for MinHash band keys and the substring census —
+    // INCREASED the self-join's shuffle: 21.7 → 23.8 MB written at sf0.1
+    // (bench diag), timing neutral-to-worse. Default-n word shingles are
+    // short (~20 chars) and HIGHLY compressible (shared vocabulary
+    // across rows), while hashes are incompressible and a nested struct
+    // costs ~32 B/row in UnsafeRow (offset+size word, 8-byte-aligned
+    // payload, its own null bits) vs ~28 B for the string — so the
+    // narrower-key lever (guide §2.3) loses post-compression here. The
+    // string key stays; hash keys only pay off for LONG slices (the
+    // k=8-token census windows) or keys already numeric (winnow's
+    // hash60 fingerprints).
     val idx0 = graft.QueryCaches.track(shingleSets(docs, textCol, idCol, n)
-      .select(col("id"), size(col("sh")).as("sz"),
-        explode(transform(col("sh"), s => winKey(s))).as("shingle"))
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val idx =
       if (maxDocFreq <= 0) idx0
@@ -406,19 +410,26 @@ object Dedup {
     * — equi-join back to the window index, and ONE shuffle re-aggregates
     * per document. Everything is linear in total token count; nothing is
     * ever pairwise. */
-  /** 128-bit window fingerprint for the substring census: two independent
-    * XXH64 passes over the token-array slice, the second with the salt
-    * column FIRST so it perturbs the seed chain before the slice is
-    * hashed — `xxhash64(sl, salt)` would make h2 a deterministic function
-    * of h1 (any h1 collision is an h2 collision, collapsing the pair back
-    * to 64 bits). Replaces an md5-hex key: no per-window string concat,
-    * and the shuffle/join key is 16 bytes instead of a 32-char string.
-    * 64 bits alone would collide at 100 TB scale (~10^12 windows → ~10^4
-    * expected collisions); the independent pair pushes that to ~2^-40. */
-  private def winKey(sl: Column): Column =
-    struct(xxhash64(sl).as("h1"), xxhash64(lit(1L), sl).as("h2"))
-  private val winKeyType = "struct<h1:bigint,h2:bigint>"
-  private val winKeyArrayType = s"array<$winKeyType>"
+  /** The census window keys are the compiled
+    * [[graft.functions.WindowHashes]] expression (r17): one codegen'd
+    * pass per document emitting (i, h1, h2) per k-token window. The r16
+    * higher-order-function form (`transform(sequence(...), i ->
+    * xxhash64(slice(w, i, k)))`) was CodegenFallback — every window paid
+    * an interpreted expression-tree walk and re-hashed each token's
+    * bytes once per covering window; the ×300 stage diag attributed 59%
+    * of dedup_substring_remove's wall clock to that map stage. The key
+    * pair is FLAT (two bigint columns, not a struct): ~16 B of key per
+    * census row through every downstream exchange instead of a pointered
+    * struct (the ngram measurement above shows why that matters). */
+  private def windowCensusOf(docs: DataFrame, k: Int,
+      textCol: String, idCol: String, outer: Boolean): DataFrame = {
+    val ws = graft.functions.WindowHashes(tokens(col(textCol)), k)
+    val exploded =
+      if (outer) explode_outer(ws) else explode(ws)
+    docs.select(col(idCol).as("id"), exploded.as("x"))
+      .select(col("id"), col("x.i").as("i"),
+        col("x.h1").as("h1"), col("x.h2").as("h2"))
+  }
 
   /** Scale-adaptive partition count for the census window exchange of the
     * substring-removal family (guide §2.2 / §5; r17 — VERDICT r16 #1).
@@ -448,9 +459,9 @@ object Dedup {
   }
 
   /** Caller-owned window-hash census — the shared intermediate of the
-    * substring family (r17; VERDICT r16 #3): one (id, i, h) row per
-    * k-token window (i = 1-based start, h = the 128-bit [[winKey]]), plus
-    * one (id, null, null) row per zero-window document (explode_outer) so
+    * substring family (r17; VERDICT r16 #3): one (id, i, h1, h2) row per
+    * k-token window (i = 1-based start, h1/h2 = the 128-bit key pair),
+    * plus one (id, null, null, null) row per zero-window document so
     * short/null-text docs stay representable. [[substringDupStats]],
     * [[substringDupRemove]] and [[substringDupRemoveSpans]] all accept it
     * via their `census` parameter: a pipeline running several family
@@ -461,37 +472,20 @@ object Dedup {
     * [[SimilarityIndex]] handles. */
   def substringCensus(docs: DataFrame, k: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("id"),
-      bindOnce(tokens(col(textCol)), { w =>
-        when(size(w) >= k,
-          transform(sequence(lit(1), size(w) - (k - 1)),
-            i => struct(i.as("i"), winKey(slice(w, i, lit(k))).as("h"))))
-          .otherwise(array().cast(s"array<struct<i:int,h:$winKeyType>>"))
-      }).as("ws"))
-      .select(col("id"), explode_outer(col("ws")).as("x"))
-      .select(col("id"), col("x.i").as("i"), col("x.h").as("h"))
+    windowCensusOf(docs, k, textCol, idCol, outer = true)
 
   def substringDupStats(docs: DataFrame, k: Int = 8,
       textCol: String = "text", idCol: String = "doc_id",
       census: Option[DataFrame] = None): DataFrame = {
-    // The token array is LET-BOUND (bindOnce): after projection collapse
-    // a bare column reference would inline the split into the window
-    // lambda and re-tokenize the text once per window — quadratic per doc.
     // explode_outer keeps zero-window docs (short or null text) in the
-    // flow as a single null-h row, so no second scan of `docs` is needed
-    // for the per-doc window count.
-    // A caller-owned census (see [[substringCensus]]) substitutes for the
-    // whole scan + tokenize + window build; its null-i/null-h rows are
-    // exactly this path's explode_outer null-h rows.
-    val occ = census.map(_.select(col("id"), col("h"))).getOrElse(docs
-      .select(col(idCol).as("id"),
-        bindOnce(tokens(col(textCol)), { w =>
-          when(size(w) >= k,
-            transform(sequence(lit(1), size(w) - (k - 1)),
-              i => winKey(slice(w, i, lit(k)))))
-            .otherwise(array().cast(winKeyArrayType))
-        }).as("wh"))
-      .select(col("id"), explode_outer(col("wh")).as("h")))
+    // flow as a single null-key row, so no second scan of `docs` is
+    // needed for the per-doc window count. A caller-owned census (see
+    // [[substringCensus]]) substitutes for the whole scan + tokenize +
+    // window build; its null-key marker rows are exactly this path's
+    // explode_outer rows.
+    val occ = census.map(_.select(col("id"), col("h1"), col("h2")))
+      .getOrElse(windowCensusOf(docs, k, textCol, idCol, outer = true)
+        .select(col("id"), col("h1"), col("h2")))
     // Occurrences counted WITH multiplicity: a window repeated inside one
     // document is duplicated text too (the paper's within-doc case).
     //
@@ -503,12 +497,12 @@ object Dedup {
     // exchange moves one row per (doc, hash), never one per occurrence,
     // so a boilerplate window repeated across millions of docs costs its
     // hot reducer one row per doc with partial counts already folded.
-    val perDocHash = occ.groupBy(col("id"), col("h"))
-      .agg(count(col("h")).as("c")) // count(h): the null-h row folds to c=0
-    val dupTotals = perDocHash.groupBy(col("h"))
-      .agg(sum(col("c")).as("tot")).where(col("h").isNotNull && col("tot") > 1)
-      .select(col("h"), lit(1).as("dup"))
-    perDocHash.join(dupTotals, Seq("h"), "left")
+    val perDocHash = occ.groupBy(col("id"), col("h1"), col("h2"))
+      .agg(count(col("h1")).as("c")) // count(h1): the null-key row folds to c=0
+    val dupTotals = perDocHash.groupBy(col("h1"), col("h2"))
+      .agg(sum(col("c")).as("tot")).where(col("h1").isNotNull && col("tot") > 1)
+      .select(col("h1"), col("h2"), lit(1).as("dup"))
+    perDocHash.join(dupTotals, Seq("h1", "h2"), "left")
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_windows"),
         coalesce(sum(when(col("dup") === 1, col("c"))), lit(0L)).as("n_dup_windows"))
@@ -530,44 +524,67 @@ object Dedup {
     * the per-document covered-set is a bounded array (<= token count).
     * The rebuild is a narrow `filter` over the token array — no second
     * pass over text. */
-  /** Rebuild the cleaned text from the token array `w` and the covered
-    * 1-based POSITION set `cov` (null = nothing covered) by slicing the
-    * segments BETWEEN sorted covered positions and flattening —
-    * O(n + |cov|·log|cov|) per document, no per-token membership test.
-    * The r10 form filtered per token with `array_contains(cov, i+1)`, a
-    * linear scan of the covered set per token: O(tokens × removed) per
-    * document — same class as the r6 per-position `substr` trap (per-doc
-    * bounded, but a fully-duplicated multi-MB document paid ~n² in its
-    * own length; FuzzSpec now pins that case). The boundary array is
-    * let-bound (bindOnce): a bare reference inside the transform lambda
-    * would re-sort the covered set once per segment. */
-  private def rebuildClean(w: Column, cov: Column): Column =
-    when(cov.isNull, array_join(w, " "))
-      .otherwise(bindOnce(
-        concat(array(lit(0)), array_sort(cov), array(size(w) + 1)),
-        b => array_join(flatten(transform(sequence(lit(1), size(b) - 1),
-          j => slice(w, element_at(b, j) + 1,
-            element_at(b, j + 1) - element_at(b, j) - 1))), " ")))
+  /** Rebuild the cleaned text from the token array `w` and the SORTED
+    * DISJOINT covered-span array `spans` (struct<s,e>, 1-based inclusive
+    * token positions; null = nothing covered) by slicing the segments
+    * between spans and flattening — O(n + |spans|) per document, no
+    * per-token membership test. (The r10 form filtered per token with
+    * `array_contains`; the r16 form carried every covered POSITION —
+    * k rows per duplicated window through the shuffle and one array cell
+    * each in the per-doc aggregate. Spans carry one row per contiguous
+    * covered region instead; see [[mergedSpans]].) */
+  private def rebuildClean(w: Column, spans: Column): Column =
+    when(spans.isNull, array_join(w, " "))
+      .otherwise(bindOnce(spans, sp =>
+        array_join(flatten(transform(sequence(lit(0), size(sp)), j =>
+          bindOnce(
+            when(j === 0, lit(0)).otherwise(element_at(sp, j)("e")), from =>
+              slice(w, from + 1,
+                when(j === size(sp), size(w) + 1)
+                  .otherwise(element_at(sp, j + 1)("s")) - from - 1)))),
+          " ")))
+
+  /** Total covered-token count of a sorted DISJOINT span array (0 when
+    * null). */
+  private def spanCoverage(spans: Column): Column =
+    coalesce(aggregate(spans, lit(0L),
+      (acc, x) => acc + (x("e") - x("s") + 1)), lit(0L))
+
+  /** Merge per-document OVERLAPPING token intervals (id, s, e) and
+    * collect them sorted: (id, spans: array<struct<s,e>>). Gaps-and-
+    * islands by running max end — one exchange by id, per-doc-bounded
+    * window work, and the per-doc aggregate holds one struct per
+    * contiguous covered REGION. The r16 form exploded every covered
+    * position (k rows per duplicated window) into a collect_set whose
+    * object-hash aggregation fell back to sort-based past 128 keys per
+    * partition and spilled ~4 GB per executed pass at ×300 (stage diag);
+    * interval rows are ~k× fewer going in and ~spans-per-doc coming
+    * out. Intervals that merely touch (s == prev e + 1) stay separate —
+    * they are disjoint, so coverage counting and segment slicing remain
+    * exact (a zero-length gap slice contributes nothing). */
+  private def mergedSpans(intervals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    val prev = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    intervals
+      .withColumn("pmax", max(col("e")).over(prev))
+      .withColumn("nw",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+      .withColumn("isl", sum(col("nw")).over(byDoc))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cov"))
+  }
 
   def substringDupRemove(docs: DataFrame, k: Int = 8,
       textCol: String = "text", idCol: String = "doc_id",
       census: Option[DataFrame] = None): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
-    // Token array let-bound (bindOnce) — see substringDupStats: a bare
-    // reference would re-tokenize the text once per window after
-    // projection collapse. A caller-owned census substitutes for the
-    // build; dropping its null-h marker rows (zero-window docs) restores
-    // this path's plain-explode row set exactly.
-    val wins = census.map(_.where(col("h").isNotNull)).getOrElse(
-      docs.select(col(idCol).as("id"),
-        bindOnce(tokens(col(textCol)), { w =>
-          when(size(w) >= k,
-            transform(sequence(lit(1), size(w) - (k - 1)),
-              i => struct(i.as("i"), winKey(slice(w, i, lit(k))).as("h"))))
-            .otherwise(array().cast(s"array<struct<i:int,h:$winKeyType>>"))
-        }).as("ws"))
-      .select(col("id"), explode(col("ws")).as("x"))
-      .select(col("id"), col("x.i").as("i"), col("x.h").as("h")))
+    // A caller-owned census substitutes for the build; dropping its
+    // null-key marker rows (zero-window docs) restores this path's
+    // plain-explode row set exactly.
+    val wins = census.map(_.where(col("h1").isNotNull)).getOrElse(
+      windowCensusOf(docs, k, textCol, idCol, outer = false))
     // The census is a count-over-window by h, NOT a groupBy + self-join:
     // a join would evaluate the scan + window build once per side (column
     // pruning specializes the two subtrees, so the exchange cannot be
@@ -575,19 +592,41 @@ object Dedup {
     // single pass that carries the positions — one scan, one exchange.
     // The exchange feeding it is scale-adaptively sized (censusPartitions)
     // so per-task sort state stays bounded as the corpus grows.
-    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val covered = censusPartitions(docs).map(n => wins.repartition(n, col("h")))
+    val byH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h1"), col("h2"))
+    val covered = mergedSpans(censusPartitions(docs)
+      .map(n => wins.repartition(n, col("h1"), col("h2")))
       .getOrElse(wins)
       .withColumn("cnt", count(lit(1)).over(byH))
       .where(col("cnt") > 1)
-      .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
-      .groupBy(col("id")).agg(collect_set(col("p")).as("cov"))
-    toks.join(covered, Seq("id"), "left")
+      .select(col("id"), col("i").as("s"), (col("i") + (k - 1)).as("e")))
+    rebuildJoin(docs, covered, textCol, idCol)
+  }
+
+  /** The rebuild join, shared by [[substringDupRemove]] and
+    * [[substringDupRemoveSpans]]: attach the per-doc covered-position
+    * sets to the corpus and re-emit the cleaned text. The join shuffles
+    * the raw TEXT and tokenizes AFTER the join (r17; guide §2.3/§8 —
+    * move the lightweight form through the exchange, not the payload):
+    * the token-ARRAY form of the corpus measured ~2.6× the text bytes
+    * through the exchange + SMJ sort (x300 stage diag: 1.78 GB exchanged,
+    * ~9 GB spilled across the two join stages), while tokenize is a
+    * narrow per-row op the post-join projection pays once — `w` is a
+    * multi-referenced non-cheap alias, so it survives CollapseProject
+    * and is evaluated once per row. */
+  private def rebuildJoin(docs: DataFrame, covered: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    // (A SHUFFLE_HASH hint on the covered side was measured-and-reverted
+    // here: ×300 stage diag showed the join stages' ~4 GB spill belongs
+    // to the collect_set aggregation feeding `covered`, not the SMJ
+    // sorts, and the hash build was net slower — 93.6 s vs 78.8 s.)
+    docs.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), tokens(col("_text")).as("w"), col("cov"))
       .select(col("id"),
         size(col("w")).cast("long").as("n_tokens"),
-        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        spanCoverage(col("cov")).as("n_removed"),
         rebuildClean(col("w"), col("cov")).as("text_clean"))
-  }
 
   /** Duplicated-substring removal at the paper's LENGTH THRESHOLD —
     * the semantics Lee et al. 2021 actually run with their suffix array
@@ -627,23 +666,15 @@ object Dedup {
       strict: Boolean = false,
       census: Option[DataFrame] = None): DataFrame = {
     require(minLen >= k, s"minLen=$minLen must be >= k=$k")
-    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
-    // same let-bound window build as substringDupRemove (see there for
-    // the inlining trap), the same count-over-window census with the same
-    // scale-adaptive exchange sizing, and the same caller-owned census
-    // substitution
-    val wins = census.map(_.where(col("h").isNotNull)).getOrElse(
-      docs.select(col(idCol).as("id"),
-        bindOnce(tokens(col(textCol)), { w =>
-          when(size(w) >= k,
-            transform(sequence(lit(1), size(w) - (k - 1)),
-              i => struct(i.as("i"), winKey(slice(w, i, lit(k))).as("h"))))
-            .otherwise(array().cast(s"array<struct<i:int,h:$winKeyType>>"))
-        }).as("ws"))
-      .select(col("id"), explode(col("ws")).as("x"))
-      .select(col("id"), col("x.i").as("i"), col("x.h").as("h")))
-    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val dupStarts = censusPartitions(docs).map(n => wins.repartition(n, col("h")))
+    // same compiled window build as substringDupRemove, the same
+    // count-over-window census with the same scale-adaptive exchange
+    // sizing, and the same caller-owned census substitution
+    val wins = census.map(_.where(col("h1").isNotNull)).getOrElse(
+      windowCensusOf(docs, k, textCol, idCol, outer = false))
+    val byH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h1"), col("h2"))
+    val dupStarts = censusPartitions(docs)
+      .map(n => wins.repartition(n, col("h1"), col("h2")))
       .getOrElse(wins)
       .withColumn("cnt", count(lit(1)).over(byH))
       .where(col("cnt") > 1)
@@ -671,8 +702,9 @@ object Dedup {
             explode(sequence(col("s"), col("e"))).as("i"))
           .join(wins, Seq("id", "i"))
         runStarts
-          .join(wins.select(col("id").as("pid"), col("i").as("j"), col("h")),
-            Seq("h"))
+          .join(wins.select(col("id").as("pid"), col("i").as("j"),
+              col("h1"), col("h2")),
+            Seq("h1", "h2"))
           .where(!(col("pid") === col("id") && col("j") === col("i")))
           .groupBy(col("id"), col("s"), col("e"), col("pid"),
             (col("j") - col("i")).as("off"))
@@ -680,14 +712,12 @@ object Dedup {
           .where(col("n") === col("e") - col("s") + 1)
           .select(col("id"), col("s"), col("e")).distinct()
       }
-    val covered = runs
-      .select(col("id"), explode(sequence(col("s"), col("e") + (k - 1))).as("p"))
-      .groupBy(col("id")).agg(collect_set(col("p")).as("cov"))
-    toks.join(covered, Seq("id"), "left")
-      .select(col("id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
-        rebuildClean(col("w"), col("cov")).as("text_clean"))
+    // run [s..e] in START space covers tokens [s, e+k-1]; such intervals
+    // from different runs can overlap (k-extension), so merge before the
+    // rebuild
+    val covered = mergedSpans(
+      runs.select(col("id"), col("s"), (col("e") + (k - 1)).as("e")))
+    rebuildJoin(docs, covered, textCol, idCol)
   }
 
   /** SimHash (60-bit): per bit position, sum +1/-1 over distinct token
